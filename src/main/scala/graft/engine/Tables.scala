@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture registration: a "database" is a directory of parquet files
+  * (TESTDATA.md), mirroring the reference's single-file attached DuckDB
+  * database opened read-only (/root/reference/main.go:31,61). Each table
+  * becomes a temp view in the SparkSession catalog.
+  *
+  * Scale note: `spark.read.parquet` partitions by file/row-group, so the
+  * same registration works unchanged on a 100 TB multi-file dataset; no
+  * data is materialized here (views are lazy logical plans).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is parquet timestamp[ns]; Spark's vectorized reader has no
+    * ns timestamp type. We read it via the legacy nanos-as-long mode and
+    * rebuild a µs TIMESTAMP_NTZ (floor-div 1000) — the same truncation
+    * DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, keeping the
+    * oracle comparable (SURVEY.md §1.4).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn(
+            "ts",
+            timestamp_micros(floor(col("ts") / 1000L).cast(LongType))
+              .cast(TimestampNTZType))
+        case _ => raw // future Spark versions may read ns natively
+      }
+    } else spark.read.parquet(path)
+  }
+
+  /** Register every fixture table as a temp view. Idempotent and cheap
+    * (lazy plans only); called at the top of every declared query fn.
+    */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM fork, build.sbt). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class QuerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry smoke: >0 rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and most return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(s"$name: ") { assert(n >= 0) }
+    }
+  }
+
+  test("q1_pricing: 6 groups (3 returnflags × 2 linestatus)") {
+    val rows = SparkEntry.queries("q1_pricing")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(0)).toSet == Set("A", "N", "R"))
+  }
+
+  test("every query with an oracle has matching column aliases discipline") {
+    // oracleSql keys must be a subset of queries keys
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
