@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** Every declared operator query, in registration order. */
   def allQueries: Seq[Q] =
-    AggQueries.all
+    AggQueries.all ++ FilterQueries.all ++ SortSetQueries.all ++ JoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

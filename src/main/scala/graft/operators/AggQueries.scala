@@ -47,5 +47,247 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(q1Pricing)
+  /** A2: ungrouped (global) aggregates, mixed types. */
+  val a2 = Q(
+    "a2_global_agg",
+    s"""SELECT COUNT(*) AS n,
+       |  ${Det.dsumSql("l_extendedprice")} AS total_price,
+       |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       |  MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,
+       |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+       |FROM lineitem""".stripMargin
+  ) { s =>
+    s.table("lineitem").agg(
+      count(lit(1)).as("n"),
+      Det.dsum(col("l_extendedprice")).as("total_price"),
+      min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+      min(col("l_returnflag")).as("min_flag"), max(col("l_returnflag")).as("max_flag"),
+      sum(col("l_linenumber")).cast(LongType).as("sum_line"))
+  }
+
+  /** A4: DISTINCT aggregates. */
+  val a4 = Q(
+    "a4_distinct_agg",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dq
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        sum_distinct(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_dq"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  /** A5: FILTER (WHERE …) clause on aggregates. */
+  val a5 = Q(
+    "a5_agg_filter_clause",
+    s"""SELECT o_orderstatus,
+       |  COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+       |  ${Det.dsumSql("o_totalprice")} AS total,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+       |FROM orders GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin)
+  }
+
+  /** A6: ROLLUP + CUBE + GROUPING() markers. */
+  val a6 = Q(
+    "a6_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf ASC NULLS LAST, g_ls ASC NULLS LAST,
+      |         l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_rf").asc_nulls_last, col("g_ls").asc_nulls_last,
+        col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+  }
+
+  val a6b = Q(
+    "a6_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_s ASC NULLS LAST, g_p ASC NULLS LAST,
+      |         o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).as("g_s"),
+        grouping(col("o_orderpriority")).as("g_p"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_s").asc_nulls_last, col("g_p").asc_nulls_last,
+        col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+  }
+
+  /** A7: HAVING (post-aggregation filter). */
+  val a7 = Q(
+    "a7_having",
+    """SELECT o_custkey, COUNT(*) AS n
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+      |ORDER BY o_custkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 12)
+      .orderBy(col("o_custkey").asc_nulls_last)
+  }
+
+  /** A8: statistical aggregates (rounded — float accumulation order). */
+  val a8 = Q(
+    "a8_stats_agg",
+    """SELECT l_returnflag,
+      |  ROUND(stddev_samp(l_quantity), 6) AS sd_q,
+      |  ROUND(var_pop(l_quantity), 6) AS vp_q,
+      |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+        round(var_pop(col("l_quantity")), 6).as("vp_q"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  /** A9: ordered-set aggregates — Spark `percentile` (exact interpolated)
+    * matches DuckDB median/quantile_cont; discrete quantile via
+    * sorted-array indexing (same floor((n-1)·q) rank rule).
+    */
+  val a9b = Q(
+    "a9_quantiles_exact",
+    """SELECT l_returnflag,
+      |  ROUND(median(l_quantity), 6) AS med_q,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+      |  quantile_disc(l_quantity, 0.75) AS q75d
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT l_returnflag,
+        |  ROUND(percentile(l_quantity, 0.5), 6) AS med_q,
+        |  ROUND(percentile(l_quantity, 0.25), 6) AS q25,
+        |  element_at(array_sort(collect_list(l_quantity)),
+        |             CAST(floor(0.75 * (COUNT(*) - 1)) AS INT) + 1) AS q75d
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
+  }
+
+  /** A11: arg_min/arg_max ≡ min_by/max_by (unique ordering col ⇒ deterministic). */
+  val a11 = Q(
+    "a11_min_max_by",
+    """SELECT o_orderstatus,
+      |  arg_max(o_custkey, o_orderkey) AS cust_of_max_key,
+      |  arg_min(o_custkey, o_orderkey) AS cust_of_min_key
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("orders").groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_custkey"), col("o_orderkey")).as("cust_of_max_key"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("cust_of_min_key"))
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+  }
+
+  /** A12: order-sensitive list/string aggregation (explicitly sorted). */
+  val a12 = Q(
+    "a12_list_string_agg",
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+      |  list_sort(list(n_name)) AS names_list
+      |FROM nation GROUP BY n_regionkey
+      |ORDER BY n_regionkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("nation").groupBy(col("n_regionkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("names_csv"),
+        sort_array(collect_list(col("n_name"))).as("names_list"))
+      .orderBy(col("n_regionkey").asc_nulls_last)
+  }
+
+  /** A13: bool_and/bool_or + bitwise aggregates. */
+  val a13 = Q(
+    "a13_bool_bit_agg",
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0.0) AS all_pos,
+      |  bool_or(l_quantity > 49.0) AS any_huge,
+      |  bit_and(l_linenumber) AS band,
+      |  bit_or(l_linenumber) AS bor,
+      |  bit_xor(l_linenumber) AS bxor
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0.0).as("all_pos"),
+        bool_or(col("l_quantity") > 49.0).as("any_huge"),
+        bit_and(col("l_linenumber")).as("band"),
+        bit_or(col("l_linenumber")).as("bor"),
+        bit_xor(col("l_linenumber")).as("bxor"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  /** A14: any_value — deterministic because the value is functionally
+    * determined by the group key.
+    */
+  val a14 = Q(
+    "a14_any_value",
+    """SELECT c_mktsegment, any_value(UPPER(c_mktsegment)) AS seg_upper, COUNT(*) AS n
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("customer").groupBy(col("c_mktsegment"))
+      .agg(any_value(upper(col("c_mktsegment"))).as("seg_upper"), count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment").asc_nulls_last)
+  }
+
+  /** A15: GROUP BY ALL (dialect sugar, native in both engines). */
+  val a15 = Q(
+    "a15_group_by_all",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY ALL
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
+  }
+
+  /** A10: approx_count_distinct — HLL sketches differ across engines, so
+    * no oracle (driver rows-only check); ScalaTest bounds the error.
+    */
+  val a10 = Q.noOracle("a10_approx_distinct") { s =>
+    s.table("lineitem").groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(
+    q1Pricing, a2, a4, a5, a6, a6b, a7, a8, a9b, a11, a12, a13, a14, a15, a10)
 }

@@ -13,11 +13,18 @@ import json, subprocess, sys, math
 from pathlib import Path
 
 import duckdb
+import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def norm_cell(v):
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, norm_cell(x)) for k, x in sorted(v.items()))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
