@@ -15,7 +15,9 @@ object SparkEntry {
 
   /** Every declared operator query, in registration order. */
   def allQueries: Seq[Q] =
-    AggQueries.all ++ FilterQueries.all ++ SortSetQueries.all ++ JoinQueries.all
+    AggQueries.all ++ FilterQueries.all ++ SortSetQueries.all ++
+      JoinQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
+      GeneratorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -31,10 +31,11 @@ object Tables {
       val raw = spark.read.parquet(path)
       raw.schema("ts").dataType match {
         case LongType =>
+          // integer div, NOT `/` (double division loses precision on
+          // ns-epoch longs > 2^53 and shifts timestamps by ~1 µs)
           raw.withColumn(
             "ts",
-            timestamp_micros(floor(col("ts") / 1000L).cast(LongType))
-              .cast(TimestampNTZType))
+            timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
         case _ => raw // future Spark versions may read ns natively
       }
     } else spark.read.parquet(path)

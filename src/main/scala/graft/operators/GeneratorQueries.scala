@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Q
+
+/** Table functions, generators, sampling, reshaping — SURVEY.md §2.9
+  * (T1–T7). Generators are lazy/distributed (`spark.range` partitions the
+  * id space; `explode` is a Catalyst Generator — no driver materialization).
+  */
+object GeneratorQueries {
+
+  /** T1: integer range + stepped/date series. */
+  val t1 = Q(
+    "t1_range_series",
+    """SELECT r.range AS id,
+      |  generate_series(1, 3) AS ser,
+      |  generate_series(0, 10, 5) AS ser_step
+      |FROM range(5) r
+      |ORDER BY id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.range(5).toDF("id").select(
+      col("id"),
+      sequence(lit(1), lit(3)).as("ser"),
+      sequence(lit(0), lit(10), lit(5)).as("ser_step"))
+      .orderBy(col("id").asc_nulls_last)
+  }
+
+  /** T1b: date series (explode ≡ unnest of generate_series). */
+  val t1b = Q(
+    "t1_date_series",
+    """SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-06-01',
+      |                                   INTERVAL '1' MONTH)) AS DATE) AS d""".stripMargin
+  ) { s =>
+    s.range(1).select(
+      explode(sequence(
+        lit("2024-01-01").cast(DateType),
+        lit("2024-06-01").cast(DateType),
+        expr("INTERVAL 1 MONTH"))).as("d"))
+  }
+
+  /** T2: unnest/explode of a computed list, with per-row aggregation —
+    * word histogram over a slice of the documents corpus.
+    */
+  val t2 = Q(
+    "t2_unnest",
+    """SELECT w AS word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |      FROM documents WHERE doc_id < 50) t
+      |GROUP BY w
+      |ORDER BY n DESC NULLS LAST, word ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("documents").filter(col("doc_id") < 50)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc_nulls_last, col("word").asc_nulls_last)
+  }
+
+  /** T2b: positional unnest (posexplode); DuckDB via generate_series
+    * index join (no WITH ORDINALITY in 1.0).
+    */
+  val t2b = Q(
+    "t2_posexplode",
+    """SELECT p_partkey AS k, CAST(i.i AS INT) AS pos, l[i.i] AS v
+      |FROM (SELECT p_partkey, [p_size, p_size * 2, p_size + 5] AS l
+      |      FROM part WHERE p_partkey < 100) t,
+      |     UNNEST(generate_series(1, len(l))) i(i)
+      |ORDER BY k ASC NULLS LAST, pos ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val sz = col("p_size")
+    s.table("part").filter(col("p_partkey") < 100)
+      .select(col("p_partkey").as("k"),
+        posexplode(array(sz, sz * 2, sz + 5)))
+      .select(col("k"), (col("pos") + 1).as("pos"), col("col").as("v"))
+      .orderBy(col("k").asc_nulls_last, col("pos").asc_nulls_last)
+  }
+
+  /** T3: sampling — seeds aren't portable across engines, so no oracle;
+    * the driver does a rows-only check and ScalaTest bounds the counts.
+    */
+  val t3 = Q.noOracle("t3_sample") { s =>
+    s.table("lineitem").sample(withReplacement = false, 0.1, seed = 42)
+      .select(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** T4: PIVOT (static value list) — wide counts by linestatus. */
+  val t4 = Q(
+    "t4_pivot",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+      |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  /** T4b: UNPIVOT / melt. */
+  val t4b = Q(
+    "t4_unpivot",
+    """SELECT c_custkey, k AS metric, v AS val
+      |FROM (UNPIVOT (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+      |               CAST(c_nationkey AS DOUBLE) AS nat
+      |               FROM customer WHERE c_custkey < 100)
+      |      ON bal, nat INTO NAME k VALUE v)
+      |ORDER BY c_custkey ASC NULLS LAST, metric ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("customer").filter(col("c_custkey") < 100)
+      .select(col("c_custkey"),
+        col("c_acctbal").cast(DoubleType).as("bal"),
+        col("c_nationkey").cast(DoubleType).as("nat"))
+      .unpivot(Array(col("c_custkey")), Array(col("bal"), col("nat")), "metric", "val")
+      .orderBy(col("c_custkey").asc_nulls_last, col("metric").asc_nulls_last)
+  }
+
+  /** T5: VALUES inline table. */
+  val t5 = Q(
+    "t5_values",
+    """SELECT i, s FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(i, s)
+      |ORDER BY i ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql("""SELECT i, s FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(i, s)
+            |ORDER BY i ASC NULLS LAST""".stripMargin)
+  }
+
+  /** T6: chained CTEs with reuse. */
+  val t6 = Q(
+    "t6_cte",
+    """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 250000.0),
+      |     by_cust AS (SELECT o_custkey, COUNT(*) AS n FROM big GROUP BY o_custkey)
+      |SELECT b.o_custkey, b.n
+      |FROM by_cust b JOIN by_cust b2 ON b.o_custkey = b2.o_custkey
+      |ORDER BY b.o_custkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 250000.0),
+        |     by_cust AS (SELECT o_custkey, COUNT(*) AS n FROM big GROUP BY o_custkey)
+        |SELECT b.o_custkey, b.n
+        |FROM by_cust b JOIN by_cust b2 ON b.o_custkey = b2.o_custkey
+        |ORDER BY b.o_custkey ASC NULLS LAST""".stripMargin)
+  }
+
+  /** T7: DESCRIBE/SUMMARIZE — engine introspection, no oracle (DuckDB's
+    * SUMMARIZE column set differs).
+    */
+  val t7 = Q.noOracle("t7_describe") { s =>
+    s.table("lineitem").select("l_quantity", "l_extendedprice").summary()
+  }
+
+  /** S7: catalog introspection as a DataFrame (reference: duckdb_tables()
+    * via /root/reference/main.go:77).
+    */
+  val s7 = Q.noOracle("s7_catalog") { s =>
+    import s.implicits._
+    s.catalog.listTables().map(t => (t.name, t.tableType)).toDF("name", "table_type")
+      .orderBy(col("name").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(t1, t1b, t2, t2b, t3, t4, t4b, t5, t6, t7, s7)
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Q
+
+/** Window functions — SURVEY.md §2.5 (W1–W5, W7, W8; W6 GROUPS/EXCLUDE
+  * frames deferred — no Spark primitive, low priority per §7.4).
+  *
+  * Determinism: every window ORDER BY ends in a unique key so rank/lag
+  * results are total-order stable. Scale: windows shuffle once on the
+  * partition key; per-user partitions are small and uniform in the
+  * fixtures (the giant-single-partition cliff is documented in §7.5).
+  */
+object WindowQueries {
+
+  /** W1: ranking family over per-customer order history. */
+  val w1 = Q(
+    "w1_ranking",
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ROUND(percent_rank() OVER w, 6) AS prnk,
+      |  ROUND(cume_dist() OVER w, 6) AS cdist,
+      |  ntile(4) OVER w AS quart
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    s.table("orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quart"))
+      .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+  }
+
+  /** W2: analytic family — lag/lead with defaults, first/last/nth value. */
+  val w2 = Q(
+    "w2_lag_lead",
+    """SELECT user_id, event_id,
+      |  lag(event_type) OVER w AS prev_type,
+      |  lead(event_type, 2, 'none') OVER w AS next2_type,
+      |  first_value(event_type) OVER w AS first_type,
+      |  last_value(event_type) OVER w AS last_type,
+      |  nth_value(event_type, 2) OVER w AS second_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    s.table("events")
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 2, "none").over(w).as("next2_type"),
+        first_value(col("event_type")).over(w).as("first_type"),
+        last_value(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+  }
+
+  /** W3: aggregates over an unordered window (whole-partition frame). */
+  val w3 = Q(
+    "w3_agg_over",
+    """SELECT o_orderkey, o_custkey,
+      |  COUNT(*) OVER w AS n_cust_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cust_total,
+      |  MIN(o_orderdate) OVER w AS first_date
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey)
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.partitionBy(col("o_custkey"))
+    s.table("orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_cust_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("cust_total"),
+        min(col("o_orderdate")).over(w).as("first_date"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+  }
+
+  /** W4: ROWS frame — moving sum/avg over the last 3 rows. */
+  val w4 = Q(
+    "w4_rows_frame",
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+      |  COUNT(*) OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM events
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    s.table("events")
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(-2, Window.currentRow))
+          .cast(DoubleType).as("mov_sum"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_n"))
+      .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+  }
+
+  /** W5: RANGE frame — value-based (numeric) and interval-based (time). */
+  val w5 = Q(
+    "w5_range_frame",
+    """SELECT o_orderkey, o_totalprice,
+      |  COUNT(*) OVER (ORDER BY o_totalprice ASC
+      |    RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS n_near
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.orderBy(col("o_totalprice").asc).rangeBetween(-50000, Window.currentRow)
+    s.table("orders")
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+  }
+
+  /** W5b: interval RANGE over event time (SQL form on both sides). */
+  val w5b = Q(
+    "w5_range_interval",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+      |FROM events
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin)
+  }
+
+  /** W7: named WINDOW clause shared by several functions — exercised by
+    * w1/w2/w3 SQL oracles; Spark-side SQL form here.
+    */
+  val w7 = Q(
+    "w7_named_window",
+    """SELECT o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin)
+  }
+
+  /** W8: QUALIFY — DuckDB dialect filter-on-window; Spark rewrite is
+    * window column + filter (SURVEY §2.5 W8): latest order per customer.
+    */
+  val w8 = Q(
+    "w8_qualify",
+    """SELECT o_custkey, o_orderkey, o_orderdate
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |ORDER BY o_custkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    s.table("orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(w1, w2, w3, w4, w5, w5b, w7, w8)
+}
