@@ -16,8 +16,10 @@ object SparkEntry {
   /** Every declared operator query, in registration order. */
   def allQueries: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ SortSetQueries.all ++
-      JoinQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
-      GeneratorQueries.all
+      JoinQueries.all ++ AsOfQueries.all ++ WindowQueries.all ++
+      FunctionQueries.all ++ GeneratorQueries.all ++
+      graft.llm.TextOps.all ++ graft.llm.DedupOps.all ++
+      graft.llm.SimilarityOps.all ++ graft.llm.MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

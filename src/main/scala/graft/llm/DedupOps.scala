@@ -1,0 +1,224 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Q
+
+/** Deduplication operators for LLM training-data pipelines (BASELINE.json;
+  * SURVEY.md §7.2 item 6 / §7.5 scale notes).
+  *
+  * The fixture corpus has no verbatim duplicates, so dedup queries build a
+  * duplicated corpus from the fixtures themselves: `documents` UNION ALL a
+  * copy (doc_id + 10000) whose text is truncated to the first 80% of
+  * tokens — a realistic near-duplicate population with known answers.
+  *
+  * All hashing is md5-based so the DuckDB oracle computes the identical
+  * signatures — the comparison checks the *algorithm*, not a private hash.
+  *
+  * Scale: exact dedup shuffles on a 128-bit digest (never the full text);
+  * MinHash/LSH shuffles (band, bucket) pairs — the O(n²) pair explosion is
+  * confined to same-bucket candidates, which is the standard web-scale
+  * dedup layout (one shuffle per band, then a verified pair join).
+  */
+object DedupOps {
+
+  /** Duplicated corpus: original docs + 80%-prefix copies at id+10000. */
+  private def dupCorpus(s: SparkSession): DataFrame = {
+    val toks = split(col("text"), " ")
+    val cut = greatest(lit(3), floor(size(toks) * 4 / 5).cast(IntegerType))
+    val copy = s.table("documents").select(
+      (col("doc_id") + 10000).as("doc_id"),
+      array_join(slice(toks, lit(1), cut), " ").as("text"))
+    s.table("documents").select(col("doc_id"), col("text")).union(copy)
+  }
+
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id,
+      |  array_to_string(list_slice(string_split(text, ' '), 1,
+      |    GREATEST(3, CAST(FLOOR(len(string_split(text, ' ')) * 4 / 5) AS INT))), ' ') AS text
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: group on md5(text), keep the minimum doc_id, report the
+    * dropped ids. (On the raw corpus this is the identity; here the
+    * corpus is doubled with *verbatim* copies at +20000 to give the op
+    * real work.)
+    */
+  val d1 = Q(
+    "dd_exact",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, text FROM documents),
+      |keep AS (
+      |  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM corpus GROUP BY md5(text))
+      |SELECT c.doc_id, k.keeper
+      |FROM corpus c JOIN keep k ON md5(c.text) = k.h
+      |WHERE c.doc_id <> k.keeper
+      |ORDER BY c.doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val base = s.table("documents").select(col("doc_id"), col("text"))
+    val corpus = base.union(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .withColumn("h", md5(col("text").cast(BinaryType)))
+    val keep = corpus.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    corpus.join(keep, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("keeper"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------
+  // k = 8 md5-based minhashes over 3-token shingles; 4 bands × 2 rows.
+  private val K = 8
+  private val BANDS = 4
+
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |  generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
+      |  i -> string_split(text, ' ')[i] || ' ' ||
+      |       COALESCE(string_split(text, ' ')[i+1], '') || ' ' ||
+      |       COALESCE(string_split(text, ' ')[i+2], '')))""".stripMargin.replace("\n", " ")
+
+  /** Spark-side shingle set (distinct 3-grams of the token list).
+    * Out-of-range tail tokens pad with '' on BOTH engines (try_element_at:
+    * ANSI-mode element_at would error past the end).
+    */
+  private def shinglesPadded(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat(element_at(toks, i), lit(" "),
+        coalesce(try_element_at(toks, i + 1), lit("")), lit(" "),
+        coalesce(try_element_at(toks, i + 2), lit("")))))
+  }
+
+  /** minhash_i = min over shingles of md5(i || ':' || shingle). */
+  private def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$i:"), x).cast(BinaryType))))
+
+  private def minhashSql(i: Int): String =
+    s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min')"
+
+  /** MinHash-LSH near-dup pairs: signature → band buckets → candidate
+    * pairs sharing any bucket → verified shingle-set jaccard ≥ 0.3.
+    */
+  val d2 = Q(
+    "dd_minhash_lsh",
+    s"""WITH corpus AS ($dupCorpusSql),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+       |sig AS (SELECT doc_id, sh,
+       |  ${(0 until K).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+       |  FROM sh),
+       |bands AS (
+       |  ${(0 until BANDS).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+            .mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jac
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.3
+       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val corpus = dupCorpus(s)
+    val sh = corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh"))
+    val sig = sh.select(
+      col("doc_id") +: col("sh") +:
+        (0 until K).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+    val bands = (0 until BANDS).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast(BinaryType)).as("bucket"))
+    }.reduce(_ union _)
+    val a = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+    val b = bands.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jac"))
+      .filter(col("jac") >= 0.3)
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+  }
+
+  /** SimHash (16-bit, md5-nibble hyperplanes): per-token hash nibbles
+    * vote each signature bit up/down; near-identical docs land on equal
+    * or 1-bit-apart signatures. Output: per-doc signature bits.
+    */
+  val d4 = Q(
+    "dd_simhash",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id,
+       |    ${(1 to 16).map(j =>
+            s"SUM(CASE WHEN substr(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+            .mkString(", ")}
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |  ${(1 to 16).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
+       |FROM votes ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val tok = s.table("documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val votes = tok.groupBy(col("doc_id"))
+      .agg(
+        (1 to 16).map { j =>
+          sum(when(substring(md5(col("t").cast(BinaryType)), j, 1) >= "8", 1)
+            .otherwise(-1)).as(s"v$j")
+        }.head,
+        (1 to 16).map { j =>
+          sum(when(substring(md5(col("t").cast(BinaryType)), j, 1) >= "8", 1)
+            .otherwise(-1)).as(s"v$j")
+        }.tail: _*)
+    votes.select(col("doc_id"),
+      concat((1 to 16).map(j =>
+        when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Pairwise n-gram (3-shingle) jaccard over a corpus slice — the exact
+    * verification kernel that LSH approximates. Quadratic by design;
+    * bounded to a 60-doc block (at scale this is only ever run on
+    * same-bucket candidates, see dd_minhash_lsh).
+    */
+  val d5 = Q(
+    "dd_ngram_jaccard",
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM documents WHERE doc_id < 60)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val docs = s.table("documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), shinglesPadded(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+      size(array_union(col("sh_a"), col("sh_b")))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(jac >= 0.02)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jac"))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d4, d5)
+}

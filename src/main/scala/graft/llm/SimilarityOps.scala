@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Q
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors) — BASELINE.json's ANN mandate.
+  *
+  * All vector math runs in DOUBLE via sequential array folds, matching
+  * the DuckDB oracle's `list_cosine_similarity(CAST(… AS DOUBLE[]))`
+  * bit-for-bit (same left-to-right accumulation).
+  *
+  * Scale path: brute force is the correctness baseline (quadratic —
+  * never run it on the full corpus); the production layout broadcasts
+  * the small query set against the candidate corpus (linear scan, one
+  * shuffle for per-query top-k), and the LSH variant buckets by
+  * random-hyperplane signature so candidate generation is
+  * shuffle-bound, not O(n²) (SURVEY.md §7.5).
+  */
+object SimilarityOps {
+
+  /** cos(a, b) as sequential double fold — oracle-exact. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-3 neighbors for a 5-vector query set:
+    * broadcast queries × full candidate scan, per-query top-k window.
+    */
+  val v1 = Q(
+    "nn_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |sims AS (
+      |  SELECT qid, vec_id,
+      |         ROUND(list_cosine_similarity(qe, e), 6) AS sim
+      |  FROM q CROSS JOIN c WHERE vec_id <> qid)
+      |SELECT qid, vec_id, sim FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      |  FROM sims) t
+      |WHERE rn <= 3
+      |ORDER BY qid ASC NULLS LAST, sim DESC NULLS LAST, vec_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val q = s.table("embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = s.table("embeddings").select(col("vec_id"), col("embedding").as("e"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("e")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
+        col("vec_id").asc_nulls_last)
+  }
+
+  /** Embedding near-duplicate pairs, label-blocked (the blocking key
+    * stands in for an IVF/LSH bucket: candidate pairs only within a
+    * block, so the pair count stays shuffle-bound at scale).
+    */
+  val v2 = Q(
+    "nn_cosine_neardup",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) > 0.35
+      |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val e = s.table("embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    val sim = cosine(col("va"), col("vb"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .filter(sim > 0.35)
+      .select(col("id_a"), col("id_b"), round(sim, 6).as("sim"))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+  }
+
+  /** Random-hyperplane LSH bucketing (the at-scale ANN candidate
+    * generator): 12-bit signature from deterministic ±1 hyperplanes
+    * (seeded off md5, generated driver-side — tiny, broadcast as
+    * literals). No oracle: DuckDB has no equivalent primitive; ScalaTest
+    * checks bucket-recall against brute force.
+    */
+  val v3 = Q.noOracle("nn_lsh_buckets") { s =>
+    val dim = 64
+    val planes: Seq[Array[Double]] = (0 until 12).map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { d =>
+        val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dp = aggregate(
+        zip_with(col("embedding"), planeCol, (x, h) => x.cast(DoubleType) * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dp > 0, lit(1)).otherwise(lit(0)).cast(StringType).as(s"b$i")
+    }
+    s.table("embeddings")
+      .select(col("vec_id") +: sigBits: _*)
+      .withColumn("bucket", concat((0 until 12).map(i => col(s"b$i")): _*))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(v1, v2, v3)
+}

@@ -1,0 +1,182 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Q
+
+/** Text-analysis operators for LLM-scale data pipelines (BASELINE.json
+  * north star; SURVEY.md §7.2 item 6): corpus stats, quality scoring,
+  * token counting, n-gram language ID, document fingerprinting — all over
+  * the `documents` fixture, all narrow/shuffle-light plans that scale
+  * linearly (per-doc projections; aggregations shuffle only small
+  * per-group states; the lang-ID profile is a broadcast-size dimension).
+  */
+object TextOps {
+
+  /** Corpus statistics per language: doc counts, token totals/averages,
+    * stopword ratio. One partial/final aggregation — at 100 TB the
+    * shuffle carries 5 rows per partition.
+    */
+  val tStats = Q(
+    "tx_corpus_stats",
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  (CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)) AS avg_tokens,
+      |  (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+      |  (CAST(SUM(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))) AS DOUBLE)
+      |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)) AS stopword_ratio
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val toks = split(col("text"), " ")
+    s.table("documents")
+      .select(col("lang"), col("n_chars"), size(toks).as("n_tok"),
+        size(filter(toks, t => t === "the" || t === "a")).as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("total_tokens"),
+        (sum(col("n_tok")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        (sum(col("n_stop")).cast(DoubleType) / sum(col("n_tok")).cast(DoubleType))
+          .as("stopword_ratio"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  /** Per-document quality scoring: type-token ratio, mean token length,
+    * and a blended 0..1 quality score — the filter stage of a training-
+    * data pipeline.
+    */
+  val tQuality = Q(
+    "tx_quality_score",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+      |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' '))) AS ttr,
+      |  (CAST(list_aggregate(list_transform(string_split(text, ' '), t -> len(t)), 'sum') AS DOUBLE)
+      |    / len(string_split(text, ' '))) AS mean_tok_len,
+      |  ROUND(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / len(string_split(text, ' ')))
+      |      + 0.5 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0), 6) AS quality
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nTypes = size(array_distinct(toks))
+    val ttr = nTypes.cast(DoubleType) / nTok
+    s.table("documents").filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        nTypes.as("n_types"),
+        ttr.as("ttr"),
+        (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast(DoubleType) / nTok).as("mean_tok_len"),
+        round(lit(0.5) * ttr + lit(0.5) * least(nTok / 100.0, lit(1.0)), 6).as("quality"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-space symbols).
+    */
+  val tTokens = Q(
+    "tx_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS re_tokens,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
+      col("n_chars").cast(LongType).as("n_chars"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Language ID by n-gram/token profile: build a top-10-token profile
+    * per language from the corpus (deterministic tie-breaks), broadcast
+    * it, then classify each document by profile overlap. Two shuffles:
+    * profile build (tiny) and the final order; classification joins
+    * against a broadcast 50-row profile.
+    */
+  val tLangId = Q(
+    "tx_lang_id",
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |freq AS (
+      |  SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY lang, t),
+      |prof AS (
+      |  SELECT lang, t FROM (
+      |    SELECT lang, t, row_number() OVER
+      |      (PARTITION BY lang ORDER BY n DESC, t ASC) AS rn
+      |    FROM freq) f WHERE rn <= 10),
+      |docs AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |scores AS (
+      |  SELECT d.doc_id, d.lang, p.plang AS cand,
+      |         len(list_intersect(d.toks, p.toks)) AS hits
+      |  FROM docs d CROSS JOIN
+      |       (SELECT lang AS plang, list(t) AS toks FROM prof GROUP BY lang) p),
+      |best AS (
+      |  SELECT doc_id, lang, cand AS predicted FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+      |    FROM scores) x WHERE rn = 1)
+      |SELECT doc_id, lang, predicted, (lang = predicted) AS correct
+      |FROM best ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val docsAll = s.table("documents")
+    val tok = docsAll.select(col("lang"), explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
+    val wProf = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("t").asc)
+    val prof = freq.withColumn("rn", row_number().over(wProf)).filter(col("rn") <= 10)
+      .groupBy(col("lang").as("cand"))
+      .agg(sort_array(collect_list(col("t"))).as("prof_toks"))
+    val docs = docsAll.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
+    val scores = docs.crossJoin(broadcast(prof))
+      .select(col("doc_id"), col("lang"), col("cand"),
+        size(array_intersect(col("toks"), col("prof_toks"))).as("hits"))
+    val wBest = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand").asc)
+    scores.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("predicted"),
+        (col("lang") === col("cand")).as("correct"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Document fingerprinting: content fingerprint (order-insensitive md5
+    * of the sorted distinct token set) + prefix fingerprint (first 8
+    * tokens), with a same-prefix group count — the cheap pre-cluster
+    * stage of near-dup detection.
+    */
+  val tFingerprint = Q(
+    "tx_fingerprint",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_content,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_prefix
+      |  FROM documents)
+      |SELECT doc_id, fp_content, fp_prefix,
+      |  COUNT(*) OVER (PARTITION BY fp_prefix) AS n_same_prefix
+      |FROM fp ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val toks = split(col("text"), " ")
+    val fp = s.table("documents").select(
+      col("doc_id"),
+      md5(array_join(sort_array(array_distinct(toks)), " ").cast(BinaryType)).as("fp_content"),
+      md5(array_join(slice(toks, 1, 8), " ").cast(BinaryType)).as("fp_prefix"))
+    fp.withColumn("n_same_prefix",
+        count(lit(1)).over(Window.partitionBy(col("fp_prefix"))))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(tStats, tQuality, tTokens, tLangId, tFingerprint)
+}
