@@ -43,7 +43,13 @@ object Dialect {
   def strftimeToJava(fmt: String): String = {
     val sb = new StringBuilder
     var i = 0
-    def lit(s: String): Unit = if (s.nonEmpty) sb.append('\'').append(s.replace("'", "''")).append('\'')
+    // only letter-bearing literals need quoting (letters are JDK pattern
+    // chars); punctuation like '-' / ':' passes through unquoted
+    def lit(s: String): Unit = if (s.nonEmpty) {
+      if (s.exists(c => c.isLetter || c == '\''))
+        sb.append('\'').append(s.replace("'", "''")).append('\'')
+      else sb.append(s)
+    }
     val plain = new StringBuilder
     while (i < fmt.length) {
       val c = fmt.charAt(i)

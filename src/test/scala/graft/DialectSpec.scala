@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.Dialect
+
+class DialectSpec extends AnyFunSuite {
+
+  /** Plain-ScalaCheck property loop (scalatestplus bridge not on the
+    * offline classpath): 100 deterministic samples per property.
+    */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 100).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+
+  test("globToRegex basics") {
+    assert("abc".matches(Dialect.globToRegex("a*")))
+    assert("abc".matches(Dialect.globToRegex("a?c")))
+    assert(!"abc".matches(Dialect.globToRegex("b*")))
+    assert("a.c".matches(Dialect.globToRegex("a.c")))
+    assert(!"axc".matches(Dialect.globToRegex("a.c"))) // dot is literal
+    assert("file1".matches(Dialect.globToRegex("file[0-9]")))
+    assert(!"filex".matches(Dialect.globToRegex("file[0-9]")))
+    assert("filex".matches(Dialect.globToRegex("file[!0-9]")))
+  }
+
+  test("globToRegex: literal-only patterns match exactly themselves") {
+    val literal = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(literal) { s =>
+      assert(s.matches(Dialect.globToRegex(s)))
+      assert(!(s + "x").matches(Dialect.globToRegex(s)))
+    }
+  }
+
+  test("globToRegex: star prefix/suffix") {
+    val literal = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(literal, literal) { (a, b) =>
+      assert((a + b).matches(Dialect.globToRegex(a + "*")))
+      assert((a + b).matches(Dialect.globToRegex("*" + b)))
+      assert((a + "||" + b).matches(Dialect.globToRegex(a + "*" + b)))
+    }
+  }
+
+  test("strftimeToJava core patterns") {
+    assert(Dialect.strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(Dialect.strftimeToJava("%H:%M:%S") == "HH:mm:ss")
+    assert(Dialect.strftimeToJava("%Y-%m-%d %H:%M") == "yyyy-MM-dd HH:mm")
+    // literal text is quoted so JDK pattern letters in it stay inert
+    assert(Dialect.strftimeToJava("at %H") == "'at 'HH")
+    assert(Dialect.strftimeToJava("%d%%") == "dd'%'")
+  }
+
+  test("strftimeToJava round-trips a formatted timestamp") {
+    import java.time.LocalDateTime
+    import java.time.format.DateTimeFormatter
+    val ldt = LocalDateTime.of(2024, 3, 7, 15, 4, 5)
+    val pairs = Seq(
+      "%Y-%m-%d %H:%M:%S" -> "2024-03-07 15:04:05",
+      "%d/%m/%y" -> "07/03/24",
+      "%H:%M" -> "15:04")
+    pairs.foreach { case (strf, expected) =>
+      val fmt = DateTimeFormatter.ofPattern(Dialect.strftimeToJava(strf))
+      assert(ldt.format(fmt) == expected, s"for $strf")
+    }
+  }
+}

