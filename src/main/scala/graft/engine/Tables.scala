@@ -41,9 +41,16 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
-  /** Register every fixture table as a temp view. Idempotent and cheap
-    * (lazy plans only); called at the top of every declared query fn.
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every fixture table as a temp view. Called at the top of
+    * every declared query fn; memoized on the session's CURRENT dir so a
+    * 90-query run pays the parquet footer/listing cost once, not 90× —
+    * and switching dirs mid-session still re-registers correctly.
     */
   def register(spark: SparkSession, dir: String): Unit =
-    names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+    if (current.put(spark, dir) != dir) {
+      names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+    }
 }

@@ -22,13 +22,18 @@ import graft.engine.Q
   */
 object SimilarityOps {
 
-  /** cos(a, b) as sequential double fold — oracle-exact. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) as a sequential double fold — oracle-exact accumulation
+    * order (left to right, matching DuckDB's loop).
+    */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** cos(a, b) — use only where per-side norm precomputation isn't
+    * worthwhile (small pair counts).
+    */
+  private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Brute-force cosine top-3 neighbors for a 5-vector query set:
     * broadcast queries × full candidate scan, per-query top-k window.
@@ -49,13 +54,17 @@ object SimilarityOps {
       |WHERE rn <= 3
       |ORDER BY qid ASC NULLS LAST, sim DESC NULLS LAST, vec_id ASC NULLS LAST""".stripMargin
   ) { s =>
+    // norms computed once per side (narrow projection), not per pair
     val q = s.table("embeddings").filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = s.table("embeddings").select(col("vec_id"), col("embedding").as("e"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = s.table("embeddings")
+      .select(col("vec_id"), col("embedding").as("e"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     val sims = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qe"), col("e")), 6).as("sim"))
+        round(dot(col("qe"), col("e")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"), col("sim"))
@@ -77,9 +86,11 @@ object SimilarityOps {
       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
   ) { s =>
     val e = s.table("embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
-    val sim = cosine(col("va"), col("vb"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
       .filter(sim > 0.35)
       .select(col("id_a"), col("id_b"), round(sim, 6).as("sim"))
