@@ -17,7 +17,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ SortSetQueries.all ++
       JoinQueries.all ++ AsOfQueries.all ++ WindowQueries.all ++
-      FunctionQueries.all ++ GeneratorQueries.all ++
+      FunctionQueries.all ++ GeneratorQueries.all ++ TpchQueries.all ++
       graft.llm.TextOps.all ++ graft.llm.DedupOps.all ++
       graft.llm.SimilarityOps.all ++ graft.llm.MultimodalOps.all
 

@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The serving surface: SQL-string in → DataFrame / Arrow batches out,
+  * mirroring the reference's DoGet contract
+  * (/root/reference/main.go:196-250) with the server-level anti-patterns
+  * fixed (SURVEY.md §4.4):
+  *
+  *  - schema comes from the ANALYZED plan, not a throwaway full
+  *    execution (the reference runs every GetFlightInfo query twice,
+  *    main.go:142-151 + 227-233);
+  *  - statements are validated/classified BEFORE execution — write
+  *    statements are rejected with a structured error instead of being
+  *    handed to the engine raw (main.go:199-229);
+  *  - each Gateway owns a cloned `newSession()` so SET state is
+  *    per-client, not shared process-wide (main.go:41,113-116).
+  *
+  * DuckDB-dialect compatibility: Dialect.rewrite text shims (QUALIFY,
+  * `//`, GLOB, `->>`) + Functions.register name shims, so DuckDB SQL in
+  * the reference's test surface runs unchanged.
+  */
+final class Gateway private (val session: SparkSession, readOnly: Boolean) {
+
+  /** Statements allowed in read-only mode (reference serves its DB with
+    * access_mode=read_only, main.go:61; D6/D3 of SURVEY §2.12 stay
+    * allowed like the reference's init surface).
+    */
+  private val readOnlyAllowed =
+    Seq("SELECT", "WITH", "VALUES", "SET", "RESET", "SHOW", "DESCRIBE",
+      "DESC", "EXPLAIN", "CREATE VIEW", "CREATE OR REPLACE VIEW",
+      "CREATE TEMP VIEW", "CREATE TEMPORARY VIEW",
+      "CREATE OR REPLACE TEMP VIEW", "CREATE OR REPLACE TEMPORARY VIEW",
+      "DROP VIEW", "TABLE", "FROM")
+
+  def sql(text: String): DataFrame = {
+    val trimmed = text.trim
+    if (readOnly) {
+      val up = trimmed.toUpperCase
+      if (!readOnlyAllowed.exists(up.startsWith)) {
+        throw new GatewayException(
+          s"read-only gateway: statement rejected (${up.takeWhile(_ != ' ')})")
+      }
+    }
+    val rewritten = Dialect.rewrite(trimmed)
+    val df = session.sql(rewritten)
+    df.queryExecution.assertAnalyzed() // structured failure before execution
+    df
+  }
+
+  /** Result schema without executing — the fix for the reference's
+    * double-execution probe (SURVEY §4.4 item 1).
+    */
+  def schemaOf(text: String): org.apache.spark.sql.types.StructType =
+    sql(text).schema
+
+  /** Arrow IPC stream of the result — the DoGet tail
+    * (main.go:235-243): one serialized schema message, then record
+    * batches, streamed incrementally per partition.
+    */
+  def arrowStream(text: String, maxRecordsPerBatch: Int = 10000): Iterator[Array[Byte]] =
+    org.apache.spark.sql.GraftArrow.stream(sql(text), maxRecordsPerBatch)
+
+  /** Server metadata — the CommandGetSqlInfo analog (main.go:352-366). */
+  def sqlInfo: DataFrame = {
+    import session.implicits._
+    Seq(
+      ("server_name", "graft"),
+      ("server_version", "spark-" + session.version),
+      ("arrow_version", "ipc"),
+      ("read_only", readOnly.toString),
+      ("identifier_quote_char", "`"))
+      .toDF("info_name", "value")
+  }
+}
+
+final class GatewayException(msg: String) extends RuntimeException(msg)
+
+object Gateway {
+
+  /** Open a gateway over a cloned session (isolated SET/temp-view state),
+    * register the fixture tables + dialect shims, then run the optional
+    * init script — the reference's `-init` hook (main.go:32,107-111),
+    * with per-statement error capture instead of silent prints.
+    */
+  def open(
+      spark: SparkSession,
+      dataDir: String,
+      readOnly: Boolean = true,
+      initScript: Option[String] = None): Gateway = {
+    val sess = spark.newSession()
+    Tables.register(sess, dataDir)
+    Functions.register(sess)
+    val gw = new Gateway(sess, readOnly)
+    initScript.foreach { script =>
+      script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+        try gw.sql(stmt).collect()
+        catch {
+          case e: Exception =>
+            // init failures are logged, not fatal (main.go:109-111)
+            System.err.println(s"[gateway-init] failed: ${e.getMessage}")
+        }
+      }
+    }
+    gw
+  }
+}

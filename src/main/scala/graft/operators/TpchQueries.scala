@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Q
+
+/** End-to-end multi-operator queries (SURVEY.md §5.2 layer 3): TPC-H
+  * shapes adapted to the reduced fixture columns, plus subquery shapes.
+  * These exercise the optimizer paths that single-operator queries
+  * don't: join ordering across 3+ tables, semi-join rewrites of
+  * subqueries, scalar-subquery broadcast.
+  */
+object TpchQueries {
+
+  private val dec = DecimalType(18, 2)
+  private def d(c: String) = col(c).cast(dec)
+  private val revenue = (d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount")))
+
+  /** Q3 shipping priority: customer ⋈ orders ⋈ lineitem, filtered both
+    * sides, top-10 revenue. Fact-to-fact join shuffles on o_orderkey;
+    * customer dim broadcasts.
+    */
+  val q3 = Q(
+    "q3_shipping_priority",
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC NULLS LAST, o_orderkey ASC NULLS LAST
+      |LIMIT 10""".stripMargin
+  ) { s =>
+    s.table("customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(s.table("orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampNTZType))
+      .join(s.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampNTZType))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+      .limit(10)
+  }
+
+  /** Q5 local supplier volume: 5-way star join with co-located customer
+    * and supplier nation keys; all dims broadcast.
+    */
+  val q5 = Q(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY n_name
+      |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("customer")
+      .join(s.table("orders"), col("c_custkey") === col("o_custkey"))
+      .join(s.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s.table("supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(s.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_last)
+  }
+
+  /** Uncorrelated scalar subquery: orders above the global average price.
+    * Catalyst plans the subquery once and broadcasts the scalar.
+    */
+  val sq1 = Q(
+    "sq_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into an
+    * aggregate + join): customers whose best order beats their nation's
+    * busiest-customer threshold — kept in a decorrelatable shape
+    * (SURVEY §4.2).
+    */
+  val sq2 = Q(
+    "sq_correlated_scalar",
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer
+      |WHERE c_custkey < 300
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE c_custkey < 300
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin)
+  }
+
+  /** ANY/ALL quantified comparison (rewritten to min/max aggregates —
+    * identical plans in both engines).
+    */
+  val sq3 = Q(
+    "sq_any_all",
+    """SELECT s_suppkey, s_acctbal
+      |FROM supplier
+      |WHERE s_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+      |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT s_suppkey, s_acctbal
+        |FROM supplier
+        |WHERE s_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q3, q5, sq1, sq2, sq3)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Dialect, Gateway, GatewayException}
+
+/** End-to-end gateway tests: DuckDB-dialect SQL strings in → results
+  * out, mirroring the reference's own smoke procedure
+  * (client/main.py:11 `SELECT 1 AS a`, client/main.go:27 catalog query).
+  */
+class GatewaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val gw: Gateway = Gateway.open(spark, sf)
+
+  test("reference smoke: SELECT 1 AS a") {
+    val rows = gw.sql("SELECT 1 AS a").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("duckdb-dialect functions run unchanged") {
+    val r = gw.sql(
+      """SELECT string_split('a,b,c', ',') AS sp,
+        |  list_transform(list_value(1, 2, 3), x -> x + 1) AS lt,
+        |  list_aggregate(list_value(1, 2, 3), 'sum') AS ls,
+        |  list_slice(list_value(1, 2, 3, 4), 2, 3) AS sl,
+        |  len('hello') AS l,
+        |  regexp_matches('abc', 'b') AS rm,
+        |  sha256('x') AS sh,
+        |  json_extract_string('{"k": 87}', '$.k') AS jk,
+        |  epoch(TIMESTAMP '2024-01-01 00:00:05') AS ep,
+        |  strftime(TIMESTAMP '2024-01-02 03:04:05', '%Y-%m-%d %H:%M') AS sf,
+        |  isodow(DATE '2024-01-07') AS dow""".stripMargin).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("sp").toSeq == Seq("a", "b", "c"))
+    assert(r.getAs[scala.collection.Seq[Int]]("lt").toSeq == Seq(2, 3, 4))
+    assert(r.getAs[Int]("ls") == 6)
+    assert(r.getAs[scala.collection.Seq[Int]]("sl").toSeq == Seq(2, 3))
+    assert(r.getAs[Int]("l") == 5)
+    assert(r.getAs[Boolean]("rm"))
+    assert(r.getAs[String]("sh").startsWith("2d711642"))
+    assert(r.getAs[String]("jk") == "87")
+    assert(r.getAs[Double]("ep") == 1.704067205e9)
+    assert(r.getAs[String]("sf") == "2024-01-02 03:04")
+    assert(r.getAs[Int]("dow") == 7)
+  }
+
+  test("dialect rewrites: QUALIFY, //, GLOB, ->>") {
+    assert(Dialect.rewrite("SELECT 7 // 2").contains(" div "))
+    val q = gw.sql(
+      """SELECT o_custkey, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+        |ORDER BY o_custkey LIMIT 5""".stripMargin).collect()
+    assert(q.length == 5)
+    val g = gw.sql("SELECT p_name FROM part WHERE p_name GLOB '*bolt' LIMIT 3").collect()
+    assert(g.forall(_.getString(0).endsWith("bolt")))
+    val j = gw.sql("SELECT props ->> 'k' AS v FROM events ORDER BY event_id LIMIT 1").collect()
+    assert(j(0).getString(0) == "87")
+    assert(gw.sql("SELECT 7 // 2 AS d").collect()(0).getLong(0) == 3L)
+  }
+
+  test("catalog introspection (reference client/main.go:27 analog)") {
+    val tables = gw.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(tables.contains("lineitem") && tables.contains("documents"))
+  }
+
+  test("read-only gateway rejects writes before execution") {
+    val e = intercept[GatewayException] {
+      gw.sql("DROP TABLE lineitem")
+    }
+    assert(e.getMessage.contains("read-only"))
+    intercept[GatewayException](gw.sql("INSERT INTO orders VALUES (1)"))
+    // views and SET remain allowed (reference init surface, k8s/main.yaml:107-133)
+    gw.sql("CREATE OR REPLACE TEMP VIEW hello_world AS (SELECT 'hello' AS world)")
+    assert(gw.sql("SELECT world FROM hello_world").collect()(0).getString(0) == "hello")
+  }
+
+  test("schemaOf analyzes without executing") {
+    val sch = gw.schemaOf("SELECT l_orderkey, l_quantity FROM lineitem")
+    assert(sch.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("structured analysis errors, not raw engine spew") {
+    intercept[Exception](gw.sql("SELECT nonexistent_col FROM lineitem"))
+    intercept[Exception](gw.sql("SELEC 1"))
+  }
+
+  test("arrow stream round-trips: schema + batches parse back to the rows") {
+    val chunks = gw.arrowStream("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").toSeq
+    assert(chunks.nonEmpty)
+    val all = chunks.reduce(_ ++ _)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(all), alloc)
+    var n = 0
+    while (rdr.loadNextBatch()) n += rdr.getVectorSchemaRoot.getRowCount
+    rdr.close()
+    assert(n == 5)
+  }
+
+  test("init script runs with per-statement error tolerance") {
+    val gw2 = Gateway.open(spark, sf, initScript = Some(
+      """SET spark.sql.shuffle.partitions=8;
+        |CREATE OR REPLACE TEMP VIEW init_view AS SELECT 42 AS answer;
+        |THIS IS NOT SQL""".stripMargin))
+    assert(gw2.sql("SELECT answer FROM init_view").collect()(0).getInt(0) == 42)
+  }
+
+  test("per-gateway session isolation (fix for shared-conn state, main.go:41)") {
+    val a = Gateway.open(spark, sf)
+    val b = Gateway.open(spark, sf)
+    a.sql("CREATE OR REPLACE TEMP VIEW only_in_a AS SELECT 1 AS x")
+    assert(a.sql("SELECT * FROM only_in_a").collect().length == 1)
+    intercept[Exception](b.sql("SELECT * FROM only_in_a").collect())
+  }
+
+  test("sqlInfo metadata endpoint") {
+    val info = gw.sqlInfo.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(info("server_name") == "graft")
+    assert(info("read_only") == "true")
+  }
+}
