@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2/§4.3): the plans must stay
+  * the ones that scale — filters/projections reaching the parquet scan,
+  * dimension joins broadcasting, top-k fusing, aggregates running
+  * partial/final. A regression here is a 100 TB performance bug even
+  * when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p2 filter is pushed into the parquet scan") {
+    val p = plan("p2_filter_where")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThan(l_quantity") || p.contains("IsNotNull(l_quantity")), p)
+  }
+
+  test("p2 projection prunes to the 3 selected columns at the scan") {
+    val p = plan("p2_filter_where")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("j1 dimension joins broadcast (no shuffle of the fact table for dims)") {
+    val p = plan("j1_inner_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("o4 top-k fuses to TakeOrderedAndProject (no total sort)") {
+    val p = plan("o4_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("q1 aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_pricing")
+    assert(p.contains("partial_") || p.contains("HashAggregate"), p)
+    // two HashAggregate levels: partial then final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q1 runs inside whole-stage codegen") {
+    // AQE: codegen spans only materialize in the final plan, so execute
+    val df = SparkEntry.queries("q1_pricing")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+
+  test("nn_cosine_topk broadcasts the query side (no candidate shuffle)") {
+    val p = plan("nn_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("asof join is one shuffle on the key, not a join explosion") {
+    val p = plan("j7_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+}
