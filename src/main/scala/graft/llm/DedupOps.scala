@@ -82,16 +82,28 @@ object DedupOps {
       |       COALESCE(string_split(text, ' ')[i+2], '')))""".stripMargin.replace("\n", " ")
 
   /** Spark-side shingle set (distinct 3-grams of the token list).
-    * Out-of-range tail tokens pad with '' on BOTH engines (try_element_at:
-    * ANSI-mode element_at would error past the end).
+    * Out-of-range tail tokens pad with '' on BOTH engines.
+    *
+    * Formulated as slice + zip_with rather than transform(sequence(...),
+    * i => element_at(toks, i)...): higher-order functions are interpreted
+    * (CodegenFallback), so any outer expression referenced inside the
+    * lambda body is RE-EVALUATED PER ELEMENT — with element_at(toks, i)
+    * the text got re-split O(tokens) times per row. Here the three slices
+    * are HOF *arguments* (evaluated once per row) and the lambdas touch
+    * only their own variables. zip_with pads the shorter side with null,
+    * which coalesce turns into the same '' padding the oracle computes.
     */
   private def shinglesPadded(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat(element_at(toks, i), lit(" "),
-        coalesce(try_element_at(toks, i + 1), lit("")), lit(" "),
-        coalesce(try_element_at(toks, i + 2), lit("")))))
+    val m = greatest(size(toks) - 2, lit(1))
+    val t1 = slice(toks, lit(1), m)
+    val t2 = slice(toks, lit(2), m)
+    val t3 = slice(toks, lit(3), m)
+    array_distinct(
+      zip_with(
+        zip_with(t1, t2, (a, b) => concat(a, lit(" "), coalesce(b, lit("")))),
+        t3,
+        (ab, c) => concat(ab, lit(" "), coalesce(c, lit("")))))
   }
 
   /** minhash_i = min over shingles of the i-th 16-bit hex slice of ONE
@@ -144,6 +156,8 @@ object DedupOps {
         (0 until K).map(i => minhash(col("hs"), i).as(s"mh$i")): _*)
     // one generator pass, NOT a 4-way union (a union would re-run the
     // whole signature computation once per band)
+    // persist: the bucket self-join reads this relation twice — without
+    // the cache every per-shingle md5 runs 2×, which dominated the bench
     val bands = sig.select(col("doc_id"),
       explode(array((0 until BANDS).map { b =>
         struct(lit(b).as("band"),
@@ -151,6 +165,7 @@ object DedupOps {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
     val a = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
     val cand = a.join(b, Seq("band", "bucket"))
