@@ -141,6 +141,46 @@ object AggQueries {
         col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
   }
 
+  /** A6: explicit GROUPING SETS + grouping_id bitmask. */
+  val a6c = Q(
+    "a6_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_s ASC NULLS LAST, g_p ASC NULLS LAST,
+      |         o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s ASC NULLS LAST, g_p ASC NULLS LAST,
+        |         o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin)
+  }
+
+  /** A9: mode — Spark's native deterministic mode (lowest value wins ties)
+    * vs an explicit count-rank formulation in the oracle (DuckDB `mode`
+    * tie-breaks arbitrarily, so the oracle spells the rule out).
+    */
+  val a9c = Q(
+    "a9_mode",
+    """SELECT o_orderstatus, o_orderpriority AS mode_prio FROM (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1
+      |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("orders").groupBy(col("o_orderstatus"))
+      .agg(mode(col("o_orderpriority"), deterministic = true).as("mode_prio"))
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+  }
+
   /** A7: HAVING (post-aggregation filter). */
   val a7 = Q(
     "a7_having",
@@ -289,5 +329,5 @@ object AggQueries {
   }
 
   val all: Seq[Q] = Seq(
-    q1Pricing, a2, a4, a5, a6, a6b, a7, a8, a9b, a11, a12, a13, a14, a15, a10)
+    q1Pricing, a2, a4, a5, a6, a6b, a6c, a7, a8, a9b, a9c, a11, a12, a13, a14, a15, a10)
 }

@@ -145,6 +145,61 @@ object GeneratorQueries {
         |ORDER BY b.o_custkey ASC NULLS LAST""".stripMargin)
   }
 
+  /** T4c: DYNAMIC pivot — the value list is discovered from the data
+    * (two-pass: distinct scan, then pivot), matching DuckDB's `PIVOT …
+    * ON col USING agg` which never takes a static list. Missing combos
+    * are 0 (DuckDB count pivot semantics).
+    */
+  val t4c = Q(
+    "t4_pivot_dynamic",
+    """PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+  ) { s =>
+    // pass 1: the pivot column's value set (small by construction —
+    // a pivot wider than a few thousand columns is a modeling error)
+    val values = s.table("orders").select(col("o_orderpriority"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    s.table("orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", values)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+  }
+
+  /** T6b: WITH RECURSIVE — BFS reachability with depth over a synthetic
+    * edge graph derived from `nation` (a → (3a+7) mod 25). The engine
+    * runs graft.engine.Recursive.fixpoint (semi-naive iteration); the
+    * oracle runs DuckDB's native recursive CTE — independent
+    * implementations of the same fixpoint.
+    */
+  val t6b = Q(
+    "t6_recursive_cte",
+    """WITH RECURSIVE r(node, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      |  UNION
+      |  SELECT e.b AS node, r.depth + 1 AS depth
+      |  FROM r JOIN (SELECT n_nationkey AS a,
+      |               CAST((n_nationkey * 3 + 7) % 25 AS BIGINT) AS b
+      |               FROM nation) e ON e.a = r.node
+      |  WHERE r.depth < 30)
+      |SELECT node, CAST(MIN(depth) AS INT) AS depth FROM r GROUP BY node
+      |ORDER BY depth ASC NULLS LAST, node ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val edges = s.table("nation").select(
+      col("n_nationkey").cast(LongType).as("a"),
+      ((col("n_nationkey") * 3 + 7) % 25).cast(LongType).as("b"))
+    val seed = s.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
+    val reached = graft.engine.Recursive.fixpoint(seed, maxIter = 30) { frontier =>
+      frontier.join(edges, frontier("node") === edges("a"))
+        .select(edges("b").as("node"), (frontier("depth") + 1).as("depth"))
+        .filter(col("depth") <= 30)
+    }
+    reached.groupBy(col("node"))
+      .agg(min(col("depth")).cast(IntegerType).as("depth"))
+      .orderBy(col("depth").asc_nulls_last, col("node").asc_nulls_last)
+  }
+
   /** T7: DESCRIBE/SUMMARIZE — engine introspection, no oracle (DuckDB's
     * SUMMARIZE column set differs).
     */
@@ -161,5 +216,5 @@ object GeneratorQueries {
       .orderBy(col("name").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(t1, t1b, t2, t2b, t3, t4, t4b, t5, t6, t7, s7)
+  val all: Seq[Q] = Seq(t1, t1b, t2, t2b, t3, t4, t4b, t4c, t5, t6, t6b, t7, s7)
 }

@@ -149,6 +149,78 @@ object WindowQueries {
         |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin)
   }
 
+  /** W6: GROUPS frame — Spark (and DuckDB 1.0) lack GROUPS mode, so the
+    * engine rewrite is dense_rank + RANGE over the rank (SURVEY §2.5 W6):
+    * a GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING frame is exactly a
+    * RANGE ±1 frame over the peer-group index. The oracle spells the same
+    * semantics as a two-level window, giving an independent formulation.
+    */
+  val w6 = Q(
+    "w6_groups_frame",
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+      |    AS grp_sum
+      |FROM (SELECT o_orderkey, o_orderdate, o_totalprice,
+      |        dense_rank() OVER (ORDER BY o_orderdate ASC) AS dr
+      |      FROM orders WHERE o_custkey < 30) t
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val base = s.table("orders").filter(col("o_custkey") < 30)
+      .withColumn("dr", dense_rank().over(Window.orderBy(col("o_orderdate").asc)))
+    base.select(
+      col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(Window.orderBy(col("dr")).rangeBetween(-1, 1))
+        .cast(DoubleType).as("grp_sum"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+  }
+
+  /** W6b: EXCLUDE CURRENT ROW / EXCLUDE GROUP — Spark has no EXCLUDE, so
+    * the engine subtracts the excluded contribution from the frame
+    * aggregate (frame − current row; frame − peer-group sum). The oracle
+    * uses DuckDB's NATIVE `EXCLUDE` clause — a genuinely independent
+    * implementation of the same semantics.
+    */
+  val w6b = Q(
+    "w6_exclude",
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW)
+      |    AS DOUBLE) AS sum_excl_self,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+      |    AS DOUBLE) AS sum_excl_peers
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val d = col("o_totalprice").cast(DecimalType(18, 2))
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    // peers share the same ORDER BY value: their sum comes from an
+    // unordered window partitioned by (custkey, orderdate)
+    val wPeers = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+    // count guards: SUM over an empty post-EXCLUDE frame is NULL in the
+    // dialect, while frame_sum − excluded_sum would yield 0
+    val rowsFrame = wOrd.rowsBetween(-2, 2)
+    // RANGE frame orders by date ALONE (a tiebreaker would shrink the
+    // peer group to a single row and change which ties the frame admits)
+    val cumFrame = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    s.table("orders")
+      .select(
+        col("o_orderkey"),
+        when(count(lit(1)).over(rowsFrame) > 1,
+          sum(d).over(rowsFrame) - d)
+          .cast(DoubleType).as("sum_excl_self"),
+        when(count(lit(1)).over(cumFrame) > count(lit(1)).over(wPeers),
+          sum(d).over(cumFrame) - sum(d).over(wPeers))
+          .cast(DoubleType).as("sum_excl_peers"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
+  }
+
   /** W7: named WINDOW clause shared by several functions — exercised by
     * w1/w2/w3 SQL oracles; Spark-side SQL form here.
     */
@@ -190,5 +262,5 @@ object WindowQueries {
       .orderBy(col("o_custkey").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(w1, w2, w3, w4, w5, w5b, w7, w8)
+  val all: Seq[Q] = Seq(w1, w2, w3, w4, w5, w5b, w6, w6b, w7, w8)
 }

@@ -84,4 +84,34 @@ class OperatorSpec extends AnyFunSuite {
     // ≥90% of the 500 planted near-dup pairs should survive banding+verify
     assert(planted >= 450, s"only $planted planted pairs found")
   }
+
+  test("Recursive.fixpoint: BFS depths match hand-computed closure") {
+    import org.apache.spark.sql.functions._
+    // tiny known graph: 0->1, 1->2, 2->0 (cycle), 3 unreachable
+    val edges = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+      .toDF("a", "b")
+    val seed = spark.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
+    val out = graft.engine.Recursive.fixpoint(seed, maxIter = 10) { f =>
+      f.join(edges, f("node") === edges("a"))
+        .select(edges("b").as("node"), (f("depth") + 1).as("depth"))
+        .filter(col("depth") <= 5)
+    }
+    val minDepth = out.groupBy("node").agg(min("depth").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(minDepth == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
+  test("Recursive.fixpoint: empty seed terminates immediately") {
+    import org.apache.spark.sql.functions._
+    val seed = spark.range(0).select(col("id").as("node"))
+    val out = graft.engine.Recursive.fixpoint(seed, maxIter = 5)(f => f)
+    assert(out.count() == 0)
+  }
+
+  test("dynamic pivot discovers the full value set") {
+    val df = SparkEntry.queries("t4_pivot_dynamic")(spark, sf)
+    val cols = df.columns.toSet
+    assert(cols.contains("1-URGENT") && cols.contains("5-LOW"))
+    assert(cols.size == 6) // o_orderstatus + 5 priorities
+  }
 }
