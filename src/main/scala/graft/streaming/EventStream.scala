@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+
+/** Streaming analytics over the `events` table shape (SURVEY.md §2.10).
+  *
+  * The reference is batch-only — its only "streaming" is incremental
+  * Arrow batch delivery (/root/reference/main.go:235-243), which Spark
+  * covers with `toLocalIterator`. This module is the engine's forward
+  * path: the same event-time transforms run over a bounded DataFrame
+  * (batch backfill) or an unbounded `readStream` source, because
+  * Structured Streaming shares the DataFrame API. Every transform here
+  * is incremental-safe: watermarks bound state, windows are event-time
+  * (not arrival-time), and custom state uses mapGroupsWithState with an
+  * explicit timeout so state size stays O(active keys), not O(history).
+  *
+  * At 100 TB/day the same code runs with a Kafka source and a parquet
+  * sink; nothing below depends on the source being finite.
+  */
+object EventStream {
+
+  /** Tumbling 5-minute event-time window counts + value sum per event
+    * type, tolerating 10 minutes of lateness. Batch equivalence: the
+    * identical plan over a bounded input is a plain groupBy — used by
+    * the spec as its own oracle.
+    */
+  def windowedCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Session windows (30-minute gap) per user: built-in session_window
+    * keeps state per open session, closed by the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  final case class Click(userId: Long, ts: java.sql.Timestamp, eventType: String)
+  final case class RunState(best: Int, cur: Int, lastType: String)
+  final case class UserRun(userId: Long, runLength: Int, lastType: String)
+
+  /** Custom keyed state (§2.11 UDF surface analog for streams): per-user
+    * longest run of consecutive same-type events, maintained with
+    * mapGroupsWithState. State carries both the best and the in-progress
+    * run so a run spanning two micro-batches still counts.
+    *
+    * Production deployments pass ProcessingTimeTimeout (+ a timeout
+    * duration) so abandoned users drop from the store; note that with a
+    * timeout registered the engine schedules continuous no-data
+    * micro-batches just to fire expirations — an always-on cost, which
+    * is why it isn't the default here.
+    */
+  def longestRunPerUser(
+      clicks: Dataset[Click],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutDuration: String = "1 hour"): Dataset[UserRun] = {
+    import clicks.sparkSession.implicits._
+    clicks
+      .groupByKey(_.userId)
+      .mapGroupsWithState(timeout) {
+        (userId: Long, rows: Iterator[Click], state: GroupState[RunState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            UserRun(userId, last.best, last.lastType)
+          } else {
+            val prior = state.getOption.getOrElse(RunState(0, 0, ""))
+            // event-time order within the batch: state transitions are
+            // order-sensitive, so sort the (small, per-user) group
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var best = prior.best
+            var run = prior.cur
+            var lastType = prior.lastType
+            sorted.foreach { c =>
+              run = if (c.eventType == lastType) run + 1 else 1
+              lastType = c.eventType
+              if (run > best) best = run
+            }
+            state.update(RunState(best, run, lastType))
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
+              state.setTimeoutDuration(timeoutDuration)
+            }
+            UserRun(userId, best, lastType)
+          }
+      }
+  }
+}

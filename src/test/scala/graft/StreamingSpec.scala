@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Click
+
+/** Structured Streaming semantics, tested by stream-vs-batch
+  * self-differential: the same event set run (a) through a MemoryStream
+  * micro-batch pipeline and (b) as a plain bounded DataFrame must agree,
+  * because every EventStream transform is defined on the shared
+  * DataFrame API (SURVEY.md §2.10).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L + min * 60_000L)
+
+  private val sample = Seq(
+    (1L, ts(0), "view", 1.0), (1L, ts(1), "view", 2.0),
+    (1L, ts(6), "click", 3.0), (2L, ts(2), "view", 4.0),
+    (2L, ts(7), "buy", 5.0), (1L, ts(12), "view", 6.0),
+    (3L, ts(3), "view", 7.0))
+
+  private def eventsDf(rows: Seq[(Long, Timestamp, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_type", "value")
+  }
+
+  test("windowedCounts: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(sample.take(4))
+    mem.addData(sample.drop(4))
+    val streamDf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStream.windowedCounts(streamDf).writeStream
+      .format("memory").queryName("wc_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("wc_stream")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = EventStream.windowedCounts(eventsDf(sample))
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionCounts: 30-minute gap yields one session per user here") {
+    val out = EventStream.sessionCounts(eventsDf(sample))
+      .orderBy("user_id").collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.find(_.getAs[Long]("user_id") == 1L).get.getAs[Long]("n_events") == 4)
+  }
+
+  test("longestRunPerUser: run spanning micro-batches is counted once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Click]
+    // user 7: view,view in batch 1; view,click in batch 2 → best run 3
+    mem.addData(Click(7L, ts(0), "view"), Click(7L, ts(1), "view"))
+    mem.addData(Click(7L, ts(2), "view"), Click(7L, ts(3), "click"))
+    val q = EventStream.longestRunPerUser(mem.toDS()).writeStream
+      .format("memory").queryName("runs_stream").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val last = spark.table("runs_stream").collect().last
+    assert(last.getAs[Int]("runLength") == 3)
+    assert(last.getAs[String]("lastType") == "click")
+  }
+}
