@@ -66,17 +66,15 @@ object Functions {
     },
     "list_min" -> (a => call("array_min", a)),
     "list_max" -> (a => call("array_max", a)),
+    // native codegen'd vector math (graft.engine.expressions.VectorMath)
     "list_cosine_similarity" -> { case Seq(x, y) =>
-      def dot(p: Expression, q: Expression) = ArrayAggregate(
-        ZipWith(p, q, lam(vs =>
-          Multiply(Cast(vs(0), org.apache.spark.sql.types.DoubleType),
-            Cast(vs(1), org.apache.spark.sql.types.DoubleType)), 2)
-          ),
-        Literal(0.0),
-        lam(vs => Add(vs(0), vs(1)), 2),
-        lam(vs => vs(0), 1))
-      Divide(dot(x, y),
-        Multiply(call("sqrt", Seq(dot(x, x))), call("sqrt", Seq(dot(y, y)))))
+      graft.engine.expressions.CosineSimilarity(x, y)
+    },
+    "list_dot_product" -> { case Seq(x, y) =>
+      graft.engine.expressions.DotProduct(x, y)
+    },
+    "list_inner_product" -> { case Seq(x, y) =>
+      graft.engine.expressions.DotProduct(x, y)
     },
 
     // ---- string family ----

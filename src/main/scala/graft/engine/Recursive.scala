@@ -25,14 +25,19 @@ object Recursive {
     */
   def fixpoint(seed: DataFrame, maxIter: Int = 100)(
       step: DataFrame => DataFrame): DataFrame = {
-    var acc = seed.distinct().localCheckpoint()
-    var frontier = acc
+    val first = seed.distinct().localCheckpoint()
+    // acc stays a lazy union of ALREADY-checkpointed frontiers: each leaf
+    // is a materialized LogicalRDD, so the plan neither recomputes nor
+    // deepens pathologically, and we skip a full re-materialization of
+    // acc per iteration (one distributed job per loop, not three)
+    var acc = first
+    var frontier = first
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
       val next = step(frontier)
         .except(acc) // EXCEPT is distinct by definition
         .localCheckpoint()
-      acc = acc.union(next).localCheckpoint()
+      acc = acc.union(next)
       frontier = next
       i += 1
     }

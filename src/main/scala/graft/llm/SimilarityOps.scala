@@ -22,12 +22,13 @@ import graft.engine.Q
   */
 object SimilarityOps {
 
-  /** dot(a, b) as a sequential double fold — oracle-exact accumulation
-    * order (left to right, matching DuckDB's loop).
+  /** dot(a, b): native codegen'd expression (engine.expressions
+    * .DotProduct) — left-to-right double accumulation, oracle-exact, and
+    * a primitive loop inside whole-stage codegen instead of an
+    * interpreted aggregate(zip_with(...)) fold.
     */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.engine.expressions.VectorMath.dot(x, y)
 
   /** cos(a, b) — use only where per-side norm precomputation isn't
     * worthwhile (small pair counts).
@@ -114,9 +115,7 @@ object SimilarityOps {
     }
     val sigBits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
-      val dp = aggregate(
-        zip_with(col("embedding"), planeCol, (x, h) => x.cast(DoubleType) * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dp = dot(col("embedding"), planeCol)
       when(dp > 0, lit(1)).otherwise(lit(0)).cast(StringType).as(s"b$i")
     }
     s.table("embeddings")

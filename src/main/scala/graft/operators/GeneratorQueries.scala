@@ -167,33 +167,39 @@ object GeneratorQueries {
       .orderBy(col("o_orderstatus").asc_nulls_last)
   }
 
-  /** T6b: WITH RECURSIVE — BFS reachability with depth over a synthetic
-    * edge graph derived from `nation` (a → (3a+7) mod 25). The engine
-    * runs graft.engine.Recursive.fixpoint (semi-naive iteration); the
-    * oracle runs DuckDB's native recursive CTE — independent
-    * implementations of the same fixpoint.
+  /** T6b: WITH RECURSIVE — multi-path BFS with depth over a synthetic
+    * DAG derived from `nation` (a → a+4 and a → 2a+3, forward edges
+    * only, so the fixpoint terminates when the frontier empties — no
+    * artificial depth guard driving dead iterations). The engine runs
+    * graft.engine.Recursive.fixpoint (semi-naive iteration); the oracle
+    * runs DuckDB's native recursive CTE — independent implementations
+    * of the same fixpoint.
     */
   val t6b = Q(
     "t6_recursive_cte",
-    """WITH RECURSIVE r(node, depth) AS (
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey AS a, CAST(n_nationkey + 4 AS BIGINT) AS b
+      |  FROM nation WHERE n_nationkey + 4 <= 24
+      |  UNION ALL
+      |  SELECT n_nationkey AS a, CAST(n_nationkey * 2 + 3 AS BIGINT) AS b
+      |  FROM nation WHERE n_nationkey * 2 + 3 <= 24),
+      |r(node, depth) AS (
       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
       |  UNION
       |  SELECT e.b AS node, r.depth + 1 AS depth
-      |  FROM r JOIN (SELECT n_nationkey AS a,
-      |               CAST((n_nationkey * 3 + 7) % 25 AS BIGINT) AS b
-      |               FROM nation) e ON e.a = r.node
-      |  WHERE r.depth < 30)
+      |  FROM r JOIN edges e ON e.a = r.node)
       |SELECT node, CAST(MIN(depth) AS INT) AS depth FROM r GROUP BY node
       |ORDER BY depth ASC NULLS LAST, node ASC NULLS LAST""".stripMargin
   ) { s =>
-    val edges = s.table("nation").select(
-      col("n_nationkey").cast(LongType).as("a"),
-      ((col("n_nationkey") * 3 + 7) % 25).cast(LongType).as("b"))
+    val nk = col("n_nationkey")
+    val edges = s.table("nation").filter(nk + 4 <= 24)
+      .select(nk.cast(LongType).as("a"), (nk + 4).cast(LongType).as("b"))
+      .union(s.table("nation").filter(nk * 2 + 3 <= 24)
+        .select(nk.cast(LongType).as("a"), (nk * 2 + 3).cast(LongType).as("b")))
     val seed = s.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
     val reached = graft.engine.Recursive.fixpoint(seed, maxIter = 30) { frontier =>
       frontier.join(edges, frontier("node") === edges("a"))
         .select(edges("b").as("node"), (frontier("depth") + 1).as("depth"))
-        .filter(col("depth") <= 30)
     }
     reached.groupBy(col("node"))
       .agg(min(col("depth")).cast(IntegerType).as("depth"))
