@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Q
 
-/** Window functions — SURVEY.md §2.5 (W1–W5, W7, W8; W6 GROUPS/EXCLUDE
-  * frames deferred — no Spark primitive, low priority per §7.4).
+/** Window functions — SURVEY.md §2.5 (W1–W8). W6 GROUPS/EXCLUDE frames
+  * have no Spark primitive: GROUPS runs as dense_rank + RANGE-over-rank,
+  * EXCLUDE as frame-aggregate minus the excluded rows' contribution
+  * (with empty-frame NULL guards).
   *
   * Determinism: every window ORDER BY ends in a unique key so rank/lag
   * results are total-order stable. Scale: windows shuffle once on the
