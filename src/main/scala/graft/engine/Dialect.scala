@@ -12,9 +12,17 @@ object Dialect {
     *   - `a // b`        →  `a div b` (integer floor division)
     *   - `x GLOB 'pat'`  →  `x RLIKE '<glob-as-regex>'`
     *   - `j ->> 'path'`  →  `get_json_object(j, '$.path')`
+    *   - `duckdb_tables()` etc. → the same-named Gateway catalog views
+    *     (reference smoke query, /root/reference/main.go:77)
     */
   def rewrite(sql: String): String =
-    rewriteQualify(rewriteOperators(normalizeWs(sql)))
+    rewriteCatalogFns(rewriteQualify(rewriteOperators(normalizeWs(sql))))
+
+  private val catalogFnRe =
+    """(?i)\b(duckdb_(?:extensions|tables|functions|views|settings))\s*\(\s*\)""".r
+
+  private def rewriteCatalogFns(sql: String): String =
+    catalogFnRe.replaceAllIn(sql, m => m.group(1).toLowerCase)
 
   /** Collapse whitespace runs to single spaces outside literals so the
     * keyword scanners below see a canonical form (newlines before

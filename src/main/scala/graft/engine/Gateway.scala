@@ -83,6 +83,39 @@ object Gateway {
     * init script — the reference's `-init` hook (main.go:32,107-111),
     * with per-statement error capture instead of silent prints.
     */
+  /** Catalog introspection views named after DuckDB's table functions
+    * (S7 of SURVEY §2.1; the reference's smoke client runs
+    * `SELECT extension_name FROM duckdb_extensions() WHERE installed`,
+    * /root/reference/main.go:77 and client/main.go:27 — Dialect.rewrite
+    * turns the `()` call into these view names).
+    */
+  private def registerCatalogViews(sess: SparkSession): Unit = {
+    import sess.implicits._
+    // "extensions" = the engine's statically-linked capability surface
+    // (SURVEY §2.12 D2/D4: extension INSTALL is a closed no-op here)
+    Seq(
+      ("core_functions", true, true), ("parquet", true, true),
+      ("json", true, true), ("csv", true, true),
+      ("dialect_shims", true, true), ("vector_math", true, true),
+      ("httpfs", false, false), ("airport", false, false))
+      .toDF("extension_name", "loaded", "installed")
+      .createOrReplaceTempView("duckdb_extensions")
+    // fixture relations are temp views over parquet — DuckDB-side they
+    // are the attached database's tables, so report type, not "view"
+    val tables = sess.catalog.listTables().collect().toSeq
+      .map(t => ("memory", "main", t.name, t.tableType))
+    tables.toDF("database_name", "schema_name", "table_name", "table_type")
+      .createOrReplaceTempView("duckdb_tables")
+    tables.filter(_._4.equalsIgnoreCase("VIEW"))
+      .map { case (d, s2, n, _) => (d, s2, n) }
+      .toDF("database_name", "schema_name", "view_name")
+      .createOrReplaceTempView("duckdb_views")
+    sess.conf.getAll.toSeq
+      .map { case (k, v) => (k, v) }
+      .toDF("name", "value")
+      .createOrReplaceTempView("duckdb_settings")
+  }
+
   def open(
       spark: SparkSession,
       dataDir: String,
@@ -91,6 +124,7 @@ object Gateway {
     val sess = spark.newSession()
     Tables.register(sess, dataDir)
     Functions.register(sess)
+    registerCatalogViews(sess)
     val gw = new Gateway(sess, readOnly)
     initScript.foreach { script =>
       script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>

@@ -59,11 +59,14 @@ object DedupOps {
       |WHERE c.doc_id <> k.keeper
       |ORDER BY c.doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
+    // one shuffle (window on the digest), not groupBy + self-join: the
+    // keeper is min(doc_id) over rows sharing a hash, and each text is
+    // md5'd exactly once
     val base = s.table("documents").select(col("doc_id"), col("text"))
     val corpus = base.union(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
       .withColumn("h", md5(col("text").cast(BinaryType)))
-    val keep = corpus.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    corpus.join(keep, "h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    corpus.withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("keeper"))
       .orderBy(col("doc_id").asc_nulls_last)

@@ -117,4 +117,18 @@ class GatewaySpec extends AnyFunSuite {
     assert(info("server_name") == "graft")
     assert(info("read_only") == "true")
   }
+
+  test("reference smoke: duckdb_extensions() table function (client/main.go:27)") {
+    val rows = gw.sql(
+      "SELECT extension_name FROM duckdb_extensions() WHERE installed")
+      .collect().map(_.getString(0))
+    assert(rows.contains("parquet") && rows.contains("json"))
+    assert(!rows.contains("httpfs"))
+  }
+
+  test("duckdb_tables() lists the fixture relations") {
+    val names = gw.sql("SELECT table_name FROM duckdb_tables()")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("lineitem", "orders", "documents").subsetOf(names))
+  }
 }
