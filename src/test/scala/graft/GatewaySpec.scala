@@ -131,4 +131,16 @@ class GatewaySpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(Set("lineitem", "orders", "documents").subsetOf(names))
   }
+
+  test("GraftSqlParser applies dialect rewrites at the parser level") {
+    val parser = new graft.engine.GraftSqlParser(
+      spark.sessionState.sqlParser)
+    // QUALIFY is not Spark SQL: parsing succeeds only if the rewrite fired
+    val plan = parser.parsePlan(
+      "SELECT o_custkey FROM orders QUALIFY row_number() OVER (ORDER BY o_custkey) = 1")
+    assert(plan != null)
+    assert(parser.parsePlan("SELECT 7 // 2 AS d").toString.contains("7 div 2"))
+    // fragment parsing stays untouched
+    assert(parser.parseExpression("a + 1") != null)
+  }
 }
