@@ -100,6 +100,12 @@ object Functions {
           org.apache.spark.sql.types.DoubleType))
     },
     "editdist3" -> (a => call("levenshtein", a)),
+    "jaro_similarity" -> { case Seq(x, y) =>
+      graft.engine.expressions.JaroSimilarity(x, y)
+    },
+    "jaro_winkler_similarity" -> { case Seq(x, y) =>
+      graft.engine.expressions.JaroWinklerSimilarity(x, y)
+    },
     "sha256" -> { case Seq(e) => call("sha2", Seq(e, Literal(256))) },
     "to_base64" -> (a => call("base64", a)),
     "from_base64" -> (a => call("unbase64", a)),

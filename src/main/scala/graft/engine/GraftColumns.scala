@@ -1,0 +1,21 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, GraftColumn}
+import graft.engine.expressions._
+
+/** Column-API facade over the engine's custom Catalyst expressions, for
+  * the DataFrame path (the SQL path reaches them via Functions.register
+  * shims).
+  */
+object GraftColumns {
+  def jaro(a: Column, b: Column): Column =
+    GraftColumn.column(
+      JaroSimilarity(GraftColumn.expression(a), GraftColumn.expression(b)))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumn.column(
+      JaroWinklerSimilarity(GraftColumn.expression(a), GraftColumn.expression(b)))
+
+  def dot(a: Column, b: Column): Column = VectorMath.dot(a, b)
+  def cosine(a: Column, b: Column): Column = VectorMath.cosine(a, b)
+}

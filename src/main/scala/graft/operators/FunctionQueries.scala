@@ -125,6 +125,8 @@ object FunctionQueries {
       |  levenshtein(p_name, p_type) AS lev,
       |  ROUND(jaccard(lower(p_name), lower(p_brand)), 6) AS jac,
       |  hamming(substr(p_name, 1, 3), substr(p_type, 1, 3)) AS ham,
+      |  ROUND(jaro_similarity(p_name, p_type), 6) AS jaro,
+      |  ROUND(jaro_winkler_similarity(p_name, p_type), 6) AS jw,
       |  md5(p_name) AS m5,
       |  sha256(p_name) AS sh2,
       |  to_base64(encode(p_name)) AS b64
@@ -145,6 +147,8 @@ object FunctionQueries {
           split(substring(col("p_type"), 1, 3), ""),
           (x, y) => x =!= y),
         v => v)).as("ham"),
+      round(graft.engine.GraftColumns.jaro(col("p_name"), col("p_type")), 6).as("jaro"),
+      round(graft.engine.GraftColumns.jaroWinkler(col("p_name"), col("p_type")), 6).as("jw"),
       md5(col("p_name")).as("m5"),
       sha2(col("p_name"), 256).as("sh2"),
       base64(col("p_name").cast(BinaryType)).as("b64"))

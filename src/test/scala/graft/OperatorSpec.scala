@@ -114,4 +114,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(cols.contains("1-URGENT") && cols.contains("5-LOW"))
     assert(cols.size == 6) // o_orderstatus + 5 priorities
   }
+
+  test("jaro/jaro-winkler: known values, edge cases, SQL shim") {
+    import graft.engine.expressions.StringSim
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(math.abs(StringSim.jaro(u("martha"), u("marhta")) - 0.944444) < 1e-6)
+    assert(math.abs(StringSim.jaroWinkler(u("martha"), u("marhta")) - 0.961111) < 1e-6)
+    assert(StringSim.jaro(u("ab"), u("ba")) == 0.0) // window 0: no matches
+    assert(StringSim.jaro(u(""), u("x")) == 0.0)
+    assert(StringSim.jaro(u("same"), u("same")) == 1.0)
+    // boost threshold: jaro <= 0.7 gets NO prefix bonus (DuckDB semantics)
+    val low = StringSim.jaro(u("prefix_low"), u("prefiy_xxxxxxx"))
+    assert(low <= 0.7)
+    assert(StringSim.jaroWinkler(u("prefix_low"), u("prefiy_xxxxxxx")) == low)
+    graft.engine.Functions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler_similarity('dwayne', 'duane') AS jw").collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 0.84) < 1e-9)
+  }
 }
