@@ -35,6 +35,10 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
 
   def sql(text: String): DataFrame = {
     val trimmed = text.trim
+    secretStatement(trimmed) match {
+      case Some(props) => return applySecret(props)
+      case None =>
+    }
     if (readOnly) {
       val up = trimmed.toUpperCase
       if (!readOnlyAllowed.exists(up.startsWith)) {
@@ -46,6 +50,43 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     val df = session.sql(rewritten)
     df.queryExecution.assertAnalyzed() // structured failure before execution
     df
+  }
+
+  private val secretRe =
+    """(?is)CREATE\s+(?:PERSISTENT\s+)?SECRET\s*(?:\w+\s*)?\(\s*(.*)\)\s*;?\s*""".r
+  private val secretPropRe =
+    """(?i)(\w+)\s+(?:'([^']*)'|(\S+))""".r
+
+  private def secretStatement(sql: String): Option[Map[String, String]] =
+    sql match {
+      case secretRe(body) =>
+        Some(secretPropRe.findAllMatchIn(body).map { m =>
+          m.group(1).toLowerCase ->
+            Option(m.group(2)).getOrElse(m.group(3)).stripSuffix(",")
+        }.toMap)
+      case _ => None
+    }
+
+  /** `CREATE SECRET (TYPE s3, KEY_ID …, SECRET …, ENDPOINT …, …)` — the
+    * reference's credential objects (D5 of SURVEY §2.12,
+    * /root/reference/k8s/main.yaml:116-131) — map onto the session's
+    * Hadoop S3A configuration. Unknown secret types are accepted and
+    * ignored (the reference tolerates unloadable extensions the same
+    * way). Returns an empty OK result like DuckDB's.
+    */
+  private def applySecret(props: Map[String, String]): DataFrame = {
+    if (props.get("type").exists(_.equalsIgnoreCase("s3"))) {
+      val hc = session.sparkContext.hadoopConfiguration
+      props.get("key_id").foreach(hc.set("fs.s3a.access.key", _))
+      props.get("secret").foreach(hc.set("fs.s3a.secret.key", _))
+      props.get("region").foreach(hc.set("fs.s3a.endpoint.region", _))
+      props.get("endpoint").foreach(hc.set("fs.s3a.endpoint", _))
+      props.get("use_ssl").foreach(v =>
+        hc.set("fs.s3a.connection.ssl.enabled", v.toLowerCase))
+      props.get("url_style").foreach(v =>
+        hc.set("fs.s3a.path.style.access", (v.toLowerCase == "path").toString))
+    }
+    session.sql("SELECT true AS Success").limit(0)
   }
 
   /** Result schema without executing — the fix for the reference's

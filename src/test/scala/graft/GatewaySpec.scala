@@ -143,4 +143,25 @@ class GatewaySpec extends AnyFunSuite {
     // fragment parsing stays untouched
     assert(parser.parseExpression("a + 1") != null)
   }
+
+  test("CREATE SECRET maps onto Hadoop S3A configuration (D5, k8s/main.yaml:116)") {
+    val g = Gateway.open(spark, sf)
+    g.sql("""CREATE PERSISTENT SECRET (
+            |    TYPE s3,
+            |    PROVIDER config,
+            |    KEY_ID 'access',
+            |    SECRET 'secret',
+            |    REGION 'us-east-1',
+            |    ENDPOINT '0.0.0.0:7070',
+            |    USE_SSL false,
+            |    URL_STYLE 'path'
+            |)""".stripMargin).collect()
+    val hc = g.session.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "access")
+    assert(hc.get("fs.s3a.endpoint") == "0.0.0.0:7070")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    // unknown secret types are tolerated, like the reference's init
+    g.sql("CREATE PERSISTENT SECRET (type AIRPORT, auth_token 'x', scope 'grpc://h')").collect()
+  }
 }

@@ -63,4 +63,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("dd_exact is a single shuffle (window on digest), no self-join") {
+    val df = SparkEntry.queries("dd_exact")(spark, sf)
+    df.collect()
+    // AQE toString repeats the plan (initial + final): count only final
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    // exchanges: one for the window partitioning, one for the final sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("vector dot/cosine compile into whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.table("embeddings")
+      .select(graft.engine.GraftColumns.cosine(col("embedding"), col("embedding")).as("c"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
 }
