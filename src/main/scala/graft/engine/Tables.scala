@@ -48,9 +48,17 @@ object Tables {
     * every declared query fn; memoized on the session's CURRENT dir so a
     * 90-query run pays the parquet footer/listing cost once, not 90× —
     * and switching dirs mid-session still re-registers correctly.
+    *
+    * compute() keeps the check-and-register atomic: with concurrent
+    * callers (Bench worker pool, gateway clients) a plain put() would let
+    * a second thread see the dir marker and query views that the first
+    * thread hasn't created yet.
     */
   def register(spark: SparkSession, dir: String): Unit =
-    if (current.put(spark, dir) != dir) {
-      names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
-    }
+    current.compute(spark, (_, prev) => {
+      if (prev != dir) {
+        names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+      }
+      dir
+    })
 }
