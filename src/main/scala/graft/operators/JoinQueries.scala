@@ -231,5 +231,30 @@ object JoinQueries {
       .orderBy(col("r_name").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(j1, j2, j2b, j2c, j3, j4, j5, j6, j6b, j8, j9, j10)
+
+  /** J6c: large-large band join via graft.engine.RangeJoin.distanceBand —
+    * the shuffle-bound form of an inequality join (a bare |a−b| ≤ w
+    * predicate plans as BroadcastNestedLoop, the 100 TB scaling cliff).
+    * Oracle: plain theta join, independent of the banding rewrite.
+    */
+  val j6c = Q(
+    "j6_band_join",
+    """SELECT c_custkey, s_suppkey,
+      |  ROUND(c_acctbal - s_acctbal, 2) AS diff
+      |FROM customer, supplier
+      |WHERE abs(c_acctbal - s_acctbal) <= 1.0
+      |ORDER BY c_custkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val pairs = graft.engine.RangeJoin.distanceBand(
+      s.table("customer").select(col("c_custkey"), col("c_acctbal")),
+      "c_acctbal",
+      s.table("supplier").select(col("s_suppkey"), col("s_acctbal")),
+      "s_acctbal",
+      width = 1.0)
+    pairs.select(col("c_custkey"), col("s_suppkey"),
+      round(col("c_acctbal") - col("s_acctbal"), 2).as("diff"))
+      .orderBy(col("c_custkey").asc_nulls_last, col("s_suppkey").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(j1, j2, j2b, j2c, j3, j4, j5, j6, j6b, j6c, j8, j9, j10)
 }

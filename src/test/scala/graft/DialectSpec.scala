@@ -68,4 +68,18 @@ class DialectSpec extends AnyFunSuite {
       assert(ldt.format(fmt) == expected, s"for $strf")
     }
   }
+
+  test("property: jaro/jaro-winkler bounds, identity, symmetry") {
+    import graft.engine.expressions.StringSim
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val word = Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+    forAll(word, word) { (a, b) =>
+      val j = StringSim.jaro(u(a), u(b))
+      val jw = StringSim.jaroWinkler(u(a), u(b))
+      assert(j >= 0.0 && j <= 1.0, s"jaro($a,$b)=$j")
+      assert(jw >= j && jw <= 1.0, s"jw($a,$b)=$jw < jaro $j")
+      assert(StringSim.jaro(u(b), u(a)) == j, s"asymmetric on ($a,$b)")
+      if (a.nonEmpty) assert(StringSim.jaro(u(a), u(a)) == 1.0)
+    }
+  }
 }

@@ -132,4 +132,21 @@ class OperatorSpec extends AnyFunSuite {
       "SELECT jaro_winkler_similarity('dwayne', 'duane') AS jw").collect()(0).getDouble(0)
     assert(math.abs(viaSql - 0.84) < 1e-9)
   }
+
+  test("RangeJoin.intervalJoin matches the naive theta join") {
+    import org.apache.spark.sql.functions._
+    graft.engine.Tables.register(spark, sf)
+    val points = spark.table("customer")
+      .select(col("c_custkey").as("pid"), col("c_acctbal").as("v"))
+    val ivals = spark.table("supplier")
+      .select(col("s_suppkey").as("iid"),
+        col("s_acctbal").as("lo"), (col("s_acctbal") + 50.0).as("hi"))
+    val banded = graft.engine.RangeJoin
+      .intervalJoin(points, "v", ivals, "lo", "hi", maxLen = 50.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ivals, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(naive.nonEmpty)
+  }
 }

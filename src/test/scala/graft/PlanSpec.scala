@@ -82,4 +82,12 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
   }
+
+  test("band join shuffles on the bucket key, no nested loop") {
+    val df = SparkEntry.queries("j6_band_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
 }
