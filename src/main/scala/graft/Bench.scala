@@ -50,8 +50,15 @@ object Bench {
         while (i < queries.length) {
           val (name, fn) = queries(i)
           val q0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          times.put(name, (System.nanoTime() - q0) / 1e9)
+          try {
+            fn(spark, sfDir).count()
+            times.put(name, (System.nanoTime() - q0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              // a failed query must not masquerade as a fast one
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              times.put(name, -1.0)
+          }
           i = cursor.getAndIncrement()
         }
       })
