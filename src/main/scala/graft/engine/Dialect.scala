@@ -19,10 +19,21 @@ object Dialect {
     rewriteCatalogFns(rewriteQualify(rewriteOperators(normalizeWs(sql))))
 
   private val catalogFnRe =
-    """(?i)\b(duckdb_(?:extensions|tables|functions|views|settings))\s*\(\s*\)""".r
+    """(?i)^(duckdb_(?:extensions|tables|functions|views|settings))\s*\(\s*\)""".r
 
+  /** `duckdb_tables()` → `duckdb_tables`, outside string literals only
+    * (a literal '…duckdb_tables()…' must survive verbatim).
+    */
   private def rewriteCatalogFns(sql: String): String =
-    catalogFnRe.replaceAllIn(sql, m => m.group(1).toLowerCase)
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (sql.regionMatches(true, i, "duckdb_", 0, 7) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)))) {
+        catalogFnRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) => sb.append(m.group(1).toLowerCase); i + m.end
+          case None => i
+        }
+      } else i
+    }
 
   /** Collapse whitespace runs to single spaces outside literals so the
     * keyword scanners below see a canonical form (newlines before

@@ -53,38 +53,48 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   }
 
   private val secretRe =
-    """(?is)CREATE\s+(?:PERSISTENT\s+)?SECRET\s*(?:\w+\s*)?\(\s*(.*)\)\s*;?\s*""".r
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+)?SECRET\s*(?:\w+\s*)?\(\s*(.*)\)\s*;?\s*""".r
   private val secretPropRe =
-    """(?i)(\w+)\s+(?:'([^']*)'|(\S+))""".r
+    """(?i)(\w+)\s+(?:'([^']*)'|([^\s,]+))""".r
 
   private def secretStatement(sql: String): Option[Map[String, String]] =
     sql match {
       case secretRe(body) =>
+        // group(2) = quoted value, taken verbatim; group(3) = bare token,
+        // which the char class already keeps comma-free
         Some(secretPropRe.findAllMatchIn(body).map { m =>
-          m.group(1).toLowerCase ->
-            Option(m.group(2)).getOrElse(m.group(3)).stripSuffix(",")
+          m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
         }.toMap)
       case _ => None
     }
 
   /** `CREATE SECRET (TYPE s3, KEY_ID …, SECRET …, ENDPOINT …, …)` — the
     * reference's credential objects (D5 of SURVEY §2.12,
-    * /root/reference/k8s/main.yaml:116-131) — map onto the session's
-    * Hadoop S3A configuration. Unknown secret types are accepted and
-    * ignored (the reference tolerates unloadable extensions the same
-    * way). Returns an empty OK result like DuckDB's.
+    * /root/reference/k8s/main.yaml:116-131) — map onto SESSION-scoped
+    * conf overrides (copied into `sessionState.newHadoopConf()` for
+    * every read), NOT the context-global hadoopConfiguration: one
+    * client's credentials must never mutate another session's S3
+    * access. Credentials are
+    * session-state like DuckDB's, orthogonal to database read-only-ness
+    * (the reference provisions secrets while serving read_only). Unknown
+    * secret types are accepted and ignored (the reference tolerates
+    * unloadable extensions the same way). Returns an empty OK result
+    * like DuckDB's.
     */
   private def applySecret(props: Map[String, String]): DataFrame = {
     if (props.get("type").exists(_.equalsIgnoreCase("s3"))) {
-      val hc = session.sparkContext.hadoopConfiguration
-      props.get("key_id").foreach(hc.set("fs.s3a.access.key", _))
-      props.get("secret").foreach(hc.set("fs.s3a.secret.key", _))
-      props.get("region").foreach(hc.set("fs.s3a.endpoint.region", _))
-      props.get("endpoint").foreach(hc.set("fs.s3a.endpoint", _))
+      // unprefixed keys: SessionState.newHadoopConf() copies session
+      // SQLConf entries into the effective Hadoop conf verbatim (the
+      // spark.hadoop. prefix is only stripped at context creation)
+      def set(k: String, v: String): Unit = session.conf.set(k, v)
+      props.get("key_id").foreach(set("fs.s3a.access.key", _))
+      props.get("secret").foreach(set("fs.s3a.secret.key", _))
+      props.get("region").foreach(set("fs.s3a.endpoint.region", _))
+      props.get("endpoint").foreach(set("fs.s3a.endpoint", _))
       props.get("use_ssl").foreach(v =>
-        hc.set("fs.s3a.connection.ssl.enabled", v.toLowerCase))
+        set("fs.s3a.connection.ssl.enabled", v.toLowerCase))
       props.get("url_style").foreach(v =>
-        hc.set("fs.s3a.path.style.access", (v.toLowerCase == "path").toString))
+        set("fs.s3a.path.style.access", (v.toLowerCase == "path").toString))
     }
     session.sql("SELECT true AS Success").limit(0)
   }
@@ -119,19 +129,22 @@ final class GatewayException(msg: String) extends RuntimeException(msg)
 
 object Gateway {
 
-  /** Open a gateway over a cloned session (isolated SET/temp-view state),
-    * register the fixture tables + dialect shims, then run the optional
-    * init script — the reference's `-init` hook (main.go:32,107-111),
-    * with per-statement error capture instead of silent prints.
-    */
   /** Catalog introspection views named after DuckDB's table functions
     * (S7 of SURVEY §2.1; the reference's smoke client runs
     * `SELECT extension_name FROM duckdb_extensions() WHERE installed`,
     * /root/reference/main.go:77 and client/main.go:27 — Dialect.rewrite
-    * turns the `()` call into these view names).
+    * turns the `()` call into these view names). The views are SNAPSHOTS
+    * taken at open() (DuckDB's are live; a live analog would need a
+    * custom TableProvider — documented static limitation). The
+    * data-table snapshot is taken BEFORE any duckdb_* view registers, so
+    * the catalog surface never lists an arbitrary subset of itself.
     */
   private def registerCatalogViews(sess: SparkSession): Unit = {
     import sess.implicits._
+    // snapshot first: only the fixture relations, none of the
+    // introspection views being registered below
+    val tables = sess.catalog.listTables().collect().toSeq
+      .map(t => ("memory", "main", t.name, t.tableType))
     // "extensions" = the engine's statically-linked capability surface
     // (SURVEY §2.12 D2/D4: extension INSTALL is a closed no-op here)
     Seq(
@@ -143,20 +156,27 @@ object Gateway {
       .createOrReplaceTempView("duckdb_extensions")
     // fixture relations are temp views over parquet — DuckDB-side they
     // are the attached database's tables, so report type, not "view"
-    val tables = sess.catalog.listTables().collect().toSeq
-      .map(t => ("memory", "main", t.name, t.tableType))
     tables.toDF("database_name", "schema_name", "table_name", "table_type")
       .createOrReplaceTempView("duckdb_tables")
     tables.filter(_._4.equalsIgnoreCase("VIEW"))
       .map { case (d, s2, n, _) => (d, s2, n) }
       .toDF("database_name", "schema_name", "view_name")
       .createOrReplaceTempView("duckdb_views")
+    sess.catalog.listFunctions().collect().toSeq
+      .map(f => ("memory", "main", f.name, f.isTemporary))
+      .toDF("database_name", "schema_name", "function_name", "is_temporary")
+      .createOrReplaceTempView("duckdb_functions")
     sess.conf.getAll.toSeq
       .map { case (k, v) => (k, v) }
       .toDF("name", "value")
       .createOrReplaceTempView("duckdb_settings")
   }
 
+  /** Open a gateway over a cloned session (isolated SET/temp-view state),
+    * register the fixture tables + dialect shims, then run the optional
+    * init script — the reference's `-init` hook (main.go:32,107-111),
+    * with per-statement error capture instead of silent prints.
+    */
   def open(
       spark: SparkSession,
       dataDir: String,

@@ -41,6 +41,12 @@ object Recursive {
       frontier = next
       i += 1
     }
+    if (i == maxIter && !frontier.isEmpty) {
+      // a silently truncated fixpoint is a wrong answer, not a result
+      throw new IllegalStateException(
+        s"Recursive.fixpoint did not converge within $maxIter iterations " +
+          s"(frontier still non-empty); raise maxIter or bound the recursion")
+    }
     acc
   }
 }

@@ -41,6 +41,9 @@ trait VectorBinaryExpression extends BinaryExpression {
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  protected def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   /** Java source reading element i of `v` as double. */
   protected def getter(e: Expression, v: String, i: String): String =
     elemType(e) match {
@@ -53,6 +56,55 @@ trait VectorBinaryExpression extends BinaryExpression {
       case FloatType => v.getFloat(i).toDouble
       case _ => v.getDouble(i)
     }
+
+  /** DuckDB semantics: unequal lengths and NULL elements are errors, not
+    * silently-wrong numbers (NULL *arrays* still yield NULL via the
+    * null-safe wrapper). Runtime checks shared by eval and codegen.
+    */
+  protected def checkInputs(x: ArrayData, y: ArrayData): Unit =
+    VectorBinaryExpression.check(prettyName, x, y)
+
+  /** Java source for the same checks; element null-scan emitted only
+    * when the schema says nulls are possible.
+    */
+  protected def checkCode(x: String, y: String): String = {
+    val lenCheck =
+      s"""if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: list dimensions must be equal, got " +
+         |    $x.numElements() + " and " + $y.numElements());
+         |}""".stripMargin
+    def nullScan(v: String, side: String, emit: Boolean) =
+      if (!emit) ""
+      else
+        s"""for (int __i = 0; __i < $v.numElements(); __i++) {
+           |  if ($v.isNullAt(__i)) {
+           |    throw new IllegalArgumentException(
+           |      "$prettyName: $side argument can not contain NULL values");
+           |  }
+           |}""".stripMargin
+    lenCheck + "\n" + nullScan(x, "left", elemNullable(left)) +
+      "\n" + nullScan(y, "right", elemNullable(right))
+  }
+}
+
+object VectorBinaryExpression {
+  def check(name: String, x: ArrayData, y: ArrayData): Unit = {
+    if (x.numElements() != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"$name: list dimensions must be equal, got " +
+          s"${x.numElements()} and ${y.numElements()}")
+    }
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"$name: left argument can not contain NULL values")
+      if (y.isNullAt(i)) throw new IllegalArgumentException(
+        s"$name: right argument can not contain NULL values")
+      i += 1
+    }
+  }
 }
 
 /** dot(a, b): Σ aᵢ·bᵢ in input order. Shim target for DuckDB
@@ -65,7 +117,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    checkInputs(x, y)
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += getElem(left, x, i) * getElem(right, y, i); i += 1 }
@@ -78,7 +131,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${checkCode(x, y)}
+         |int $n = $x.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${getter(left, x, i)} * ${getter(right, y, i)};
@@ -103,7 +157,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    checkInputs(x, y)
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -127,7 +182,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${checkCode(x, y)}
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = ${getter(left, x, i)};

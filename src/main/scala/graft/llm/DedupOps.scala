@@ -149,18 +149,23 @@ object DedupOps {
        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
   ) { s =>
     val corpus = dupCorpus(s)
-    // cache: the shingle relation feeds both signature build and the
-    // verification joins — without it Spark recomputes shingling 3×
+    // localCheckpoint, NOT persist: the shingle relation feeds both the
+    // signature build and the verification joins (3× recompute without
+    // it), but persist() pins blocks in the CacheManager forever on a
+    // shared serving session — checkpoint blocks are released by the
+    // ContextCleaner once the DataFrame is unreachable
     val sh = corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh"))
-      .persist()
+      .localCheckpoint()
     val hs = sh.withColumn("hs", transform(col("sh"), x => md5(x.cast(BinaryType))))
     val sig = hs.select(
       col("doc_id") +:
         (0 until K).map(i => minhash(col("hs"), i).as(s"mh$i")): _*)
     // one generator pass, NOT a 4-way union (a union would re-run the
-    // whole signature computation once per band)
-    // persist: the bucket self-join reads this relation twice — without
-    // the cache every per-shingle md5 runs 2×, which dominated the bench
+    // whole signature computation once per band); localCheckpoint: the
+    // bucket self-join reads this relation twice — without
+    // materialization every per-shingle md5 runs 2×, which dominated
+    // the bench (and unlike persist, checkpoint blocks don't leak on a
+    // long-lived session)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until BANDS).map { b =>
         struct(lit(b).as("band"),
@@ -168,7 +173,7 @@ object DedupOps {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist()
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
     val cand = a.join(b, Seq("band", "bucket"))

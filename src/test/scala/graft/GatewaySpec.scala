@@ -156,11 +156,18 @@ class GatewaySpec extends AnyFunSuite {
             |    USE_SSL false,
             |    URL_STYLE 'path'
             |)""".stripMargin).collect()
-    val hc = g.session.sparkContext.hadoopConfiguration
-    assert(hc.get("fs.s3a.access.key") == "access")
-    assert(hc.get("fs.s3a.endpoint") == "0.0.0.0:7070")
-    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
-    assert(hc.get("fs.s3a.path.style.access") == "true")
+    // SESSION-scoped spark.hadoop.* overrides (one client's credentials
+    // must not leak into other sessions' hadoopConfiguration)
+    val c = g.session.conf
+    assert(c.get("fs.s3a.access.key") == "access")
+    assert(c.get("fs.s3a.endpoint") == "0.0.0.0:7070")
+    assert(c.get("fs.s3a.connection.ssl.enabled") == "false")
+    assert(c.get("fs.s3a.path.style.access") == "true")
+    // honored by the session's effective Hadoop conf for reads
+    val classic = g.session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    assert(classic.sessionState.newHadoopConf().get("fs.s3a.access.key") == "access")
+    // and absent from the context-global configuration
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.access.key") == null)
     // unknown secret types are tolerated, like the reference's init
     g.sql("CREATE PERSISTENT SECRET (type AIRPORT, auth_token 'x', scope 'grpc://h')").collect()
   }

@@ -66,4 +66,16 @@ class VectorMathSpec extends AnyFunSuite {
         |FROM embeddings LIMIT 5""".stripMargin).collect()
     out.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("DuckDB error semantics: length mismatch and null elements throw") {
+    val mism = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(VectorMath.dot(col("a"), col("b")).as("d"))
+    val e1 = intercept[Exception](mism.collect())
+    assert(e1.getMessage != null)
+    val withNull = Seq((Array(Some(1.0), None), Array(Some(1.0), Some(1.0))))
+      .toDF("a", "b")
+      .select(VectorMath.cosine(col("a"), col("b")).as("c"))
+    val e2 = intercept[Exception](withNull.collect())
+    assert(e2.getMessage != null)
+  }
 }
