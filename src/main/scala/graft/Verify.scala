@@ -15,13 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // small worker pool (like Bench): per-query planning overhead
+    // overlaps across queries; each query writes its own directory so
+    // the writes never contend
+    graft.engine.Tables.register(spark, sfDir)
+    val queries = SparkEntry.queries.toIndexedSeq
+    val cursor = new java.util.concurrent.atomic.AtomicInteger(0)
+    val workers = (1 to 4).map { _ =>
+      new Thread(() => {
+        var i = cursor.getAndIncrement()
+        while (i < queries.length) {
+          val (name, fn) = queries(i)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          i = cursor.getAndIncrement()
+        }
+      })
     }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
