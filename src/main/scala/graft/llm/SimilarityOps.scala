@@ -125,5 +125,56 @@ object SimilarityOps {
       .orderBy(col("bucket").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(v1, v2, v3)
+  /** IVF approximate top-k — the at-scale ANN layout: a coarse
+    * quantizer (deterministically sampled centroids) partitions the
+    * corpus into inverted lists; each query probes only its nprobe
+    * nearest lists, so per-query work is corpus/nlists × nprobe instead
+    * of a full scan. Layout maps 1:1 to a cluster: lists are partitions
+    * (repartition by centroid id), centroids broadcast. No oracle
+    * (approximate recall is not SQL-deterministic); the spec checks
+    * recall ≥ 0.7 vs the brute-force baseline.
+    */
+  val v4 = Q.noOracle("nn_ivf_topk") { s =>
+    val NLISTS = 16
+    val NPROBE = 4
+    val TOPK = 3
+    val emb = s.table("embeddings")
+    // coarse quantizer: every 125th vector is a centroid (deterministic;
+    // production would k-means a sample — assignment machinery identical)
+    val centroids = broadcast(
+      emb.filter(col("vec_id") % 125 === 0).limit(NLISTS)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("cn")))
+    def nearestLists(df: org.apache.spark.sql.DataFrame, v: Column, n: Int,
+        idCol: Column, out: String) = {
+      val sim = dot(v, col("ce")) / (sqrt(dot(v, v)) * col("cn"))
+      val w = Window.partitionBy(idCol).orderBy(sim.desc, col("cid").asc)
+      df.crossJoin(centroids)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n).drop("__r", "ce", "cn")
+        .withColumnRenamed("cid", out)
+    }
+    // inverted lists: each corpus vector in its single nearest list
+    val lists = nearestLists(emb.select(col("vec_id"), col("embedding")),
+      col("embedding"), 1, col("vec_id"), "list_id")
+      .select(col("list_id"), col("vec_id"), col("embedding").as("e"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("en"))
+    // queries probe their NPROBE nearest lists
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = nearestLists(q, col("qe"), NPROBE, col("qid"), "list_id")
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+    // search only the probed lists (equi-join on list_id = the pruning)
+    val cand = probes.join(lists, "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("e")) / (col("qn") * col("en")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
+        col("vec_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(v1, v2, v3, v4)
 }

@@ -149,4 +149,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(banded == naive)
     assert(naive.nonEmpty)
   }
+
+  test("IVF top-k recall >= 0.7 vs brute force") {
+    val ivf = SparkEntry.queries("nn_ivf_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val brute = SparkEntry.queries("nn_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert(brute.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall (ivf=${ivf.size}, brute=${brute.size})")
+  }
+
+  test("property: distanceBand equals naive theta join on random data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random values incl. negatives and duplicates
+    val xs = (0 until 300).map(i => (i.toLong, ((i * 2654435761L) % 2000) / 7.0 - 140.0))
+    val ys = (0 until 200).map(i => (i.toLong, ((i * 40503L + 13) % 2000) / 7.0 - 140.0))
+    for (width <- Seq(0.5, 3.0, 25.0)) {
+      val l = xs.toDF("lid", "lv")
+      val r = ys.toDF("rid", "rv")
+      val banded = graft.engine.RangeJoin.distanceBand(l, "lv", r, "rv", width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = l.join(r, abs(col("lv") - col("rv")) <= width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(banded == naive, s"width=$width: ${banded.size} vs ${naive.size}")
+      assert(naive.nonEmpty)
+    }
+  }
 }
