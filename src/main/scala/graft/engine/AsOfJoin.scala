@@ -38,7 +38,11 @@ object AsOfJoin {
       ts: String,
       payload: Seq[(String, String)]): DataFrame = {
     val pStruct = struct(payload.map { case (src, al) => col(src).as(al) }: _*)
-    val r = right.select(col(key), col(ts), pStruct.as("__p"), lit(0).as("__side"))
+    // NULL join keys never match in ASOF (SQL equality semantics), but
+    // Window.partitionBy groups NULLs together — drop NULL-keyed right
+    // rows so NULL-keyed left rows get a NULL payload, not each other's
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key), col(ts), pStruct.as("__p"), lit(0).as("__side"))
     val l = left.withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))

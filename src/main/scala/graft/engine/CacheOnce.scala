@@ -18,6 +18,14 @@ object CacheOnce {
     val cached = df.persist()
     Option(live.put(key, cached))
       .filter(_ ne cached)
+      // Spark's CacheManager is keyed by PLAN, not by DataFrame handle:
+      // when the new run builds an identical plan, persist() above was a
+      // no-op on the existing entry, and unpersisting the old handle
+      // would drop the cache we just returned. Only release when the
+      // plan actually changed.
+      .filterNot(old =>
+        try old.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)
+        catch { case _: Throwable => false })
       .foreach(_.unpersist(blocking = false))
     cached
   }

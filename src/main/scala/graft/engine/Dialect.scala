@@ -16,7 +16,69 @@ object Dialect {
     *     (reference smoke query, /root/reference/main.go:77)
     */
   def rewrite(sql: String): String =
-    rewriteCatalogFns(rewriteQualify(rewriteOperators(normalizeWs(sql))))
+    rewriteDateDiff(
+      rewriteCatalogFns(rewriteQualify(rewriteOperators(normalizeWs(sql)))))
+
+  /** DuckDB `date_diff('part', a, b)` counts part-BOUNDARY CROSSINGS.
+    * Spark intercepts `date_diff`/`datediff` in the PARSER (timestampdiff
+    * alias, unquoted unit, elapsed-unit semantics), so no registry shim
+    * can apply — the call must be rewritten textually to
+    * `timestampdiff(PART, date_trunc('part', a), date_trunc('part', b))`.
+    */
+  private def rewriteDateDiff(sql: String): String = {
+    val out = scanOutsideLiterals(sql) { (i, sb) =>
+      val isDD = sql.regionMatches(true, i, "date_diff", 0, 9)
+      val isD2 = sql.regionMatches(true, i, "datediff", 0, 8)
+      val nameLen = if (isDD) 9 else if (isD2) 8 else 0
+      if (nameLen > 0 &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)))) {
+        splitCallArgs(sql, i + nameLen) match {
+          case Some((args, end)) if args.length == 3 &&
+            args.head.trim.matches("(?i)'\\w+'") =>
+            val part = args.head.trim
+            val unit = part.substring(1, part.length - 1).toUpperCase
+            sb.append(
+              s"timestampdiff($unit, date_trunc($part, ${args(1).trim}), " +
+                s"date_trunc($part, ${args(2).trim}))")
+            end
+          case _ => i
+        }
+      } else i
+    }
+    // nested date_diff calls in the rewritten args: fixpoint (bounded)
+    if (out != sql) rewriteDateDiff(out) else out
+  }
+
+  /** If position `open` points at the whitespace/`(` of a call, return
+    * (top-level comma-split args, index just past the closing paren).
+    * Literal- and paren-aware.
+    */
+  private def splitCallArgs(sql: String, open: Int): Option[(Seq[String], Int)] = {
+    var i = open
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (i >= sql.length || sql.charAt(i) != '(') return None
+    i += 1
+    val args = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' | '"' =>
+          cur.append(c); i += 1
+          while (i < sql.length && sql.charAt(i) != c) { cur.append(sql.charAt(i)); i += 1 }
+          if (i < sql.length) cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' =>
+          if (depth == 0) { args += cur.toString; return Some((args.toSeq, i + 1)) }
+          depth -= 1; cur.append(c)
+        case ',' if depth == 0 => args += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    None
+  }
 
   private val catalogFnRe =
     """(?i)^(duckdb_(?:extensions|tables|functions|views|settings))\s*\(\s*\)""".r
@@ -69,44 +131,123 @@ object Dialect {
   }
 
   private val globRe =
-    """(?i)\bGLOB\s+'([^']*)'""".r
+    """(?i)^GLOB\s+'([^']*)'""".r
   private val arrowRe =
-    """(\w+(?:\.\w+)*)\s*->>\s*'([^']*)'""".r
+    """^(\w+(?:\.\w+)*)\s*->>\s*'([^']*)'""".r
 
+  /** All operator rewrites are applied by position-scanning OUTSIDE
+    * string literals (a literal containing "GLOB '...'" or "->>" must
+    * survive verbatim). The quoted operand following the operator is
+    * part of the matched syntax, consumed wholesale.
+    */
   private def rewriteOperators(sql: String): String = {
     // `//` → ` div ` (outside literals)
     val noIntDiv = scanOutsideLiterals(sql) { (i, sb) =>
       if (sql.startsWith("//", i)) { sb.append(" div "); i + 2 } else i
     }
+    def wordStart(s: String, i: Int): Boolean =
+      i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))
     // GLOB 'pat' → RLIKE '<regex>' (pattern is a literal, so the regex
     // can be precomputed)
-    val noGlob = globRe.replaceAllIn(noIntDiv, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        "RLIKE '" + globToRegex(m.group(1)).replace("'", "''") + "'"))
+    val noGlob = scanOutsideLiterals(noIntDiv) { (i, sb) =>
+      if (wordStart(noIntDiv, i) &&
+        noIntDiv.regionMatches(true, i, "GLOB", 0, 4)) {
+        globRe.findPrefixMatchOf(noIntDiv.substring(i)) match {
+          case Some(m) =>
+            sb.append("RLIKE '" + globToRegex(m.group(1)).replace("'", "''") + "'")
+            i + m.end
+          case None => i
+        }
+      } else i
+    }
     // j ->> 'k' → get_json_object(j, '$.k')
-    arrowRe.replaceAllIn(noGlob, m => {
-      val path0 = m.group(2)
-      val path = if (path0.startsWith("$")) path0 else "$." + path0
-      java.util.regex.Matcher.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$path')")
-    })
+    scanOutsideLiterals(noGlob) { (i, sb) =>
+      if (wordStart(noGlob, i) && noGlob.charAt(i).isLetter) {
+        arrowRe.findPrefixMatchOf(noGlob.substring(i)) match {
+          case Some(m) =>
+            val path0 = m.group(2)
+            val path = if (path0.startsWith("$")) path0 else "$." + path0
+            sb.append(s"get_json_object(${m.group(1)}, '$path')")
+            i + m.end
+          case None => i
+        }
+      } else i
+    }
   }
 
   /** `SELECT <list> FROM … QUALIFY pred [tail]` →
     * `SELECT * EXCEPT (__q) FROM (SELECT <list>, (pred) AS __q FROM …)
-    *  WHERE __q [tail]`. Handles the common trailing-clause form (the
-    * declared-query surface); nested QUALIFY inside subqueries is
-    * rewritten innermost-first by repeated application.
+    *  WHERE __q [tail]`, applied at ANY nesting depth: each pass finds a
+    * QUALIFY, rewrites its innermost enclosing parenthesized scope, and
+    * repeats until none remain (subqueries, CTB bodies, etc.).
     */
   private def rewriteQualify(sql: String): String = {
-    val up = sql.toUpperCase
+    var cur = sql
+    var guard = 0
+    while (guard < 32) {
+      val qi = indexOfAnyDepth(cur, " QUALIFY ")
+      if (qi < 0) return cur
+      val (s0, e0) = scopeBounds(cur, qi)
+      cur = cur.substring(0, s0) +
+        rewriteQualifyScope(cur.substring(s0, e0)) +
+        cur.substring(e0)
+      guard += 1
+    }
+    cur
+  }
+
+  /** Bounds of the innermost parenthesized scope containing `pos`:
+    * (start-after-'(', index-of-matching-')') — or the whole string when
+    * `pos` sits at depth 0. Literal-aware.
+    */
+  private def scopeBounds(sql: String, pos: Int): (Int, Int) = {
+    var stack = List.empty[Int]
+    var i = 0
+    var start = 0
+    while (i < pos) {
+      sql.charAt(i) match {
+        case '\'' | '"' =>
+          val q = sql.charAt(i); i += 1
+          while (i < sql.length && sql.charAt(i) != q) i += 1
+        case '(' => stack = i :: stack
+        case ')' => if (stack.nonEmpty) stack = stack.tail
+        case _ =>
+      }
+      i += 1
+    }
+    start = stack.headOption.map(_ + 1).getOrElse(0)
+    if (stack.isEmpty) return (0, sql.length)
+    // find the ')' matching the open paren at stack.head
+    var depth = 0
+    i = pos
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' | '"' =>
+          val q = sql.charAt(i); i += 1
+          while (i < sql.length && sql.charAt(i) != q) i += 1
+        case '(' => depth += 1
+        case ')' =>
+          if (depth == 0) return (start, i)
+          depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    (start, sql.length)
+  }
+
+  /** Single-scope QUALIFY rewrite; `sql` is one SELECT scope (QUALIFY at
+    * its depth 0).
+    */
+  private def rewriteQualifyScope(sql: String): String = {
     val qi = indexOfTopLevel(sql, " QUALIFY ")
     if (qi < 0) return sql
-    // head = everything before QUALIFY; find tail start (ORDER BY/LIMIT
-    // at top level after the predicate)
+    // head = everything before QUALIFY; find tail start (ORDER BY/LIMIT/
+    // set-op at top level after the predicate)
     val head = sql.substring(0, qi)
     val rest = sql.substring(qi + " QUALIFY ".length)
-    val tailIdx = Seq(" ORDER BY ", " LIMIT ", " OFFSET ")
+    val tailIdx = Seq(" ORDER BY ", " LIMIT ", " OFFSET ",
+      " UNION ", " INTERSECT ", " EXCEPT ")
       .map(k => indexOfTopLevel(rest, k)).filter(_ >= 0)
       .sorted.headOption.getOrElse(rest.length)
     val pred = rest.substring(0, tailIdx).trim
@@ -117,6 +258,26 @@ object Dialect {
     require(fi >= 0, "QUALIFY rewrite: no FROM clause found")
     val withQ = head.substring(0, fi) + s", ($pred) AS __q" + head.substring(fi)
     s"SELECT * EXCEPT (__q) FROM ($withQ) WHERE __q$tail"
+  }
+
+  /** First index of `needle` (case-insensitive) outside literals at any
+    * paren depth; -1 if absent.
+    */
+  private def indexOfAnyDepth(sql: String, needle: String): Int = {
+    val up = sql.toUpperCase
+    val n = needle.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' | '"' =>
+          val q = sql.charAt(i); i += 1
+          while (i < sql.length && sql.charAt(i) != q) i += 1
+        case _ =>
+          if (up.startsWith(n, i)) return i
+      }
+      i += 1
+    }
+    -1
   }
 
   /** First index of `needle` (case-insensitive) at paren depth 0 and

@@ -40,10 +40,6 @@ object Functions {
     "list_concat" -> (a => call("concat", a)),
     "list_cat" -> (a => call("concat", a)),
     "list_unique" -> (a => call("size", Seq(call("array_distinct", a)))),
-    "len" -> {
-      case Seq(e) => call("length", Seq(e)) // works for strings and arrays
-      case a => call("length", a)
-    },
     "list_slice" -> { case Seq(l, b, e) =>
       // DuckDB list_slice(l, begin, end) is inclusive; Spark slice takes
       // (start, length)
@@ -109,8 +105,6 @@ object Functions {
     "sha256" -> { case Seq(e) => call("sha2", Seq(e, Literal(256))) },
     "to_base64" -> (a => call("base64", a)),
     "from_base64" -> (a => call("unbase64", a)),
-    "encode" -> { case Seq(e) =>
-      Cast(e, org.apache.spark.sql.types.BinaryType) },
     "prefix" -> { case Seq(s, p) => call("startswith", Seq(s, p)) },
     "suffix" -> { case Seq(s, p) => call("endswith", Seq(s, p)) },
     "strip_accents" -> { case Seq(e) =>
@@ -153,32 +147,73 @@ object Functions {
     "isodow" -> { case Seq(d) => Add(call("weekday", Seq(d)), Literal(1)) },
     "week" -> (a => call("weekofyear", a)),
     "yearweek" -> { case Seq(d) =>
-      Add(Multiply(call("year", Seq(d)), Literal(100)), call("weekofyear", Seq(d)))
+      // ISO year (DuckDB semantics), not calendar year: the year of the
+      // Thursday in d's ISO week — differs near year boundaries
+      // (2024-12-30 is 202501, 2027-01-01 is 202653)
+      val isoDow = Add(call("weekday", Seq(d)), Literal(1))
+      val thursday = call("date_add", Seq(d, Subtract(Literal(4), isoDow)))
+      Add(Multiply(call("year", Seq(thursday)), Literal(100)),
+        call("weekofyear", Seq(d)))
     },
     "time_bucket" -> { case Seq(width, ts) =>
-      // DuckDB arg order (width, ts); Spark window() is the engine path —
-      // here the scalar form via floor on epoch micros
-      call("timestamp_micros", Seq(
+      // DuckDB arg order (width, ts). Buckets align to DuckDB's origin
+      // 2000-01-03 00:00:00 (a Monday) — NOT epoch 0 (a Thursday):
+      // weekly/multi-day widths diverge otherwise. 946857600000000 µs.
+      val origin = Literal(946857600000000L)
+      val us = Subtract(
+        call("unix_micros", Seq(Cast(ts,
+          org.apache.spark.sql.types.TimestampType))), origin)
+      call("timestamp_micros", Seq(Add(
         Multiply(
           Cast(call("floor", Seq(Divide(
-            Cast(call("unix_micros", Seq(Cast(ts,
-              org.apache.spark.sql.types.TimestampType))),
-              org.apache.spark.sql.types.DoubleType),
+            Cast(us, org.apache.spark.sql.types.DoubleType),
             Cast(intervalMicros(width), org.apache.spark.sql.types.DoubleType)))),
             org.apache.spark.sql.types.LongType),
-          intervalMicros(width))))
+          intervalMicros(width)),
+        origin)))
     },
+    // DuckDB date_diff counts PART-BOUNDARY CROSSINGS, not complete
+    // elapsed units: truncate both sides to the part first, then count
+    // (date_diff('day', 23:00, next 01:00) = 1, not 0)
     "date_diff" -> { case Seq(Literal(part, _), a, b) =>
-      call("timestampdiff", Seq(Literal(part), a, b))
-    },
-    "datediff" -> { case Seq(Literal(part, _), a, b) =>
-      call("timestampdiff", Seq(Literal(part), a, b))
+      boundaryDiff(part.toString, a, b)
     },
     "date_sub_part" -> (a => call("timestampdiff", a)),
 
     // ---- misc ----
     "list_value" -> (a => call("array", a)),
     "struct_insert" -> (a => call("struct", a)))
+
+  /** DuckDB boundary-crossing date_diff: truncate both sides to the
+    * part, then count complete parts between the truncations.
+    */
+  private def boundaryDiff(part: String, a: Expression, b: Expression): Expression =
+    call("timestampdiff", Seq(Literal(part),
+      call("date_trunc", Seq(Literal(part), a)),
+      call("date_trunc", Seq(Literal(part), b))))
+
+  /** Shims whose names collide with Spark builtins of DIFFERENT
+    * signature/semantics — these intentionally shadow the builtin in the
+    * session registry, falling through to the builtin's expression for
+    * the Spark-native arity.
+    */
+  private val overrides: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "datediff" -> {
+      // DuckDB 3-arg (part, a, b) = boundary crossings; Spark 2-arg
+      // datediff(end, start) keeps its builtin meaning
+      case Seq(Literal(part, _), a, b) => boundaryDiff(part.toString, a, b)
+      case Seq(end, start) => DateDiff(end, start)
+    },
+    "encode" -> {
+      // DuckDB 1-arg encode(string) → blob; Spark 2-arg keeps charset form
+      case Seq(e) => Cast(e, org.apache.spark.sql.types.BinaryType)
+      case Seq(s, cs) => Encode(s, cs)
+    },
+    "len" -> { case Seq(e) =>
+      // Spark aliases len → length (string/binary only); DuckDB's len is
+      // primarily list length — dispatch on the resolved input type
+      graft.engine.expressions.LenAny(e)
+    })
 
   private def hammingExpr(a: Seq[Expression]): Expression = a match {
     case Seq(x, y) =>
@@ -202,11 +237,17 @@ object Functions {
     case other => other
   }
 
-  /** Micros in a CalendarInterval literal (time_bucket widths). */
+  /** Micros in an interval literal (time_bucket widths). Handles both
+    * DuckDB-style multi-unit strings (CalendarInterval) and ANSI
+    * INTERVAL 'n' DAY literals (DayTimeIntervalType = micros as long).
+    */
   private def intervalMicros(e: Expression): Expression = e match {
     case Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _) =>
       require(iv.months == 0, "time_bucket: month widths unsupported in shim")
       Literal(iv.days * 86400000000L + iv.microseconds)
+    case Literal(us: java.lang.Long,
+        _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+      Literal(us.longValue)
     case other => other
   }
 
@@ -221,6 +262,10 @@ object Functions {
       if (!already) {
         reg.createOrReplaceTempFunction(name, builder, "internal")
       }
+    }
+    // deliberate builtin shadows (arity-dispatched, Spark forms preserved)
+    overrides.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "internal")
     }
   }
 }

@@ -41,24 +41,27 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
-  private val current =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  /** Weak keys: per-client gateway sessions must be collectable once the
+    * client is gone — a strong session→dir map would pin every session
+    * (and its temp-view catalog) for the life of a serving process.
+    */
+  private val current = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register every fixture table as a temp view. Called at the top of
     * every declared query fn; memoized on the session's CURRENT dir so a
     * 90-query run pays the parquet footer/listing cost once, not 90× —
     * and switching dirs mid-session still re-registers correctly.
     *
-    * compute() keeps the check-and-register atomic: with concurrent
-    * callers (Bench worker pool, gateway clients) a plain put() would let
-    * a second thread see the dir marker and query views that the first
-    * thread hasn't created yet.
+    * The whole check-and-register is synchronized: with concurrent
+    * callers (Bench worker pool, gateway clients) a plain put-then-check
+    * would let a second thread see the dir marker and query views that
+    * the first thread hasn't created yet.
     */
   def register(spark: SparkSession, dir: String): Unit =
-    current.compute(spark, (_, prev) => {
-      if (prev != dir) {
+    current.synchronized {
+      if (current.get(spark) != dir) {
         names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+        current.put(spark, dir)
       }
-      dir
-    })
+    }
 }

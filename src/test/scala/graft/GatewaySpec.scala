@@ -171,4 +171,41 @@ class GatewaySpec extends AnyFunSuite {
     // unknown secret types are tolerated, like the reference's init
     g.sql("CREATE PERSISTENT SECRET (type AIRPORT, auth_token 'x', scope 'grpc://h')").collect()
   }
+
+  test("dialect shim semantics match DuckDB on boundary cases") {
+    val g = Gateway.open(spark, sf)
+    def one(q: String) = g.sql(q).collect()(0)
+    // date_diff counts boundary crossings, not elapsed units
+    assert(one("SELECT date_diff('day', TIMESTAMP '2024-01-01 23:00:00', TIMESTAMP '2024-01-02 01:00:00') AS d").getLong(0) == 1L)
+    assert(one("SELECT datediff('year', DATE '2024-12-31', DATE '2025-01-01') AS d").getLong(0) == 1L)
+    // Spark's native 2-arg datediff is preserved through the override
+    assert(one("SELECT datediff(DATE '2024-01-11', DATE '2024-01-01') AS d").getInt(0) == 10)
+    // yearweek uses the ISO year, not the calendar year
+    assert(one("SELECT yearweek(DATE '2024-12-30') AS yw").getInt(0) == 202501)
+    assert(one("SELECT yearweek(DATE '2027-01-01') AS yw").getInt(0) == 202653)
+    // len works on lists AND strings (DuckDB's primary use is lists)
+    assert(one("SELECT len(string_split('a b c', ' ')) AS n").getInt(0) == 3)
+    assert(one("SELECT len('abc') AS n").getInt(0) == 3)
+    // weekly time_bucket aligns to DuckDB's Monday origin (2000-01-03)
+    assert(one("SELECT CAST(time_bucket(INTERVAL '7' DAY, TIMESTAMP '2024-01-10 05:00:00') AS DATE) AS b")
+      .getDate(0).toString == "2024-01-08")
+    // encode(string) -> blob, 1-arg DuckDB form
+    assert(one("SELECT octet_length(encode('abc')) AS n").getInt(0) == 3)
+  }
+
+  test("dialect rewrites are literal-safe and reach subqueries") {
+    val g = Gateway.open(spark, sf)
+    // QUALIFY inside a subquery
+    val sub = g.sql(
+      """SELECT cnt FROM (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, o_custkey ASC) = 1) t""".stripMargin)
+      .collect()
+    assert(sub.length == 1)
+    // a string literal containing operator-looking text survives verbatim
+    assert(g.sql("SELECT 'matched via GLOB ''*.csv''' AS note").collect()(0)
+      .getString(0) == "matched via GLOB '*.csv'")
+    assert(g.sql("SELECT 'duckdb_tables() is a fn' AS s").collect()(0)
+      .getString(0) == "duckdb_tables() is a fn")
+  }
 }

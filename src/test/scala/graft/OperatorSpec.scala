@@ -177,4 +177,33 @@ class OperatorSpec extends AnyFunSuite {
       assert(naive.nonEmpty)
     }
   }
+
+  test("AsOfJoin: NULL keys never match (SQL equality semantics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((Option(1L), 10L, "L1"), (None: Option[Long], 10L, "L2"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option(1L), 5L, "R1"), (None: Option[Long], 5L, "R2"))
+      .toDF("k", "ts", "v")
+    val out = graft.engine.AsOfJoin
+      .asofLeft(left, right, "k", "ts", Seq("v" -> "matched_v"))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("matched_v")).toMap
+    assert(out("L1") == "R1")
+    assert(out("L2") == null, "NULL-keyed left row must not match NULL-keyed right")
+  }
+
+  test("CacheOnce: identical plan re-run keeps the cache entry live") {
+    import org.apache.spark.sql.functions._
+    graft.engine.Tables.register(spark, sf)
+    def build() = spark.table("nation").select(col("n_nationkey"), col("n_name"))
+    val first = graft.engine.CacheOnce("spec/cache-once", build())
+    first.count()
+    val second = graft.engine.CacheOnce("spec/cache-once", build())
+    // the shared plan-keyed entry must still be cached after the re-run
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(
+        second.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined,
+      "re-running the same keyed query dropped its own cache")
+    second.unpersist()
+  }
 }
