@@ -51,7 +51,10 @@ object Bench {
           val (name, fn) = queries(i)
           val q0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            // noop sink, NOT count(): count() lets the optimizer prune
+            // every computed projection and sort — projection-only
+            // queries would report a bare row-count scan as their time
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             times.put(name, (System.nanoTime() - q0) / 1e9)
           } catch {
             case e: Throwable =>

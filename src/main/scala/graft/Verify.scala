@@ -15,13 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // small worker pool (like Bench): per-query planning overhead
-    // overlaps across queries; each query writes its own directory so
-    // the writes never contend
+    // worker pool (like Bench, same knob semantics): per-query planning
+    // overhead overlaps across queries; each query writes its own
+    // directory so the writes never contend
     graft.engine.Tables.register(spark, sfDir)
     val queries = SparkEntry.queries.toIndexedSeq
     val cursor = new java.util.concurrent.atomic.AtomicInteger(0)
-    val workers = (1 to 4).map { _ =>
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", cpus).toInt
+    val workers = (1 to math.max(1, poolSize)).map { _ =>
       new Thread(() => {
         var i = cursor.getAndIncrement()
         while (i < queries.length) {
@@ -30,6 +31,16 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // a stale dump from a previous run would make the driver's
+            // differential compare read old results and mask the failure
+            try {
+              val dir = java.nio.file.Paths.get(s"$outDir/$name")
+              if (java.nio.file.Files.exists(dir)) {
+                java.nio.file.Files.walk(dir)
+                  .sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              }
+            } catch { case _: Throwable => }
           }
           i = cursor.getAndIncrement()
         }

@@ -207,16 +207,12 @@ object DedupOps {
   ) { s =>
     val tok = s.table("documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val voteAggs = (1 to 16).map { j =>
+      sum(when(substring(md5(col("t").cast(BinaryType)), j, 1) >= "8", 1)
+        .otherwise(-1)).as(s"v$j")
+    }
     val votes = tok.groupBy(col("doc_id"))
-      .agg(
-        (1 to 16).map { j =>
-          sum(when(substring(md5(col("t").cast(BinaryType)), j, 1) >= "8", 1)
-            .otherwise(-1)).as(s"v$j")
-        }.head,
-        (1 to 16).map { j =>
-          sum(when(substring(md5(col("t").cast(BinaryType)), j, 1) >= "8", 1)
-            .otherwise(-1)).as(s"v$j")
-        }.tail: _*)
+      .agg(voteAggs.head, voteAggs.tail: _*)
     votes.select(col("doc_id"),
       concat((1 to 16).map(j =>
         when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))

@@ -30,12 +30,6 @@ object SimilarityOps {
   private def dot(x: Column, y: Column): Column =
     graft.engine.expressions.VectorMath.dot(x, y)
 
-  /** cos(a, b) — use only where per-side norm precomputation isn't
-    * worthwhile (small pair counts).
-    */
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
   /** Brute-force cosine top-3 neighbors for a 5-vector query set:
     * broadcast queries × full candidate scan, per-query top-k window.
     */
@@ -136,18 +130,28 @@ object SimilarityOps {
     */
   val v4 = Q.noOracle("nn_ivf_topk") { s =>
     val NLISTS = 16
-    val NPROBE = 4
+    val NPROBE = 6
     val TOPK = 3
     val emb = s.table("embeddings")
-    // coarse quantizer: every 125th vector is a centroid (deterministic;
-    // production would k-means a sample — assignment machinery identical)
+    // coarse quantizer: a deterministic even-stride sample of the corpus
+    // (stride derived from the corpus size so it scales past the
+    // fixtures; production would k-means a sample — assignment machinery
+    // identical). orderBy before limit: limit without an order would
+    // keep whichever rows were scanned first.
+    val nVecs = emb.count()
+    val stride = math.max(nVecs / NLISTS, 1L)
     val centroids = broadcast(
-      emb.filter(col("vec_id") % 125 === 0).limit(NLISTS)
+      emb.filter(col("vec_id") % stride === 0)
+        .orderBy(col("vec_id").asc).limit(NLISTS)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           sqrt(dot(col("embedding"), col("embedding"))).as("cn")))
     def nearestLists(df: org.apache.spark.sql.DataFrame, v: Column, n: Int,
         idCol: Column, out: String) = {
-      val sim = dot(v, col("ce")) / (sqrt(dot(v, v)) * col("cn"))
+      // rank by dot/cn only: the row's own norm is constant within the
+      // per-row window, so dividing by it cannot change the argmax —
+      // and computing it per (row × centroid) pair would redo the
+      // 64-dim fold NLISTS times per row
+      val sim = dot(v, col("ce")) / col("cn")
       val w = Window.partitionBy(idCol).orderBy(sim.desc, col("cid").asc)
       df.crossJoin(centroids)
         .withColumn("__r", row_number().over(w))

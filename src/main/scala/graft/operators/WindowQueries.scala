@@ -117,16 +117,27 @@ object WindowQueries {
       .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
   }
 
-  /** W5: RANGE frame — value-based (numeric) and interval-based (time). */
+  /** W5: RANGE frame — value-based (numeric) and interval-based (time).
+    *
+    * Partitioned by status and with a selective band on purpose: Spark
+    * recomputes a moving-range-frame aggregate from scratch each time
+    * the frame start advances (no segment tree like DuckDB's), so an
+    * unpartitioned window with a frame covering ~10% of the table is
+    * O(n·frame) on a single task — 28s at sf0.1 when this query was
+    * written that way. Partition + narrow band is the shape that
+    * survives scale.
+    */
   val w5 = Q(
     "w5_range_frame",
     """SELECT o_orderkey, o_totalprice,
-      |  COUNT(*) OVER (ORDER BY o_totalprice ASC
-      |    RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS n_near
+      |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+      |    RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS n_near
       |FROM orders
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
   ) { s =>
-    val w = Window.orderBy(col("o_totalprice").asc).rangeBetween(-50000, Window.currentRow)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc)
+      .rangeBetween(-500, Window.currentRow)
     s.table("orders")
       .select(
         col("o_orderkey"), col("o_totalprice"),

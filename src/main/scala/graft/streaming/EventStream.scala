@@ -51,7 +51,7 @@ object EventStream {
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
   final case class Click(userId: Long, ts: java.sql.Timestamp, eventType: String)
-  final case class RunState(best: Int, cur: Int, lastType: String)
+  final case class RunState(best: Int, cur: Int, lastType: String, lastTs: Long)
   final case class UserRun(userId: Long, runLength: Int, lastType: String)
 
   /** Custom keyed state (§2.11 UDF surface analog for streams): per-user
@@ -69,6 +69,11 @@ object EventStream {
       clicks: Dataset[Click],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
       timeoutDuration: String = "1 hour"): Dataset[UserRun] = {
+    require(
+      timeout == GroupStateTimeout.NoTimeout ||
+        timeout == GroupStateTimeout.ProcessingTimeTimeout,
+      s"longestRunPerUser: unsupported timeout mode $timeout " +
+        "(EventTimeTimeout would need a watermark + setTimeoutTimestamp)")
     import clicks.sparkSession.implicits._
     clicks
       .groupByKey(_.userId)
@@ -79,19 +84,26 @@ object EventStream {
             state.remove()
             UserRun(userId, last.best, last.lastType)
           } else {
-            val prior = state.getOption.getOrElse(RunState(0, 0, ""))
+            val prior = state.getOption.getOrElse(RunState(0, 0, "", Long.MinValue))
             // event-time order within the batch: state transitions are
-            // order-sensitive, so sort the (small, per-user) group
+            // order-sensitive, so sort the (small, per-user) group.
+            // Events at or before the state's last-applied timestamp are
+            // LATE ARRIVALS from an earlier micro-batch — applying them
+            // after newer events would corrupt the run, so drop them
+            // (the cross-batch analog of a watermark).
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
+              .filter(_.ts.getTime > prior.lastTs)
             var best = prior.best
             var run = prior.cur
             var lastType = prior.lastType
+            var lastTs = prior.lastTs
             sorted.foreach { c =>
               run = if (c.eventType == lastType) run + 1 else 1
               lastType = c.eventType
+              lastTs = c.ts.getTime
               if (run > best) best = run
             }
-            state.update(RunState(best, run, lastType))
+            state.update(RunState(best, run, lastType, lastTs))
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
               state.setTimeoutDuration(timeoutDuration)
             }
