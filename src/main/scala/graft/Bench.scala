@@ -35,10 +35,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: scan + shuffle + codegen paths, untimed
+    // warmup: scan, shuffle, window, sort, HOF and percentile codegen
+    // paths — untimed, on truncated inputs, so the first measured
+    // queries don't absorb the JIT/codegen cost of whole expression
+    // families
     graft.engine.Tables.register(spark, sfDir)
     spark.table("lineitem").groupBy("l_returnflag").count().collect()
     spark.table("events").limit(10).collect()
+    spark.sql(
+      """SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+        |  percentile(o_totalprice, 0.5) OVER (PARTITION BY o_custkey) AS p
+        |FROM (SELECT * FROM orders LIMIT 1000) ORDER BY o_custkey, rn LIMIT 10""".stripMargin)
+      .write.format("noop").mode("overwrite").save()
+    spark.sql(
+      """SELECT aggregate(transform(split(text, ' '), x -> length(x)), 0, (a, x) -> a + x) AS n,
+        |  explode(split(text, ' ')) AS t
+        |FROM (SELECT * FROM documents LIMIT 200)""".stripMargin)
+      .write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1).toIndexedSeq
     val times = new ConcurrentHashMap[String, Double]()
