@@ -18,4 +18,10 @@ object GraftColumns {
 
   def dot(a: Column, b: Column): Column = VectorMath.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorMath.cosine(a, b)
+
+  def minhashSig(text: Column, k: Int): Column =
+    GraftColumn.column(MinHashSig(GraftColumn.expression(text), k))
+
+  def shingles3(text: Column): Column =
+    GraftColumn.column(Shingles3(GraftColumn.expression(text)))
 }

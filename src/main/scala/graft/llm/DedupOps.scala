@@ -84,39 +84,23 @@ object DedupOps {
       |       COALESCE(string_split(text, ' ')[i+1], '') || ' ' ||
       |       COALESCE(string_split(text, ' ')[i+2], '')))""".stripMargin.replace("\n", " ")
 
-  /** Spark-side shingle set (distinct 3-grams of the token list).
-    * Out-of-range tail tokens pad with '' on BOTH engines.
-    *
-    * Formulated as slice + zip_with rather than transform(sequence(...),
-    * i => element_at(toks, i)...): higher-order functions are interpreted
-    * (CodegenFallback), so any outer expression referenced inside the
-    * lambda body is RE-EVALUATED PER ELEMENT — with element_at(toks, i)
-    * the text got re-split O(tokens) times per row. Here the three slices
-    * are HOF *arguments* (evaluated once per row) and the lambdas touch
-    * only their own variables. zip_with pads the shorter side with null,
-    * which coalesce turns into the same '' padding the oracle computes.
+  /** Spark-side shingle set (distinct 3-grams of the token list,
+    * ''-padded tail — both engines compute identical shingles): the
+    * native engine.expressions.Shingles3 kernel. The declarative
+    * slice+zip_with formulation it replaced ran ~20× slower (HOFs are
+    * interpreted per element); its history is in the Shingles3 spec,
+    * which pins equivalence.
     */
-  private def shinglesPadded(text: Column): Column = {
-    val toks = split(text, " ")
-    val m = greatest(size(toks) - 2, lit(1))
-    val t1 = slice(toks, lit(1), m)
-    val t2 = slice(toks, lit(2), m)
-    val t3 = slice(toks, lit(3), m)
-    array_distinct(
-      zip_with(
-        zip_with(t1, t2, (a, b) => concat(a, lit(" "), coalesce(b, lit("")))),
-        t3,
-        (ab, c) => concat(ab, lit(" "), coalesce(c, lit("")))))
-  }
+  private def shinglesPadded(text: Column): Column =
+    graft.engine.GraftColumns.shingles3(text)
 
   /** minhash_i = min over shingles of the i-th 16-bit hex slice of ONE
     * md5 per shingle (md5 bits are independent, so 8 slices ≈ 8 hash
     * functions at 1/8 the digest cost — the difference between 28M and
-    * 3.5M md5 calls at sf0.1, and proportionally at 100 TB).
+    * 3.5M md5 calls at sf0.1, and proportionally at 100 TB). Spark side
+    * computes this natively (engine.expressions.MinHashSig); this is
+    * the oracle's declarative formulation of the same kernel.
     */
-  private def minhash(hs: Column, i: Int): Column =
-    array_min(transform(hs, h => substring(h, 4 * i + 1, 4)))
-
   private def minhashSql(i: Int): String =
     s"list_aggregate(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4)), 'min')"
 
@@ -155,10 +139,12 @@ object DedupOps {
     // long-lived serving session holds at most one copy
     val sh = graft.engine.CacheOnce("dd_minhash_lsh/sh",
       corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
-    val hs = sh.withColumn("hs", transform(col("sh"), x => md5(x.cast(BinaryType))))
-    val sig = hs.select(
-      col("doc_id") +:
-        (0 until K).map(i => minhash(col("hs"), i).as(s"mh$i")): _*)
+    // signature via the native one-pass MinHashSig expression (tokenize →
+    // shingle → md5 → per-slice minima in one loop, no intermediate
+    // arrays); computes exactly what the declarative shingle+md5+minhash
+    // chain computes, so the oracle SQL is unchanged
+    val sig = corpus.select(col("doc_id"),
+      graft.engine.GraftColumns.minhashSig(col("text"), K).as("sig"))
     // one generator pass, NOT a 4-way union (a union would re-run the
     // whole signature computation once per band); cached because the
     // bucket self-join reads this relation twice — without it every
@@ -167,7 +153,8 @@ object DedupOps {
       sig.select(col("doc_id"),
         explode(array((0 until BANDS).map { b =>
           struct(lit(b).as("band"),
-            md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast(BinaryType))
+            md5(concat(element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).cast(BinaryType))
               .as("bucket"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))

@@ -206,4 +206,26 @@ class OperatorSpec extends AnyFunSuite {
       "re-running the same keyed query dropped its own cache")
     second.unpersist()
   }
+
+  test("MinHashSig matches the declarative shingle+md5+minhash chain") {
+    import org.apache.spark.sql.functions._
+    graft.engine.Tables.register(spark, sf)
+    val toks = split(col("text"), " ")
+    val m = greatest(size(toks) - 2, lit(1))
+    val sh = array_distinct(zip_with(
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat(a, lit(" "), coalesce(b, lit("")))),
+      slice(toks, lit(3), m),
+      (ab, c) => concat(ab, lit(" "), coalesce(c, lit("")))))
+    val hs = transform(sh, x => md5(x.cast("binary")))
+    val declarative = (0 until 8).map(i =>
+      array_min(transform(hs, h => substring(h, 4 * i + 1, 4))))
+    val rows = spark.table("documents").limit(100).select(
+      graft.engine.GraftColumns.minhashSig(col("text"), 8).as("native"),
+      array(declarative: _*).as("decl")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    assert(rows.nonEmpty)
+  }
 }
