@@ -62,6 +62,25 @@ object Functions {
     },
     "list_min" -> (a => call("array_min", a)),
     "list_max" -> (a => call("array_max", a)),
+    "list_has_any" -> (a => call("arrays_overlap", a)),
+    "list_has_all" -> { case Seq(l, sub) =>
+      // every element of sub present in l ⇔ sub minus l is empty
+      EqualTo(call("size", Seq(call("array_except", Seq(sub, l)))), Literal(0))
+    },
+    "list_position" -> (a => call("array_position", a)),
+    "list_indexof" -> (a => call("array_position", a)),
+    "list_append" -> (a => call("array_append", a)),
+    "list_prepend" -> { case Seq(e, l) => call("array_prepend", Seq(l, e)) },
+    "list_reverse" -> (a => call("reverse", a)),
+    "array_cosine_similarity" -> { case Seq(x, y) =>
+      graft.engine.expressions.CosineSimilarity(x, y)
+    },
+    "array_dot_product" -> { case Seq(x, y) =>
+      graft.engine.expressions.DotProduct(x, y)
+    },
+    "array_inner_product" -> { case Seq(x, y) =>
+      graft.engine.expressions.DotProduct(x, y)
+    },
     // native codegen'd vector math (graft.engine.expressions.VectorMath)
     "list_cosine_similarity" -> { case Seq(x, y) =>
       graft.engine.expressions.CosineSimilarity(x, y)
@@ -114,6 +133,9 @@ object Functions {
     },
     "ucase" -> (a => call("upper", a)),
     "lcase" -> (a => call("lower", a)),
+    "strpos" -> (a => call("instr", a)),
+    "to_hex" -> { case Seq(e) => call("upper", Seq(call("hex", Seq(e)))) },
+    "from_hex" -> (a => call("unhex", a)),
 
     // ---- JSON (DuckDB json extension names) ----
     "json_extract_string" -> { case Seq(j, p) =>

@@ -208,4 +208,21 @@ class GatewaySpec extends AnyFunSuite {
     assert(g.sql("SELECT 'duckdb_tables() is a fn' AS s").collect()(0)
       .getString(0) == "duckdb_tables() is a fn")
   }
+
+  test("DuckDB list/string alias shims") {
+    val g = Gateway.open(spark, sf)
+    def one(q: String) = g.sql(q).collect()(0)
+    assert(one("SELECT list_has_any(array(1,2), array(2,3)) AS b").getBoolean(0))
+    assert(one("SELECT list_has_all(array(1,2,3), array(2,3)) AS b").getBoolean(0))
+    assert(!one("SELECT list_has_all(array(1,2), array(2,9)) AS b").getBoolean(0))
+    assert(one("SELECT strpos('hello', 'll') AS p").getInt(0) == 3)
+    assert(one("SELECT list_position(array(10,20,30), 20) AS p").getLong(0) == 2L)
+    assert(one("SELECT list_append(array(1,2), 3) AS l").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT list_prepend(0, array(1,2)) AS l").getSeq[Int](0) == Seq(0, 1, 2))
+    assert(one("SELECT list_reverse(array(1,2,3)) AS l").getSeq[Int](0) == Seq(3, 2, 1))
+    assert(one("SELECT to_hex(255) AS h").getString(0) == "FF")
+    assert(math.abs(one(
+      "SELECT array_cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .getDouble(0) - 1.0) < 1e-12)
+  }
 }
