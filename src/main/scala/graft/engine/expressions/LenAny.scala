@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class LenAny(child: Expression) extends UnaryExpression {
   override def prettyName: String = "len"
-  override def dataType: DataType = IntegerType
+  // BIGINT like DuckDB's len, so the gateway's result schema matches
+  override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | BinaryType | _: ArrayType | _: MapType =>
@@ -25,17 +26,17 @@ case class LenAny(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
-    case StringType => v.asInstanceOf[UTF8String].numChars()
-    case BinaryType => v.asInstanceOf[Array[Byte]].length
-    case _: ArrayType => v.asInstanceOf[ArrayData].numElements()
-    case _: MapType => v.asInstanceOf[MapData].numElements()
+    case StringType => v.asInstanceOf[UTF8String].numChars().toLong
+    case BinaryType => v.asInstanceOf[Array[Byte]].length.toLong
+    case _: ArrayType => v.asInstanceOf[ArrayData].numElements().toLong
+    case _: MapType => v.asInstanceOf[MapData].numElements().toLong
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => child.dataType match {
-      case StringType => s"$v.numChars()"
-      case BinaryType => s"$v.length"
-      case _ => s"$v.numElements()"
+      case StringType => s"(long) $v.numChars()"
+      case BinaryType => s"(long) $v.length"
+      case _ => s"(long) $v.numElements()"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

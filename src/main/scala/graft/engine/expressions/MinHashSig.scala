@@ -50,16 +50,15 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 object MinHashSig {
   private val HEX = "0123456789abcdef".toCharArray
 
-  /** The signature kernel; also the static target of the generated code
-    * (same pattern as Spark's levenshtein).
+  /** Shared shingle walk: the ''-padded 3-gram construction used by
+    * BOTH the signature and verification kernels — one definition, so
+    * they can never desynchronize. split(" ", -1): Spark's split keeps
+    * trailing empty tokens (Java's default split(regex) drops them — a
+    * silent divergence trap).
     */
-  def compute(text: UTF8String, k: Int): GenericArrayData = {
-    // split(" ", -1): Spark's split keeps trailing empty tokens (Java's
-    // default split(regex) drops them — a silent divergence trap)
+  private[expressions] def forEachShingle(text: UTF8String)(f: String => Unit): Unit = {
     val toks = text.toString.split(" ", -1)
     val m = math.max(toks.length - 2, 1)
-    val mins = new Array[String](k)
-    val md = MessageDigest.getInstance("MD5")
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < m) {
@@ -69,8 +68,21 @@ object MinHashSig {
       if (i + 1 < toks.length) sb.append(toks(i + 1))
       sb.append(' ')
       if (i + 2 < toks.length) sb.append(toks(i + 2))
+      f(sb.toString)
+      i += 1
+    }
+  }
+
+  /** The signature kernel; also the static target of the generated code
+    * (same pattern as Spark's levenshtein). ≥1 shingle always exists
+    * (the padded window), so every slot is populated.
+    */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val mins = new Array[String](k)
+    val md = MessageDigest.getInstance("MD5")
+    forEachShingle(text) { shingle =>
       md.reset()
-      val digest = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val digest = md.digest(shingle.getBytes(StandardCharsets.UTF_8))
       // per-slice minima over the lowercase hex of the digest
       var j = 0
       while (j < k) {
@@ -78,10 +90,8 @@ object MinHashSig {
         if (mins(j) == null || slice.compareTo(mins(j)) < 0) mins(j) = slice
         j += 1
       }
-      i += 1
     }
-    new GenericArrayData(mins.map(s =>
-      UTF8String.fromString(if (s == null) "" else s)))
+    new GenericArrayData(mins.map(UTF8String.fromString))
   }
 
   /** Hex chars [4j, 4j+4) of the digest = bytes 2j and 2j+1. */
@@ -121,20 +131,8 @@ case class Shingles3(child: Expression) extends UnaryExpression {
 
 object Shingles3 {
   def compute(text: UTF8String): GenericArrayData = {
-    val toks = text.toString.split(" ", -1)
-    val m = math.max(toks.length - 2, 1)
     val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < m) {
-      sb.setLength(0)
-      sb.append(toks(i)).append(' ')
-      if (i + 1 < toks.length) sb.append(toks(i + 1))
-      sb.append(' ')
-      if (i + 2 < toks.length) sb.append(toks(i + 2))
-      seen.add(sb.toString)
-      i += 1
-    }
+    MinHashSig.forEachShingle(text)(seen.add(_))
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Algorithm matches DuckDB exactly (verified against the oracle on
   * fixture data): match window max(|a|,|b|)/2 − 1, half-transposition
-  * count, and the Winkler prefix bonus (≤4 chars, weight 0.1) applied
-  * only when jaro > 0.7.
+  * count, and the Winkler prefix bonus (≤4 units, weight 0.1) applied
+  * only when jaro > 0.7. Like DuckDB, the units are UTF-8 BYTES, not
+  * characters — a multi-byte 'é' counts as two positions, and oracle
+  * comparisons on non-ASCII corpora depend on this.
   *
   * Codegen: the expressions emit a static call to [[StringSim]] — the
   * same pattern as Spark's own levenshtein — so they stay inside
@@ -23,9 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object StringSim {
 
   def jaro(l: UTF8String, r: UTF8String): Double = {
-    val a = l.toString
-    val b = r.toString
-    if (a == b) return 1.0
+    val a = l.getBytes
+    val b = r.getBytes
+    if (java.util.Arrays.equals(a, b)) return 1.0
     val n = a.length
     val m = b.length
     if (n == 0 || m == 0) return 0.0
@@ -40,7 +42,7 @@ object StringSim {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!mb(j) && a(i) == b(j)) {
           ma(i) = true; mb(j) = true; matches += 1; found = true
         }
         j += 1
@@ -54,7 +56,7 @@ object StringSim {
     while (i < n) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -66,11 +68,11 @@ object StringSim {
   def jaroWinkler(l: UTF8String, r: UTF8String): Double = {
     val j = jaro(l, r)
     if (j <= 0.7) return j // Winkler boost threshold (DuckDB semantics)
-    val a = l.toString
-    val b = r.toString
+    val a = l.getBytes
+    val b = r.getBytes
     var p = 0
     val max = math.min(4, math.min(a.length, b.length))
-    while (p < max && a.charAt(p) == b.charAt(p)) p += 1
+    while (p < max && a(p) == b(p)) p += 1
     j + p * 0.1 * (1.0 - j)
   }
 }

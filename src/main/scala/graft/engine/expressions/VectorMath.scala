@@ -26,14 +26,15 @@ trait VectorBinaryExpression extends BinaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+        ShortType | ByteType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float>/array<double> inputs, " +
+        s"$prettyName requires a numeric array input, " +
           s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
     }
   }
@@ -44,16 +45,26 @@ trait VectorBinaryExpression extends BinaryExpression {
   protected def elemNullable(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].containsNull
 
-  /** Java source reading element i of `v` as double. */
+  /** Java source reading element i of `v` as double (any numeric
+    * element type — DuckDB coerces integer lists, so do we).
+    */
   protected def getter(e: Expression, v: String, i: String): String =
     elemType(e) match {
       case FloatType => s"(double) $v.getFloat($i)"
+      case IntegerType => s"(double) $v.getInt($i)"
+      case LongType => s"(double) $v.getLong($i)"
+      case ShortType => s"(double) $v.getShort($i)"
+      case ByteType => s"(double) $v.getByte($i)"
       case _ => s"$v.getDouble($i)"
     }
 
   protected def getElem(e: Expression, v: ArrayData, i: Int): Double =
     elemType(e) match {
       case FloatType => v.getFloat(i).toDouble
+      case IntegerType => v.getInt(i).toDouble
+      case LongType => v.getLong(i).toDouble
+      case ShortType => v.getShort(i).toDouble
+      case ByteType => v.getByte(i).toDouble
       case _ => v.getDouble(i)
     }
 

@@ -9,17 +9,33 @@ import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame}
   */
 object GraftArrow {
 
+  /** Arrow IPC end-of-stream marker: continuation bytes + zero length —
+    * readers on persistent connections need it to detect result end.
+    */
+  private val EOS: Array[Byte] =
+    Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0, 0, 0, 0)
+
   /** Serialize a DataFrame result as an Arrow IPC stream: schema message
-    * first, then record batches, pulled partition-at-a-time (incremental
-    * delivery like the reference's DoGet loop, main.go:241-243).
+    * first, then record batches, then the end-of-stream marker, pulled
+    * partition-at-a-time (incremental delivery like the reference's
+    * DoGet loop, main.go:241-243).
     */
   def stream(df: Dataset[Row], maxRecordsPerBatch: Int): Iterator[Array[Byte]] = {
     val classic = df.asInstanceOf[ClassicDataFrame]
     val spark = classic.sparkSession
+    // toArrowBatchRdd sizes batches from the session conf — honor the
+    // caller's request (gateway sessions are per-client, so this is
+    // client-scoped state)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+      maxRecordsPerBatch.toString)
     val schema = classic.schema
     val timeZone = spark.sessionState.conf.sessionLocalTimeZone
+    // schema must declare the same varchar/binary layout the batch
+    // buffers use, or readers mis-deserialize 64-bit offsets as 32-bit
+    val largeVarTypes = spark.sessionState.conf.arrowUseLargeVarTypes
     val arrowSchema = org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
-      schema, timeZone, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+      schema, timeZone, errorOnDuplicatedFieldNames = true,
+      largeVarTypes = largeVarTypes)
     val schemaBytes: Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       val ch = java.nio.channels.Channels.newChannel(out)
@@ -28,6 +44,6 @@ object GraftArrow {
       out.toByteArray
     }
     val batches = classic.toArrowBatchRdd.toLocalIterator
-    Iterator(schemaBytes) ++ batches
+    Iterator(schemaBytes) ++ batches ++ Iterator(EOS)
   }
 }

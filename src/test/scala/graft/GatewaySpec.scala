@@ -34,7 +34,7 @@ class GatewaySpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Int]]("lt").toSeq == Seq(2, 3, 4))
     assert(r.getAs[Int]("ls") == 6)
     assert(r.getAs[scala.collection.Seq[Int]]("sl").toSeq == Seq(2, 3))
-    assert(r.getAs[Int]("l") == 5)
+    assert(r.getAs[Long]("l") == 5L)
     assert(r.getAs[Boolean]("rm"))
     assert(r.getAs[String]("sh").startsWith("2d711642"))
     assert(r.getAs[String]("jk") == "87")
@@ -184,8 +184,8 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT yearweek(DATE '2024-12-30') AS yw").getInt(0) == 202501)
     assert(one("SELECT yearweek(DATE '2027-01-01') AS yw").getInt(0) == 202653)
     // len works on lists AND strings (DuckDB's primary use is lists)
-    assert(one("SELECT len(string_split('a b c', ' ')) AS n").getInt(0) == 3)
-    assert(one("SELECT len('abc') AS n").getInt(0) == 3)
+    assert(one("SELECT len(string_split('a b c', ' ')) AS n").getLong(0) == 3L)
+    assert(one("SELECT len('abc') AS n").getLong(0) == 3L)
     // weekly time_bucket aligns to DuckDB's Monday origin (2000-01-03)
     assert(one("SELECT CAST(time_bucket(INTERVAL '7' DAY, TIMESTAMP '2024-01-10 05:00:00') AS DATE) AS b")
       .getDate(0).toString == "2024-01-08")

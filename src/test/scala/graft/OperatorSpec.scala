@@ -131,6 +131,10 @@ class OperatorSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT jaro_winkler_similarity('dwayne', 'duane') AS jw").collect()(0).getDouble(0)
     assert(math.abs(viaSql - 0.84) < 1e-9)
+    // UTF-8 BYTE units like DuckDB (multi-byte chars count per byte):
+    // DuckDB jaro_similarity('café','caffé') = 0.944444…
+    assert(math.abs(StringSim.jaro(u("caf\u00e9"), u("caff\u00e9")) - 0.9444444444444445) < 1e-12)
+    assert(math.abs(StringSim.jaro(u("\u65e5\u672c\u8a9e"), u("\u65e5\u672c")) - 0.8888888888888888) < 1e-12)
   }
 
   test("RangeJoin.intervalJoin matches the naive theta join") {

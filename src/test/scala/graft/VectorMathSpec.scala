@@ -28,6 +28,12 @@ class VectorMathSpec extends AnyFunSuite {
     assert(df(2).getDouble(2) == 1.0)
   }
 
+  test("integer lists coerce like DuckDB") {
+    val df = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+      .select(VectorMath.dot(col("a"), col("b")).as("d")).collect()
+    assert(df(0).getDouble(0) == 11.0)
+  }
+
   test("double arrays and mixed float×double work") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
       .select(VectorMath.dot(col("a"), col("b")).as("d")).collect()
