@@ -33,11 +33,18 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       "CREATE OR REPLACE TEMP VIEW", "CREATE OR REPLACE TEMPORARY VIEW",
       "DROP VIEW", "TABLE", "FROM")
 
+  private val summarizeRe = """(?is)SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
+
   def sql(text: String): DataFrame = {
     val trimmed = text.trim
     secretStatement(trimmed) match {
       case Some(props) => return applySecret(props)
       case None =>
+    }
+    // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats
+    trimmed match {
+      case summarizeRe(table) => return session.table(table).summary()
+      case _ =>
     }
     if (readOnly) {
       val up = trimmed.toUpperCase

@@ -225,4 +225,10 @@ class GatewaySpec extends AnyFunSuite {
       "SELECT array_cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
       .getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("SUMMARIZE statement (DuckDB T7 form)") {
+    val out = gw.sql("SUMMARIZE nation").collect()
+    assert(out.map(_.getString(0)).contains("count"))
+    assert(out.nonEmpty)
+  }
 }
