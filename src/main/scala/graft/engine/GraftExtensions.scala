@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // whole-operator ASOF join (SURVEY §2.3 J7): custom LogicalPlan +
+    // Strategy + SparkPlan — graft.plans.AsOfJoinPlan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

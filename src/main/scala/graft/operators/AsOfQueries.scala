@@ -6,6 +6,12 @@ import graft.engine.{AsOfJoin, Q}
 /** J7: ASOF join queries (SURVEY.md §2.3 J7) — time-series alignment:
   * for each click event, the most recent purchase by the same user at or
   * before the click. Oracle = DuckDB's native ASOF JOIN.
+  *
+  * Two engine paths, both oracle-gated: j7_asof_join runs the custom
+  * physical operator (graft.plans.AsOfJoinExec — LogicalPlan + Strategy
+  * + streaming-merge SparkPlan, one shuffle per side, O(1) state);
+  * j7_asof_inner runs the union+window rewrite (engine.AsOfJoin). The
+  * two are also differential-tested against each other in OperatorSpec.
   */
 object AsOfQueries {
 
@@ -20,7 +26,7 @@ object AsOfQueries {
   ) { s =>
     val clicks = s.table("events").filter(col("event_type") === "click")
     val purchases = s.table("events").filter(col("event_type") === "purchase")
-    AsOfJoin.asofLeft(clicks, purchases, "user_id", "ts",
+    graft.plans.AsOfJoinPlan.asof(s, clicks, purchases, "user_id", "ts",
       Seq("event_id" -> "purchase_id", "value" -> "purchase_value"))
       .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_value"))
       .orderBy(col("event_id").asc_nulls_last)

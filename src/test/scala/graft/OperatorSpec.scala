@@ -232,4 +232,46 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("AsOfJoinExec (custom strategy) matches the union+window rewrite") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.engine.Tables.register(spark, sf)
+    val left = spark.table("events")
+      .select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val right = spark.table("orders")
+      .select((col("o_custkey") % 50).as("k"),
+        col("o_orderdate").cast("timestamp_ntz").as("ts"),
+        col("o_orderkey"))
+    val viaExec = graft.plans.AsOfJoinPlan
+      .asof(spark, left, right, "k", "ts", Seq("o_orderkey" -> "matched"))
+      .select("event_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val viaRewrite = graft.engine.AsOfJoin
+      .asofLeft(left, right, "k", "ts", Seq("o_orderkey" -> "matched"))
+      .select("event_id", "matched").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(viaExec.size == viaRewrite.size)
+    assert(viaExec == viaRewrite)
+    assert(viaExec.valuesIterator.exists(_ != -1L), "no matches at all?")
+  }
+
+  test("AsOfJoinExec: null keys, empty right, ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((Option(1L), 10L, 100L), (Option(1L), 3L, 101L),
+      (None: Option[Long], 10L, 102L), (Option(2L), 10L, 103L))
+      .toDF("k", "ts", "id")
+    val right = Seq((Option(1L), 5L, 7L), (Option(1L), 10L, 8L),
+      (None: Option[Long], 1L, 9L))
+      .toDF("k", "ts", "v")
+    val out = graft.plans.AsOfJoinPlan
+      .asof(spark, left, right, "k", "ts", Seq("v" -> "mv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("mv"))).toMap
+    assert(out(100L) == 8L)  // ties: rts == lts is a match (>=)
+    assert(out(101L) == -1L) // before any right row
+    assert(out(102L) == -1L) // null key never matches
+    assert(out(103L) == -1L) // no right rows for key 2
+  }
 }

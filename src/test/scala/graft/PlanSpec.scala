@@ -58,10 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("asof join is one shuffle on the key, not a join explosion") {
+  test("asof join runs the custom exec, not a join explosion") {
     val p = plan("j7_asof_join")
-    assert(p.contains("Window"), p)
+    assert(p.contains("AsOfJoin"), p) // graft.plans.AsOfJoinExec
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the rewrite path (engine.AsOfJoin): one shuffle, window-based
+    val p2 = plan("j7_asof_inner")
+    assert(p2.contains("Window"), p2)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("NestedLoop"), p2)
   }
 
   test("dd_exact is a single shuffle (window on digest), no self-join") {
