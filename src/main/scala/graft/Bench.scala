@@ -87,6 +87,9 @@ object Bench {
       "\"" + k + "\":" + times.getOrDefault(k, -1.0)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact duplicate LAST: the driver captures only the tail of stdout,
+    // and the ~3 KB per-query line above can get head-truncated
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length}}""")
     spark.stop()
   }
 }

@@ -258,14 +258,16 @@ object AggQueries {
     "a12_list_string_agg",
     """SELECT n_regionkey,
       |  string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
-      |  list_sort(list(n_name)) AS names_list
+      |  CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names_list
       |FROM nation GROUP BY n_regionkey
       |ORDER BY n_regionkey ASC NULLS LAST""".stripMargin
   ) { s =>
+    // names_list JSON-serialized on both sides: the verify gate row-sorts
+    // with pandas, which cannot sort raw array cells
     s.table("nation").groupBy(col("n_regionkey"))
       .agg(
         concat_ws(",", sort_array(collect_list(col("n_name")))).as("names_csv"),
-        sort_array(collect_list(col("n_name"))).as("names_list"))
+        to_json(sort_array(collect_list(col("n_name")))).as("names_list"))
       .orderBy(col("n_regionkey").asc_nulls_last)
   }
 

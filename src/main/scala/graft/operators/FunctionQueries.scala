@@ -23,9 +23,9 @@ object FunctionQueries {
     "f_math",
     """SELECT n_nationkey AS k,
       |  abs(n_nationkey - 12) AS absv,
-      |  sign(n_nationkey - 12.0) AS sgn,
-      |  floor(n_nationkey / 4.0) AS flr,
-      |  ceil(n_nationkey / 4.0) AS cil,
+      |  CAST(sign(n_nationkey - 12.0) AS DOUBLE) AS sgn,
+      |  CAST(floor(n_nationkey / 4.0) AS BIGINT) AS flr,
+      |  CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS cil,
       |  sqrt(n_nationkey) AS sq,
       |  ROUND(exp(n_nationkey / 10.0), 6) AS ex,
       |  ROUND(ln(n_nationkey + 1.0), 6) AS lnv,
@@ -33,14 +33,14 @@ object FunctionQueries {
       |  ROUND(log2(n_nationkey + 1.0), 6) AS lg2,
       |  ROUND(pow(n_nationkey, 2.0), 6) AS p2,
       |  mod(n_nationkey, 7) AS md,
-      |  n_nationkey // 7 AS idiv,
+      |  CAST(n_nationkey // 7 AS BIGINT) AS idiv,
       |  ROUND(sin(n_nationkey), 6) AS sn,
       |  ROUND(cos(n_nationkey), 6) AS cs,
       |  ROUND(atan(n_nationkey), 6) AS at,
       |  ROUND(degrees(n_nationkey), 6) AS dg,
       |  ROUND(radians(n_nationkey), 6) AS rd,
       |  ROUND(cbrt(n_nationkey), 6) AS cb,
-      |  factorial(n_nationkey % 6) AS fact,
+      |  CAST(factorial(n_nationkey % 6) AS BIGINT) AS fact,
       |  ROUND(pi(), 6) AS piv
       |FROM nation ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
@@ -165,7 +165,7 @@ object FunctionQueries {
       |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS word2,
       |  regexp_replace(p_name, '[aeiou]', '#', 'g') AS novowel,
       |  regexp_matches(p_name, '^(red|blue)') AS is_color,
-      |  regexp_extract_all(p_name, '[a-z]+', 0) AS words
+      |  CAST(to_json(regexp_extract_all(p_name, '[a-z]+', 0)) AS VARCHAR) AS words
       |FROM part ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
     s.table("part").select(
@@ -174,7 +174,9 @@ object FunctionQueries {
       regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("word2"),
       regexp_replace(col("p_name"), "[aeiou]", "#").as("novowel"),
       col("p_name").rlike("^(red|blue)").as("is_color"),
-      expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"))
+      // serialized: the verify gate row-sorts with pandas, which cannot
+      // sort raw array cells — JSON text compares byte-identically instead
+      to_json(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("words"))
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -227,35 +229,38 @@ object FunctionQueries {
   val fList = Q(
     "f_list",
     """SELECT p_partkey AS k,
-      |  [p_size, p_size * 2, p_size + 5, 1] AS l,
-      |  list_transform([p_size, p_size * 2], x -> x + 1) AS l_add,
-      |  list_filter([p_size, p_size * 2, 1], x -> x > 5) AS l_big,
+      |  CAST(to_json([p_size, p_size * 2, p_size + 5, 1]) AS VARCHAR) AS l,
+      |  CAST(to_json(list_transform([p_size, p_size * 2], x -> x + 1)) AS VARCHAR) AS l_add,
+      |  CAST(to_json(list_filter([p_size, p_size * 2, 1], x -> x > 5)) AS VARCHAR) AS l_big,
       |  CAST(list_aggregate([p_size, p_size * 2, 3], 'sum') AS INT) AS l_sum,
-      |  list_sort([p_size % 7, p_size % 3, p_size % 5]) AS l_sorted,
-      |  list_sort(list_distinct([p_size % 3, p_size % 3, p_size % 5])) AS l_dist,
+      |  CAST(to_json(list_sort([p_size % 7, p_size % 3, p_size % 5])) AS VARCHAR) AS l_sorted,
+      |  CAST(to_json(list_sort(list_distinct([p_size % 3, p_size % 3, p_size % 5]))) AS VARCHAR) AS l_dist,
       |  list_contains([p_size, 42], 42) AS has42,
       |  len([p_size, p_size]) AS l_len,
-      |  list_concat([p_size], [p_size + 1]) AS l_cat,
+      |  CAST(to_json(list_concat([p_size], [p_size + 1])) AS VARCHAR) AS l_cat,
       |  [p_size, p_size * 2, p_size + 5][2] AS elem2,
-      |  list_slice([p_size, p_size * 2, p_size + 5, 1], 2, 3) AS l_slice,
-      |  generate_series(1, 1 + p_size % 4) AS ser
+      |  CAST(to_json(list_slice([p_size, p_size * 2, p_size + 5, 1], 2, 3)) AS VARCHAR) AS l_slice,
+      |  CAST(to_json(generate_series(1, 1 + p_size % 4)) AS VARCHAR) AS ser
       |FROM part ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
+    // array results serialized to JSON text on the compare surface (both
+    // sides) — the verify gate row-sorts with pandas, which cannot sort
+    // raw array cells; formats match byte-for-byte ([1,2] / ["a","b"]).
     val sz = col("p_size")
     s.table("part").select(
       col("p_partkey").as("k"),
-      array(sz, sz * 2, sz + 5, lit(1)).as("l"),
-      transform(array(sz, sz * 2), x => x + 1).as("l_add"),
-      filter(array(sz, sz * 2, lit(1)), x => x > 5).as("l_big"),
+      to_json(array(sz, sz * 2, sz + 5, lit(1))).as("l"),
+      to_json(transform(array(sz, sz * 2), x => x + 1)).as("l_add"),
+      to_json(filter(array(sz, sz * 2, lit(1)), x => x > 5)).as("l_big"),
       aggregate(array(sz, sz * 2, lit(3)), lit(0), (acc, x) => acc + x).as("l_sum"),
-      sort_array(array(sz % 7, sz % 3, sz % 5)).as("l_sorted"),
-      sort_array(array_distinct(array(sz % 3, sz % 3, sz % 5))).as("l_dist"),
+      to_json(sort_array(array(sz % 7, sz % 3, sz % 5))).as("l_sorted"),
+      to_json(sort_array(array_distinct(array(sz % 3, sz % 3, sz % 5)))).as("l_dist"),
       array_contains(array(sz, lit(42)), 42).as("has42"),
       size(array(sz, sz)).as("l_len"),
-      concat(array(sz), array(sz + 1)).as("l_cat"),
+      to_json(concat(array(sz), array(sz + 1))).as("l_cat"),
       element_at(array(sz, sz * 2, sz + 5), 2).as("elem2"),
-      slice(array(sz, sz * 2, sz + 5, lit(1)), 2, 2).as("l_slice"),
-      sequence(lit(1), lit(1) + sz % 4).as("ser"))
+      to_json(slice(array(sz, sz * 2, sz + 5, lit(1)), 2, 2)).as("l_slice"),
+      to_json(sequence(lit(1), lit(1) + sz % 4)).as("ser"))
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -266,19 +271,21 @@ object FunctionQueries {
   val fStructMap = Q(
     "f_struct_map",
     """SELECT s_suppkey AS k,
-      |  struct_pack(key := s_suppkey, nat := s_nationkey) AS st,
+      |  CAST(to_json(struct_pack(key := s_suppkey, nat := s_nationkey)) AS VARCHAR) AS st,
       |  struct_pack(key := s_suppkey, nat := s_nationkey).nat AS st_field,
-      |  list_sort(map_keys(MAP {'a': s_suppkey, 'b': s_nationkey})) AS mkeys,
+      |  CAST(to_json(list_sort(map_keys(MAP {'a': s_suppkey, 'b': s_nationkey}))) AS VARCHAR) AS mkeys,
       |  CAST(cardinality(MAP {'a': s_suppkey}) AS INT) AS msize,
       |  (MAP {'a': s_suppkey, 'b': s_nationkey})['b'][1] AS mval
       |FROM supplier ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
+    // struct/array outputs JSON-serialized on both sides (pandas row-sort
+    // in the verify gate cannot sort raw struct/array cells)
     s.table("supplier").select(
       col("s_suppkey").as("k"),
-      struct(col("s_suppkey").as("key"), col("s_nationkey").as("nat")).as("st"),
+      to_json(struct(col("s_suppkey").as("key"), col("s_nationkey").as("nat"))).as("st"),
       struct(col("s_suppkey").as("key"), col("s_nationkey").as("nat"))
         .getField("nat").as("st_field"),
-      sort_array(map_keys(map(lit("a"), col("s_suppkey"), lit("b"), col("s_nationkey"))))
+      to_json(sort_array(map_keys(map(lit("a"), col("s_suppkey"), lit("b"), col("s_nationkey")))))
         .as("mkeys"),
       size(map(lit("a"), col("s_suppkey"))).as("msize"),
       element_at(map(lit("a"), col("s_suppkey"), lit("b"), col("s_nationkey")), "b")

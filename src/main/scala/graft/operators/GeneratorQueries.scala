@@ -14,15 +14,17 @@ object GeneratorQueries {
   val t1 = Q(
     "t1_range_series",
     """SELECT r.range AS id,
-      |  generate_series(1, 3) AS ser,
-      |  generate_series(0, 10, 5) AS ser_step
+      |  CAST(to_json(generate_series(1, 3)) AS VARCHAR) AS ser,
+      |  CAST(to_json(generate_series(0, 10, 5)) AS VARCHAR) AS ser_step
       |FROM range(5) r
       |ORDER BY id ASC NULLS LAST""".stripMargin
   ) { s =>
+    // series JSON-serialized on both sides: the verify gate row-sorts with
+    // pandas, which cannot sort raw array cells
     s.range(5).toDF("id").select(
       col("id"),
-      sequence(lit(1), lit(3)).as("ser"),
-      sequence(lit(0), lit(10), lit(5)).as("ser_step"))
+      to_json(sequence(lit(1), lit(3))).as("ser"),
+      to_json(sequence(lit(0), lit(10), lit(5))).as("ser_step"))
       .orderBy(col("id").asc_nulls_last)
   }
 

@@ -14,25 +14,25 @@ from pathlib import Path
 
 import duckdb
 import numpy as np
+import pandas as pd
+
+
+def _isna_scalar(v):
+    try:
+        r = pd.isna(v)
+        return r if isinstance(r, (bool, np.bool_)) else False
+    except Exception:
+        return False
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_cell(v):
-    if isinstance(v, np.ndarray):
-        return tuple(norm_cell(x) for x in v.tolist())
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple((k, norm_cell(x)) for k, x in sorted(v.items()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
 def compare(name, ours, oracle):
+    """STRICT compare emulating the driver's gate (CORRECTNESS_r01 lessons):
+    rows sorted via pandas sort_values over all columns (crashes on raw
+    array/struct cells exactly like the driver's comparator — surfaced as
+    HARNESS-ERR), dtypes compared exactly, values compared exactly with no
+    str() fallback and no float tolerance (NaN == NaN only)."""
     ocols = sorted(oracle.columns)
     scols = sorted(ours.columns)
     if ocols != scols:
@@ -41,11 +41,29 @@ def compare(name, ours, oracle):
         return f"ROWCOUNT MISMATCH spark={len(ours)} oracle={len(oracle)}"
     ours = ours[ocols]
     oracle = oracle[ocols]
+    try:
+        ours = ours.sort_values(by=ocols, kind="mergesort").reset_index(drop=True)
+        oracle = oracle.sort_values(by=ocols, kind="mergesort").reset_index(drop=True)
+    except TypeError as e:
+        return f"HARNESS-ERR (driver comparator would crash): {e}"
+    # Driver-observed rule (r01): integer WIDTH diffs hash equal (w1_ranking
+    # int32-vs-int64 passed) but KIND diffs fail (f_math int-vs-float,
+    # BIGINT-vs-HUGEINT/object failed). Compare numpy dtype kinds.
+    def kind(t):
+        k = t.kind
+        return "i" if k in "iu" else k
+    sd, od = [kind(t) for t in ours.dtypes], [kind(t) for t in oracle.dtypes]
+    if sd != od:
+        diffs = [f"{c}: spark={a}({ta}) oracle={b}({tb})"
+                 for c, a, b, ta, tb in zip(ocols, sd, od, ours.dtypes, oracle.dtypes)
+                 if a != b]
+        return f"DTYPE-KIND MISMATCH {'; '.join(diffs)}"
     for c in ocols:
         a, b = list(ours[c]), list(oracle[c])
         for i, (x, y) in enumerate(zip(a, b)):
-            x, y = norm_cell(x), norm_cell(y)
-            if x != y and str(x) != str(y):
+            if _isna_scalar(x) and _isna_scalar(y):
+                continue
+            if x != y:
                 note = ""
                 if isinstance(x, float) and isinstance(y, float) and y and abs(x - y) / max(abs(y), 1e-300) < 1e-9:
                     note = " (within 1e-9 rel — float-order issue)"
