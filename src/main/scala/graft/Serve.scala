@@ -24,6 +24,9 @@ object Serve {
     */
   def start(spark: SparkSession, dataDir: String): Gateway = {
     val gw = Gateway.open(spark, dataDir)
+    // Gateway.open sets spark.graft.readOnly on this session, so the
+    // injected GraftSqlParser (ReadOnlyGuard) rejects write/DDL statements
+    // from Thrift clients — the gateway-level check alone never sees them
     val classic = gw.session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     HiveThriftServer2.startWithContext(classic.sqlContext)
     gw

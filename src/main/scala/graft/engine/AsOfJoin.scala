@@ -40,8 +40,13 @@ object AsOfJoin {
     val pStruct = struct(payload.map { case (src, al) => col(src).as(al) }: _*)
     // NULL join keys never match in ASOF (SQL equality semantics), but
     // Window.partitionBy groups NULLs together — drop NULL-keyed right
-    // rows so NULL-keyed left rows get a NULL payload, not each other's
-    val r = right.filter(col(key).isNotNull)
+    // rows so NULL-keyed left rows get a NULL payload, not each other's.
+    // NULL-ts right rows likewise never match (l.ts >= NULL is never
+    // true), but nulls-first ordering would slot them before every row in
+    // the partition and last(__p) would carry their payload — drop them.
+    // (A NULL-ts LEFT row sorts before all surviving right rows and so
+    // correctly gets a NULL payload.)
+    val r = right.filter(col(key).isNotNull && col(ts).isNotNull)
       .select(col(key), col(ts), pStruct.as("__p"), lit(0).as("__side"))
     val l = left.withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)

@@ -5,6 +5,16 @@ package graft.engine
   */
 object Dialect {
 
+  /** True when position `i` starts a fresh word: the previous char is not
+    * a letter, digit, `_`, or `.` — so `my_datediff(...)` and
+    * `t.date_diff` are user identifiers, never rewritten.
+    */
+  private def wordStart(s: String, i: Int): Boolean = {
+    if (i == 0) return true
+    val c = s.charAt(i - 1)
+    !Character.isLetterOrDigit(c) && c != '_' && c != '.'
+  }
+
   /** Full DuckDB-dialect → Spark-SQL text rewrite, applied by the
     * Gateway before parsing (SURVEY.md §3.5). String literals and quoted
     * identifiers are never rewritten. Handles:
@@ -30,8 +40,7 @@ object Dialect {
       val isDD = sql.regionMatches(true, i, "date_diff", 0, 9)
       val isD2 = sql.regionMatches(true, i, "datediff", 0, 8)
       val nameLen = if (isDD) 9 else if (isD2) 8 else 0
-      if (nameLen > 0 &&
-        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)))) {
+      if (nameLen > 0 && wordStart(sql, i)) {
         splitCallArgs(sql, i + nameLen) match {
           case Some((args, end)) if args.length == 3 &&
             args.head.trim.matches("(?i)'\\w+'") =>
@@ -62,20 +71,19 @@ object Dialect {
     val cur = new StringBuilder
     var depth = 0
     while (i < sql.length) {
-      val c = sql.charAt(i)
-      c match {
-        case '\'' | '"' =>
-          cur.append(c); i += 1
-          while (i < sql.length && sql.charAt(i) != c) { cur.append(sql.charAt(i)); i += 1 }
-          if (i < sql.length) cur.append(c)
-        case '(' => depth += 1; cur.append(c)
-        case ')' =>
-          if (depth == 0) { args += cur.toString; return Some((args.toSeq, i + 1)) }
-          depth -= 1; cur.append(c)
-        case ',' if depth == 0 => args += cur.toString; cur.clear()
-        case _ => cur.append(c)
+      val opaque = consumeOpaque(sql, i, cur)
+      if (opaque > i) i = opaque
+      else {
+        sql.charAt(i) match {
+          case '(' => depth += 1; cur.append('(')
+          case ')' =>
+            if (depth == 0) { args += cur.toString; return Some((args.toSeq, i + 1)) }
+            depth -= 1; cur.append(')')
+          case ',' if depth == 0 => args += cur.toString; cur.clear()
+          case c => cur.append(c)
+        }
+        i += 1
       }
-      i += 1
     }
     None
   }
@@ -88,8 +96,7 @@ object Dialect {
     */
   private def rewriteCatalogFns(sql: String): String =
     scanOutsideLiterals(sql) { (i, sb) =>
-      if (sql.regionMatches(true, i, "duckdb_", 0, 7) &&
-        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)))) {
+      if (sql.regionMatches(true, i, "duckdb_", 0, 7) && wordStart(sql, i)) {
         catalogFnRe.findPrefixMatchOf(sql.substring(i)) match {
           case Some(m) => sb.append(m.group(1).toLowerCase); i + m.end
           case None => i
@@ -110,21 +117,51 @@ object Dialect {
       } else i
     }
 
-  /** Scan positions outside single-quoted strings / double-quoted idents. */
+  /** If an opaque region starts at `i0` — a single-quoted string or
+    * double-quoted identifier (with SQL `''`/`""` escape doubling), a
+    * `--` line comment (including its terminating newline, so collapsing
+    * whitespace can never splice following text INTO the comment), or a
+    * `/* */` block comment — copy it verbatim to `sb` (if non-null) and
+    * return the index just past it; otherwise return `i0`.
+    */
+  private def consumeOpaque(sql: String, i0: Int, sb: StringBuilder): Int = {
+    val c = sql.charAt(i0)
+    val end =
+      if (c == '\'' || c == '"') {
+        var i = i0 + 1
+        var done = false
+        while (!done && i < sql.length) {
+          if (sql.charAt(i) == c) {
+            // doubled quote = escaped quote, literal continues ('it''s')
+            if (i + 1 < sql.length && sql.charAt(i + 1) == c) i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        i
+      } else if (sql.startsWith("--", i0)) {
+        val nl = sql.indexOf('\n', i0)
+        if (nl < 0) sql.length else nl + 1
+      } else if (sql.startsWith("/*", i0)) {
+        val close = sql.indexOf("*/", i0 + 2)
+        if (close < 0) sql.length else close + 2
+      } else i0
+    if (end > i0 && sb != null) sb.append(sql.substring(i0, end))
+    end
+  }
+
+  /** Scan positions outside string literals, quoted identifiers, and SQL
+    * comments (all copied verbatim via consumeOpaque).
+    */
   private def scanOutsideLiterals(sql: String)(f: (Int, StringBuilder) => Int): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
-        val q = c
-        sb.append(c); i += 1
-        while (i < sql.length && sql.charAt(i) != q) { sb.append(sql.charAt(i)); i += 1 }
-        if (i < sql.length) { sb.append(q); i += 1 }
-      } else {
+      val opaque = consumeOpaque(sql, i, sb)
+      if (opaque > i) i = opaque
+      else {
         val advanced = f(i, sb)
         if (advanced > i) i = advanced
-        else { sb.append(c); i += 1 }
+        else { sb.append(sql.charAt(i)); i += 1 }
       }
     }
     sb.toString
@@ -145,8 +182,6 @@ object Dialect {
     val noIntDiv = scanOutsideLiterals(sql) { (i, sb) =>
       if (sql.startsWith("//", i)) { sb.append(" div "); i + 2 } else i
     }
-    def wordStart(s: String, i: Int): Boolean =
-      i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))
     // GLOB 'pat' → RLIKE '<regex>' (pattern is a literal, so the regex
     // can be precomputed)
     val noGlob = scanOutsideLiterals(noIntDiv) { (i, sb) =>
@@ -205,15 +240,16 @@ object Dialect {
     var i = 0
     var start = 0
     while (i < pos) {
-      sql.charAt(i) match {
-        case '\'' | '"' =>
-          val q = sql.charAt(i); i += 1
-          while (i < sql.length && sql.charAt(i) != q) i += 1
-        case '(' => stack = i :: stack
-        case ')' => if (stack.nonEmpty) stack = stack.tail
-        case _ =>
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        sql.charAt(i) match {
+          case '(' => stack = i :: stack
+          case ')' => if (stack.nonEmpty) stack = stack.tail
+          case _ =>
+        }
+        i += 1
       }
-      i += 1
     }
     start = stack.headOption.map(_ + 1).getOrElse(0)
     if (stack.isEmpty) return (0, sql.length)
@@ -221,17 +257,18 @@ object Dialect {
     var depth = 0
     i = pos
     while (i < sql.length) {
-      sql.charAt(i) match {
-        case '\'' | '"' =>
-          val q = sql.charAt(i); i += 1
-          while (i < sql.length && sql.charAt(i) != q) i += 1
-        case '(' => depth += 1
-        case ')' =>
-          if (depth == 0) return (start, i)
-          depth -= 1
-        case _ =>
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            if (depth == 0) return (start, i)
+            depth -= 1
+          case _ =>
+        }
+        i += 1
       }
-      i += 1
     }
     (start, sql.length)
   }
@@ -268,14 +305,12 @@ object Dialect {
     val n = needle.toUpperCase
     var i = 0
     while (i < sql.length) {
-      sql.charAt(i) match {
-        case '\'' | '"' =>
-          val q = sql.charAt(i); i += 1
-          while (i < sql.length && sql.charAt(i) != q) i += 1
-        case _ =>
-          if (up.startsWith(n, i)) return i
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        if (up.startsWith(n, i)) return i
+        i += 1
       }
-      i += 1
     }
     -1
   }
@@ -289,16 +324,17 @@ object Dialect {
     var depth = 0
     var i = 0
     while (i < sql.length) {
-      sql.charAt(i) match {
-        case '\'' | '"' =>
-          val q = sql.charAt(i); i += 1
-          while (i < sql.length && sql.charAt(i) != q) i += 1
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && up.startsWith(n, i)) return i
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith(n, i)) return i
+        }
+        i += 1
       }
-      i += 1
     }
     -1
   }

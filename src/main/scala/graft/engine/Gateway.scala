@@ -190,6 +190,9 @@ object Gateway {
       readOnly: Boolean = true,
       initScript: Option[String] = None): Gateway = {
     val sess = spark.newSession()
+    // parser-level enforcement flag (ReadOnlyGuard): Thrift/JDBC clients
+    // execute on this session directly, never through Gateway.sql
+    if (readOnly) sess.conf.set("spark.graft.readOnly", "true")
     Tables.register(sess, dataDir)
     Functions.register(sess)
     registerCatalogViews(sess)

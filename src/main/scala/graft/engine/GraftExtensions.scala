@@ -20,20 +20,95 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // capture the owning session: ReadOnlyGuard reads ITS conf, not the
+    // thread-local active-session conf (which is ambient state that can
+    // point at a sibling session)
+    ext.injectParser((session, delegate) => new GraftSqlParser(delegate, Some(session)))
     // whole-operator ASOF join (SURVEY §2.3 J7): custom LogicalPlan +
     // Strategy + SparkPlan — graft.plans.AsOfJoinPlan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
+/** Read-only enforcement at the layer ALL SQL passes through (the
+  * session parser), not just Gateway.sql: Thrift/JDBC client statements
+  * go straight to `session.sql`, so a gateway-level check alone would
+  * let any network client run INSERT OVERWRITE DIRECTORY / CREATE TABLE
+  * (the reference serves its database access_mode=read_only,
+  * /root/reference/main.go:61 — D8 of SURVEY §2.12).
+  *
+  * Classification is on the PARSED PLAN, not statement text: any
+  * non-command plan is a query (allowed); commands are allowed only from
+  * an explicit list (session/view/metadata commands, matching
+  * Gateway.readOnlyAllowed). Gated per-session by the
+  * `spark.graft.readOnly` conf, which Serve sets and clients cannot
+  * unset (SET of the flag itself is rejected).
+  */
+object ReadOnlyGuard {
+  val confKey = "spark.graft.readOnly"
+
+  private val allowedCommandPrefixes = Seq(
+    "SetCommand", "ResetCommand", "Show", "Describe", "Explain",
+    "CreateView", "DropView", "SetNamespace", "SetCatalog")
+
+  /** DML writes parse to plain query-shaped plans, NOT Command /
+    * ParsedStatement (InsertIntoDir is a bare UnaryNode; UPDATE/DELETE/
+    * MERGE are v2 relation plans) — deny these by node type explicitly.
+    */
+  private val deniedPlanPrefixes = Seq(
+    "InsertInto", "UpdateTable", "DeleteFrom", "MergeInto",
+    "LoadData", "Truncate", "ReplaceData", "WriteDelta")
+
+  /** Whether the given session (the one this parser instance was built
+    * for) is read-only. Reads the session's own conf — NOT the
+    * thread-local SQLConf.get, which tracks the ambient "active" session
+    * and can point at a sibling session of the same context.
+    */
+  def active(session: Option[org.apache.spark.sql.SparkSession]): Boolean =
+    session.exists { s =>
+      try s.conf.get(confKey, "false").equalsIgnoreCase("true")
+      catch { case _: Throwable => false }
+    }
+
+  def enforce(plan: LogicalPlan): Unit = {
+    plan match {
+      case s: org.apache.spark.sql.execution.command.SetCommand =>
+        s.kv.foreach { case (k, _) =>
+          if (k.equalsIgnoreCase(confKey))
+            throw new GatewayException(
+              s"read-only session: cannot modify $confKey")
+        }
+      case _ =>
+    }
+    val n = plan.getClass.getSimpleName.stripSuffix("$")
+    if (deniedPlanPrefixes.exists(n.startsWith))
+      throw new GatewayException(
+        s"read-only session: statement rejected ($n)")
+    val isCommand = plan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Command] ||
+      plan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
+    if (isCommand && !allowedCommandPrefixes.exists(n.startsWith))
+      throw new GatewayException(
+        s"read-only session: statement rejected ($n)")
+  }
+}
+
 /** Delegating parser that applies Dialect.rewrite to whole statements.
   * Identifier/expression/type fragments pass through untouched — the
-  * dialect shims are statement-level constructs.
+  * dialect shims are statement-level constructs. Also the read-only
+  * enforcement point (ReadOnlyGuard): every statement from every entry
+  * path — spark.sql, Gateway, Thrift/JDBC — parses here.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(Dialect.rewrite(sqlText))
+class GraftSqlParser(
+    delegate: ParserInterface,
+    session: Option[org.apache.spark.sql.SparkSession] = None)
+  extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(Dialect.rewrite(sqlText))
+    if (ReadOnlyGuard.active(session)) ReadOnlyGuard.enforce(plan)
+    plan
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(Dialect.rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =

@@ -59,6 +59,13 @@ case class AsOfJoinExec(
     rightTs: Expression,
     payload: Seq[Attribute]) extends BinaryExecNode {
 
+  // keyOrd/tsOrd below are built from the LEFT side's types; mixed-type
+  // sides would compare garbage (or throw ClassCastException mid-merge)
+  require(leftKey.dataType == rightKey.dataType,
+    s"ASOF key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"ASOF ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
 
@@ -119,7 +126,10 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = boundLk.eval(lRow)
         val lts = boundLts.eval(lRow)
-        if (lk == null) {
+        if (lk == null || lts == null) {
+          // NULL key or NULL ts never matches (DuckDB: l.ts >= NULL is
+          // never true); don't enter the advance loop — tsOrd.compare
+          // would NPE on a null lts
           joined(lRow, nullPayload)
         } else {
           // advance the right side to the last row with
@@ -133,7 +143,12 @@ case class AsOfJoinExec(
               if (c < 0) { rBuf.next() } // behind: drop, clear any held
               else if (c == 0) {
                 val rts = boundRts.eval(rBuf.head)
-                if (rts != null && tsOrd.compare(rts, lts) <= 0) {
+                if (rts == null) {
+                  // NULL ts never matches; nulls-first ordering puts these
+                  // at the head of the key group, so consume — stopping
+                  // here would stall the merge for the whole key
+                  rBuf.next()
+                } else if (tsOrd.compare(rts, lts) <= 0) {
                   heldKey = rk
                   heldPayload = payloadProj(rBuf.next()).copy()
                 } else advancing = false

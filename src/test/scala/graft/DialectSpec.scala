@@ -69,6 +69,46 @@ class DialectSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite is comment-aware: operators inside -- and /* */ survive") {
+    val r1 = Dialect.rewrite("SELECT a // b FROM t -- also a // b here\n")
+    assert(r1.contains("div"), r1)
+    assert(r1.contains("-- also a // b here"), r1)
+    val r2 = Dialect.rewrite("SELECT 1 /* x GLOB 'a*' QUALIFY rn = 1 */ FROM t")
+    assert(r2.contains("/* x GLOB 'a*' QUALIFY rn = 1 */"), r2)
+    // QUALIFY only in a comment → no rewrite triggered at all
+    val r3 = Dialect.rewrite("SELECT a FROM t -- QUALIFY rn = 1\n")
+    assert(!r3.contains("__q"), r3)
+    // a -- comment swallows its newline: following line stays live code
+    val r4 = Dialect.rewrite("SELECT a -- c\n// 2 AS h FROM t")
+    assert(r4.contains("div"), r4)
+  }
+
+  test("rewrite boundary: '_'/'.'-joined identifiers are not rewritten") {
+    val r1 = Dialect.rewrite("SELECT my_datediff('day', a, b) FROM t")
+    assert(r1.contains("my_datediff("), r1)
+    val r2 = Dialect.rewrite("SELECT archive_date_diff('day', x, y) FROM t")
+    assert(r2.contains("archive_date_diff("), r2)
+    val r3 = Dialect.rewrite("SELECT s.datediff('day', a, b) FROM t")
+    assert(r3.contains("s.datediff("), r3)
+    // the real call still rewrites
+    val r4 = Dialect.rewrite("SELECT date_diff('day', a, b) FROM t")
+    assert(r4.contains("timestampdiff(DAY"), r4)
+    val r5 = Dialect.rewrite("SELECT my_duckdb_tables() FROM t")
+    assert(r5.contains("my_duckdb_tables()"), r5)
+  }
+
+  test("rewrite honors SQL-escaped quotes ('' stays one literal)") {
+    val r1 = Dialect.rewrite("SELECT 'it''s // fine' AS s FROM t")
+    assert(r1.contains("'it''s // fine'"), r1)
+    assert(!r1.contains("div"), r1)
+    val r2 = Dialect.rewrite("SELECT 'a''b GLOB ''x''' AS s FROM t")
+    assert(r2.contains("'a''b GLOB ''x'''"), r2)
+    assert(!r2.toUpperCase.contains("RLIKE"), r2)
+    // and an escaped literal BEFORE a real operator doesn't desync the scan
+    val r3 = Dialect.rewrite("SELECT 'it''s', a // b FROM t")
+    assert(r3.contains("'it''s'") && r3.contains("div"), r3)
+  }
+
   test("property: jaro/jaro-winkler bounds, identity, symmetry") {
     import graft.engine.expressions.StringSim
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}

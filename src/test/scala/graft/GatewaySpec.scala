@@ -73,6 +73,27 @@ class GatewaySpec extends AnyFunSuite {
     assert(gw.sql("SELECT world FROM hello_world").collect()(0).getString(0) == "hello")
   }
 
+  test("read-only holds on the RAW session too (the Thrift/JDBC path)") {
+    // Thrift clients execute on gw.session directly, never through
+    // gw.sql — the injected parser (ReadOnlyGuard, spark.graft.readOnly
+    // set by Gateway.open) must reject writes there as well
+    val e = intercept[GatewayException] {
+      gw.session.sql("CREATE TABLE sneaky_t(a INT) USING parquet")
+    }
+    assert(e.getMessage.contains("read-only"))
+    intercept[GatewayException](
+      gw.session.sql("INSERT OVERWRITE DIRECTORY '/tmp/x' USING parquet SELECT 1"))
+    // the flag itself cannot be flipped over SQL
+    intercept[GatewayException](
+      gw.session.sql("SET spark.graft.readOnly=false"))
+    // queries, SET of other keys, views, and metadata stay allowed
+    assert(gw.session.sql("SELECT 1 AS a").collect()(0).getInt(0) == 1)
+    gw.session.sql("SET spark.sql.ansi.enabled=false")
+    gw.session.sql("CREATE OR REPLACE TEMP VIEW ro_ok AS SELECT 2 AS b")
+    assert(gw.session.sql("EXPLAIN SELECT 1").collect().nonEmpty)
+    assert(gw.session.sql("SHOW TABLES").collect().nonEmpty)
+  }
+
   test("schemaOf analyzes without executing") {
     val sch = gw.schemaOf("SELECT l_orderkey, l_quantity FROM lineitem")
     assert(sch.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))

@@ -274,4 +274,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(102L) == -1L) // null key never matches
     assert(out(103L) == -1L) // no right rows for key 2
   }
+
+  test("ASOF: NULL timestamps never match and never stall (both paths)") {
+    import spark.implicits._
+    // right has a NULL-ts row AT THE HEAD of key 1 (nulls sort first):
+    // a merge that stops without consuming it would stall the whole key;
+    // a window rewrite that keeps it would carry its payload as -infinity
+    val left = Seq(
+      (Option(1L), Option(20L), 100L),  // should match r@10
+      (Option(1L), Option(5L), 101L),   // before any real right row → null
+      (Option(1L), None: Option[Long], 102L)) // NULL left ts → null
+      .toDF("k", "ts", "id")
+    val right = Seq(
+      (Option(1L), None: Option[Long], 666L), // NULL ts: must never match
+      (Option(1L), Option(10L), 7L))
+      .toDF("k", "ts", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("mv"))).toMap
+    val viaExec = toMap(graft.plans.AsOfJoinPlan
+      .asof(spark, left, right, "k", "ts", Seq("v" -> "mv")))
+    val viaRewrite = toMap(graft.engine.AsOfJoin
+      .asofLeft(left, right, "k", "ts", Seq("v" -> "mv")))
+    for ((out, path) <- Seq(viaExec -> "exec", viaRewrite -> "rewrite")) {
+      assert(out(100L) == 7L, s"$path: merge stalled on the NULL-ts right row")
+      assert(out(101L) == -1L, s"$path: NULL-ts right row matched as -infinity")
+      assert(out(102L) == -1L, s"$path: NULL left ts must not match")
+    }
+  }
 }

@@ -11,6 +11,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the full serving stack (dialect parser + ASOF strategy +
+      // ReadOnlyGuard) — every spec's SQL exercises the injected parser
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
