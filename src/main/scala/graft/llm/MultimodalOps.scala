@@ -46,23 +46,38 @@ object MultimodalOps {
     * embarrassingly parallel and shuffle-free at any scale.
     *
     * STUB: no media libs in this container — dimensions are derived
-    * deterministically from the payload bytes so tests stay stable.
+    * deterministically from the md5 hex of the payload bytes, which the
+    * DuckDB oracle recomputes with the same ascii arithmetic, so the
+    * mapPartitions plumbing itself is oracle-checked.
     */
-  val m2 = Q.noOracle("mm_decode_stub") { s =>
+  val m2 = Q(
+    "mm_decode_stub",
+    """SELECT doc_id,
+      |  CAST(64 + (ascii(substr(md5(text), 1, 1)) * 256 +
+      |             ascii(substr(md5(text), 2, 1))) % 512 AS INT) AS width,
+      |  CAST(64 + (ascii(substr(md5(text), 3, 1)) * 256 +
+      |             ascii(substr(md5(text), 4, 1))) % 512 AS INT) AS height,
+      |  CAST(1 + ascii(substr(md5(text), 5, 1)) % 3 AS INT) AS channels,
+      |  CAST(1 + ascii(substr(md5(text), 6, 1)) % 16 AS INT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
     import s.implicits._
     val payloads = s.table("documents")
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { it =>
-      // real pipeline: val codec = Codec.open() once per partition
+      // real pipeline: one codec context per partition, opened here
+      val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
-        // ??? <- real decode goes here; deterministic fake below
-        val h = java.util.Arrays.hashCode(bytes)
+        // ??? <- real decode goes here; md5-derived fake below
+        digest.reset()
+        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
         MediaMeta(id,
-          width = 64 + math.abs(h % 512),
-          height = 64 + math.abs((h / 512) % 512),
-          channels = 1 + math.abs(h % 3),
-          n_frames = 1 + math.abs(h % 16))
+          width = 64 + (hex(0).toInt * 256 + hex(1).toInt) % 512,
+          height = 64 + (hex(2).toInt * 256 + hex(3).toInt) % 512,
+          channels = 1 + hex(4).toInt % 3,
+          n_frames = 1 + hex(5).toInt % 16)
       }
     }.toDF()
       .orderBy(col("doc_id").asc_nulls_last)

@@ -77,12 +77,27 @@ object GeneratorQueries {
       .orderBy(col("k").asc_nulls_last, col("pos").asc_nulls_last)
   }
 
-  /** T3: sampling — seeds aren't portable across engines, so no oracle;
-    * the driver does a rows-only check and ScalaTest bounds the counts.
+  /** T3: sampling. Engine RNG seeds aren't portable, so the ORACLE-CHECKED
+    * form is a deterministic hash sample — `md5(key)` prefix bucket, the
+    * standard reproducible-sampling idiom at scale (stable across runs,
+    * engines, and partitionings; ~12.5% here via a 2-of-16 hex bucket).
+    * Native seeded Bernoulli `.sample()` stays spec-tested in OperatorSpec.
     */
-  val t3 = Q.noOracle("t3_sample") { s =>
-    s.table("lineitem").sample(withReplacement = false, 0.1, seed = 42)
+  val t3 = Q(
+    "t3_sample",
+    """SELECT l_orderkey, l_linenumber
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+      |             CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("lineitem")
+      .filter(substring(md5(concat(
+        col("l_orderkey").cast(StringType), lit("-"),
+        col("l_linenumber").cast(StringType)).cast(BinaryType)), 1, 1)
+        .isin("0", "1"))
       .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
   }
 
   /** T4: PIVOT (static value list) — wide counts by linestatus. */
@@ -208,11 +223,45 @@ object GeneratorQueries {
       .orderBy(col("depth").asc_nulls_last, col("node").asc_nulls_last)
   }
 
-  /** T7: DESCRIBE/SUMMARIZE — engine introspection, no oracle (DuckDB's
-    * SUMMARIZE column set differs).
+  /** T7: DESCRIBE/SUMMARIZE as hand-written per-column statistics (one
+    * row per column: count/nulls/min/max/mean), oracle-checked — the
+    * `summary()` convenience form stays exercised by the gateway's
+    * SUMMARIZE statement (GatewaySpec). Mean routes the double sum
+    * through DECIMAL so both engines compute the identical exact value
+    * (SURVEY §7.4 determinism discipline).
     */
-  val t7 = Q.noOracle("t7_describe") { s =>
-    s.table("lineitem").select("l_quantity", "l_extendedprice").summary()
+  val t7 = Q(
+    "t7_describe",
+    """SELECT 'l_quantity' AS column_name,
+      |  count(l_quantity) AS n,
+      |  CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+      |  CAST(min(l_quantity) AS DOUBLE) AS minv,
+      |  CAST(max(l_quantity) AS DOUBLE) AS maxv,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+      |       / count(l_quantity) AS DOUBLE) AS meanv
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice' AS column_name,
+      |  count(l_extendedprice) AS n,
+      |  CAST(count(*) - count(l_extendedprice) AS BIGINT) AS n_null,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS minv,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS maxv,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+      |       / count(l_extendedprice) AS DOUBLE) AS meanv
+      |FROM lineitem
+      |ORDER BY column_name ASC NULLS LAST""".stripMargin
+  ) { s =>
+    def describe(c: String) = s.table("lineitem").agg(
+      count(col(c)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      min(col(c)).cast(DoubleType).as("minv"),
+      max(col(c)).cast(DoubleType).as("maxv"),
+      (sum(col(c).cast(DecimalType(30, 4))).cast(DoubleType) /
+        count(col(c))).cast(DoubleType).as("meanv"))
+      .select(lit(c).as("column_name"), col("n"), col("n_null"),
+        col("minv"), col("maxv"), col("meanv"))
+    describe("l_quantity").unionByName(describe("l_extendedprice"))
+      .orderBy(col("column_name").asc_nulls_last)
   }
 
   /** S7: catalog introspection as a DataFrame (reference: duckdb_tables()

@@ -49,11 +49,20 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("sample: fraction roughly honored and deterministic under a seed") {
-    val q = SparkEntry.queries("t3_sample")
-    val n1 = q(spark, sf).count()
-    val n2 = q(spark, sf).count()
+    // native seeded Bernoulli sampling (the oracle-checked t3_sample uses
+    // a hash bucket instead, since RNG seeds aren't engine-portable)
+    graft.engine.Tables.register(spark, sf)
+    def sampled = spark.table("lineitem")
+      .sample(withReplacement = false, 0.1, seed = 42)
+    val n1 = sampled.count()
+    val n2 = sampled.count()
     assert(n1 == n2) // same seed, same plan => same sample
     assert(n1 > 300 && n1 < 900) // 10% of 6000 ± slack
+    // hash-bucket sample: ~2/16 of rows, exactly reproducible
+    val nh1 = SparkEntry.queries("t3_sample")(spark, sf).count()
+    val nh2 = SparkEntry.queries("t3_sample")(spark, sf).count()
+    assert(nh1 == nh2)
+    assert(nh1 > 450 && nh1 < 1050) // 12.5% of 6000 ± slack
   }
 
   test("LSH buckets: near-identical vectors share a bucket") {
