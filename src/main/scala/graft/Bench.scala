@@ -53,7 +53,12 @@ object Bench {
         |FROM (SELECT * FROM documents LIMIT 200)""".stripMargin)
       .write.format("noop").mode("overwrite").save()
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1).toIndexedSeq
+    // dev knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite (perf
+    // iteration on a single query without the full-suite wall)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.toIndexedSeq
     val times = new ConcurrentHashMap[String, Double]()
     val cursor = new AtomicInteger(0)
     val t0 = System.nanoTime()

@@ -130,19 +130,23 @@ object SimilarityOps {
     */
   val v4 = Q.noOracle("nn_ivf_topk") { s =>
     val NLISTS = 16
-    val NPROBE = 6
+    // fixture-scale ratio: 500-vector corpus, random centroids — probe
+    // well over half the lists to hold recall; at production scale
+    // NLISTS is thousands and NPROBE tens, so the prune ratio grows
+    // with the corpus, not with this constant
+    val NPROBE = 10
     val TOPK = 3
     val emb = s.table("embeddings")
-    // coarse quantizer: a deterministic even-stride sample of the corpus
-    // (stride derived from the corpus size so it scales past the
-    // fixtures; production would k-means a sample — assignment machinery
-    // identical). orderBy before limit: limit without an order would
-    // keep whichever rows were scanned first.
-    val nVecs = emb.count()
-    val stride = math.max(nVecs / NLISTS, 1L)
+    // coarse quantizer: a deterministic pseudo-random sample of NLISTS
+    // corpus vectors — md5-ordered top-N fuses to TakeOrderedAndProject
+    // (no total sort) and, unlike a count-derived stride, adds NO driver
+    // action to the plan-build path and no dependence on corpus size.
+    // Production would k-means a sample; the assignment machinery is
+    // identical.
     val centroids = broadcast(
-      emb.filter(col("vec_id") % stride === 0)
-        .orderBy(col("vec_id").asc).limit(NLISTS)
+      emb.orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
+          col("vec_id").asc)
+        .limit(NLISTS)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           sqrt(dot(col("embedding"), col("embedding"))).as("cn")))
     def nearestLists(df: org.apache.spark.sql.DataFrame, v: Column, n: Int,

@@ -214,9 +214,12 @@ object GeneratorQueries {
       .union(s.table("nation").filter(nk * 2 + 3 <= 24)
         .select(nk.cast(LongType).as("a"), (nk * 2 + 3).cast(LongType).as("b")))
     val seed = s.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
+    // name-resolved join (fixpoint contract): in-batch frontiers keep
+    // lineage, so parent-bound refs like edges("a") would be ambiguous
     val reached = graft.engine.Recursive.fixpoint(seed, maxIter = 30) { frontier =>
-      frontier.join(edges, frontier("node") === edges("a"))
-        .select(edges("b").as("node"), (frontier("depth") + 1).as("depth"))
+      frontier.withColumnRenamed("node", "a")
+        .join(edges, Seq("a"))
+        .select(col("b").as("node"), (col("depth") + 1).as("depth"))
     }
     reached.groupBy(col("node"))
       .agg(min(col("depth")).cast(IntegerType).as("depth"))

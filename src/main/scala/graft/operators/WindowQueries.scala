@@ -162,11 +162,18 @@ object WindowQueries {
         |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin)
   }
 
-  /** W6: GROUPS frame — Spark (and DuckDB 1.0) lack GROUPS mode, so the
-    * engine rewrite is dense_rank + RANGE over the rank (SURVEY §2.5 W6):
-    * a GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING frame is exactly a
-    * RANGE ±1 frame over the peer-group index. The oracle spells the same
-    * semantics as a two-level window, giving an independent formulation.
+  /** W6: GROUPS frame — Spark (and DuckDB 1.0) lack GROUPS mode; a
+    * GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING frame is a RANGE ±1
+    * frame over the peer-group index (SURVEY §2.5 W6). The naive rewrite
+    * is a single unpartitioned dense_rank — a one-partition cliff at
+    * scale — so the engine computes the global group index PARTITIONED:
+    * dense_rank within year(o_orderdate) plus a cross-partition offset
+    * (cumulative distinct-date counts, a #years-sized relation), then
+    * the per-group neighborhood sum via a ±1 band self-join over the
+    * #groups-sized per-rank totals. Every window in the plan is
+    * partitioned; the only global structures are the two tiny aggregate
+    * relations, both broadcast. The oracle spells the same semantics as
+    * DuckDB's two-level window — an independent formulation.
     */
   val w6 = Q(
     "w6_groups_frame",
@@ -180,12 +187,32 @@ object WindowQueries {
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
   ) { s =>
     val base = s.table("orders").filter(col("o_custkey") < 30)
-      .withColumn("dr", dense_rank().over(Window.orderBy(col("o_orderdate").asc)))
-    base.select(
-      col("o_orderkey"), col("o_orderdate"),
-      sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .over(Window.orderBy(col("dr")).rangeBetween(-1, 1))
-        .cast(DoubleType).as("grp_sum"))
+      .withColumn("__y", year(col("o_orderdate")))
+    // per-year local dense rank: the ONLY row-scale window, partitioned
+    val ranked = base.withColumn("__dr_local",
+      dense_rank().over(
+        Window.partitionBy(col("__y")).orderBy(col("o_orderdate").asc)))
+    // cross-partition offsets: distinct dates per year, cumulated by a
+    // triangular self-join over the #years-sized relation (no window)
+    val perYear = base.groupBy(col("__y"))
+      .agg(countDistinct(col("o_orderdate")).as("__nd"))
+    val offsets = perYear.as("a")
+      .join(perYear.as("b"), col("b.__y") < col("a.__y"), "left")
+      .groupBy(col("a.__y").as("__y"))
+      .agg(coalesce(sum(col("b.__nd")), lit(0L)).as("__off"))
+    val global = ranked.join(broadcast(offsets), "__y")
+      .withColumn("dr", col("__dr_local") + col("__off"))
+    // per-group totals (#groups rows), neighborhood ±1 via band self-join
+    val rankSums = global.groupBy(col("dr"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__rsum"))
+    val nbr = rankSums.as("x")
+      .join(broadcast(rankSums.as("n")),
+        col("n.dr") >= col("x.dr") - 1 && col("n.dr") <= col("x.dr") + 1)
+      .groupBy(col("x.dr").as("dr"))
+      .agg(sum(col("n.__rsum")).as("__gsum"))
+    global.join(broadcast(nbr), "dr")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("__gsum").cast(DoubleType).as("grp_sum"))
       .orderBy(col("o_orderkey").asc_nulls_last)
   }
 

@@ -101,8 +101,11 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("a", "b")
     val seed = spark.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
     val out = graft.engine.Recursive.fixpoint(seed, maxIter = 10) { f =>
-      f.join(edges, f("node") === edges("a"))
-        .select(edges("b").as("node"), (f("depth") + 1).as("depth"))
+      // name-resolved join: the fixpoint contract (in-batch frontiers
+      // keep lineage, so f("node")/edges("a") refs would be ambiguous)
+      f.withColumnRenamed("node", "a")
+        .join(edges, Seq("a"))
+        .select(col("b").as("node"), (col("depth") + 1).as("depth"))
         .filter(col("depth") <= 5)
     }
     val minDepth = out.groupBy("node").agg(min("depth").as("d"))

@@ -87,6 +87,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
   }
 
+  test("w6 GROUPS emulation has no unpartitioned row-scale window") {
+    // the single-partition cliff: a WindowExec whose partition spec is
+    // empty processes ALL rows on one task. w6's dense_rank phase must be
+    // partitioned (by year) — only tiny aggregate relations may be global,
+    // and those run through joins, not windows.
+    val df = SparkEntry.queries("w6_groups_frame")(spark, sf)
+    df.collect()
+    // AQE hides children: AdaptiveSparkPlanExec and materialized
+    // QueryStageExec are leaves — descend into them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }).flatMap(flatten)
+    val windows = flatten(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a window for the dense_rank phase")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec in w6 plan: $w")
+    }
+  }
+
+  test("nn_ivf_topk plan build launches no Spark job (no driver count)") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("nn_ivf_topk")(spark, sf)
+      df.queryExecution.executedPlan // force full planning
+      Thread.sleep(200) // listener events are async; let the bus drain
+      assert(jobs == 0, s"plan construction ran $jobs job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("band join shuffles on the bucket key, no nested loop") {
     val df = SparkEntry.queries("j6_band_join")(spark, sf)
     df.collect()
