@@ -94,7 +94,21 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact duplicate LAST: the driver captures only the tail of stdout,
     // and the ~3 KB per-query line above can get head-truncated
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length}}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length}}"""
+    println(compact)
+    // sbt prefixes stdout with "[info] ", which defeats the driver's JSON
+    // parser (BENCH "parsed": null two rounds running) — emit one copy on
+    // stderr (unprefixed) and persist one to a file as insurance
+    System.err.println(compact)
+    try {
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_metric.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_metric.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

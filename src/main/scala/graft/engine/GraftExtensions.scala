@@ -78,6 +78,13 @@ object ReadOnlyGuard {
             throw new GatewayException(
               s"read-only session: cannot modify $confKey")
         }
+      // RESET (all) or RESET spark.graft.readOnly would unset the flag
+      // and disarm this guard for the rest of the session — reject both;
+      // RESET of any other key stays allowed.
+      case r: org.apache.spark.sql.execution.command.ResetCommand =>
+        if (r.config.forall(_.equalsIgnoreCase(confKey)))
+          throw new GatewayException(
+            s"read-only session: cannot reset $confKey")
       case _ =>
     }
     val n = plan.getClass.getSimpleName.stripSuffix("$")

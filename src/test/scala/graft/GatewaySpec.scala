@@ -83,9 +83,14 @@ class GatewaySpec extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"))
     intercept[GatewayException](
       gw.session.sql("INSERT OVERWRITE DIRECTORY '/tmp/x' USING parquet SELECT 1"))
-    // the flag itself cannot be flipped over SQL
+    // the flag itself cannot be flipped over SQL — neither SET nor RESET
     intercept[GatewayException](
       gw.session.sql("SET spark.graft.readOnly=false"))
+    intercept[GatewayException](
+      gw.session.sql("RESET spark.graft.readOnly"))
+    intercept[GatewayException](gw.session.sql("RESET"))
+    // RESET of an unrelated key stays allowed
+    gw.session.sql("RESET spark.sql.ansi.enabled")
     // queries, SET of other keys, views, and metadata stay allowed
     assert(gw.session.sql("SELECT 1 AS a").collect()(0).getInt(0) == 1)
     gw.session.sql("SET spark.sql.ansi.enabled=false")
