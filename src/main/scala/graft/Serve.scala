@@ -5,31 +5,38 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
 import graft.engine.Gateway
 
 /** Network serving entry point — the reference's client-server role
-  * (Arrow Flight SQL on :32010, /root/reference/main.go:254-258) mapped
-  * to Spark's native wire protocol: a HiveServer2-compatible Thrift
-  * JDBC/ODBC endpoint over the gateway session (BASELINE.json
-  * "spark_approach": Spark SQL + JDBC/Thrift server).
+  * (Arrow Flight SQL on :32010, /root/reference/main.go:254-258), served
+  * on BOTH wire protocols:
   *
-  * Any JDBC client (beeline, DBeaver, the hive-jdbc driver) can run the
-  * reference's smoke queries unchanged:
+  *  - the reference's own: Arrow Flight (SQL) gRPC on
+  *    SPARK_GRAFT_FLIGHT_PORT (default 32010, main.go:254) — the
+  *    reference's pyarrow/ADBC smoke clients connect unchanged
+  *    (graft.flight.FlightServer);
+  *  - Spark's native: a HiveServer2-compatible Thrift JDBC/ODBC endpoint
+  *    (BASELINE.json "spark_approach": Spark SQL + JDBC/Thrift server).
+  *
+  * Any client can run the reference's smoke queries unchanged:
   *   SELECT 1 AS a                                   (client/main.py:11)
   *   SELECT extension_name FROM duckdb_extensions()  (client/main.go:27)
   *
-  * Usage: runMain graft.Serve [dataDir]  (port: SPARK_GRAFT_THRIFT_PORT,
-  * default 10000; blocks until killed).
+  * Usage: runMain graft.Serve [dataDir]  (ports: SPARK_GRAFT_THRIFT_PORT
+  * default 10000, SPARK_GRAFT_FLIGHT_PORT default 32010; blocks until
+  * killed).
   */
 object Serve {
-  /** Start the Thrift server on the gateway's session; returns the bound
-    * server for tests to stop.
+  /** Start both servers on the gateway's session; returns the gateway
+    * and the Flight server for tests to stop.
     */
-  def start(spark: SparkSession, dataDir: String): Gateway = {
+  def start(spark: SparkSession, dataDir: String,
+      flightPort: Int = 32010): (Gateway, graft.flight.FlightServer) = {
     val gw = Gateway.open(spark, dataDir)
     // Gateway.open sets spark.graft.readOnly on this session, so the
     // injected GraftSqlParser (ReadOnlyGuard) rejects write/DDL statements
     // from Thrift clients — the gateway-level check alone never sees them
     val classic = gw.session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     HiveThriftServer2.startWithContext(classic.sqlContext)
-    gw
+    val flight = graft.flight.FlightServer.start(gw, flightPort)
+    (gw, flight)
   }
 
   def main(args: Array[String]): Unit = {
@@ -50,8 +57,9 @@ object Serve {
       .config("hive.server2.thrift.port", port)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    start(spark, dataDir)
-    println(s"graft thrift server on port $port serving $dataDir")
+    val flightPort = sys.env.getOrElse("SPARK_GRAFT_FLIGHT_PORT", "32010").toInt
+    val (_, flight) = start(spark, dataDir, flightPort)
+    println(s"graft thrift server on port $port, flight sql on port ${flight.boundPort}, serving $dataDir")
     Thread.currentThread.join() // serve until killed
   }
 }

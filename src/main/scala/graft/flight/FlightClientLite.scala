@@ -1,0 +1,117 @@
+package graft.flight
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.sparkproject.connect.grpc.{CallOptions, ManagedChannel}
+import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+import org.sparkproject.connect.grpc.stub.ClientCalls
+
+import FlightProto._
+
+/** Minimal Flight (SQL) client over the same shaded gRPC runtime — the
+  * library-side counterpart of [[FlightServer]], shaped like the
+  * reference's two smoke clients:
+  *
+  *  - [[doGetSql]]: `do_get(Ticket(sql))` (client/main.py:11);
+  *  - [[getFlightInfo]] + [[doGet]]: the ADBC two-step with a proper
+  *    Any-wrapped CommandStatementQuery (client/main.py:21-24).
+  *
+  * Results decode through the arrow-vector IPC reader: the FlightData
+  * header/body pairs are re-joined into an IPC stream byte-for-byte
+  * identical to what the server split, so a successful read proves the
+  * wire framing, not just the happy path.
+  */
+final class FlightClientLite(host: String, port: Int) extends AutoCloseable {
+
+  private val channel: ManagedChannel = NettyChannelBuilder
+    .forAddress(host, port)
+    .usePlaintext()
+    .maxInboundMessageSize(FlightServer.MaxMessageBytes)
+    .build()
+
+  override def close(): Unit = channel.shutdownNow()
+
+  /** The python smoke client's exact shape: ticket IS the SQL text. */
+  def doGetSql(sql: String): FlightResult =
+    doGet(sql.getBytes("UTF-8"))
+
+  def doGet(ticket: Array[Byte]): FlightResult = {
+    val datas = ClientCalls.blockingServerStreamingCall(
+      channel, FlightServer.Methods.doGet, CallOptions.DEFAULT,
+      Ticket(ticket).toBytes).asScala.map(FlightData.fromBytes).toVector
+    FlightResult.fromFlightData(datas)
+  }
+
+  /** ADBC/Flight-SQL first step: Any-wrapped CommandStatementQuery. */
+  def getFlightInfo(sql: String): FlightInfo = {
+    val cmd = AnyMsg(
+      StatementQueryUrl, CommandStatementQuery(sql).toBytes).toBytes
+    val desc = FlightDescriptor(FlightDescriptor.CMD, cmd)
+    FlightInfo.fromBytes(ClientCalls.blockingUnaryCall(
+      channel, FlightServer.Methods.getFlightInfo, CallOptions.DEFAULT,
+      desc.toBytes))
+  }
+
+  def getSchema(sql: String): SchemaResult = {
+    val cmd = AnyMsg(
+      StatementQueryUrl, CommandStatementQuery(sql).toBytes).toBytes
+    val desc = FlightDescriptor(FlightDescriptor.CMD, cmd)
+    SchemaResult.fromBytes(ClientCalls.blockingUnaryCall(
+      channel, FlightServer.Methods.getSchema, CallOptions.DEFAULT,
+      desc.toBytes))
+  }
+
+  /** ADBC second step: execute the FlightInfo's endpoint ticket. */
+  def doGet(info: FlightInfo): FlightResult =
+    doGet(info.endpoints.head.ticket.ticket)
+}
+
+/** A decoded Flight result: column names + stringified row values (the
+  * spec-comparison currency; values come from arrow-vector getObject).
+  */
+final case class FlightResult(
+    columns: Seq[String],
+    rows: Seq[Seq[AnyRef]],
+    batchCount: Int)
+
+object FlightResult {
+
+  /** Re-join FlightData (header, body) pairs into an IPC stream and read
+    * it back with the stock arrow reader.
+    */
+  def fromFlightData(datas: Seq[FlightProto.FlightData]): FlightResult = {
+    val baos = new java.io.ByteArrayOutputStream()
+    datas.foreach { d =>
+      val prefix = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      prefix.putInt(-1).putInt(d.dataHeader.length)
+      baos.write(prefix.array())
+      baos.write(d.dataHeader)
+      baos.write(d.dataBody)
+    }
+    baos.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(baos.toByteArray), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val columns = root.getSchema.getFields.asScala.map(_.getName).toVector
+      val rows = Vector.newBuilder[Seq[AnyRef]]
+      var batches = 0
+      while (reader.loadNextBatch()) {
+        batches += 1
+        val vectors = root.getFieldVectors.asScala.toVector
+        (0 until root.getRowCount).foreach { i =>
+          rows += vectors.map(_.getObject(i))
+        }
+      }
+      FlightResult(columns, rows.result(), batches)
+    } finally {
+      reader.close()
+      alloc.close()
+    }
+  }
+}

@@ -22,28 +22,33 @@ object GraftArrow {
     */
   def stream(df: Dataset[Row], maxRecordsPerBatch: Int): Iterator[Array[Byte]] = {
     val classic = df.asInstanceOf[ClassicDataFrame]
-    val spark = classic.sparkSession
     // toArrowBatchRdd sizes batches from the session conf — honor the
     // caller's request (gateway sessions are per-client, so this is
     // client-scoped state)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-      maxRecordsPerBatch.toString)
-    val schema = classic.schema
+    classic.sparkSession.conf.set(
+      "spark.sql.execution.arrow.maxRecordsPerBatch", maxRecordsPerBatch.toString)
+    val batches = classic.toArrowBatchRdd.toLocalIterator
+    Iterator(schemaIpc(df)) ++ batches ++ Iterator(EOS)
+  }
+
+  /** The result schema alone as an IPC-encapsulated Schema message —
+    * what FlightInfo.schema / GetSchema carry, and what lets
+    * GetFlightInfo answer from the analyzed plan without executing.
+    */
+  def schemaIpc(df: Dataset[Row]): Array[Byte] = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    val spark = classic.sparkSession
     val timeZone = spark.sessionState.conf.sessionLocalTimeZone
     // schema must declare the same varchar/binary layout the batch
     // buffers use, or readers mis-deserialize 64-bit offsets as 32-bit
     val largeVarTypes = spark.sessionState.conf.arrowUseLargeVarTypes
     val arrowSchema = org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
-      schema, timeZone, errorOnDuplicatedFieldNames = true,
+      classic.schema, timeZone, errorOnDuplicatedFieldNames = true,
       largeVarTypes = largeVarTypes)
-    val schemaBytes: Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      val ch = java.nio.channels.Channels.newChannel(out)
-      org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
-        new org.apache.arrow.vector.ipc.WriteChannel(ch), arrowSchema)
-      out.toByteArray
-    }
-    val batches = classic.toArrowBatchRdd.toLocalIterator
-    Iterator(schemaBytes) ++ batches ++ Iterator(EOS)
+    val out = new java.io.ByteArrayOutputStream()
+    val ch = java.nio.channels.Channels.newChannel(out)
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      new org.apache.arrow.vector.ipc.WriteChannel(ch), arrowSchema)
+    out.toByteArray
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Gateway
+import graft.flight.{FlightClientLite, FlightProto, FlightServer}
+
+/** Wire-level Flight (SQL) round-trips over a real gRPC TCP socket —
+  * the reference's actual protocol (main.go:254-258), exercised in the
+  * shapes of its two smoke clients (client/main.py, client/main.go).
+  */
+class FlightSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val gw: Gateway = Gateway.open(spark, sf)
+  lazy val server: FlightServer = FlightServer.start(gw, 0) // ephemeral port
+  lazy val client: FlightClientLite = new FlightClientLite("localhost", server.boundPort)
+
+  test("reference smoke: DoGet(Ticket(SELECT 1 AS a)) — client/main.py:11") {
+    val r = client.doGetSql("SELECT 1 AS a")
+    assert(r.columns == Seq("a"))
+    assert(r.rows.map(_.head.toString) == Seq("1"))
+  }
+
+  test("ADBC two-step: GetFlightInfo(CommandStatementQuery) then DoGet(ticket)") {
+    val sql = "SELECT 2 AS a, 3 AS b"
+    val info = client.getFlightInfo(sql)
+    // schema delivered without execution, endpoint ticket = SQL (main.go:161)
+    assert(info.schema.nonEmpty)
+    assert(new String(info.endpoints.head.ticket.ticket, "UTF-8") == sql)
+    val r = client.doGet(info)
+    assert(r.columns == Seq("a", "b"))
+    assert(r.rows == Seq(Seq(2, 3)))
+  }
+
+  test("fixture table query streams typed columns") {
+    val r = client.doGetSql(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert(r.columns == Seq("r_regionkey", "r_name"))
+    assert(r.rows.length == 5)
+    assert(r.rows.head(1).toString == "AFRICA")
+  }
+
+  test("multi-batch result arrives complete") {
+    val r = client.doGetSql("SELECT l_orderkey, l_extendedprice FROM lineitem")
+    val expected = gw.sql("SELECT count(*) AS c FROM lineitem").collect()(0).getLong(0)
+    assert(r.rows.length == expected)
+    assert(r.batchCount >= 1)
+  }
+
+  test("GetSchema decodes to the analyzed schema's field names") {
+    val s = client.getSchema("SELECT o_orderdate, o_totalprice FROM orders")
+    val schema = org.apache.arrow.vector.ipc.message.MessageSerializer
+      .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(s.schema))))
+    import scala.jdk.CollectionConverters._
+    assert(schema.getFields.asScala.map(_.getName) == Seq("o_orderdate", "o_totalprice"))
+  }
+
+  test("CommandGetSqlInfo ticket serves server metadata (main.go:203-224)") {
+    val r = client.doGet("CommandGetSqlInfo".getBytes("UTF-8"))
+    val m = r.rows.map(row => row(0).toString -> row(1).toString).toMap
+    assert(m("server_name") == "graft")
+    assert(m("read_only") == "true")
+  }
+
+  test("write statements are rejected with PERMISSION_DENIED over the wire") {
+    val e = intercept[Exception](
+      client.doGetSql("CREATE TABLE hack AS SELECT 1"))
+    assert(e.getMessage.contains("PERMISSION_DENIED"))
+  }
+
+  test("invalid SQL surfaces INVALID_ARGUMENT, not a broken stream") {
+    val e = intercept[Exception](client.doGetSql("SELECT FROM WHERE"))
+    assert(e.getMessage.contains("INVALID_ARGUMENT") ||
+      e.getMessage.contains("INTERNAL"))
+  }
+
+  test("proto codec round-trips FlightInfo") {
+    val info = FlightProto.FlightInfo(
+      schema = Array[Byte](1, 2, 3),
+      descriptor = FlightProto.FlightDescriptor(
+        FlightProto.FlightDescriptor.CMD, "SELECT 1".getBytes),
+      endpoints = Seq(FlightProto.FlightEndpoint(
+        FlightProto.Ticket("t".getBytes))),
+      totalRecords = 42L, totalBytes = -1L)
+    val back = FlightProto.FlightInfo.fromBytes(info.toBytes)
+    assert(back.schema.toSeq == Seq[Byte](1, 2, 3))
+    assert(new String(back.descriptor.cmd) == "SELECT 1")
+    assert(new String(back.endpoints.head.ticket.ticket) == "t")
+    assert(back.totalRecords == 42L)
+  }
+}
