@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   * A short warmup (session init + one scan + one shuffle) runs before
   * timing so the first measured queries don't absorb JIT/codegen/session
   * startup.
+  *
+  * Noise note: per-query numbers measured under suite concurrency swing
+  * up to ~2× on the heavy tail (the window family). Measured isolated
+  * at load <4: w1/w2/w4/w5 sit at 1.8-2.1 s vs 3.0-3.5 s inside a full
+  * concurrent suite — scheduler contention, not a regression. Compare
+  * rounds on the suite wall ("value"), not individual tail queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
