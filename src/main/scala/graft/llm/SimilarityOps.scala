@@ -95,10 +95,33 @@ object SimilarityOps {
   /** Random-hyperplane LSH bucketing (the at-scale ANN candidate
     * generator): 12-bit signature from deterministic ±1 hyperplanes
     * (seeded off md5, generated driver-side — tiny, broadcast as
-    * literals). No oracle: DuckDB has no equivalent primitive; ScalaTest
-    * checks bucket-recall against brute force.
+    * literals). Oracle-checked: the hyperplanes are pure md5
+    * derivations, so DuckDB recomputes them in SQL (hex-digit parity of
+    * md5(p:d) = the Scala side's first-byte low bit) and folds the same
+    * double-precision dot product; ScalaTest separately checks
+    * bucket-recall against brute force.
     */
-  val v3 = Q.noOracle("nn_lsh_buckets") { s =>
+  val v3 = Q(
+    "nn_lsh_buckets",
+    """WITH planes AS (
+      |  SELECT p,
+      |    list_transform(range(64), d ->
+      |      CASE WHEN (strpos('0123456789abcdef',
+      |        substr(md5(p::VARCHAR || ':' || d::VARCHAR), 2, 1)) - 1) % 2 = 0
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      |  FROM range(12) t(p)),
+      |bits AS (
+      |  SELECT e.vec_id, p.p,
+      |    CASE WHEN list_dot_product(
+      |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.plane) > 0
+      |    THEN '1' ELSE '0' END AS bit
+      |  FROM embeddings e CROSS JOIN planes p),
+      |sigs AS (
+      |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      |  FROM bits GROUP BY vec_id)
+      |SELECT bucket, count(*) AS n FROM sigs GROUP BY bucket
+      |ORDER BY bucket ASC NULLS LAST""".stripMargin
+  ) { s =>
     val dim = 64
     val planes: Seq[Array[Double]] = (0 until 12).map { p =>
       val md = java.security.MessageDigest.getInstance("MD5")
