@@ -35,9 +35,13 @@ object MultimodalOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  /** Decoded "image" metadata for every payload. */
+  /** Decoded "image" metadata for every payload. Fields are Option so a
+    * NULL payload yields a row of NULL metadata (DuckDB: md5(NULL)=NULL)
+    * instead of crashing the decode task.
+    */
   final case class MediaMeta(
-      doc_id: Long, width: Int, height: Int, channels: Int, n_frames: Int)
+      doc_id: Long, width: Option[Int], height: Option[Int],
+      channels: Option[Int], n_frames: Option[Int])
 
   /** Typed decode stage: Dataset[(id, bytes)] → mapPartitions →
     * Dataset[MediaMeta]. The per-partition loop is where a real codec
@@ -70,14 +74,18 @@ object MultimodalOps {
       // real pipeline: one codec context per partition, opened here
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
-        // ??? <- real decode goes here; md5-derived fake below
-        digest.reset()
-        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
-        MediaMeta(id,
-          width = 64 + (hex(0).toInt * 256 + hex(1).toInt) % 512,
-          height = 64 + (hex(2).toInt * 256 + hex(3).toInt) % 512,
-          channels = 1 + hex(4).toInt % 3,
-          n_frames = 1 + hex(5).toInt % 16)
+        if (bytes == null) // oracle: md5(NULL) = NULL → all-NULL metadata
+          MediaMeta(id, None, None, None, None)
+        else {
+          // ??? <- real decode goes here; md5-derived fake below
+          digest.reset()
+          val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaMeta(id,
+            width = Some(64 + (hex(0).toInt * 256 + hex(1).toInt) % 512),
+            height = Some(64 + (hex(2).toInt * 256 + hex(3).toInt) % 512),
+            channels = Some(1 + hex(4).toInt % 3),
+            n_frames = Some(1 + hex(5).toInt % 16))
+        }
       }
     }.toDF()
       .orderBy(col("doc_id").asc_nulls_last)

@@ -168,15 +168,35 @@ object GeneratorQueries {
     * ON col USING agg` which never takes a static list. Missing combos
     * are 0 (DuckDB count pivot semantics).
     */
+  /** Hard cap on a dynamic pivot's discovered column set. A pivot wider
+    * than this is a modeling error; the limit(max+1) keeps the distinct
+    * scan's driver-side result bounded even when the input column is
+    * high-cardinality at scale (the shuffle still runs, but the collect
+    * can never exceed max+1 rows).
+    */
+  private[graft] val MaxPivotColumns = 10000
+
+  /** Discover a pivot domain with the cardinality guard enforced, not
+    * advisory: collect at most max+1 distinct values and fail fast if
+    * the domain exceeds the cap.
+    */
+  private[graft] def pivotDomain(df: DataFrame, column: String): Seq[String] = {
+    val values = df.select(col(column)).distinct()
+      .limit(MaxPivotColumns + 1).collect().map(_.getString(0))
+    if (values.length > MaxPivotColumns)
+      throw new IllegalArgumentException(
+        s"dynamic pivot on '$column' exceeds $MaxPivotColumns distinct values; " +
+          "pivot on a lower-cardinality column or supply an explicit IN list")
+    values.sorted.toSeq
+  }
+
   val t4c = Q(
     "t4_pivot_dynamic",
     """PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus
       |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
   ) { s =>
-    // pass 1: the pivot column's value set (small by construction —
-    // a pivot wider than a few thousand columns is a modeling error)
-    val values = s.table("orders").select(col("o_orderpriority"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // pass 1: the pivot column's value set, cardinality-capped
+    val values = pivotDomain(s.table("orders"), "o_orderpriority")
     s.table("orders")
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", values)

@@ -186,8 +186,13 @@ object WindowQueries {
       |      FROM orders WHERE o_custkey < 30) t
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
   ) { s =>
+    // NULL dates take a sentinel max-year so they survive the offset
+    // equi-join below AND land in the last peer group, matching the
+    // oracle's NULLS-LAST dense_rank (countDistinct skips NULL dates, so
+    // the sentinel year contributes no offset — correct, nothing follows
+    // it). year(NULL) would otherwise silently drop the row at the join.
     val base = s.table("orders").filter(col("o_custkey") < 30)
-      .withColumn("__y", year(col("o_orderdate")))
+      .withColumn("__y", coalesce(year(col("o_orderdate")), lit(Int.MaxValue)))
     // per-year local dense rank: the ONLY row-scale window, partitioned
     val ranked = base.withColumn("__dr_local",
       dense_rank().over(

@@ -127,6 +127,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(cols.size == 6) // o_orderstatus + 5 priorities
   }
 
+  test("dynamic pivot rejects a domain wider than the hard cap") {
+    import graft.operators.GeneratorQueries
+    val wide = spark.range(GeneratorQueries.MaxPivotColumns + 1L)
+      .select(concat(lit("v"), col("id")).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      GeneratorQueries.pivotDomain(wide, "v")
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // at the cap exactly: allowed
+    val ok = spark.range(3).select(concat(lit("v"), col("id")).as("v"))
+    assert(GeneratorQueries.pivotDomain(ok, "v") == Seq("v0", "v1", "v2"))
+  }
+
+  test("mm_decode_stub: NULL payload yields NULL metadata, not a crash") {
+    import spark.implicits._
+    // memoize fixture registration so the shadow view below isn't replaced
+    SparkEntry.queries("mm_decode_stub")(spark, sf)
+    try {
+      Seq((1L, Some("hello")), (2L, None: Option[String]))
+        .toDF("doc_id", "text").createOrReplaceTempView("documents")
+      val rows = SparkEntry.queries("mm_decode_stub")(spark, sf).collect()
+      assert(rows.length == 2)
+      val nullRow = rows.find(_.getLong(0) == 2L).get
+      assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) &&
+        nullRow.isNullAt(3) && nullRow.isNullAt(4))
+      assert(!rows.find(_.getLong(0) == 1L).get.isNullAt(1))
+    } finally graft.engine.Tables.load(spark, sf, "documents")
+      .createOrReplaceTempView("documents")
+  }
+
+  test("w6 GROUPS rewrite preserves rows with NULL order dates") {
+    import spark.implicits._
+    SparkEntry.queries("w6_groups_frame")(spark, sf) // memoize registration
+    try {
+      Seq(
+        (1L, Some(java.sql.Date.valueOf("1995-01-01")), 10.0, 1L),
+        (2L, Some(java.sql.Date.valueOf("1995-01-02")), 20.0, 2L),
+        (3L, None: Option[java.sql.Date], 30.0, 3L))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
+        .createOrReplaceTempView("orders")
+      val out = SparkEntry.queries("w6_groups_frame")(spark, sf).collect()
+      assert(out.length == 3, "NULL-date row must survive the offset join")
+      // NULL date = last peer group (rank 3): frame covers ranks 2..3 → 50
+      val nullDateRow = out.find(_.getLong(0) == 3L).get
+      assert(nullDateRow.getDouble(2) == 50.0)
+      // rank-2 row's frame covers all three ranks → 60
+      assert(out.find(_.getLong(0) == 2L).get.getDouble(2) == 60.0)
+    } finally graft.engine.Tables.load(spark, sf, "orders")
+      .createOrReplaceTempView("orders")
+  }
+
   test("jaro/jaro-winkler: known values, edge cases, SQL shim") {
     import graft.engine.expressions.StringSim
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}

@@ -44,7 +44,9 @@ def compare(name, ours, oracle):
     try:
         ours = ours.sort_values(by=ocols, kind="mergesort").reset_index(drop=True)
         oracle = oracle.sort_values(by=ocols, kind="mergesort").reset_index(drop=True)
-    except TypeError as e:
+    except (TypeError, ValueError) as e:
+        # object columns holding numpy arrays raise ValueError ("truth
+        # value of an array is ambiguous"), not just TypeError
         return f"HARNESS-ERR (driver comparator would crash): {e}"
     # Driver-observed rule (r01): integer WIDTH diffs hash equal (w1_ranking
     # int32-vs-int64 passed) but KIND diffs fail (f_math int-vs-float,
@@ -61,9 +63,15 @@ def compare(name, ours, oracle):
     for c in ocols:
         a, b = list(ours[c]), list(oracle[c])
         for i, (x, y) in enumerate(zip(a, b)):
-            if _isna_scalar(x) and _isna_scalar(y):
-                continue
-            if x != y:
+            try:
+                if _isna_scalar(x) and _isna_scalar(y):
+                    continue
+                differs = x != y
+                if hasattr(differs, "any"):  # array cell → elementwise result
+                    differs = bool(getattr(differs, "any")())
+            except (TypeError, ValueError) as e:
+                return f"HARNESS-ERR (driver comparator would crash): {e}"
+            if differs:
                 note = ""
                 if isinstance(x, float) and isinstance(y, float) and y and abs(x - y) / max(abs(y), 1e-300) < 1e-9:
                     note = " (within 1e-9 rel — float-order issue)"
