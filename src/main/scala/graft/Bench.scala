@@ -38,6 +38,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same ANSI default as Verify/Serve (SURVEY §7.3): on, green either way
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -54,6 +54,11 @@ object Serve {
       // DuckDB dialect at the parser level, so raw JDBC SQL (which never
       // passes through Gateway.sql) still gets the rewrites
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      // ANSI on by default (SURVEY §7.3): DuckDB errors on overflow and
+      // invalid casts; so should the serving engine. SPARK_GRAFT_ANSI=false
+      // opts back into Spark's permissive NULL-on-error behavior.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("hive.server2.thrift.port", port)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ANSI on by default (SURVEY §7.3): matches DuckDB's
+      // error-on-overflow/invalid-cast. Audited 2026-08-12: the full
+      // suite is green under BOTH settings (queries are cast-disciplined,
+      // TRY_CAST carries the intentional NULL-on-error cases), so the
+      // flag changes error behavior, not results. SPARK_GRAFT_ANSI=false
+      // opts out.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

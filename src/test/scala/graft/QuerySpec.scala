@@ -11,6 +11,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same ANSI default as Verify/Bench/Serve (SURVEY §7.3)
+      .config("spark.sql.ansi.enabled", "true")
       // the full serving stack (dialect parser + ASOF strategy +
       // ReadOnlyGuard) — every spec's SQL exercises the injected parser
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
