@@ -148,12 +148,9 @@ object Gateway {
     */
   private def registerCatalogViews(sess: SparkSession): Unit = {
     import sess.implicits._
-    // snapshot first: only the fixture relations, none of the
-    // introspection views being registered below
-    val tables = sess.catalog.listTables().collect().toSeq
-      .map(t => ("memory", "main", t.name, t.tableType))
     // "extensions" = the engine's statically-linked capability surface
-    // (SURVEY §2.12 D2/D4: extension INSTALL is a closed no-op here)
+    // (SURVEY §2.12 D2/D4: extension INSTALL is a closed no-op here) —
+    // genuinely static, so a plain local relation is the honest shape
     Seq(
       ("core_functions", true, true), ("parquet", true, true),
       ("json", true, true), ("csv", true, true),
@@ -161,22 +158,15 @@ object Gateway {
       ("httpfs", false, false), ("airport", false, false))
       .toDF("extension_name", "loaded", "installed")
       .createOrReplaceTempView("duckdb_extensions")
-    // fixture relations are temp views over parquet — DuckDB-side they
-    // are the attached database's tables, so report type, not "view"
-    tables.toDF("database_name", "schema_name", "table_name", "table_type")
-      .createOrReplaceTempView("duckdb_tables")
-    tables.filter(_._4.equalsIgnoreCase("VIEW"))
-      .map { case (d, s2, n, _) => (d, s2, n) }
-      .toDF("database_name", "schema_name", "view_name")
-      .createOrReplaceTempView("duckdb_views")
-    sess.catalog.listFunctions().collect().toSeq
-      .map(f => ("memory", "main", f.name, f.isTemporary))
-      .toDF("database_name", "schema_name", "function_name", "is_temporary")
-      .createOrReplaceTempView("duckdb_functions")
-    sess.conf.getAll.toSeq
-      .map { case (k, v) => (k, v) }
-      .toDF("name", "value")
-      .createOrReplaceTempView("duckdb_settings")
+    // the rest are LIVE (DuckDB semantics): each query re-reads the
+    // session catalog at scan-planning time via the V2 source, so DDL
+    // after open() — CREATE VIEW, SET — is visible immediately
+    val key = graft.sources.LiveCatalog.registerSession(sess)
+    Seq("tables", "views", "functions", "settings").foreach { v =>
+      sess.read.format("graft.sources.LiveCatalogSource")
+        .option("view", v).option("session", key)
+        .load().createOrReplaceTempView(s"duckdb_$v")
+    }
   }
 
   /** Open a gateway over a cloned session (isolated SET/temp-view state),

@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.lang.ref.WeakReference
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Live `duckdb_*` catalog views (SURVEY §2.1 S7, §2.12): DuckDB's
+  * `duckdb_tables()` / `duckdb_settings()` / … are LIVE table functions —
+  * a client that creates a view and then lists tables sees it
+  * (reference surface: /root/reference/main.go:77 runs
+  * `SELECT … FROM duckdb_extensions()`). A snapshot DataFrame taken at
+  * Gateway.open can't express that, so these views are backed by a
+  * DataSource V2 table whose scan re-reads the owning session's catalog
+  * at PLANNING time, once per query: `planInputPartitions` runs on the
+  * driver where the catalog lives, embeds the (tiny — catalog-sized)
+  * row set into the single input partition, and executors just replay
+  * it. No executor ever touches driver state, so the same plan shape is
+  * valid on a real cluster.
+  */
+object LiveCatalog {
+
+  val schemas: Map[String, StructType] = Map(
+    "tables" -> StructType(Seq(
+      StructField("database_name", StringType),
+      StructField("schema_name", StringType),
+      StructField("table_name", StringType),
+      StructField("table_type", StringType))),
+    "views" -> StructType(Seq(
+      StructField("database_name", StringType),
+      StructField("schema_name", StringType),
+      StructField("view_name", StringType))),
+    "functions" -> StructType(Seq(
+      StructField("database_name", StringType),
+      StructField("schema_name", StringType),
+      StructField("function_name", StringType),
+      StructField("is_temporary", BooleanType))),
+    "settings" -> StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", StringType))))
+
+  /** Sessions are resolved through a weak registry: the scan carries only
+    * a string key (serializable into the plan), and a closed gateway's
+    * session stays collectable (same rationale as Tables.current).
+    */
+  private val sessions =
+    new ConcurrentHashMap[String, WeakReference[SparkSession]]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def registerSession(sess: SparkSession): String = {
+    val key = s"sess-${nextId.incrementAndGet()}"
+    sessions.put(key, new WeakReference(sess))
+    key
+  }
+
+  private def resolve(key: String): SparkSession =
+    Option(sessions.get(key)).flatMap(r => Option(r.get()))
+      .getOrElse(throw new IllegalStateException(
+        s"live catalog: owning session '$key' is gone"))
+
+  /** The introspection views never list themselves (DuckDB's are
+    * functions, not catalog objects).
+    */
+  private def isSelf(name: String): Boolean = name.startsWith("duckdb_")
+
+  /** Driver-side catalog read; one call per query referencing the view. */
+  def rows(view: String, sessionKey: String): Array[Array[Any]] = {
+    val sess = resolve(sessionKey)
+    view match {
+      case "tables" =>
+        sess.catalog.listTables().collect()
+          .filterNot(t => isSelf(t.name))
+          .map(t => Array[Any]("memory", "main", t.name, t.tableType))
+      case "views" =>
+        sess.catalog.listTables().collect()
+          .filter(t => t.tableType.equalsIgnoreCase("VIEW") && !isSelf(t.name))
+          .map(t => Array[Any]("memory", "main", t.name))
+      case "functions" =>
+        sess.catalog.listFunctions().collect()
+          .map(f => Array[Any]("memory", "main", f.name,
+            java.lang.Boolean.valueOf(f.isTemporary)))
+      case "settings" =>
+        sess.conf.getAll.toArray.sortBy(_._1)
+          .map { case (k, v) => Array[Any](k, v) }
+      case other =>
+        throw new IllegalArgumentException(s"unknown catalog view: $other")
+    }
+  }
+}
+
+/** `spark.read.format("graft.sources.LiveCatalogSource")
+  *   .option("view", "tables").option("session", key).load()`
+  */
+final class LiveCatalogSource extends TableProvider {
+  private def opt(m: java.util.Map[String, String], k: String): String = {
+    val v = Option(m.get(k)).orElse(Option(m.get(k.toLowerCase))).orNull
+    require(v != null, s"LiveCatalogSource requires option '$k'")
+    v
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LiveCatalog.schemas(opt(options, "view"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new LiveCatalogTable(opt(properties, "view"), opt(properties, "session"))
+}
+
+final class LiveCatalogTable(view: String, sessionKey: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"duckdb_$view"
+  override def schema(): StructType = LiveCatalog.schemas(view)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LiveCatalogScan(view, sessionKey)
+    }
+}
+
+final class LiveCatalogScan(view: String, sessionKey: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = LiveCatalog.schemas(view)
+  override def toBatch: Batch = this
+  override def description(): String = s"LiveCatalog(duckdb_$view)"
+
+  // driver-side, per query execution: this is where "live" happens
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LiveCatalogPartition(LiveCatalog.rows(view, sessionKey)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rows = p.asInstanceOf[LiveCatalogPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(rows(i).toSeq.map {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            })
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** Row payload rides inside the partition (catalog-sized, a few KB). */
+final case class LiveCatalogPartition(rows: Array[Array[Any]])
+    extends InputPartition

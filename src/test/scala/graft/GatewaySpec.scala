@@ -158,6 +158,26 @@ class GatewaySpec extends AnyFunSuite {
     assert(Set("lineitem", "orders", "documents").subsetOf(names))
   }
 
+  test("duckdb_tables() is LIVE: a view created after open() is listed") {
+    gw.sql("CREATE TEMP VIEW __live_probe AS SELECT 1 AS x").collect()
+    try {
+      val names = gw.sql("SELECT table_name FROM duckdb_tables()")
+        .collect().map(_.getString(0)).toSet
+      assert(names.contains("__live_probe"),
+        s"live catalog must list post-open DDL; got $names")
+      // and the introspection views never list themselves
+      assert(!names.exists(_.startsWith("duckdb_")))
+    } finally gw.session.catalog.dropTempView("__live_probe")
+  }
+
+  test("duckdb_settings() is LIVE: SET is visible on the next query") {
+    gw.sql("SET spark.graft.live_probe=42").collect()
+    val v = gw.sql(
+      "SELECT value FROM duckdb_settings() WHERE name = 'spark.graft.live_probe'")
+      .collect()
+    assert(v.length == 1 && v(0).getString(0) == "42")
+  }
+
   test("GraftSqlParser applies dialect rewrites at the parser level") {
     val parser = new graft.engine.GraftSqlParser(
       spark.sessionState.sqlParser)
