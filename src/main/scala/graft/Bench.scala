@@ -61,6 +61,23 @@ object Bench {
         |  explode(split(text, ' ')) AS t
         |FROM (SELECT * FROM documents LIMIT 200)""".stripMargin)
       .write.format("noop").mode("overwrite").save()
+    // recursion path: a 3-round toy fixpoint on an interpreted-mode
+    // session warms the InterpretedUnsafeProjection / except / coalesce
+    // machinery that the codegen warmups above never touch (t6 runs its
+    // fixpoint interpreted; without this it absorbs that class-init)
+    locally {
+      import org.apache.spark.sql.functions.{col, explode, try_element_at, typedLit}
+      val isoW = spark.newSession()
+      isoW.conf.set("spark.sql.codegen.wholeStage", "false")
+      isoW.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      isoW.conf.set("spark.sql.shuffle.partitions", "1")
+      isoW.conf.set("spark.sql.adaptive.enabled", "false")
+      val hop = typedLit(Map(0L -> Seq(1L), 1L -> Seq(2L)))
+      graft.engine.Recursive.fixpoint(
+        isoW.range(1).toDF("n"), maxIter = 8, unroll = 2) { f =>
+        f.select(explode(try_element_at(hop, col("n"))).as("n"))
+      }
+    }
 
     // dev knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite (perf
     // iteration on a single query without the full-suite wall)

@@ -45,34 +45,71 @@ object Recursive {
       step: DataFrame => DataFrame): DataFrame = {
     // Tiny deltas — the common fixpoint case — coalesce to one
     // partition before the checkpoint, so a round materializes as a
-    // single one-task job and the emptiness take(1) touches one
-    // partition; the gate is the optimizer's size estimate, accurate
-    // here because the plan's leaves are already-materialized
-    // checkpoints. localCheckpoint (not persist): persist would
-    // register every round's delta in the context-shared CacheManager,
-    // whose plan-canonicalization lookups grow with entries and plan
-    // depth — measured 3.7→13s on the FINAL round across repeated runs
-    // — while the checkpoint cuts lineage to a LogicalRDD with no
-    // registry at all.
-    def materialize(df: DataFrame): (DataFrame, Boolean) = {
-      val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val shaped = if (sizeEst < (64L << 20)) df.coalesce(1) else df
-      val cp = shaped.localCheckpoint()
-      (cp, cp.isEmpty)
+    // single one-task job; the gate is the optimizer's size estimate,
+    // accurate here because the plan's leaves are already-materialized
+    // checkpoints with carried stats. localCheckpointWithCount (not
+    // stock localCheckpoint + isEmpty): one job per round instead of
+    // two, and the checkpoint keeps the origin plan's stats so
+    // `except(acc)` stays a BROADCAST anti-join on small state instead
+    // of degenerating to sort-merge against a stats-less LogicalRDD.
+    // Not persist: persist would register every round's delta in the
+    // context-shared CacheManager, whose plan-canonicalization lookups
+    // grow with entries and plan depth — measured 3.7→13s on the FINAL
+    // round across repeated runs — while the checkpoint cuts lineage.
+    // Micro-state fast path: fixpoint state estimated under the
+    // broadcast-threshold-sized gate materializes as a driver-LOCAL
+    // relation (collect + LocalRelation) instead of a checkpointed RDD.
+    // That is the same size-class judgment every broadcast join makes —
+    // this state would ride to every executor as a broadcast anyway in
+    // the next round's anti-join — and it makes a micro round exactly
+    // ONE job: the anti-join's build side is a LocalRelation (broadcast
+    // built driver-side, no collect job), the frontier branches are
+    // projections over LocalRelation, and the count is the collected
+    // length. State that outgrows the gate switches to the distributed
+    // path: localCheckpointWithCount (one job, count ridden, origin
+    // stats carried so `except(acc)` keeps auto-broadcasting small acc
+    // instead of degenerating to sort-merge against a stats-less
+    // LogicalRDD). Not persist: persist would register every round's
+    // delta in the context-shared CacheManager, whose plan-
+    // canonicalization lookups grow with entries and plan depth —
+    // measured 3.7→13s on the FINAL round across repeated runs.
+    val microBytes = 8L << 20
+    val bigBytes = 64L << 20
+    var microState = true // all deltas so far were driver-local-sized
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est < microBytes) {
+        val rows = df.collect()
+        val local = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+        (local, rows.length.toLong)
+      } else {
+        microState = false
+        org.apache.spark.sql.GraftPlans.localCheckpointWithCount(
+          if (est < bigBytes) df.coalesce(1) else df)
+      }
     }
-    val (first, e0) = materialize(seed.distinct())
+    val (first, n0) = materialize(seed.distinct())
     var acc = first
     var frontier = first
     var iters = 0
-    var converged = e0
+    var converged = n0 == 0L
     while (!converged && iters < maxIter) {
       val u = math.max(1, math.min(unroll, maxIter - iters))
       // u lazy step compositions; plan depth grows linearly in u
       val chain = Iterator.iterate(step(frontier))(step).take(u).toSeq
-      val (delta, empty) = materialize(
-        chain.reduce(_ union _).except(acc)) // EXCEPT is distinct by definition
+      val chainU = chain.reduce(_ union _)
+      // EXCEPT (distinct by definition); while the state is micro, the
+      // union coalesces to one partition BELOW the except — CoalesceExec(1)
+      // reports SinglePartition, which satisfies the distinct's and
+      // anti-join's required distributions, so the round plans with no
+      // exchange at all
+      val pre =
+        if (microState) chainU.coalesce(1).except(acc)
+        else chainU.except(acc)
+      val (delta, n) = materialize(pre)
       iters += u
-      if (empty) converged = true
+      if (n == 0L) converged = true
       else {
         acc = acc.union(delta)
         frontier = delta

@@ -245,26 +245,37 @@ object GeneratorQueries {
     iso.conf.set("spark.sql.codegen.wholeStage", "false")
     iso.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     iso.conf.set("spark.sql.shuffle.partitions", "1")
+    // AQE re-plans + stage-materializes every round's micro-job; at
+    // ≤25-row deltas that's pure overhead (measured ~2× per round)
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
     // only the one table the recursion reads — a full register would
     // pay 10 parquet footer reads on the cold isolated session
     graft.engine.Tables.load(iso, dir, "nation").createOrReplaceTempView("nation")
     val nk = col("n_nationkey")
-    // the edge relation is static across rounds — cache it (leak-bounded)
-    // so each round's joins broadcast from memory instead of re-scanning
-    // parquet; CacheManager is context-shared, so the cache survives the
-    // per-call session
-    val edges = graft.engine.CacheOnce("t6_edges",
-      iso.table("nation").filter(nk + 4 <= 24)
-        .select(nk.cast(LongType).as("a"), (nk + 4).cast(LongType).as("b"))
-        .union(iso.table("nation").filter(nk * 2 + 3 <= 24)
-          .select(nk.cast(LongType).as("a"), (nk * 2 + 3).cast(LongType).as("b"))))
+    // The edge relation is bounded by construction (≤25 nation keys), so
+    // inline it as a MAP LITERAL: each fixpoint step becomes a pure
+    // projection (explode of a map lookup) with ZERO exchanges — the
+    // same data movement as a broadcast join, but the "broadcast" rides
+    // the serialized plan instead of a per-round exchange job (measured
+    // ~2× per round vs broadcast-join steps). This is the inlined-
+    // dimension special case; unbounded edge relations keep the general
+    // broadcast-join step form — Recursive.fixpoint takes any
+    // DataFrame => DataFrame and doesn't care which.
+    val edgeMap: Map[Long, Seq[Long]] =
+      iso.table("nation").select(nk.cast(LongType)).collect().map(_.getLong(0))
+        .flatMap(a => Seq(a -> (a + 4), a -> (2 * a + 3)).filter(_._2 <= 24))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).toSeq) }
+    val edgeLookup = typedLit(edgeMap)
     val seed = iso.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
-    // name-resolved join (fixpoint contract): in-batch frontiers keep
-    // lineage, so parent-bound refs like edges("a") would be ambiguous
-    val reached = graft.engine.Recursive.fixpoint(seed, maxIter = 30) { frontier =>
-      frontier.withColumnRenamed("node", "a")
-        .join(broadcast(edges), Seq("a"))
-        .select(col("b").as("node"), (col("depth") + 1).as("depth"))
+    // unroll 8: the +4 chain bounds the longest path at 6 hops, so one
+    // unrolled round enumerates every (node, depth) pair and the second
+    // is the empty-delta convergence check — 2 materializations total.
+    // try_element_at (not element_at): missing key must be a no-match
+    // (NULL → explode drops the row), not an ANSI error.
+    val reached = graft.engine.Recursive.fixpoint(seed, maxIter = 32, unroll = 8) { frontier =>
+      frontier.select(
+        explode(try_element_at(edgeLookup, col("node"))).as("node"),
+        (col("depth") + 1).as("depth"))
     }
     reached.groupBy(col("node"))
       .agg(min(col("depth")).cast(IntegerType).as("depth"))

@@ -13,4 +13,26 @@ object GraftPlans {
 
   def analyzed(df: Dataset[Row]): LogicalPlan =
     df.asInstanceOf[ClassicDataFrame].queryExecution.analyzed
+
+  /** `Dataset.localCheckpoint(eager = true)` with two differences that
+    * matter for iterative fixpoints (graft.engine.Recursive):
+    *  - the materializing `count()` is RETURNED, so the caller's
+    *    emptiness test costs zero extra jobs (stock localCheckpoint
+    *    counts internally and discards the number);
+    *  - `LogicalRDD.fromDataset` carries the ORIGIN plan's stats onto
+    *    the checkpoint, so downstream joins against it keep auto-
+    *    broadcasting (a bare LogicalRDD reports the default huge size
+    *    and forces sort-merge).
+    * Same contract as stock: rows are copied before caching (toRdd
+    * reuses unsafe row buffers), lineage is cut.
+    */
+  def localCheckpointWithCount(df: Dataset[Row]): (DataFrame, Long) = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val cnt = rdd.count() // materializes the checkpoint
+    val lr = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, classic, isStreaming = false)
+    (ClassicDataset.ofRows(classic.sparkSession, lr), cnt)
+  }
 }
