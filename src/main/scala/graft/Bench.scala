@@ -61,6 +61,33 @@ object Bench {
         |  explode(split(text, ' ')) AS t
         |FROM (SELECT * FROM documents LIMIT 200)""".stripMargin)
       .write.format("noop").mode("overwrite").save()
+    // aggregate families with expensive first-use codegen: DISTINCT
+    // aggregates (Expand rewrite), HLL sketches, exact percentiles and
+    // mode — each family's first measured query otherwise absorbs
+    // ~1.5-2s of class-generation on truncated input
+    spark.sql(
+      """SELECT count(DISTINCT l_suppkey), sum(DISTINCT l_linenumber),
+        |  approx_count_distinct(l_partkey),
+        |  percentile(l_quantity, array(0.25, 0.5)),
+        |  median(l_extendedprice), mode(l_linenumber),
+        |  any_value(l_linestatus)
+        |FROM (SELECT * FROM lineitem LIMIT 1000) GROUP BY l_returnflag""".stripMargin)
+      .write.format("noop").mode("overwrite").save()
+    // custom codegen kernels (MinHashSig/Shingles3, jaro/jw, vector
+    // math): each compiles its generated code at first use — measured
+    // ~3s cold-vs-warm on dd_minhash_lsh alone
+    locally {
+      import org.apache.spark.sql.functions.{array, col, lit}
+      import graft.engine.GraftColumns
+      spark.table("documents").limit(50).select(
+        GraftColumns.minhashSig(col("text"), 8).as("sig"),
+        GraftColumns.shingles3(col("text")).as("sh"),
+        GraftColumns.jaro(col("text"), lit("warm")).as("j"),
+        GraftColumns.jaroWinkler(col("text"), lit("warm")).as("jw"),
+        GraftColumns.cosine(array(lit(1.0d), lit(2.0d)),
+          array(lit(2.0d), lit(1.0d))).as("c"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // recursion path: a 3-round toy fixpoint on an interpreted-mode
     // session warms the InterpretedUnsafeProjection / except / coalesce
     // machinery that the codegen warmups above never touch (t6 runs its
