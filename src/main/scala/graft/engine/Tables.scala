@@ -64,4 +64,11 @@ object Tables {
         current.put(spark, dir)
       }
     }
+
+  /** The fixture dir this session's views were registered from — a
+    * stable identity for per-dataset memos (e.g. the IVF index's trained
+    * centroids) when a query body only receives the session.
+    */
+  def dirOf(spark: SparkSession): Option[String] =
+    current.synchronized(Option(current.get(spark)))
 }

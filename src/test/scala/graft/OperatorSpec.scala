@@ -4,6 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.AsOfJoin
+import graft.llm.KMeans
 
 /** Semantics tests for the custom operators, on hand-built inputs with
   * known answers (the DuckDB differential gate covers fixture-scale
@@ -215,6 +216,31 @@ class OperatorSpec extends AnyFunSuite {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == naive)
     assert(naive.nonEmpty)
+  }
+
+  test("KMeans.lloyd recovers well-separated planted clusters") {
+    import spark.implicits._
+    // 3 planted clusters on orthogonal axes, 20 points each, small jitter
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.0)
+      base(c) = 10.0
+      base(c + 3) = 5.0
+      // deterministic jitter from the index
+      (i.toLong, base.map(_ + (i * 7 % 5) * 0.01))
+    }
+    val df = pts.toDF("id", "vec")
+    val init = Seq(0 -> pts(0)._2, 1 -> pts(1)._2, 2 -> pts(2)._2)
+    val cents = KMeans.lloyd(df, "vec", init, iters = 4)
+    assert(cents.size == 3)
+    // each planted cluster's dominant axis must dominate one centroid
+    val axes = cents.map { case (_, v) => v.zipWithIndex.maxBy(_._1)._2 }.toSet
+    assert(axes == Set(0, 1, 2), s"centroid dominant axes: $axes")
+    // and centroids sit near the planted mean (10.0 on the axis)
+    cents.foreach { case (_, v) => assert(math.abs(v.max - 10.0) < 0.2) }
+    // determinism: same init, same data → identical result
+    val again = KMeans.lloyd(df, "vec", init, iters = 4)
+    assert(cents.map(_._2.toSeq) == again.map(_._2.toSeq))
   }
 
   test("IVF top-k recall >= 0.7 vs brute force") {
