@@ -50,6 +50,31 @@ object EventStream {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** Streaming EXACT DEDUP — the training-pipeline dedup stage
+    * (llm.DedupOps) in its incremental form: drop any row whose key was
+    * already seen, with the dedup state BOUNDED by the event-time
+    * watermark instead of growing with history. A duplicate arriving in
+    * a later micro-batch than its original is still dropped as long as
+    * it lands within the lateness bound; state for keys older than the
+    * watermark is evicted. Batch equivalence: the identical call on a
+    * bounded frame is a plain dropDuplicates — the spec's oracle.
+    *
+    * At 100 TB/day this is the ingest-side filter in front of the batch
+    * MinHash pass: hash-partitioned state store on the dedup key (the
+    * digest, never the payload — same shuffle discipline as dd_exact).
+    */
+  def dedupExact(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast(TimestampType))
+      .withWatermark(tsCol, lateness)
+      // key + event-time: Spark evicts per-key state once the watermark
+      // passes its event time, so memory is O(keys within the bound)
+      .dropDuplicates(keyCols :+ tsCol)
+
   final case class Click(userId: Long, ts: java.sql.Timestamp, eventType: String)
   final case class RunState(best: Int, cur: Int, lastType: String, lastTs: Long)
   final case class UserRun(userId: Long, runLength: Int, lastType: String)

@@ -55,6 +55,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_.getAs[Long]("user_id") == 1L).get.getAs[Long]("n_events") == 4)
   }
 
+  test("dedupExact: cross-micro-batch duplicate dropped, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (1, ts0) appears in batch 1 AND again in batch 2 → one survivor;
+    // (2, ts2) appears twice within batch 1 → one survivor
+    val b1 = Seq((1L, ts(0), "view", 1.0), (2L, ts(2), "view", 4.0),
+      (2L, ts(2), "view", 4.0))
+    val b2 = Seq((1L, ts(0), "view", 1.0), (3L, ts(3), "buy", 7.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(b1)
+    mem.addData(b2)
+    val streamDf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStream.dedupExact(streamDf, Seq("user_id")).writeStream
+      .format("memory").queryName("dd_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dd_stream")
+      .orderBy("user_id", "ts").collect().toSeq
+    val batch = EventStream.dedupExact(eventsDf(b1 ++ b2), Seq("user_id"))
+      .orderBy("user_id", "ts").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getAs[Long]("user_id")) == Seq(1L, 2L, 3L))
+  }
+
   test("longestRunPerUser: run spanning micro-batches is counted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
