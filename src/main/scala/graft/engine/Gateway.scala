@@ -140,11 +140,13 @@ object Gateway {
     * (S7 of SURVEY §2.1; the reference's smoke client runs
     * `SELECT extension_name FROM duckdb_extensions() WHERE installed`,
     * /root/reference/main.go:77 and client/main.go:27 — Dialect.rewrite
-    * turns the `()` call into these view names). The views are SNAPSHOTS
-    * taken at open() (DuckDB's are live; a live analog would need a
-    * custom TableProvider — documented static limitation). The
-    * data-table snapshot is taken BEFORE any duckdb_* view registers, so
-    * the catalog surface never lists an arbitrary subset of itself.
+    * turns the `()` call into these view names). duckdb_tables/views/
+    * functions/settings are LIVE, DuckDB-style: backed by
+    * sources.LiveCatalogSource, a DataSource V2 table whose scan
+    * re-reads the session catalog at planning time, so DDL issued after
+    * open() is visible to the next query. Only duckdb_extensions is a
+    * static local relation — the capability surface it reports IS
+    * static. The introspection views never list themselves.
     */
   private def registerCatalogViews(sess: SparkSession): Unit = {
     import sess.implicits._

@@ -43,19 +43,6 @@ object Recursive {
     */
   def fixpoint(seed: DataFrame, maxIter: Int = 100, unroll: Int = 4)(
       step: DataFrame => DataFrame): DataFrame = {
-    // Tiny deltas — the common fixpoint case — coalesce to one
-    // partition before the checkpoint, so a round materializes as a
-    // single one-task job; the gate is the optimizer's size estimate,
-    // accurate here because the plan's leaves are already-materialized
-    // checkpoints with carried stats. localCheckpointWithCount (not
-    // stock localCheckpoint + isEmpty): one job per round instead of
-    // two, and the checkpoint keeps the origin plan's stats so
-    // `except(acc)` stays a BROADCAST anti-join on small state instead
-    // of degenerating to sort-merge against a stats-less LogicalRDD.
-    // Not persist: persist would register every round's delta in the
-    // context-shared CacheManager, whose plan-canonicalization lookups
-    // grow with entries and plan depth — measured 3.7→13s on the FINAL
-    // round across repeated runs — while the checkpoint cuts lineage.
     // Micro-state fast path: fixpoint state estimated under the
     // broadcast-threshold-sized gate materializes as a driver-LOCAL
     // relation (collect + LocalRelation) instead of a checkpointed RDD.
@@ -65,29 +52,36 @@ object Recursive {
     // ONE job: the anti-join's build side is a LocalRelation (broadcast
     // built driver-side, no collect job), the frontier branches are
     // projections over LocalRelation, and the count is the collected
-    // length. State that outgrows the gate switches to the distributed
-    // path: localCheckpointWithCount (one job, count ridden, origin
-    // stats carried so `except(acc)` keeps auto-broadcasting small acc
-    // instead of degenerating to sort-merge against a stats-less
-    // LogicalRDD). Not persist: persist would register every round's
-    // delta in the context-shared CacheManager, whose plan-
-    // canonicalization lookups grow with entries and plan depth —
-    // measured 3.7→13s on the FINAL round across repeated runs.
+    // length. Estimates lie (filter/generator selectivity guesses), so
+    // the collect is HARD-CAPPED by limit(maxMicroRows + 1): an under-
+    // estimated delta falls back to the distributed path instead of
+    // OOMing the driver. That path is localCheckpointWithCount (one
+    // job, count ridden, origin stats carried so `except(acc)` keeps
+    // auto-broadcasting small acc instead of degenerating to sort-merge
+    // against a stats-less LogicalRDD; not persist — the context-shared
+    // CacheManager's canonicalization lookups grow with entries and
+    // plan depth, measured 3.7→13s across repeated runs).
     val microBytes = 8L << 20
     val bigBytes = 64L << 20
+    val maxMicroRows = 100000
     var microState = true // all deltas so far were driver-local-sized
+    def checkpoint(df: DataFrame): (DataFrame, Long) = {
+      microState = false
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      org.apache.spark.sql.GraftPlans.localCheckpointWithCount(
+        if (est < bigBytes) df.coalesce(1) else df)
+    }
     def materialize(df: DataFrame): (DataFrame, Long) = {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (est < microBytes) {
-        val rows = df.collect()
-        val local = df.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), df.schema)
-        (local, rows.length.toLong)
-      } else {
-        microState = false
-        org.apache.spark.sql.GraftPlans.localCheckpointWithCount(
-          if (est < bigBytes) df.coalesce(1) else df)
-      }
+        val rows = df.limit(maxMicroRows + 1).collect()
+        if (rows.length > maxMicroRows) checkpoint(df) // estimate lied
+        else {
+          val local = df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), df.schema)
+          (local, rows.length.toLong)
+        }
+      } else checkpoint(df)
     }
     val (first, n0) = materialize(seed.distinct())
     var acc = first

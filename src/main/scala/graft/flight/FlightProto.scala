@@ -126,8 +126,11 @@ object FlightProto {
       var schema = Array.emptyByteArray
       var desc = FlightDescriptor(0, Array.emptyByteArray)
       val eps = Seq.newBuilder[FlightEndpoint]
-      var records = -1L
-      var total = -1L
+      // proto3: absent int64 means ZERO (the reference's TotalRecords: 0
+      // serializes as field-absent); the Flight convention's "unknown"
+      // is an EXPLICIT -1, which is nonzero and therefore on the wire
+      var records = 0L
+      var total = 0L
       decode(bytes) {
         case (in, 1) => schema = in.readBytes().toByteArray; true
         case (in, 2) => desc = FlightDescriptor.fromBytes(in.readBytes().toByteArray); true

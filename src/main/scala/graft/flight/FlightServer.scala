@@ -92,18 +92,24 @@ final class FlightServer(gateway: Gateway, port: Int) {
         if (sqlText == SqlInfoTicket)
           org.apache.spark.sql.GraftArrow.stream(gateway.sqlInfo, 10000)
         else gateway.arrowStream(sqlText)
+      // NOTE: no non-local `return` inside the closure — it would raise
+      // NonLocalReturnControl, which the Throwable catch below would
+      // misreport as INTERNAL on an already-cancelled call
+      var cancelled = false
       chunks.foreach { chunk =>
-        if (!isEos(chunk)) {
+        if (!cancelled && !isEos(chunk)) {
           // flow control: the batch iterator is pulled lazily
           // partition-at-a-time, so waiting here bounds server memory to
           // one in-flight batch per call instead of buffering the result
           while (!call.isReady && !call.isCancelled) Thread.sleep(1)
-          if (call.isCancelled) return
-          val (header, body) = splitIpc(chunk)
-          call.onNext(FlightData(header, body).toBytes)
+          if (call.isCancelled) cancelled = true
+          else {
+            val (header, body) = splitIpc(chunk)
+            call.onNext(FlightData(header, body).toBytes)
+          }
         }
       }
-      call.onCompleted()
+      if (!cancelled) call.onCompleted()
     } catch {
       case e: Throwable => call.onError(toStatus(e).asRuntimeException())
     }

@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -50,15 +50,21 @@ object KMeans {
         cents.toDF("cid", "ce")
           .withColumn("cn", sqrt(dot(col("ce"), col("ce")))))
       // ASSIGN: nearest centroid per row (cosine argmax; dot/cn — the
-      // row's own norm is constant under the argmax)
-      val w = Window.partitionBy(col("__rid"))
-        .orderBy((dot(col(vecCol), col("ce")) / col("cn")).desc, col("cid").asc)
+      // row's own norm is constant under the argmax). Aggregate argmax
+      // (min_by on a (−sim, cid) ordering struct), NOT a window: the
+      // expanded corpus×k rows for one row id are co-located after the
+      // broadcast cross join, so partial aggregation collapses them
+      // map-side and the exchange carries corpus-sized data once —
+      // a row_number window would shuffle the full k-fold expansion
+      val sim = dot(col(vecCol), col("ce")) / col("cn")
       val assigned = emb
         .withColumn("__rid", monotonically_increasing_id())
         .crossJoin(cdf)
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("cid"), col(vecCol).as("__v"))
+        .groupBy(col("__rid"))
+        .agg(min_by(
+          struct(col("cid"), col(vecCol).as("__v")),
+          struct((-sim).as("s"), col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.__v").as("__v"))
       // UPDATE: element-wise DECIMAL-routed mean per cluster
       val means = assigned
         .select(col("cid"), posexplode(col("__v")))

@@ -55,6 +55,11 @@ object LiveCatalog {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
 
   def registerSession(sess: SparkSession): String = {
+    // purge entries whose referent was collected — a serving process
+    // opens one gateway per client, and dead keys would otherwise
+    // accumulate for the life of the JVM
+    val dead = sessions.entrySet().iterator()
+    while (dead.hasNext) if (dead.next().getValue.get() == null) dead.remove()
     val key = s"sess-${nextId.incrementAndGet()}"
     sessions.put(key, new WeakReference(sess))
     key

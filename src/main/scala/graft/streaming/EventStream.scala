@@ -71,9 +71,16 @@ object EventStream {
     events
       .withColumn(tsCol, col(tsCol).cast(TimestampType))
       .withWatermark(tsCol, lateness)
-      // key + event-time: Spark evicts per-key state once the watermark
-      // passes its event time, so memory is O(keys within the bound)
-      .dropDuplicates(keyCols :+ tsCol)
+      // KEY-ONLY dedup with watermark-bounded state: a re-delivery that
+      // re-stamps the event time is still the same key and still drops
+      // (dropDuplicates(key :+ ts) would let it through); per-key state
+      // is evicted once the watermark passes, so memory stays O(keys
+      // within the lateness bound). Spark only accepts the
+      // within-watermark form on streams, so a bounded frame takes the
+      // equivalent plain key dedup — the spec's batch oracle.
+      .transform(df =>
+        if (df.isStreaming) df.dropDuplicatesWithinWatermark(keyCols)
+        else df.dropDuplicates(keyCols))
 
   final case class Click(userId: Long, ts: java.sql.Timestamp, eventType: String)
   final case class RunState(best: Int, cur: Int, lastType: String, lastTs: Long)
