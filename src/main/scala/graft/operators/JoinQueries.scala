@@ -207,10 +207,14 @@ object JoinQueries {
             |ORDER BY n_nationkey ASC NULLS LAST, s_name ASC NULLS LAST""".stripMargin)
   }
 
-  /** J10: positional join — zip two explicitly sorted sides by row index.
-    * Spark has no positional operator; zipWithIndex on each sorted side is
-    * deterministic (SURVEY §2.3 J10). DuckDB: POSITIONAL JOIN on ordered
-    * subqueries (order-preserving in single-threaded materialization).
+  /** J10: positional join — zip two explicitly sorted sides by row index
+    * (SURVEY §2.3 J10; DuckDB: POSITIONAL JOIN on ordered subqueries).
+    * Row index via a row_number window over the side's declared order:
+    * stays in the SQL layer (codegen, no RDD round-trip, no
+    * zipWithIndex count pass). The unpartitioned window is INHERENT
+    * here, not a cliff — positional semantics require a total order, so
+    * any implementation funnels each side through one task; the
+    * operator is defined on small, explicitly-ordered inputs.
     */
   val j10 = Q(
     "j10_positional_join",
@@ -220,13 +224,13 @@ object JoinQueries {
       |(SELECT n_name FROM nation ORDER BY n_name LIMIT 5) n
       |ORDER BY r_name ASC NULLS LAST""".stripMargin
   ) { s =>
-    def withPos(df: DataFrame): DataFrame = {
-      val schema = df.schema.add("pos", LongType, nullable = false)
-      val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-      df.sparkSession.createDataFrame(rdd, schema)
-    }
-    val r = withPos(s.table("region").select(col("r_name")).orderBy(col("r_name").asc_nulls_last))
-    val n = withPos(s.table("nation").select(col("n_name")).orderBy(col("n_name").asc_nulls_last).limit(5))
+    import org.apache.spark.sql.expressions.Window
+    def withPos(df: DataFrame, order: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn("pos", row_number().over(Window.orderBy(order)))
+    val r = withPos(s.table("region").select(col("r_name")),
+      col("r_name").asc_nulls_last)
+    val n = withPos(s.table("nation").select(col("n_name")).orderBy(col("n_name").asc_nulls_last).limit(5),
+      col("n_name").asc_nulls_last)
     r.join(n, "pos").select(col("r_name"), col("n_name"))
       .orderBy(col("r_name").asc_nulls_last)
   }

@@ -113,7 +113,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j10 positional join stays in the SQL layer (no RDD zip round-trip)") {
+    val df = SparkEntry.queries("j10_positional_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD"), s"RDD scan leaked into j10 plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("nn_ivf_topk plan build launches no Spark job (no driver count)") {
+    // index build (k-means) is offline by design — warm the memo first
+    // so the assertion measures the ONLINE query path only
+    SparkEntry.queries("nn_ivf_topk")(spark, sf)
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
