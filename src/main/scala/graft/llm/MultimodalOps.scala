@@ -114,5 +114,44 @@ object MultimodalOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(m1, m2, m3)
+  /** Resize stage: decoded dimensions → target box (fit-within,
+    * aspect-preserving — the standard training-pipeline image resize).
+    * The decode half is the same md5-derived stub as mm_decode_stub
+    * (no codecs in this container); the resize ARITHMETIC — the part a
+    * real pipeline would run after any codec — is real and
+    * oracle-checked: scale = min(tw/w, th/h, 1) (never upscale), output
+    * rounded down, floor at 1 px. Pure projection: no shuffle, prunes
+    * to two columns at the scan, embarrassingly parallel at any scale.
+    */
+  val m4 = Q(
+    "mm_resize",
+    """SELECT doc_id, w, h,
+      |  CAST(GREATEST(1, CAST(FLOOR(w * s) AS INT)) AS INT) AS rw,
+      |  CAST(GREATEST(1, CAST(FLOOR(h * s) AS INT)) AS INT) AS rh
+      |FROM (
+      |  SELECT doc_id, w, h,
+      |    LEAST(224.0 / w, 224.0 / h, 1.0) AS s
+      |  FROM (
+      |    SELECT doc_id,
+      |      64 + (ascii(substr(md5(text), 1, 1)) * 256 +
+      |            ascii(substr(md5(text), 2, 1))) % 512 AS w,
+      |      64 + (ascii(substr(md5(text), 3, 1)) * 256 +
+      |            ascii(substr(md5(text), 4, 1))) % 512 AS h
+      |    FROM documents) dims) scaled
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val m = md5(col("text").cast(BinaryType))
+    def byteAt(i: Int) = ascii(substring(m, i, 1))
+    val w = lit(64) + (byteAt(1) * 256 + byteAt(2)) % 512
+    val h = lit(64) + (byteAt(3) * 256 + byteAt(4)) % 512
+    val dims = s.table("documents").select(col("doc_id"),
+      w.cast(IntegerType).as("w"), h.cast(IntegerType).as("h"))
+    val sc = least(lit(224.0) / col("w"), lit(224.0) / col("h"), lit(1.0))
+    dims.select(col("doc_id"), col("w"), col("h"),
+        greatest(lit(1), floor(col("w") * sc).cast(IntegerType)).as("rw"),
+        greatest(lit(1), floor(col("h") * sc).cast(IntegerType)).as("rh"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(m1, m2, m3, m4)
 }
