@@ -31,9 +31,11 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       "DESC", "EXPLAIN", "CREATE VIEW", "CREATE OR REPLACE VIEW",
       "CREATE TEMP VIEW", "CREATE TEMPORARY VIEW",
       "CREATE OR REPLACE TEMP VIEW", "CREATE OR REPLACE TEMPORARY VIEW",
-      "DROP VIEW", "TABLE", "FROM")
+      "DROP VIEW", "TABLE", "FROM", "ATTACH")
 
   private val summarizeRe = """(?is)SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
+  private val attachRe =
+    """(?is)ATTACH\s+'(\w+)'\s*\(\s*TYPE\s+AIRPORT\s*,\s*location\s+'([^']+)'\s*\)\s*;?\s*""".r
 
   def sql(text: String): DataFrame = {
     val trimmed = text.trim
@@ -44,6 +46,25 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats
     trimmed match {
       case summarizeRe(table) => return session.table(table).summary()
+      case _ =>
+    }
+    // `ATTACH 'name' (TYPE AIRPORT, location 'grpc://host:port')` — the
+    // reference's remote-Flight-catalog attach (k8s/main.yaml:155, run
+    // through the init hook main.go:108). Binds a V2 CatalogPlugin
+    // (sources.FlightCatalog) on THIS session, so `name.main.<table>`
+    // resolves through Catalyst; read-only-safe (adds a read path).
+    trimmed match {
+      case attachRe(name, location) =>
+        val uri = java.net.URI.create(location)
+        require(uri.getScheme == "grpc",
+          s"ATTACH AIRPORT location must be grpc://host:port, got $location")
+        session.conf.set(s"spark.sql.catalog.$name",
+          "graft.sources.FlightCatalog")
+        session.conf.set(s"spark.sql.catalog.$name.host", uri.getHost)
+        session.conf.set(s"spark.sql.catalog.$name.port",
+          uri.getPort.toString)
+        import session.implicits._
+        return Seq((name, location)).toDF("attached", "location")
       case _ =>
     }
     if (readOnly) {

@@ -39,12 +39,16 @@ final class FlightClientLite(host: String, port: Int) extends AutoCloseable {
   def doGetSql(sql: String): FlightResult =
     doGet(sql.getBytes("UTF-8"))
 
-  def doGet(ticket: Array[Byte]): FlightResult = {
-    val datas = ClientCalls.blockingServerStreamingCall(
+  def doGet(ticket: Array[Byte]): FlightResult =
+    FlightResult.fromFlightData(doGetRaw(ticket))
+
+  /** Raw FlightData messages (schema first, then record batches) — the
+    * remote-catalog reader decodes these straight to InternalRows.
+    */
+  def doGetRaw(ticket: Array[Byte]): Vector[FlightData] =
+    ClientCalls.blockingServerStreamingCall(
       channel, FlightServer.Methods.doGet, CallOptions.DEFAULT,
       Ticket(ticket).toBytes).asScala.map(FlightData.fromBytes).toVector
-    FlightResult.fromFlightData(datas)
-  }
 
   /** ADBC/Flight-SQL first step: Any-wrapped CommandStatementQuery. */
   def getFlightInfo(sql: String): FlightInfo = {

@@ -31,6 +31,32 @@ object GraftArrow {
     Iterator(schemaIpc(df)) ++ batches ++ Iterator(EOS)
   }
 
+  /** Decode an IPC-encapsulated Schema message (what schemaIpc /
+    * Flight's SchemaResult carry) back into a Spark schema — the read
+    * half of the bridge, used by the remote-Flight catalog.
+    */
+  def sparkSchemaFromIpc(schemaIpc: Array[Byte]): types.StructType = {
+    val rc = new org.apache.arrow.vector.ipc.ReadChannel(
+      java.nio.channels.Channels.newChannel(
+        new java.io.ByteArrayInputStream(schemaIpc)))
+    val arrowSchema = org.apache.arrow.vector.ipc.message.MessageSerializer
+      .deserializeSchema(rc)
+    org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(arrowSchema)
+  }
+
+  /** Decode encapsulated record-batch messages (the elements
+    * toArrowBatchRdd / the Flight DoGet stream produce) into
+    * InternalRows — executor-side, the same converter PySpark's
+    * createDataFrame-from-Arrow path uses.
+    */
+  def rowsFromBatches(
+      batches: Iterator[Array[Byte]],
+      schema: types.StructType,
+      timeZoneId: String): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    org.apache.spark.sql.execution.arrow.ArrowConverters.fromBatchIterator(
+      batches, schema, timeZoneId, errorOnDuplicatedFieldNames = true,
+      largeVarTypes = false, org.apache.spark.TaskContext.get())
+
   /** The result schema alone as an IPC-encapsulated Schema message —
     * what FlightInfo.schema / GetSchema carry, and what lets
     * GetFlightInfo answer from the analyzed plan without executing.

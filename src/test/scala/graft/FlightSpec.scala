@@ -77,6 +77,39 @@ class FlightSpec extends AnyFunSuite {
       e.getMessage.contains("INTERNAL"))
   }
 
+  test("ATTACH AIRPORT: remote Flight tables resolve through the catalog") {
+    // a SECOND gateway attaches the first one's Flight server as a
+    // remote catalog — the reference's k8s/main.yaml:155 deployment
+    // shape, self-hosted
+    val local = Gateway.open(spark, sf)
+    val out = local.sql(
+      s"ATTACH 'remote' (TYPE AIRPORT, location 'grpc://localhost:${server.boundPort}')")
+      .collect()
+    assert(out.head.getString(0) == "remote")
+    // remote read equals the local fixture
+    val viaRemote = local.session
+      .sql("SELECT n_name FROM remote.main.nation ORDER BY n_name")
+      .collect().map(_.getString(0)).toSeq
+    val localRows = local.sql("SELECT n_name FROM nation ORDER BY n_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaRemote == localRows)
+    // count(*) (zero-column scan) and filters work through the catalog
+    assert(local.session.sql("SELECT count(*) AS c FROM remote.main.region")
+      .collect().head.getLong(0) == 5L)
+    // column pruning reaches the remote SQL: scan description carries
+    // only the projected column
+    val pruned = local.session.sql("SELECT n_name FROM remote.main.nation")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("RemoteFlight") && desc.contains("cols=n_name"), desc)
+    // catalog lists the remote tables
+    assert(local.session.sql("SHOW TABLES IN remote.main").collect()
+      .map(_.getString(1)).contains("nation"))
+    // and it is read-only
+    val e = intercept[Exception](
+      local.session.sql("DROP TABLE remote.main.nation").collect())
+    assert(e.getMessage.toLowerCase.contains("read-only"))
+  }
+
   test("proto codec round-trips FlightInfo") {
     val info = FlightProto.FlightInfo(
       schema = Array[Byte](1, 2, 3),
