@@ -178,5 +178,45 @@ object TextOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(tStats, tQuality, tTokens, tLangId, tFingerprint)
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before tokenization: emails, phone-shaped numbers and long
+    * digit runs (account/id-shaped) replaced with typed placeholders,
+    * plus per-doc redaction counts for pipeline monitoring. Pure
+    * projection (no shuffle, linear at any scale); patterns stay in the
+    * RE2 ∩ java.util.regex common subset so the Spark engine and the
+    * DuckDB oracle compile them identically.
+    */
+  val tScrub = Q(
+    "tx_pii_scrub",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+      |    '[0-9]{9,}', '<ID>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_ids
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9 -]{7,}[0-9]"
+    val longId = "[0-9]{9,}"
+    s.table("documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          longId, "<ID>").as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longId), lit(0)))
+          .as("n_ids"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub)
 }

@@ -218,6 +218,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("Skew.saltedJoin equals the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of the large side lands on key 7 (the hot key), plus NULLs
+    val large = (0 until 1000).map { i =>
+      (if (i % 10 == 0) Some(i.toLong % 5) else Some(7L), s"v$i")
+    } :+ (None: Option[Long], "vnull")
+    val small = Seq(Some(7L) -> "hot", Some(0L) -> "a", Some(3L) -> "b",
+      (None: Option[Long]) -> "snull")
+    val l = large.toDF("k", "lv")
+    val r = small.toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val salted = graft.engine.Skew.saltedJoin(l, r, "k", salt = 8, jt)
+        .orderBy("k", "lv").collect().toSeq
+      val plain = l.join(r, Seq("k"), jt).orderBy("k", "lv").collect().toSeq
+      assert(salted == plain, s"join type $jt diverged")
+    }
+  }
+
+  test("bucketed join on co-partitioned tables plans without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    try {
+      val a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+      val b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+      a.write.option("path", s"$wh/ta").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("graft_bucket_a")
+      b.write.option("path", s"$wh/tb").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("graft_bucket_b")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("KMeans.lloyd recovers well-separated planted clusters") {
     import spark.implicits._
     // 3 planted clusters on orthogonal axes, 20 points each, small jitter
