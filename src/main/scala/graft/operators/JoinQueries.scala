@@ -260,5 +260,31 @@ object JoinQueries {
       .orderBy(col("c_custkey").asc_nulls_last, col("s_suppkey").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(j1, j2, j2b, j2c, j3, j4, j5, j6, j6b, j6c, j8, j9, j10)
+  /** J11 (beyond the reference): SALTED equi-join — the skew-mitigation
+    * form of J1 (engine.Skew.saltedJoin). The fact side joins the
+    * supplier dimension on a deliberately skew-prone key through an
+    * 8-way salt; the oracle is the PLAIN join SQL, so the gate proves
+    * salting is result-invariant, which is the entire point of the
+    * rewrite. At 100 TB this is the shape for a hot key that AQE's
+    * skew handling can't reach (hash joins, pre-aggregated inputs).
+    */
+  val j11 = Q(
+    "j11_salted_join",
+    """SELECT l.l_orderkey, l.l_linenumber, s.s_name
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE l.l_orderkey < 500
+      |ORDER BY l.l_orderkey ASC NULLS LAST, l.l_linenumber ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val l = s.table("lineitem").filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").as("__k"))
+    val sup = s.table("supplier")
+      .select(col("s_suppkey").as("__k"), col("s_name"))
+    graft.engine.Skew.saltedJoin(l, sup, "__k", salt = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .orderBy(col("l_orderkey").asc_nulls_last,
+        col("l_linenumber").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(j1, j2, j2b, j2c, j3, j4, j5, j6, j6b, j6c, j8, j9, j10, j11)
 }
