@@ -56,13 +56,28 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     trimmed match {
       case attachRe(name, location) =>
         val uri = java.net.URI.create(location)
-        require(uri.getScheme == "grpc",
-          s"ATTACH AIRPORT location must be grpc://host:port, got $location")
-        session.conf.set(s"spark.sql.catalog.$name",
-          "graft.sources.FlightCatalog")
-        session.conf.set(s"spark.sql.catalog.$name.host", uri.getHost)
-        session.conf.set(s"spark.sql.catalog.$name.port",
-          uri.getPort.toString)
+        if (uri.getScheme != "grpc" || uri.getHost == null || uri.getPort <= 0)
+          throw new GatewayException(
+            s"ATTACH AIRPORT location must be grpc://host:port, got '$location'")
+        // never shadow the session catalog (FlightCatalog is not a
+        // CatalogExtension — binding it there would break every query)
+        if (name.equalsIgnoreCase("spark_catalog"))
+          throw new GatewayException("cannot ATTACH over 'spark_catalog'")
+        // Spark's CatalogManager caches loaded catalog instances, so a
+        // re-ATTACH under the same name with a different endpoint would
+        // silently keep serving the OLD endpoint — reject it instead
+        val key = s"spark.sql.catalog.$name"
+        val already = session.conf.getOption(key).isDefined
+        val sameLoc =
+          session.conf.getOption(s"$key.host").contains(uri.getHost) &&
+            session.conf.getOption(s"$key.port").contains(uri.getPort.toString)
+        if (already && !sameLoc)
+          throw new GatewayException(
+            s"catalog '$name' is already attached to a different location; " +
+              "detaching requires a new session")
+        session.conf.set(key, "graft.sources.FlightCatalog")
+        session.conf.set(s"$key.host", uri.getHost)
+        session.conf.set(s"$key.port", uri.getPort.toString)
         import session.implicits._
         return Seq((name, location)).toDF("attached", "location")
       case _ =>

@@ -42,13 +42,19 @@ final class FlightClientLite(host: String, port: Int) extends AutoCloseable {
   def doGet(ticket: Array[Byte]): FlightResult =
     FlightResult.fromFlightData(doGetRaw(ticket))
 
-  /** Raw FlightData messages (schema first, then record batches) — the
-    * remote-catalog reader decodes these straight to InternalRows.
-    */
+  /** Raw FlightData messages (schema first, then record batches). */
   def doGetRaw(ticket: Array[Byte]): Vector[FlightData] =
+    doGetStream(ticket).toVector
+
+  /** LAZY FlightData stream: messages decode as the gRPC iterator is
+    * pulled, so a consumer holding one batch at a time (the
+    * remote-catalog reader) never buffers the whole result — the
+    * server's one-in-flight-batch flow control survives end to end.
+    */
+  def doGetStream(ticket: Array[Byte]): Iterator[FlightData] =
     ClientCalls.blockingServerStreamingCall(
       channel, FlightServer.Methods.doGet, CallOptions.DEFAULT,
-      Ticket(ticket).toBytes).asScala.map(FlightData.fromBytes).toVector
+      Ticket(ticket).toBytes).asScala.map(FlightData.fromBytes)
 
   /** ADBC/Flight-SQL first step: Any-wrapped CommandStatementQuery. */
   def getFlightInfo(sql: String): FlightInfo = {
@@ -87,15 +93,26 @@ object FlightResult {
   /** Re-join FlightData (header, body) pairs into an IPC stream and read
     * it back with the stock arrow reader.
     */
+  /** One FlightData re-framed as an encapsulated IPC message:
+    * continuation marker + LE metadata length + header + body — the
+    * exact inverse of FlightServer.splitIpc. Shared by the result
+    * decoder below and the remote-catalog reader so the framing can
+    * never skew between them.
+    */
+  def encapsulate(d: FlightProto.FlightData): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      8 + d.dataHeader.length + d.dataBody.length)
+    val prefix = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    prefix.putInt(-1).putInt(d.dataHeader.length)
+    out.write(prefix.array())
+    out.write(d.dataHeader)
+    out.write(d.dataBody)
+    out.toByteArray
+  }
+
   def fromFlightData(datas: Seq[FlightProto.FlightData]): FlightResult = {
     val baos = new java.io.ByteArrayOutputStream()
-    datas.foreach { d =>
-      val prefix = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      prefix.putInt(-1).putInt(d.dataHeader.length)
-      baos.write(prefix.array())
-      baos.write(d.dataHeader)
-      baos.write(d.dataBody)
-    }
+    datas.foreach(d => baos.write(encapsulate(d)))
     baos.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS
     val alloc = new RootAllocator()
     val reader = new ArrowStreamReader(

@@ -56,8 +56,23 @@ final class FlightCatalog extends CatalogPlugin with TableCatalog {
     }
 
   override def loadTable(ident: Identifier): Table = {
-    val schemaIpc = withClient(
-      _.getSchema(s"SELECT * FROM ${FlightCatalog.quote(ident.name)}").schema)
+    import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+    // the only namespace is main (DuckDB's attached-db layout)
+    if (!(ident.namespace.isEmpty || ident.namespace.sameElements(Array("main"))))
+      throw new NoSuchTableException(ident)
+    val schemaIpc =
+      try withClient(
+        _.getSchema(s"SELECT * FROM ${FlightCatalog.quote(ident.name)}").schema)
+      catch {
+        // remote analysis failure (unknown table) must surface as
+        // Spark's standard not-found, not a raw gRPC status — the
+        // default tableExists() only recognizes NoSuchTableException.
+        // Connectivity failures (UNAVAILABLE) stay fatal: an
+        // unreachable server is not "table doesn't exist".
+        case e: Exception
+            if !Option(e.getMessage).exists(_.contains("UNAVAILABLE")) =>
+          throw new NoSuchTableException(ident)
+      }
     val schema = org.apache.spark.sql.GraftArrow.sparkSchemaFromIpc(schemaIpc)
     new RemoteFlightTable(host, port, ident.name, schema)
   }
@@ -105,9 +120,11 @@ final class RemoteFlightScan(
 
   // pruned projection travels INSIDE the remote SQL; a zero-column read
   // (count(*)) still needs row multiplicity, so fetch the narrowest
-  // single column and emit empty rows
+  // column by type width (never a blob/text column just to count rows)
+  // and emit empty rows
   private val fetched: StructType =
-    if (required.nonEmpty) required else StructType(full.take(1))
+    if (required.nonEmpty) required
+    else StructType(Seq(full.minBy(_.dataType.defaultSize)))
   private val remoteSql: String =
     s"SELECT ${fetched.fieldNames.map(FlightCatalog.quote).mkString(", ")} " +
       s"FROM ${FlightCatalog.quote(table)}"
@@ -132,28 +149,24 @@ final case class RemoteFlightPartition(
 
 /** Executor-side reader: its own gRPC channel, DoGet(ticket = SQL),
   * record-batch messages re-framed and decoded straight to InternalRows
-  * — no arrow-object round trip, no driver involvement.
+  * — no arrow-object round trip, no driver involvement. The stream is
+  * consumed LAZILY (doGetStream): one in-flight batch end to end, so a
+  * remote table larger than executor memory still reads.
   */
 final class RemoteFlightReader(part: RemoteFlightPartition)
     extends PartitionReader[InternalRow] {
   private val client = new FlightClientLite(part.host, part.port)
-  private val rows: Iterator[InternalRow] = {
-    val datas = client.doGetRaw(part.sql.getBytes("UTF-8"))
-    // first message is the IPC schema; the rest are record batches
-    val batches = datas.iterator.drop(1).map { d =>
-      val out = new java.io.ByteArrayOutputStream()
-      val prefix = java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      prefix.putInt(-1).putInt(d.dataHeader.length)
-      out.write(prefix.array())
-      out.write(d.dataHeader)
-      out.write(d.dataBody)
-      out.toByteArray
+  private val rows: Iterator[InternalRow] =
+    try {
+      val datas = client.doGetStream(part.sql.getBytes("UTF-8"))
+      // first message is the IPC schema; the rest are record batches
+      val batches = datas.drop(1).map(graft.flight.FlightResult.encapsulate)
+      val decoded = org.apache.spark.sql.GraftArrow
+        .rowsFromBatches(batches, part.fetched, "UTC")
+      if (part.emitEmptyRows) decoded.map(_ => InternalRow.empty) else decoded
+    } catch {
+      case e: Throwable => client.close(); throw e // no half-open channel
     }
-    val decoded = org.apache.spark.sql.GraftArrow
-      .rowsFromBatches(batches, part.fetched, "UTC")
-    if (part.emitEmptyRows) decoded.map(_ => InternalRow.empty) else decoded
-  }
   override def next(): Boolean = rows.hasNext
   override def get(): InternalRow = rows.next()
   override def close(): Unit = client.close()

@@ -41,6 +41,23 @@ object GraftArrow {
         new java.io.ByteArrayInputStream(schemaIpc)))
     val arrowSchema = org.apache.arrow.vector.ipc.message.MessageSerializer
       .deserializeSchema(rc)
+    // ArrowUtils.fromArrowSchema silently maps Large* types to their
+    // 32-bit-offset Spark types; the batch decoder downstream assumes
+    // 32-bit offsets, so decoding a large-var-types stream would produce
+    // garbage rather than an error. Fail here, cleanly.
+    import scala.jdk.CollectionConverters._
+    val large = arrowSchema.getFields.asScala.filter { f =>
+      val t = f.getType
+      t.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.LargeUtf8] ||
+        t.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.LargeBinary] ||
+        t.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.LargeList]
+    }
+    if (large.nonEmpty)
+      throw new UnsupportedOperationException(
+        "remote stream uses Arrow large var types (64-bit offsets) for " +
+          large.map(_.getName).mkString(", ") +
+          "; this reader decodes 32-bit offsets — run the remote session " +
+          "with spark.sql.execution.arrow.useLargeVarTypes=false")
     org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(arrowSchema)
   }
 

@@ -237,7 +237,11 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("bucketed join on co-partitioned tables plans without a shuffle") {
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket")
+    // force the shuffle-join path: with auto-broadcast on, tiny tables
+    // would broadcast and the no-Exchange assertion would be vacuous
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
       val b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
@@ -248,12 +252,18 @@ class OperatorSpec extends AnyFunSuite {
       val joined = spark.table("graft_bucket_a")
         .join(spark.table("graft_bucket_b"), "k")
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a shuffle join:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should be shuffle-free:\n$plan")
       assert(joined.count() == 1000)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      // path-based tables leave their files after DROP
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
