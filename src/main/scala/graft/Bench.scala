@@ -120,7 +120,21 @@ object Bench {
     // iteration on a single query without the full-suite wall)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // longest-processing-time-first scheduling: alphabetical order left
+    // the heavy window family for last, so the suite ended on straggler
+    // tasks no other query could overlap. Static cost classes (measured
+    // families, heaviest first) cut the makespan tail; within a class
+    // the name sort keeps runs deterministic.
+    val heavyFirst = Seq(
+      "dd_", "t6_recursive", "a4_", "a9_", "a10_", "a14_", "tx_lang",
+      "w5", "w6", "w4", "w3", "w1", "w7", "w2", "w8", "f_datetime",
+      "nn_", "q5", "j1_", "t3_", "t4_")
+    def costClass(n: String): Int = {
+      val i = heavyFirst.indexWhere(n.startsWith)
+      if (i == -1) heavyFirst.length else i
+    }
+    val queries = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (costClass(n), n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }.toIndexedSeq
     val times = new ConcurrentHashMap[String, Double]()
     val cursor = new AtomicInteger(0)
