@@ -218,5 +218,54 @@ object TextOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub)
+  /** Corpus-level boilerplate removal — the C4-pipeline step that strips
+    * content appearing in most documents (headers, footers, navigation):
+    * tokens whose document frequency exceeds half the corpus are
+    * discovered with one small aggregation (distinct tokens per doc →
+    * df), broadcast as a single array, and filtered out of each document
+    * with an order-preserving lambda (never array_except — set semantics
+    * would also dedup the kept tokens). Two shuffles total: the df
+    * aggregation (token-sized state) and the final sort; the rebuild is
+    * a pure projection against the broadcast list.
+    */
+  val tBoiler = Q(
+    "tx_boilerplate",
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |df AS (
+      |  SELECT t, COUNT(*) AS n_docs FROM (
+      |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |    FROM docs) u GROUP BY t),
+      |bp AS (
+      |  SELECT list(t ORDER BY t) AS toks FROM df
+      |  WHERE n_docs > (SELECT COUNT(*) FROM docs) / 2)
+      |SELECT d.doc_id,
+      |  COALESCE(array_to_string(list_filter(string_split(d.text, ' '),
+      |    x -> NOT list_contains(b.toks, x)), ' '), '') AS cleaned,
+      |  CAST(len(list_filter(string_split(d.text, ' '),
+      |    x -> list_contains(b.toks, x))) AS INT) AS n_removed
+      |FROM docs d CROSS JOIN bp b
+      |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val docs = s.table("documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_docs"))
+    // corpus size rides the plan as a 1-row cross join — no driver
+    // action during query build
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val bp = df.crossJoin(broadcast(total))
+      .filter(col("n_docs") > col("__n") / 2)
+      .agg(sort_array(collect_list(col("t"))).as("bp"))
+    docs.crossJoin(broadcast(bp))
+      .select(col("doc_id"),
+        array_join(filter(toks, x => !array_contains(col("bp"), x)), " ")
+          .as("cleaned"),
+        size(filter(toks, x => array_contains(col("bp"), x))).as("n_removed"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] =
+    Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler)
 }
