@@ -125,10 +125,12 @@ object Bench {
     // tasks no other query could overlap. Static cost classes (measured
     // families, heaviest first) cut the makespan tail; within a class
     // the name sort keeps runs deterministic.
+    // underscore-terminated prefixes only: "w1" would also capture a
+    // future w10_* into the wrong class silently
     val heavyFirst = Seq(
-      "dd_", "t6_recursive", "a4_", "a9_", "a10_", "a14_", "tx_lang",
-      "w5", "w6", "w4", "w3", "w1", "w7", "w2", "w8", "f_datetime",
-      "nn_", "q5", "j1_", "t3_", "t4_")
+      "dd_", "t6_recursive_", "a4_", "a9_", "a10_", "a14_", "tx_lang_",
+      "w5_", "w6_", "w4_", "w3_", "w1_", "w7_", "w2_", "w8_",
+      "f_datetime", "nn_", "q5_", "j1_", "t3_", "t4_", "tx_boilerplate")
     def costClass(n: String): Int = {
       val i = heavyFirst.indexWhere(n.startsWith)
       if (i == -1) heavyFirst.length else i

@@ -240,9 +240,10 @@ object TextOps {
       |  WHERE n_docs > (SELECT COUNT(*) FROM docs) / 2)
       |SELECT d.doc_id,
       |  COALESCE(array_to_string(list_filter(string_split(d.text, ' '),
-      |    x -> NOT list_contains(b.toks, x)), ' '), '') AS cleaned,
-      |  CAST(len(list_filter(string_split(d.text, ' '),
-      |    x -> list_contains(b.toks, x))) AS INT) AS n_removed
+      |    x -> NOT COALESCE(list_contains(b.toks, x), FALSE)), ' '), '') AS cleaned,
+      |  CAST(len(string_split(d.text, ' ')) -
+      |    len(list_filter(string_split(d.text, ' '),
+      |      x -> NOT COALESCE(list_contains(b.toks, x), FALSE))) AS INT) AS n_removed
       |FROM docs d CROSS JOIN bp b
       |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
@@ -258,11 +259,13 @@ object TextOps {
     val bp = df.crossJoin(broadcast(total))
       .filter(col("n_docs") > col("__n") / 2)
       .agg(sort_array(collect_list(col("t"))).as("bp"))
+    // one pass: kept tokens once, removals by size subtraction; cleaned
+    // coalesced to '' so a NULL text matches the oracle's COALESCE
     docs.crossJoin(broadcast(bp))
+      .withColumn("__kept", filter(toks, x => !array_contains(col("bp"), x)))
       .select(col("doc_id"),
-        array_join(filter(toks, x => !array_contains(col("bp"), x)), " ")
-          .as("cleaned"),
-        size(filter(toks, x => array_contains(col("bp"), x))).as("n_removed"))
+        coalesce(array_join(col("__kept"), " "), lit("")).as("cleaned"),
+        (size(toks) - size(col("__kept"))).cast(IntegerType).as("n_removed"))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 

@@ -2,21 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import graft.engine.Dialect
 
 class DialectSpec extends AnyFunSuite {
 
-  /** Plain-ScalaCheck property loop (scalatestplus bridge not on the
-    * offline classpath): 100 deterministic samples per property.
-    */
-  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
-    (0 until 100).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
-    }
-
-  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
-    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+  import TestProps.forAll
 
   test("globToRegex basics") {
     assert("abc".matches(Dialect.globToRegex("a*")))

@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.flight.FlightProto._
 import graft.flight.{FlightResult, FlightServer}
@@ -15,10 +14,7 @@ import graft.flight.{FlightResult, FlightServer}
   */
 class FlightProtoPropSpec extends AnyFunSuite {
 
-  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
-    (0 until 100).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
-    }
+  import TestProps.forAll
 
   private val bytesGen: Gen[Array[Byte]] =
     Gen.chooseNum(0, 4096).flatMap(n =>
