@@ -28,8 +28,12 @@ object Serve {
     * and the Flight server for tests to stop.
     */
   def start(spark: SparkSession, dataDir: String,
-      flightPort: Int = 32010): (Gateway, graft.flight.FlightServer) = {
-    val gw = Gateway.open(spark, dataDir)
+      flightPort: Int = 32010,
+      attachAllow: Seq[String] = Nil): (Gateway, graft.flight.FlightServer) = {
+    // ATTACH of remote Flight catalogs is operator-gated (SSRF): only
+    // endpoints listed here (SPARK_GRAFT_ATTACH_ALLOW) or statements in
+    // the init script may attach — client sessions cannot widen the list
+    val gw = Gateway.open(spark, dataDir, attachAllow = attachAllow)
     // Gateway.open sets spark.graft.readOnly on this session, so the
     // injected GraftSqlParser (ReadOnlyGuard) rejects write/DDL statements
     // from Thrift clients — the gateway-level check alone never sees them
@@ -63,7 +67,9 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val flightPort = sys.env.getOrElse("SPARK_GRAFT_FLIGHT_PORT", "32010").toInt
-    val (_, flight) = start(spark, dataDir, flightPort)
+    val attachAllow = sys.env.get("SPARK_GRAFT_ATTACH_ALLOW")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val (_, flight) = start(spark, dataDir, flightPort, attachAllow)
     println(s"graft thrift server on port $port, flight sql on port ${flight.boundPort}, serving $dataDir")
     Thread.currentThread.join() // serve until killed
   }

@@ -22,6 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Gateway private (val session: SparkSession, readOnly: Boolean) {
 
+  /** True only while Gateway.open runs the operator's init script —
+    * the one window where ATTACH is accepted unconditionally, mirroring
+    * the reference, which confines ATTACH to the server-side `-init`
+    * hook (main.go:108): it is never part of the client-reachable
+    * surface there, and an untrusted client must not be able to make
+    * this server open gRPC connections to arbitrary host:port (SSRF).
+    */
+  @volatile private[engine] var initializing = false
+
   /** Statements allowed in read-only mode (reference serves its DB with
     * access_mode=read_only, main.go:61; D6/D3 of SURVEY §2.12 stay
     * allowed like the reference's init surface).
@@ -59,6 +68,20 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         if (uri.getScheme != "grpc" || uri.getHost == null || uri.getPort <= 0)
           throw new GatewayException(
             s"ATTACH AIRPORT location must be grpc://host:port, got '$location'")
+        // Operator-gated: accepted from the init script, or when the
+        // endpoint is on the operator-set allowlist. Clients cannot
+        // widen the allowlist themselves — ReadOnlyGuard rejects SET of
+        // spark.graft.* (and of spark.sql.catalog.*, the conf this
+        // handler writes, closing the direct-SET bypass too).
+        val allowed = initializing ||
+          session.conf.getOption(Gateway.attachAllowKey).exists(
+            _.split(",").map(_.trim)
+              .contains(s"${uri.getHost}:${uri.getPort}"))
+        if (!allowed)
+          throw new GatewayException(
+            s"ATTACH is operator-gated: '${uri.getHost}:${uri.getPort}' is " +
+              s"not in ${Gateway.attachAllowKey} and this statement is not " +
+              "from the server init script")
         // never shadow the session catalog (FlightCatalog is not a
         // CatalogExtension — binding it there would break every query)
         if (name.equalsIgnoreCase("spark_catalog"))
@@ -212,28 +235,40 @@ object Gateway {
     * init script — the reference's `-init` hook (main.go:32,107-111),
     * with per-statement error capture instead of silent prints.
     */
+  /** Conf listing remote Flight endpoints (`host:port`, comma-separated)
+    * a CLIENT is allowed to ATTACH. Operator-set only: ReadOnlyGuard
+    * rejects SET/RESET of spark.graft.* keys in read-only sessions.
+    */
+  val attachAllowKey = "spark.graft.attach.allow"
+
   def open(
       spark: SparkSession,
       dataDir: String,
       readOnly: Boolean = true,
-      initScript: Option[String] = None): Gateway = {
+      initScript: Option[String] = None,
+      attachAllow: Seq[String] = Nil): Gateway = {
     val sess = spark.newSession()
     // parser-level enforcement flag (ReadOnlyGuard): Thrift/JDBC clients
     // execute on this session directly, never through Gateway.sql
     if (readOnly) sess.conf.set("spark.graft.readOnly", "true")
+    if (attachAllow.nonEmpty)
+      sess.conf.set(attachAllowKey, attachAllow.mkString(","))
     Tables.register(sess, dataDir)
     Functions.register(sess)
     registerCatalogViews(sess)
     val gw = new Gateway(sess, readOnly)
     initScript.foreach { script =>
-      script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
-        try gw.sql(stmt).collect()
-        catch {
-          case e: Exception =>
-            // init failures are logged, not fatal (main.go:109-111)
-            System.err.println(s"[gateway-init] failed: ${e.getMessage}")
+      gw.initializing = true // ATTACH allowed only here (operator surface)
+      try {
+        script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+          try gw.sql(stmt).collect()
+          catch {
+            case e: Exception =>
+              // init failures are logged, not fatal (main.go:109-111)
+              System.err.println(s"[gateway-init] failed: ${e.getMessage}")
+          }
         }
-      }
+      } finally gw.initializing = false
     }
     gw
   }

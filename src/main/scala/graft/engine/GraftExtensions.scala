@@ -47,6 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object ReadOnlyGuard {
   val confKey = "spark.graft.readOnly"
 
+  /** Conf namespaces a read-only client may not SET/RESET:
+    * spark.graft.* are the enforcement flags themselves (readOnly, the
+    * ATTACH allowlist), and spark.sql.catalog.* is what ATTACH binds —
+    * a client SET of spark.sql.catalog.x=graft.sources.FlightCatalog
+    * would bypass the Gateway's operator gate and point the server's
+    * gRPC client at an arbitrary host:port (SSRF).
+    */
+  private val protectedConfPrefixes = Seq("spark.graft.", "spark.sql.catalog.")
+  private def isProtected(key: String): Boolean = {
+    val k = key.toLowerCase
+    protectedConfPrefixes.exists(p => k.startsWith(p.toLowerCase))
+  }
+
   private val allowedCommandPrefixes = Seq(
     "SetCommand", "ResetCommand", "Show", "Describe", "Explain",
     "CreateView", "DropView", "SetNamespace", "SetCatalog")
@@ -74,17 +87,17 @@ object ReadOnlyGuard {
     plan match {
       case s: org.apache.spark.sql.execution.command.SetCommand =>
         s.kv.foreach { case (k, _) =>
-          if (k.equalsIgnoreCase(confKey))
+          if (isProtected(k))
             throw new GatewayException(
-              s"read-only session: cannot modify $confKey")
+              s"read-only session: cannot modify $k")
         }
-      // RESET (all) or RESET spark.graft.readOnly would unset the flag
-      // and disarm this guard for the rest of the session — reject both;
-      // RESET of any other key stays allowed.
+      // RESET (all) or RESET of a protected key would unset the
+      // enforcement flags and disarm this guard for the rest of the
+      // session — reject both; RESET of any other key stays allowed.
       case r: org.apache.spark.sql.execution.command.ResetCommand =>
-        if (r.config.forall(_.equalsIgnoreCase(confKey)))
+        if (r.config.forall(isProtected))
           throw new GatewayException(
-            s"read-only session: cannot reset $confKey")
+            "read-only session: cannot reset enforcement configuration")
       case _ =>
     }
     val n = plan.getClass.getSimpleName.stripSuffix("$")

@@ -65,6 +65,15 @@ object Recursive {
     val bigBytes = 64L << 20
     val maxMicroRows = 100000
     var microState = true // all deltas so far were driver-local-sized
+    // Estimates lie BOTH ways: a plan estimated under microBytes can
+    // collect wide rows (large strings/arrays sized at default column
+    // widths) far past it. So the gate is belt-and-braces: the collect
+    // is row-capped (limit), then the ACTUAL heap size of the collected
+    // rows is measured, and a delta that measures over budget falls back
+    // to the distributed path. The budget is CUMULATIVE (microBudget):
+    // acc unions every micro delta's LocalRelation, so the cap bounds
+    // total driver-held fixpoint state across rounds, not one delta.
+    var microBudget = bigBytes
     def checkpoint(df: DataFrame): (DataFrame, Long) = {
       microState = false
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -73,10 +82,15 @@ object Recursive {
     }
     def materialize(df: DataFrame): (DataFrame, Long) = {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est < microBytes) {
+      if (est < microBytes && microBudget > 0) {
         val rows = df.limit(maxMicroRows + 1).collect()
-        if (rows.length > maxMicroRows) checkpoint(df) // estimate lied
+        val measured =
+          org.apache.spark.util.SizeEstimator.estimate(
+            rows.asInstanceOf[AnyRef])
+        if (rows.length > maxMicroRows || measured > microBytes)
+          checkpoint(df) // estimate lied — rows or bytes
         else {
+          microBudget -= measured
           val local = df.sparkSession.createDataFrame(
             java.util.Arrays.asList(rows: _*), df.schema)
           (local, rows.length.toLong)

@@ -100,12 +100,21 @@ object FlightResult {
     * never skew between them.
     */
   def encapsulate(d: FlightProto.FlightData): Array[Byte] = {
+    // IPC spec: the body must start on an 8-byte boundary, and the
+    // written metadata length INCLUDES that padding. Spark-origin
+    // headers arrive pre-padded (splitIpc keeps the padding), but a
+    // foreign server (pyarrow/Airport) may ship a bare flatbuffer whose
+    // length is not a multiple of 8 — pad here so the re-framed stream
+    // is well-formed regardless of peer. Trailing zeros after a
+    // flatbuffer are legal: parsers locate the root from the start.
+    val pad = (8 - (d.dataHeader.length & 7)) & 7
     val out = new java.io.ByteArrayOutputStream(
-      8 + d.dataHeader.length + d.dataBody.length)
+      8 + d.dataHeader.length + pad + d.dataBody.length)
     val prefix = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    prefix.putInt(-1).putInt(d.dataHeader.length)
+    prefix.putInt(-1).putInt(d.dataHeader.length + pad)
     out.write(prefix.array())
     out.write(d.dataHeader)
+    if (pad > 0) out.write(new Array[Byte](pad))
     out.write(d.dataBody)
     out.toByteArray
   }

@@ -86,33 +86,43 @@ final class FlightServer(gateway: Gateway, port: Int) {
   private def handleDoGet(
       reqBytes: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
     val call = obs.asInstanceOf[ServerCallStreamObserver[Array[Byte]]]
-    try {
-      val sqlText = new String(Ticket.fromBytes(reqBytes).ticket, "UTF-8")
-      val chunks =
-        if (sqlText == SqlInfoTicket)
-          org.apache.spark.sql.GraftArrow.stream(gateway.sqlInfo, 10000)
-        else gateway.arrowStream(sqlText)
-      // NOTE: no non-local `return` inside the closure — it would raise
-      // NonLocalReturnControl, which the Throwable catch below would
-      // misreport as INTERNAL on an already-cancelled call
-      var cancelled = false
-      chunks.foreach { chunk =>
-        if (!cancelled && !isEos(chunk)) {
-          // flow control: the batch iterator is pulled lazily
-          // partition-at-a-time, so waiting here bounds server memory to
-          // one in-flight batch per call instead of buffering the result
-          while (!call.isReady && !call.isCancelled) Thread.sleep(1)
-          if (call.isCancelled) cancelled = true
-          else {
-            val (header, body) = splitIpc(chunk)
+    // Flow control is onReady-DRIVEN, never thread-parking: the drain
+    // below pushes batches while the transport window is open and simply
+    // RETURNS when it closes; gRPC re-invokes it (setOnReadyHandler) when
+    // the slow client drains. A stalled consumer therefore costs a
+    // suspended iterator, not a pinned executor thread — callbacks for
+    // one call are serialized by gRPC, so no locking is needed. The
+    // batch iterator stays lazy (partition-at-a-time), bounding server
+    // memory to one in-flight batch per call.
+    var chunks: Iterator[Array[Byte]] = null // built on first drain: query
+    var done = false //                         errors surface via onError
+    val drain: Runnable = () =>
+      if (!done) {
+        try {
+          if (chunks == null) {
+            val sqlText = new String(Ticket.fromBytes(reqBytes).ticket, "UTF-8")
+            chunks =
+              (if (sqlText == SqlInfoTicket)
+                org.apache.spark.sql.GraftArrow.stream(gateway.sqlInfo, 10000)
+              else gateway.arrowStream(sqlText)).filterNot(isEos)
+          }
+          while (call.isReady && !call.isCancelled && chunks.hasNext) {
+            val (header, body) = splitIpc(chunks.next())
             call.onNext(FlightData(header, body).toBytes)
           }
+          if (call.isCancelled) done = true
+          else if (!chunks.hasNext) {
+            done = true
+            call.onCompleted()
+          }
+        } catch {
+          case e: Throwable =>
+            done = true
+            call.onError(toStatus(e).asRuntimeException())
         }
       }
-      if (!cancelled) call.onCompleted()
-    } catch {
-      case e: Throwable => call.onError(toStatus(e).asRuntimeException())
-    }
+    call.setOnReadyHandler(drain)
+    drain.run()
   }
 
   private def handleHandshake(

@@ -64,14 +64,19 @@ final class FlightCatalog extends CatalogPlugin with TableCatalog {
       try withClient(
         _.getSchema(s"SELECT * FROM ${FlightCatalog.quote(ident.name)}").schema)
       catch {
-        // remote analysis failure (unknown table) must surface as
-        // Spark's standard not-found, not a raw gRPC status — the
-        // default tableExists() only recognizes NoSuchTableException.
-        // Connectivity failures (UNAVAILABLE) stay fatal: an
-        // unreachable server is not "table doesn't exist".
-        case e: Exception
-            if !Option(e.getMessage).exists(_.contains("UNAVAILABLE")) =>
-          throw new NoSuchTableException(ident)
+        // ONLY a remote analysis failure (unknown table — the peer maps
+        // AnalysisException to INVALID_ARGUMENT / NOT_FOUND) surfaces as
+        // Spark's standard not-found, which is what the default
+        // tableExists() recognizes. Everything else — UNAVAILABLE,
+        // DEADLINE_EXCEEDED, INTERNAL, codec failures — is a real fault
+        // and must propagate, not masquerade as "table does not exist".
+        case e: Exception =>
+          val code =
+            org.sparkproject.connect.grpc.Status.fromThrowable(e).getCode
+          import org.sparkproject.connect.grpc.Status.Code
+          if (code == Code.INVALID_ARGUMENT || code == Code.NOT_FOUND)
+            throw new NoSuchTableException(ident)
+          else throw e
       }
     val schema = org.apache.spark.sql.GraftArrow.sparkSchemaFromIpc(schemaIpc)
     new RemoteFlightTable(host, port, ident.name, schema)

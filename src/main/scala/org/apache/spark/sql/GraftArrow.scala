@@ -44,14 +44,18 @@ object GraftArrow {
     // ArrowUtils.fromArrowSchema silently maps Large* types to their
     // 32-bit-offset Spark types; the batch decoder downstream assumes
     // 32-bit offsets, so decoding a large-var-types stream would produce
-    // garbage rather than an error. Fail here, cleanly.
+    // garbage rather than an error. Fail here, cleanly — checking the
+    // WHOLE field tree: a Large* can hide inside a struct/list/map child.
     import scala.jdk.CollectionConverters._
-    val large = arrowSchema.getFields.asScala.filter { f =>
+    def tree(f: org.apache.arrow.vector.types.pojo.Field)
+        : Iterator[org.apache.arrow.vector.types.pojo.Field] =
+      Iterator(f) ++ f.getChildren.asScala.iterator.flatMap(tree)
+    val large = arrowSchema.getFields.asScala.iterator.flatMap(tree).filter { f =>
       val t = f.getType
       t.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.LargeUtf8] ||
         t.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.LargeBinary] ||
         t.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.LargeList]
-    }
+    }.toSeq
     if (large.nonEmpty)
       throw new UnsupportedOperationException(
         "remote stream uses Arrow large var types (64-bit offsets) for " +

@@ -55,12 +55,22 @@ class FlightProtoPropSpec extends AnyFunSuite {
     }
   }
 
-  test("property: splitIpc and encapsulate are exact inverses") {
+  test("property: encapsulate pads metadata to 8 bytes; splitIpc inverts it") {
+    // foreign (pyarrow/Airport) servers may ship UNPADDED flatbuffer
+    // headers — encapsulate must produce a well-formed IPC message (body
+    // 8-byte aligned, written length includes padding) for ANY header
+    // length, and an already-padded Spark-origin header must round-trip
+    // byte-for-byte
     forAll(Gen.zip(bytesGen.suchThat(_.nonEmpty), bytesGen)) { case (h, b) =>
       val chunk = FlightResult.encapsulate(FlightData(h, b))
+      val pad = (8 - (h.length & 7)) & 7
+      assert((8 + h.length + pad) % 8 == 0) // body starts aligned
       val (h2, b2) = FlightServer.splitIpc(chunk)
-      assert(h2.toSeq == h.toSeq && b2.toSeq == b.toSeq)
-      // and re-encapsulating reproduces the chunk byte-for-byte
+      assert(h2.length == h.length + pad)
+      assert(h2.take(h.length).toSeq == h.toSeq)
+      assert(h2.drop(h.length).forall(_ == 0)) // zero padding, nothing else
+      assert(b2.toSeq == b.toSeq)
+      // padded header re-encapsulates to the identical chunk (Spark path)
       assert(FlightResult.encapsulate(FlightData(h2, b2)).toSeq == chunk.toSeq)
     }
   }

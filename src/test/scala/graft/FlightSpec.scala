@@ -80,8 +80,10 @@ class FlightSpec extends AnyFunSuite {
   test("ATTACH AIRPORT: remote Flight tables resolve through the catalog") {
     // a SECOND gateway attaches the first one's Flight server as a
     // remote catalog — the reference's k8s/main.yaml:155 deployment
-    // shape, self-hosted
-    val local = Gateway.open(spark, sf)
+    // shape, self-hosted. ATTACH is operator-gated, so the endpoint is
+    // allowlisted at open() (the operator surface).
+    val local = Gateway.open(spark, sf,
+      attachAllow = Seq(s"localhost:${server.boundPort}"))
     val out = local.sql(
       s"ATTACH 'remote' (TYPE AIRPORT, location 'grpc://localhost:${server.boundPort}')")
       .collect()
@@ -108,6 +110,74 @@ class FlightSpec extends AnyFunSuite {
     val e = intercept[Exception](
       local.session.sql("DROP TABLE remote.main.nation").collect())
     assert(e.getMessage.toLowerCase.contains("read-only"))
+    // a missing REMOTE table surfaces as Spark's standard not-found
+    // (the peer's INVALID_ARGUMENT analysis failure, mapped)
+    val nf = intercept[org.apache.spark.sql.AnalysisException](
+      local.session.sql("SELECT * FROM remote.main.no_such_tbl").collect())
+    assert(nf.getMessage.toLowerCase.contains("cannot be found") ||
+      nf.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), nf.getMessage)
+  }
+
+  test("remote faults are not reported as 'table does not exist'") {
+    // unreachable endpoint: loadTable must propagate the connectivity
+    // fault, not NoSuchTableException (which would read as a clean
+    // false from tableExists)
+    val dead = new graft.sources.FlightCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("host", "localhost")
+    opts.put("port", "1") // nothing listens here
+    dead.initialize("deadcat",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("main"), "nation")
+    val e = intercept[Exception](dead.loadTable(ident))
+    assert(!e.isInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.NoSuchTableException])
+    assert(e.getMessage.contains("UNAVAILABLE"), e.getMessage)
+  }
+
+  test("ATTACH is operator-gated: client ATTACH to an unlisted endpoint is rejected") {
+    // no allowlist, not the init script → any client-supplied host:port
+    // is refused before a channel is opened (SSRF gate; the reference
+    // confines ATTACH to the server init hook, main.go:108)
+    val plain = Gateway.open(spark, sf)
+    val e = intercept[graft.engine.GatewayException](plain.sql(
+      s"ATTACH 'evil' (TYPE AIRPORT, location 'grpc://localhost:${server.boundPort}')"))
+    assert(e.getMessage.contains("operator-gated"))
+    // the init script IS the operator surface: same statement succeeds there
+    val viaInit = Gateway.open(spark, sf, initScript = Some(
+      s"ATTACH 'initremote' (TYPE AIRPORT, location 'grpc://localhost:${server.boundPort}')"))
+    assert(viaInit.session.sql("SELECT count(*) AS c FROM initremote.main.region")
+      .collect().head.getLong(0) == 5L)
+    // and the window closes with the init script: post-init ATTACH rejected
+    intercept[graft.engine.GatewayException](viaInit.sql(
+      s"ATTACH 'late' (TYPE AIRPORT, location 'grpc://localhost:${server.boundPort}')"))
+  }
+
+  test("Large* arrow types are rejected even when nested inside a list/struct") {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    // list<large_utf8>: the Large type hides one level down — the 32-bit
+    // batch decoder must refuse it, not decode garbage
+    val child = new Field("item",
+      FieldType.nullable(ArrowType.LargeUtf8.INSTANCE), java.util.List.of())
+    val nested = new Schema(java.util.List.of(new Field("xs",
+      FieldType.nullable(new ArrowType.List()), java.util.List.of(child))))
+    val out = new java.io.ByteArrayOutputStream()
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(out)), nested)
+    val e = intercept[UnsupportedOperationException](
+      org.apache.spark.sql.GraftArrow.sparkSchemaFromIpc(out.toByteArray))
+    assert(e.getMessage.contains("item"))
+    // a plain 32-bit-offset schema still decodes
+    val plain = new Schema(java.util.List.of(new Field("s",
+      FieldType.nullable(new ArrowType.Utf8()), java.util.List.of())))
+    val out2 = new java.io.ByteArrayOutputStream()
+    org.apache.arrow.vector.ipc.message.MessageSerializer.serialize(
+      new org.apache.arrow.vector.ipc.WriteChannel(
+        java.nio.channels.Channels.newChannel(out2)), plain)
+    val sch = org.apache.spark.sql.GraftArrow.sparkSchemaFromIpc(out2.toByteArray)
+    assert(sch.fieldNames.toSeq == Seq("s"))
   }
 
   test("proto codec round-trips FlightInfo") {

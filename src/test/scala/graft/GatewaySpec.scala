@@ -89,6 +89,15 @@ class GatewaySpec extends AnyFunSuite {
     intercept[GatewayException](
       gw.session.sql("RESET spark.graft.readOnly"))
     intercept[GatewayException](gw.session.sql("RESET"))
+    // the whole enforcement namespace is protected, not just the flag:
+    // the ATTACH allowlist and the catalog bindings ATTACH writes (a
+    // client SET of spark.sql.catalog.* would point the server's gRPC
+    // client at an arbitrary endpoint — the SSRF the gate closes)
+    intercept[GatewayException](
+      gw.session.sql("SET spark.graft.attach.allow=evil:1"))
+    intercept[GatewayException](
+      gw.session.sql("SET spark.sql.catalog.evil=graft.sources.FlightCatalog"))
+    intercept[GatewayException](gw.session.sql("RESET spark.sql.catalog.evil"))
     // RESET of an unrelated key stays allowed
     gw.session.sql("RESET spark.sql.ansi.enabled")
     // queries, SET of other keys, views, and metadata stay allowed
@@ -171,9 +180,10 @@ class GatewaySpec extends AnyFunSuite {
   }
 
   test("duckdb_settings() is LIVE: SET is visible on the next query") {
-    gw.sql("SET spark.graft.live_probe=42").collect()
+    // not under spark.graft.* — that namespace is SET-protected
+    gw.sql("SET graft.test.live_probe=42").collect()
     val v = gw.sql(
-      "SELECT value FROM duckdb_settings() WHERE name = 'spark.graft.live_probe'")
+      "SELECT value FROM duckdb_settings() WHERE name = 'graft.test.live_probe'")
       .collect()
     assert(v.length == 1 && v(0).getString(0) == "42")
   }

@@ -114,6 +114,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(minDepth == Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
 
+  test("Recursive.fixpoint: wide rows trip the byte cap, stay correct") {
+    import org.apache.spark.sql.functions._
+    // ~12MB payload per row: the optimizer estimates strings at default
+    // column width (micro path looks safe), but the MEASURED collected
+    // bytes exceed the micro cap — the fixpoint must fall back to the
+    // distributed path and still converge to the right rows
+    val wide = repeat(lit("y"), 6 * 1024 * 1024)
+    val seed = spark.range(1).select(lit(0L).as("step"), lit("x").as("payload"))
+    val out = graft.engine.Recursive.fixpoint(seed, maxIter = 8) { f =>
+      f.filter(col("step") < 3)
+        .select((col("step") + 1).as("step"), wide.as("payload"))
+    }
+    val steps = out.select("step").collect().map(_.getLong(0)).sorted
+    assert(steps.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.filter(col("step") > 0)
+      .select(length(col("payload"))).collect()
+      .forall(_.getInt(0) == 6 * 1024 * 1024))
+  }
+
   test("Recursive.fixpoint: empty seed terminates immediately") {
     import org.apache.spark.sql.functions._
     val seed = spark.range(0).select(col("id").as("node"))
