@@ -19,7 +19,8 @@ object SparkEntry {
       JoinQueries.all ++ AsOfQueries.all ++ WindowQueries.all ++
       FunctionQueries.all ++ GeneratorQueries.all ++ TpchQueries.all ++
       graft.llm.TextOps.all ++ graft.llm.DedupOps.all ++
-      graft.llm.SimilarityOps.all ++ graft.llm.MultimodalOps.all
+      graft.llm.SimilarityOps.all ++ graft.llm.MultimodalOps.all ++
+      graft.llm.PipelineOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -76,6 +76,45 @@ object TpchQueries {
       .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_last)
   }
 
+  /** Q18 large-volume orders: heavy-hitter detection via a grouped
+    * HAVING subquery, then the wide 3-table rollup ONLY over the
+    * qualifying orders. Plan shape that matters at scale: the heavy-
+    * hitter aggregate is map-side partial on l_orderkey, the IN-subquery
+    * becomes a semi-join that prunes orders BEFORE the customer join and
+    * the second lineitem pass, and the LIMIT fuses into
+    * TakeOrderedAndProject — no global sort.
+    */
+  val q18 = Q(
+    "q18_large_orders",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+      |LIMIT 100""".stripMargin
+  ) { s =>
+    val big = s.table("lineitem")
+      .groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(d("l_quantity")).as("qty"))
+      .filter(col("qty") > lit(250).cast(dec))
+      .select(col("big_okey"))
+    s.table("orders")
+      .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
+      .join(s.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(d("l_quantity")).cast(DoubleType).as("total_qty"))
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+      .limit(100)
+  }
+
   /** Uncorrelated scalar subquery: orders above the global average price.
     * Catalyst plans the subquery once and broadcasts the scalar.
     */
@@ -131,5 +170,5 @@ object TpchQueries {
         |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q3, q5, sq1, sq2, sq3)
+  val all: Seq[Q] = Seq(q3, q5, q18, sq1, sq2, sq3)
 }

@@ -78,6 +78,36 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("ev_sessionize: both windows and the session rollup share ONE hash shuffle") {
+    val df = SparkEntry.queries("ev_sessionize")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one hashpartitioning(user_id) serves lag + running-sum + groupBy
+    // (user_id alone satisfies the (user_id, session_id) clustering);
+    // the only other exchange is the final ORDER BY range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("pipe_funnel: dedup window shuffles the digest, report broadcasts") {
+    val df = SparkEntry.queries("pipe_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the window partition key is the md5 digest, never the text column
+    val winLine = p.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(winLine.contains("_w0"), winLine) // projected md5, not clean/text
+    assert(p.contains("BroadcastHashJoin"), p) // 5-row report side
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q18 prunes via semi-join before the wide joins and fuses top-k") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the heavy-hitter aggregate is partial+final (map-side combine)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("vector dot/cosine compile into whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = spark.table("embeddings")
