@@ -93,6 +93,22 @@ object Bench {
           array(lit(2.0d), lit(1.0d))).as("c"))
         .write.format("noop").mode("overwrite").save()
     }
+    // non-equi (theta) broadcast joins compile BroadcastNestedLoopJoin
+    // codegen nothing above touches, and w6's emulation chains TWO of
+    // them behind a dense_rank — measured ~4s cold-vs-warm on
+    // w6_groups_frame alone. Warm the family on a 100-row slice.
+    spark.sql(
+      """SELECT x.r, CAST(SUM(y.s) AS DOUBLE) AS band_sum FROM
+        |  (SELECT dense_rank() OVER (ORDER BY o_orderdate) AS r,
+        |          CAST(o_totalprice AS DECIMAL(18,2)) AS s
+        |   FROM (SELECT * FROM orders LIMIT 100)) x
+        |JOIN
+        |  (SELECT dense_rank() OVER (ORDER BY o_orderdate) AS r,
+        |          CAST(o_totalprice AS DECIMAL(18,2)) AS s
+        |   FROM (SELECT * FROM orders LIMIT 100)) y
+        |ON y.r >= x.r - 1 AND y.r <= x.r + 1
+        |GROUP BY x.r""".stripMargin)
+      .write.format("noop").mode("overwrite").save()
     // IVF index build (k-means training): offline in any ANN system —
     // ann-benchmarks-style separation of build from query; the memoized
     // centroids make the timed nn_ivf_topk measure the ONLINE
