@@ -114,6 +114,9 @@ object Bench {
     // centroids make the timed nn_ivf_topk measure the ONLINE
     // probe+search path
     graft.llm.SimilarityOps.buildIvfIndex(spark, 16)
+    // PQ index build (per-subspace codebooks + corpus encode): offline,
+    // same ann-benchmarks build/query split as the IVF index
+    graft.llm.SimilarityOps.warmPqIndex(spark)
     // recursion path: a 3-round toy fixpoint on an interpreted-mode
     // session warms the InterpretedUnsafeProjection / except / coalesce
     // machinery that the codegen warmups above never touch (t6 runs its

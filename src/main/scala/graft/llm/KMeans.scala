@@ -35,13 +35,20 @@ object KMeans {
     * @param emb       (id, vec) relation; `vecCol` must be a numeric array
     * @param init      initial centroids, cid → vector (e.g. a
     *                  deterministic sample)
+    * @param l2        assign by squared-L2 (product-quantization
+    *                  codebooks) instead of the default cosine argmax
+    *                  (IVF coarse quantizer). ||x−c||² ranks as
+    *                  ||c||² − 2·x·c — the row's own norm is constant
+    *                  under the argmin, so the assign stays one dot per
+    *                  (row, centroid) either way.
     * @return          cid → centroid vector, same cids as `init`
     */
   def lloyd(
       emb: DataFrame,
       vecCol: String,
       init: Seq[(Int, Array[Double])],
-      iters: Int): Seq[(Int, Array[Double])] = {
+      iters: Int,
+      l2: Boolean = false): Seq[(Int, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     var cents = init
@@ -56,14 +63,16 @@ object KMeans {
       // broadcast cross join, so partial aggregation collapses them
       // map-side and the exchange carries corpus-sized data once —
       // a row_number window would shuffle the full k-fold expansion
-      val sim = dot(col(vecCol), col("ce")) / col("cn")
+      val score =
+        if (l2) col("cn") * col("cn") - lit(2.0) * dot(col(vecCol), col("ce"))
+        else -(dot(col(vecCol), col("ce")) / col("cn"))
       val assigned = emb
         .withColumn("__rid", monotonically_increasing_id())
         .crossJoin(cdf)
         .groupBy(col("__rid"))
         .agg(min_by(
           struct(col("cid"), col(vecCol).as("__v")),
-          struct((-sim).as("s"), col("cid"))).as("best"))
+          struct(score.as("s"), col("cid"))).as("best"))
         .select(col("best.cid").as("cid"), col("best.__v").as("__v"))
       // UPDATE: element-wise DECIMAL-routed mean per cluster
       val means = assigned

@@ -235,5 +235,152 @@ object SimilarityOps {
         col("vec_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(v1, v2, v3, v4)
+  /** PQ geometry: 64 dims → M subspaces of subDim, K codewords per
+    * subspace → an 8-byte code (+1 stored norm) per vector instead of
+    * 256 raw bytes. Codebooks are per-subspace L2 k-means (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011).
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 256 // canonical 8-bit codebooks (capped by corpus size)
+
+  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[(Int, Array[Double])]]]()
+  // the SAME 3-D array instance must flow into every PqEncode — plan
+  // equality (and the CacheOnce hit on the encoded corpus) is reference
+  // equality on the codebook object
+  private val pqBookArrays = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  /** Train (or fetch) the PQ codebooks for the session's dataset: M
+    * independent L2 Lloyd's runs over the sub-vector slices, each from
+    * the same deterministic md5-ordered sample init. Offline, memoized —
+    * the ann-benchmarks build/query split, same as buildIvfIndex.
+    */
+  def buildPqIndex(s: org.apache.spark.sql.SparkSession)
+      : Seq[Seq[(Int, Array[Double])]] = {
+    val memoKey =
+      graft.engine.Tables.dirOf(s).getOrElse("?") + s"/pq/$PqM/$PqK"
+    pqCodebooks.computeIfAbsent(memoKey, _ => {
+      val emb = s.table("embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      (0 until PqM).map { m =>
+        val sub = emb.select(col("vec_id"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sub"))
+        val init = sub
+          .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
+            col("vec_id").asc)
+          .limit(PqK)
+          .select(col("sub"))
+          .collect().zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Double](0).toArray }.toSeq
+        KMeans.lloyd(sub, "sub", init, iters = 2, l2 = true)
+      }
+    })
+  }
+
+  /** Product-quantization approximate top-k — the memory-bound scale
+    * path: the ADC scan reads an 8-byte code + one norm per candidate
+    * (16× less than the raw vectors), with approximate inner products
+    * assembled from a per-query lookup table.
+    *
+    * Layout at scale: ENCODE is offline (each vector → nearest codeword
+    * per subspace, a pure projection over broadcast codebooks); the
+    * ONLINE path joins the exploded (vec_id, m, code) relation against a
+    * broadcast LUT of queries × M × K partial dots and sums M partials
+    * per (query, candidate) — shuffle-bound in corpus × M ints, never in
+    * raw vectors. Ranking divides by the stored true norm, so the
+    * approximation error is only in the quantized dot product. No oracle
+    * (approximate recall is not SQL-deterministic, same class as
+    * nn_ivf_topk); the spec checks recall vs brute force.
+    */
+  /** Encode the corpus against the trained codebooks: code_m =
+    * argmin_k ||x_m − c_{m,k}||², ranked as ||c||² − 2·x·c (row norm
+    * constant under the argmin); array_position(min) breaks ties on the
+    * first (lowest) codeword — deterministic. The encoded relation
+    * (vec_id, norm, M codes) is the OFFLINE index artifact — CacheOnce'd
+    * per dataset so the online path scans codes, never re-encodes. On a
+    * cluster this relation is what you'd persist as the PQ index table.
+    */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[(Int, Array[Double])]])
+      : org.apache.spark.sql.DataFrame = {
+    val memoKey =
+      graft.engine.Tables.dirOf(s).getOrElse("?") + s"/pq/$PqM/$PqK"
+    val bookArr = pqBookArrays.computeIfAbsent(memoKey,
+      _ => books.map(_.map(_._2).toArray).toArray)
+    val emb = s.table("embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    graft.engine.CacheOnce(
+      "pq:codes:" + graft.engine.Tables.dirOf(s).getOrElse("?"),
+      emb.select(col("vec_id"), sqrt(dot(col("v"), col("v"))).as("xn"),
+        graft.engine.expressions.PqEncode(col("v"), bookArr).as("codes")))
+  }
+
+  /** Offline PQ build: codebooks + encoded corpus, memoized/cached —
+    * called from the bench warmup like buildIvfIndex so the timed
+    * nn_pq_topk measures the ONLINE LUT+ADC+rerank path.
+    */
+  def warmPqIndex(s: org.apache.spark.sql.SparkSession): Unit =
+    pqCodes(s, buildPqIndex(s)).write.format("noop").mode("overwrite").save()
+
+  val v5 = Q.noOracle("nn_pq_topk") { s =>
+    val TOPK = 3
+    val books = buildPqIndex(s) // offline, memoized
+    val emb = s.table("embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val codes = pqCodes(s, books)
+      .select(col("vec_id"), col("xn"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+    // ---- online half: per-query LUT (M × K partial dots), broadcast
+    val entries = {
+      import s.implicits._
+      books.zipWithIndex.flatMap { case (book, m) =>
+        book.map { case (k, c) => (m, k, c.toSeq) }
+      }.toDF("m", "k", "ce")
+    }
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        sqrt(dot(col("v"), col("v"))).as("qn"))
+    val lut = q.crossJoin(entries)
+      .select(col("qid"), col("qn"), col("m"), col("k"),
+        dot(slice(col("qe"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("ce"))
+          .as("partial"))
+    // ADC: sum the M partials per (query, candidate), rank by
+    // approx_dot / (qn · true-norm)
+    val scored = codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("k"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(
+        (sum(col("partial")) / (first(col("qn")) * first(col("xn"))))
+          .as("approx_sim"))
+    // ADC shortlist (RERANK × k), then the standard refine step: exact
+    // cosine over ONLY the shortlisted full vectors — at scale this
+    // re-reads RERANK·k raw vectors per query, not the corpus
+    val RERANK = 8
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_sim").desc, col("vec_id").asc)
+    val shortlist = scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= RERANK * TOPK)
+      .select(col("qid"), col("vec_id"))
+    val exact = shortlist
+      .join(emb, "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("v")) /
+          (col("qn") * sqrt(dot(col("v"), col("v")))), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
+        col("vec_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5)
 }

@@ -321,6 +321,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall (ivf=${ivf.size}, brute=${brute.size})")
   }
 
+  test("PQ top-k recall >= 0.7 vs brute force, deterministic across runs") {
+    val pq = SparkEntry.queries("nn_pq_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val brute = SparkEntry.queries("nn_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert(brute.nonEmpty)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PQ recall $recall (pq=${pq.size}, brute=${brute.size})")
+    // md5-seeded init + first-min ties: same fixture → same shortlist
+    val again = SparkEntry.queries("nn_pq_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert(again == pq)
+  }
+
+  test("PqEncode matches a hand-computed argmin and rejects bad dims") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2 subspaces × 2 dims, 2 codewords each: picked by L2 inspection
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(5.0, 5.0), Array(-5.0, -5.0)))
+    val df = Seq(
+      (1L, Seq(9.0, 9.0, -4.0, -6.0)), // → codes (1, 1)
+      (2L, Seq(1.0, -1.0, 4.0, 6.0))) // → codes (0, 0)
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.engine.expressions.PqEncode(col("v"), books).as("codes"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 1) && got(2L) == Seq(0, 0), got)
+    // wrong dimensionality is an error, not a silent wrong code
+    val e = intercept[Exception](
+      Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+        .select(graft.engine.expressions.PqEncode(col("v"), books))
+        .collect())
+    assert(e.getMessage.contains("pq_encode") ||
+      Option(e.getCause).exists(_.getMessage.contains("pq_encode")), e.getMessage)
+  }
+
   test("property: distanceBand equals naive theta join on random data") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
