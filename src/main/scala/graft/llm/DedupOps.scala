@@ -74,8 +74,21 @@ object DedupOps {
 
   // ---- MinHash + LSH ------------------------------------------------
   // k = 8 md5-based minhashes over 3-token shingles; 4 bands × 2 rows.
-  private val K = 8
-  private val BANDS = 4
+  // shared with the streaming ingest filter (streaming.DocStream):
+  // identical signatures + banding on both paths, so a document the
+  // stream admits hashes into exactly the buckets the batch pass reads
+  private[graft] val K = 8
+  private[graft] val BANDS = 4
+
+  /** Banded LSH buckets from a minhash signature: BANDS structs of
+    * (band, md5(two adjacent 16-bit slices)) — one generator pass.
+    */
+  private[graft] def bandStructs(sig: Column): Column =
+    array((0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))
+          .cast(BinaryType)).as("bucket"))
+    }: _*)
 
   private val shinglesSql =
     """list_distinct(list_transform(
@@ -150,13 +163,7 @@ object DedupOps {
     // bucket self-join reads this relation twice — without it every
     // per-shingle md5 runs 2×, which dominated the bench
     val bands = graft.engine.CacheOnce("dd_minhash_lsh/bands",
-      sig.select(col("doc_id"),
-        explode(array((0 until BANDS).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat(element_at(col("sig"), 2 * b + 1),
-              element_at(col("sig"), 2 * b + 2)).cast(BinaryType))
-              .as("bucket"))
-        }: _*)).as("bb"))
+      sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val a = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
     val b = bands.select(col("doc_id").as("id_b"), col("band"), col("bucket"))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document-ingest analytics (SURVEY.md §2.10 stretch, the
+  * incremental half of the llm.DedupOps batch pipeline): the same
+  * MinHash signatures and LSH banding as `dd_minhash_lsh`, with bucket
+  * membership held as KEYED STATE so near-duplicates are flagged at
+  * ingest time instead of in a later all-corpus batch pass.
+  *
+  * Scale layout: the stateful operator is keyed by (band, bucket) — the
+  * state store shards on the bucket hash, carries one long per bucket
+  * (the owning doc id), and never holds document text; per-batch work is
+  * one signature pass over the incoming documents plus a state lookup
+  * per band. At 100 TB/day of ingest the equivalent deployment bounds
+  * state with ProcessingTimeTimeout (or periodically rebases it from the
+  * batch pass) the same way longestRunPerUser documents.
+  */
+object DocStream {
+
+  /** One emitted row per (document, band): `ownerId` is the id that
+    * owned the band bucket when the document arrived (itself, if it
+    * opened the bucket). A document is a near-dup CANDIDATE iff any of
+    * its bands has `ownerId != docId` — the same candidate semantics as
+    * the batch LSH pair generator, oriented to first-arrival.
+    */
+  final case class BandHit(docId: Long, band: Int, ownerId: Long)
+
+  // public: Catalyst's generated (de)serializer code instantiates it
+  final case class BandRow(docId: Long, band: Int, bucket: String)
+
+  /** Flag near-dup candidates on a document stream (`doc_id`, `text`).
+    *
+    * Works identically on a bounded frame (state starts empty, one group
+    * call per bucket) — the spec's batch oracle. Within a micro-batch,
+    * documents are processed in ascending doc_id, so with an id-ordered
+    * feed the owner is the minimum id the bucket has seen — exactly the
+    * batch pass's `min(doc_id) per bucket`.
+    */
+  def nearDupBandHits(docs: DataFrame): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.engine.GraftColumns.minhashSig(col("text"), graft.llm.DedupOps.K)
+    val bands = docs
+      .select(col("doc_id"), explode(graft.llm.DedupOps.bandStructs(sig)).as("bb"))
+      .select(col("doc_id").as("docId"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .as[BandRow]
+    bands
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
+          val ids = rows.map(_.docId).toArray.sorted
+          var owner = state.getOption.getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            if (id < owner) owner = id
+            BandHit(id, key._1, owner)
+          }
+          state.update(owner)
+          out.iterator
+      }
+  }
+
+  /** Per-document near-dup verdicts from the band hits — a plain
+    * aggregation over the stateful operator's output (run it on the
+    * SINK side or on the bounded backfill; chaining it INTO the same
+    * streaming query would be a second stateful operator).
+    */
+  def nearDupVerdicts(hits: Dataset[DocStream.BandHit]): DataFrame =
+    hits.toDF()
+      .groupBy(col("docId").as("doc_id"))
+      .agg(max(when(col("ownerId") =!= col("docId"), true).otherwise(false))
+        .as("near_dup"),
+        min(when(col("ownerId") =!= col("docId"), col("ownerId")))
+          .as("dup_of"))
+}

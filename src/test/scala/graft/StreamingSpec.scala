@@ -85,6 +85,44 @@ class StreamingSpec extends AnyFunSuite {
       .getAs[Timestamp]("ts") == ts(3))
   }
 
+  test("DocStream near-dup: cross-batch duplicate flagged, equals batch") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    // distinct word-soup originals; 10..12 arrive a MICRO-BATCH LATER as
+    // exact copies of 0..2 (identical signature → every band collides →
+    // guaranteed candidates); 13 is new and must pass clean
+    val originals = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      1L -> "kilo lima mike november oscar papa quebec romeo sierra tango",
+      2L -> "uniform victor whiskey xray yankee zulu one two three four",
+      3L -> "red orange yellow green blue indigo violet cyan magenta white")
+    val later = Seq(
+      10L -> originals(0)._2, 11L -> originals(1)._2, 12L -> originals(2)._2,
+      13L -> "five six seven eight nine ten eleven twelve thirteen fourteen")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(originals)
+    mem.addData(later)
+    val q = DocStream.nearDupBandHits(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("nd_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      DocStream.nearDupVerdicts(df.as[DocStream.BandHit])
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val streamed = verdicts(spark.table("nd_stream"))
+    // batch oracle: the SAME function on the bounded union (state empty,
+    // one group call per bucket) — stream-vs-batch self-differential
+    val batch = verdicts(
+      DocStream.nearDupBandHits((originals ++ later).toDF("doc_id", "text")).toDF())
+    assert(streamed == batch)
+    val flagged = streamed.filter(_._2).map(v => v._1 -> v._3).toMap
+    assert(flagged == Map(10L -> Some(0L), 11L -> Some(1L), 12L -> Some(2L)),
+      s"got $flagged")
+  }
+
   test("longestRunPerUser: run spanning micro-batches is counted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
