@@ -90,7 +90,7 @@ object DedupOps {
           .cast(BinaryType)).as("bucket"))
     }: _*)
 
-  private val shinglesSql =
+  private[llm] val shinglesSql =
     """list_distinct(list_transform(
       |  generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 1)),
       |  i -> string_split(text, ' ')[i] || ' ' ||
@@ -104,7 +104,7 @@ object DedupOps {
     * interpreted per element); its history is in the Shingles3 spec,
     * which pins equivalence.
     */
-  private def shinglesPadded(text: Column): Column =
+  private[llm] def shinglesPadded(text: Column): Column =
     graft.engine.GraftColumns.shingles3(text)
 
   /** minhash_i = min over shingles of the i-th 16-bit hex slice of ONE
@@ -114,7 +114,7 @@ object DedupOps {
     * computes this natively (engine.expressions.MinHashSig); this is
     * the oracle's declarative formulation of the same kernel.
     */
-  private def minhashSql(i: Int): String =
+  private[llm] def minhashSql(i: Int): String =
     s"list_aggregate(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4)), 'min')"
 
   /** MinHash-LSH near-dup pairs: signature → band buckets → candidate

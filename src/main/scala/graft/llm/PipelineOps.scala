@@ -156,5 +156,111 @@ object PipelineOps {
       .orderBy(col("user_id").asc_nulls_last, col("session_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(pFunnel, pSessionize)
+  /** Full dedup COMPACTION as one plan — the production corpus-shrink
+    * job: exact dedup (digest window, keep min id) over a corpus with
+    * both verbatim copies (+20000) and 80%-prefix near-dups (+10000),
+    * then MinHash/LSH near-dup removal among the exact survivors
+    * (banded candidates → shingle-jaccard ≥ 0.3 → drop the later id),
+    * then a one-row funnel report.
+    *
+    * Scale layout: stage 1 is ONE shuffle on the 128-bit digest; stage 2
+    * is the dd_minhash_lsh layout (banded buckets confine the pair
+    * explosion, the quadratic verify runs only on candidates); the
+    * report is three tiny aggregates cross-joined — no driver action
+    * anywhere in the plan. The exact-survivor and shingle relations are
+    * CacheOnce'd (each feeds ≥2 consumers).
+    */
+  val pCompact = Q(
+    "pipe_compact",
+    {
+      val D = DedupOps
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      GREATEST(3, CAST(FLOOR(len(string_split(text, ' ')) * 4 / 5) AS INT))), ' ') AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, text FROM documents),
+         |exact AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |    FROM corpus) x WHERE doc_id = keeper),
+         |sh AS (SELECT doc_id, ${D.shinglesSql} AS sh FROM exact),
+         |sig AS (SELECT doc_id,
+         |  ${(0 until D.K).map(i => s"${D.minhashSql(i)} AS mh$i").mkString(", ")}
+         |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh) h),
+         |bands AS (
+         |  ${(0 until D.BANDS).map(b =>
+              s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |drops AS (
+         |  SELECT DISTINCT c.id_b AS doc_id
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3),
+         |final AS (
+         |  SELECT e.doc_id, e.text FROM exact e
+         |  LEFT JOIN drops d ON e.doc_id = d.doc_id WHERE d.doc_id IS NULL)
+         |SELECT
+         |  (SELECT COUNT(*) FROM corpus) AS n_raw,
+         |  (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  COUNT(*) AS n_final,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_final
+         |FROM final""".stripMargin
+    }
+  ) { s =>
+    val D = DedupOps
+    val toks = split(col("text"), " ")
+    val cut = greatest(lit(3), floor(size(toks) * 4 / 5).cast(IntegerType))
+    val base = s.table("documents").select(col("doc_id"), col("text"))
+    val corpus = base
+      .union(base.select((col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), cut), " ").as("text")))
+      .union(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    // stage 1 — exact: one digest shuffle, keep the minimum id
+    val exact = graft.engine.CacheOnce("pipe_compact/exact",
+      corpus
+        .withColumn("keeper", min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text").cast(BinaryType)))))
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("text")))
+    // stage 2 — near-dup among survivors: the dd_minhash_lsh layout
+    val sh = graft.engine.CacheOnce("pipe_compact/sh",
+      exact.select(col("doc_id"), D.shinglesPadded(col("text")).as("sh")))
+    val sig = exact.select(col("doc_id"),
+      graft.engine.GraftColumns.minhashSig(col("text"), D.K).as("sig"))
+    val bands = graft.engine.CacheOnce("pipe_compact/bands",
+      sig.select(col("doc_id"), explode(D.bandStructs(col("sig"))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+      size(array_union(col("sh_a"), col("sh_b")))
+    val drops = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jac >= 0.3)
+      .select(col("id_b").as("doc_id")).distinct()
+    val fin = exact.join(drops, Seq("doc_id"), "left_anti")
+    // stage 3 — funnel report: three tiny aggregates, cross-joined
+    corpus.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(fin.agg(
+        count(lit(1)).as("n_final"),
+        sum(size(split(col("text"), " "))).cast(LongType).as("tokens_final")))
+  }
+
+  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact)
 }

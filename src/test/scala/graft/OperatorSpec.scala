@@ -359,6 +359,25 @@ class OperatorSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("pq_encode")), e.getMessage)
   }
 
+  test("PqEncode interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.functions._
+    // same computation on a NO_CODEGEN session must produce identical
+    // codes — the eval path serves interpreted fallback contexts
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.codegen.wholeStage", "false")
+    iso.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import iso.implicits._
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(5.0, 5.0), Array(-5.0, -5.0)))
+    val got = Seq((1L, Seq(9.0, 9.0, -4.0, -6.0)), (2L, Seq(1.0, -1.0, 4.0, 6.0)))
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.engine.expressions.PqEncode(col("v"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 1) && got(2L) == Seq(0, 0), got)
+  }
+
   test("property: distanceBand equals naive theta join on random data") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
