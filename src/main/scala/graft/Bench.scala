@@ -147,7 +147,7 @@ object Bench {
     // underscore-terminated prefixes only: "w1" would also capture a
     // future w10_* into the wrong class silently
     val heavyFirst = Seq(
-      "dd_", "t6_recursive_", "a4_", "a9_", "a10_", "a14_", "tx_lang_",
+      "dd_", "pipe_compact", "t6_recursive_", "a4_", "a9_", "a10_", "a14_", "tx_lang_",
       "w5_", "w6_", "w4_", "w3_", "w1_", "w7_", "w2_", "w8_",
       "f_datetime", "nn_", "q5_", "j1_", "t3_", "t4_", "tx_boilerplate")
     def costClass(n: String): Int = {

@@ -65,6 +65,24 @@ class FlightSpec extends AnyFunSuite {
     assert(m("read_only") == "true")
   }
 
+  test("concurrent DoGet streams: 4 clients, interleaved onReady drains, all complete") {
+    // the onReady-driven drain suspends/resumes per transport window —
+    // run several large results in parallel and require every stream to
+    // arrive complete and correct (no cross-call state, no lost tail)
+    val expected = gw.sql("SELECT count(*) AS c FROM lineitem")
+      .collect()(0).getLong(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(List.fill(4)(Future {
+        val c = new FlightClientLite("localhost", server.boundPort)
+        try c.doGetSql("SELECT l_orderkey, l_extendedprice FROM lineitem").rows.length
+        finally c.close()
+      })), 2.minutes)
+    assert(results == List.fill(4)(expected.toInt), results)
+  }
+
   test("write statements are rejected with PERMISSION_DENIED over the wire") {
     val e = intercept[Exception](
       client.doGetSql("CREATE TABLE hack AS SELECT 1"))
