@@ -39,12 +39,24 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
           s"pq_encode requires array<float>/array<double>, got ${other.simpleString}")
     }
 
-  private def isFloat: Boolean =
+  // lazy: child.dataType resolves only after analysis; cached after that
+  // (a def here re-ran the ArrayType cast M·K·subDim times per row on
+  // the interpreted path)
+  private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     PqEncode.checkLen(x.numElements(), m * subDim)
+    if (elemNullable) {
+      var i = 0
+      while (i < x.numElements()) {
+        if (x.isNullAt(i)) PqEncode.nullElement()
+        i += 1
+      }
+    }
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -87,8 +99,20 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
       val diff = ctx.freshName("diff")
       val getX = if (isFloat) s"(double) $x.getFloat($mi * $subDim + $j)"
         else s"$x.getDouble($mi * $subDim + $j)"
+      // ArrayData.getDouble on a null slot returns 0.0 silently — a NULL
+      // element would encode as a zeroed coordinate and corrupt the code;
+      // fail instead (same convention as VectorMath). Scan emitted only
+      // when the schema admits nulls.
+      val nullScan = if (!elemNullable) ""
+        else {
+          val ni = ctx.freshName("ni")
+          s"""for (int $ni = 0; $ni < $x.numElements(); $ni++) {
+             |  if ($x.isNullAt($ni)) graft.engine.expressions.PqEncode.nullElement();
+             |}""".stripMargin
+        }
       s"""
          |graft.engine.expressions.PqEncode.checkLen($x.numElements(), ${m * subDim});
+         |$nullScan
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double[][] $book = $booksRef[$mi];
@@ -118,6 +142,10 @@ object PqEncode {
     if (n != expected)
       throw new IllegalArgumentException(
         s"pq_encode: vector has $n dims, codebook covers $expected")
+
+  def nullElement(): Unit =
+    throw new IllegalArgumentException(
+      "pq_encode: vector can not contain NULL elements")
 
   def apply(v: Column, books: Array[Array[Array[Double]]]): Column =
     GraftColumn.column(PqEncode(GraftColumn.expression(v), books))

@@ -121,6 +121,12 @@ final class FlightServer(gateway: Gateway, port: Int) {
             call.onError(toStatus(e).asRuntimeException())
         }
       }
+    // a cancelled call never fires onReady again — without this handler a
+    // drain suspended on flow control would leave the stream unfinalized
+    // forever (and grpc-java only suppresses onNext-after-cancel throws
+    // when a cancel handler is registered). The lazy iterator is simply
+    // abandoned; its session-scoped resources go with the gateway.
+    call.setOnCancelHandler(() => done = true)
     call.setOnReadyHandler(drain)
     drain.run()
   }

@@ -31,22 +31,15 @@ object PipelineOps {
     */
   val pFunnel = Q(
     "pipe_funnel",
-    """WITH raw AS (
+    s"""WITH raw AS (
       |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
       |scored AS (
       |  SELECT doc_id, lang, text,
-      |    0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |           / len(string_split(text, ' ')))
-      |    + 0.5 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0) AS quality
+      |    ${TextOps.qualitySql} AS quality
       |  FROM documents),
       |scrubbed AS (
       |  SELECT doc_id, lang, quality,
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(text,
-      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |        '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
-      |      '[0-9]{9,}', '<ID>', 'g') AS clean
+      |    ${TextOps.scrubSql("text")} AS clean
       |  FROM scored WHERE quality >= 0.52),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
@@ -62,23 +55,15 @@ object PipelineOps {
       |GROUP BY r.lang, r.n_docs
       |ORDER BY r.lang ASC NULLS LAST""".stripMargin
   ) { s =>
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9][0-9 -]{7,}[0-9]"
-    val longId = "[0-9]{9,}"
+    // quality gate + scrub are TextOps' shared stage definitions — the
+    // pipeline cannot drift from tx_quality_score / tx_pii_scrub
     val docs = s.table("documents")
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val quality = lit(0.5) * (size(array_distinct(toks)).cast(DoubleType) / nTok) +
-      lit(0.5) * least(nTok / 100.0, lit(1.0))
+    val quality = TextOps.qualityCol(col("text"))
     val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val pass = docs
       .filter(quality >= 0.52)
       .select(col("doc_id"), col("lang"), quality.as("quality"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), email, "<EMAIL>"),
-            phone, "<PHONE>"),
-          longId, "<ID>").as("clean"))
+        TextOps.scrubCol(col("text")).as("clean"))
     // dd_exact shape: shuffle carries the digest, never the text
     val ranked = pass.withColumn("rn",
       row_number().over(
@@ -134,8 +119,11 @@ object PipelineOps {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id ASC NULLS LAST, session_id ASC NULLS LAST""".stripMargin
   ) { s =>
+    // explicit NULLS LAST: Spark's bare ASC is NULLS FIRST, DuckDB's is
+    // NULLS LAST — a NULL ts would shift session numbering between
+    // engines (latent with this fixture; the discipline is the point)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
     val epoch = (c: org.apache.spark.sql.Column) =>
       c.cast(TimestampType).cast(LongType) // session tz is UTC
     val flags = s.table("events")

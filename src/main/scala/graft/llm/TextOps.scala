@@ -14,6 +14,42 @@ import graft.engine.Q
   */
 object TextOps {
 
+  // ---- shared stage definitions -------------------------------------
+  // One definition per pattern/formula on EACH side (Spark + oracle
+  // SQL), shared with PipelineOps.pipe_funnel — the composition reuses
+  // these so a fix to a scrub regex or the quality blend cannot drift
+  // between the standalone operator and the pipeline (same discipline
+  // as DedupOps.bandStructs). The regex strings are valid verbatim in
+  // both java.util.regex and DuckDB's RE2.
+  private[llm] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+  private[llm] val IdRe = "[0-9]{9,}"
+
+  private[llm] def scrubCol(text: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IdRe, "<ID>")
+
+  private[llm] def scrubSql(in: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($in, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), " +
+      s"'$IdRe', '<ID>', 'g')"
+
+  /** Blended 0..1 quality score: type-token ratio and length, half each. */
+  private[llm] def qualityCol(text: org.apache.spark.sql.Column) = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    lit(0.5) * (size(array_distinct(toks)).cast(DoubleType) / nTok) +
+      lit(0.5) * least(nTok / 100.0, lit(1.0))
+  }
+
+  private[llm] val qualitySql: String =
+    """0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')))
+      |    + 0.5 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)""".stripMargin
+
   /** Corpus statistics per language: doc counts, token totals/averages,
     * stopword ratio. One partial/final aggregation — at 100 TB the
     * shuffle carries 5 rows per partition.
@@ -51,32 +87,29 @@ object TextOps {
     */
   val tQuality = Q(
     "tx_quality_score",
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
       |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |    / len(string_split(text, ' '))) AS ttr,
       |  (CAST(list_aggregate(list_transform(string_split(text, ' '), t -> len(t)), 'sum') AS DOUBLE)
       |    / len(string_split(text, ' '))) AS mean_tok_len,
-      |  ROUND(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |               / len(string_split(text, ' ')))
-      |      + 0.5 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0), 6) AS quality
+      |  ROUND($qualitySql, 6) AS quality
       |FROM documents WHERE doc_id < 200
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val nTypes = size(array_distinct(toks))
-    val ttr = nTypes.cast(DoubleType) / nTok
     s.table("documents").filter(col("doc_id") < 200)
       .select(
         col("doc_id"),
         nTok.as("n_tok"),
         nTypes.as("n_types"),
-        ttr.as("ttr"),
+        (nTypes.cast(DoubleType) / nTok).as("ttr"),
         (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
           .cast(DoubleType) / nTok).as("mean_tok_len"),
-        round(lit(0.5) * ttr + lit(0.5) * least(nTok / 100.0, lit(1.0)), 6).as("quality"))
+        round(qualityCol(col("text")), 6).as("quality"))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -188,32 +221,19 @@ object TextOps {
     */
   val tScrub = Q(
     "tx_pii_scrub",
-    """SELECT doc_id,
-      |  regexp_replace(
-      |    regexp_replace(
-      |      regexp_replace(text,
-      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
-      |    '[0-9]{9,}', '<ID>', 'g') AS scrubbed,
-      |  CAST(len(regexp_extract_all(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_ids
+    s"""SELECT doc_id,
+      |  ${scrubSql("text")} AS scrubbed,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$IdRe')) AS INT) AS n_ids
       |FROM documents WHERE doc_id < 200
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9][0-9 -]{7,}[0-9]"
-    val longId = "[0-9]{9,}"
     s.table("documents").filter(col("doc_id") < 200)
       .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), email, "<EMAIL>"),
-            phone, "<PHONE>"),
-          longId, "<ID>").as("scrubbed"),
-        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        scrubCol(col("text")).as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
           .as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(longId), lit(0)))
+        size(regexp_extract_all(col("text"), lit(IdRe), lit(0)))
           .as("n_ids"))
       .orderBy(col("doc_id").asc_nulls_last)
   }

@@ -24,7 +24,12 @@ object DocStream {
     * owned the band bucket when the document arrived (itself, if it
     * opened the bucket). A document is a near-dup CANDIDATE iff any of
     * its bands has `ownerId != docId` — the same candidate semantics as
-    * the batch LSH pair generator, oriented to first-arrival.
+    * the batch LSH pair generator, oriented to FIRST-ARRIVAL: a
+    * duplicate arriving after its twin is flagged against the twin even
+    * when its id is smaller. (The batch pass orients pairs to the
+    * minimum id; the two agree whenever arrival order follows id order —
+    * the differential spec pins both the agreement and the out-of-order
+    * orientation.)
     */
   final case class BandHit(docId: Long, band: Int, ownerId: Long)
 
@@ -52,10 +57,15 @@ object DocStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
           val ids = rows.map(_.docId).toArray.sorted
+          // emit the owner AS OF ARRIVAL (before this row can claim the
+          // bucket): a later-arriving duplicate with a SMALLER id must
+          // still report the incumbent, not itself — updating first
+          // would emit a self-owned hit and silently pass the duplicate
           var owner = state.getOption.getOrElse(Long.MaxValue)
           val out = ids.map { id =>
+            val incumbent = if (owner == Long.MaxValue) id else owner
             if (id < owner) owner = id
-            BandHit(id, key._1, owner)
+            BandHit(id, key._1, incumbent)
           }
           state.update(owner)
           out.iterator

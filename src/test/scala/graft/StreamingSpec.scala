@@ -101,12 +101,18 @@ class StreamingSpec extends AnyFunSuite {
       10L -> originals(0)._2, 11L -> originals(1)._2, 12L -> originals(2)._2,
       13L -> "five six seven eight nine ten eleven twelve thirteen fourteen")
     val mem = MemoryStream[(Long, String)]
-    mem.addData(originals)
-    mem.addData(later)
     val q = DocStream.nearDupBandHits(mem.toDF.toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("nd_stream")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // one trigger per block, so batch 2 genuinely reads batch 1's STATE
+    // (adding both before start() would collapse them into one
+    // micro-batch and never exercise the cross-batch path)
+    try {
+      mem.addData(originals)
+      q.processAllAvailable()
+      mem.addData(later)
+      q.processAllAvailable()
+    } finally q.stop()
     def verdicts(df: org.apache.spark.sql.DataFrame) =
       DocStream.nearDupVerdicts(df.as[DocStream.BandHit])
         .orderBy("doc_id").collect()
@@ -120,6 +126,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     val flagged = streamed.filter(_._2).map(v => v._1 -> v._3).toMap
     assert(flagged == Map(10L -> Some(0L), 11L -> Some(1L), 12L -> Some(2L)),
+      s"got $flagged")
+  }
+
+  test("DocStream near-dup: late duplicate with a SMALLER id is still flagged") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    // first-arrival semantics: doc 1000 arrives first and owns its
+    // buckets; its exact copy arrives a batch LATER with id 500 — the
+    // copy must be flagged against the incumbent, not report itself
+    val text = "golf hotel india juliet kilo lima mike november oscar papa"
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.nearDupBandHits(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("nd_stream_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(1000L -> text))
+      q.processAllAvailable()
+      mem.addData(Seq(500L -> text))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = DocStream.nearDupVerdicts(
+        spark.table("nd_stream_ooo").as[DocStream.BandHit])
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    assert(flagged == Seq((500L, true, Some(1000L)), (1000L, false, None)),
       s"got $flagged")
   }
 
