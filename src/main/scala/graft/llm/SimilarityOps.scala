@@ -362,7 +362,7 @@ object SimilarityOps {
     // ADC shortlist (RERANK × k), then the standard refine step: exact
     // cosine over ONLY the shortlisted full vectors — at scale this
     // re-reads RERANK·k raw vectors per query, not the corpus
-    val RERANK = 8
+    val RERANK = 16
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("approx_sim").desc, col("vec_id").asc)
     val shortlist = scored.withColumn("rn", row_number().over(wa))
