@@ -115,6 +115,42 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q10 returned-item report: time-sliced fact join + dim joins +
+    * revenue rollup + top-20. The date filter prunes orders BEFORE the
+    * lineitem join (pushed to the scan); nation broadcasts; the limit
+    * fuses to TakeOrderedAndProject.
+    */
+  val q10 = Q(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS LAST
+      |LIMIT 20""".stripMargin
+  ) { s =>
+    s.table("orders")
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast(TimestampNTZType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampNTZType))
+      .join(s.table("lineitem").filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(s.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc_nulls_last)
+      .limit(20)
+  }
+
   /** Uncorrelated scalar subquery: orders above the global average price.
     * Catalyst plans the subquery once and broadcasts the scalar.
     */
@@ -170,5 +206,5 @@ object TpchQueries {
         |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q3, q5, q18, sq1, sq2, sq3)
+  val all: Seq[Q] = Seq(q3, q5, q10, q18, sq1, sq2, sq3)
 }

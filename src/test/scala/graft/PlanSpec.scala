@@ -100,6 +100,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("pipe_compact: no cartesian pair explosion, cached relations reused") {
+    val df = SparkEntry.queries("pipe_compact")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // candidate pairs come from the banded equi-join, never a cross
+    // product of documents (the guarantee the LSH layout exists to
+    // provide) — the report's one-row aggregate joins broadcast (BNLJ),
+    // they never plan as CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+    // exact survivors + shingles + bands are CacheOnce'd (multi-consumer)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q18 prunes via semi-join before the wide joins and fuses top-k") {
     val p = plan("q18_large_orders")
     assert(p.contains("LeftSemi"), p)
