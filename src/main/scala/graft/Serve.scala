@@ -38,7 +38,7 @@ object Serve {
     // injected GraftSqlParser (ReadOnlyGuard) rejects write/DDL statements
     // from Thrift clients — the gateway-level check alone never sees them
     val classic = gw.session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    HiveThriftServer2.startWithContext(classic.sqlContext)
+    HiveThriftServer2.startWithSparkSession(classic, exitOnError = false)
     val flight = graft.flight.FlightServer.start(gw, flightPort)
     (gw, flight)
   }

@@ -55,7 +55,7 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map { case (_, al) => col("__match").getField(al).as(al) }: _*)
   }
 }

@@ -131,7 +131,7 @@ object SimilarityOps {
       }
     }
     val sigBits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       val dp = dot(col("embedding"), planeCol)
       when(dp > 0, lit(1)).otherwise(lit(0)).cast(StringType).as(s"b$i")
     }
