@@ -115,6 +115,37 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q4 order-priority check, adapted to the trimmed fixture columns
+    * (no commit/receipt dates → "late shipment" = shipped more than 60
+    * days after the order date). The point is the CORRELATED EXISTS
+    * referencing both sides: Catalyst decorrelates it into a left-semi
+    * join with a mixed equi + range condition — no per-row subquery
+    * execution at any scale.
+    */
+  val q4 = Q(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
+  }
+
   /** Q10 returned-item report: time-sliced fact join + dim joins +
     * revenue rollup + top-20. The date filter prunes orders BEFORE the
     * lineitem join (pushed to the scan); nation broadcasts; the limit
@@ -206,5 +237,5 @@ object TpchQueries {
         |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q3, q5, q10, q18, sq1, sq2, sq3)
+  val all: Seq[Q] = Seq(q3, q4, q5, q10, q18, sq1, sq2, sq3)
 }

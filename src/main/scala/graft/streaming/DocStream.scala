@@ -44,7 +44,19 @@ object DocStream {
     * feed the owner is the minimum id the bucket has seen — exactly the
     * batch pass's `min(doc_id) per bucket`.
     */
-  def nearDupBandHits(docs: DataFrame): Dataset[BandHit] = {
+  def nearDupBandHits(
+      docs: DataFrame,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutDuration: String = "1 hour"): Dataset[BandHit] = {
+    // Same timeout contract as EventStream.longestRunPerUser: NoTimeout
+    // keeps state for the life of the query (right for tests and bounded
+    // backfills); production ingest passes ProcessingTimeTimeout so cold
+    // buckets age out — with the documented cost that a timed-out bucket
+    // re-admits a late duplicate (rebase from the batch pass bounds it).
+    require(
+      timeout == GroupStateTimeout.NoTimeout ||
+        timeout == GroupStateTimeout.ProcessingTimeTimeout,
+      s"nearDupBandHits: unsupported timeout mode $timeout")
     import docs.sparkSession.implicits._
     val sig = graft.engine.GraftColumns.minhashSig(col("text"), graft.llm.DedupOps.K)
     val bands = docs
@@ -54,21 +66,28 @@ object DocStream {
       .as[BandRow]
     bands
       .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[Long]) =>
-          val ids = rows.map(_.docId).toArray.sorted
-          // emit the owner AS OF ARRIVAL (before this row can claim the
-          // bucket): a later-arriving duplicate with a SMALLER id must
-          // still report the incumbent, not itself — updating first
-          // would emit a self-owned hit and silently pass the duplicate
-          var owner = state.getOption.getOrElse(Long.MaxValue)
-          val out = ids.map { id =>
-            val incumbent = if (owner == Long.MaxValue) id else owner
-            if (id < owner) owner = id
-            BandHit(id, key._1, incumbent)
+          if (state.hasTimedOut) {
+            state.remove() // cold bucket ages out; nothing to emit
+            Iterator.empty
+          } else {
+            val ids = rows.map(_.docId).toArray.sorted
+            // emit the owner AS OF ARRIVAL (before this row can claim the
+            // bucket): a later-arriving duplicate with a SMALLER id must
+            // still report the incumbent, not itself — updating first
+            // would emit a self-owned hit and silently pass the duplicate
+            var owner = state.getOption.getOrElse(Long.MaxValue)
+            val out = ids.map { id =>
+              val incumbent = if (owner == Long.MaxValue) id else owner
+              if (id < owner) owner = id
+              BandHit(id, key._1, incumbent)
+            }
+            state.update(owner)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(timeoutDuration)
+            out.iterator
           }
-          state.update(owner)
-          out.iterator
       }
   }
 
