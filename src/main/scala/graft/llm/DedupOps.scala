@@ -97,6 +97,44 @@ object DedupOps {
       |       COALESCE(string_split(text, ' ')[i+1], '') || ' ' ||
       |       COALESCE(string_split(text, ' ')[i+2], '')))""".stripMargin.replace("\n", " ")
 
+  /** Candidate-pair cap per LSH bucket. Buckets at or below the cap do
+    * the standard all-pairs candidate join; a bucket ABOVE it ("hot")
+    * degrades to a star pattern — every member pairs with the bucket's
+    * minimum doc_id — turning a boilerplate-heavy corpus's would-be
+    * O(n²) pair explosion into O(n) while still linking every member of
+    * the bucket to one keeper (mass duplicates all verify against the
+    * representative, which is what a compaction keeps anyway). 100 is
+    * ~40× the largest fixture bucket, so oracle-checked outputs are
+    * byte-identical; the adversarial spec exercises the guard directly.
+    */
+  private[graft] val HOT_BUCKET_CAP = 100
+
+  /** LSH candidate pairs (id_a < id_b, distinct) from a bands relation
+    * (doc_id, band, bucket), with the hot-bucket guard above. The bucket
+    * size/representative window shuffles on (band, bucket) — the same
+    * partitioning the candidate self-join needs, so EnsureRequirements
+    * reuses the exchange instead of adding one.
+    */
+  private[graft] def lshCandidates(
+      bands: DataFrame, cap: Int = HOT_BUCKET_CAP): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val sized = bands
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("brep", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsize") <= cap)
+    val allPairs = small.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(small.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // star pattern: brep is the bucket minimum, so brep < doc_id holds
+    // for every emitted pair and the (id_a < id_b) orientation is kept
+    val hotStar = sized.filter(col("bsize") > cap && col("doc_id") =!= col("brep"))
+      .select(col("brep").as("id_a"), col("doc_id").as("id_b"))
+    allPairs.union(hotStar).distinct()
+  }
+
   /** Spark-side shingle set (distinct 3-grams of the token list,
     * ''-padded tail — both engines compute identical shingles): the
     * native engine.expressions.Shingles3 kernel. The declarative
@@ -165,11 +203,7 @@ object DedupOps {
     val bands = graft.engine.CacheOnce("dd_minhash_lsh/bands",
       sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    val a = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-    val b = bands.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = lshCandidates(bands)
     val sa = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")

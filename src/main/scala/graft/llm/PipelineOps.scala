@@ -229,11 +229,7 @@ object PipelineOps {
     val bands = graft.engine.CacheOnce("pipe_compact/bands",
       sig.select(col("doc_id"), explode(D.bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = D.lshCandidates(bands)
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
       size(array_union(col("sh_a"), col("sh_b")))
     val drops = cand

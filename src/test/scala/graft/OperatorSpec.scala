@@ -40,6 +40,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("name") == "b" && out(0).getAs[Double]("score") == 2.0)
   }
 
+  test("LSH hot-bucket guard: mass-duplicate corpus stays linear") {
+    import spark.implicits._
+    import graft.llm.DedupOps
+    // adversarial fixture: 500 identical docs → identical signatures →
+    // ONE (band,bucket) of 500 members per band. Ungated all-pairs
+    // would emit C(500,2) = 124,750 candidates; the guard must degrade
+    // the hot bucket to the 499-pair star on the minimum id.
+    val boiler = (1L to 500L).map(i => (i, "the same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"),
+        explode(DedupOps.bandStructs(
+          graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val hot = DedupOps.lshCandidates(bandsOf(boiler), cap = 100).collect()
+    assert(hot.length == 499) // linear star, not the quadratic explosion
+    assert(hot.forall(r => r.getLong(0) == 1L && r.getLong(1) > 1L))
+
+    // buckets at or below the cap keep exact all-pairs semantics: the
+    // same corpus with the cap above the bucket size emits every pair
+    val small = (1L to 12L).map(i => (i, "another boilerplate block"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.lshCandidates(bandsOf(small), cap = 100).count()
+    assert(pairs == 66) // C(12,2)
+
+    // mixed corpus: hot bucket degrades, distinct small buckets keep
+    // their pairs — the guard is per-bucket, not global
+    val mixed = boiler.union(
+      Seq((1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1002L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"))
+    val mixedPairs = DedupOps.lshCandidates(bandsOf(mixed), cap = 100)
+    assert(mixedPairs.count() == 500) // 499 star + the (1001,1002) pair
+    assert(mixedPairs.filter(col("id_a") === 1001L && col("id_b") === 1002L).count() == 1)
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val rows = SparkEntry.queries("a10_approx_distinct")(spark, sf).collect()
     rows.foreach { r =>
