@@ -113,6 +113,28 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       }
     }
     val rewritten = Dialect.rewrite(trimmed)
+    // WITH RECURSIVE … UNION (bare): DuckDB-dialect dedup recursion.
+    // Spark 4.1's native recursive CTE covers only UNION ALL, so the
+    // bare-UNION shape routes through the engine's semi-naive fixpoint
+    // (Recursive.fixpoint — identical semantics: each round's working
+    // table is the new distinct rows). UNION ALL recursion falls
+    // through to the native path untouched.
+    if (RecursiveSql.isRecursive(rewritten)) {
+      val parsed =
+        try RecursiveSql.parse(rewritten)
+        catch { case _: IllegalArgumentException => None }
+      parsed match {
+        case Some(p) if RecursiveSql.needsFixpoint(p) =>
+          if (readOnly) {
+            val up = p.outer.toUpperCase
+            if (!readOnlyAllowed.exists(up.startsWith))
+              throw new GatewayException(
+                s"read-only gateway: statement rejected (${up.takeWhile(_ != ' ')})")
+          }
+          return RecursiveSql.run(session, p)
+        case _ => // native parser handles it (or reports the real error)
+      }
+    }
     val df = session.sql(rewritten)
     df.queryExecution.assertAnalyzed() // structured failure before execution
     df

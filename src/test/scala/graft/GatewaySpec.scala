@@ -17,6 +17,41 @@ class GatewaySpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("WITH RECURSIVE runs through the gateway, differential vs fixpoint") {
+    // the t6 oracle SQL VERBATIM (Spark 4.1 ships native recursive
+    // CTEs, so the client text path needs no rewrite) vs the engine's
+    // Recursive.fixpoint DataFrame form — independent implementations
+    // of the same BFS fixpoint must agree row-for-row
+    val viaSql = gw.sql(SparkEntry.oracleSql("t6_recursive_cte")).collect()
+    val viaFixpoint = SparkEntry.queries("t6_recursive_cte")(spark, sf).collect()
+    assert(viaSql.length == viaFixpoint.length)
+    viaSql.zip(viaFixpoint).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getInt(1) == b.getInt(1))
+    }
+  }
+
+  test("WITH RECURSIVE: UNION terminates on a cyclic graph; UNION ALL passes to native") {
+    // 3-cycle 0→1→2→0: bare-UNION recursion must converge (each round's
+    // working table is the NEW distinct rows — after one lap there are
+    // none), where UNION ALL enumeration would spin forever
+    val cyc = gw.sql(
+      """WITH RECURSIVE e(a, b) AS (
+        |  SELECT 0, 1 UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 0),
+        |r(node) AS (
+        |  SELECT 0
+        |  UNION
+        |  SELECT e.b FROM r JOIN e ON e.a = r.node)
+        |SELECT node FROM r ORDER BY node""".stripMargin).collect()
+    assert(cyc.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // UNION ALL recursion (acyclic) goes through Spark's native
+    // recursive CTE — counts every PATH, not every node
+    val paths = gw.sql(
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5)
+        |SELECT count(*) AS c, sum(n) AS s FROM t""".stripMargin).collect()(0)
+    assert(paths.getLong(0) == 5L && paths.getLong(1) == 15L)
+  }
+
   test("duckdb-dialect functions run unchanged") {
     val r = gw.sql(
       """SELECT string_split('a,b,c', ',') AS sp,
