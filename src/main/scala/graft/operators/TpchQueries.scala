@@ -182,6 +182,67 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** Q14 promo revenue: lineitem ⋈ part on the part axis (the fixture's
+    * third fact-dim edge, previously only scanned standalone). part is
+    * a broadcast-sized dim at any sane scale ratio (1 part row per ~30
+    * lineitem rows), so the plan is a broadcast hash join under the
+    * pushed shipdate range — one shuffle-free pass over the fact slice.
+    * Both ratio terms are exact DECIMAL sums cast to DOUBLE before one
+    * IEEE division, so the two engines compute the identical value.
+    */
+  val q14 = Q(
+    "q14_promo_revenue",
+    """SELECT CAST(ROUND(100.0 *
+      |    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+      |  6) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+  ) { s =>
+    s.table("lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1997-10-01").cast(TimestampNTZType))
+      .join(broadcast(s.table("part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").like("PROMO%"), revenue)
+          .otherwise(lit(0).cast(dec))).cast(DoubleType).as("promo"),
+        sum(revenue).cast(DoubleType).as("total"))
+      .select(round(lit(100.0) * col("promo") / col("total"), 6)
+        .cast(DoubleType).as("promo_revenue"))
+  }
+
+  /** Q2-style correlated min over the part/supplier axis (the fixture
+    * has no partsupp, so supply cost is the observed min unit price in
+    * lineitem): for each small part, the supplier(s) actually selling
+    * at that part's minimum unit price. The correlated MIN subquery is
+    * the decorrelation stress (Catalyst rewrites it to an aggregate
+    * joined on l_partkey); supplier stays a broadcast dim.
+    */
+  val q2m = Q(
+    "q2_min_cost_supp",
+    """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name
+      |FROM part, lineitem, supplier
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size <= 5
+      |  AND l_extendedprice / l_quantity = (
+      |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name
+        |FROM part, lineitem, supplier
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size <= 5
+        |  AND l_extendedprice / l_quantity = (
+        |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""".stripMargin)
+  }
+
   /** Uncorrelated scalar subquery: orders above the global average price.
     * Catalyst plans the subquery once and broadcasts the scalar.
     */
@@ -237,5 +298,5 @@ object TpchQueries {
         |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q3, q4, q5, q10, q18, sq1, sq2, sq3)
+  val all: Seq[Q] = Seq(q2m, q3, q4, q5, q10, q14, q18, sq1, sq2, sq3)
 }

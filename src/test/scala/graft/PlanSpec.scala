@@ -53,6 +53,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
   }
 
+  test("q14 broadcasts part and pushes the shipdate range to the scan") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+  }
+
+  test("q2 correlated min decorrelates (aggregate+join, no per-row subquery)") {
+    val p = plan("q2_min_cost_supp")
+    // Catalyst must rewrite the correlated scalar MIN into a grouped
+    // aggregate joined on l_partkey — a surviving per-row subquery or
+    // cartesian is the 100 TB cliff this pin guards
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p) // supplier/part dims broadcast
+  }
+
   test("nn_cosine_topk broadcasts the query side (no candidate shuffle)") {
     val p = plan("nn_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
