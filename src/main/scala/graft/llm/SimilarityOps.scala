@@ -149,6 +149,16 @@ object SimilarityOps {
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
 
+  /** Memo key for index artifacts: the registered dataset dir. Fails
+    * fast when the session has no registered dataset — a shared "?"
+    * sentinel would silently serve one dataset's codebooks/centroids to
+    * another session's corpus in the same JVM.
+    */
+  private def datasetKey(s: org.apache.spark.sql.SparkSession): String =
+    graft.engine.Tables.dirOf(s).getOrElse(throw new IllegalStateException(
+      "ANN index build requires a registered dataset (Tables.register) — " +
+        "refusing to memoize under a shared key"))
+
   /** Train (or fetch) the IVF coarse quantizer for the session's
     * dataset: Lloyd's k-means (llm.KMeans, 3 distributed rounds) from a
     * deterministic md5-ordered sample init. Exposed separately from the
@@ -159,7 +169,7 @@ object SimilarityOps {
   def buildIvfIndex(s: org.apache.spark.sql.SparkSession, nlists: Int)
       : Seq[(Int, Array[Double])] = {
     val emb = s.table("embeddings")
-    val memoKey = graft.engine.Tables.dirOf(s).getOrElse("?") + s"/$nlists"
+    val memoKey = datasetKey(s) + s"/$nlists"
     ivfCentroids.computeIfAbsent(memoKey, _ => {
       val init = emb
         .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
@@ -173,22 +183,49 @@ object SimilarityOps {
     })
   }
 
+  /** Brute-force cosine top-3 oracle (identical text to nn_cosine_topk):
+    * the approximate indexes are DECLARED against exact search — their
+    * probe/rerank widths are sized so the shortlist provably contains
+    * the true top-3 on this corpus (the sweep spec pins equality at all
+    * three SFs), at which point the exact-rerank output IS the
+    * brute-force answer, hash and all.
+    */
+  private val bruteTop3OracleSql =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |sims AS (
+      |  SELECT qid, vec_id,
+      |         ROUND(list_cosine_similarity(qe, e), 6) AS sim
+      |  FROM q CROSS JOIN c WHERE vec_id <> qid)
+      |SELECT qid, vec_id, sim FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      |  FROM sims) t
+      |WHERE rn <= 3
+      |ORDER BY qid ASC NULLS LAST, sim DESC NULLS LAST, vec_id ASC NULLS LAST""".stripMargin
+
   /** IVF approximate top-k — the at-scale ANN layout: a k-means coarse
     * quantizer (Lloyd's over the corpus, llm.KMeans) partitions the
     * corpus into inverted lists; each query probes only its nprobe
     * nearest lists, so per-query work is corpus/nlists × nprobe instead
     * of a full scan. Layout maps 1:1 to a cluster: lists are partitions
-    * (repartition by centroid id), centroids broadcast. No oracle
-    * (approximate recall is not SQL-deterministic); the spec checks
-    * recall ≥ 0.7 vs the brute-force baseline.
+    * (repartition by centroid id), centroids broadcast. Oracle = brute
+    * force: nprobe is sized so the probed lists contain the true top-3
+    * (sweep-spec'd at every SF; equality holds from nprobe 11, default
+    * 12 for margin), making the output exact on this corpus.
     */
-  val v4 = Q.noOracle("nn_ivf_topk") { s =>
+  val v4 = Q("nn_ivf_topk", bruteTop3OracleSql) { s => ivfTopK(s) }
+
+  /** IVF search body, probe width exposed for the recall-sweep spec. */
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession,
+      nprobe: Int = 12): org.apache.spark.sql.DataFrame = {
     val NLISTS = 16
     // fixture-scale ratio: 500-vector corpus — probe well over half the
     // lists to hold recall; at production scale NLISTS is thousands and
     // NPROBE tens, so the prune ratio grows with the corpus, not with
     // this constant
-    val NPROBE = 10
+    val NPROBE = nprobe
     val TOPK = 3
     val emb = s.table("embeddings")
     // coarse quantizer: trained k-means centroids (memoized — build is
@@ -261,7 +298,7 @@ object SimilarityOps {
   def buildPqIndex(s: org.apache.spark.sql.SparkSession)
       : Seq[Seq[(Int, Array[Double])]] = {
     val memoKey =
-      graft.engine.Tables.dirOf(s).getOrElse("?") + s"/pq/$PqM/$PqK"
+      datasetKey(s) + s"/pq/$PqM/$PqK"
     pqCodebooks.computeIfAbsent(memoKey, _ => {
       val emb = s.table("embeddings")
         .select(col("vec_id"),
@@ -292,9 +329,11 @@ object SimilarityOps {
     * broadcast LUT of queries × M × K partial dots and sums M partials
     * per (query, candidate) — shuffle-bound in corpus × M ints, never in
     * raw vectors. Ranking divides by the stored true norm, so the
-    * approximation error is only in the quantized dot product. No oracle
-    * (approximate recall is not SQL-deterministic, same class as
-    * nn_ivf_topk); the spec checks recall vs brute force.
+    * approximation error is only in the quantized dot product. Oracle =
+    * brute force, same contract as nn_ivf_topk: the rerank width is
+    * sized so the ADC shortlist contains the true top-3 (sweep-spec'd
+    * at every SF; equality holds from rerank 48, default 64 for
+    * margin), so the exact-rerank output is the brute-force answer.
     */
   /** Encode the corpus against the trained codebooks: code_m =
     * argmin_k ||x_m − c_{m,k}||², ranked as ||c||² − 2·x·c (row norm
@@ -308,14 +347,14 @@ object SimilarityOps {
       books: Seq[Seq[(Int, Array[Double])]])
       : org.apache.spark.sql.DataFrame = {
     val memoKey =
-      graft.engine.Tables.dirOf(s).getOrElse("?") + s"/pq/$PqM/$PqK"
+      datasetKey(s) + s"/pq/$PqM/$PqK"
     val bookArr = pqBookArrays.computeIfAbsent(memoKey,
       _ => books.map(_.map(_._2).toArray).toArray)
     val emb = s.table("embeddings")
       .select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
     graft.engine.CacheOnce(
-      "pq:codes:" + graft.engine.Tables.dirOf(s).getOrElse("?"),
+      "pq:codes:" + datasetKey(s),
       emb.select(col("vec_id"), sqrt(dot(col("v"), col("v"))).as("xn"),
         graft.engine.expressions.PqEncode(col("v"), bookArr).as("codes")))
   }
@@ -327,7 +366,11 @@ object SimilarityOps {
   def warmPqIndex(s: org.apache.spark.sql.SparkSession): Unit =
     pqCodes(s, buildPqIndex(s)).write.format("noop").mode("overwrite").save()
 
-  val v5 = Q.noOracle("nn_pq_topk") { s =>
+  val v5 = Q("nn_pq_topk", bruteTop3OracleSql) { s => pqTopK(s) }
+
+  /** PQ search body, rerank width exposed for the recall-sweep spec. */
+  private[graft] def pqTopK(s: org.apache.spark.sql.SparkSession,
+      rerank: Int = 64): org.apache.spark.sql.DataFrame = {
     val TOPK = 3
     val books = buildPqIndex(s) // offline, memoized
     val emb = s.table("embeddings")
@@ -356,13 +399,17 @@ object SimilarityOps {
         codes("m") === lut("m") && codes("code") === lut("k"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(
-        (sum(col("partial")) / (first(col("qn")) * first(col("xn"))))
-          .as("approx_sim"))
+      // rounded to 9 decimals BEFORE the shortlist window: the partial
+      // sum's accumulation order varies with partitioning, so an
+      // unrounded float near-tie at the shortlist cutoff could flip
+      // across cluster configs; 1e-9 is far below any meaningful ADC
+      // separation and far above double accumulation jitter
+      .agg(round(sum(col("partial")) / (first(col("qn")) * first(col("xn"))), 9)
+        .as("approx_sim"))
     // ADC shortlist (RERANK × k), then the standard refine step: exact
     // cosine over ONLY the shortlisted full vectors — at scale this
     // re-reads RERANK·k raw vectors per query, not the corpus
-    val RERANK = 16
+    val RERANK = rerank
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("approx_sim").desc, col("vec_id").asc)
     val shortlist = scored.withColumn("rn", row_number().over(wa))
