@@ -5,12 +5,14 @@ import org.apache.spark.sql.types._
 import graft.engine.Q
 
 /** Multimodal-column plumbing (BASELINE.json): images/audio/video are
-  * opaque `binary` columns with typed metadata. The container has no
-  * media codecs, so the decode step is a STUB (deterministic fake derived
-  * from the bytes) — but the Spark-side plumbing is real: binary columns,
-  * typed Dataset decode stage, partition-parallel execution, metadata
-  * schema. The fixtures ship no binary column, so `documents.text` is
-  * cast to UTF-8 bytes as the stand-in payload.
+  * opaque `binary` columns with typed metadata. The image path runs a
+  * REAL codec — PNG via javax.imageio, JDK-only, no extra jars: payloads
+  * are deterministic synthesized PNGs (the fixtures ship no binary
+  * column) and mm_decode extracts width/height/channels from an actual
+  * decode, oracle-checked against the generation parameters. Audio/video
+  * codecs don't exist in this container, so frame-sampling and resize
+  * operate on byte blocks / metadata with the same partition-parallel
+  * shapes a real codec stage would use.
   */
 object MultimodalOps {
 
@@ -43,48 +45,87 @@ object MultimodalOps {
       doc_id: Long, width: Option[Int], height: Option[Int],
       channels: Option[Int], n_frames: Option[Int])
 
-  /** Typed decode stage: Dataset[(id, bytes)] → mapPartitions →
-    * Dataset[MediaMeta]. The per-partition loop is where a real codec
-    * (JPEG decode, audio resample, video frame-sample) would run — one
-    * codec context per partition, rows streamed through it; this shape is
-    * embarrassingly parallel and shuffle-free at any scale.
-    *
-    * STUB: no media libs in this container — dimensions are derived
-    * deterministically from the md5 hex of the payload bytes, which the
-    * DuckDB oracle recomputes with the same ascii arithmetic, so the
-    * mapPartitions plumbing itself is oracle-checked.
+  /** Deterministic PNG payload for a document id: dimensions and
+    * colorspace are pure functions of the id (so the oracle can state
+    * expected metadata without a codec), pixel content is a gradient
+    * keyed by (x, y, id) so the codec compresses real image data. Odd
+    * ids are 1-band grayscale, even ids 3-band BGR.
+    */
+  private[graft] def pngPayload(id: Long): Array[Byte] = {
+    val w = 16 + ((id * 7) % 48).toInt
+    val h = 16 + ((id * 13) % 48).toInt
+    val kind =
+      if (id % 2 == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, kind)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 97) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Typed decode stage with a REAL codec in the loop: Dataset[(id,
+    * bytes)] → mapPartitions → Dataset[MediaMeta], where the bytes are
+    * actual PNG streams (synthesized per id — the fixtures ship no
+    * binary column) and width/height/channels/n_frames come from a
+    * javax.imageio decode of those bytes. One ImageReader per
+    * partition, rows streamed through it — the codec-context pattern;
+    * embarrassingly parallel and shuffle-free at any scale. The oracle
+    * recomputes the expected metadata from the generation parameters,
+    * so a codec that mis-reports dimensions (or plumbing that swaps
+    * payloads between rows) hash-fails.
     */
   val m2 = Q(
-    "mm_decode_stub",
+    "mm_decode",
     """SELECT doc_id,
-      |  CAST(64 + (ascii(substr(md5(text), 1, 1)) * 256 +
-      |             ascii(substr(md5(text), 2, 1))) % 512 AS INT) AS width,
-      |  CAST(64 + (ascii(substr(md5(text), 3, 1)) * 256 +
-      |             ascii(substr(md5(text), 4, 1))) % 512 AS INT) AS height,
-      |  CAST(1 + ascii(substr(md5(text), 5, 1)) % 3 AS INT) AS channels,
-      |  CAST(1 + ascii(substr(md5(text), 6, 1)) % 16 AS INT) AS n_frames
+      |  CAST(CASE WHEN text IS NULL THEN NULL
+      |       ELSE 16 + (doc_id * 7) % 48 END AS INT) AS width,
+      |  CAST(CASE WHEN text IS NULL THEN NULL
+      |       ELSE 16 + (doc_id * 13) % 48 END AS INT) AS height,
+      |  CAST(CASE WHEN text IS NULL THEN NULL
+      |       WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+      |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 1 END AS INT) AS n_frames
       |FROM documents
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
     import s.implicits._
+    // payload stage: id → PNG bytes (stands in for reading image files /
+    // a binary column); a NULL source document yields a NULL payload
     val payloads = s.table("documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src"))
       .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        (id, if (src == null) null else pngPayload(id))
+      })
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+    // decode stage: one codec context (PNG ImageReader) per partition
     payloads.mapPartitions { it =>
-      // real pipeline: one codec context per partition, opened here
-      val digest = java.security.MessageDigest.getInstance("MD5")
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       it.map { case (id, bytes) =>
-        if (bytes == null) // oracle: md5(NULL) = NULL → all-NULL metadata
+        if (bytes == null) // NULL payload → NULL metadata, not a crash
           MediaMeta(id, None, None, None, None)
         else {
-          // ??? <- real decode goes here; md5-derived fake below
-          digest.reset()
-          val hex = digest.digest(bytes).map("%02x".format(_)).mkString
-          MediaMeta(id,
-            width = Some(64 + (hex(0).toInt * 256 + hex(1).toInt) % 512),
-            height = Some(64 + (hex(2).toInt * 256 + hex(3).toInt) % 512),
-            channels = Some(1 + hex(4).toInt % 3),
-            n_frames = Some(1 + hex(5).toInt % 16))
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            MediaMeta(id,
+              width = Some(img.getWidth),
+              height = Some(img.getHeight),
+              channels = Some(img.getRaster.getNumBands),
+              n_frames = Some(reader.getNumImages(true)))
+          } finally iis.close()
         }
       }
     }.toDF()
@@ -116,8 +157,9 @@ object MultimodalOps {
 
   /** Resize stage: decoded dimensions → target box (fit-within,
     * aspect-preserving — the standard training-pipeline image resize).
-    * The decode half is the same md5-derived stub as mm_decode_stub
-    * (no codecs in this container); the resize ARITHMETIC — the part a
+    * The input dims here are md5-derived synthetic metadata (the
+    * real-codec path is mm_decode; a production resize consumes the
+    * decode stage's metadata table); the resize ARITHMETIC — the part a
     * real pipeline would run after any codec — is real and
     * oracle-checked: scale = min(tw/w, th/h, 1) (never upscale), output
     * rounded down, floor at 1 px. Pure projection: no shuffle, prunes

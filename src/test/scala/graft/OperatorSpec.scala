@@ -196,21 +196,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(GeneratorQueries.pivotDomain(ok, "v") == Seq("v0", "v1", "v2"))
   }
 
-  test("mm_decode_stub: NULL payload yields NULL metadata, not a crash") {
+  test("mm_decode: real PNG codec round-trip; NULL payload yields NULL metadata") {
     import spark.implicits._
     // memoize fixture registration so the shadow view below isn't replaced
-    SparkEntry.queries("mm_decode_stub")(spark, sf)
+    SparkEntry.queries("mm_decode")(spark, sf)
     try {
-      Seq((1L, Some("hello")), (2L, None: Option[String]))
+      Seq((1L, Some("hello")), (2L, None: Option[String]), (4L, Some("x")))
         .toDF("doc_id", "text").createOrReplaceTempView("documents")
-      val rows = SparkEntry.queries("mm_decode_stub")(spark, sf).collect()
-      assert(rows.length == 2)
+      val rows = SparkEntry.queries("mm_decode")(spark, sf).collect()
+      assert(rows.length == 3)
       val nullRow = rows.find(_.getLong(0) == 2L).get
       assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) &&
         nullRow.isNullAt(3) && nullRow.isNullAt(4))
-      assert(!rows.find(_.getLong(0) == 1L).get.isNullAt(1))
+      // decoded-from-PNG metadata matches the generation params: id 1 is
+      // 23x29 grayscale (1 band), id 4 is 44x20 BGR (3 bands)
+      val r1 = rows.find(_.getLong(0) == 1L).get
+      assert(r1.getInt(1) == 23 && r1.getInt(2) == 29 && r1.getInt(3) == 1)
+      val r4 = rows.find(_.getLong(0) == 4L).get
+      assert(r4.getInt(1) == 44 && r4.getInt(2) == 20 && r4.getInt(3) == 3)
     } finally graft.engine.Tables.load(spark, sf, "documents")
       .createOrReplaceTempView("documents")
+  }
+
+  test("pngPayload bytes are a real PNG stream (magic + deterministic)") {
+    val b = graft.llm.MultimodalOps.pngPayload(7L)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    assert(b.sameElements(graft.llm.MultimodalOps.pngPayload(7L)))
   }
 
   test("w6 GROUPS rewrite preserves rows with NULL order dates") {
