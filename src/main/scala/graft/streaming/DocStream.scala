@@ -53,6 +53,11 @@ object DocStream {
     // backfills); production ingest passes ProcessingTimeTimeout so cold
     // buckets age out — with the documented cost that a timed-out bucket
     // re-admits a late duplicate (rebase from the batch pass bounds it).
+    // Operational note (StreamingSpec pins both behaviors): with
+    // ProcessingTimeTimeout the engine runs continuous timeout-sweep
+    // micro-batches (shouldRunAnotherBatch is always true), so
+    // processAllAvailable never observes noNewData and blocks forever —
+    // monitor the SINK, not the query, when using this mode.
     require(
       timeout == GroupStateTimeout.NoTimeout ||
         timeout == GroupStateTimeout.ProcessingTimeTimeout,

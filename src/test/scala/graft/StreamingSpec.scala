@@ -156,6 +156,60 @@ class StreamingSpec extends AnyFunSuite {
       s"got $flagged")
   }
 
+  test("DocStream ProcessingTimeTimeout: timed-out bucket re-admits a late duplicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    // the PRODUCTION timeout mode, with its documented trade-off pinned:
+    // after a bucket's state ages out, an exact duplicate arriving later
+    // is re-admitted as a fresh owner (the batch rebase pass is what
+    // bounds this window in a real deployment). 1 ms timeout + sleep
+    // makes the age-out deterministic; the middle batch only exists to
+    // run a trigger after the deadline so timed-out state is swept.
+    val text = "quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.nearDupBandHits(
+        mem.toDF.toDF("doc_id", "text"),
+        timeout = GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutDuration = "1 millisecond")
+      .writeStream.format("memory").queryName("nd_stream_timeout")
+      .outputMode("append").start()
+    // processAllAvailable CANNOT be used here: with ProcessingTimeTimeout
+    // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true, so
+    // the engine runs continuous timeout-sweep batches and never signals
+    // noNewData — the call blocks forever (found the hard way; jstack
+    // shows the stream thread busy in back-to-back batches). Poll the
+    // sink for the expected row count instead; the sweep batches run
+    // constantly in between, so a 1 s grace comfortably ages out state.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("nd_stream_timeout").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(spark.table("nd_stream_timeout").count() >= n,
+        s"sink never reached $n rows")
+    }
+    try {
+      mem.addData(Seq(100L -> text))
+      awaitRows(4) // one hit per band
+      Thread.sleep(1000) // pass the deadline; sweep batches fire meanwhile
+      mem.addData(Seq(200L -> "one two three four five six seven eight nine ten"))
+      awaitRows(8)
+      Thread.sleep(1000)
+      mem.addData(Seq(300L -> text)) // exact duplicate of the aged-out 100
+      awaitRows(12)
+    } finally q.stop()
+    val flagged = DocStream.nearDupVerdicts(
+        spark.table("nd_stream_timeout").as[DocStream.BandHit])
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    // 300 is NOT flagged — its twin's state aged out — and nothing
+    // crashed in the hasTimedOut branch; with NoTimeout (the spec above)
+    // the same arrival pattern flags the duplicate
+    assert(flagged == Seq((100L, false), (200L, false), (300L, false)),
+      s"got $flagged")
+  }
+
   test("longestRunPerUser: run spanning micro-batches is counted once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
