@@ -73,10 +73,14 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         // widen the allowlist themselves — ReadOnlyGuard rejects SET of
         // spark.graft.* (and of spark.sql.catalog.*, the conf this
         // handler writes, closing the direct-SET bypass too).
+        // hostnames are case-insensitive (RFC 4343): normalize both the
+        // allowlist entries and the parsed location to lowercase so an
+        // operator's "Host:1234" still matches — fail-closed stays, the
+        // brittleness goes
         val allowed = initializing ||
           session.conf.getOption(Gateway.attachAllowKey).exists(
-            _.split(",").map(_.trim)
-              .contains(s"${uri.getHost}:${uri.getPort}"))
+            _.split(",").map(_.trim.toLowerCase)
+              .contains(s"${uri.getHost.toLowerCase}:${uri.getPort}"))
         if (!allowed)
           throw new GatewayException(
             s"ATTACH is operator-gated: '${uri.getHost}:${uri.getPort}' is " +

@@ -87,8 +87,12 @@ object Recursive {
         val measured =
           org.apache.spark.util.SizeEstimator.estimate(
             rows.asInstanceOf[AnyRef])
-        if (rows.length > maxMicroRows || measured > microBytes)
-          checkpoint(df) // estimate lied — rows or bytes
+        // measured > microBudget: the CUMULATIVE cap is enforced against
+        // the measured size BEFORE admitting the delta, so driver-held
+        // state can never overshoot the budget by a trailing delta
+        if (rows.length > maxMicroRows || measured > microBytes ||
+            measured > microBudget)
+          checkpoint(df) // estimate lied — rows or bytes — or budget hit
         else {
           microBudget -= measured
           val local = df.sparkSession.createDataFrame(

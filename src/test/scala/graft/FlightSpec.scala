@@ -154,6 +154,18 @@ class FlightSpec extends AnyFunSuite {
     assert(e.getMessage.contains("UNAVAILABLE"), e.getMessage)
   }
 
+  test("ATTACH allowlist matches hostnames case-insensitively") {
+    // RFC 4343: an operator listing "LocalHost:port" must still admit a
+    // lowercase location (and vice versa) — fail-closed only on genuine
+    // mismatches
+    val local = Gateway.open(spark, sf,
+      attachAllow = Seq(s"LocalHost:${server.boundPort}"))
+    val out = local.sql(
+      s"ATTACH 'remote_ci' (TYPE AIRPORT, location 'grpc://localhost:${server.boundPort}')")
+      .collect()
+    assert(out.head.getString(0) == "remote_ci")
+  }
+
   test("ATTACH is operator-gated: client ATTACH to an unlisted endpoint is rejected") {
     // no allowlist, not the init script → any client-supplied host:port
     // is refused before a channel is opened (SSRF gate; the reference

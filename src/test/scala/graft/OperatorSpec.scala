@@ -76,6 +76,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(mixedPairs.filter(col("id_a") === 1001L && col("id_b") === 1002L).count() == 1)
   }
 
+  test("a14_any_value: identical result under a shuffled fixture") {
+    // determinism is structural (the any_value argument is a function of
+    // the group key), so ANY input distribution must give byte-identical
+    // rows — pinned by re-running over a repartition-shuffled customer
+    val baseline = SparkEntry.queries("a14_any_value")(spark, sf).collect().toSeq
+    val iso = spark.newSession()
+    SparkEntry.queries("a14_any_value")(iso, sf) // register + memoize fixtures
+    iso.table("customer").repartition(13)
+      .createOrReplaceTempView("customer") // shadow with a shuffled copy
+    try {
+      val shuffled = SparkEntry.queries("a14_any_value")(iso, sf).collect().toSeq
+      assert(shuffled == baseline)
+      assert(baseline.forall(r => r.getString(1) == r.getString(0).toUpperCase))
+    } finally graft.engine.Tables.load(iso, sf, "customer")
+      .createOrReplaceTempView("customer")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val rows = SparkEntry.queries("a10_approx_distinct")(spark, sf).collect()
     rows.foreach { r =>
