@@ -26,8 +26,190 @@ object Dialect {
     *     (reference smoke query, /root/reference/main.go:77)
     */
   def rewrite(sql: String): String =
-    rewriteDateDiff(
-      rewriteCatalogFns(rewriteQualify(rewriteOperators(normalizeWs(sql)))))
+    rewriteDateDiff(rewriteCatalogFns(
+      rewriteQualify(rewriteAsOf(rewriteOperators(normalizeWs(sql))))))
+
+  /** DuckDB `ASOF [LEFT] JOIN rel alias ON cond` (reached by the
+    * reference at /root/reference/main.go:229) → a correlated lateral
+    * join Spark's parser accepts:
+    *
+    *   [LEFT] JOIN LATERAL (SELECT alias.* FROM rel alias
+    *                        WHERE cond ORDER BY <right-ts> DESC|ASC
+    *                        LIMIT 1) alias ON true
+    *
+    * The ts inequality conjunct decides the direction: the right-side
+    * operand on the SMALLER side of the comparison means
+    * nearest-predecessor (ORDER BY … DESC), on the larger side
+    * nearest-follower (ASC). Catalyst decorrelates the LIMIT-1 ordered
+    * subquery into a window over an equi-join — the same shape as
+    * engine.AsOfJoin's rewrite; the custom one-shuffle-per-side
+    * streaming-merge plan (plans.AsOfJoinPlan) remains the scale path
+    * for the DataFrame API. Statements that don't match the shape
+    * (missing alias, no ON) are left unchanged for the native parser's
+    * real error message.
+    */
+  private def rewriteAsOf(sql: String): String = {
+    val up = sql.toUpperCase
+    // locate the keyword outside literals/comments, word-bounded
+    var at = -1
+    var scan = 0
+    while (at < 0 && scan < sql.length) {
+      val opaque = consumeOpaque(sql, scan, null)
+      if (opaque > scan) scan = opaque
+      else {
+        if (up.startsWith("ASOF", scan) && wordStart(sql, scan) &&
+            (scan + 4 >= sql.length || { val c = sql.charAt(scan + 4)
+              !Character.isLetterOrDigit(c) && c != '_' }))
+          at = scan
+        scan += 1
+      }
+    }
+    if (at < 0) return sql
+    var i = at + 4
+    def skipWs(): Unit = { while (i < sql.length && sql.charAt(i).isWhitespace) i += 1 }
+    def word(w: String): Boolean =
+      up.startsWith(w, i) && (i + w.length >= sql.length || {
+        val c = sql.charAt(i + w.length)
+        !Character.isLetterOrDigit(c) && c != '_'
+      })
+    skipWs()
+    val isLeft = word("LEFT")
+    if (isLeft) { i += 4; skipWs() }
+    if (!word("JOIN")) return sql
+    i += 4; skipWs()
+    // right relation: balanced paren block or dotted identifier
+    val relStart = i
+    if (i < sql.length && sql.charAt(i) == '(') {
+      var depth = 0
+      var done = false
+      while (!done && i < sql.length) {
+        val opaque = consumeOpaque(sql, i, null)
+        if (opaque > i) i = opaque
+        else {
+          sql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) done = true
+            case _ =>
+          }
+          i += 1
+        }
+      }
+    } else {
+      while (i < sql.length && (sql.charAt(i).isLetterOrDigit ||
+        sql.charAt(i) == '_' || sql.charAt(i) == '.')) i += 1
+    }
+    val rel = sql.substring(relStart, i).trim
+    if (rel.isEmpty) return sql
+    skipWs()
+    if (word("AS")) { i += 2; skipWs() }
+    val aliasStart = i
+    while (i < sql.length && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+    val alias = sql.substring(aliasStart, i)
+    if (alias.isEmpty || alias.equalsIgnoreCase("ON")) return sql
+    skipWs()
+    if (!word("ON")) return sql
+    i += 2
+    // condition runs to the next top-level clause keyword / ')' / ';'
+    val condStart = i
+    val stops = Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW",
+      "UNION", "INTERSECT", "EXCEPT", "QUALIFY", "JOIN", "LEFT", "RIGHT",
+      "FULL", "INNER", "CROSS", "NATURAL", "ASOF", "SEMI", "ANTI", "OFFSET")
+    var depth = 0
+    var condEnd = -1
+    while (condEnd < 0 && i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val c = sql.charAt(i)
+        if (c == '(') { depth += 1; i += 1 }
+        else if (c == ')') {
+          if (depth == 0) condEnd = i else { depth -= 1; i += 1 }
+        } else if (c == ';' && depth == 0) condEnd = i
+        else if (depth == 0 && wordStart(sql, i) && stops.exists { w =>
+          word(w) && {
+            // `left(x, 1)` the function and `right.col` the qualifier
+            // are NOT clause boundaries — require the keyword to stand
+            // alone (next non-space char is not '(' or '.')
+            var k = i + w.length
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            k >= sql.length || (sql.charAt(k) != '(' && sql.charAt(k) != '.')
+          }
+        }) condEnd = i
+        else i += 1
+      }
+    }
+    if (condEnd < 0) condEnd = sql.length
+    val cond = sql.substring(condStart, condEnd).trim
+    if (cond.isEmpty) return sql
+    // the ts inequality conjunct → ORDER BY expr + direction
+    val ord = asofOrder(cond, alias).getOrElse(return sql)
+    val joinKw = if (isLeft) "LEFT JOIN" else "JOIN"
+    val lateral = s"$joinKw LATERAL (SELECT $alias.* FROM $rel $alias " +
+      s"WHERE $cond ORDER BY $ord LIMIT 1) $alias ON true "
+    // recurse for further ASOF joins in the remainder
+    rewriteAsOf(sql.substring(0, at) + lateral + sql.substring(condEnd))
+  }
+
+  /** Find the inequality conjunct of an ASOF condition and derive
+    * `<expr> DESC|ASC` for the lateral's ORDER BY. None when no
+    * top-level inequality references the right alias.
+    */
+  private def asofOrder(cond: String, alias: String): Option[String] = {
+    // split top-level AND conjuncts, outside literals
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val up = cond.toUpperCase
+    var depth = 0
+    var i = 0
+    var last = 0
+    while (i < cond.length) {
+      val opaque = consumeOpaque(cond, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val c = cond.charAt(i)
+        if (c == '(') { depth += 1; i += 1 }
+        else if (c == ')') { depth -= 1; i += 1 }
+        else if (depth == 0 && up.startsWith("AND", i) && wordStart(cond, i) &&
+          (i + 3 >= cond.length || { val c = cond.charAt(i + 3)
+            !Character.isLetterOrDigit(c) && c != '_' })) {
+          parts += cond.substring(last, i)
+          i += 3
+          last = i
+        } else i += 1
+      }
+    }
+    parts += cond.substring(last)
+    val refRe = ("""(?i)(?<![\w"])""" + java.util.regex.Pattern.quote(alias) + """\.""").r
+    parts.iterator.map(_.trim).flatMap { p =>
+      // first top-level comparison operator that is not (in)equality
+      var depth = 0
+      var j = 0
+      var found: Option[(String, Int)] = None
+      while (found.isEmpty && j < p.length) {
+        val opaque = consumeOpaque(p, j, null)
+        if (opaque > j) j = opaque
+        else {
+          val c = p.charAt(j)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && (c == '<' || c == '>')) {
+            val two = p.substring(j, math.min(j + 2, p.length))
+            if (two != "<>") found = Some(
+              (if (two == ">=" || two == "<=") two else c.toString, j))
+          }
+          j += 1
+        }
+      }
+      found.flatMap { case (op, pos) =>
+        val lhs = p.substring(0, pos).trim
+        val rhs = p.substring(pos + op.length).trim
+        val rightIsSmaller = op.startsWith(">") // A > B: B is smaller
+        val (smaller, larger) = if (rightIsSmaller) (rhs, lhs) else (lhs, rhs)
+        if (refRe.findFirstIn(smaller).isDefined) Some(s"$smaller DESC")
+        else if (refRe.findFirstIn(larger).isDefined) Some(s"$larger ASC")
+        else None
+      }
+    }.nextOption()
+  }
 
   /** DuckDB `date_diff('part', a, b)` counts part-BOUNDARY CROSSINGS.
     * Spark intercepts `date_diff`/`datediff` in the PARSER (timestampdiff

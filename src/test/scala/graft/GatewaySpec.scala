@@ -52,6 +52,33 @@ class GatewaySpec extends AnyFunSuite {
     assert(paths.getLong(0) == 5L && paths.getLong(1) == 15L)
   }
 
+  test("ASOF JOIN SQL runs through the gateway, differential vs custom plan") {
+    // the j7/j7b oracle texts VERBATIM — the DuckDB-dialect statements a
+    // reference client would send — vs the engine's two DataFrame paths
+    // (custom streaming-merge exec and union+window rewrite)
+    for (name <- Seq("j7_asof_join", "j7_asof_inner")) {
+      val viaSql = gw.sql(SparkEntry.oracleSql(name)).collect().toSeq
+      val viaPlan = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      withClue(s"$name: ") { assert(viaSql == viaPlan) }
+    }
+    // forward ASOF (right ts on the LARGER side → nearest follower):
+    // next purchase at-or-after each click, vs a window-computed oracle
+    val fwd = gw.sql(
+      """SELECT l.event_id, r.event_id AS next_purchase
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        |ORDER BY l.event_id ASC NULLS LAST""".stripMargin).collect().toSeq
+    val oracle = spark.sql(
+      """SELECT l.event_id,
+        |  (SELECT MIN_BY(r.event_id, r.ts) FROM events r
+        |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |     AND r.ts >= l.ts) AS next_purchase
+        |FROM events l WHERE l.event_type = 'click'
+        |ORDER BY l.event_id ASC NULLS LAST""".stripMargin).collect().toSeq
+    assert(fwd == oracle)
+  }
+
   test("duckdb-dialect functions run unchanged") {
     val r = gw.sql(
       """SELECT string_split('a,b,c', ',') AS sp,
