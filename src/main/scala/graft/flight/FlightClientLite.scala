@@ -66,6 +66,24 @@ final class FlightClientLite(host: String, port: Int) extends AutoCloseable {
       desc.toBytes))
   }
 
+  /** The Go flightsql driver's wire form of the same step
+    * (/root/reference/client/main.go:21-27 via main.go:138-139): the
+    * SQL rides in transaction_id as an embedded message (2-byte inner
+    * tag+length prefix), query left empty. Exposed so specs can pin the
+    * server-side quirk handling against the real byte layout.
+    */
+  def getFlightInfoTxnPacked(sql: String): FlightInfo = {
+    val inner = sql.getBytes("UTF-8")
+    require(inner.length < 128, "txn-packed smoke limited to short SQL")
+    val txn = Array[Byte](0x0a, inner.length.toByte) ++ inner
+    val cmd = AnyMsg(
+      StatementQueryUrl, CommandStatementQuery("", txn).toBytes).toBytes
+    val desc = FlightDescriptor(FlightDescriptor.CMD, cmd)
+    FlightInfo.fromBytes(ClientCalls.blockingUnaryCall(
+      channel, FlightServer.Methods.getFlightInfo, CallOptions.DEFAULT,
+      desc.toBytes))
+  }
+
   def getSchema(sql: String): SchemaResult = {
     val cmd = AnyMsg(
       StatementQueryUrl, CommandStatementQuery(sql).toBytes).toBytes

@@ -246,17 +246,35 @@ object FlightProto {
     "type.googleapis.com/arrow.flight.protocol.sql.TicketStatementQuery"
 
   /** CommandStatementQuery: query=1, transaction_id=2. */
-  final case class CommandStatementQuery(query: String) {
-    def toBytes: Array[Byte] = encode(out => out.writeString(1, query))
+  final case class CommandStatementQuery(
+      query: String, transactionId: Array[Byte] = Array.emptyByteArray) {
+    def toBytes: Array[Byte] = encode { out =>
+      out.writeString(1, query)
+      if (transactionId.nonEmpty) out.writeByteArray(2, transactionId)
+    }
+
+    /** The SQL text, honoring the Go flightsql driver's wire quirk the
+      * reference serves (/root/reference/main.go:138-139): that driver
+      * packs the statement into transaction_id — an embedded message
+      * whose first 2 bytes are the inner field tag + length — and leaves
+      * query empty; the reference recovers it by stripping those 2
+      * bytes. Same recovery here, only when query is absent, so
+      * spec-conforming clients (pyarrow, ADBC) are untouched.
+      */
+    def sqlText: String =
+      if (query.nonEmpty || transactionId.length <= 2) query
+      else new String(transactionId.drop(2), "UTF-8")
   }
   object CommandStatementQuery {
     def fromBytes(bytes: Array[Byte]): CommandStatementQuery = {
       var q = ""
+      var txn = Array.emptyByteArray
       decode(bytes) {
         case (in, 1) => q = in.readString(); true
+        case (in, 2) => txn = in.readBytes().toByteArray; true
         case _ => false
       }
-      CommandStatementQuery(q)
+      CommandStatementQuery(q, txn)
     }
   }
 

@@ -157,7 +157,9 @@ final class FlightServer(gateway: Gateway, port: Int) {
       catch { case _: Exception => None }
     any match {
       case Some(a) if a.typeUrl == StatementQueryUrl =>
-        (CommandStatementQuery.fromBytes(a.value).query, false)
+        // sqlText also honors the Go flightsql driver's pack-the-SQL-
+        // into-transaction_id quirk (/root/reference/main.go:138-139)
+        (CommandStatementQuery.fromBytes(a.value).sqlText, false)
       case Some(a) if a.typeUrl == GetSqlInfoUrl => ("", true)
       case _ => (new String(cmd, "UTF-8"), false)
     }

@@ -33,6 +33,18 @@ class FlightSpec extends AnyFunSuite {
     assert(r.rows == Seq(Seq(2, 3)))
   }
 
+  test("Go flightsql driver quirk: SQL packed into transaction_id resolves") {
+    // the reference's entry point A recovers the statement from the
+    // transaction_id field with a 2-byte strip (main.go:138-139); the
+    // same wire bytes must work here, without disturbing spec-conforming
+    // clients (previous test)
+    val sql = "SELECT 5 AS a"
+    val info = client.getFlightInfoTxnPacked(sql)
+    assert(new String(info.endpoints.head.ticket.ticket, "UTF-8") == sql)
+    val r = client.doGet(info)
+    assert(r.columns == Seq("a") && r.rows == Seq(Seq(5)))
+  }
+
   test("fixture table query streams typed columns") {
     val r = client.doGetSql(
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
