@@ -246,5 +246,88 @@ object PipelineOps {
         sum(size(split(col("text"), " "))).cast(LongType).as("tokens_final")))
   }
 
-  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact)
+  /** Embedding near-duplicate COMPACTION as one plan — the
+    * vector-corpus counterpart of pipe_compact: random-hyperplane
+    * signature blocking (2 bands × 6 bits of the shared
+    * SimilarityOps.hyperplaneSig) → candidate pairs within a band
+    * bucket (through DedupOps.lshCandidates, so the hot-bucket guard
+    * applies) → exact-cosine verify > 0.35 over only the candidates →
+    * drop the later vec_id → one-row funnel report.
+    *
+    * Scale layout: signatures are a pure projection (planes ride the
+    * plan as literals); candidates shuffle on (band, bucket) with the
+    * quadratic confined to buckets (capped); the verify re-reads raw
+    * vectors for candidate ids only — the corpus never self-joins. The
+    * cosine is the same left-to-right double fold the oracle's
+    * list_cosine_similarity computes, so the verify threshold is
+    * engine-portable bit-for-bit.
+    */
+  val pEmbed = Q(
+    "pipe_embed_dedup",
+    """WITH planes AS (
+      |  SELECT p,
+      |    list_transform(range(64), d ->
+      |      CASE WHEN (strpos('0123456789abcdef',
+      |        substr(md5(p::VARCHAR || ':' || d::VARCHAR), 2, 1)) - 1) % 2 = 0
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      |  FROM range(12) t(p)),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |bits AS (
+      |  SELECT e.vec_id, p.p,
+      |    CASE WHEN list_dot_product(e.v, p.plane) > 0 THEN '1' ELSE '0' END AS bit
+      |  FROM e CROSS JOIN planes p),
+      |sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig
+      |         FROM bits GROUP BY vec_id),
+      |bands AS (
+      |  SELECT vec_id, 0 AS band, substr(sig, 1, 6) AS bucket FROM sigs
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS band, substr(sig, 7, 6) AS bucket FROM sigs),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN e ea ON ea.vec_id = c.id_a
+      |  JOIN e eb ON eb.vec_id = c.id_b
+      |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.35),
+      |drops AS (SELECT DISTINCT id_b FROM verified)
+      |SELECT
+      |  (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+      |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+      |  (SELECT COUNT(*) FROM verified) AS n_pairs,
+      |  COUNT(*) AS n_dropped
+      |FROM drops""".stripMargin
+  ) { s =>
+    import graft.engine.expressions.VectorMath.dot
+    val sigs = s.table("embeddings")
+      .select(col("vec_id"), SimilarityOps.hyperplaneSig(col("embedding"), 12).as("sig"))
+    // 2 bands × 6 bits in ONE generator pass (the dd_minhash_lsh band
+    // layout); lshCandidates brings the hot-bucket star guard with it
+    val bands = sigs
+      .select(col("vec_id").as("doc_id"), explode(array(
+        struct(lit(0).as("band"), substring(col("sig"), 1, 6).as("bucket")),
+        struct(lit(1).as("band"), substring(col("sig"), 7, 6).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = graft.engine.CacheOnce("pipe_embed/cand",
+      DedupOps.lshCandidates(bands))
+    val e = s.table("embeddings").select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n"))
+    val verified = graft.engine.CacheOnce("pipe_embed/verified",
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+        .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.35)
+        .select(col("id_a"), col("id_b")))
+    val drops = verified.select(col("id_b")).distinct()
+    s.table("embeddings").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_pairs")))
+      .crossJoin(drops.agg(count(lit(1)).as("n_dropped")))
+  }
+
+  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed)
 }

@@ -122,25 +122,33 @@ object SimilarityOps {
       |SELECT bucket, count(*) AS n FROM sigs GROUP BY bucket
       |ORDER BY bucket ASC NULLS LAST""".stripMargin
   ) { s =>
-    val dim = 64
-    val planes: Seq[Array[Double]] = (0 until 12).map { p =>
+    s.table("embeddings")
+      .select(col("vec_id"), hyperplaneSig(col("embedding"), 12).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket").asc_nulls_last)
+  }
+
+  /** Deterministic ±1 random hyperplanes, seeded off md5 — tiny,
+    * generated driver-side, broadcast as literals. Shared by
+    * nn_lsh_buckets and PipelineOps.pipe_embed_dedup; the DuckDB oracle
+    * recomputes the same planes in SQL (hex-digit parity of md5(p:d) =
+    * the first-byte low bit here).
+    */
+  private[llm] def hyperplanes(nbits: Int, dim: Int = 64): Seq[Array[Double]] =
+    (0 until nbits).map { p =>
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(dim) { d =>
         val h = md.digest(s"$p:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1.0 else -1.0
       }
     }
-    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
+
+  /** The nbits-character '0'/'1' signature string of a vector. */
+  private[llm] def hyperplaneSig(v: Column, nbits: Int): Column =
+    concat(hyperplanes(nbits).map { plane =>
       val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-      val dp = dot(col("embedding"), planeCol)
-      when(dp > 0, lit(1)).otherwise(lit(0)).cast(StringType).as(s"b$i")
-    }
-    s.table("embeddings")
-      .select(col("vec_id") +: sigBits: _*)
-      .withColumn("bucket", concat((0 until 12).map(i => col(s"b$i")): _*))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .orderBy(col("bucket").asc_nulls_last)
-  }
+      when(dot(v, planeCol) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /** Trained coarse quantizers, memoized per fixture dir: an ANN index
     * is built once and queried many times — retraining Lloyd's on every

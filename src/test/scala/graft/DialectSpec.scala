@@ -99,6 +99,33 @@ class DialectSpec extends AnyFunSuite {
     assert(r3.contains("'it''s'") && r3.contains("div"), r3)
   }
 
+  test("rewriteAsOf edge cases: literals, identifiers, functions, fall-through") {
+    import graft.engine.Dialect
+    // ASOF inside a string literal or as part of an identifier: untouched
+    assert(Dialect.rewrite("SELECT 'ASOF JOIN' AS s FROM t")
+      .contains("'ASOF JOIN'"))
+    assert(!Dialect.rewrite("SELECT asof_col FROM t").contains("LATERAL"))
+    // left()/right() functions inside the ON condition do not truncate it
+    val f = Dialect.rewrite(
+      "SELECT * FROM a ASOF JOIN b r ON left(a.k, 2) = left(r.k, 2) AND a.ts >= r.ts")
+    assert(f.contains("LATERAL") &&
+      f.contains("left(a.k, 2) = left(r.k, 2)") &&
+      f.contains("ORDER BY r.ts DESC"), f)
+    // forward direction: right operand on the larger side → ASC
+    val fwd = Dialect.rewrite(
+      "SELECT * FROM a ASOF LEFT JOIN b r ON a.k = r.k AND r.ts >= a.ts")
+    assert(fwd.contains("ORDER BY r.ts ASC"), fwd)
+    // no alias on a subquery right side → left unchanged for the native
+    // parser's error (we cannot name the lateral)
+    val bad = "SELECT * FROM a ASOF JOIN (SELECT * FROM b) ON a.k = b.k"
+    assert(Dialect.rewrite(bad) == bad)
+    // two ASOF joins in one statement both rewrite
+    val two = Dialect.rewrite(
+      "SELECT * FROM a ASOF JOIN b r ON a.k = r.k AND a.ts >= r.ts " +
+        "ASOF JOIN c s ON a.k = s.k AND a.ts >= s.ts")
+    assert("LATERAL".r.findAllIn(two).size == 2, two)
+  }
+
   test("property: jaro/jaro-winkler bounds, identity, symmetry") {
     import graft.engine.expressions.StringSim
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}

@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("pipe_embed_dedup: candidates shuffle on the bucket, no corpus self-cross") {
+    val df = SparkEntry.queries("pipe_embed_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only pair generator is the banded equi-join (hot-bucket
+    // capped); the corpus must never self-cross
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p) // CacheOnce'd cand/verified reused
+  }
+
   test("pipe_compact: no cartesian pair explosion, cached relations reused") {
     val df = SparkEntry.queries("pipe_compact")(spark, sf)
     df.collect()
