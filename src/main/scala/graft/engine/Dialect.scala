@@ -26,8 +26,256 @@ object Dialect {
     *     (reference smoke query, /root/reference/main.go:77)
     */
   def rewrite(sql: String): String =
-    rewriteDateDiff(rewriteCatalogFns(
-      rewriteQualify(rewriteAsOf(rewriteOperators(normalizeWs(sql))))))
+    rewriteDateDiff(rewriteCatalogFns(rewriteQualify(rewriteAsOf(
+      rewriteAggOrderBy(rewriteOperators(rewriteBrackets(normalizeWs(sql))))))))
+
+  /** DuckDB in-aggregate ORDER BY → deterministic Spark composition:
+    *
+    *   array_agg(v ORDER BY k [DESC])
+    *     → transform(array_sort(collect_list(struct(k, v)) [rev]), s -> s.v)
+    *   string_agg(v, sep ORDER BY k [DESC])
+    *     → array_join(<as above>, sep)
+    *
+    * (when k and v are textually identical the struct detour is skipped:
+    * sort_array(collect_list(v), asc)). Spark has no ORDER BY clause
+    * inside aggregate calls, and collect_list order is otherwise
+    * partition-dependent — this rewrite is what makes order-sensitive
+    * aggregates deterministic on a parallel engine. NULLS FIRST/LAST or
+    * multi-key orderings fall through untouched (parser reports them).
+    */
+  private def rewriteAggOrderBy(sql: String): String = {
+    val up = sql.toUpperCase
+    val names = Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG")
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val hit = names.find(n => up.startsWith(n, i) && wordStart(sql, i) &&
+          i + n.length < sql.length && {
+            var k = i + n.length
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            k < sql.length && sql.charAt(k) == '('
+          })
+        hit match {
+          case Some(n) =>
+            splitCallArgs(sql, i + n.length) match {
+              case Some((args, end)) if args.nonEmpty &&
+                  indexOfTopLevel(args.last, " ORDER BY ") >= 0 =>
+                val last = args.last
+                val ob = indexOfTopLevel(last, " ORDER BY ")
+                val valueHead = last.substring(0, ob).trim
+                var key = last.substring(ob + " ORDER BY ".length).trim
+                val desc = key.toUpperCase.endsWith(" DESC")
+                if (desc) key = key.substring(0, key.length - 5).trim
+                else if (key.toUpperCase.endsWith(" ASC"))
+                  key = key.substring(0, key.length - 4).trim
+                val isString = n.startsWith("STRING") || n.startsWith("LIST")
+                val value = if (args.length > 1) args.head.trim else valueHead
+                val sep =
+                  if (isString && args.length > 1) valueHead
+                  else "','" // DuckDB string_agg default separator
+                // multi-key / NULLS spec: leave for the native parser
+                if (indexOfTopLevel(key, ",") >= 0 ||
+                    key.toUpperCase.endsWith(" FIRST") ||
+                    key.toUpperCase.endsWith(" LAST")) {
+                  i += n.length
+                } else {
+                  val sorted =
+                    if (key == value) {
+                      val rev = if (desc) ", false" else ""
+                      s"sort_array(collect_list($value)$rev)"
+                    } else {
+                      val rev = if (desc) ", (l, r) -> CASE WHEN l.k < r.k THEN 1 WHEN l.k > r.k THEN -1 ELSE 0 END" else ""
+                      s"transform(array_sort(collect_list(struct($key AS k, $value AS v))$rev), s -> s.v)"
+                    }
+                  val call =
+                    if (isString) s"array_join($sorted, $sep)" else sorted
+                  return rewriteAggOrderBy(
+                    sql.substring(0, i) + call + sql.substring(end))
+                }
+              case _ => i += n.length
+            }
+          case None => i += 1
+        }
+      }
+    }
+    sql
+  }
+
+  /** Keywords a `[` can directly follow in literal (not subscript)
+    * position. An identifier/')'/']' before `[` means subscript
+    * (`arr[1]` — valid Spark, untouched); these words, operators,
+    * commas, and open-parens mean a DuckDB list literal `[1,2]`, which
+    * Spark's parser lacks → rewritten to `array(1,2)`.
+    */
+  private val bracketLiteralKeywords = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "WHEN", "THEN",
+    "ELSE", "CASE", "END", "AS", "BY", "HAVING", "RETURN", "VALUES",
+    "SET", "IS", "BETWEEN", "LIKE", "ILIKE", "UNION", "ALL", "DISTINCT",
+    "LIMIT", "OFFSET", "FROM")
+
+  /** DuckDB bracket syntax → Spark:
+    *  - list literals `[1,2]` → `array(1,2)`
+    *  - subscripts `arr[i]` → `element_at(arr, i)` (DuckDB is 1-BASED,
+    *    Spark's native `arr[i]` is 0-based — silently off-by-one for a
+    *    DuckDB client if passed through)
+    *  - slices `arr[a:b]` (1-based, stop-inclusive) → `slice(...)`;
+    *    open bounds default to 1 / size(arr)
+    * Known divergence: DuckDB map subscript returns a single-element
+    * LIST; element_at returns the value directly.
+    */
+  private def rewriteBrackets(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, out)
+      if (opaque > i) i = opaque
+      else {
+        val c = sql.charAt(i)
+        if (c == '[') {
+          // find the matching ']' (quote/nesting aware)
+          var depth = 0
+          var j = i
+          var end = -1
+          while (end < 0 && j < sql.length) {
+            val op2 = consumeOpaque(sql, j, null)
+            if (op2 > j) j = op2
+            else {
+              sql.charAt(j) match {
+                case '[' => depth += 1
+                case ']' => depth -= 1; if (depth == 0) end = j
+                case _ =>
+              }
+              j += 1
+            }
+          }
+          if (end < 0) { out.append(c); i += 1 } // unbalanced: pass through
+          else {
+            val content = rewriteBrackets(sql.substring(i + 1, end))
+            if (bracketIsLiteral(out)) {
+              out.append("array(").append(content).append(')')
+            } else {
+              backtrackPrimary(out) match {
+                case Some(st) =>
+                  val lhs = out.substring(st)
+                  out.setLength(st)
+                  val colonAt = topLevelColon(content)
+                  if (colonAt < 0) {
+                    out.append(s"element_at($lhs, ${content.trim})")
+                  } else {
+                    val a0 = content.substring(0, colonAt).trim
+                    val b0 = content.substring(colonAt + 1).trim
+                    val a = if (a0.isEmpty) "1" else a0
+                    if (b0.isEmpty) out.append(s"slice($lhs, $a, size($lhs))")
+                    else out.append(s"slice($lhs, $a, ($b0) - ($a) + 1)")
+                  }
+                case None => // unrecognized primary: pass through
+                  out.append('[').append(content).append(']')
+              }
+            }
+            i = end + 1
+          }
+        } else {
+          out.append(c)
+          i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Index of the first top-level ':' in a subscript body; -1 if none. */
+  private def topLevelColon(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val opaque = consumeOpaque(s, i, null)
+      if (opaque > i) i = opaque
+      else {
+        s.charAt(i) match {
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case ':' if depth == 0 => return i
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    -1
+  }
+
+  /** In already-emitted (well-formed) text, find the start of the
+    * trailing primary expression a subscript binds to: an identifier
+    * chain, a string literal, or a ')'-terminated call/paren group
+    * (with its function name). None when the tail isn't recognizable.
+    */
+  private def backtrackPrimary(out: StringBuilder): Option[Int] = {
+    var k = out.length
+    while (k > 0 && out.charAt(k - 1).isWhitespace) k -= 1
+    if (k == 0) return None
+    def quoteOpener(close: Int): Int = {
+      var q = close - 1
+      while (q >= 0) {
+        if (out.charAt(q) == '\'') {
+          if (q > 0 && out.charAt(q - 1) == '\'') q -= 2 else return q
+        } else q -= 1
+      }
+      -1
+    }
+    out.charAt(k - 1) match {
+      case '\'' =>
+        val open = quoteOpener(k - 1)
+        if (open >= 0) Some(open) else None
+      case ')' =>
+        var depth = 0
+        var p = k - 1
+        var start = -1
+        while (start < 0 && p >= 0) {
+          out.charAt(p) match {
+            case '\'' => p = quoteOpener(p) // jump over the literal
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) start = p
+            case _ =>
+          }
+          p -= 1
+        }
+        if (start < 0) None
+        else {
+          // include the call's function name / qualifier chain
+          var q = start
+          while (q > 0 && (Character.isLetterOrDigit(out.charAt(q - 1)) ||
+            out.charAt(q - 1) == '_' || out.charAt(q - 1) == '.')) q -= 1
+          Some(q)
+        }
+      case c if Character.isLetterOrDigit(c) || c == '_' =>
+        var q = k
+        while (q > 0 && (Character.isLetterOrDigit(out.charAt(q - 1)) ||
+          out.charAt(q - 1) == '_' || out.charAt(q - 1) == '.')) q -= 1
+        Some(q)
+      case _ => None
+    }
+  }
+
+  /** Literal-vs-subscript judgment from the text already emitted: look
+    * back over the previous token.
+    */
+  private def bracketIsLiteral(out: StringBuilder): Boolean = {
+    var k = out.length - 1
+    while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+    if (k < 0) return true // statement start
+    val c = out.charAt(k)
+    if (c == ')' || c == ']' || c == '\'' || c == '"') return false // subscript/slice
+    if (!Character.isLetterOrDigit(c) && c != '_') return true // operator/comma/paren
+    // identifier or keyword: read the word back
+    val wEnd = k
+    while (k >= 0 && (Character.isLetterOrDigit(out.charAt(k)) || out.charAt(k) == '_'))
+      k -= 1
+    // a qualified name (x.y[) is always a subscript
+    if (k >= 0 && out.charAt(k) == '.') return false
+    val word = out.substring(k + 1, wEnd + 1).toUpperCase
+    bracketLiteralKeywords.contains(word)
+  }
 
   /** DuckDB `ASOF [LEFT] JOIN rel alias ON cond` (reached by the
     * reference at /root/reference/main.go:229) → a correlated lateral
@@ -351,8 +599,6 @@ object Dialect {
 
   private val globRe =
     """(?i)^GLOB\s+'([^']*)'""".r
-  private val arrowRe =
-    """^(\w+(?:\.\w+)*)\s*->>\s*'([^']*)'""".r
 
   /** All operator rewrites are applied by position-scanning OUTSIDE
     * string literals (a literal containing "GLOB '...'" or "->>" must
@@ -377,19 +623,81 @@ object Dialect {
         }
       } else i
     }
-    // j ->> 'k' → get_json_object(j, '$.k')
-    scanOutsideLiterals(noGlob) { (i, sb) =>
-      if (wordStart(noGlob, i) && noGlob.charAt(i).isLetter) {
-        arrowRe.findPrefixMatchOf(noGlob.substring(i)) match {
-          case Some(m) =>
-            val path0 = m.group(2)
-            val path = if (path0.startsWith("$")) path0 else "$." + path0
-            sb.append(s"get_json_object(${m.group(1)}, '$path')")
-            i + m.end
-          case None => i
+    rewriteJsonArrows(noGlob)
+  }
+
+  private val arrowStepRe = """^\s*(->>|->)\s*'((?:[^']|'')*)'""".r
+
+  /** DuckDB JSON arrows → get_json_object chains.
+    *
+    * `j ->> 'k'`, `j -> 'a' ->> 'b'`, `'{"a":1}' -> 'a'` all fold
+    * left-associatively into nested get_json_object calls (Spark
+    * returns JSON text either way, which matches `->>` exactly and is
+    * the string form of `->`'s JSON value).
+    *
+    * Lambda-arrow safety: `->` is ALSO the lambda arrow (x -> x + 1,
+    * in both dialects), so a single `->` with an identifier LHS is only
+    * rewritten when the chain terminates in `->>` — `x -> 'const'`
+    * (a constant-string lambda body) stays a lambda. A string-literal
+    * LHS can never be a lambda parameter, so those chains always
+    * rewrite.
+    */
+  private def rewriteJsonArrows(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, out)
+      if (opaque > i) i = opaque
+      else if (sql.startsWith("->", i)) {
+        // backtrack the emitted text for the LHS (identifier or the
+        // string literal consumeOpaque already copied)
+        var k = out.length
+        while (k > 0 && out.charAt(k - 1).isWhitespace) k -= 1
+        var lhsStart = -1
+        if (k > 0 && out.charAt(k - 1) == '\'') {
+          var q = k - 2
+          var open = -1
+          while (open < 0 && q >= 0) {
+            if (out.charAt(q) == '\'') {
+              if (q > 0 && out.charAt(q - 1) == '\'') q -= 2 // '' escape
+              else open = q
+            } else q -= 1
+          }
+          if (open >= 0) lhsStart = open
+        } else {
+          var q = k
+          while (q > 0 && (Character.isLetterOrDigit(out.charAt(q - 1)) ||
+            out.charAt(q - 1) == '_' || out.charAt(q - 1) == '.')) q -= 1
+          if (q < k) lhsStart = q
         }
-      } else i
+        // forward-parse the arrow steps
+        val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var j = i
+        var more = lhsStart >= 0
+        while (more) {
+          arrowStepRe.findPrefixMatchOf(sql.substring(j)) match {
+            case Some(m) => steps += ((m.group(1), m.group(2))); j += m.end
+            case None => more = false
+          }
+        }
+        val literalLhs = lhsStart >= 0 && out.charAt(lhsStart) == '\''
+        val rewritable = steps.nonEmpty && (literalLhs || steps.last._1 == "->>")
+        if (rewritable) {
+          var expr = out.substring(lhsStart, k)
+          out.setLength(lhsStart)
+          steps.foreach { case (_, seg) =>
+            val path = if (seg.startsWith("$")) seg else "$." + seg
+            expr = s"get_json_object($expr, '$path')"
+          }
+          out.append(expr)
+          i = j
+        } else { out.append(sql.charAt(i)); i += 1 }
+      } else {
+        out.append(sql.charAt(i))
+        i += 1
+      }
     }
+    out.toString
   }
 
   /** `SELECT <list> FROM … QUALIFY pred [tail]` →

@@ -204,7 +204,93 @@ object Functions {
 
     // ---- misc ----
     "list_value" -> (a => call("array", a)),
-    "struct_insert" -> (a => call("struct", a)))
+    "struct_insert" -> (a => call("struct", a)),
+
+    // ---- round-5 gap-probe batch (each found by running DuckDB
+    // idioms through the gateway and fixing what failed) ----
+    "strlen" -> (a => call("length", a)),
+    "starts_with" -> (a => call("startswith", a)),
+    "regexp_split_to_array" -> (a => call("split", a)),
+    "list_zip" -> (a => call("arrays_zip", a)),
+    "unnest" -> { case Seq(e) => Explode(e) },
+    "json_keys" -> { case Seq(j) => call("json_object_keys", Seq(j)) },
+    "struct_extract" -> { case Seq(s, name) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, name)
+    },
+    // DuckDB even(x): round away from zero to the next even number
+    "even" -> { case Seq(x) =>
+      Multiply(call("sign", Seq(x)),
+        Multiply(Literal(2.0), Ceil(Divide(call("abs", Seq(x)), Literal(2.0)))))
+    },
+    // signbit: true for negatives AND -0.0 (1/x = -Inf distinguishes)
+    "signbit" -> { case Seq(x) =>
+      val d = Cast(x, org.apache.spark.sql.types.DoubleType)
+      Or(LessThan(d, Literal(0.0)),
+        And(EqualTo(d, Literal(0.0)),
+          LessThan(Divide(Literal(1.0), d), Literal(0.0))))
+    },
+    "isinf" -> { case Seq(x) =>
+      val d = Cast(x, org.apache.spark.sql.types.DoubleType)
+      Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+        EqualTo(d, Literal(Double.NegativeInfinity)))
+    },
+    "isfinite" -> { case Seq(x) =>
+      val d = Cast(x, org.apache.spark.sql.types.DoubleType)
+      Not(Or(IsNaN(d),
+        Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+          EqualTo(d, Literal(Double.NegativeInfinity)))))
+    },
+    // DuckDB format() is fmt-style braces; translate literal '{}'
+    // placeholders to printf '%s' (positional '{0}' unsupported)
+    "format" -> {
+      case Literal(fmt, _) +: rest if fmt != null =>
+        val f = fmt.toString
+        require(!f.matches(""".*\{\d.*"""),
+          "format: positional {n} placeholders unsupported in shim")
+        call("format_string", Literal(f.replace("{}", "%s")) +: rest)
+    },
+    "damerau_levenshtein" -> { case Seq(x, y) =>
+      graft.engine.expressions.DamerauLevenshtein(x, y)
+    },
+    "ends_with" -> (a => call("endswith", a)),
+    // DuckDB generate_series is stop-INCLUSIVE — exactly Spark sequence
+    "generate_series" -> {
+      case Seq(stop) => call("sequence", Seq(Literal(0L), stop))
+      case a => call("sequence", a)
+    },
+    // DuckDB list_reduce has no init: fold the tail from the head
+    "list_reduce" -> { case Seq(l, f: LambdaFunction) =>
+      ArrayAggregate(
+        call("slice", Seq(l, Literal(2),
+          Subtract(call("size", Seq(l)), Literal(1)))),
+        call("element_at", Seq(l, Literal(1))),
+        f, lam(vs => vs(0), 1))
+    },
+    "gcd" -> { case Seq(x, y) =>
+      graft.engine.expressions.Gcd(
+        Cast(x, org.apache.spark.sql.types.LongType),
+        Cast(y, org.apache.spark.sql.types.LongType))
+    },
+    "lcm" -> { case Seq(x, y) =>
+      graft.engine.expressions.Lcm(
+        Cast(x, org.apache.spark.sql.types.LongType),
+        Cast(y, org.apache.spark.sql.types.LongType))
+    },
+    "gamma" -> { case Seq(x) =>
+      graft.engine.expressions.LogGamma(
+        Cast(x, org.apache.spark.sql.types.DoubleType), exp = true)
+    },
+    "lgamma" -> { case Seq(x) =>
+      graft.engine.expressions.LogGamma(
+        Cast(x, org.apache.spark.sql.types.DoubleType), exp = false)
+    },
+    // age(a[, b]): timestamp difference as an interval (day-time form;
+    // DuckDB renders a calendar year-month breakdown — close, not equal)
+    "age" -> {
+      case Seq(a, b) => SubtractTimestamps(a, b)
+      case Seq(a) => SubtractTimestamps(
+        Cast(CurrentDate(), org.apache.spark.sql.types.TimestampType), a)
+    })
 
   /** DuckDB boundary-crossing date_diff: truncate both sides to the
     * part, then count complete parts between the truncations.
@@ -235,7 +321,44 @@ object Functions {
       // Spark aliases len → length (string/binary only); DuckDB's len is
       // primarily list length — dispatch on the resolved input type
       graft.engine.expressions.LenAny(e)
+    },
+    "decode" -> {
+      // DuckDB 1-arg decode(blob) → varchar; Spark 2-arg keeps charset form
+      case Seq(e) => StringDecode(e, Literal("UTF-8"))
+      case Seq(b, cs) => StringDecode(b, cs)
+    },
+    "regexp_extract_all" -> {
+      // DuckDB default group is 0 (the whole match); Spark's is 1
+      case Seq(s, re) => RegExpExtractAll(s, re, Literal(0))
+      case Seq(s, re, idx) => RegExpExtractAll(s, re, idx)
+    },
+    "range" -> {
+      // DuckDB range() in scalar position returns a LIST, stop
+      // EXCLUSIVE; Spark sequence() is inclusive and auto-reverses on
+      // start > stop, so the empty range needs an explicit guard
+      // (slice(seq, 1, 0) is the typed empty list)
+      case Seq(stop) => rangeList(Literal(0L), stop, Literal(1L))
+      case Seq(start, stop) => rangeList(start, stop, Literal(1L))
+      case Seq(start, stop, step) => rangeList(start, stop, step)
     })
+
+  /** DuckDB-semantics range(start, stop, step): stop-exclusive, empty
+    * (not reversed) when the direction is inconsistent.
+    */
+  private def rangeList(start: Expression, stop: Expression,
+      step: Expression): Expression = {
+    val seq = call("sequence",
+      Seq(start, Subtract(stop, Cast(call("sign", Seq(step)),
+        org.apache.spark.sql.types.LongType)), step))
+    val nonEmpty = Or(
+      And(GreaterThan(step, Literal(0)), LessThan(start, stop)),
+      And(LessThan(step, Literal(0)), GreaterThan(start, stop)))
+    // the empty branch must not mention `seq`: an inconsistent-direction
+    // sequence throws at EVAL (even under constant folding of If), so
+    // the typed empty comes from slicing a singleton instead
+    If(nonEmpty, seq,
+      call("slice", Seq(call("array", Seq(start)), Literal(1), Literal(0))))
+  }
 
   private def hammingExpr(a: Seq[Expression]): Expression = a match {
     case Seq(x, y) =>

@@ -65,6 +65,48 @@ object StringSim {
     (mm / n + mm / m + (mm - t / 2) / mm) / 3.0
   }
 
+  /** FULL Damerau-Levenshtein (Lowrance-Wagner: transposed characters
+    * may be separated by later edits) — matches DuckDB's
+    * damerau_levenshtein, e.g. ('ca','abc') = 2 where the restricted
+    * OSA form gives 3. Units are UTF-8 bytes, consistent with jaro.
+    */
+  def damerauLevenshtein(l: UTF8String, r: UTF8String): Int = {
+    val a = l.getBytes
+    val b = r.getBytes
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    val da = new Array[Int](256)
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = da(b(j - 1) & 0xff)
+        val l0 = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val tra = d(k)(l0) + (i - 1 - k) + 1 + (j - 1 - l0)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, tra))
+        j += 1
+      }
+      da(a(i - 1) & 0xff) = i
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+
   def jaroWinkler(l: UTF8String, r: UTF8String): Double = {
     val j = jaro(l, r)
     if (j <= 0.7) return j // Winkler boost threshold (DuckDB semantics)
@@ -103,6 +145,27 @@ case class JaroSimilarity(left: Expression, right: Expression)
     "graft.engine.expressions.StringSim.jaro"
   override def nullSafeEval(a: Any, b: Any): Any =
     StringSim.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "damerau_levenshtein"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.damerauLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.engine.expressions.StringSim.damerauLevenshtein($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

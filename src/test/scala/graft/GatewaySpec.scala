@@ -79,6 +79,67 @@ class GatewaySpec extends AnyFunSuite {
     assert(fwd == oracle)
   }
 
+  test("round-5 dialect batch: brackets, json arrows, agg ORDER BY, shims") {
+    // values cross-checked against DuckDB 1.0 (gap-probe session)
+    def one(sql: String) = gw.sql(sql).collect()(0)
+
+    // bracket list literals → array(...); subscripts untouched
+    val br = one("SELECT [1, 2, 3] AS l, [[1], [2]] AS n, ([1,2,3])[2] AS s")
+    assert(br.getAs[scala.collection.Seq[Int]]("l").toSeq == Seq(1, 2, 3))
+    assert(br.getAs[scala.collection.Seq[scala.collection.Seq[Int]]]("n").map(_.toSeq).toSeq
+      == Seq(Seq(1), Seq(2)))
+    assert(br.getAs[Int]("s") == 2)
+
+    // json arrow chains, literal and identifier LHS; lambda arrows survive
+    val js = one("""SELECT '{"a": {"b": 7}}' -> 'a' ->> 'b' AS v,
+      | list_transform([1,2], x -> x + 1) AS lam""".stripMargin)
+    assert(js.getAs[String]("v") == "7")
+    assert(js.getAs[scala.collection.Seq[Int]]("lam").toSeq == Seq(2, 3))
+
+    // in-aggregate ORDER BY: same-key, struct-detour, and string_agg
+    val agg = one(
+      """SELECT string_agg(x, '|' ORDER BY y DESC) AS s,
+        |  array_agg(x ORDER BY y) AS a,
+        |  array_agg(x ORDER BY x DESC) AS d
+        |FROM (VALUES ('a', 1), ('b', 2)) t(x, y)""".stripMargin)
+    assert(agg.getAs[String]("s") == "b|a")
+    assert(agg.getAs[scala.collection.Seq[String]]("a").toSeq == Seq("a", "b"))
+    assert(agg.getAs[scala.collection.Seq[String]]("d").toSeq == Seq("b", "a"))
+
+    // range/generate_series DuckDB semantics (stop-exclusive/-inclusive)
+    val rg = one(
+      "SELECT range(1, 4) AS r, range(5, 5) AS e, range(5, 1, -2) AS neg, generate_series(1, 3) AS g")
+    assert(rg.getAs[scala.collection.Seq[Int]]("r").toSeq == Seq(1, 2, 3))
+    assert(rg.getAs[scala.collection.Seq[Int]]("e").isEmpty)
+    assert(rg.getAs[scala.collection.Seq[Int]]("neg").toSeq == Seq(5, 3))
+    assert(rg.getAs[scala.collection.Seq[Int]]("g").toSeq == Seq(1, 2, 3))
+
+    // math/string shims, DuckDB-checked values
+    val m = one(
+      """SELECT even(2.5) AS e1, even(-2.5) AS e2, gcd(12, 18) AS g,
+        |  lcm(4, 6) AS l, gamma(5) AS gm, signbit(-1.0) AS sb,
+        |  isfinite(1.0) AS fin, isinf(CAST('inf' AS DOUBLE)) AS inf,
+        |  damerau_levenshtein('ca', 'abc') AS dl1,
+        |  damerau_levenshtein('abc', 'acb') AS dl2,
+        |  format('{}-{}', 7, 'x') AS f,
+        |  regexp_extract_all('a1b2', '[0-9]') AS re,
+        |  list_reduce([1, 2, 3], (a, b) -> a + b) AS lr,
+        |  strlen('abc') AS sl, starts_with('hello', 'he') AS sw""".stripMargin)
+    assert(m.getAs[Double]("e1") == 4.0 && m.getAs[Double]("e2") == -4.0)
+    assert(m.getAs[Long]("g") == 6L && m.getAs[Long]("l") == 12L)
+    assert(math.abs(m.getAs[Double]("gm") - 24.0) < 1e-9)
+    assert(m.getAs[Boolean]("sb") && m.getAs[Boolean]("fin") && m.getAs[Boolean]("inf"))
+    assert(m.getAs[Int]("dl1") == 2 && m.getAs[Int]("dl2") == 1)
+    assert(m.getAs[String]("f") == "7-x")
+    assert(m.getAs[scala.collection.Seq[String]]("re").toSeq == Seq("1", "2"))
+    assert(m.getAs[Int]("lr") == 6)
+    assert(m.getAs[Int]("sl") == 3 && m.getAs[Boolean]("sw"))
+
+    // unnest in SELECT position is a generator
+    val un = gw.sql("SELECT unnest(generate_series(1, 3)) AS g").collect()
+    assert(un.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   test("duckdb-dialect functions run unchanged") {
     val r = gw.sql(
       """SELECT string_split('a,b,c', ',') AS sp,
