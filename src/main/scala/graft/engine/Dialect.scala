@@ -27,7 +27,102 @@ object Dialect {
     */
   def rewrite(sql: String): String =
     rewriteDateDiff(rewriteCatalogFns(rewriteQualify(rewriteAsOf(
-      rewriteAggOrderBy(rewriteOperators(rewriteBrackets(normalizeWs(sql))))))))
+      rewriteDistinctOn(rewriteStarModifiers(rewriteAggOrderBy(
+        rewriteOperators(rewriteBrackets(normalizeWs(sql))))))))))
+
+  /** DuckDB star modifiers:
+    *  - `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)` (same semantics)
+    *  - `* REPLACE (expr AS col, …)` → `* EXCEPT (cols), expr AS col, …`
+    *    (Spark has no REPLACE; the replaced columns move to the END of
+    *    the star expansion — a documented position divergence)
+    * Only fires straight after a `*`, so the replace() function and
+    * window EXCLUDE frames are untouched.
+    */
+  private def rewriteStarModifiers(sql: String): String = {
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val afterStar = {
+          var k = i - 1
+          while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+          k >= 0 && sql.charAt(k) == '*'
+        }
+        if (afterStar && wordStart(sql, i) && up.startsWith("EXCLUDE", i)) {
+          return rewriteStarModifiers(
+            sql.substring(0, i) + "EXCEPT" + sql.substring(i + 7))
+        } else if (afterStar && wordStart(sql, i) && up.startsWith("REPLACE", i)) {
+          splitCallArgs(sql, i + 7) match {
+            case Some((args, end)) =>
+              val parts = args.map { a =>
+                val asAt = a.toUpperCase.lastIndexOf(" AS ")
+                require(asAt >= 0, s"* REPLACE entry needs AS: $a")
+                (a.substring(asAt + 4).trim, a.trim)
+              }
+              val except = parts.map(_._1).mkString("EXCEPT (", ", ", ")")
+              val appended = parts.map(_._2).mkString(", ")
+              return rewriteStarModifiers(
+                sql.substring(0, i) + except + ", " + appended + sql.substring(end))
+            case None => i += 7
+          }
+        } else i += 1
+      }
+    }
+    sql
+  }
+
+  /** PostgreSQL/DuckDB `SELECT DISTINCT ON (keys) list … [ORDER BY o]`:
+    * first row per key group in the query's order →
+    *
+    *   SELECT * EXCEPT (__don) FROM (
+    *     SELECT list, row_number() OVER (PARTITION BY keys
+    *                                     ORDER BY o | keys) AS __don
+    *     FROM …) WHERE __don = 1 [ORDER BY o …tail]
+    *
+    * The ORDER BY must use raw input columns (not select aliases) for
+    * the inner window to resolve — the common form. Applied at any
+    * nesting depth, innermost scope first (same discipline as QUALIFY).
+    */
+  private def rewriteDistinctOn(sql: String): String = {
+    val at = indexOfAnyDepth(sql, "DISTINCT ON")
+    if (at < 0) return sql
+    val (s0, e0) = scopeBounds(sql, at)
+    val scope = sql.substring(s0, e0)
+    val rel = at - s0
+    // keys
+    var i = rel + "DISTINCT ON".length
+    while (i < scope.length && scope.charAt(i).isWhitespace) i += 1
+    require(i < scope.length && scope.charAt(i) == '(',
+      "DISTINCT ON requires a parenthesized key list")
+    splitCallArgs(scope, i) match {
+      case Some((keys, afterKeys)) =>
+        // strip "DISTINCT ON (...)" from the scope
+        val base = scope.substring(0, rel) + scope.substring(afterKeys)
+        // split off the trailing ORDER BY / LIMIT tail (top level)
+        val obAt = indexOfTopLevel(base, " ORDER BY ")
+        val limAt = indexOfTopLevel(base, " LIMIT ")
+        val tailAt = Seq(obAt, limAt).filter(_ >= 0).sorted.headOption.getOrElse(base.length)
+        val head = base.substring(0, tailAt)
+        val tail = base.substring(tailAt)
+        val orderList =
+          if (obAt >= 0) {
+            val afterOb = base.substring(obAt + " ORDER BY ".length)
+            val stop = indexOfTopLevel(afterOb, " LIMIT ")
+            (if (stop >= 0) afterOb.substring(0, stop) else afterOb).trim
+          } else keys.mkString(", ")
+        val fromAt = indexOfTopLevel(head, " FROM ")
+        require(fromAt >= 0, "DISTINCT ON: no FROM clause in scope")
+        val inner = head.substring(0, fromAt) +
+          s", row_number() OVER (PARTITION BY ${keys.mkString(", ")} " +
+          s"ORDER BY $orderList) AS __don" + head.substring(fromAt)
+        val newScope =
+          s"SELECT * EXCEPT (__don) FROM ($inner) WHERE __don = 1$tail"
+        rewriteDistinctOn(sql.substring(0, s0) + newScope + sql.substring(e0))
+      case None => sql
+    }
+  }
 
   /** DuckDB in-aggregate ORDER BY → deterministic Spark composition:
     *

@@ -43,6 +43,9 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       "DROP VIEW", "TABLE", "FROM", "ATTACH")
 
   private val summarizeRe = """(?is)SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
+  private val pivotRe =
+    ("""(?is)^PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(.+?)""" +
+      """\s+GROUP\s+BY\s+([\w.\s,]+?)\s*(ORDER\s+BY[\w.\s,]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$""").r
   private val attachRe =
     """(?is)ATTACH\s+'(\w+)'\s*\(\s*TYPE\s+AIRPORT\s*,\s*location\s+'([^']+)'\s*\)\s*;?\s*""".r
 
@@ -55,6 +58,36 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats
     trimmed match {
       case summarizeRe(table) => return session.table(table).summary()
+      case _ =>
+    }
+    // DuckDB `PIVOT t ON c USING agg GROUP BY g [ORDER BY …] [LIMIT n]`
+    // (the dynamic-pivot statement, T4): two passes — collect the pivot
+    // column's domain (cardinality-capped by pivotDomain), then the
+    // relational pivot. The no-GROUP-BY form (implicit group-by-rest)
+    // falls through to the native parser's error.
+    trimmed match {
+      case pivotRe(tbl, onCol, using, groupBy, orderBy, limit) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        val base = session.table(tbl)
+        val domain = graft.operators.GeneratorQueries.pivotDomain(base, onCol)
+        var df = base
+          .groupBy(groupBy.split(",").map(_.trim).map(col): _*)
+          .pivot(onCol, domain)
+          .agg(expr(using.trim))
+        // DuckDB's count-pivot reports 0 for absent cells, not NULL
+        if (using.trim.toLowerCase.startsWith("count")) df = df.na.fill(0L)
+        val tailText = Seq(Option(orderBy), Option(limit)).flatten
+          .map(_.trim).mkString(" ")
+        if (tailText.isEmpty) return df
+        return session.synchronized {
+          val tmp = s"__graft_pivot_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          df.createOrReplaceTempView(tmp)
+          try {
+            val out = session.sql(s"SELECT * FROM $tmp $tailText")
+            out.queryExecution.assertAnalyzed() // view plan inlined here
+            out
+          } finally session.catalog.dropTempView(tmp)
+        }
       case _ =>
     }
     // `ATTACH 'name' (TYPE AIRPORT, location 'grpc://host:port')` — the

@@ -140,6 +140,34 @@ class GatewaySpec extends AnyFunSuite {
     assert(un.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("PIVOT statement, DISTINCT ON, star EXCLUDE/REPLACE") {
+    // the t4_pivot_dynamic oracle text VERBATIM through the gateway,
+    // differential vs the DataFrame two-pass pivot
+    val viaSql = gw.sql(SparkEntry.oracleSql("t4_pivot_dynamic")).collect().toSeq
+    val viaDf = SparkEntry.queries("t4_pivot_dynamic")(spark, sf).collect().toSeq
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+
+    // DISTINCT ON: first row per key in query order = min_by oracle
+    val don = gw.sql(
+      """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey
+        |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val oracle = spark.sql(
+      """SELECT o_orderstatus, MIN(o_orderkey) AS o_orderkey FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(don == oracle && don.nonEmpty)
+
+    // * EXCLUDE drops the column; * REPLACE rewrites it (moves to end)
+    val ex = gw.sql("SELECT * EXCLUDE (r_name) FROM region LIMIT 1")
+    assert(!ex.columns.contains("r_name") && ex.columns.contains("r_regionkey"))
+    val rep = gw.sql(
+      "SELECT * REPLACE (r_regionkey * 10 AS r_regionkey) FROM region ORDER BY r_regionkey")
+      .collect()
+    assert(rep.map(_.getAs[Number]("r_regionkey").longValue).toSeq ==
+      Seq(0L, 10L, 20L, 30L, 40L))
+  }
+
   test("duckdb-dialect functions run unchanged") {
     val r = gw.sql(
       """SELECT string_split('a,b,c', ',') AS sp,
