@@ -28,7 +28,8 @@ object Dialect {
   def rewrite(sql: String): String =
     rewriteDateDiff(rewriteCatalogFns(rewriteQualify(rewriteAsOf(
       rewriteDistinctOn(rewriteStarModifiers(rewriteAggOrderBy(
-        rewriteOperators(rewriteBrackets(normalizeWs(sql))))))))))
+        rewriteBareFilter(
+          rewriteOperators(rewriteBrackets(normalizeWs(sql)))))))))))
 
   /** DuckDB star modifiers:
     *  - `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)` (same semantics)
@@ -138,9 +139,38 @@ object Dialect {
     * aggregates deterministic on a parallel engine. NULLS FIRST/LAST or
     * multi-key orderings fall through untouched (parser reports them).
     */
+  /** DuckDB allows `agg(...) FILTER (cond)` — the WHERE keyword is
+    * optional; Spark's parser requires it. Fires only when the
+    * preceding non-space char is `)` (an aggregate call), so the
+    * `filter(arr, x -> …)` higher-order function is never touched.
+    */
+  private def rewriteBareFilter(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (wordStart(sql, i) && sql.regionMatches(true, i, "FILTER", 0, 6) &&
+          (i + 6 >= sql.length || !sql.charAt(i + 6).isLetterOrDigit &&
+            sql.charAt(i + 6) != '_')) {
+        var p = i - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        var k = i + 6
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (p >= 0 && sql.charAt(p) == ')' &&
+            k < sql.length && sql.charAt(k) == '(') {
+          var m = k + 1
+          while (m < sql.length && sql.charAt(m).isWhitespace) m += 1
+          val hasWhere = sql.regionMatches(true, m, "WHERE", 0, 5) &&
+            (m + 5 >= sql.length || !sql.charAt(m + 5).isLetterOrDigit)
+          if (!hasWhere) {
+            sb.append(sql.substring(i, k + 1)).append("WHERE ")
+            k + 1
+          } else i
+        } else i
+      } else i
+    }
+
   private def rewriteAggOrderBy(sql: String): String = {
     val up = sql.toUpperCase
-    val names = Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG")
+    val names =
+      Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "FIRST", "LAST")
     var i = 0
     while (i < sql.length) {
       val opaque = consumeOpaque(sql, i, null)
@@ -165,7 +195,8 @@ object Dialect {
                 if (desc) key = key.substring(0, key.length - 5).trim
                 else if (key.toUpperCase.endsWith(" ASC"))
                   key = key.substring(0, key.length - 4).trim
-                val isString = n.startsWith("STRING") || n.startsWith("LIST")
+                val isString = Set("STRING_AGG", "LIST_AGG", "LISTAGG")(n)
+                val isFirstLast = n == "FIRST" || n == "LAST"
                 val value = if (args.length > 1) args.head.trim else valueHead
                 val sep =
                   if (isString && args.length > 1) valueHead
@@ -175,6 +206,14 @@ object Dialect {
                     key.toUpperCase.endsWith(" FIRST") ||
                     key.toUpperCase.endsWith(" LAST")) {
                   i += n.length
+                } else if (isFirstLast) {
+                  // first(x ORDER BY y) = value at the min key;
+                  // last = at the max; DESC flips (min_by/max_by are
+                  // Spark's exact single-pass forms of these)
+                  val fn = if ((n == "LAST") != desc) "max_by" else "min_by"
+                  return rewriteAggOrderBy(
+                    sql.substring(0, i) + s"$fn($value, $key)" +
+                      sql.substring(end))
                 } else {
                   val sorted =
                     if (key == value) {

@@ -290,7 +290,97 @@ object Functions {
       case Seq(a, b) => SubtractTimestamps(a, b)
       case Seq(a) => SubtractTimestamps(
         Cast(CurrentDate(), org.apache.spark.sql.types.TimestampType), a)
-    })
+    },
+
+    // ---- round-5 gap-probe batch 2 (aggregates / datetime / misc;
+    // semantics pinned against DuckDB 1.0 before mapping) ----
+    // product/entropy/histogram/mad have no Spark builtin → custom
+    // aggregates in expressions/DuckAggs.scala
+    "product" -> { case Seq(x) => graft.engine.expressions.ProductAgg(
+      Cast(x, org.apache.spark.sql.types.DoubleType)) },
+    "entropy" -> { case Seq(x) => graft.engine.expressions.EntropyAgg(x) },
+    "histogram" -> { case Seq(x) => graft.engine.expressions.HistogramAgg(x) },
+    "mad" -> { case Seq(x) => graft.engine.expressions.MadAgg(
+      Cast(x, org.apache.spark.sql.types.DoubleType)) },
+    // quantile_cont = interpolated exact percentile (scalar or list q);
+    // quantile_disc/quantile = discrete (type-preserving in DuckDB,
+    // DOUBLE here — cast at the call site when the kind matters)
+    "quantile_cont" -> (a => call("percentile", a)),
+    "quantile_disc" -> { case Seq(x, q) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .PercentileDisc(x, q, reverse = false)
+    },
+    "quantile" -> { case Seq(x, q) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .PercentileDisc(x, q, reverse = false)
+    },
+    "approx_quantile" -> (a => call("approx_percentile", a)),
+    // reservoir_quantile(x, q[, sample_size]): approximate; drop the
+    // reservoir-size knob (approx_percentile's accuracy is its analog)
+    "reservoir_quantile" -> (a => call("approx_percentile", a.take(2))),
+    "arg_min" -> (a => call("min_by", a)),
+    "argmin" -> (a => call("min_by", a)),
+    "arg_max" -> (a => call("max_by", a)),
+    "argmax" -> (a => call("max_by", a)),
+    // Kahan-compensated float aggs: Spark's double sum is the analog
+    "favg" -> { case Seq(x) =>
+      call("avg", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    "fsum" -> { case Seq(x) =>
+      call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    "sumkahan" -> { case Seq(x) =>
+      call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    "kahan_sum" -> { case Seq(x) =>
+      call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    // DuckDB list(x) = array_agg
+    "list" -> (a => call("collect_list", a)),
+    "epoch_ns" -> { case Seq(t) =>
+      Multiply(call("unix_micros", Seq(t)), Literal(1000L)) },
+    // timezone(tz, ts): interpret naive ts in tz → instant (DuckDB
+    // AT TIME ZONE); to_utc_timestamp matches (verified vs DuckDB)
+    "timezone" -> { case Seq(tz, t) =>
+      call("to_utc_timestamp", Seq(t, tz)) },
+    "to_days" -> { case Seq(n) => call("make_dt_interval", Seq(n)) },
+    "to_weeks" -> { case Seq(n) =>
+      call("make_dt_interval", Seq(Multiply(n, Literal(7)))) },
+    "to_hours" -> { case Seq(n) =>
+      call("make_dt_interval", Seq(Literal(0), n)) },
+    "to_minutes" -> { case Seq(n) =>
+      call("make_dt_interval", Seq(Literal(0), Literal(0), n)) },
+    "to_seconds" -> { case Seq(n) =>
+      call("make_dt_interval", Seq(Literal(0), Literal(0), Literal(0), n)) },
+    "to_milliseconds" -> { case Seq(n) =>
+      call("make_dt_interval", Seq(Literal(0), Literal(0), Literal(0),
+        Divide(Cast(n, org.apache.spark.sql.types.DoubleType),
+          Literal(1000.0)))) },
+    "to_microseconds" -> { case Seq(n) =>
+      call("make_dt_interval", Seq(Literal(0), Literal(0), Literal(0),
+        Divide(Cast(n, org.apache.spark.sql.types.DoubleType),
+          Literal(1000000.0)))) },
+    "to_years" -> { case Seq(n) => call("make_interval", Seq(n)) },
+    "to_months" -> { case Seq(n) =>
+      call("make_interval", Seq(Literal(0), n)) },
+    // current_setting: resolved at analysis time from the session conf
+    "current_setting" -> { case Seq(Literal(k, _)) if k != null =>
+      k.toString.toLowerCase match {
+        case "timezone" => Literal(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        case "threads" => Literal(
+          org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions)
+        case other => throw new IllegalArgumentException(
+          s"current_setting: unsupported setting '$other'")
+      }
+    },
+    "datetrunc" -> (a => call("date_trunc", a)),
+    "nextafter" -> { case Seq(a, b) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Math],
+        org.apache.spark.sql.types.DoubleType, "nextAfter",
+        Seq(Cast(a, org.apache.spark.sql.types.DoubleType),
+          Cast(b, org.apache.spark.sql.types.DoubleType)),
+        Seq(org.apache.spark.sql.types.DoubleType,
+          org.apache.spark.sql.types.DoubleType))
+    },
+    "xor" -> { case Seq(a, b) => BitwiseXor(a, b) })
 
   /** DuckDB boundary-crossing date_diff: truncate both sides to the
     * part, then count complete parts between the truncations.

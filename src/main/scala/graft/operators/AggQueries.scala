@@ -330,6 +330,55 @@ object AggQueries {
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
+  /** A16: DuckDB-only statistical aggregates (product, entropy, mad,
+    * quantile_cont/disc, arg_min/arg_max) through the engine's custom
+    * aggregate expressions + registry shims (expressions/DuckAggs.scala).
+    * Float-order noise is rounded off per the determinism contract;
+    * arg_min/arg_max order by the UNIQUE o_orderkey so the pick is
+    * deterministic in both engines.
+    */
+  val a16 = {
+    val sqlText =
+      """SELECT o_orderstatus,
+        |  CAST(round(entropy(o_orderpriority), 9) AS DECIMAL(18,9)) AS ent,
+        |  CAST(round(mad(o_totalprice), 4) AS DECIMAL(18,4)) AS md,
+        |  CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS qc,
+        |  CAST(quantile_disc(o_totalprice, 0.5) AS DECIMAL(18,4)) AS qd,
+        |  arg_min(o_orderpriority, o_orderkey) AS amn,
+        |  arg_max(o_orderpriority, o_orderkey) AS amx,
+        |  CAST(round(product(1.0 + o_totalprice / 1e9), 9) AS DECIMAL(18,9)) AS pr
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+    Q("a16_duck_stats", sqlText) { s =>
+      graft.engine.Functions.register(s)
+      s.sql(sqlText)
+    }
+  }
+
+  /** A17: histogram(x) → MAP(value → count), flattened to entry rows so
+    * the differential gate compares scalar columns (map key order is
+    * ascending in both engines, pinned by the ORDER BY anyway).
+    */
+  val a17 = Q(
+    "a17_histogram",
+    """SELECT o_orderstatus, unnest(map_keys(h)) AS pri,
+      |  CAST(unnest(map_values(h)) AS BIGINT) AS cnt
+      |FROM (SELECT o_orderstatus, histogram(o_orderpriority) AS h
+      |      FROM orders GROUP BY o_orderstatus) t
+      |ORDER BY o_orderstatus ASC NULLS LAST, pri ASC NULLS LAST""".stripMargin
+  ) { s =>
+    graft.engine.Functions.register(s)
+    s.sql(
+      """SELECT o_orderstatus, entry_key AS pri,
+        |  CAST(entry_value AS BIGINT) AS cnt
+        |FROM (SELECT o_orderstatus, histogram(o_orderpriority) AS h
+        |      FROM orders GROUP BY o_orderstatus) t
+        |LATERAL VIEW explode(h) e AS entry_key, entry_value
+        |ORDER BY o_orderstatus ASC NULLS LAST, pri ASC NULLS LAST""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
-    q1Pricing, a2, a4, a5, a6, a6b, a6c, a7, a8, a9b, a9c, a11, a12, a13, a14, a15, a10)
+    q1Pricing, a2, a4, a5, a6, a6b, a6c, a7, a8, a9b, a9c, a11, a12, a13, a14, a15, a10,
+    a16, a17)
 }

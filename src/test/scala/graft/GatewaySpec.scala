@@ -194,6 +194,72 @@ class GatewaySpec extends AnyFunSuite {
     assert(r.getAs[Int]("dow") == 7)
   }
 
+  test("gap-probe batch 2: aggregate shims match DuckDB-verified values") {
+    // expected values pinned by running the same SQL in DuckDB 1.0
+    val r = gw.sql(
+      """SELECT product(x) AS pr,
+        |  CAST(round(entropy(s), 9) AS DECIMAL(12,9)) AS ent,
+        |  histogram(s) AS hist,
+        |  mad(x) AS md,
+        |  quantile_cont(x, 0.5) AS qc,
+        |  CAST(quantile_disc(x, 0.5) AS DOUBLE) AS qd,
+        |  arg_min(x, y) AS amn, arg_max(x, y) AS amx,
+        |  favg(x) AS fa, fsum(x) AS fs,
+        |  count(*) FILTER (x > 1) AS cf,
+        |  last(x ORDER BY y) AS lst, first(x ORDER BY y) AS fst
+        |FROM (VALUES (1.0, 9, 'a'), (2.0, 1, 'a'), (4.0, 5, 'b'),
+        |             (CAST(NULL AS DOUBLE), 7, NULL)) t(x, y, s)"""
+        .stripMargin).collect()(0)
+    assert(r.getAs[Double]("pr") == 8.0)
+    assert(r.getAs[java.math.BigDecimal]("ent").doubleValue() == 0.918295834)
+    assert(r.getAs[Map[String, Long]]("hist") == Map("a" -> 2L, "b" -> 1L))
+    assert(r.getAs[Double]("md") == 1.0)
+    assert(r.getAs[Double]("qc") == 2.0)
+    assert(r.getAs[Double]("qd") == 2.0)
+    assert(r.getAs[Double]("amn") == 2.0)
+    assert(r.getAs[Double]("amx") == 1.0)
+    assert(r.getAs[Double]("fa") == 7.0 / 3)
+    assert(r.getAs[Double]("fs") == 7.0)
+    assert(r.getAs[Long]("cf") == 2L)
+    assert(r.getAs[Double]("lst") == 1.0)
+    assert(r.getAs[Double]("fst") == 2.0)
+  }
+
+  test("gap-probe batch 2: empty-group semantics match DuckDB") {
+    val r = gw.sql(
+      """SELECT product(x) AS pr, entropy(x) AS ent,
+        |  histogram(x) AS hist, mad(x) AS md
+        |FROM (SELECT CAST(NULL AS DOUBLE) AS x WHERE 1 = 0) t"""
+        .stripMargin).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("pr")))
+    assert(r.getAs[Double]("ent") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("hist")))
+    assert(r.isNullAt(r.fieldIndex("md")))
+  }
+
+  test("gap-probe batch 2: datetime/misc shims match DuckDB-verified values") {
+    val r = gw.sql(
+      """SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:01') AS ens,
+        |  CAST(timezone('Asia/Tokyo', TIMESTAMP '2024-01-01') AS STRING) AS tz,
+        |  to_days(3) = INTERVAL 3 DAY AS td,
+        |  to_hours(5) = INTERVAL 5 HOUR AS th,
+        |  xor(5, 3) AS x, nextafter(1.0, 2.0) AS na,
+        |  datetrunc('month', DATE '2024-02-15') AS dt,
+        |  current_setting('TimeZone') AS cs,
+        |  quantile_cont(c, [0.25, 0.5]) AS qcl
+        |FROM (VALUES (1), (2), (3), (4)) t(c)""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("ens") == 1704067201000000000L)
+    assert(r.getAs[String]("tz") == "2023-12-31 15:00:00")
+    assert(r.getAs[Boolean]("td") && r.getAs[Boolean]("th"))
+    assert(r.getAs[Int]("x") == 6)
+    assert(r.getAs[Double]("na") == 1.0000000000000002)
+    // Spark's date_trunc yields TIMESTAMP where DuckDB keeps DATE —
+    // same instant, documented kind divergence
+    assert(r.getAs[java.sql.Timestamp]("dt").toString.startsWith("2024-02-01"))
+    assert(r.getAs[String]("cs") == spark.conf.get("spark.sql.session.timeZone"))
+    assert(r.getAs[scala.collection.Seq[Double]]("qcl").toSeq == Seq(1.75, 2.5))
+  }
+
   test("dialect rewrites: QUALIFY, //, GLOB, ->>") {
     assert(Dialect.rewrite("SELECT 7 // 2").contains(" div "))
     val q = gw.sql(
