@@ -25,11 +25,16 @@ object Dialect {
     *   - `duckdb_tables()` etc. → the same-named Gateway catalog views
     *     (reference smoke query, /root/reference/main.go:77)
     */
+  private val passes: Seq[String => String] = Seq(
+    normalizeWs, rewriteBlob, rewriteBraceLiterals, rewriteBrackets,
+    rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
+    rewriteEmptyOver,
+    rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
+    rewriteDistinctOn, rewriteAsOf, rewriteQualify, rewriteCatalogFns,
+    rewriteDateDiff)
+
   def rewrite(sql: String): String =
-    rewriteDateDiff(rewriteCatalogFns(rewriteQualify(rewriteAsOf(
-      rewriteDistinctOn(rewriteStarModifiers(rewriteAggOrderBy(
-        rewriteBareFilter(
-          rewriteOperators(rewriteBrackets(normalizeWs(sql)))))))))))
+    passes.foldLeft(sql)((s, pass) => pass(s))
 
   /** DuckDB star modifiers:
     *  - `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)` (same semantics)
@@ -139,6 +144,316 @@ object Dialect {
     * aggregates deterministic on a parallel engine. NULLS FIRST/LAST or
     * multi-key orderings fall through untouched (parser reports them).
     */
+  /** DuckDB struct literals `{'k': v, …}` → `named_struct('k', v, …)`
+    * and map literals `MAP {'k': v}` → `map('k', v, …)`. Rewrites
+    * innermost-first so nesting (`{'a': {'b': 1}}`) folds naturally;
+    * braces inside string literals are opaque. Keys may be quoted
+    * strings (DuckDB's form) or bare identifiers.
+    */
+  private def rewriteBraceLiterals(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      var open = -1
+      var close = -1
+      var i = 0
+      while (i < cur.length && close < 0) {
+        val opq = consumeOpaque(cur, i, null)
+        if (opq > i) i = opq
+        else {
+          cur.charAt(i) match {
+            case '{' => open = i
+            case '}' if open >= 0 => close = i
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      if (close < 0) return cur
+      val inner = cur.substring(open + 1, close)
+      var p = open - 1
+      while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+      val isMap = p >= 2 && cur.regionMatches(true, p - 2, "MAP", 0, 3) &&
+        wordStart(cur, p - 2) && !cur.charAt(p - 2).isDigit
+      val start = if (isMap) p - 2 else open
+      val pairs = splitTopLevel(inner, ',').filter(_.trim.nonEmpty).map { pair =>
+        val ci = indexOfTopLevelChar(pair, ':')
+        require(ci > 0, s"brace literal: missing ':' in '$pair'")
+        val k = pair.substring(0, ci).trim
+        val v = pair.substring(ci + 1).trim
+        val key = if (k.startsWith("'")) k else "'" + k + "'"
+        s"$key, $v"
+      }
+      if (pairs.isEmpty) return cur // `{}` — no Spark form, leave as-is
+      val fn = if (isMap) "map" else "named_struct"
+      cur = cur.substring(0, start) + fn + "(" + pairs.mkString(", ") +
+        ")" + cur.substring(close + 1)
+    }
+    cur
+  }
+
+  /** Split on `sep` at depth 0 (parens/brackets; quotes opaque). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val opq = consumeOpaque(s, i, null)
+      if (opq > i) i = opq
+      else {
+        s.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case c if c == sep && depth == 0 =>
+            out += s.substring(last, i); last = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  /** First depth-0 occurrence of `c` (skipping `::` when c == ':'). */
+  private def indexOfTopLevelChar(s: String, c: Char): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val opq = consumeOpaque(s, i, null)
+      if (opq > i) i = opq
+      else {
+        val ch = s.charAt(i)
+        if (ch == '(' || ch == '[' || ch == '{') depth += 1
+        else if (ch == ')' || ch == ']' || ch == '}') depth -= 1
+        else if (ch == c && depth == 0) {
+          if (c == ':' && i + 1 < s.length && s.charAt(i + 1) == ':') i += 1
+          else return i
+        }
+        i += 1
+      }
+    }
+    -1
+  }
+
+  /** DuckDB sampling → Spark TABLESAMPLE:
+    *  - `USING SAMPLE 10 ROWS` / `10%` / `5 PERCENT` / bare `10` (= rows)
+    *  - method forms `USING SAMPLE reservoir(100)` /
+    *    `… 10% (bernoulli[, seed])` — the method/seed is dropped (Spark
+    *    chooses the sampling strategy; REPEATABLE is not plumbed)
+    *  - unparenthesized `TABLESAMPLE 5%` → `TABLESAMPLE (5 PERCENT)`
+    * Documented divergence: DuckDB's USING SAMPLE applies after WHERE,
+    * Spark's TABLESAMPLE at the scan — same rows only for plain scans.
+    */
+  private val sampleRe =
+    ("""(?i)^(USING\s+SAMPLE|TABLESAMPLE)\s+(?:(?:bernoulli|reservoir|system)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT|ROWS)?\s*\)""" +
+      """|(\d+(?:\.\d+)?)\s*(%|PERCENT|ROWS)?)\s*(\(\s*(?:bernoulli|reservoir|system)(?:\s*,\s*\d+)?\s*\))?""").r
+
+  private def rewriteSample(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (wordStart(sql, i) &&
+          (sql.regionMatches(true, i, "USING", 0, 5) ||
+            sql.regionMatches(true, i, "TABLESAMPLE", 0, 11))) {
+        sampleRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            val amt = Option(m.group(2)).getOrElse(m.group(4))
+            val unit = Option(m.group(3)).orElse(Option(m.group(5))) match {
+              case Some(u) if u == "%" || u.equalsIgnoreCase("PERCENT") =>
+                "PERCENT"
+              case _ => "ROWS"
+            }
+            sb.append(s"TABLESAMPLE ($amt $unit)")
+            i + m.end
+          case None => i
+        }
+      } else i
+    }
+
+  /** Quantified comparisons. Exact rewrites: `= ANY (q)` → `IN (q)`,
+    * `<> ALL (q)` → `NOT IN (q)`. Ordering ops go through min/max
+    * scalar subqueries (`> ALL (q)` → `> (SELECT max …)`), which
+    * matches DuckDB except on an EMPTY subquery (DuckDB: ALL→true,
+    * ANY→false; here: NULL) — documented divergence.
+    */
+  private def rewriteQuantified(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      val kw = Seq("ANY", "SOME", "ALL").find(k =>
+        wordStart(sql, i) && sql.regionMatches(true, i, k, 0, k.length) &&
+          (i + k.length >= sql.length ||
+            !sql.charAt(i + k.length).isLetterOrDigit))
+      kw match {
+        case Some(k) =>
+          // operator must directly precede (in emitted text)
+          var j = sb.length
+          while (j > 0 && sb.charAt(j - 1).isWhitespace) j -= 1
+          var opStart = j
+          while (opStart > 0 && "=<>!".indexOf(sb.charAt(opStart - 1)) >= 0)
+            opStart -= 1
+          val op = sb.substring(opStart, j)
+          val valid = Set("=", ">", ">=", "<", "<=", "<>", "!=")
+          // subquery must follow
+          var m = i + k.length
+          while (m < sql.length && sql.charAt(m).isWhitespace) m += 1
+          val isSub = m < sql.length && sql.charAt(m) == '(' && {
+            var n = m + 1
+            while (n < sql.length && sql.charAt(n).isWhitespace) n += 1
+            Seq("SELECT", "FROM", "WITH", "VALUES").exists(w =>
+              sql.regionMatches(true, n, w, 0, w.length))
+          }
+          if (!valid(op) || !isSub) i
+          else {
+            // matching close paren
+            var depth = 0
+            var e = m
+            var end = -1
+            while (e < sql.length && end < 0) {
+              val opq = consumeOpaque(sql, e, null)
+              if (opq > e) e = opq
+              else {
+                sql.charAt(e) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1; if (depth == 0) end = e
+                  case _ =>
+                }
+                e += 1
+              }
+            }
+            if (end < 0) i
+            else {
+              val sub = sql.substring(m + 1, end)
+              val isAll = k.equalsIgnoreCase("ALL")
+              val repl: Option[String] = (op, isAll) match {
+                case ("=", false) => Some(s" IN ($sub)")
+                case ("<>", true) | ("!=", true) => Some(s" NOT IN ($sub)")
+                case (">", _) | (">=", _) =>
+                  val agg = if (isAll) "max" else "min"
+                  Some(s"$op (SELECT $agg(__qc) FROM ($sub) AS __q(__qc))")
+                case ("<", _) | ("<=", _) =>
+                  val agg = if (isAll) "min" else "max"
+                  Some(s"$op (SELECT $agg(__qc) FROM ($sub) AS __q(__qc))")
+                case _ => None
+              }
+              repl match {
+                case Some(r) =>
+                  sb.delete(opStart, sb.length)
+                  sb.append(r)
+                  end + 1
+                case None => i
+              }
+            }
+          }
+        case None => i
+      }
+    }
+
+  /** DuckDB permits `row_number() OVER ()` etc. — ranking/offset window
+    * functions with no ORDER BY (arbitrary order). Spark requires an
+    * order; `ORDER BY 1` (a constant) reproduces the arbitrary-order
+    * semantics. AGGREGATE windows are NOT rewritten: adding an ORDER BY
+    * would silently shrink their default frame to running-total.
+    */
+  private val rankingFnRe =
+    """(?i)^(row_number|dense_rank|percent_rank|cume_dist|rank|ntile|lag|lead)\s*\(""".r
+  private val emptyOverRe = """(?i)^\s+OVER\s*\(\s*\)""".r
+
+  private def rewriteEmptyOver(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (wordStart(sql, i)) {
+        rankingFnRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            splitCallArgs(sql, i + m.end - 1) match {
+              case Some((_, argsEnd)) =>
+                emptyOverRe.findPrefixMatchOf(sql.substring(argsEnd)) match {
+                  case Some(o) =>
+                    sb.append(sql.substring(i, argsEnd))
+                      .append(" OVER (ORDER BY 1)")
+                    argsEnd + o.end
+                  case None => i
+                }
+              case None => i
+            }
+          case None => i
+        }
+      } else i
+    }
+
+  /** BLOB → BINARY. `'…'::BLOB` literals fold to `unhex('…')` with
+    * DuckDB's `\xHH` escapes decoded (Spark strings don't interpret
+    * them); other `::BLOB` / `AS BLOB)` casts map to the BINARY type.
+    */
+  private val blobLitRe = """(?i)'((?:[^']|'')*)'\s*::\s*BLOB\b""".r
+  private val blobLitCastRe =
+    """(?i)CAST\s*\(\s*'((?:[^']|'')*)'\s+AS\s+BLOB\s*\)""".r
+  private val hexEscRe = """(?i)\\x([0-9a-f]{2})""".r
+
+  private def literalToHex(lit: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val s = lit.replace("''", "'")
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 3 < s.length + 1 &&
+          i + 4 <= s.length &&
+          (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X') &&
+          s.substring(i + 2, i + 4).forall(c =>
+            Character.digit(c, 16) >= 0)) {
+        sb.append(s.substring(i + 2, i + 4).toUpperCase)
+        i += 4
+      } else {
+        s.charAt(i).toString.getBytes("UTF-8").foreach(b =>
+          sb.append(f"${b & 0xff}%02X"))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def rewriteBlob(sql: String): String = {
+    val lit = blobLitRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"unhex('${literalToHex(m.group(1))}')"))
+    val litCast = blobLitCastRe.replaceAllIn(lit, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"unhex('${literalToHex(m.group(1))}')"))
+    litCast
+      .replaceAll("(?i)::\\s*BLOB\\b", "::BINARY")
+      .replaceAll("(?i)\\bAS\\s+BLOB\\s*\\)", "AS BINARY)")
+  }
+
+  /** DuckDB FROM-position table functions Spark lacks:
+    * `FROM generate_series(…)` and `FROM unnest(list)` become inline
+    * explode subqueries with DuckDB's output column name (the TVF's own
+    * name), so `SELECT unnest FROM unnest([…])` resolves. Trailing
+    * aliases (`AS t(x)`) survive — they attach to the subquery.
+    * `FROM range(…)` stays on Spark's native TVF (column `id` vs
+    * DuckDB's `range` — documented divergence; empty-range semantics
+    * are exact there, which the sequence() form can't give).
+    */
+  private val fromTvfRe = """(?i)^(FROM|JOIN)\s+(generate_series|unnest)\s*\(""".r
+
+  private def rewriteFromTvf(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!wordStart(sql, i)) i
+      else fromTvfRe.findPrefixMatchOf(sql.substring(i)) match {
+        case Some(m) =>
+          val fn = m.group(2).toLowerCase
+          splitCallArgs(sql, i + m.end - 1) match {
+            case Some((args, end)) =>
+              val inner = fn match {
+                case "unnest" => s"explode(${args.mkString(", ")})"
+                // the scalar generate_series shim (stop-inclusive
+                // sequence) resolves inside the subquery
+                case _ => s"explode(generate_series(${args.mkString(", ")}))"
+              }
+              sb.append(s"${m.group(1)} (SELECT $inner AS $fn)")
+              end
+            case None => i
+          }
+        case None => i
+      }
+    }
+
   /** DuckDB allows `agg(...) FILTER (cond)` — the WHERE keyword is
     * optional; Spark's parser requires it. Fires only when the
     * preceding non-space char is `)` (an aggregate call), so the
@@ -301,8 +616,11 @@ object Dialect {
                     val a0 = content.substring(0, colonAt).trim
                     val b0 = content.substring(colonAt + 1).trim
                     val a = if (a0.isEmpty) "1" else a0
-                    if (b0.isEmpty) out.append(s"slice($lhs, $a, size($lhs))")
-                    else out.append(s"slice($lhs, $a, ($b0) - ($a) + 1)")
+                    // graft_slice: 1-based stop-inclusive, polymorphic
+                    // over string/list (expressions/SliceAny)
+                    if (b0.isEmpty)
+                      out.append(s"graft_slice($lhs, $a, len($lhs))")
+                    else out.append(s"graft_slice($lhs, $a, $b0)")
                   }
                 case None => // unrecognized primary: pass through
                   out.append('[').append(content).append(']')
@@ -757,8 +1075,54 @@ object Dialect {
         }
       } else i
     }
-    rewriteJsonArrows(noGlob)
+    // postgres-style operators DuckDB ships: `~~`→LIKE, `!~~`→NOT LIKE
+    // (any RHS); `~ 'p'`→RLIKE anchored (DuckDB `~` is a FULL match),
+    // `!~` negated. Only infix occurrences rewrite — prefix `~` is
+    // bitwise NOT in both dialects. A non-literal regex RHS is left
+    // alone (would need full left-operand capture).
+    val noTilde = scanOutsideLiterals(noGlob) { (i, sb) =>
+      def prevIsOperand: Boolean = {
+        var j = sb.length - 1
+        while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+        j >= 0 && {
+          val c = sb.charAt(j)
+          c.isLetterOrDigit || c == '_' || c == '\'' || c == '"' ||
+            c == ')' || c == ']' || c == '`'
+        }
+      }
+      if (noGlob.startsWith("!~~", i)) { sb.append(" NOT LIKE "); i + 3 }
+      else if (noGlob.startsWith("~~", i)) { sb.append(" LIKE "); i + 2 }
+      else if ((noGlob.startsWith("!~", i) || noGlob.charAt(i) == '~') &&
+          prevIsOperand) {
+        val neg = noGlob.startsWith("!~", i)
+        val after = i + (if (neg) 2 else 1)
+        tildeLitRe.findPrefixMatchOf(noGlob.substring(after)) match {
+          case Some(m) =>
+            sb.append(if (neg) " NOT RLIKE '" else " RLIKE '")
+              .append("^(?:").append(m.group(1)).append(")$'")
+            after + m.end
+          case None => i
+        }
+      } else i
+    }
+    // `x SIMILAR TO 'p'` — anchored regex match (NOT prefix survives
+    // as Spark's `NOT RLIKE`)
+    val noSimilar = scanOutsideLiterals(noTilde) { (i, sb) =>
+      if (wordStart(noTilde, i) &&
+          noTilde.regionMatches(true, i, "SIMILAR", 0, 7)) {
+        similarToRe.findPrefixMatchOf(noTilde.substring(i)) match {
+          case Some(m) =>
+            sb.append("RLIKE '^(?:").append(m.group(1)).append(")$'")
+            i + m.end
+          case None => i
+        }
+      } else i
+    }
+    rewriteJsonArrows(noSimilar)
   }
+
+  private val tildeLitRe = """^\s*'((?:[^']|'')*)'""".r
+  private val similarToRe = """(?i)^SIMILAR\s+TO\s*'((?:[^']|'')*)'""".r
 
   private val arrowStepRe = """^\s*(->>|->)\s*'((?:[^']|'')*)'""".r
 

@@ -380,7 +380,10 @@ object Functions {
         Seq(org.apache.spark.sql.types.DoubleType,
           org.apache.spark.sql.types.DoubleType))
     },
-    "xor" -> { case Seq(a, b) => BitwiseXor(a, b) })
+    "xor" -> { case Seq(a, b) => BitwiseXor(a, b) },
+    // Dialect bracket-slice target (x[a:b] — string OR list)
+    "graft_slice" -> { case Seq(x, a, b) =>
+      graft.engine.expressions.SliceAny(x, a, b) })
 
   /** DuckDB boundary-crossing date_diff: truncate both sides to the
     * part, then count complete parts between the truncations.

@@ -55,6 +55,41 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       case Some(props) => return applySecret(props)
       case None =>
     }
+    // DuckDB PRAGMA surface (read-only introspection pragmas only)
+    trimmed match {
+      case pragmaRe(name, arg) =>
+        return pragma(name.toLowerCase, Option(arg))
+      case _ =>
+    }
+    // DuckDB `SHOW <table>` = describe-table (column_name/column_type/…)
+    trimmed match {
+      case showTableRe(ident)
+          if !showKeywords.contains(ident.toUpperCase) =>
+        return describeTable(ident)
+      case _ =>
+    }
+    // `a UNION [ALL] BY NAME b [ORDER BY … LIMIT …]`: Spark has
+    // unionByName only in the DataFrame API — split at the top level,
+    // run each side through the full gateway path, and re-apply any
+    // trailing ORDER BY/LIMIT over the combined result.
+    splitUnionByName(trimmed) match {
+      case Some((left, right, keepAll)) =>
+        val (rightBody, tail) = splitTopLevelTail(right)
+        var df = this.sql(left).unionByName(
+          this.sql(rightBody), allowMissingColumns = true)
+        if (!keepAll) df = df.distinct()
+        if (tail.isEmpty) return df
+        return session.synchronized {
+          val tmp = s"__graft_ubn_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          df.createOrReplaceTempView(tmp)
+          try {
+            val out = session.sql(s"SELECT * FROM $tmp $tail")
+            out.queryExecution.assertAnalyzed()
+            out
+          } finally session.catalog.dropTempView(tmp)
+        }
+      case None =>
+    }
     // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats
     trimmed match {
       case summarizeRe(table) => return session.table(table).summary()
@@ -149,7 +184,7 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
           s"read-only gateway: statement rejected (${up.takeWhile(_ != ' ')})")
       }
     }
-    val rewritten = Dialect.rewrite(trimmed)
+    val rewritten = Dialect.rewrite(rewriteFileReads(trimmed))
     // WITH RECURSIVE … UNION (bare): DuckDB-dialect dedup recursion.
     // Spark 4.1's native recursive CTE covers only UNION ALL, so the
     // bare-UNION shape routes through the engine's semi-naive fixpoint
@@ -175,6 +210,192 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     val df = session.sql(rewritten)
     df.queryExecution.assertAnalyzed() // structured failure before execution
     df
+  }
+
+  // ---- DuckDB direct-file queries ------------------------------------
+  // `FROM 'path.parquet'` / `FROM read_parquet('path')` /
+  // read_csv[_auto] / read_json[_auto] (main.go passes these through to
+  // DuckDB's filesystem scanners). Each distinct path registers a lazy
+  // temp view named after the file's basename (DuckDB's naming, so
+  // `SELECT nation.n_name FROM 'nation.parquet'` resolves), falling
+  // back to a hashed name on collision. Glob paths work — Spark's
+  // readers accept them natively.
+  private val fileFromRe =
+    """(?i)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|pq|csv|tsv|json|jsonl|ndjson)(?:\.gz)?)'""".r
+  private val readFnRe =
+    """(?i)\b(FROM|JOIN)\s+read_(parquet|csv_auto|csv|json_auto|json)\s*\(\s*'([^']+)'\s*[^)]*\)""".r
+
+  private val fileViews = scala.collection.mutable.HashMap.empty[String, String]
+
+  private def fileView(path: String, kindHint: Option[String]): String =
+    session.synchronized {
+      fileViews.getOrElseUpdate(path, {
+        val kind = kindHint.getOrElse {
+          val p = path.toLowerCase.stripSuffix(".gz")
+          if (p.endsWith(".csv") || p.endsWith(".tsv")) "csv"
+          else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
+            p.endsWith(".ndjson")) "json"
+          else "parquet"
+        }
+        val df = kind match {
+          case "csv" => session.read
+            .option("header", "true").option("inferSchema", "true")
+            .csv(path)
+          case "json" => session.read.json(path)
+          case _ => session.read.parquet(path)
+        }
+        val base = path.reverse.takeWhile(c => c != '/' && c != '\\').reverse
+          .takeWhile(_ != '.').replaceAll("[^A-Za-z0-9_]", "_")
+        val name =
+          if (base.nonEmpty && base.head.isLetter &&
+              !session.catalog.tableExists(base)) base
+          else "gf_" + java.util.UUID.nameUUIDFromBytes(
+            path.getBytes("UTF-8")).toString.replace("-", "").take(12)
+        df.createOrReplaceTempView(name)
+        name
+      })
+    }
+
+  private def rewriteFileReads(sql: String): String = {
+    val viaFn = readFnRe.replaceAllIn(sql, m => {
+      val kind = m.group(2).toLowerCase match {
+        case "csv_auto" | "csv" => "csv"
+        case "json_auto" | "json" => "json"
+        case _ => "parquet"
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} ${fileView(m.group(3), Some(kind))}")
+    })
+    fileFromRe.replaceAllIn(viaFn, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} ${fileView(m.group(2), None)}"))
+  }
+
+  // ---- PRAGMA / SHOW <table> -----------------------------------------
+  private val pragmaRe =
+    """(?is)^PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w./]+)'?\s*\))?\s*;?\s*$""".r
+  private val showTableRe = """(?is)^SHOW\s+([\w.]+)\s*;?\s*$""".r
+  private val showKeywords = Set(
+    "TABLES", "DATABASES", "SCHEMAS", "VIEWS", "FUNCTIONS", "CATALOGS",
+    "NAMESPACES", "COLUMNS", "PARTITIONS", "TBLPROPERTIES", "ALL")
+
+  private def pragma(name: String, arg: Option[String]): DataFrame = {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    name match {
+      case "show_tables" =>
+        session.sql("SHOW TABLES").select(col("tableName").as("name"))
+          .orderBy("name")
+      case "table_info" =>
+        val t = arg.getOrElse(
+          throw new GatewayException("PRAGMA table_info requires a table"))
+        val fields = session.table(t).schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            (i, f.name, f.dataType.sql, !f.nullable,
+              null.asInstanceOf[String], false)
+        }.toSeq
+        fields.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+      case "database_size" =>
+        val dir = Tables.dirOf(session)
+        val bytes = dir.map { d =>
+          val f = new java.io.File(d)
+          Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+            .getOrElse(0L)
+        }.getOrElse(0L)
+        def human(b: Long): String =
+          if (b >= (1L << 30)) f"${b / (1L << 30).toDouble}%.1f GiB"
+          else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.1f MiB"
+          else if (b >= (1L << 10)) f"${b / (1L << 10).toDouble}%.1f KiB"
+          else s"$b bytes"
+        val rt = Runtime.getRuntime
+        Seq((dir.getOrElse("memory"), human(bytes), 262144L, 0L, 0L, 0L,
+          "0 bytes", human(rt.totalMemory - rt.freeMemory),
+          human(rt.maxMemory)))
+          .toDF("database_name", "database_size", "block_size",
+            "total_blocks", "used_blocks", "free_blocks", "wal_size",
+            "memory_usage", "memory_limit")
+      case "version" =>
+        Seq(("v0.5.0-graft", s"spark-${session.version}"))
+          .toDF("library_version", "source_id")
+      case "database_list" =>
+        Seq((0L, session.catalog.currentCatalog(),
+          Tables.dirOf(session).getOrElse("memory")))
+          .toDF("seq", "name", "file")
+      case other =>
+        throw new GatewayException(s"unsupported PRAGMA: $other")
+    }
+  }
+
+  /** DuckDB `SHOW t` / `DESCRIBE t` column layout. */
+  private def describeTable(ident: String): DataFrame = {
+    import session.implicits._
+    val fields = session.table(ident).schema.fields.map { f =>
+      (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO",
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String])
+    }.toSeq
+    fields.toDF("column_name", "column_type", "null", "key", "default",
+      "extra")
+  }
+
+  // ---- UNION [ALL] BY NAME -------------------------------------------
+  /** Split at the FIRST top-level `UNION [ALL] BY NAME`; the right side
+    * recurses through gateway sql, so chains fold left-associatively.
+    */
+  private val unionByNameRe = """(?i)^UNION\s+(ALL\s+)?BY\s+NAME\b""".r
+
+  private def splitUnionByName(sql: String): Option[(String, String, Boolean)] = {
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != c) j += 1
+        i = j + 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'U' || c == 'u') &&
+            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit)) {
+          unionByNameRe.findPrefixMatchOf(sql.substring(i)) match {
+            case Some(m) =>
+              return Some((sql.substring(0, i).trim,
+                sql.substring(i + m.end).trim, m.group(1) != null))
+            case None =>
+          }
+        }
+        i += 1
+      }
+    }
+    None
+  }
+
+  /** Split a trailing top-level `ORDER BY …` / `LIMIT …` off a query
+    * body (so it can re-apply over a combined DataFrame).
+    */
+  private def splitTopLevelTail(sql: String): (String, String) = {
+    var depth = 0
+    var i = 0
+    var cut = -1
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != c) j += 1
+        i = j + 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && cut < 0 &&
+            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit)) {
+          if (sql.regionMatches(true, i, "ORDER", 0, 5) ||
+              sql.regionMatches(true, i, "LIMIT", 0, 5)) cut = i
+        }
+        i += 1
+      }
+    }
+    if (cut < 0) (sql, "") else (sql.substring(0, cut).trim, sql.substring(cut).trim)
   }
 
   private val secretRe =

@@ -1,0 +1,39 @@
+package graft.engine.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{
+  Add, Cast, Expression, Literal, RuntimeReplaceable, Slice, Subtract,
+  Substring}
+import org.apache.spark.sql.types._
+
+/** DuckDB slice `x[a:b]` — 1-based, stop-inclusive, polymorphic over
+  * STRING and LIST (SURVEY.md §2.8; DuckDB's `'abcdef'[2:4]` = 'bcd').
+  * Spark splits this across `substring` and `slice`, so the dialect's
+  * bracket rewrite emits this one expression and the dispatch happens
+  * at analysis on the resolved input type — zero runtime overhead.
+  */
+case class SliceAny(child: Expression, from: Expression, stop: Expression)
+    extends RuntimeReplaceable {
+  override def prettyName: String = "graft_slice"
+  override def children: Seq[Expression] = Seq(child, from, stop)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"slice requires string/array, got ${other.simpleString}")
+  }
+
+  private def intCast(e: Expression) = Cast(e, IntegerType)
+
+  override lazy val replacement: Expression = {
+    val len = Add(Subtract(intCast(stop), intCast(from)), Literal(1))
+    child.dataType match {
+      case StringType => Substring(child, intCast(from), len)
+      case _ => Slice(child, intCast(from), len)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}

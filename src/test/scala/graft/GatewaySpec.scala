@@ -260,6 +260,100 @@ class GatewaySpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Double]]("qcl").toSeq == Seq(1.75, 2.5))
   }
 
+  test("gap-probe batch 3: direct file queries and FROM-position TVFs") {
+    val n = gw.sql(s"SELECT count(*) AS c FROM '${TestSpark.sf}/nation.parquet'")
+      .collect()(0).getLong(0)
+    assert(n == 25L)
+    // basename view naming: the file registers as `nation`-style view,
+    // qualified column references resolve (DuckDB behavior)
+    val rp = gw.sql(
+      s"SELECT count(*) AS c FROM read_parquet('${TestSpark.sf}/region.parquet')")
+      .collect()(0).getLong(0)
+    assert(rp == 5L)
+    val gs = gw.sql("SELECT * FROM generate_series(1, 3)")
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(gs == Seq(1L, 2L, 3L))
+    val un = gw.sql("SELECT unnest FROM unnest([10, 20])")
+      .collect().map(_.getInt(0)).toSeq
+    assert(un == Seq(10, 20))
+    val ua = gw.sql("SELECT u.x FROM unnest([1, 2, 3]) AS u(x)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ua == Seq(1, 2, 3))
+    val sampled = gw.sql("SELECT count(*) AS c FROM orders USING SAMPLE 10 ROWS")
+      .collect()(0).getLong(0)
+    assert(sampled == 10L)
+    assert(gw.sql("SELECT count(*) AS c FROM orders USING SAMPLE 50%")
+      .collect()(0).getLong(0) > 0L)
+  }
+
+  test("gap-probe batch 3: struct/map literals, slices, regex operators") {
+    val r = gw.sql(
+      """SELECT {'a': 1, 'b': 'x'} AS s, {'a': 41}.a + 1 AS sa,
+        |  MAP {'k': 1, 'j': 2} AS m,
+        |  'abcdef'[2:4] AS sl, 'abcdef'[3:] AS so,
+        |  [10, 20, 30][1:2] AS al,
+        |  'abc' ~ 'a.c' AS t1, 'xabcx' ~ 'a.c' AS t2,
+        |  'abc' !~ 'z' AS t3, 'Hans' ~~ 'H%' AS t4,
+        |  'abc' SIMILAR TO 'a.c' AS t5, 'xabcx' SIMILAR TO 'a.c' AS t6"""
+        .stripMargin).collect()(0)
+    val s = r.getStruct(r.fieldIndex("s"))
+    assert(s.getInt(0) == 1 && s.getString(1) == "x")
+    assert(r.getAs[Int]("sa") == 42)
+    assert(r.getAs[Map[String, Int]]("m") == Map("k" -> 1, "j" -> 2))
+    assert(r.getAs[String]("sl") == "bcd") // DuckDB-verified
+    assert(r.getAs[String]("so") == "cdef")
+    assert(r.getAs[scala.collection.Seq[Int]]("al").toSeq == Seq(10, 20))
+    assert(r.getAs[Boolean]("t1")) // ~ is a FULL match in DuckDB
+    assert(!r.getAs[Boolean]("t2"))
+    assert(r.getAs[Boolean]("t3") && r.getAs[Boolean]("t4"))
+    assert(r.getAs[Boolean]("t5") && !r.getAs[Boolean]("t6"))
+  }
+
+  test("gap-probe batch 3: quantified comparisons and blob casts") {
+    val r = gw.sql(
+      """SELECT 5 > ALL (SELECT * FROM range(5)) AS a1,
+        |  5 > ANY (SELECT * FROM range(100)) AS a2,
+        |  3 = ANY (SELECT * FROM range(5)) AS a3,
+        |  99 <> ALL (SELECT * FROM range(5)) AS a4,
+        |  '\xAA'::BLOB AS b1, 'ab'::BLOB AS b2""".stripMargin).collect()(0)
+    assert(r.getAs[Boolean]("a1") && r.getAs[Boolean]("a2"))
+    assert(r.getAs[Boolean]("a3") && r.getAs[Boolean]("a4"))
+    assert(r.getAs[Array[Byte]]("b1").toSeq == Seq(0xAA.toByte))
+    assert(r.getAs[Array[Byte]]("b2").toSeq == "ab".getBytes("UTF-8").toSeq)
+    // HOF filter() and aggregate OVER () must be untouched by the
+    // FILTER/empty-over rewrites
+    val g = gw.sql(
+      """SELECT filter([1, 2, 3], x -> x > 1) AS f,
+        |  sum(c) OVER () AS s, row_number() OVER () AS rn
+        |FROM (VALUES (1), (2)) t(c)""".stripMargin).collect()
+    assert(g(0).getAs[scala.collection.Seq[Int]]("f").toSeq == Seq(2, 3))
+    assert(g.map(_.getAs[Long]("s")).toSeq == Seq(3L, 3L))
+    assert(g.map(_.getAs[Int]("rn")).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("gap-probe batch 3: PRAGMA family, SHOW <table>, UNION BY NAME") {
+    val tables = gw.sql("PRAGMA show_tables").collect().map(_.getString(0))
+    assert(tables.contains("nation") && tables.contains("lineitem"))
+    val ti = gw.sql("PRAGMA table_info('nation')").collect()
+    assert(ti.map(_.getString(1)).toSeq ==
+      gw.session.table("nation").schema.fieldNames.toSeq)
+    assert(gw.sql("PRAGMA version").collect().length == 1)
+    assert(gw.sql("PRAGMA database_size").collect()(0)
+      .schema.fieldNames.contains("database_size"))
+    val sh = gw.sql("SHOW nation").collect()
+    assert(sh.map(_.getString(0)).toSeq.contains("n_name"))
+    // SHOW TABLES still routes to Spark's native statement
+    assert(gw.sql("SHOW TABLES").collect().nonEmpty)
+    val ubn = gw.sql(
+      "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 4 AS b, 3 AS a ORDER BY a")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(ubn == Seq((1, 2), (3, 4)))
+    val dedup = gw.sql(
+      "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(dedup == Seq(1, 2))
+  }
+
   test("dialect rewrites: QUALIFY, //, GLOB, ->>") {
     assert(Dialect.rewrite("SELECT 7 // 2").contains(" div "))
     val q = gw.sql(
