@@ -552,6 +552,32 @@ object Dialect {
     sql
   }
 
+  /** `expr FOR var IN list [IF cond]` (already bracket-rewritten) →
+    * the transform/filter HOF composition, or None when the content is
+    * a plain list literal. DuckDB-verified: `[x+1 FOR x IN [1,2,3] IF
+    * x>1]` = [3,4].
+    */
+  private def comprehension(content: String): Option[String] = {
+    val forAt = indexOfTopLevel(content, " FOR ")
+    if (forAt < 0) return None
+    val head = content.substring(0, forAt).trim
+    val rest = content.substring(forAt + 5)
+    val inAt = indexOfTopLevel(rest, " IN ")
+    if (inAt < 0) return None
+    val v = rest.substring(0, inAt).trim
+    if (!v.matches("\\w+")) return None
+    val tail = rest.substring(inAt + 4)
+    val ifAt = indexOfTopLevel(tail, " IF ")
+    val (listPart, cond) =
+      if (ifAt < 0) (tail.trim, None)
+      else (tail.substring(0, ifAt).trim, Some(tail.substring(ifAt + 4).trim))
+    val src = cond match {
+      case Some(c) => s"filter($listPart, $v -> $c)"
+      case None => listPart
+    }
+    Some(s"transform($src, $v -> $head)")
+  }
+
   /** Keywords a `[` can directly follow in literal (not subscript)
     * position. An identifier/')'/']' before `[` means subscript
     * (`arr[1]` — valid Spark, untouched); these words, operators,
@@ -603,7 +629,12 @@ object Dialect {
           else {
             val content = rewriteBrackets(sql.substring(i + 1, end))
             if (bracketIsLiteral(out)) {
-              out.append("array(").append(content).append(')')
+              // DuckDB list comprehension `[expr FOR v IN list [IF cond]]`
+              // → transform(filter(list, v -> cond), v -> expr)
+              comprehension(content) match {
+                case Some(c) => out.append(c)
+                case None => out.append("array(").append(content).append(')')
+              }
             } else {
               backtrackPrimary(out) match {
                 case Some(st) =>
@@ -944,6 +975,15 @@ object Dialect {
     * (top-level comma-split args, index just past the closing paren).
     * Literal- and paren-aware.
     */
+  /** Engine-internal access for Gateway's macro expansion. */
+  private[engine] def splitCallArgsPublic(
+      sql: String, open: Int): Option[(Seq[String], Int)] =
+    splitCallArgs(sql, open)
+
+  /** Engine-internal access for Gateway's COLUMNS() expansion. */
+  private[engine] def splitTopLevelPublic(s: String, sep: Char): Seq[String] =
+    splitTopLevel(s, sep)
+
   private def splitCallArgs(sql: String, open: Int): Option[(Seq[String], Int)] = {
     var i = open
     while (i < sql.length && sql.charAt(i).isWhitespace) i += 1

@@ -61,8 +61,21 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         return pragma(name.toLowerCase, Option(arg))
       case _ =>
     }
-    // DuckDB `SHOW <table>` = describe-table (column_name/column_type/…)
+    // CREATE/DROP MACRO — session-scoped like CREATE VIEW (D6), so the
+    // read-only gateway accepts it; calls expand textually below.
     trimmed match {
+      case createMacroRe(name, params, table, body) =>
+        defineMacro(name, params, table != null, body)
+        return session.sql("SELECT true AS Success").limit(0)
+      case dropMacroRe(name) =>
+        if (macros.remove(name.toLowerCase).isEmpty)
+          throw new GatewayException(s"macro not found: $name")
+        return session.sql("SELECT true AS Success").limit(0)
+      case _ =>
+    }
+    val expanded = expandColumnsExpr(expandMacros(trimmed))
+    // DuckDB `SHOW <table>` = describe-table (column_name/column_type/…)
+    expanded match {
       case showTableRe(ident)
           if !showKeywords.contains(ident.toUpperCase) =>
         return describeTable(ident)
@@ -72,7 +85,7 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // unionByName only in the DataFrame API — split at the top level,
     // run each side through the full gateway path, and re-apply any
     // trailing ORDER BY/LIMIT over the combined result.
-    splitUnionByName(trimmed) match {
+    splitUnionByName(expanded) match {
       case Some((left, right, keepAll)) =>
         val (rightBody, tail) = splitTopLevelTail(right)
         var df = this.sql(left).unionByName(
@@ -91,7 +104,7 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       case None =>
     }
     // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats
-    trimmed match {
+    expanded match {
       case summarizeRe(table) => return session.table(table).summary()
       case _ =>
     }
@@ -100,7 +113,7 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // column's domain (cardinality-capped by pivotDomain), then the
     // relational pivot. The no-GROUP-BY form (implicit group-by-rest)
     // falls through to the native parser's error.
-    trimmed match {
+    expanded match {
       case pivotRe(tbl, onCol, using, groupBy, orderBy, limit) =>
         import org.apache.spark.sql.functions.{col, expr}
         val base = session.table(tbl)
@@ -130,7 +143,7 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // through the init hook main.go:108). Binds a V2 CatalogPlugin
     // (sources.FlightCatalog) on THIS session, so `name.main.<table>`
     // resolves through Catalyst; read-only-safe (adds a read path).
-    trimmed match {
+    expanded match {
       case attachRe(name, location) =>
         val uri = java.net.URI.create(location)
         if (uri.getScheme != "grpc" || uri.getHost == null || uri.getPort <= 0)
@@ -178,13 +191,13 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       case _ =>
     }
     if (readOnly) {
-      val up = trimmed.toUpperCase
+      val up = expanded.toUpperCase
       if (!readOnlyAllowed.exists(up.startsWith)) {
         throw new GatewayException(
           s"read-only gateway: statement rejected (${up.takeWhile(_ != ' ')})")
       }
     }
-    val rewritten = Dialect.rewrite(rewriteFileReads(trimmed))
+    val rewritten = Dialect.rewrite(rewriteFileReads(expanded))
     // WITH RECURSIVE … UNION (bare): DuckDB-dialect dedup recursion.
     // Spark 4.1's native recursive CTE covers only UNION ALL, so the
     // bare-UNION shape routes through the engine's semi-naive fixpoint
@@ -269,6 +282,218 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     fileFromRe.replaceAllIn(viaFn, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} ${fileView(m.group(2), None)}"))
+  }
+
+  // ---- CREATE MACRO (scalar + table) ---------------------------------
+  // DuckDB macros are session-scoped SQL templates; the engine expands
+  // calls TEXTUALLY before parsing (DuckDB binds at call time too, so
+  // divergences are limited to error wording). Positional params bind
+  // positionally; `name := default` params bind only by name
+  // (DuckDB-verified). Table macros expand to parenthesized subqueries
+  // in FROM position.
+  private case class SqlMacro(
+      positional: Seq[String],
+      defaults: Seq[(String, String)],
+      body: String,
+      table: Boolean)
+
+  private val macros =
+    scala.collection.mutable.HashMap.empty[String, SqlMacro]
+
+  private val createMacroRe =
+    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+(\w+)\s*\(([^)]*)\)\s*AS\s+(TABLE\s+)?(.+?);?\s*$""".r
+  private val dropMacroRe =
+    """(?is)^DROP\s+(?:MACRO|FUNCTION)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+
+  private def defineMacro(
+      name: String, paramList: String, table: Boolean, body: String): Unit = {
+    val raw = paramList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val (defaulted, positional) = raw.partition(_.contains(":="))
+    val defaults = defaulted.map { d =>
+      val Array(k, v) = d.split(":=", 2)
+      (k.trim, v.trim)
+    }
+    positional.foreach(p => require(p.matches("\\w+"),
+      s"macro parameter must be an identifier: '$p'"))
+    macros.put(name.toLowerCase,
+      SqlMacro(positional, defaults, body.trim, table))
+  }
+
+  /** Substitute `args` for `params` in `body` at identifier boundaries,
+    * outside string literals; each value is parenthesized (textual
+    * macro hygiene, same effect as DuckDB's expression binding).
+    */
+  private def substituteParams(
+      body: String, bind: Map[String, String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < body.length && body.charAt(j) != c) j += 1
+        sb.append(body.substring(i, math.min(j + 1, body.length)))
+        i = j + 1
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < body.length &&
+          (body.charAt(j).isLetterOrDigit || body.charAt(j) == '_')) j += 1
+        val word = body.substring(i, j)
+        sb.append(bind.get(word.toLowerCase).map(v => s"($v)").getOrElse(word))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def expandMacros(sql: String): String = {
+    if (macros.isEmpty) return sql
+    var cur = sql
+    var depth = 0
+    var changed = true
+    while (changed && depth < 16) {
+      changed = false
+      depth += 1
+      var i = 0
+      var out: String = null
+      while (i < cur.length && out == null) {
+        val c = cur.charAt(i)
+        if (c == '\'' || c == '"') {
+          var j = i + 1
+          while (j < cur.length && cur.charAt(j) != c) j += 1
+          i = j + 1
+        } else if ((c.isLetter || c == '_') &&
+            (i == 0 || !(cur.charAt(i - 1).isLetterOrDigit ||
+              cur.charAt(i - 1) == '_' || cur.charAt(i - 1) == '.'))) {
+          var j = i
+          while (j < cur.length &&
+            (cur.charAt(j).isLetterOrDigit || cur.charAt(j) == '_')) j += 1
+          val word = cur.substring(i, j).toLowerCase
+          macros.get(word) match {
+            case Some(m) if j < cur.length && {
+                var k = j
+                while (k < cur.length && cur.charAt(k).isWhitespace) k += 1
+                k < cur.length && cur.charAt(k) == '(' } =>
+              var k = j
+              while (cur.charAt(k) != '(') k += 1
+              Dialect.splitCallArgsPublic(cur, k) match {
+                case Some((args, end)) =>
+                  val (named, pos) = args.map(_.trim).filter(_.nonEmpty)
+                    .partition(_.matches("(?s)\\w+\\s*:=.*"))
+                  require(pos.length == m.positional.length,
+                    s"macro $word expects ${m.positional.length} positional " +
+                      s"argument(s), got ${pos.length}")
+                  val namedBind = named.map { a =>
+                    val Array(k0, v0) = a.split(":=", 2)
+                    (k0.trim.toLowerCase, v0.trim)
+                  }.toMap
+                  val bind =
+                    m.positional.map(_.toLowerCase).zip(pos).toMap ++
+                      m.defaults.map { case (k0, dflt) =>
+                        k0.toLowerCase -> namedBind.getOrElse(k0.toLowerCase, dflt)
+                      }.toMap
+                  val bodyExpanded = substituteParams(m.body, bind)
+                  out = cur.substring(0, i) + "(" + bodyExpanded + ")" +
+                    cur.substring(end)
+                case None => i = j
+              }
+            case _ => i = j
+          }
+        } else i += 1
+      }
+      if (out != null) { cur = out; changed = true }
+    }
+    cur
+  }
+
+  // ---- COLUMNS() star expression -------------------------------------
+  // DuckDB `COLUMNS('regex')` / `COLUMNS(*)` / `COLUMNS(* EXCLUDE (…))`
+  // replicates the ENCLOSING select item once per matched column, named
+  // after the column (`SELECT max(COLUMNS('a.*')) FROM t` → one max per
+  // matching column, DuckDB-verified: regex is a SEARCH match).
+  // Expansion needs the FROM relation's schema, so it lives here rather
+  // than in the stateless Dialect: supported when the first top-level
+  // FROM names a catalog relation; other shapes pass through (and fail
+  // with the parser's unresolved-COLUMNS error).
+  private val columnsCallRe = """(?i)\bCOLUMNS\s*\(""".r
+  private val fromIdentRe = """(?i)\bFROM\s+([\w.]+)""".r
+
+  private def expandColumnsExpr(sql: String): String = {
+    if (!sql.toUpperCase.contains("COLUMNS")) return sql
+    val selAt = sql.toUpperCase.indexOf("SELECT")
+    if (selAt < 0) return sql
+    val fromAt = topLevelKeywordIndex(sql, "FROM")
+    if (fromAt < 0) return sql
+    val table = fromIdentRe.findPrefixMatchOf(sql.substring(fromAt)) match {
+      case Some(m) => m.group(1)
+      case None => return sql
+    }
+    val schema =
+      try session.table(table).schema
+      catch { case _: Exception => return sql }
+    val listStart = selAt + "SELECT".length
+    val selectList = sql.substring(listStart, fromAt)
+    if (!columnsCallRe.findFirstIn(selectList).isDefined) return sql
+    val items = Dialect.splitTopLevelPublic(selectList, ',').map { item =>
+      columnsCallRe.findFirstMatchIn(item) match {
+        case Some(m) =>
+          Dialect.splitCallArgsPublic(item, m.end - 1) match {
+            case Some((args, end)) if args.length == 1 =>
+              val arg = args.head.trim
+              val names: Seq[String] =
+                if (arg == "*") schema.fieldNames.toSeq
+                else if (arg.toUpperCase.startsWith("*")) {
+                  val ex = """(?i)\*\s*EXCLUDE\s*\(([^)]*)\)""".r
+                  ex.findFirstMatchIn(arg) match {
+                    case Some(e) =>
+                      val drop = e.group(1).split(",")
+                        .map(_.trim.toLowerCase).toSet
+                      schema.fieldNames.toSeq
+                        .filterNot(n => drop(n.toLowerCase))
+                    case None => return sql
+                  }
+                } else if (arg.startsWith("'") && arg.endsWith("'")) {
+                  val re = java.util.regex.Pattern.compile(
+                    arg.substring(1, arg.length - 1).replace("''", "'"))
+                  schema.fieldNames.toSeq.filter(n => re.matcher(n).find())
+                } else return sql
+              if (names.isEmpty)
+                throw new GatewayException(
+                  s"COLUMNS: no columns match $arg in $table")
+              names.map { n =>
+                item.substring(0, m.start) + n + item.substring(end) +
+                  s" AS $n"
+              }.mkString(", ")
+            case _ => item
+          }
+        case None => item
+      }
+    }
+    sql.substring(0, listStart) + " " + items.mkString(", ").trim + " " +
+      sql.substring(fromAt)
+  }
+
+  /** First depth-0 keyword occurrence outside literals. */
+  private def topLevelKeywordIndex(sql: String, kw: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != c) j += 1
+        i = j + 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && sql.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !sql.charAt(i - 1).isLetterOrDigit) &&
+            (i + kw.length >= sql.length ||
+              !sql.charAt(i + kw.length).isLetterOrDigit)) return i
+        i += 1
+      }
+    }
+    -1
   }
 
   // ---- PRAGMA / SHOW <table> -----------------------------------------

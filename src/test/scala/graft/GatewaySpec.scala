@@ -354,6 +354,58 @@ class GatewaySpec extends AnyFunSuite {
     assert(dedup == Seq(1, 2))
   }
 
+  test("CREATE MACRO: scalar, defaults, table macros, drop (DuckDB-verified)") {
+    gw.sql("CREATE MACRO addx(a, b := 5) AS a + b")
+    val r = gw.sql("SELECT addx(1) AS d, addx(1, b := 10) AS n").collect()(0)
+    assert(r.getInt(0) == 6 && r.getInt(1) == 11)
+    // macros compose and nest
+    gw.sql("CREATE MACRO twice(x) AS addx(x, b := x)")
+    assert(gw.sql("SELECT twice(21) AS t").collect()(0).getInt(0) == 42)
+    // textual hygiene: argument expressions parenthesize
+    gw.sql("CREATE OR REPLACE MACRO sq(x) AS x * x")
+    assert(gw.sql("SELECT sq(1 + 2) AS s").collect()(0).getInt(0) == 9)
+    // table macro in FROM position, param inside the subquery
+    gw.sql("CREATE MACRO topn(n) AS TABLE SELECT * FROM range(n)")
+    assert(gw.sql("SELECT count(*) AS c FROM topn(3)").collect()(0).getLong(0) == 3L)
+    // macro over fixture tables with DuckDB-dialect body
+    gw.sql("CREATE MACRO big_orders(lim) AS TABLE " +
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > lim")
+    assert(gw.sql("SELECT count(*) AS c FROM big_orders(0)").collect()(0)
+      .getLong(0) == gw.sql("SELECT count(*) AS c FROM orders").collect()(0)
+      .getLong(0))
+    // arity mismatch is a structured error
+    intercept[Exception](gw.sql("SELECT sq(1, 2)").collect())
+    // drop removes resolution
+    gw.sql("DROP MACRO twice")
+    intercept[Exception](gw.sql("SELECT twice(1)").collect())
+    gw.sql("DROP MACRO addx")
+    gw.sql("DROP MACRO sq")
+    gw.sql("DROP MACRO topn")
+    gw.sql("DROP MACRO big_orders")
+  }
+
+  test("list comprehensions and COLUMNS() expansion (DuckDB-verified)") {
+    val r = gw.sql(
+      """SELECT [x + 1 FOR x IN [1, 2, 3] IF x > 1] AS a,
+        |  [x * 2 FOR x IN [1, 2, 3]] AS b,
+        |  [u FOR u IN ['a', 'bb'] IF len(u) > 1] AS c""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[scala.collection.Seq[Int]]("a").toSeq == Seq(3, 4))
+    assert(r.getAs[scala.collection.Seq[Int]]("b").toSeq == Seq(2, 4, 6))
+    assert(r.getAs[scala.collection.Seq[String]]("c").toSeq == Seq("bb"))
+    // COLUMNS: regex is a SEARCH match; output keeps the column names
+    val c1 = gw.sql("SELECT COLUMNS('n_nation.*') FROM nation LIMIT 1")
+    assert(c1.columns.toSeq == Seq("n_nationkey"))
+    val c2 = gw.sql("SELECT max(COLUMNS('^n_(nation|region)key$')) FROM nation")
+    assert(c2.columns.toSeq == Seq("n_nationkey", "n_regionkey"))
+    assert(c2.collect()(0).getAs[Number](0).longValue == 24L)
+    val c3 = gw.sql("SELECT COLUMNS(* EXCLUDE (n_name)) FROM nation LIMIT 1")
+    assert(!c3.columns.contains("n_name") &&
+      c3.columns.contains("n_nationkey"))
+    intercept[Exception](
+      gw.sql("SELECT COLUMNS('zzz') FROM nation").collect())
+  }
+
   test("dialect rewrites: QUALIFY, //, GLOB, ->>") {
     assert(Dialect.rewrite("SELECT 7 // 2").contains(" div "))
     val q = gw.sql(
