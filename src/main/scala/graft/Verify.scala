@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional trailing names: dump only those queries (dev-loop use;
+    // the driver always runs the full suite)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8") // measured optimum (Bench)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +32,7 @@ object Verify {
     // directory so the writes never contend
     graft.engine.Tables.register(spark, sfDir)
     val queries = SparkEntry.queries.toIndexedSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val cursor = new java.util.concurrent.atomic.AtomicInteger(0)
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", cpus).toInt
     val workers = (1 to math.max(1, poolSize)).map { _ =>

@@ -277,5 +277,117 @@ object DedupOps {
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5)
+  /** Verified near-dup edges (id_a < id_b, jaccard ≥ `minJac`) over a
+    * corpus — the shared kernel of dd_minhash_lsh and dd_components:
+    * signature → banded buckets → guarded candidates → shingle-set
+    * verification. `tag` keys the CacheOnce slots so concurrent queries
+    * don't fight over one cache entry.
+    */
+  private def verifiedEdges(
+      corpus: DataFrame, tag: String, minJac: Double): DataFrame = {
+    val sh = graft.engine.CacheOnce(s"$tag/sh",
+      corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
+    val sig = corpus.select(col("doc_id"),
+      graft.engine.GraftColumns.minhashSig(col("text"), K).as("sig"))
+    val bands = graft.engine.CacheOnce(s"$tag/bands",
+      sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val cand = lshCandidates(bands)
+    val sa = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJac)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Connected components over the verified near-dup graph: each doc is
+    * labeled with the MINIMUM doc_id reachable through near-dup edges —
+    * the component representative a compaction keeps. LSH pairs alone
+    * under-merge (A~B and B~C near-dups can leave A,C unpaired); real
+    * dedup pipelines close the pair graph into components first, and
+    * this is the operator that does it, on the same semi-naive fixpoint
+    * engine that runs `WITH RECURSIVE` (engine.Recursive).
+    *
+    * Scale: reachability here is NOT the general-graph worst case — dup
+    * clusters are small and shallow by construction (the hot-bucket
+    * guard stars mass-duplicate buckets around one representative, so a
+    * boilerplate cluster has diameter ≤ 2; organic near-dup chains are
+    * short), so the closure's frontier dies after ~diameter rounds and
+    * the reach set is bounded by Σ|component|², tiny when components
+    * are. For adversarially deep graphs the standard swap is a
+    * large-star/small-star iteration; this operator documents that
+    * boundary instead of pretending closure is free.
+    */
+  val d6 = Q(
+    "dd_components",
+    s"""WITH RECURSIVE corpus AS ($dupCorpusSql),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+       |sig AS (SELECT doc_id, sh,
+       |  ${(0 until K).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+       |  FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM sh) h),
+       |bands AS (
+       |  ${(0 until BANDS).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+            .mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM edges),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+       |SELECT a AS doc_id, MIN(b) AS component,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reachable
+       |FROM reach GROUP BY a
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val corpus = dupCorpus(s)
+    components(corpus.select(col("doc_id")),
+      verifiedEdges(corpus, "dd_components", 0.3), "dd_components")
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Min-label connected components: (doc_id, component, n_reachable)
+    * for every node, component = min doc_id reachable over the
+    * UNDIRECTED closure of `edges` (id_a, id_b). Factored for the
+    * hand-graph spec; scale notes on dd_components above.
+    */
+  private[graft] def components(
+      nodes: DataFrame, edges: DataFrame, tag: String): DataFrame = {
+    // symmetric closure, cached: the fixpoint step re-reads this
+    // relation every round — without the persist each round re-runs
+    // the whole edge-producing pipeline
+    val sym = graft.engine.CacheOnce(s"$tag/sym",
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val seed = nodes.select(col("doc_id").as("a"), col("doc_id").as("b"))
+    // semi-naive closure: frontier ⋈ sym each round, dedup vs accumulated
+    // (engine.Recursive contract: resolve frontier columns BY NAME)
+    val reach = graft.engine.Recursive.fixpoint(seed) { f =>
+      // by-name refs only: `sym` recurs at every unroll level of the
+      // composed step, so a sym("src")-style bound ref would be
+      // ambiguous; (a,b) vs (src,dst) are disjoint so names resolve
+      f.join(sym, col("b") === col("src"))
+        .select(col("a"), col("dst").as("b"))
+    }
+    reach.groupBy(col("a"))
+      .agg(min(col("b")).as("component"),
+        count(lit(1)).as("n_reachable"))
+      .select(col("a").as("doc_id"), col("component"), col("n_reachable"))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6)
 }

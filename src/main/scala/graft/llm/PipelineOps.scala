@@ -329,5 +329,58 @@ object PipelineOps {
       .crossJoin(drops.agg(count(lit(1)).as("n_dropped")))
   }
 
-  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed)
+  /** Domain-mix sampling — the final stage of corpus prep: given a
+    * per-domain (here: per-language) token budget, select a
+    * deterministic sample of documents that fills each domain's quota.
+    * Selection order is a salted hash of doc_id, NOT a random() — the
+    * same mix reproduces bit-for-bit on any cluster size, reruns are
+    * idempotent, and adding documents later only changes the tail of
+    * each domain's selection (hash order is stable under inserts).
+    * A document is kept while its domain's budget is unexhausted when
+    * it starts (cum - n_tok < quota), so every domain overshoots by at
+    * most one document — the standard budget-fill convention.
+    *
+    * Scale: ONE shuffle (hash-partition by lang for the cumulative-sum
+    * window) over (doc_id, lang, n_tok, rk) — the text never moves; the
+    * report aggregation reuses the same partitioning, so
+    * EnsureRequirements adds no second exchange. At 100 TB the window
+    * within a domain is sequential by nature (a running total), which
+    * is why the shuffled rows carry 4 small columns, not documents.
+    */
+  val pDomainMix = Q(
+    "pipe_domain_mix",
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    md5('mix' || CAST(doc_id AS VARCHAR)) AS rk
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tok) OVER (
+      |    PARTITION BY lang ORDER BY rk ASC, doc_id ASC) AS cum
+      |  FROM d),
+      |sel AS (SELECT * FROM c WHERE cum - n_tok < 2000)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  MIN(rk) AS first_pick
+      |FROM sel GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val quota = 2000L
+    val d = s.table("documents").select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+      md5(concat(lit("mix"), col("doc_id").cast(StringType)).cast(BinaryType)).as("rk"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < quota)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        min(col("rk")).as("first_pick"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix)
 }

@@ -289,6 +289,129 @@ object TextOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  /** Gopher-style repetition signals — the quality filters that catch
+    * degenerate generated/boilerplate text the length/TTR blend misses:
+    * duplicate-token fraction and the mass of the single most frequent
+    * bigram. Per-doc grouping only, so every shuffle is keyed by doc_id
+    * and partitions perfectly at corpus scale; the bigram count and its
+    * per-doc top-1 window share the doc_id partitioning, so
+    * EnsureRequirements inserts ONE exchange for both.
+    *
+    * Tie-break on the top bigram is deterministic by construction:
+    * highest count first, then lexicographically smallest bigram.
+    */
+  val tRepetition = Q(
+    "tx_repetition",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, GREATEST(len(toks) - 1, 1)),
+      |    i -> toks[i] || ' ' || COALESCE(toks[i + 1], ''))) AS bg
+      |  FROM tok),
+      |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+      |top AS (
+      |  SELECT doc_id, bg, c,
+      |    SUM(c) OVER (PARTITION BY doc_id) AS total,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+      |  FROM cnt),
+      |dup AS (
+      |  SELECT doc_id, toks,
+      |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtf
+      |  FROM tok)
+      |SELECT d.doc_id,
+      |  ROUND(d.dtf, 6) AS dup_token_frac,
+      |  t.bg AS top_bigram,
+      |  ROUND(CAST(t.c AS DOUBLE) / t.total, 6) AS top_bigram_frac,
+      |  (d.dtf > 0.3 OR CAST(t.c AS DOUBLE) / t.total > 0.18) AS flagged
+      |FROM dup d JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+      |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    repetitionOf(s.table("documents"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Repetition signals over any (doc_id, text) relation — factored for
+    * the hand-built edge-case spec; plan notes on tx_repetition above.
+    */
+  private[graft] def repetitionOf(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = split(col("text"), " ")
+    // bigrams keep duplicates (frequency is the signal) — 1-based
+    // element_at matches the oracle's 1-based list indexing, and the
+    // COALESCE('')-padded tail keeps the single-token edge case
+    // identical. try_element_at for the i+1 probe: on a single-token
+    // doc the index runs past the list, where DuckDB yields NULL but
+    // ANSI element_at would throw.
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat(element_at(toks, i), lit(" "),
+        coalesce(try_element_at(toks, i + 1), lit(""))))
+    val base = docs.select(col("doc_id"),
+      (lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("dtf"))
+    val cnt = docs
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+    val top = cnt
+      .withColumn("total", sum(col("c")).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("c").desc, col("bg").asc)))
+      .filter(col("rn") === 1)
+    base.join(top, "doc_id")
+      .select(col("doc_id"),
+        round(col("dtf"), 6).as("dup_token_frac"),
+        col("bg").as("top_bigram"),
+        round(col("c").cast(DoubleType) / col("total"), 6).as("top_bigram_frac"),
+        (col("dtf") > 0.3 || col("c").cast(DoubleType) / col("total") > 0.18).as("flagged"))
+  }
+
+  /** Benchmark decontamination — the eval-hygiene step every training
+    * pipeline runs before a model ships: drop (here: flag) training
+    * documents that share an n-gram shingle with the held-out benchmark
+    * set. The benchmark side is ALWAYS the small side (benchmarks are
+    * thousands of docs against a corpus of billions), so its distinct
+    * shingle set is built once and broadcast — the corpus never
+    * shuffles; each partition probes the broadcast hash set. If a
+    * benchmark ever outgrew broadcast, the same plan shuffles both
+    * sides on the shingle digest.
+    *
+    * The fixture's benchmark is the doc_id % 13 slice of `documents` —
+    * deterministic, non-trivial overlap (fixture docs share vocabulary).
+    */
+  val tDecontaminate = Q(
+    "tx_decontaminate",
+    s"""WITH sh AS (SELECT doc_id, ${DedupOps.shinglesSql} AS sh FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 13 = 0),
+       |cand AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 13 <> 0),
+       |hits AS (
+       |  SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_hits
+       |  FROM cand c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM sh WHERE doc_id % 13 <> 0) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val docs = s.table("documents").select(col("doc_id"),
+      graft.engine.GraftColumns.shingles3(col("text")).as("sh"))
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val cand = docs.filter(col("doc_id") % 13 =!= 0)
+    val hits = cand.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
+    cand.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   val all: Seq[Q] =
-    Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler)
+    Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler,
+      tRepetition, tDecontaminate)
 }

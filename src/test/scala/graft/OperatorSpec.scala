@@ -584,4 +584,71 @@ class OperatorSpec extends AnyFunSuite {
       assert(out(102L) == -1L, s"$path: NULL left ts must not match")
     }
   }
+
+  test("components: transitive merge a pairwise dedup would miss") {
+    import spark.implicits._
+    import graft.llm.DedupOps
+    // chain 1-2, 2-3 (1 and 3 never paired directly), island 10-11,
+    // singleton 20 — the closure must label all of {1,2,3} with 1
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = DedupOps.components(nodes, edges, "spec/cc")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L), 20L -> (20L, 1L)))
+  }
+
+  test("components: cycle does not loop and direction does not matter") {
+    import spark.implicits._
+    import graft.llm.DedupOps
+    // a 4-cycle given with mixed edge orientations; closure must
+    // terminate (fixpoint dedups vs accumulated) and agree on min label
+    val nodes = Seq(5L, 6L, 7L, 8L).toDF("doc_id")
+    val edges = Seq((6L, 5L), (6L, 7L), (8L, 7L), (5L, 8L)).toDF("id_a", "id_b")
+    val out = DedupOps.components(nodes, edges, "spec/cc-cycle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((5L, 5L, 4L), (6L, 5L, 4L), (7L, 5L, 4L), (8L, 5L, 4L)))
+  }
+
+  test("repetition signals: degenerate text flags, healthy text does not") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // 1 distinct of 4 tokens
+      // all distinct and long enough that the top bigram's 1/19 share
+      // sits under the 0.18 threshold (a 5-token doc would flag at 1/4
+      // — the Gopher thresholds assume real document lengths)
+      (2L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+        "nineteen twenty"),
+      (3L, "a b a b a b a b"),            // top bigram "a b" dominates
+      (4L, "solo"))                       // single token edge case
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_token_frac") == 0.75)
+    assert(out(1L).getAs[String]("top_bigram") == "spam spam")
+    assert(out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("flagged"))
+    // "a b" appears 4× of 7 bigrams; tie-break never fires but the
+    // dominant-bigram fraction must flag it
+    assert(out(3L).getAs[String]("top_bigram") == "a b")
+    assert(out(3L).getAs[Boolean]("flagged"))
+    // single token: one ''-padded bigram, fractions well-defined
+    assert(out(4L).getAs[String]("top_bigram") == "solo ")
+    assert(out(4L).getAs[Double]("top_bigram_frac") == 1.0)
+  }
+
+  test("repetition signals: top-bigram tie breaks lexicographically") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    // "z y" and "y z" each appear twice ("z y z y z" bigrams:
+    // z y, y z, z y, y z) — deterministic winner must be "y z"
+    val docs = Seq((1L, "z y z y z")).toDF("doc_id", "text")
+    val r = TextOps.repetitionOf(docs).collect()(0)
+    assert(r.getAs[String]("top_bigram") == "y z")
+    assert(r.getAs[Double]("top_bigram_frac") == 0.5)
+  }
 }

@@ -87,8 +87,9 @@ def main():
     only = set(args[2:])
 
     if "--no-verify" not in flags:
+        names = " ".join(sorted(only))
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir} {names}'.strip()],
             cwd="/root/repo", capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-4000:])
