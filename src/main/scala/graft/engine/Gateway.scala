@@ -43,6 +43,48 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       "DROP VIEW", "TABLE", "FROM", "ATTACH")
 
   private val summarizeRe = """(?is)SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
+  private val installRe =
+    """(?is)(FORCE\s+)?INSTALL\s+['"]?(\w+)['"]?(?:\s+FROM\s+\S+)?\s*;?\s*""".r
+  private val loadRe = """(?is)LOAD\s+['"]?(\w+)['"]?\s*;?\s*""".r
+
+  /** Session extension state: name → (loaded, installed). Seeded from
+    * Gateway.extensionRegistry; INSTALL/LOAD statements transition it
+    * and re-publish the duckdb_extensions view (D2/D4 of SURVEY §2.12).
+    * The function surface is statically linked — INSTALL moves no bytes
+    * — but the *lifecycle* is real: the reference's own init script
+    * (`INSTALL airport FROM community; LOAD airport`, k8s/main.yaml:
+    * 110-114) runs verbatim, and the smoke client's
+    * `duckdb_extensions() WHERE installed` probe (client/main.go:27)
+    * reflects what this session did.
+    */
+  private val extState = scala.collection.mutable.LinkedHashMap(
+    Gateway.extensionRegistry.map { case (n, l, i) => n -> ((l, i)) }: _*)
+
+  private def installExtension(name: String): DataFrame = {
+    val key = name.toLowerCase
+    if (!extState.contains(key))
+      throw new GatewayException(
+        s"""Extension "$name" not found: this build links a closed extension set (${extState.keys.mkString(", ")})""")
+    val (loaded, _) = extState(key)
+    extState(key) = (loaded, true)
+    Gateway.publishExtensionsView(session, extState.toSeq.map {
+      case (n, (l, i)) => (n, l, i) })
+    session.sql("SELECT true AS Success").limit(0)
+  }
+
+  private def loadExtension(name: String): DataFrame = {
+    val key = name.toLowerCase
+    val (_, installed) = extState.getOrElse(key,
+      throw new GatewayException(
+        s"""Extension "$name" not found: this build links a closed extension set (${extState.keys.mkString(", ")})"""))
+    if (!installed)
+      throw new GatewayException(
+        s"""Extension "$name" is not installed: run INSTALL $name first (DuckDB LOAD semantics)""")
+    extState(key) = (true, true)
+    Gateway.publishExtensionsView(session, extState.toSeq.map {
+      case (n, (l, i)) => (n, l, i) })
+    session.sql("SELECT true AS Success").limit(0)
+  }
   private val pivotRe =
     ("""(?is)^PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(.+?)""" +
       """\s+GROUP\s+BY\s+([\w.\s,]+?)\s*(ORDER\s+BY[\w.\s,]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$""").r
@@ -59,6 +101,13 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     trimmed match {
       case pragmaRe(name, arg) =>
         return pragma(name.toLowerCase, Option(arg))
+      case _ =>
+    }
+    // extension lifecycle — session-scoped state over the closed
+    // statically-linked registry (no bytes move; see extState)
+    trimmed match {
+      case installRe(_, name) => return installExtension(name)
+      case loadRe(name) => return loadExtension(name)
       case _ =>
     }
     // CREATE/DROP MACRO — session-scoped like CREATE VIEW (D6), so the
@@ -712,18 +761,31 @@ object Gateway {
     * static local relation — the capability surface it reports IS
     * static. The introspection views never list themselves.
     */
-  private def registerCatalogViews(sess: SparkSession): Unit = {
-    import sess.implicits._
-    // "extensions" = the engine's statically-linked capability surface
-    // (SURVEY §2.12 D2/D4: extension INSTALL is a closed no-op here) —
-    // genuinely static, so a plain local relation is the honest shape
+  /** The closed statically-linked extension registry: (name, loaded,
+    * installed) defaults. core entries ship loaded; httpfs (CREATE
+    * SECRET → S3A) and airport (ATTACH → FlightCatalog) are PRESENT in
+    * the binary but follow DuckDB's install-then-load lifecycle so the
+    * reference's init script and smoke probe behave identically here
+    * (SURVEY §2.12 D2/D4).
+    */
+  private[engine] val extensionRegistry: Seq[(String, Boolean, Boolean)] =
     Seq(
       ("core_functions", true, true), ("parquet", true, true),
       ("json", true, true), ("csv", true, true),
       ("dialect_shims", true, true), ("vector_math", true, true),
       ("httpfs", false, false), ("airport", false, false))
-      .toDF("extension_name", "loaded", "installed")
+
+  private[engine] def publishExtensionsView(
+      sess: SparkSession, state: Seq[(String, Boolean, Boolean)]): Unit = {
+    import sess.implicits._
+    state.toDF("extension_name", "loaded", "installed")
       .createOrReplaceTempView("duckdb_extensions")
+  }
+
+  private def registerCatalogViews(sess: SparkSession): Unit = {
+    // extension lifecycle state starts at the registry defaults; the
+    // Gateway's INSTALL/LOAD statements re-publish this view
+    publishExtensionsView(sess, extensionRegistry)
     // the rest are LIVE (DuckDB semantics): each query re-reads the
     // session catalog at scan-planning time via the V2 source, so DDL
     // after open() — CREATE VIEW, SET — is visible immediately

@@ -425,6 +425,29 @@ class GatewaySpec extends AnyFunSuite {
     assert(tables.contains("lineitem") && tables.contains("documents"))
   }
 
+  test("extension lifecycle: the reference's init script runs verbatim") {
+    // k8s/main.yaml:110-114 — INSTALL airport FROM community; LOAD airport
+    val gwe = Gateway.open(spark, sf)
+    def state(name: String) = gwe.sql(
+      s"SELECT loaded, installed FROM duckdb_extensions() WHERE extension_name = '$name'")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).head
+    assert(state("airport") == ((false, false)))
+    // DuckDB LOAD semantics: not installed yet → error
+    val e = intercept[GatewayException](gwe.sql("LOAD airport"))
+    assert(e.getMessage.contains("not installed"))
+    gwe.sql("INSTALL airport FROM community").collect()
+    assert(state("airport") == ((false, true)))
+    gwe.sql("LOAD airport;").collect()
+    assert(state("airport") == ((true, true)))
+    // unknown extension → closed-registry error, not a silent no-op
+    val e2 = intercept[GatewayException](gwe.sql("INSTALL spatial"))
+    assert(e2.getMessage.contains("not found"))
+    // per-session isolation: the shared gateway's view is untouched
+    assert(gw.sql(
+      "SELECT loaded FROM duckdb_extensions() WHERE extension_name = 'airport'")
+      .collect().head.getBoolean(0) == false)
+  }
+
   test("read-only gateway rejects writes before execution") {
     val e = intercept[GatewayException] {
       gw.sql("DROP TABLE lineitem")
