@@ -215,4 +215,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
     assert(p.contains("Join"), p)
   }
+
+  test("tx_decontaminate probes a broadcast benchmark set, corpus never self-joins") {
+    val df = SparkEntry.queries("tx_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the benchmark shingle set is the small side by construction —
+    // the corpus-side probe must be a broadcast hash join, never a
+    // shuffle of the corpus shingles against themselves
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipe_domain_mix: window and report share ONE lang shuffle, text never moves") {
+    val df = SparkEntry.queries("pipe_domain_mix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // hashpartitioning(lang) serves both the running-total window and
+    // the groupBy report; the only other exchange is the final sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    // the shuffled projection carries metadata columns only — the
+    // document text is pruned before the exchange
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("source"), read) // pruned to doc_id/lang/text
+  }
+
+  test("dd_components: closure joins stay on equi-keys, no cartesian") {
+    val df = SparkEntry.queries("dd_components")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
