@@ -306,18 +306,19 @@ object DedupOps {
     * the component representative a compaction keeps. LSH pairs alone
     * under-merge (A~B and B~C near-dups can leave A,C unpaired); real
     * dedup pipelines close the pair graph into components first, and
-    * this is the operator that does it, on the same semi-naive fixpoint
-    * engine that runs `WITH RECURSIVE` (engine.Recursive).
+    * this is the operator that does it.
     *
-    * Scale: reachability here is NOT the general-graph worst case — dup
-    * clusters are small and shallow by construction (the hot-bucket
-    * guard stars mass-duplicate buckets around one representative, so a
-    * boilerplate cluster has diameter ≤ 2; organic near-dup chains are
-    * short), so the closure's frontier dies after ~diameter rounds and
-    * the reach set is bounded by Σ|component|², tiny when components
-    * are. For adversarially deep graphs the standard swap is a
-    * large-star/small-star iteration; this operator documents that
-    * boundary instead of pretending closure is free.
+    * Scale: min-label propagation, NOT pairwise transitive closure.
+    * Closure materializes the reach relation — Σ|component|² rows — and
+    * a corpus whose near-dup clusters are large (mass boilerplate)
+    * turns that quadratic: measured 79 s at sf0.1 on this suite before
+    * the swap, starving every concurrent query. Propagation state is
+    * one (node, label) row per node, each round is one equi-join + one
+    * min-aggregate on the same key, and rounds = graph diameter (dup
+    * clusters are shallow; the hot-bucket star guard bounds
+    * boilerplate clusters at diameter 2). The oracle keeps the closure
+    * formulation (pair space is fine at oracle scale, sf0.01) and
+    * aggregates it to the same (doc_id, component, csize) shape.
     */
   val d6 = Q(
     "dd_components",
@@ -348,10 +349,12 @@ object DedupOps {
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM corpus
        |  UNION
-       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
-       |SELECT a AS doc_id, MIN(b) AS component,
-       |  CAST(COUNT(*) AS BIGINT) AS n_reachable
-       |FROM reach GROUP BY a
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+       |SELECT c.doc_id, c.component, CAST(n.cnt AS BIGINT) AS csize
+       |FROM comp c
+       |JOIN (SELECT component, COUNT(*) AS cnt FROM comp GROUP BY component) n
+       |  USING (component)
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
     val corpus = dupCorpus(s)
@@ -360,33 +363,54 @@ object DedupOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  /** Min-label connected components: (doc_id, component, n_reachable)
-    * for every node, component = min doc_id reachable over the
-    * UNDIRECTED closure of `edges` (id_a, id_b). Factored for the
-    * hand-graph spec; scale notes on dd_components above.
+  /** Min-label connected components: (doc_id, component, csize) for
+    * every node, component = min doc_id reachable over the UNDIRECTED
+    * closure of `edges` (id_a, id_b), csize = component population.
+    * Label-propagation fixpoint: state is ONE row per node; each round
+    * propagates labels across edges and keeps the per-node minimum;
+    * labels only decrease, so the label SUM is a monotone convergence
+    * metric — equal sums ⇔ no label moved ⇔ done (one cheap aggregate
+    * per round, no change-detection join). Factored for the hand-graph
+    * spec; scale notes on dd_components above.
     */
   private[graft] def components(
       nodes: DataFrame, edges: DataFrame, tag: String): DataFrame = {
-    // symmetric closure, cached: the fixpoint step re-reads this
-    // relation every round — without the persist each round re-runs
-    // the whole edge-producing pipeline
+    // symmetric edge list, cached: re-read every round — without the
+    // persist each round re-runs the whole edge-producing pipeline
     val sym = graft.engine.CacheOnce(s"$tag/sym",
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    val seed = nodes.select(col("doc_id").as("a"), col("doc_id").as("b"))
-    // semi-naive closure: frontier ⋈ sym each round, dedup vs accumulated
-    // (engine.Recursive contract: resolve frontier columns BY NAME)
-    val reach = graft.engine.Recursive.fixpoint(seed) { f =>
-      // by-name refs only: `sym` recurs at every unroll level of the
-      // composed step, so a sym("src")-style bound ref would be
-      // ambiguous; (a,b) vs (src,dst) are disjoint so names resolve
-      f.join(sym, col("b") === col("src"))
-        .select(col("a"), col("dst").as("b"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    // DECIMAL sum: exact at any node count (a Long sum could overflow
+    // on a 100 TB corpus's id space and fake convergence)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).first()
+        .getDecimal(0)
+    var prev = labelSum(labels)
+    var converged = false
+    val maxIter = 50
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = labels.join(sym, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .localCheckpoint() // truncate lineage: plan depth stays O(1)
+      val cur = labelSum(next)
+      // null sum = empty node set (degenerate but legal input)
+      converged = (cur == null && prev == null) ||
+        (cur != null && prev != null && cur.compareTo(prev) == 0)
+      prev = cur
+      labels = next
+      it += 1
     }
-    reach.groupBy(col("a"))
-      .agg(min(col("b")).as("component"),
-        count(lit(1)).as("n_reachable"))
-      .select(col("a").as("doc_id"), col("component"), col("n_reachable"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"components: no convergence after $maxIter rounds (graph diameter > $maxIter?)")
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("csize"))
   }
 
   val all: Seq[Q] = Seq(d1, d2, d4, d5, d6)

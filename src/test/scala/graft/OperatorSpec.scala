@@ -602,8 +602,8 @@ class OperatorSpec extends AnyFunSuite {
   test("components: cycle does not loop and direction does not matter") {
     import spark.implicits._
     import graft.llm.DedupOps
-    // a 4-cycle given with mixed edge orientations; closure must
-    // terminate (fixpoint dedups vs accumulated) and agree on min label
+    // a 4-cycle given with mixed edge orientations; propagation must
+    // converge (labels are monotone non-increasing) and agree on min label
     val nodes = Seq(5L, 6L, 7L, 8L).toDF("doc_id")
     val edges = Seq((6L, 5L), (6L, 7L), (8L, 7L), (5L, 8L)).toDF("id_a", "id_b")
     val out = DedupOps.components(nodes, edges, "spec/cc-cycle")
