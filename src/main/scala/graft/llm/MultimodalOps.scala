@@ -68,7 +68,14 @@ object MultimodalOps {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // explicit memory-cached stream: ImageIO.write(…, OutputStream)
+    // otherwise consults ImageIO.getUseCache() and spools every PNG
+    // through a temp FILE — one create/write/delete per row, on the
+    // same disk the shuffle uses; measured as a whole-suite drag at
+    // sf0.1 (disk churn serializes unrelated concurrent queries)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     bos.toByteArray
   }
 
@@ -115,7 +122,10 @@ object MultimodalOps {
         if (bytes == null) // NULL payload → NULL metadata, not a crash
           MediaMeta(id, None, None, None, None)
         else {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          // direct memory-cached stream, NOT createImageInputStream:
+          // the factory re-scans the SPI registry per call and, with
+          // the default useCache=true, backs each image by a temp file
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
             reader.setInput(iis)
