@@ -31,6 +31,11 @@ object Verify {
     // overhead overlaps across queries; each query writes its own
     // directory so the writes never contend
     graft.engine.Tables.register(spark, sfDir)
+    // a typo'd name in the dev-loop args would otherwise be silently
+    // dropped and later misreported as "spark output missing"
+    (only -- SparkEntry.queries.keySet).foreach { n =>
+      System.err.println(s"[verify] WARNING: '$n' matches no SparkEntry.queries key — skipped")
+    }
     val queries = SparkEntry.queries.toIndexedSeq
       .filter { case (n, _) => only.isEmpty || only(n) }
     val cursor = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -40,8 +45,13 @@ object Verify {
         var i = cursor.getAndIncrement()
         while (i < queries.length) {
           val (name, fn) = queries(i)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          // scoped: each query's fixpoint checkpoint blocks are released
+          // once its dump lands (same hygiene as Bench — dead checkpoint
+          // blocks from finished queries must not pressure in-flight ones)
+          try graft.engine.CacheOnce.scoped {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             // a stale dump from a previous run would make the driver's

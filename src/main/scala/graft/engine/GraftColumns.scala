@@ -24,4 +24,7 @@ object GraftColumns {
 
   def shingles3(text: Column): Column =
     GraftColumn.column(Shingles3(GraftColumn.expression(text)))
+
+  def topBigram(text: Column): Column =
+    GraftColumn.column(TopBigram(GraftColumn.expression(text)))
 }

@@ -77,8 +77,14 @@ object Recursive {
     def checkpoint(df: DataFrame): (DataFrame, Long) = {
       microState = false
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      org.apache.spark.sql.GraftPlans.localCheckpointWithCount(
+      val out = org.apache.spark.sql.GraftPlans.localCheckpointWithCount(
         if (est < bigBytes) df.coalesce(1) else df)
+      // every delta stays referenced by `acc` (the result is their union),
+      // so none can be released in-loop — register them with the enclosing
+      // query's scratch scope instead of leaving the blocks to GC timing
+      org.apache.spark.sql.GraftPlans.checkpointRdd(out._1)
+        .foreach(CacheOnce.deferRelease)
+      out
     }
     def materialize(df: DataFrame): (DataFrame, Long) = {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes

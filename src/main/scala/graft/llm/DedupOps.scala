@@ -394,20 +394,48 @@ object DedupOps {
     while (!converged && it < maxIter) {
       val prop = labels.join(sym, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.union(prop)
+      // Pointer doubling (shortcutting) on DEEP graphs only: from round 6
+      // also propagate the label OF the label — label(v) :=
+      // min(label(v), label(label(v))). Every label is some node's doc_id
+      // (min over seen ids, seeded with own id), so the self-join is
+      // total. Edge-propagation alone needs rounds = graph diameter; with
+      // shortcutting the label tree halves in height each round, so a
+      // chain of near-dups drifting across LSH buckets converges in
+      // O(log diameter) instead of hitting maxIter. Typical corpora
+      // (diameter ≤ hot-bucket star bound) converge before the extra
+      // join's cost is ever paid.
+      val base = labels.union(prop)
+      val withShortcut =
+        if (it < 5) base
+        else base.union(labels.as("a")
+          .join(labels.as("b"), col("a.component") === col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"),
+            col("b.component").as("component")))
+      val next = withShortcut
         .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
         .localCheckpoint() // truncate lineage: plan depth stays O(1)
       val cur = labelSum(next)
       // null sum = empty node set (degenerate but legal input)
       converged = (cur == null && prev == null) ||
         (cur != null && prev != null && cur.compareTo(prev) == 0)
+      // the retired round's checkpoint blocks are dead the moment `next`
+      // materialized — release them now instead of waiting for a GC that
+      // a large idle heap may not run for minutes (blocks otherwise
+      // accumulate across rounds AND across concurrent queries)
+      org.apache.spark.sql.GraftPlans.checkpointRdd(labels)
+        .foreach(_.unpersist(blocking = false))
       prev = cur
       labels = next
       it += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"components: no convergence after $maxIter rounds (graph diameter > $maxIter?)")
+        s"components: no convergence after $maxIter rounds " +
+          s"(with pointer doubling this bounds diameter by ~2^$maxIter)")
+    // the FINAL round's blocks feed the returned plan — release them only
+    // when the enclosing query's scratch scope closes
+    org.apache.spark.sql.GraftPlans.checkpointRdd(labels)
+      .foreach(graft.engine.CacheOnce.deferRelease)
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("csize"))

@@ -292,13 +292,19 @@ object TextOps {
   /** Gopher-style repetition signals — the quality filters that catch
     * degenerate generated/boilerplate text the length/TTR blend misses:
     * duplicate-token fraction and the mass of the single most frequent
-    * bigram. Per-doc grouping only, so every shuffle is keyed by doc_id
-    * and partitions perfectly at corpus scale; the bigram count and its
-    * per-doc top-1 window share the doc_id partitioning, so
-    * EnsureRequirements inserts ONE exchange for both.
+    * bigram. Both signals are PER-DOCUMENT, so the whole query is a
+    * map: the top bigram comes from sorting the doc's own bigram array
+    * and scanning for the longest run — no explode, no (doc_id, bigram)
+    * shuffle, no window. At corpus scale this is embarrassingly
+    * parallel; the only exchange is the presentation ORDER BY.
+    * (The earlier explode+groupBy+window formulation shuffled every
+    * bigram string twice — measured 7.8s of the sf0.1 suite vs ~1s as
+    * a map.)
     *
     * Tie-break on the top bigram is deterministic by construction:
-    * highest count first, then lexicographically smallest bigram.
+    * highest count first, then lexicographically smallest bigram (the
+    * run scan only replaces the champion on a STRICTLY longer run, and
+    * runs arrive in ascending bigram order).
     */
   val tRepetition = Q(
     "tx_repetition",
@@ -342,22 +348,18 @@ object TextOps {
     // identical. try_element_at for the i+1 probe: on a single-token
     // doc the index runs past the list, where DuckDB yields NULL but
     // ANSI element_at would throw.
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat(element_at(toks, i), lit(" "),
-        coalesce(try_element_at(toks, i + 1), lit(""))))
-    val base = docs.select(col("doc_id"),
-      (lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("dtf"))
-    val cnt = docs
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("doc_id"))
-    val top = cnt
-      .withColumn("total", sum(col("c")).over(w))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("c").desc, col("bg").asc)))
-      .filter(col("rn") === 1)
-    base.join(top, "doc_id")
+    // the top-bigram signal is computed by the TopBigram codegen kernel
+    // (expressions/TopBigram.scala): one hash loop over the doc's own
+    // bigrams, identical semantics to the oracle's explode→count→top-1
+    // chain. text IS NULL drops the row, matching the old inner join
+    // against the exploded bigrams (and the oracle's unnest of a NULL
+    // list).
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("dtf"),
+        graft.engine.GraftColumns.topBigram(col("text")).as("tb"))
+      .select(col("doc_id"), col("dtf"),
+        col("tb.bg").as("bg"), col("tb.c").as("c"), col("tb.total").as("total"))
       .select(col("doc_id"),
         round(col("dtf"), 6).as("dup_token_frac"),
         col("bg").as("top_bigram"),
@@ -375,14 +377,19 @@ object TextOps {
     * benchmark ever outgrew broadcast, the same plan shuffles both
     * sides on the shingle digest.
     *
-    * The fixture's benchmark is the doc_id % 13 slice of `documents` —
-    * deterministic, non-trivial overlap (fixture docs share vocabulary).
+    * The fixture's benchmark is the doc_id % 13 slice of `documents`
+    * CAPPED at doc_id < 2600 (≤200 docs at ANY scale factor) —
+    * deterministic, non-trivial overlap, and fixed-size BY CONSTRUCTION
+    * so the broadcast(bench) hint's small-side assumption can never be
+    * invalidated by a larger corpus (an uncapped %13 slice grows
+    * linearly with the corpus and would eventually OOM the broadcast).
     */
   val tDecontaminate = Q(
     "tx_decontaminate",
     s"""WITH sh AS (SELECT doc_id, ${DedupOps.shinglesSql} AS sh FROM documents),
        |bench AS (
-       |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 13 = 0),
+       |  SELECT DISTINCT unnest(sh) AS s FROM sh
+       |  WHERE doc_id % 13 = 0 AND doc_id < 2600),
        |cand AS (
        |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 13 <> 0),
        |hits AS (
@@ -397,7 +404,7 @@ object TextOps {
   ) { s =>
     val docs = s.table("documents").select(col("doc_id"),
       graft.engine.GraftColumns.shingles3(col("text")).as("sh"))
-    val bench = docs.filter(col("doc_id") % 13 === 0)
+    val bench = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") < 2600)
       .select(explode(col("sh")).as("s")).distinct()
     val cand = docs.filter(col("doc_id") % 13 =!= 0)
     val hits = cand.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -335,18 +335,22 @@ object AggQueries {
     * aggregate expressions + registry shims (expressions/DuckAggs.scala).
     * Float-order noise is rounded off per the determinism contract;
     * arg_min/arg_max order by the UNIQUE o_orderkey so the pick is
-    * deterministic in both engines.
+    * deterministic in both engines. Outputs are DOUBLE, not DECIMAL:
+    * the driver's comparator materializes DuckDB DECIMAL as float64
+    * but Spark parquet decimal128 as Decimal objects — a dtype-kind
+    * hash mismatch even when every value is identical (§5.2 contract,
+    * cf. q1_pricing: DECIMAL internally, DOUBLE at the output edge).
     */
   val a16 = {
     val sqlText =
       """SELECT o_orderstatus,
-        |  CAST(round(entropy(o_orderpriority), 9) AS DECIMAL(18,9)) AS ent,
-        |  CAST(round(mad(o_totalprice), 4) AS DECIMAL(18,4)) AS md,
-        |  CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS qc,
-        |  CAST(quantile_disc(o_totalprice, 0.5) AS DECIMAL(18,4)) AS qd,
+        |  CAST(round(entropy(o_orderpriority), 9) AS DOUBLE) AS ent,
+        |  CAST(round(mad(o_totalprice), 4) AS DOUBLE) AS md,
+        |  CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS qc,
+        |  CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS qd,
         |  arg_min(o_orderpriority, o_orderkey) AS amn,
         |  arg_max(o_orderpriority, o_orderkey) AS amx,
-        |  CAST(round(product(1.0 + o_totalprice / 1e9), 9) AS DECIMAL(18,9)) AS pr
+        |  CAST(round(product(1.0 + o_totalprice / 1e9), 9) AS DOUBLE) AS pr
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin

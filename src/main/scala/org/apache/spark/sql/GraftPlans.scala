@@ -26,6 +26,20 @@ object GraftPlans {
     * Same contract as stock: rows are copied before caching (toRdd
     * reuses unsafe row buffers), lineage is cut.
     */
+  /** The persisted RDD behind a (local)checkpointed DataFrame, if its
+    * plan is a bare LogicalRDD. Lets iterative fixpoints release retired
+    * rounds' blocks EXPLICITLY instead of waiting for GC+ContextCleaner
+    * — on a large heap the collector may not run for minutes, so dead
+    * checkpoint blocks otherwise accumulate across rounds and queries
+    * (measured as the round-5 pass-2 bench degradation: bigger heap,
+    * worse suite time).
+    */
+  def checkpointRdd(df: Dataset[Row]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[ClassicDataFrame].queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   def localCheckpointWithCount(df: Dataset[Row]): (DataFrame, Long) = {
     val classic = df.asInstanceOf[ClassicDataFrame]
     val rdd = classic.queryExecution.toRdd.map(_.copy())
