@@ -214,8 +214,24 @@ object Bench {
     // second; min-of-two is robust to a load spike hitting either pass.
     // Per-query numbers are the per-query min across passes. loadavg is
     // emitted alongside so a residually-inflated number is auditable.
+    // optional between-pass state dump (SPARK_GRAFT_BENCH_DEBUG=1):
+    // what survived pass 1 decides whether pass 2 degrades
+    def dumpState(tag: String): Unit =
+      if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) {
+        val sc = spark.sparkContext
+        val rdds = sc.getPersistentRDDs
+        val mem = sc.getExecutorMemoryStatus.values
+          .map { case (max, free) => (max - free, max) }
+          .reduceOption((a, b) => (a._1 + b._1, a._2 + b._2)).getOrElse((0L, 0L))
+        System.err.println(
+          s"[bench-debug] $tag: persistentRDDs=${rdds.size} " +
+            s"storageUsed=${mem._1 / (1 << 20)}MB/${mem._2 / (1 << 20)}MB " +
+            s"heapUsed=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)}MB")
+      }
     val (wall1, times1) = runSuite()
+    dumpState("after pass1")
     val (wall2, times2) = runSuite()
+    dumpState("after pass2")
     val total = math.min(wall1, wall2)
     def minT(k: String): Double = {
       val (a, b) = (times1.getOrElse(k, -1.0), times2.getOrElse(k, -1.0))

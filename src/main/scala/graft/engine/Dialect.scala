@@ -27,6 +27,7 @@ object Dialect {
     */
   private val passes: Seq[String => String] = Seq(
     normalizeWs, rewriteBlob, rewriteBraceLiterals, rewriteBrackets,
+    rewriteNamedArgCalls, rewriteIgnoreNulls,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
     rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
@@ -430,7 +431,7 @@ object Dialect {
     * DuckDB's `range` — documented divergence; empty-range semantics
     * are exact there, which the sequence() form can't give).
     */
-  private val fromTvfRe = """(?i)^(FROM|JOIN)\s+(generate_series|unnest)\s*\(""".r
+  private val fromTvfRe = """(?i)^(FROM|JOIN)\s+(generate_series|unnest|range)\s*\(""".r
 
   private def rewriteFromTvf(sql: String): String =
     scanOutsideLiterals(sql) { (i, sb) =>
@@ -440,19 +441,125 @@ object Dialect {
           val fn = m.group(2).toLowerCase
           splitCallArgs(sql, i + m.end - 1) match {
             case Some((args, end)) =>
-              val inner = fn match {
-                case "unnest" => s"explode(${args.mkString(", ")})"
-                // the scalar generate_series shim (stop-inclusive
-                // sequence) resolves inside the subquery
-                case _ => s"explode(generate_series(${args.mkString(", ")}))"
+              // integer FROM range(...) stays on Spark's NATIVE range TVF
+              // (a real distributed relation); only the temporal form —
+              // which Spark's range can't produce — goes through the
+              // scalar shim (stop-exclusive sequence) + explode
+              if (fn == "range" && !args.exists(
+                  _.toUpperCase.matches("(?s).*\\b(TIMESTAMP|INTERVAL)\\b.*"))) {
+                i
+              } else {
+                val inner = fn match {
+                  case "unnest" => s"explode(${args.mkString(", ")})"
+                  case "range" => s"explode(range(${args.mkString(", ")}))"
+                  // the scalar generate_series shim (stop-inclusive
+                  // sequence) resolves inside the subquery
+                  case _ => s"explode(generate_series(${args.mkString(", ")}))"
+                }
+                sb.append(s"${m.group(1)} (SELECT $inner AS $fn)")
+                end
               }
-              sb.append(s"${m.group(1)} (SELECT $inner AS $fn)")
-              end
             case None => i
           }
         case None => i
       }
     }
+
+  /** DuckDB `name := value` named call arguments, normalized per
+    * function (Spark's parser has no `:=`):
+    *  - `struct_pack(a := 1, b := 'x')` → `named_struct('a', 1, 'b', 'x')`
+    *  - `struct_insert(s, b := 2)` → `struct_insert(s, 'b', 2)` (the
+    *    shim builds UpdateFields/WithField)
+    *  - `unnest(x, recursive := true)` → `unnest(flatten(x))` — one
+    *    nesting level, the documented list-of-list case; struct
+    *    unnesting and deeper nests stay unsupported.
+    */
+  private val namedArgFns = Seq("STRUCT_PACK", "STRUCT_INSERT", "UNNEST")
+  private def rewriteNamedArgCalls(sql: String): String = {
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val hit = namedArgFns.find(n => up.startsWith(n, i) && wordStart(sql, i) && {
+          var k = i + n.length
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          k < sql.length && sql.charAt(k) == '('
+        })
+        hit match {
+          case Some(n) =>
+            val open = sql.indexOf('(', i + n.length)
+            splitCallArgs(sql, open) match {
+              case Some((args, end))
+                  if args.exists(_.matches("(?s)\\s*\\w+\\s*:=.*")) =>
+                def pair(a: String): String = {
+                  val Array(k, v) = a.split(":=", 2)
+                  s"'${k.trim}', ${v.trim}"
+                }
+                val call = n match {
+                  case "STRUCT_PACK" =>
+                    s"named_struct(${args.map(_.trim).map(pair).mkString(", ")})"
+                  case "STRUCT_INSERT" =>
+                    s"struct_insert(${args.head.trim}, " +
+                      s"${args.tail.map(_.trim).map(pair).mkString(", ")})"
+                  case "UNNEST" =>
+                    val (rec, rest) = args.map(_.trim)
+                      .partition(_.matches("(?is)recursive\\s*:=\\s*true\\s*"))
+                    if (rec.isEmpty) null
+                    else s"unnest(flatten(${rest.mkString(", ")}))"
+                }
+                if (call == null) i = end
+                else return rewriteNamedArgCalls(
+                  sql.substring(0, i) + call + sql.substring(end))
+              case _ => i += n.length
+            }
+          case None => i += 1
+        }
+      }
+    }
+    sql
+  }
+
+  /** DuckDB accepts `lag(x IGNORE NULLS)` with the null treatment
+    * INSIDE the parens; Spark wants it after: `lag(x) IGNORE NULLS`.
+    */
+  private val ignoreNullsFns =
+    Seq("FIRST_VALUE", "LAST_VALUE", "NTH_VALUE", "ANY_VALUE",
+      "FIRST", "LAST", "LAG", "LEAD")
+  private val nullTreatTailRe =
+    """(?is)^(.*?)\s+(IGNORE|RESPECT)\s+NULLS\s*$""".r
+  private def rewriteIgnoreNulls(sql: String): String = {
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val hit = ignoreNullsFns.find(n => up.startsWith(n, i) && wordStart(sql, i) && {
+          var k = i + n.length
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          k < sql.length && sql.charAt(k) == '('
+        })
+        hit match {
+          case Some(n) =>
+            val open = sql.indexOf('(', i + n.length)
+            splitCallArgs(sql, open) match {
+              case Some((args, end)) if args.nonEmpty &&
+                  nullTreatTailRe.findFirstMatchIn(args.last).isDefined =>
+                val m = nullTreatTailRe.findFirstMatchIn(args.last).get
+                val newArgs = (args.init :+ m.group(1)).mkString(", ")
+                return rewriteIgnoreNulls(
+                  sql.substring(0, i) + s"$n($newArgs) ${m.group(2).toUpperCase} NULLS" +
+                    sql.substring(end))
+              case _ => i += n.length
+            }
+          case None => i += 1
+        }
+      }
+    }
+    sql
+  }
 
   /** DuckDB allows `agg(...) FILTER (cond)` — the WHERE keyword is
     * optional; Spark's parser requires it. Fires only when the
@@ -485,7 +592,11 @@ object Dialect {
   private def rewriteAggOrderBy(sql: String): String = {
     val up = sql.toUpperCase
     val names =
-      Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "FIRST", "LAST")
+      Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "FIRST", "LAST",
+        // DuckDB list(x ORDER BY y) — the paren check keeps LIST from
+        // capturing LIST_AGG(, and plain list(x) stays on the
+        // list→collect_list shim
+        "LIST")
     var i = 0
     while (i < sql.length) {
       val opaque = consumeOpaque(sql, i, null)

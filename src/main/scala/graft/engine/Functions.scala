@@ -31,7 +31,18 @@ object Functions {
     // to another UnresolvedFunction.
     "list_transform" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, f) },
     "list_filter" -> { case Seq(l, f: LambdaFunction) => ArrayFilter(l, f) },
-    "list_sort" -> (a => call("array_sort", a)),
+    // DuckDB list_sort takes string order flags ('ASC'/'DESC', then a
+    // null-order flag); defaults are ASC + NULLS LAST (default_null_order).
+    // Spark mapping: array_sort = asc nulls-last; sort_array(asc) = asc
+    // nulls-FIRST, sort_array(desc) = desc nulls-LAST; desc nulls-first =
+    // reverse of asc nulls-last.
+    "list_sort" -> {
+      case Seq(l) => call("array_sort", Seq(l))
+      case Seq(l, Literal(flag, _)) if flag != null =>
+        listSorted(l, flag.toString, "NULLS LAST")
+      case Seq(l, Literal(flag, _), Literal(no, _)) if flag != null && no != null =>
+        listSorted(l, flag.toString, no.toString)
+    },
     "list_reverse_sort" -> (a =>
       call("reverse", Seq(call("array_sort", a)))),
     "list_distinct" -> (a => call("array_distinct", a)),
@@ -204,7 +215,18 @@ object Functions {
 
     // ---- misc ----
     "list_value" -> (a => call("array", a)),
-    "struct_insert" -> (a => call("struct", a)),
+    // struct_insert(s, 'k', v, …): existing fields kept, named fields
+    // added/overwritten (the `k := v` surface syntax is normalized to
+    // quoted names by Dialect.rewriteNamedArgCalls)
+    "struct_insert" -> { case s +: rest =>
+      require(rest.length % 2 == 0 && rest.nonEmpty,
+        "struct_insert expects (struct, 'name', value, ...)")
+      UpdateFields(s, rest.grouped(2).map {
+        case Seq(Literal(name, _), v) => WithField(name.toString, v)
+        case other => throw new IllegalArgumentException(
+          s"struct_insert: field name must be a string literal, got $other")
+      }.toSeq)
+    },
 
     // ---- round-5 gap-probe batch (each found by running DuckDB
     // idioms through the gateway and fixing what failed) ----
@@ -432,8 +454,56 @@ object Functions {
       // (slice(seq, 1, 0) is the typed empty list)
       case Seq(stop) => rangeList(Literal(0L), stop, Literal(1L))
       case Seq(start, stop) => rangeList(start, stop, Literal(1L))
+      // range(TIMESTAMP, TIMESTAMP, INTERVAL): stop-exclusive = inclusive
+      // sequence to (stop − 1 microsecond). Positive steps only (the
+      // DuckDB-documented form); literals arrive typed, so the dispatch
+      // is static.
+      case Seq(start, stop, step)
+          if Seq(start, stop).exists(e => e.resolved &&
+            (e.dataType == org.apache.spark.sql.types.TimestampType ||
+              e.dataType == org.apache.spark.sql.types.TimestampNTZType)) =>
+        call("sequence", Seq(start,
+          Subtract(stop, Literal(
+            new org.apache.spark.unsafe.types.CalendarInterval(0, 0, 1L),
+            org.apache.spark.sql.types.CalendarIntervalType)), step))
       case Seq(start, stop, step) => rangeList(start, stop, step)
+    },
+    // DuckDB date_part(['year','month'], d) list form → one struct with
+    // a field per requested part; the scalar form keeps Spark's builtin
+    "date_part" -> {
+      case Seq(parts, d) if datePartList(parts).isDefined =>
+        CreateNamedStruct(datePartList(parts).get.flatMap(p =>
+          Seq(Literal(p), DatePart.parseExtractField(p, d))))
+      case Seq(Literal(field, _), d) if field != null =>
+        DatePart.parseExtractField(field.toString, d)
     })
+
+  /** The part names of a `['year','month']`-style literal list argument
+    * (pre-analysis: an unresolved array(...) call of string literals).
+    */
+  private def datePartList(e: Expression): Option[Seq[String]] = e match {
+    case UnresolvedFunction(Seq(n), args, _, _, _, _, _)
+        if n.equalsIgnoreCase("array") && args.nonEmpty &&
+          args.forall { case Literal(s, _) => s != null; case _ => false } =>
+      Some(args.map { case Literal(s, _) => s.toString })
+    case CreateArray(args, _) if args.nonEmpty &&
+        args.forall { case Literal(s, _) => s != null; case _ => false } =>
+      Some(args.map { case Literal(s, _) => s.toString })
+    case _ => None
+  }
+
+  /** DuckDB list_sort flag mapping (see shim above). */
+  private def listSorted(l: Expression, order: String,
+      nullOrder: String): Expression = {
+    val desc = order.trim.equalsIgnoreCase("DESC")
+    val nullsFirst = nullOrder.trim.toUpperCase.contains("FIRST")
+    (desc, nullsFirst) match {
+      case (false, false) => call("array_sort", Seq(l))
+      case (false, true) => call("sort_array", Seq(l, Literal(true)))
+      case (true, false) => call("sort_array", Seq(l, Literal(false)))
+      case (true, true) => call("reverse", Seq(call("array_sort", Seq(l))))
+    }
+  }
 
   /** DuckDB-semantics range(start, stop, step): stop-exclusive, empty
     * (not reversed) when the direction is inconsistent.

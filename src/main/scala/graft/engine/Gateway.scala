@@ -43,9 +43,11 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       "DROP VIEW", "TABLE", "FROM", "ATTACH")
 
   private val summarizeRe = """(?is)SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
+  // quote marks must MATCH (backreference): INSTALL 'airport" falls
+  // through to the parser's error instead of silently succeeding
   private val installRe =
-    """(?is)(FORCE\s+)?INSTALL\s+['"]?(\w+)['"]?(?:\s+FROM\s+\S+)?\s*;?\s*""".r
-  private val loadRe = """(?is)LOAD\s+['"]?(\w+)['"]?\s*;?\s*""".r
+    """(?is)(FORCE\s+)?INSTALL\s+(['"])?(\w+)(?:\2)?(?:\s+FROM\s+\S+)?\s*;?\s*""".r
+  private val loadRe = """(?is)LOAD\s+(['"])?(\w+)(?:\1)?\s*;?\s*""".r
 
   /** Session extension state: name → (loaded, installed). Seeded from
     * Gateway.extensionRegistry; INSTALL/LOAD statements transition it
@@ -60,7 +62,10 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   private val extState = scala.collection.mutable.LinkedHashMap(
     Gateway.extensionRegistry.map { case (n, l, i) => n -> ((l, i)) }: _*)
 
-  private def installExtension(name: String): DataFrame = {
+  // extState mutation + view publish under one lock: a Gateway session
+  // serving concurrent statements (Flight) must not lose updates or
+  // publish a half-written duckdb_extensions view
+  private def installExtension(name: String): DataFrame = extState.synchronized {
     val key = name.toLowerCase
     if (!extState.contains(key))
       throw new GatewayException(
@@ -72,7 +77,7 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     session.sql("SELECT true AS Success").limit(0)
   }
 
-  private def loadExtension(name: String): DataFrame = {
+  private def loadExtension(name: String): DataFrame = extState.synchronized {
     val key = name.toLowerCase
     val (_, installed) = extState.getOrElse(key,
       throw new GatewayException(
@@ -106,8 +111,26 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // extension lifecycle — session-scoped state over the closed
     // statically-linked registry (no bytes move; see extState)
     trimmed match {
-      case installRe(_, name) => return installExtension(name)
-      case loadRe(name) => return loadExtension(name)
+      case installRe(_, _, name) => return installExtension(name)
+      case loadRe(_, name) => return loadExtension(name)
+      case _ =>
+    }
+    // PREPARE / EXECUTE / DEALLOCATE — session-scoped prepared
+    // statements ($1/$name/? placeholders). Every flightsql/ADBC client
+    // that parameterizes queries prepares under the hood (the
+    // reference's Go client path, client/main.go:21-27, via
+    // database/sql). EXECUTE re-enters the full gateway pipeline, so
+    // read-only classification applies to the BOUND statement.
+    trimmed match {
+      case prepareRe(name, body) =>
+        prepared.put(name.toLowerCase, body.trim)
+        return session.sql("SELECT true AS Success").limit(0)
+      case executeRe(name, argText) =>
+        return this.sql(bindPrepared(name, Option(argText)))
+      case deallocRe(name) =>
+        if (prepared.remove(name.toLowerCase) == null)
+          throw new GatewayException(s"prepared statement not found: $name")
+        return session.sql("SELECT true AS Success").limit(0)
       case _ =>
     }
     // CREATE/DROP MACRO — session-scoped like CREATE VIEW (D6), so the
@@ -340,6 +363,37 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   // positionally; `name := default` params bind only by name
   // (DuckDB-verified). Table macros expand to parenthesized subqueries
   // in FROM position.
+  // ---- prepared statements (PREPARE / EXECUTE / DEALLOCATE) ----------
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val prepareRe = """(?is)^PREPARE\s+(\w+)\s+AS\s+(.+?);?\s*$""".r
+  private val executeRe =
+    """(?is)^EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$""".r
+  private val deallocRe =
+    """(?is)^DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*$""".r
+
+  /** The stored statement with EXECUTE's arguments bound (textually, at
+    * identifier/placeholder boundaries outside string literals — the
+    * same hygiene as macro expansion).
+    */
+  private def bindPrepared(name: String, argList: Option[String]): String = {
+    val body = Option(prepared.get(name.toLowerCase)).getOrElse(
+      throw new GatewayException(s"prepared statement not found: $name"))
+    val args: Seq[String] = argList.map { at =>
+      Dialect.splitCallArgsPublic("(" + at + ")", 0) match {
+        case Some((as, _)) => as.map(_.trim).filter(_.nonEmpty)
+        case None =>
+          throw new GatewayException(s"EXECUTE $name: malformed argument list")
+      }
+    }.getOrElse(Seq.empty)
+    val (named, positional) = args.partition(_.matches("(?s)\\w+\\s*:=.*"))
+    val namedBind = named.map { a =>
+      val Array(k, v) = a.split(":=", 2)
+      (k.trim.toLowerCase, v.trim)
+    }.toMap
+    Gateway.bindPlaceholders(body, positional, namedBind)
+  }
+
   private case class SqlMacro(
       positional: Seq[String],
       defaults: Seq[(String, String)],
@@ -748,6 +802,61 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
 final class GatewayException(msg: String) extends RuntimeException(msg)
 
 object Gateway {
+
+  /** Substitute prepared-statement placeholders with argument SQL text,
+    * outside string literals: `$1`-style positionals, `$name` named
+    * parameters, and `?` in left-to-right order. Each value is
+    * parenthesized (textual binding hygiene, like macro expansion).
+    * Shared by EXECUTE and the Flight prepared-statement path.
+    */
+  private[graft] def bindPlaceholders(
+      body: String,
+      positional: Seq[String],
+      named: Map[String, String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var qmark = 0
+    def positionalAt(n: Int, what: String): String = {
+      if (n < 1 || n > positional.length)
+        throw new GatewayException(
+          s"prepared statement expects parameter $what but EXECUTE " +
+            s"supplied ${positional.length} argument(s)")
+      s"(${positional(n - 1)})"
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < body.length && body.charAt(j) != c) j += 1
+        sb.append(body.substring(i, math.min(j + 1, body.length)))
+        i = j + 1
+      } else if (c == '$' && i + 1 < body.length &&
+          body.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < body.length && body.charAt(j).isDigit) j += 1
+        sb.append(positionalAt(body.substring(i + 1, j).toInt,
+          body.substring(i, j)))
+        i = j
+      } else if (c == '$' && i + 1 < body.length &&
+          (body.charAt(i + 1).isLetter || body.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < body.length &&
+          (body.charAt(j).isLetterOrDigit || body.charAt(j) == '_')) j += 1
+        val name = body.substring(i + 1, j).toLowerCase
+        named.get(name) match {
+          case Some(v) => sb.append(s"($v)")
+          case None => throw new GatewayException(
+            s"prepared statement parameter $$$name was not supplied")
+        }
+        i = j
+      } else if (c == '?') {
+        qmark += 1
+        sb.append(positionalAt(qmark, "?"))
+        i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Catalog introspection views named after DuckDB's table functions
     * (S7 of SURVEY §2.1; the reference's smoke client runs

@@ -175,12 +175,59 @@ object FlightProto {
     def fromBytes(bytes: Array[Byte]): FlightData = {
       var header = Array.emptyByteArray
       var body = Array.emptyByteArray
+      var desc: Option[FlightDescriptor] = None
       decode(bytes) {
+        case (in, 1) =>
+          desc = Some(FlightDescriptor.fromBytes(in.readBytes().toByteArray)); true
         case (in, 2) => header = in.readBytes().toByteArray; true
         case (in, 1000) => body = in.readBytes().toByteArray; true
         case _ => false
       }
-      FlightData(header, body)
+      FlightData(header, body, desc)
+    }
+  }
+
+  /** Action (DoAction request): type=1, body=2. */
+  final case class Action(actionType: String, body: Array[Byte]) {
+    def toBytes: Array[Byte] = encode { out =>
+      out.writeString(1, actionType)
+      if (body.nonEmpty) out.writeByteArray(2, body)
+    }
+  }
+  object Action {
+    def fromBytes(bytes: Array[Byte]): Action = {
+      var t = ""
+      var b = Array.emptyByteArray
+      decode(bytes) {
+        case (in, 1) => t = in.readString(); true
+        case (in, 2) => b = in.readBytes().toByteArray; true
+        case _ => false
+      }
+      Action(t, b)
+    }
+  }
+
+  /** Result (DoAction response stream element): body=1. */
+  final case class ActionResult(body: Array[Byte]) {
+    def toBytes: Array[Byte] = encode { out =>
+      if (body.nonEmpty) out.writeByteArray(1, body)
+    }
+  }
+  object ActionResult {
+    def fromBytes(bytes: Array[Byte]): ActionResult = {
+      var b = Array.emptyByteArray
+      decode(bytes) {
+        case (in, 1) => b = in.readBytes().toByteArray; true
+        case _ => false
+      }
+      ActionResult(b)
+    }
+  }
+
+  /** PutResult (DoPut response stream element): app_metadata=1. */
+  final case class PutResult(appMetadata: Array[Byte]) {
+    def toBytes: Array[Byte] = encode { out =>
+      if (appMetadata.nonEmpty) out.writeByteArray(1, appMetadata)
     }
   }
 
@@ -275,6 +322,88 @@ object FlightProto {
         case _ => false
       }
       CommandStatementQuery(q, txn)
+    }
+  }
+
+  val PreparedStatementQueryUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandPreparedStatementQuery"
+  val CreatePreparedStatementRequestUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.ActionCreatePreparedStatementRequest"
+  val CreatePreparedStatementResultUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.ActionCreatePreparedStatementResult"
+  val ClosePreparedStatementRequestUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.ActionClosePreparedStatementRequest"
+
+  /** CommandPreparedStatementQuery: prepared_statement_handle=1. */
+  final case class CommandPreparedStatementQuery(handle: Array[Byte]) {
+    def toBytes: Array[Byte] = encode(out => out.writeByteArray(1, handle))
+  }
+  object CommandPreparedStatementQuery {
+    def fromBytes(bytes: Array[Byte]): CommandPreparedStatementQuery = {
+      var h = Array.emptyByteArray
+      decode(bytes) {
+        case (in, 1) => h = in.readBytes().toByteArray; true
+        case _ => false
+      }
+      CommandPreparedStatementQuery(h)
+    }
+  }
+
+  /** ActionCreatePreparedStatementRequest: query=1, transaction_id=2. */
+  final case class ActionCreatePreparedStatementRequest(query: String) {
+    def toBytes: Array[Byte] = encode(out => out.writeString(1, query))
+  }
+  object ActionCreatePreparedStatementRequest {
+    def fromBytes(bytes: Array[Byte]): ActionCreatePreparedStatementRequest = {
+      var q = ""
+      decode(bytes) {
+        case (in, 1) => q = in.readString(); true
+        case _ => false
+      }
+      ActionCreatePreparedStatementRequest(q)
+    }
+  }
+
+  /** ActionCreatePreparedStatementResult: prepared_statement_handle=1,
+    * dataset_schema=2 (IPC), parameter_schema=3 (IPC).
+    */
+  final case class ActionCreatePreparedStatementResult(
+      handle: Array[Byte],
+      datasetSchema: Array[Byte] = Array.emptyByteArray,
+      parameterSchema: Array[Byte] = Array.emptyByteArray) {
+    def toBytes: Array[Byte] = encode { out =>
+      out.writeByteArray(1, handle)
+      if (datasetSchema.nonEmpty) out.writeByteArray(2, datasetSchema)
+      if (parameterSchema.nonEmpty) out.writeByteArray(3, parameterSchema)
+    }
+  }
+  object ActionCreatePreparedStatementResult {
+    def fromBytes(bytes: Array[Byte]): ActionCreatePreparedStatementResult = {
+      var h = Array.emptyByteArray
+      var ds = Array.emptyByteArray
+      var ps = Array.emptyByteArray
+      decode(bytes) {
+        case (in, 1) => h = in.readBytes().toByteArray; true
+        case (in, 2) => ds = in.readBytes().toByteArray; true
+        case (in, 3) => ps = in.readBytes().toByteArray; true
+        case _ => false
+      }
+      ActionCreatePreparedStatementResult(h, ds, ps)
+    }
+  }
+
+  /** ActionClosePreparedStatementRequest: prepared_statement_handle=1. */
+  final case class ActionClosePreparedStatementRequest(handle: Array[Byte]) {
+    def toBytes: Array[Byte] = encode(out => out.writeByteArray(1, handle))
+  }
+  object ActionClosePreparedStatementRequest {
+    def fromBytes(bytes: Array[Byte]): ActionClosePreparedStatementRequest = {
+      var h = Array.emptyByteArray
+      decode(bytes) {
+        case (in, 1) => h = in.readBytes().toByteArray; true
+        case _ => false
+      }
+      ActionClosePreparedStatementRequest(h)
     }
   }
 

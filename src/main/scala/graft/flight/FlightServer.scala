@@ -40,6 +40,52 @@ final class FlightServer(gateway: Gateway, port: Int) {
 
   private var server: Server = _
 
+  /** Server-side prepared statements (Flight SQL
+    * ActionCreatePreparedStatement → DoPut param bind → GetFlightInfo →
+    * DoGet): handle → (query, bound positional parameter literals).
+    * The reference's Go client path reaches this via database/sql
+    * (client/main.go:21-27), which prepares every parameterized query.
+    */
+  private final class PreparedEntry(val query: String) {
+    @volatile var params: Seq[String] = Nil
+  }
+  private val preparedStmts =
+    new java.util.concurrent.ConcurrentHashMap[String, PreparedEntry]()
+
+  /** Placeholder count = max($N) and/or number of `?`, outside quotes. */
+  private def placeholderCount(q: String): Int = {
+    var i = 0; var maxD = 0; var qs = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < q.length && q.charAt(j) != c) j += 1
+        i = j + 1
+      } else if (c == '$' && i + 1 < q.length && q.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < q.length && q.charAt(j).isDigit) j += 1
+        maxD = math.max(maxD, q.substring(i + 1, j).toInt)
+        i = j
+      } else if (c == '?') { qs += 1; i += 1 }
+      else i += 1
+    }
+    math.max(maxD, qs)
+  }
+
+  /** Resolve a prepared handle to executable SQL: bound params if the
+    * client DoPut them, else NULLs (the pre-bind GetFlightInfo schema
+    * probe).
+    */
+  private def preparedSql(handle: Array[Byte]): String = {
+    val key = new String(handle, "UTF-8")
+    val entry = Option(preparedStmts.get(key)).getOrElse(
+      throw new GatewayException(s"unknown prepared statement handle: $key"))
+    val params =
+      if (entry.params.nonEmpty) entry.params
+      else Seq.fill(placeholderCount(entry.query))("NULL")
+    Gateway.bindPlaceholders(entry.query, params, Map.empty)
+  }
+
   /** Bound port after start (differs from the requested when port=0). */
   def boundPort: Int = server.getPort
 
@@ -148,6 +194,10 @@ final class FlightServer(gateway: Gateway, port: Int) {
       case e: Throwable => obs.onError(toStatus(e).asRuntimeException())
     }
 
+  /** One-element server stream (DoAction results). */
+  private def respondStream(obs: StreamObserver[Array[Byte]])(f: => Array[Byte]): Unit =
+    respond(obs)(f)
+
   /** Descriptor.cmd → (sql, isSqlInfo): a proper Flight SQL Any-wrapped
     * command, or raw SQL bytes from a plain Flight client.
     */
@@ -161,7 +211,149 @@ final class FlightServer(gateway: Gateway, port: Int) {
         // into-transaction_id quirk (/root/reference/main.go:138-139)
         (CommandStatementQuery.fromBytes(a.value).sqlText, false)
       case Some(a) if a.typeUrl == GetSqlInfoUrl => ("", true)
+      case Some(a) if a.typeUrl == PreparedStatementQueryUrl =>
+        // resolved HERE (params are already bound server-side), so the
+        // returned ticket is plain SQL text and DoGet needs no
+        // prepared-statement awareness
+        (preparedSql(CommandPreparedStatementQuery.fromBytes(a.value).handle),
+          false)
       case _ => (new String(cmd, "UTF-8"), false)
+    }
+  }
+
+  // ---- prepared-statement RPCs ----------------------------------------
+
+  private def handleDoAction(
+      reqBytes: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+    val action = Action.fromBytes(reqBytes)
+    action.actionType match {
+      case "CreatePreparedStatement" =>
+        respondStream(obs) {
+          val req = ActionCreatePreparedStatementRequest.fromBytes(
+            AnyMsg.fromBytes(action.body).value)
+          val handle = java.util.UUID.randomUUID.toString
+          preparedStmts.put(handle, new PreparedEntry(req.query))
+          // dataset schema from the ANALYZED NULL-bound plan (never
+          // executed); a statement whose schema needs real param values
+          // reports no schema, which clients treat as deferred
+          val datasetSchema =
+            try ipcSchema(gateway.sql(preparedSql(handle.getBytes("UTF-8"))))
+            catch { case _: Throwable => Array.emptyByteArray }
+          ActionResult(AnyMsg(CreatePreparedStatementResultUrl,
+            ActionCreatePreparedStatementResult(
+              handle.getBytes("UTF-8"), datasetSchema).toBytes).toBytes).toBytes
+        }
+      case "ClosePreparedStatement" =>
+        respondStream(obs) {
+          val req = ActionClosePreparedStatementRequest.fromBytes(
+            AnyMsg.fromBytes(action.body).value)
+          preparedStmts.remove(new String(req.handle, "UTF-8"))
+          ActionResult(Array.emptyByteArray).toBytes
+        }
+      case other =>
+        // the reference's DoAction is Unimplemented for everything else
+        // (main.go:122-125)
+        obs.onError(Status.UNIMPLEMENTED
+          .withDescription(s"unknown action type: $other").asRuntimeException())
+    }
+  }
+
+  /** DoPut bidi handler: ONLY prepared-statement parameter binding is
+    * accepted (no table data moves — read-only stays intact); any other
+    * descriptor is rejected exactly like before.
+    */
+  private def handleDoPut(
+      obs: StreamObserver[Array[Byte]]): StreamObserver[Array[Byte]] =
+    new StreamObserver[Array[Byte]] {
+      private var entry: PreparedEntry = _
+      private val messages =
+        scala.collection.mutable.ArrayBuffer.empty[FlightData]
+      private var failed = false
+
+      override def onNext(v: Array[Byte]): Unit = if (!failed) {
+        val data = FlightData.fromBytes(v)
+        data.descriptor.foreach { d =>
+          val cmdAny =
+            try Some(AnyMsg.fromBytes(d.cmd))
+            catch { case _: Exception => None }
+          cmdAny match {
+            case Some(a) if a.typeUrl == PreparedStatementQueryUrl =>
+              val key = new String(
+                CommandPreparedStatementQuery.fromBytes(a.value).handle, "UTF-8")
+              entry = preparedStmts.get(key)
+              if (entry == null) fail(Status.INVALID_ARGUMENT
+                .withDescription(s"unknown prepared statement handle: $key"))
+            case _ =>
+              fail(Status.PERMISSION_DENIED.withDescription(
+                "read-only server: DoPut accepted only for prepared-statement parameters"))
+          }
+        }
+        if (!failed && (data.dataHeader.nonEmpty || data.dataBody.nonEmpty))
+          messages += data
+      }
+
+      private def fail(s: Status): Unit = {
+        failed = true
+        obs.onError(s.asRuntimeException())
+      }
+
+      override def onError(t: Throwable): Unit = ()
+
+      override def onCompleted(): Unit = if (!failed) {
+        try {
+          if (entry == null)
+            throw new GatewayException(
+              "DoPut stream carried no prepared-statement descriptor")
+          if (messages.nonEmpty)
+            entry.params = decodeParamLiterals(messages.toSeq)
+          obs.onNext(PutResult(Array.emptyByteArray).toBytes)
+          obs.onCompleted()
+        } catch {
+          case e: Throwable => obs.onError(toStatus(e).asRuntimeException())
+        }
+      }
+    }
+
+  /** Decode the client's Arrow parameter stream (schema message +
+    * record batches) into SQL literal texts, first row = the binding.
+    */
+  private def decodeParamLiterals(messages: Seq[FlightData]): Seq[String] = {
+    import org.apache.spark.sql.{GraftArrow => GA}
+    val encapsulated = messages.map(m => encapsulate(m.dataHeader, m.dataBody))
+      .filterNot(isEos)
+    val schema = GA.sparkSchemaFromIpc(encapsulated.head)
+    val tz = gateway.session.sessionState.conf.sessionLocalTimeZone
+    val rows = GA.rowsFromBatches(encapsulated.tail.iterator, schema, tz)
+    if (!rows.hasNext)
+      throw new GatewayException("parameter stream contained no rows")
+    val row = rows.next()
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      sqlLiteral(row.get(i, f.dataType), f.dataType)
+    }.toSeq
+  }
+
+  /** A decoded Arrow parameter value as SQL literal text. */
+  private def sqlLiteral(
+      v: Any, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    if (v == null) return "NULL"
+    dt match {
+      case StringType =>
+        "'" + v.toString.replace("'", "''") + "'"
+      case BinaryType =>
+        "X'" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString + "'"
+      case BooleanType => if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
+      case DateType =>
+        s"DATE '${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'"
+      case TimestampType | TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)}'"
+      case _: DecimalType | _: NumericType => v.toString
+      case other =>
+        throw new GatewayException(
+          s"unsupported prepared-statement parameter type: ${other.simpleString}")
     }
   }
 
@@ -194,24 +386,26 @@ final class FlightServer(gateway: Gateway, port: Int) {
       }))
     b.addMethod(Methods.listActions, ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
-        override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
+        override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+          obs.onNext(ActionType("CreatePreparedStatement",
+            "Creates a reusable prepared statement resource").toBytes)
+          obs.onNext(ActionType("ClosePreparedStatement",
+            "Closes a reusable prepared statement resource").toBytes)
           obs.onCompleted()
+        }
       }))
-    // the reference's DoAction is Unimplemented too (main.go:122-125)
+    // prepared-statement lifecycle; everything else stays Unimplemented
+    // like the reference (main.go:122-125)
     b.addMethod(Methods.doAction, ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
-          obs.onError(Status.UNIMPLEMENTED
-            .withDescription("unknown action type").asRuntimeException())
+          handleDoAction(req, obs)
       }))
-    // read-only server: uploads are rejected at the protocol level
+    // read-only server: DoPut accepts ONLY prepared-statement parameter
+    // binding (no table data moves); uploads stay rejected
     b.addMethod(Methods.doPut, ServerCalls.asyncBidiStreamingCall(
       new ServerCalls.BidiStreamingMethod[Array[Byte], Array[Byte]] {
-        override def invoke(obs: StreamObserver[Array[Byte]]) = {
-          obs.onError(Status.PERMISSION_DENIED
-            .withDescription("read-only server: DoPut rejected").asRuntimeException())
-          noop
-        }
+        override def invoke(obs: StreamObserver[Array[Byte]]) = handleDoPut(obs)
       }))
     b.addMethod(Methods.doExchange, ServerCalls.asyncBidiStreamingCall(
       new ServerCalls.BidiStreamingMethod[Array[Byte], Array[Byte]] {
@@ -305,6 +499,22 @@ object FlightServer {
     val header = java.util.Arrays.copyOfRange(chunk, metaOff, metaOff + metaLen)
     val body = java.util.Arrays.copyOfRange(chunk, metaOff + metaLen, chunk.length)
     (header, body)
+  }
+
+  /** Inverse of [[splitIpc]]: rebuild an IPC-encapsulated message from
+    * FlightData's (metadata, body) halves — continuation marker, int32
+    * LE metadata length (8-byte padded), metadata, padding, body.
+    */
+  def encapsulate(header: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    val pad = (8 - (header.length % 8)) % 8
+    val bb = ByteBuffer.allocate(8 + header.length + pad + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(-1)
+    bb.putInt(header.length + pad)
+    bb.put(header)
+    bb.position(bb.position() + pad)
+    bb.put(body)
+    bb.array()
   }
 
   /** An IPC end-of-stream marker (continuation + zero length): Flight

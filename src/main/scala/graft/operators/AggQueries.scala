@@ -320,13 +320,29 @@ object AggQueries {
         |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
   }
 
-  /** A10: approx_count_distinct — HLL sketches differ across engines, so
-    * no oracle (driver rows-only check); ScalaTest bounds the error.
+  /** A10: approx_count_distinct — HLL sketch VALUES differ across
+    * engines by design, so the sketch never crosses the comparator:
+    * the oracle-checked columns are the exact distinct count plus a
+    * BOOLEAN asserting each engine's own sketch lands within 10% of its
+    * own exact count (DuckDB's HLL is ~0.4% error, Spark's is run at
+    * rsd=1% — both sides deterministically true, and a broken sketch on
+    * either side flips its bool and fails the hash). The spec
+    * additionally bounds the raw estimate (OperatorSpec).
     */
-  val a10 = Q.noOracle("a10_approx_distinct") { s =>
+  val a10 = Q(
+    "a10_approx_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |    <= 0.1 * count(DISTINCT l_partkey) AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
     s.table("lineitem").groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.01) -
+          countDistinct(col("l_partkey"))) <=
+          lit(0.1) * countDistinct(col("l_partkey"))).as("approx_ok"))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 

@@ -326,9 +326,23 @@ object GeneratorQueries {
   /** S7: catalog introspection as a DataFrame (reference: duckdb_tables()
     * via /root/reference/main.go:77).
     */
-  val s7 = Q.noOracle("s7_catalog") { s =>
+  /** S7: live catalog listing, oracle-checked on the stable projection —
+    * the fixture relation NAMES (both engines register the same ten
+    * parquet views; DuckDB's information_schema is the oracle's catalog
+    * surface). Restricted to the fixture set so concurrently-running
+    * queries' temp views can't race into the row set; the LIVE listing
+    * itself (listTables at plan time) is what's under test, and
+    * GatewaySpec covers the DDL-visibility half.
+    */
+  val s7 = Q(
+    "s7_catalog",
+    s"""SELECT table_name AS name FROM information_schema.tables
+       |WHERE table_name IN (${graft.engine.Tables.names.map(n => s"'$n'").mkString(", ")})
+       |ORDER BY name ASC NULLS LAST""".stripMargin
+  ) { s =>
     import s.implicits._
-    s.catalog.listTables().map(t => (t.name, t.tableType)).toDF("name", "table_type")
+    val fixture = graft.engine.Tables.names.toSet
+    s.catalog.listTables().map(_.name).filter(fixture.contains(_)).toDF("name")
       .orderBy(col("name").asc_nulls_last)
   }
 

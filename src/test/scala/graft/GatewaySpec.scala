@@ -673,4 +673,37 @@ class GatewaySpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).contains("count"))
     assert(out.nonEmpty)
   }
+
+  test("PREPARE / EXECUTE / DEALLOCATE ($N, ?, named params)") {
+    gw.sql("PREPARE padd AS SELECT $1 + $2 AS v")
+    assert(gw.sql("EXECUTE padd(3, 4)").collect().head.get(0).toString == "7")
+    // repeated + out-of-order positional references
+    gw.sql("PREPARE prep2 AS SELECT $2 || '-' || $1 || '-' || $2 AS v")
+    assert(gw.sql("EXECUTE prep2('a', 'b')").collect()
+      .head.getString(0) == "b-a-b")
+    // ? placeholders bind left to right
+    gw.sql("PREPARE pq AS SELECT ? * 10 + ? AS v")
+    assert(gw.sql("EXECUTE pq(4, 2)").collect().head.get(0).toString == "42")
+    // named $param with name := value
+    gw.sql("PREPARE pn AS SELECT r_name FROM region WHERE r_regionkey = $k")
+    assert(gw.sql("EXECUTE pn(k := 2)").collect().head.getString(0) == "ASIA")
+    // a real fixture predicate through the full pipeline
+    gw.sql("PREPARE porders AS SELECT count(*) AS c FROM orders WHERE o_totalprice > $1")
+    assert(gw.sql("EXECUTE porders(1e9)").collect().head.getLong(0) == 0L)
+    // placeholders inside string literals are data, not parameters
+    gw.sql("PREPARE plit AS SELECT '$1?' AS v, $1 AS w")
+    val r = gw.sql("EXECUTE plit(9)").collect().head
+    assert(r.getString(0) == "$1?" && r.get(1).toString == "9")
+    // arity errors
+    intercept[Exception](gw.sql("EXECUTE padd(1)").collect())
+    intercept[Exception](gw.sql("EXECUTE nosuch(1)"))
+    // DEALLOCATE removes the statement
+    gw.sql("DEALLOCATE padd")
+    intercept[Exception](gw.sql("EXECUTE padd(1, 2)"))
+    // read-only classification applies to the BOUND statement at
+    // EXECUTE time: preparing a write succeeds, executing it does not
+    gw.sql("PREPARE pwrite AS CREATE TABLE hack AS SELECT $1 AS x")
+    val e = intercept[Exception](gw.sql("EXECUTE pwrite(1)"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
 }

@@ -94,12 +94,26 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within 10% of exact") {
-    val rows = SparkEntry.queries("a10_approx_distinct")(spark, sf).collect()
+    // the declared query folds the bound into its approx_ok column; the
+    // spec asserts the RAW estimate independently so a vacuously-true
+    // query rewrite can't mask a broken sketch
+    graft.engine.Tables.register(spark, sf)
+    val rows = spark.table("lineitem").groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions.col("l_partkey"), 0.01)
+        .as("approx_parts"),
+        org.apache.spark.sql.functions
+          .countDistinct(org.apache.spark.sql.functions.col("l_partkey"))
+          .as("exact_parts"))
+      .collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.10)
     }
+    val declared = SparkEntry.queries("a10_approx_distinct")(spark, sf).collect()
+    assert(declared.forall(_.getAs[Boolean]("approx_ok")))
   }
 
   test("sample: fraction roughly honored and deterministic under a seed") {

@@ -41,6 +41,96 @@ print("GetFlightInfo schema:", info.schema)
 table = client.do_get(info.endpoints[0].ticket).read_all()
 assert table.column("r_name").to_pylist()[0] == "AFRICA", table
 
+# Flight SQL prepared statement with a $1 parameter, end to end:
+# DoAction(CreatePreparedStatement) -> DoPut(bind param batch) ->
+# GetFlightInfo -> DoGet. The FlightSql protobuf envelopes are
+# hand-encoded (pyarrow ships no flight-sql layer); the Arrow IPC side
+# is stock pyarrow.
+import pyarrow as pa
+
+
+def varint(n):
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def pb_ld(field, payload):  # length-delimited field
+    if isinstance(payload, str):
+        payload = payload.encode()
+    return varint(field << 3 | 2) + varint(len(payload)) + payload
+
+
+def pb_fields(data):  # minimal decoder: field -> last length-delimited value
+    out, i = {}, 0
+    while i < len(data):
+        tag, shift = 0, 0
+        while True:
+            tag |= (data[i] & 0x7F) << shift
+            shift += 7
+            i += 1
+            if not data[i - 1] & 0x80:
+                break
+        wire = tag & 7
+        if wire == 2:
+            ln, shift = 0, 0
+            while True:
+                ln |= (data[i] & 0x7F) << shift
+                shift += 7
+                i += 1
+                if not data[i - 1] & 0x80:
+                    break
+            out[tag >> 3] = data[i:i + ln]
+            i += ln
+        elif wire == 0:
+            while data[i] & 0x80:
+                i += 1
+            i += 1
+        else:
+            raise ValueError(f"unexpected wire type {wire}")
+    return out
+
+
+SQL_NS = "type.googleapis.com/arrow.flight.protocol.sql."
+create_req = pb_ld(1, SQL_NS + "ActionCreatePreparedStatementRequest") + \
+    pb_ld(2, pb_ld(1, "SELECT r_name FROM region WHERE r_regionkey = $1"))
+results = list(client.do_action(flight.Action("CreatePreparedStatement", create_req)))
+assert results, "CreatePreparedStatement returned no result"
+# pyarrow unwraps the Result envelope: .body IS the Any message
+any_fields = pb_fields(results[0].body.to_pybytes())
+assert any_fields[1].decode().endswith("ActionCreatePreparedStatementResult"), any_fields
+create_res = pb_fields(any_fields[2])
+handle = create_res[1]
+assert handle, "no prepared statement handle"
+print("prepared handle:", handle)
+
+cmd_any = pb_ld(1, SQL_NS + "CommandPreparedStatementQuery") + \
+    pb_ld(2, pb_ld(1, handle))
+desc = flight.FlightDescriptor.for_command(cmd_any)
+params = pa.record_batch([pa.array([2], type=pa.int64())], names=["p1"])
+writer, reader = client.do_put(desc, params.schema)
+writer.write_batch(params)
+writer.done_writing()
+writer.close()
+
+info = client.get_flight_info(desc)
+table = client.do_get(info.endpoints[0].ticket).read_all()
+print(table)
+assert table.column("r_name").to_pylist() == ["ASIA"], table
+
+close_req = pb_ld(1, SQL_NS + "ActionClosePreparedStatementRequest") + \
+    pb_ld(2, pb_ld(1, handle))
+list(client.do_action(flight.Action("ClosePreparedStatement", close_req)))
+try:
+    client.get_flight_info(desc)
+    raise SystemExit("FAIL: closed prepared statement still resolves")
+except (flight.FlightError, pa.ArrowInvalid):
+    print("closed handle rejected")
+
 # read-only enforcement over the wire
 try:
     client.do_get(flight.Ticket(b"CREATE TABLE hack AS SELECT 1")).read_all()
