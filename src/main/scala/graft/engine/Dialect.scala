@@ -28,6 +28,7 @@ object Dialect {
   private val passes: Seq[String => String] = Seq(
     normalizeWs, rewriteBlob, rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
+    rewriteTimestampTz, rewriteAtTimeZone,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
     rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
@@ -560,6 +561,53 @@ object Dialect {
     }
     sql
   }
+
+  /** `TIMESTAMPTZ` type name → Spark's `TIMESTAMP_LTZ` (literals and
+    * `::` casts both).
+    */
+  private def rewriteTimestampTz(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (wordStart(sql, i) &&
+          sql.regionMatches(true, i, "TIMESTAMPTZ", 0, 11) &&
+          (i + 11 >= sql.length ||
+            !(sql.charAt(i + 11).isLetterOrDigit || sql.charAt(i + 11) == '_'))) {
+        sb.append("TIMESTAMP_LTZ")
+        i + 11
+      } else i
+    }
+
+  /** `expr AT TIME ZONE 'z'` → `to_utc_timestamp(expr, 'z')`: interpret
+    * the naive timestamp in zone z (an instant from then on) — DuckDB's
+    * TIMESTAMP→TIMESTAMPTZ direction, the common client shape. The
+    * TIMESTAMPTZ→naive direction (from_utc_timestamp) is not separable
+    * textually; documented divergence. A typed-literal keyword before
+    * the primary (TIMESTAMP '…') is included in the wrapped operand.
+    */
+  private val atTzRe = """(?is)^AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
+  private def rewriteAtTimeZone(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!wordStart(sql, i)) i
+      else atTzRe.findPrefixMatchOf(sql.substring(i)) match {
+        case Some(m) =>
+          backtrackPrimary(sb) match {
+            case Some(s0) =>
+              var start = s0
+              var k = start
+              while (k > 0 && sb.charAt(k - 1).isWhitespace) k -= 1
+              var w = k
+              while (w > 0 && (sb.charAt(w - 1).isLetterOrDigit ||
+                sb.charAt(w - 1) == '_')) w -= 1
+              if (Seq("TIMESTAMP_LTZ", "TIMESTAMP_NTZ", "TIMESTAMP", "DATE")
+                  .contains(sb.substring(w, k).toUpperCase)) start = w
+              val prim = sb.substring(start)
+              sb.setLength(start)
+              sb.append(s"to_utc_timestamp($prim, ${m.group(1)})")
+              i + m.end
+            case None => i
+          }
+        case None => i
+      }
+    }
 
   /** DuckDB allows `agg(...) FILTER (cond)` — the WHERE keyword is
     * optional; Spark's parser requires it. Fires only when the

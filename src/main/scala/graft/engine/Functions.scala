@@ -73,6 +73,22 @@ object Functions {
     },
     "list_min" -> (a => call("array_min", a)),
     "list_max" -> (a => call("array_max", a)),
+    // list_sum/list_avg sugar (DuckDB list_aggregate aliases); the sum
+    // folds in DOUBLE so int and float lists both resolve
+    "list_sum" -> { case Seq(l) =>
+      ArrayAggregate(l, Literal(0.0d),
+        lam(vs => Add(vs(0), Cast(vs(1),
+          org.apache.spark.sql.types.DoubleType)), 2),
+        lam(vs => vs(0), 1))
+    },
+    "list_avg" -> { case Seq(l) =>
+      Divide(
+        ArrayAggregate(l, Literal(0.0d),
+          lam(vs => Add(vs(0), Cast(vs(1),
+            org.apache.spark.sql.types.DoubleType)), 2),
+          lam(vs => vs(0), 1)),
+        Cast(call("size", Seq(l)), org.apache.spark.sql.types.DoubleType))
+    },
     "list_has_any" -> (a => call("arrays_overlap", a)),
     "list_has_all" -> { case Seq(l, sub) =>
       // every element of sub present in l ⇔ sub minus l is empty
@@ -231,6 +247,28 @@ object Functions {
     // ---- round-5 gap-probe batch (each found by running DuckDB
     // idioms through the gateway and fixing what failed) ----
     "strlen" -> (a => call("length", a)),
+    // to_base(n, b): Spark conv() converts between bases (uppercase
+    // digits, same as DuckDB)
+    "to_base" -> { case Seq(n, b) =>
+      call("conv", Seq(Cast(n, org.apache.spark.sql.types.StringType),
+        Literal(10), b))
+    },
+    "ord" -> (a => call("ascii", a)),
+    "unicode" -> (a => call("ascii", a)),
+    // bar(x, min, max[, width=80]): ASCII bar sugar. Full blocks only
+    // (DuckDB adds partial-eighth block chars — documented divergence).
+    "bar" -> { case x +: mn +: mx +: rest =>
+      val width = rest.headOption.getOrElse(Literal(80))
+      val frac = Divide(
+        Cast(Subtract(x, mn), org.apache.spark.sql.types.DoubleType),
+        Cast(Subtract(mx, mn), org.apache.spark.sql.types.DoubleType))
+      val n = call("greatest", Seq(Literal(0),
+        call("least", Seq(Cast(width, org.apache.spark.sql.types.IntegerType),
+          Cast(call("round", Seq(Multiply(frac, Cast(width,
+            org.apache.spark.sql.types.DoubleType)))),
+            org.apache.spark.sql.types.IntegerType)))))
+      call("repeat", Seq(Literal("█"), n))
+    },
     "starts_with" -> (a => call("startswith", a)),
     "regexp_split_to_array" -> (a => call("split", a)),
     "list_zip" -> (a => call("arrays_zip", a)),
@@ -340,10 +378,12 @@ object Functions {
     // reservoir_quantile(x, q[, sample_size]): approximate; drop the
     // reservoir-size knob (approx_percentile's accuracy is its analog)
     "reservoir_quantile" -> (a => call("approx_percentile", a.take(2))),
-    "arg_min" -> (a => call("min_by", a)),
-    "argmin" -> (a => call("min_by", a)),
-    "arg_max" -> (a => call("max_by", a)),
-    "argmax" -> (a => call("max_by", a)),
+    // 2-arg = min_by/max_by; 3-arg top-n form returns the n args at the
+    // smallest/largest vals: sort collected (val, arg) pairs, slice n
+    "arg_min" -> { case a => argN(a, desc = false) },
+    "argmin" -> { case a => argN(a, desc = false) },
+    "arg_max" -> { case a => argN(a, desc = true) },
+    "argmax" -> { case a => argN(a, desc = true) },
     // Kahan-compensated float aggs: Spark's double sum is the analog
     "favg" -> { case Seq(x) =>
       call("avg", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
@@ -490,6 +530,24 @@ object Functions {
         args.forall { case Literal(s, _) => s != null; case _ => false } =>
       Some(args.map { case Literal(s, _) => s.toString })
     case _ => None
+  }
+
+  /** arg_min/arg_max: 2-arg = Spark min_by/max_by (single-pass); 3-arg
+    * DuckDB top-n form = sort collected (val, arg) pairs by val, take
+    * the first n args. The collected pair struct keeps the sort key
+    * first so struct natural ordering sorts by val.
+    */
+  private def argN(a: Seq[Expression], desc: Boolean): Expression = a match {
+    case Seq(arg, v) => call(if (desc) "max_by" else "min_by", Seq(arg, v))
+    case Seq(arg, v, n) =>
+      val pairs = call("collect_list",
+        Seq(CreateNamedStruct(Seq(Literal("k"), v, Literal("x"), arg))))
+      val sorted =
+        if (desc) call("sort_array", Seq(pairs, Literal(false)))
+        else call("array_sort", Seq(pairs))
+      ArrayTransform(call("slice", Seq(sorted, Literal(1), n)),
+        lam(vs => org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(vs(0), Literal("x")), 1))
   }
 
   /** DuckDB list_sort flag mapping (see shim above). */

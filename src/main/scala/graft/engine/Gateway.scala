@@ -115,6 +115,25 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       case loadRe(_, name) => return loadExtension(name)
       case _ =>
     }
+    // transaction + maintenance statements clients emit reflexively
+    // (database/sql wraps work in BEGIN/COMMIT): read-path no-ops here,
+    // like DuckDB read-only sessions. CHECKPOINT stays rejected — it
+    // writes, and the reference serves access_mode=read_only.
+    trimmed match {
+      case txnRe(_*) | maintRe(_*) =>
+        return session.sql("SELECT true AS Success").limit(0)
+      case showAllTablesRe() =>
+        return this.sql("SELECT * FROM duckdb_tables")
+      case explainAnalyzeRe(body) =>
+        // DuckDB EXPLAIN ANALYZE runs the query; report the EXECUTED
+        // physical plan (AQE-final) in DuckDB's two-column shape
+        val df = this.sql(body)
+        df.write.format("noop").mode("overwrite").save()
+        import session.implicits._
+        return Seq(("analyzed_plan", df.queryExecution.executedPlan.toString))
+          .toDF("explain_key", "explain_value")
+      case _ =>
+    }
     // PREPARE / EXECUTE / DEALLOCATE — session-scoped prepared
     // statements ($1/$name/? placeholders). Every flightsql/ADBC client
     // that parameterizes queries prepares under the hood (the
@@ -363,6 +382,12 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   // positionally; `name := default` params bind only by name
   // (DuckDB-verified). Table macros expand to parenthesized subqueries
   // in FROM position.
+  private val txnRe =
+    """(?is)^(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*;?\s*$""".r
+  private val maintRe = """(?is)^(?:ANALYZE|VACUUM(?:\s+ANALYZE)?)\s*;?\s*$""".r
+  private val showAllTablesRe = """(?is)^SHOW\s+ALL\s+TABLES\s*;?\s*$""".r
+  private val explainAnalyzeRe = """(?is)^EXPLAIN\s+ANALYZE\s+(.+)$""".r
+
   // ---- prepared statements (PREPARE / EXECUTE / DEALLOCATE) ----------
   private val prepared =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -674,6 +674,57 @@ class GatewaySpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("round-6 dialect batch: values match DuckDB") {
+    def one(q: String) = gw.sql(q).collect().head
+    // list_sort string flags (DuckDB defaults: ASC, NULLS LAST)
+    assert(one("SELECT list_sort([2,1,3], 'DESC') AS s")
+      .getSeq[Int](0) == Seq(3, 2, 1))
+    assert(one("SELECT list_sort([2,NULL,1], 'ASC', 'NULLS FIRST') AS s")
+      .getSeq[Any](0) == Seq(null, 1, 2))
+    // lag(x IGNORE NULLS) inside-parens form
+    val lagRows = gw.sql(
+      "SELECT x, lag(y IGNORE NULLS) OVER (ORDER BY x) AS l FROM (VALUES (1,10),(2,NULL),(3,30)) t(x,y) ORDER BY x").collect()
+    assert(lagRows.map(r => Option(r.get(1)).orNull).toSeq == Seq(null, 10, 10))
+    // struct_pack := / struct_insert
+    val sp = one("SELECT struct_pack(a := 1, b := 'x') AS s").getStruct(0)
+    assert(sp.getInt(0) == 1 && sp.getString(1) == "x")
+    val si = one("SELECT struct_insert({'a': 1}, b := 2) AS s").getStruct(0)
+    assert(si.getInt(0) == 1 && si.getInt(1) == 2)
+    // ordered list aggregate
+    assert(one("SELECT list(x ORDER BY y DESC) AS l FROM (VALUES (1,1),(2,2)) t(x,y)")
+      .getSeq[Int](0) == Seq(2, 1))
+    // timestamp range() is stop-exclusive
+    assert(gw.sql(
+      "SELECT * FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-03', INTERVAL 1 DAY)")
+      .count() == 2)
+    // date_part list form returns a struct named by the parts
+    val dp = one("SELECT date_part(['year','month'], DATE '2024-02-01') AS p").getStruct(0)
+    assert(dp.getAs[Number]("year").intValue == 2024 &&
+      dp.getAs[Number]("month").intValue == 2)
+    // list_* aggregate sugar + arg_min top-n
+    assert(one("SELECT list_avg([1.0,2.0,3.0]) AS a").getDouble(0) == 2.0)
+    assert(one("SELECT list_sum([1,2,3]) AS s").getDouble(0) == 6.0)
+    assert(one("SELECT arg_min(s, v, 2) AS a FROM (VALUES ('a',3),('b',1),('c',2)) t(s,v)")
+      .getSeq[String](0) == Seq("b", "c"))
+    // to_base / ord / bar
+    assert(one("SELECT to_base(255, 16) AS h").getString(0) == "FF")
+    assert(one("SELECT ord('A') AS o").getInt(0) == 65)
+    assert(one("SELECT bar(3, 0, 5, 5) AS b").getString(0) == "███")
+    // TIMESTAMPTZ + AT TIME ZONE (UTC session: same instant)
+    assert(one("SELECT epoch(TIMESTAMPTZ '2024-01-01 00:00:00+00') AS e")
+      .getDouble(0) == 1704067200.0)
+    assert(one("SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'UTC' AS t")
+      .getTimestamp(0).toInstant.getEpochSecond == 1704110400L)
+    // txn/maintenance no-ops and EXPLAIN ANALYZE
+    assert(gw.sql("BEGIN TRANSACTION").collect().isEmpty)
+    assert(gw.sql("COMMIT").collect().isEmpty)
+    assert(gw.sql("VACUUM").collect().isEmpty)
+    val ea = one("EXPLAIN ANALYZE SELECT 1 AS x")
+    assert(ea.getString(0) == "analyzed_plan" && ea.getString(1).contains("Project"))
+    val sat = gw.sql("SHOW ALL TABLES").collect()
+    assert(sat.exists(_.toSeq.exists(v => v != null && v.toString == "orders")))
+  }
+
   test("PREPARE / EXECUTE / DEALLOCATE ($N, ?, named params)") {
     gw.sql("PREPARE padd AS SELECT $1 + $2 AS v")
     assert(gw.sql("EXECUTE padd(3, 4)").collect().head.get(0).toString == "7")

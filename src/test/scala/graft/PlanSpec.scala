@@ -247,4 +247,23 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("tx_repetition is a pure map: no window, no bigram shuffle") {
+    // the TopBigram kernel keeps the whole signal per-row — the only
+    // exchange is the presentation sort. A Window or a second Exchange
+    // here means the explode+groupBy formulation regressed back in.
+    val df = SparkEntry.queries("tx_repetition")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Generate"), p) // no explode of bigrams
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("a10: sketch and exact distinct share the scan, single aggregate tree") {
+    val df = SparkEntry.queries("a10_approx_distinct")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // partial+final aggregation (map-side combine) and one scan only
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p)
+  }
 }
