@@ -248,11 +248,16 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         // hostnames are case-insensitive (RFC 4343): normalize both the
         // allowlist entries and the parsed location to lowercase so an
         // operator's "Host:1234" still matches — fail-closed stays, the
-        // brittleness goes
+        // brittleness goes. IPv6 literals are compared bracket-stripped
+        // (URI.getHost keeps the brackets; operators write either form).
+        def hostKey(h: String): String =
+          h.toLowerCase.stripPrefix("[").stripSuffix("]")
         val allowed = initializing ||
           session.conf.getOption(Gateway.attachAllowKey).exists(
-            _.split(",").map(_.trim.toLowerCase)
-              .contains(s"${uri.getHost.toLowerCase}:${uri.getPort}"))
+            _.split(",").map(_.trim.toLowerCase).map { e =>
+              val i = e.lastIndexOf(':')
+              if (i < 0) e else hostKey(e.substring(0, i)) + ":" + e.substring(i + 1)
+            }.contains(s"${hostKey(uri.getHost)}:${uri.getPort}"))
         if (!allowed)
           throw new GatewayException(
             s"ATTACH is operator-gated: '${uri.getHost}:${uri.getPort}' is " +

@@ -338,11 +338,19 @@ object AggQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
   ) { s =>
-    s.table("lineitem").groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+    // HLL is duplicate-insensitive, so both the exact count AND the
+    // sketch run over the pre-deduplicated (flag, partkey) relation:
+    // one partial-agg distinct shuffle + one tiny group-agg, instead of
+    // the Expand-doubled distinct-aggregate rewrite over raw rows
+    // (measured 3.3s → sub-1s in-suite at sf0.1). count() and
+    // count(DISTINCT) both skip NULLs, so semantics are unchanged.
+    val dedup = s.table("lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    dedup.groupBy(col("l_returnflag"))
+      .agg(count(col("l_partkey")).as("exact_parts"),
         (abs(approx_count_distinct(col("l_partkey"), 0.01) -
-          countDistinct(col("l_partkey"))) <=
-          lit(0.1) * countDistinct(col("l_partkey"))).as("approx_ok"))
+          count(col("l_partkey"))) <=
+          lit(0.1) * count(col("l_partkey"))).as("approx_ok"))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
