@@ -407,6 +407,60 @@ object FlightProto {
     }
   }
 
+  val GetCatalogsUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetCatalogs"
+  val GetDbSchemasUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetDbSchemas"
+  val GetTablesUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetTables"
+  val GetTableTypesUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetTableTypes"
+
+  /** CommandGetDbSchemas: catalog=1, db_schema_filter_pattern=2. */
+  final case class CommandGetDbSchemas(
+      catalog: Option[String], schemaPattern: Option[String])
+  object CommandGetDbSchemas {
+    def fromBytes(bytes: Array[Byte]): CommandGetDbSchemas = {
+      var c: Option[String] = None
+      var s: Option[String] = None
+      decode(bytes) {
+        case (in, 1) => c = Some(in.readString()); true
+        case (in, 2) => s = Some(in.readString()); true
+        case _ => false
+      }
+      CommandGetDbSchemas(c, s)
+    }
+  }
+
+  /** CommandGetTables: catalog=1, db_schema_filter_pattern=2,
+    * table_name_filter_pattern=3, table_types=4 (repeated),
+    * include_schema=5.
+    */
+  final case class CommandGetTables(
+      catalog: Option[String],
+      schemaPattern: Option[String],
+      tablePattern: Option[String],
+      tableTypes: Seq[String],
+      includeSchema: Boolean)
+  object CommandGetTables {
+    def fromBytes(bytes: Array[Byte]): CommandGetTables = {
+      var c: Option[String] = None
+      var s: Option[String] = None
+      var t: Option[String] = None
+      val types = Seq.newBuilder[String]
+      var inc = false
+      decode(bytes) {
+        case (in, 1) => c = Some(in.readString()); true
+        case (in, 2) => s = Some(in.readString()); true
+        case (in, 3) => t = Some(in.readString()); true
+        case (in, 4) => types += in.readString(); true
+        case (in, 5) => inc = in.readBool(); true
+        case _ => false
+      }
+      CommandGetTables(c, s, t, types.result(), inc)
+    }
+  }
+
   /** TicketStatementQuery: statement_handle=1. */
   final case class TicketStatementQuery(statementHandle: Array[Byte]) {
     def toBytes: Array[Byte] = encode(out => out.writeByteArray(1, statementHandle))

@@ -107,25 +107,37 @@ final class FlightServer(gateway: Gateway, port: Int) {
       reqBytes: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
     respond(obs) {
       val desc = FlightDescriptor.fromBytes(reqBytes)
-      val (query, isSqlInfo) = parseCommand(desc.cmd)
-      val schemaBytes =
-        if (isSqlInfo) ipcSchema(gateway.sqlInfo)
-        else ipcSchema(gateway.sql(query)) // analyzed only — never executed
-      val ticket = Ticket(
-        (if (isSqlInfo) SqlInfoTicket else query).getBytes("UTF-8"))
-      FlightInfo(
-        schema = schemaBytes,
-        descriptor = desc,
-        endpoints = Seq(FlightEndpoint(ticket)),
-        totalRecords = -1L, totalBytes = -1L).toBytes
+      metaDf(desc.cmd) match {
+        case Some(df) =>
+          // metadata tickets round-trip the command bytes themselves
+          FlightInfo(
+            schema = ipcSchema(df),
+            descriptor = desc,
+            endpoints = Seq(FlightEndpoint(Ticket(desc.cmd))),
+            totalRecords = -1L, totalBytes = -1L).toBytes
+        case None =>
+          val (query, isSqlInfo) = parseCommand(desc.cmd)
+          val schemaBytes =
+            if (isSqlInfo) ipcSchema(gateway.sqlInfo)
+            else ipcSchema(gateway.sql(query)) // analyzed only — never executed
+          val ticket = Ticket(
+            (if (isSqlInfo) SqlInfoTicket else query).getBytes("UTF-8"))
+          FlightInfo(
+            schema = schemaBytes,
+            descriptor = desc,
+            endpoints = Seq(FlightEndpoint(ticket)),
+            totalRecords = -1L, totalBytes = -1L).toBytes
+      }
     }
 
   private def handleGetSchema(
       reqBytes: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
     respond(obs) {
       val desc = FlightDescriptor.fromBytes(reqBytes)
-      val (query, isSqlInfo) = parseCommand(desc.cmd)
-      val df = if (isSqlInfo) gateway.sqlInfo else gateway.sql(query)
+      val df = metaDf(desc.cmd).getOrElse {
+        val (query, isSqlInfo) = parseCommand(desc.cmd)
+        if (isSqlInfo) gateway.sqlInfo else gateway.sql(query)
+      }
       SchemaResult(ipcSchema(df)).toBytes
     }
 
@@ -146,11 +158,16 @@ final class FlightServer(gateway: Gateway, port: Int) {
       if (!done) {
         try {
           if (chunks == null) {
-            val sqlText = new String(Ticket.fromBytes(reqBytes).ticket, "UTF-8")
-            chunks =
-              (if (sqlText == SqlInfoTicket)
-                org.apache.spark.sql.GraftArrow.stream(gateway.sqlInfo, 10000)
-              else gateway.arrowStream(sqlText)).filterNot(isEos)
+            val ticketBytes = Ticket.fromBytes(reqBytes).ticket
+            chunks = metaDf(ticketBytes) match {
+              case Some(df) =>
+                org.apache.spark.sql.GraftArrow.stream(df, 10000).filterNot(isEos)
+              case None =>
+                val sqlText = new String(ticketBytes, "UTF-8")
+                (if (sqlText == SqlInfoTicket)
+                  org.apache.spark.sql.GraftArrow.stream(gateway.sqlInfo, 10000)
+                else gateway.arrowStream(sqlText)).filterNot(isEos)
+            }
           }
           while (call.isReady && !call.isCancelled && chunks.hasNext) {
             val (header, body) = splitIpc(chunks.next())
@@ -218,6 +235,74 @@ final class FlightServer(gateway: Gateway, port: Int) {
         (preparedSql(CommandPreparedStatementQuery.fromBytes(a.value).handle),
           false)
       case _ => (new String(cmd, "UTF-8"), false)
+    }
+  }
+
+  // ---- Flight SQL catalog metadata commands ---------------------------
+
+  /** The DataFrame for a Flight SQL catalog metadata command, if the
+    * bytes are one (ADBC's GetObjects path: CommandGetCatalogs /
+    * GetDbSchemas / GetTables / GetTableTypes). Column names and order
+    * follow the Flight SQL spec schemas. Backed by the LIVE
+    * duckdb_tables view, so DDL is visible like every other surface.
+    * Used for both the descriptor cmd and the ticket — metadata tickets
+    * round-trip the command bytes.
+    */
+  private def metaDf(cmd: Array[Byte]): Option[org.apache.spark.sql.DataFrame] = {
+    val any =
+      try Some(AnyMsg.fromBytes(cmd))
+      catch { case _: Exception => return None }
+    val sess = gateway.session
+    def esc(s: String) = s.replace("'", "''")
+    any.collect {
+      case a if a.typeUrl == GetCatalogsUrl =>
+        sess.sql("""SELECT DISTINCT database_name AS catalog_name
+                   |FROM duckdb_tables ORDER BY catalog_name""".stripMargin)
+      case a if a.typeUrl == GetDbSchemasUrl =>
+        val c = CommandGetDbSchemas.fromBytes(a.value)
+        val conds = c.catalog.map(v => s"database_name = '${esc(v)}'") ++
+          c.schemaPattern.map(p => s"schema_name LIKE '${esc(p)}'")
+        val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
+        sess.sql(
+          s"""SELECT DISTINCT database_name AS catalog_name,
+             |  schema_name AS db_schema_name
+             |FROM duckdb_tables $where
+             |ORDER BY catalog_name, db_schema_name""".stripMargin)
+      case a if a.typeUrl == GetTableTypesUrl =>
+        sess.sql("""SELECT DISTINCT table_type
+                   |FROM duckdb_tables ORDER BY table_type""".stripMargin)
+      case a if a.typeUrl == GetTablesUrl =>
+        val c = CommandGetTables.fromBytes(a.value)
+        val conds = c.catalog.map(v => s"database_name = '${esc(v)}'") ++
+          c.schemaPattern.map(p => s"schema_name LIKE '${esc(p)}'") ++
+          c.tablePattern.map(p => s"table_name LIKE '${esc(p)}'") ++
+          (if (c.tableTypes.nonEmpty)
+            Seq(c.tableTypes.map(t => s"'${esc(t)}'")
+              .mkString("table_type IN (", ", ", ")"))
+          else Nil)
+        val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
+        val base = sess.sql(
+          s"""SELECT database_name AS catalog_name,
+             |  schema_name AS db_schema_name, table_name, table_type
+             |FROM duckdb_tables $where
+             |ORDER BY catalog_name, db_schema_name, table_name""".stripMargin)
+        if (!c.includeSchema) base
+        else {
+          // spec: with include_schema, append each table's serialized
+          // IPC schema. Catalog listings are inherently small (this is
+          // a metadata RPC — every Flight SQL server materializes it),
+          // so the driver-side row pass is bounded by catalog size.
+          import sess.implicits._
+          base.collect().toSeq.map { r =>
+            val schema =
+              try org.apache.spark.sql.GraftArrow.schemaIpc(
+                sess.table(r.getString(2)))
+              catch { case _: Exception => Array.emptyByteArray }
+            (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+              schema)
+          }.toDF("catalog_name", "db_schema_name", "table_name",
+            "table_type", "table_schema")
+        }
     }
   }
 

@@ -131,6 +131,29 @@ try:
 except (flight.FlightError, pa.ArrowInvalid):
     print("closed handle rejected")
 
+# Flight SQL catalog metadata commands (the ADBC GetObjects path):
+# GetTableTypes, GetDbSchemas, GetTables with a LIKE filter
+def meta_cmd(name, body=b""):
+    return pb_ld(1, SQL_NS + name) + (pb_ld(2, body) if body else b"")
+
+
+info = client.get_flight_info(
+    flight.FlightDescriptor.for_command(meta_cmd("CommandGetTableTypes")))
+table = client.do_get(info.endpoints[0].ticket).read_all()
+print(table)
+assert table.num_rows >= 1 and "table_type" in table.column_names
+
+info = client.get_flight_info(
+    flight.FlightDescriptor.for_command(meta_cmd("CommandGetDbSchemas")))
+table = client.do_get(info.endpoints[0].ticket).read_all()
+assert table.column_names == ["catalog_name", "db_schema_name"], table
+
+tables_cmd = meta_cmd("CommandGetTables", pb_ld(3, "ord%"))
+info = client.get_flight_info(flight.FlightDescriptor.for_command(tables_cmd))
+table = client.do_get(info.endpoints[0].ticket).read_all()
+print(table)
+assert table.column("table_name").to_pylist() == ["orders"], table
+
 # read-only enforcement over the wire
 try:
     client.do_get(flight.Ticket(b"CREATE TABLE hack AS SELECT 1")).read_all()
