@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.CacheOnce
+
+/** Lifetime semantics of the bounded scratch cache — the round-6 bench
+  * fix depends on exactly these: CacheOnce entries are SESSION-lifetime
+  * (plan-keyed sharing across statements), while deferRelease'd
+  * checkpoint RDDs die with the enclosing scope.
+  */
+class CacheOnceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def storageLevelOf(df: org.apache.spark.sql.DataFrame) =
+    spark.sharedState.cacheManager.lookupCachedData(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+
+  test("entries persist across scopes (session lifetime, one copy per key)") {
+    val df = spark.range(100).toDF("n").selectExpr("n * 7 AS m")
+    CacheOnce.scoped {
+      CacheOnce("spec/sess", df).count()
+    }
+    // still cached after the scope closed
+    assert(storageLevelOf(df).isDefined, "scope must NOT release CacheOnce entries")
+    // re-keying the same plan keeps ONE CacheManager entry alive
+    val again = spark.range(100).toDF("n").selectExpr("n * 7 AS m")
+    CacheOnce("spec/sess", again).count()
+    assert(storageLevelOf(df).isDefined)
+    // a CHANGED plan under the same key releases the old copy
+    val changed = spark.range(100).toDF("n").selectExpr("n * 11 AS m")
+    CacheOnce("spec/sess", changed).count()
+    assert(storageLevelOf(changed).isDefined)
+    changed.unpersist(blocking = true)
+  }
+
+  test("deferRelease'd RDDs are unpersisted when the scope closes") {
+    var rdd: org.apache.spark.rdd.RDD[_] = null
+    CacheOnce.scoped {
+      val cp = spark.range(50).toDF("n").localCheckpoint()
+      rdd = org.apache.spark.sql.GraftPlans.checkpointRdd(cp).get
+      assert(rdd.getStorageLevel.useMemory, "localCheckpoint must be persisted")
+      CacheOnce.deferRelease(rdd)
+      // still alive INSIDE the scope (the query may still read it)
+      assert(rdd.getStorageLevel.useMemory)
+    }
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "scope close must release deferred checkpoint blocks")
+  }
+
+  test("deferRelease outside any scope is a no-op (serving/spec callers)") {
+    val cp = spark.range(10).toDF("n").localCheckpoint()
+    val rdd = org.apache.spark.sql.GraftPlans.checkpointRdd(cp).get
+    CacheOnce.deferRelease(rdd) // no scope active
+    assert(rdd.getStorageLevel.useMemory, "no scope → GC-driven lifetime keeps blocks")
+    rdd.unpersist(blocking = false)
+  }
+
+  test("nested scopes fold into the outermost (release happens once, at the end)") {
+    var rdd: org.apache.spark.rdd.RDD[_] = null
+    CacheOnce.scoped {
+      CacheOnce.scoped {
+        val cp = spark.range(20).toDF("n").localCheckpoint()
+        rdd = org.apache.spark.sql.GraftPlans.checkpointRdd(cp).get
+        CacheOnce.deferRelease(rdd)
+      }
+      // inner scope closed but the OUTER scope owns the release
+      assert(rdd.getStorageLevel.useMemory, "inner scope must not release")
+    }
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+}
