@@ -228,10 +228,26 @@ object Bench {
             s"storageUsed=${mem._1 / (1 << 20)}MB/${mem._2 / (1 << 20)}MB " +
             s"heapUsed=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)}MB")
       }
+    // process-CPU seconds per pass, alongside wall: cpu≈wall×threads
+    // means real compute; cpu≪wall means the host throttled or starved
+    // the JVM (this box occasionally melts whole runs 3-10× — loadavg +
+    // cpu_sec make such an artifact auditable at a glance)
+    def cpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val cpu0 = cpuSec()
     val (wall1, times1) = runSuite()
+    val cpu1 = cpuSec()
     dumpState("after pass1")
     val (wall2, times2) = runSuite()
+    val cpu2 = cpuSec()
     dumpState("after pass2")
+    val cpuPasses =
+      if (cpu0 < 0) "[]"
+      else s"[${math.round((cpu1 - cpu0) * 10) / 10.0},${math.round((cpu2 - cpu1) * 10) / 10.0}]"
     val total = math.min(wall1, wall2)
     def minT(k: String): Double = {
       val (a, b) = (times1.getOrElse(k, -1.0), times2.getOrElse(k, -1.0))
@@ -247,12 +263,12 @@ object Bench {
       "\"" + k + "\":" + minT(k)
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":[$wall1,$wall2],"loadavg":"$loadavg"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":[$wall1,$wall2],"cpu_sec":$cpuPasses,"loadavg":"$loadavg"}"""
     println(full)
     // compact duplicate LAST: the driver captures only the tail of stdout,
     // and the ~3 KB per-query line above can get head-truncated
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length},"passes":[$wall1,$wall2],"loadavg":"$loadavg"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length},"passes":[$wall1,$wall2],"cpu_sec":$cpuPasses,"loadavg":"$loadavg"}"""
     println(compact)
     // sbt prefixes stdout with "[info] ", which defeats the driver's JSON
     // parser (BENCH "parsed": null two rounds running) — emit one copy on
