@@ -28,12 +28,12 @@ object Dialect {
   private val passes: Seq[String => String] = Seq(
     normalizeWs, rewriteBlob, rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
-    rewriteTimestampTz, rewriteAtTimeZone,
+    rewriteTimestampTz, rewriteAtTimeZone, rewritePowOp,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
     rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
     rewriteDistinctOn, rewriteAsOf, rewriteQualify, rewriteCatalogFns,
-    rewriteDateDiff)
+    rewriteDateDiff, rewriteCastTypes)
 
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
@@ -558,6 +558,141 @@ object Dialect {
           case None => i += 1
         }
       }
+    }
+    sql
+  }
+
+  /** The primary expression starting at i0 (ws-skipped): signed number,
+    * string literal, parenthesized expression, or identifier chain with
+    * an optional call — returns the end index (exclusive).
+    */
+  private def forwardPrimary(sql: String, i0: Int): Int = {
+    var i = i0
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (i >= sql.length) return i0
+    if (sql.charAt(i) == '-' || sql.charAt(i) == '+') i += 1
+    if (i >= sql.length) return i0
+    def balanced(from: Int): Int = {
+      var j = from
+      var depth = 0
+      while (j < sql.length) {
+        sql.charAt(j) match {
+          case '\'' =>
+            j += 1
+            while (j < sql.length && sql.charAt(j) != '\'') j += 1
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return j + 1
+          case _ =>
+        }
+        j += 1
+      }
+      from
+    }
+    sql.charAt(i) match {
+      case '(' => balanced(i)
+      case '\'' =>
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '\'') j += 1
+        j + 1
+      case c if c.isDigit =>
+        var j = i
+        while (j < sql.length && (sql.charAt(j).isDigit || sql.charAt(j) == '.')) j += 1
+        j
+      case c if c.isLetter || c == '_' =>
+        var j = i
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_' || sql.charAt(j) == '.')) j += 1
+        var k = j
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k < sql.length && sql.charAt(k) == '(') balanced(k) else j
+      case _ => i0
+    }
+  }
+
+  /** DuckDB power operators: `a ** b` and `a ^ b` → `power(a, b)`.
+    * Spark would PARSE `^` fine — as bitwise xor — so leaving it alone
+    * is a silent value divergence, not an error. Left-associative like
+    * the `//` div rewrite.
+    */
+  private def rewritePowOp(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      val w = if (sql.startsWith("**", i)) 2
+        else if (sql.charAt(i) == '^') 1 else 0
+      if (w == 0) i
+      else backtrackPrimary(sb) match {
+        case Some(start) =>
+          val rEnd = forwardPrimary(sql, i + w)
+          if (rEnd <= i + w) i
+          else {
+            val left = sb.substring(start)
+            val right = sql.substring(i + w, rEnd).trim
+            sb.setLength(start)
+            sb.append(s"power($left, $right)")
+            rEnd
+          }
+        case None => i
+      }
+    }
+
+  /** DuckDB type names inside CAST/TRY_CAST that Spark spells
+    * differently: bare VARCHAR/TEXT (Spark's VARCHAR needs a length),
+    * BLOB/BYTEA, unsigned ints (widened to the next signed type that
+    * holds the range; HUGEINT → DECIMAL(38,0)). Applied ONLY to the
+    * trailing type of a cast body — never to identifiers, so a column
+    * named `text` is untouched. Runs LAST so `x::VARCHAR` (already
+    * rewritten to CAST form) is covered too.
+    */
+  private val castTypeMap = Map(
+    "VARCHAR" -> "STRING", "TEXT" -> "STRING",
+    "BYTEA" -> "BINARY", "BLOB" -> "BINARY",
+    "HUGEINT" -> "DECIMAL(38,0)", "UHUGEINT" -> "DECIMAL(38,0)",
+    "UBIGINT" -> "DECIMAL(20,0)", "UINTEGER" -> "BIGINT",
+    "USMALLINT" -> "INT", "UTINYINT" -> "SMALLINT",
+    "LOGICAL" -> "BOOLEAN")
+  private val castBodyTypeRe = """(?is)^(.*\bAS\s+)(\w+)\s*$""".r
+  private def rewriteCastTypes(sql: String): String = {
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else if (sql.startsWith("::", i)) {
+        // `x::type` is native Spark syntax — only the TYPE NAME after
+        // `::` needs mapping (always a type position, never a column)
+        var k = i + 2
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        var j = k
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_')) j += 1
+        castTypeMap.get(sql.substring(k, j).toUpperCase) match {
+          case Some(t) if j >= sql.length || sql.charAt(j) != '(' =>
+            return rewriteCastTypes(
+              sql.substring(0, k) + t + sql.substring(j))
+          case _ => i = j.max(i + 2)
+        }
+      } else if ((up.startsWith("TRY_CAST", i) || up.startsWith("CAST", i)) &&
+          wordStart(sql, i)) {
+        val nameLen = if (up.startsWith("TRY_CAST", i)) 8 else 4
+        var k = i + nameLen
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k < sql.length && sql.charAt(k) == '(') {
+          splitCallArgs(sql, k) match {
+            case Some((_, end)) =>
+              val body = sql.substring(k + 1, end - 1)
+              castBodyTypeRe.findFirstMatchIn(body).flatMap(m =>
+                castTypeMap.get(m.group(2).toUpperCase)
+                  .map(t => m.group(1) + t)) match {
+                case Some(nb) =>
+                  return rewriteCastTypes(
+                    sql.substring(0, k + 1) + nb + sql.substring(end - 1))
+                case None => i = k + 1 // scan inside for nested casts
+              }
+            case None => i += nameLen
+          }
+        } else i += nameLen
+      } else i += 1
     }
     sql
   }

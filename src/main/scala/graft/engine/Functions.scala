@@ -23,6 +23,13 @@ object Functions {
     LambdaFunction(build(vars), vars)
   }
 
+  /** Vector-kernel input: cast to array<double> so DECIMAL-literal and
+    * float lists resolve against the codegen expressions.
+    */
+  private def vec(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+
   /** name → builder. */
   private val shims: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // ---- list_* → array/HOF builtins (SURVEY §2.8 array family).
@@ -99,24 +106,45 @@ object Functions {
     "list_append" -> (a => call("array_append", a)),
     "list_prepend" -> { case Seq(e, l) => call("array_prepend", Seq(l, e)) },
     "list_reverse" -> (a => call("reverse", a)),
+    // native codegen'd vector math (graft.engine.expressions.VectorMath);
+    // inputs cast to array<double> so DECIMAL-literal lists resolve
     "array_cosine_similarity" -> { case Seq(x, y) =>
-      graft.engine.expressions.CosineSimilarity(x, y)
+      graft.engine.expressions.CosineSimilarity(vec(x), vec(y))
     },
     "array_dot_product" -> { case Seq(x, y) =>
-      graft.engine.expressions.DotProduct(x, y)
+      graft.engine.expressions.DotProduct(vec(x), vec(y))
     },
     "array_inner_product" -> { case Seq(x, y) =>
-      graft.engine.expressions.DotProduct(x, y)
+      graft.engine.expressions.DotProduct(vec(x), vec(y))
     },
-    // native codegen'd vector math (graft.engine.expressions.VectorMath)
     "list_cosine_similarity" -> { case Seq(x, y) =>
-      graft.engine.expressions.CosineSimilarity(x, y)
+      graft.engine.expressions.CosineSimilarity(vec(x), vec(y))
     },
     "list_dot_product" -> { case Seq(x, y) =>
-      graft.engine.expressions.DotProduct(x, y)
+      graft.engine.expressions.DotProduct(vec(x), vec(y))
     },
     "list_inner_product" -> { case Seq(x, y) =>
-      graft.engine.expressions.DotProduct(x, y)
+      graft.engine.expressions.DotProduct(vec(x), vec(y))
+    },
+    // list_distance: euclidean ‖a−b‖ via the same kernel inputs
+    "list_distance" -> { case Seq(x, y) =>
+      call("sqrt", Seq(ArrayAggregate(
+        ZipWith(vec(x), vec(y),
+          lam(vs => Multiply(Subtract(vs(0), vs(1)),
+            Subtract(vs(0), vs(1))), 2)),
+        Literal(0.0d), lam(vs => Add(vs(0), vs(1)), 2),
+        lam(vs => vs(0), 1))))
+    },
+    // list_grade_up: 1-based positions that would sort the list —
+    // sort (value, index) pairs by value, project the indices
+    "list_grade_up" -> { case Seq(l) =>
+      ArrayTransform(
+        call("array_sort", Seq(ZipWith(l,
+          call("sequence", Seq(Literal(1), call("size", Seq(l)))),
+          lam(vs => CreateNamedStruct(
+            Seq(Literal("v"), vs(0), Literal("i"), vs(1))), 2)))),
+        lam(vs => org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(vs(0), Literal("i")), 1))
     },
 
     // ---- string family ----
@@ -255,6 +283,38 @@ object Functions {
     },
     "ord" -> (a => call("ascii", a)),
     "unicode" -> (a => call("ascii", a)),
+    // round-6 gap-probe batch 6
+    "julian" -> { case Seq(d) =>
+      // julian day number: days since epoch + 2440587.5
+      Add(Cast(call("datediff", Seq(d, Literal(
+        java.time.LocalDate.of(1970, 1, 1).toEpochDay.toInt,
+        org.apache.spark.sql.types.DateType))),
+        org.apache.spark.sql.types.DoubleType), Literal(2440587.5))
+    },
+    "century" -> { case Seq(d) =>
+      Cast(Ceil(Divide(Cast(call("year", Seq(d)),
+        org.apache.spark.sql.types.DoubleType), Literal(100.0))),
+        org.apache.spark.sql.types.LongType)
+    },
+    "decade" -> { case Seq(d) =>
+      Cast(Floor(Divide(Cast(call("year", Seq(d)),
+        org.apache.spark.sql.types.DoubleType), Literal(10.0))),
+        org.apache.spark.sql.types.LongType)
+    },
+    "era" -> { case Seq(d) =>
+      If(GreaterThan(call("year", Seq(d)), Literal(0)),
+        Literal(1L), Literal(0L))
+    },
+    "make_timestamptz" -> (a => call("make_timestamp", a)),
+    // fdiv = floor division, fmod = modulo (float-preserving)
+    "fdiv" -> { case Seq(a, b) => call("floor", Seq(Divide(a, b))) },
+    "fmod" -> { case Seq(a, b) => call("mod", Seq(a, b)) },
+    "gen_random_uuid" -> (_ => call("uuid", Nil)),
+    // accepted no-ops on a read-only analytical session: RNG seeding is
+    // per-query deterministic-rewritten elsewhere, and there is exactly
+    // one (implicit, read) transaction
+    "setseed" -> (_ => Cast(Literal(null), org.apache.spark.sql.types.BooleanType)),
+    "txid_current" -> (_ => Literal(0L)),
     // bar(x, min, max[, width=80]): ASCII bar sugar. Full blocks only
     // (DuckDB adds partial-eighth block chars — documented divergence).
     "bar" -> { case x +: mn +: mx +: rest =>
@@ -461,6 +521,22 @@ object Functions {
     * the Spark-native arity.
     */
   private val overrides: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // DuckDB log(x) is LOG BASE 10 (Spark's 1-arg log is ln — a silent
+    // VALUE divergence, caught by GapProbe6); 2-arg log(b, x) agrees
+    "log" -> {
+      case Seq(x) => Log10(x)
+      case Seq(b, x) => Logarithm(b, x)
+    },
+    // DuckDB date_add(d, INTERVAL): Spark's builtin takes int days —
+    // dispatch on the resolved interval type, keep the int form native
+    "date_add" -> {
+      case Seq(d, iv) if iv.resolved &&
+          (iv.dataType == org.apache.spark.sql.types.CalendarIntervalType ||
+            iv.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+            iv.dataType.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType]) =>
+        Add(d, iv)
+      case Seq(d, n) => DateAdd(d, n)
+    },
     "datediff" -> {
       // DuckDB 3-arg (part, a, b) = boundary crossings; Spark 2-arg
       // datediff(end, start) keeps its builtin meaning

@@ -715,6 +715,22 @@ class GatewaySpec extends AnyFunSuite {
       .getDouble(0) == 1704067200.0)
     assert(one("SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'UTC' AS t")
       .getTimestamp(0).toInstant.getEpochSecond == 1704110400L)
+    // batch-6 value-divergence fixes: log is log10, ^ is power,
+    // bare VARCHAR/TEXT/unsigned cast type names resolve
+    assert(one("SELECT log(100) AS l").getDouble(0) == 2.0)
+    assert(one("SELECT log(2, 8) AS l").getDouble(0) == 3.0)
+    assert(one("SELECT 2 ^ 10 AS p").getDouble(0) == 1024.0)
+    assert(one("SELECT 2 ** 10 AS p").getDouble(0) == 1024.0)
+    assert(one("SELECT 7::VARCHAR AS v").getString(0) == "7")
+    assert(one("SELECT CAST(255 AS UBIGINT) AS u").getDecimal(0).intValue == 255)
+    assert(one("SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS d")
+      .getDate(0).toString == "2024-01-04")
+    assert(one("SELECT julian(DATE '2024-01-01') AS j").getDouble(0) == 2460310.5)
+    assert(one("SELECT list_grade_up([30,10,20]) AS g")
+      .getSeq[Int](0) == Seq(2, 3, 1))
+    assert(one("SELECT list_distance([0.0,0.0], [3.0,4.0]) AS d").getDouble(0) == 5.0)
+    // a column NAMED text must never be touched by the cast-type map
+    assert(gw.sql("SELECT text FROM documents WHERE doc_id = 0").count() == 1)
     // txn/maintenance no-ops and EXPLAIN ANALYZE
     assert(gw.sql("BEGIN TRANSACTION").collect().isEmpty)
     assert(gw.sql("COMMIT").collect().isEmpty)
