@@ -936,7 +936,10 @@ object Dialect {
                   out.setLength(st)
                   val colonAt = topLevelColon(content)
                   if (colonAt < 0) {
-                    out.append(s"element_at($lhs, ${content.trim})")
+                    // graft_subscript: polymorphic over string/list/map
+                    // (expressions/SubscriptAny — element_at semantics
+                    // for collections, 1-based char pick for strings)
+                    out.append(s"graft_subscript($lhs, ${content.trim})")
                   } else {
                     val a0 = content.substring(0, colonAt).trim
                     val b0 = content.substring(colonAt + 1).trim

@@ -505,7 +505,56 @@ object Functions {
     "xor" -> { case Seq(a, b) => BitwiseXor(a, b) },
     // Dialect bracket-slice target (x[a:b] — string OR list)
     "graft_slice" -> { case Seq(x, a, b) =>
-      graft.engine.expressions.SliceAny(x, a, b) })
+      graft.engine.expressions.SliceAny(x, a, b) },
+    // Dialect bracket-subscript target (x[i] — string, list, or map)
+    "graft_subscript" -> { case Seq(x, i) =>
+      graft.engine.expressions.SubscriptAny(x, i)
+    },
+    // ---- round-6 gap-probe batch 7 (JSON/list-set/path sugar) ----
+    "list_intersect" -> (a => call("array_intersect", a)),
+    "array_has_any" -> (a => call("arrays_overlap", a)),
+    "list_pack" -> (a => call("array", a)),
+    // list_where(l, mask): keep l[i] where mask[i]
+    "list_where" -> { case Seq(l, mask) =>
+      ArrayTransform(
+        ArrayFilter(
+          ZipWith(l, mask, lam(vs => CreateNamedStruct(
+            Seq(Literal("v"), vs(0), Literal("m"), vs(1))), 2)),
+          lam(vs => org.apache.spark.sql.catalyst.analysis
+            .UnresolvedExtractValue(vs(0), Literal("m")), 1)),
+        lam(vs => org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(vs(0), Literal("v")), 1))
+    },
+    // list_select(l, idxs): elements of l at the (1-based) idxs
+    "list_select" -> { case Seq(l, idxs) =>
+      ArrayTransform(idxs,
+        lam(vs => graft.engine.expressions.SubscriptAny(l, vs(0)), 1))
+    },
+    "parse_filename" -> { case Seq(p) =>
+      call("regexp_extract", Seq(p, Literal("([^/\\\\]*)$"), Literal(1)))
+    },
+    "parse_dirname" -> { case Seq(p) =>
+      call("regexp_extract", Seq(p, Literal("^(.*)[/\\\\]"), Literal(1)))
+    },
+    // md5_number_lower/upper: one 8-byte half of the digest as an
+    // unsigned 64-bit number (conv() interprets 16 hex chars unsigned)
+    "md5_number_lower" -> { case Seq(x) =>
+      Cast(call("conv", Seq(call("substring",
+        Seq(call("md5", Seq(x)), Literal(17), Literal(16))),
+        Literal(16), Literal(10))),
+        org.apache.spark.sql.types.DecimalType(20, 0))
+    },
+    "md5_number_upper" -> { case Seq(x) =>
+      Cast(call("conv", Seq(call("substring",
+        Seq(call("md5", Seq(x)), Literal(1), Literal(16))),
+        Literal(16), Literal(10))),
+        org.apache.spark.sql.types.DecimalType(20, 0))
+    },
+    // uuidv7: served as a random UUID (v4) — monotonicity not promised
+    "uuidv7" -> (_ => call("uuid", Nil)),
+    "get_current_timestamp" -> (_ => call("now", Nil)),
+    "transaction_timestamp" -> (_ => call("now", Nil)),
+    "today" -> (_ => call("current_date", Nil)))
 
   /** DuckDB boundary-crossing date_diff: truncate both sides to the
     * part, then count complete parts between the truncations.
@@ -526,6 +575,27 @@ object Functions {
     "log" -> {
       case Seq(x) => Log10(x)
       case Seq(b, x) => Logarithm(b, x)
+    },
+    // DuckDB repeat() also repeats LISTs; dispatch on the resolved type
+    "repeat" -> {
+      case Seq(x, n) if x.resolved &&
+          x.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        call("flatten", Seq(call("array_repeat",
+          Seq(x, Cast(n, org.apache.spark.sql.types.IntegerType)))))
+      case Seq(x, n) => StringRepeat(x, n)
+    },
+    // DuckDB regexp_replace takes an options string; Spark replaces all
+    // occurrences always, so 'g' is the default here (the flagless
+    // DuckDB form replaces only the FIRST match — documented divergence)
+    "regexp_replace" -> {
+      case Seq(s, re, rep) => RegExpReplace(s, re, rep)
+      case Seq(s, re, rep, Literal(flags, _)) if flags != null =>
+        val f = flags.toString
+        val inline = Seq('i' -> "(?i)", 's' -> "(?s)", 'm' -> "(?m)")
+          .collect { case (c, p) if f.indexOf(c.toInt) >= 0 => p }.mkString
+        val re2 = if (inline.isEmpty) re
+          else Concat(Seq(Literal(inline), re))
+        RegExpReplace(s, re2, rep)
     },
     // DuckDB date_add(d, INTERVAL): Spark's builtin takes int days —
     // dispatch on the resolved interval type, keep the int form native

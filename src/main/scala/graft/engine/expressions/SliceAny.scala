@@ -37,3 +37,29 @@ case class SliceAny(child: Expression, from: Expression, stop: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
+
+/** DuckDB subscript `x[i]` — polymorphic over STRING (1-based char,
+  * negative from the end), LIST, and MAP; the bracket rewrite emits
+  * this and the dispatch happens at analysis like [[SliceAny]].
+  */
+case class SubscriptAny(child: Expression, index: Expression)
+    extends RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.ElementAt
+  override def prettyName: String = "graft_subscript"
+  override def children: Seq[Expression] = Seq(child, index)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | _: ArrayType | _: MapType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subscript requires string/array/map, got ${other.simpleString}")
+  }
+
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => Substring(child, Cast(index, IntegerType), Literal(1))
+    case _ => ElementAt(child, index)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1))
+}
