@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 
 /** DuckDB-dialect function shims registered into Spark's
   * FunctionRegistry (SURVEY.md §2.11) so DuckDB-named SQL runs on the
@@ -554,7 +555,45 @@ object Functions {
     "uuidv7" -> (_ => call("uuid", Nil)),
     "get_current_timestamp" -> (_ => call("now", Nil)),
     "transaction_timestamp" -> (_ => call("now", Nil)),
-    "today" -> (_ => call("current_date", Nil)))
+    "today" -> (_ => call("current_date", Nil)),
+    // Spark has no TIME type; the current wall-clock time serves as a
+    // VARCHAR (documented divergence — DuckDB returns TIME)
+    "get_current_time" -> (_ =>
+      call("date_format", Seq(call("now", Nil), Literal("HH:mm:ss.SSS")))),
+    // ---- round-6 batch 8: DuckDB JSON introspection (Jackson-backed
+    // static kernels, graft/engine/expressions/JsonIntrospect.scala —
+    // semantics DuckDB-verified, see Scaladoc there)
+    "json_type" -> {
+      case Seq(j) => jsonInvoke("jsonType", Seq(j))
+      case Seq(j, p) => jsonInvoke("jsonTypePath", Seq(j, p))
+    },
+    "json_structure" -> { case Seq(j) => jsonInvoke("jsonStructure", Seq(j)) },
+    "json_merge_patch" -> { case Seq(a, b) =>
+      jsonInvoke("jsonMergePatch", Seq(a, b)) },
+    "json_contains" -> { case Seq(h, n) =>
+      jsonInvoke("jsonContains", Seq(h, n),
+        org.apache.spark.sql.types.BooleanType) },
+    "nfc_normalize" -> { case Seq(s) => jsonInvoke("nfcNormalize", Seq(s)) },
+    "format_bytes" -> { case Seq(n) =>
+      StaticInvoke(
+        classOf[graft.engine.expressions.JsonIntrospect.type],
+        org.apache.spark.sql.types.StringType, "formatBytes",
+        Seq(Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.LongType))
+    },
+    "formatReadableSize" -> { case Seq(n) =>
+      call("format_bytes", Seq(n)) })
+
+  /** StaticInvoke into the [[graft.engine.expressions.JsonIntrospect]]
+    * kernels: string in / string-or-boolean out, null-propagating.
+    */
+  private def jsonInvoke(method: String, args: Seq[Expression],
+      dt: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): Expression =
+    StaticInvoke(
+      classOf[graft.engine.expressions.JsonIntrospect.type], dt, method,
+      args.map(a => Cast(a, org.apache.spark.sql.types.StringType)),
+      args.map(_ => org.apache.spark.sql.types.StringType))
 
   /** DuckDB boundary-crossing date_diff: truncate both sides to the
     * part, then count complete parts between the truncations.
@@ -653,6 +692,18 @@ object Functions {
             new org.apache.spark.unsafe.types.CalendarInterval(0, 0, 1L),
             org.apache.spark.sql.types.CalendarIntervalType)), step))
       case Seq(start, stop, step) => rangeList(start, stop, step)
+    },
+    // DuckDB from_json(json, structure-literal): the second argument is
+    // a JSON structure whose leaves are DuckDB type names, e.g.
+    // '{"a": "BIGINT"}' — translated to a Spark schema at analysis
+    // time; a DDL string second argument keeps Spark's native meaning
+    "from_json" -> { case Seq(json, Literal(s, org.apache.spark.sql.types.StringType)) if s != null =>
+      val txt = s.toString.trim
+      val dt =
+        if (txt.startsWith("{") || txt.startsWith("["))
+          graft.engine.expressions.JsonIntrospect.structureToType(txt)
+        else org.apache.spark.sql.types.DataType.fromDDL(txt)
+      JsonToStructs(dt, Map.empty[String, String], json)
     },
     // DuckDB date_part(['year','month'], d) list form → one struct with
     // a field per requested part; the scalar form keeps Spark's builtin

@@ -1,0 +1,245 @@
+package graft.engine.expressions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DuckDB JSON-introspection family (json_type / json_structure /
+  * json_merge_patch / json_contains) plus small string/format helpers,
+  * as static methods invoked from Catalyst `StaticInvoke` shims in
+  * [[graft.engine.Functions]] — codegen-friendly, no UDF registry.
+  *
+  * Semantics pinned against DuckDB 1.x (see GapProbe7):
+  *  - json_type: OBJECT/ARRAY/VARCHAR/BOOLEAN/DOUBLE/NULL, integers
+  *    split into UBIGINT (>= 0) vs BIGINT (< 0)
+  *  - json_structure: leaves become type-name strings; array elements
+  *    unify recursively (numeric widening UBIGINT<BIGINT<DOUBLE, NULL
+  *    absorbs into anything, objects merge keys, mismatch => "JSON",
+  *    empty array => ["NULL"])
+  *  - json_merge_patch: RFC 7386 (null patch values delete keys)
+  *  - json_contains: needle matches at ANY subtree; object needles
+  *    subset-match, array needles element-wise contain, scalars use
+  *    strict node equality (1 does NOT match 1.0 — DuckDB-verified)
+  */
+object JsonIntrospect {
+  private val mapper = new ObjectMapper()
+
+  private def parse(s: UTF8String): JsonNode =
+    try mapper.readTree(s.toString)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"Malformed JSON input: ${e.getMessage}")
+    }
+
+  private def typeName(n: JsonNode): String =
+    if (n.isObject) "OBJECT"
+    else if (n.isArray) "ARRAY"
+    else if (n.isTextual) "VARCHAR"
+    else if (n.isBoolean) "BOOLEAN"
+    else if (n.isIntegralNumber) {
+      if (n.asLong(0L) < 0L || n.asText().startsWith("-")) "BIGINT"
+      else "UBIGINT"
+    }
+    else if (n.isNumber) "DOUBLE"
+    else "NULL"
+
+  /** Minimal JSONPath subset: `$`, `$.key`, `$.key[0].other`, or a bare
+    * key (DuckDB accepts both). Returns null when the path misses.
+    */
+  private def atPath(root: JsonNode, path: String): JsonNode = {
+    var cur = root
+    val p = if (path.startsWith("$")) path.substring(1)
+            else "." + path
+    var i = 0
+    while (i < p.length && cur != null) {
+      p.charAt(i) match {
+        case '.' =>
+          val st = i + 1
+          var j = st
+          while (j < p.length && p.charAt(j) != '.' && p.charAt(j) != '[') j += 1
+          cur = cur.get(p.substring(st, j))
+          i = j
+        case '[' =>
+          val close = p.indexOf(']', i)
+          if (close < 0) return null
+          val idx = p.substring(i + 1, close).trim.toInt
+          cur = cur.get(idx)
+          i = close + 1
+        case _ => return null
+      }
+    }
+    cur
+  }
+
+  def jsonType(s: UTF8String): UTF8String =
+    UTF8String.fromString(typeName(parse(s)))
+
+  def jsonTypePath(s: UTF8String, path: UTF8String): UTF8String = {
+    val n = atPath(parse(s), path.toString)
+    if (n == null) null else UTF8String.fromString(typeName(n))
+  }
+
+  // ---- json_structure -------------------------------------------------
+
+  /** Unify two structure trees (type-name leaves). */
+  private def unify(a: JsonNode, b: JsonNode): JsonNode = {
+    if (a == b) return a
+    (a, b) match {
+      case (at: TextNode, bt: TextNode) =>
+        val (x, y) = (at.asText(), bt.asText())
+        if (x == "NULL") bt
+        else if (y == "NULL") at
+        else {
+          val num = Seq("UBIGINT", "BIGINT", "DOUBLE")
+          val (xi, yi) = (num.indexOf(x), num.indexOf(y))
+          if (xi >= 0 && yi >= 0) new TextNode(num(math.max(xi, yi)))
+          else new TextNode("JSON")
+        }
+      case (ao: ObjectNode, bo: ObjectNode) =>
+        val out = mapper.createObjectNode()
+        ao.fields().asScala.foreach(e => out.set[JsonNode](e.getKey, e.getValue))
+        bo.fields().asScala.foreach { e =>
+          val prev = out.get(e.getKey)
+          out.set[JsonNode](e.getKey,
+            if (prev == null) e.getValue else unify(prev, e.getValue))
+        }
+        out
+      case (aa: ArrayNode, ba: ArrayNode) =>
+        val out = mapper.createArrayNode()
+        out.add(unify(aa.get(0), ba.get(0)))
+        out
+      case _ => new TextNode("JSON")
+    }
+  }
+
+  private def structureOf(n: JsonNode): JsonNode =
+    if (n.isObject) {
+      val out = mapper.createObjectNode()
+      n.fields().asScala.foreach(e =>
+        out.set[JsonNode](e.getKey, structureOf(e.getValue)))
+      out
+    } else if (n.isArray) {
+      val elems = n.elements().asScala.map(structureOf).toSeq
+      val out = mapper.createArrayNode()
+      out.add(if (elems.isEmpty) new TextNode("NULL")
+              else elems.reduce(unify))
+      out
+    } else new TextNode(typeName(n))
+
+  def jsonStructure(s: UTF8String): UTF8String =
+    UTF8String.fromString(mapper.writeValueAsString(structureOf(parse(s))))
+
+  // ---- json_merge_patch (RFC 7386) ------------------------------------
+
+  private def mergePatch(target: JsonNode, patch: JsonNode): JsonNode =
+    if (!patch.isObject) patch
+    else {
+      val out = mapper.createObjectNode()
+      if (target.isObject)
+        target.fields().asScala.foreach(e =>
+          out.set[JsonNode](e.getKey, e.getValue))
+      patch.fields().asScala.foreach { e =>
+        if (e.getValue.isNull) out.remove(e.getKey)
+        else {
+          val prev = out.get(e.getKey)
+          out.set[JsonNode](e.getKey,
+            if (prev == null) mergePatch(mapper.createObjectNode(), e.getValue)
+            else mergePatch(prev, e.getValue))
+        }
+      }
+      out
+    }
+
+  def jsonMergePatch(a: UTF8String, b: UTF8String): UTF8String =
+    UTF8String.fromString(mapper.writeValueAsString(
+      mergePatch(parse(a), parse(b))))
+
+  // ---- json_contains ---------------------------------------------------
+
+  /** Containment at one node: object needle subset-matches, array needle
+    * requires every element contained, scalar needle strict-equals (or,
+    * when the haystack node is an array, equals some element).
+    */
+  private def matches(h: JsonNode, n: JsonNode): Boolean =
+    if (n.isObject && h.isObject)
+      n.fields().asScala.forall { e =>
+        val hv = h.get(e.getKey)
+        hv != null && matches(hv, e.getValue)
+      }
+    else if (n.isArray && h.isArray)
+      n.elements().asScala.forall(e => matches(h, e))
+    else if (h.isArray)
+      h.elements().asScala.exists(x => matches(x, n))
+    else h == n
+
+  private def containsNode(h: JsonNode, n: JsonNode): Boolean =
+    matches(h, n) || h.elements().asScala.exists(c => containsNode(c, n))
+
+  def jsonContains(hay: UTF8String, needle: UTF8String): Boolean =
+    containsNode(parse(hay), parse(needle))
+
+  // ---- from_json structure literal ------------------------------------
+
+  /** DuckDB `from_json` second argument: a JSON structure whose leaves
+    * are DuckDB type names ('{"a": "BIGINT"}') → Spark [[DataType]].
+    */
+  def structureToType(txt: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def conv(n: JsonNode): DataType =
+      if (n.isObject)
+        StructType(n.fields().asScala.map(e =>
+          StructField(e.getKey, conv(e.getValue))).toSeq)
+      else if (n.isArray) ArrayType(conv(n.get(0)))
+      else duckTypeName(n.asText())
+    def duckTypeName(raw: String): DataType = {
+      val t = raw.trim.toUpperCase
+      val dec = """DECIMAL\((\d+)\s*,\s*(\d+)\)""".r
+      t match {
+        case "BOOLEAN" | "BOOL" => BooleanType
+        case "TINYINT" => ByteType
+        case "SMALLINT" => ShortType
+        case "INTEGER" | "INT" | "INT32" => IntegerType
+        case "BIGINT" | "INT64" | "LONG" => LongType
+        case "UBIGINT" => DecimalType(20, 0)
+        case "HUGEINT" => DecimalType(38, 0)
+        case "FLOAT" | "REAL" => FloatType
+        case "DOUBLE" => DoubleType
+        case dec(p, s) => DecimalType(p.toInt, s.toInt)
+        case "DATE" => DateType
+        case "TIMESTAMP" | "DATETIME" => TimestampType
+        case "BLOB" | "BYTEA" => BinaryType
+        case _ => StringType // VARCHAR/TEXT/JSON/UUID/TIME/...
+      }
+    }
+    conv(parse(UTF8String.fromString(txt)))
+  }
+
+  // ---- misc helpers ----------------------------------------------------
+
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** DuckDB format_bytes: binary units, ONE decimal TRUNCATED toward
+    * zero (1500 => "1.4 KiB", DuckDB-verified), "N bytes"/"1 byte"
+    * below 1 KiB, sign preserved.
+    */
+  def formatBytes(bytes: Long): UTF8String = {
+    val neg = bytes < 0
+    val abs = math.abs(bytes)
+    val units = Seq("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+    val out =
+      if (abs < 1024L) {
+        if (abs == 1L) s"$abs byte" else s"$abs bytes"
+      } else {
+        var v = abs.toDouble
+        var u = -1
+        while (v >= 1024.0 && u < units.length - 1) { v /= 1024.0; u += 1 }
+        val tenths = (v * 10).toLong  // truncate, not round
+        s"${tenths / 10}.${tenths % 10} ${units(u)}"
+      }
+    UTF8String.fromString(if (neg) "-" + out else out)
+  }
+}

@@ -317,6 +317,31 @@ object FunctionQueries {
       .orderBy(col("k").asc_nulls_last)
   }
 
+  /** Round-6 JSON introspection family (json_type / json_structure /
+    * json_merge_patch / json_contains, `expressions/JsonIntrospect`
+    * kernels) plus nfc_normalize/format_bytes: ONE SQL text runs on
+    * both engines — the Spark side resolves the graft name shims to
+    * the same DuckDB-pinned semantics the oracle computes natively.
+    */
+  val fJsonIntrospect: Q = {
+    val sqlText =
+      """SELECT event_id AS k,
+        |  json_type(props) AS jt,
+        |  json_type(props, '$.k') AS jtk,
+        |  json_structure(props) AS js,
+        |  json_merge_patch(props, '{"v":2}') AS jm,
+        |  json_contains(props, '{"k":87}') AS jc,
+        |  nfc_normalize('café') AS nrm,
+        |  format_bytes(event_id * 1000) AS fb
+        |FROM events WHERE event_id < 1000
+        |ORDER BY k ASC NULLS LAST""".stripMargin
+    Q("f_json_introspect", sqlText) { s =>
+      graft.engine.Functions.register(s)
+      s.sql(sqlText)
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    fMath, fString, fString2, fRegex, fDatetime, fList, fStructMap, fJson)
+    fMath, fString, fString2, fRegex, fDatetime, fList, fStructMap, fJson,
+    fJsonIntrospect)
 }

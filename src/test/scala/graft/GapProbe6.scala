@@ -10,11 +10,11 @@ import graft.engine.Gateway
   * Notable catches this batch (fixed): DuckDB log(x) is log10 while
   * Spark's is ln — a silent VALUE divergence; `^` parses in Spark as
   * xor but means power in DuckDB; bare VARCHAR/TEXT/BLOB cast type
-  * names. Expected residual GAPs (deliberate): nfc_normalize /
-  * format_bytes (display sugar, no builtin analog), factorial postfix
-  * `5!` (ambiguous with `!=` — factorial() works), generic GROUPS
-  * window frames (w6-style rewrites cover the declared shapes; Spark
-  * has no GROUPS mode).
+  * names. nfc_normalize / format_bytes are served since batch 8
+  * (`expressions/JsonIntrospect` kernels). Expected residual GAPs
+  * (deliberate): factorial postfix `5!` (ambiguous with `!=` —
+  * factorial() works), generic GROUPS window frames (w6-style rewrites
+  * cover the declared shapes; Spark has no GROUPS mode).
   */
 class GapProbe6 extends AnyFunSuite {
   import TestSpark._

@@ -5,12 +5,14 @@ import graft.engine.Gateway
 
 /** Round-6 dialect gap probe, batch 7 — JSON + list set ops + misc.
   *
-  * Expected residual GAPs (deliberate): json_structure / json_type /
-  * json_contains / json_merge_patch (DuckDB JSON-introspection family —
-  * no Spark builtin analog; the extraction/validity surface IS served),
-  * from_json with DuckDB's structure-literal second argument (Spark's
-  * from_json schema-string form works), get_current_time (Spark has no
-  * TIME type).
+  * All 36 probes OK since batch 8: the JSON-introspection family
+  * (json_type / json_structure / json_merge_patch / json_contains) and
+  * from_json's structure-literal second argument are served by the
+  * Jackson-backed `expressions/JsonIntrospect` kernels with
+  * DuckDB-pinned semantics (GatewaySpec "batch 8" asserts the
+  * boundary cases; f_json_introspect oracle-gates them per round).
+  * get_current_time returns VARCHAR (Spark has no TIME type —
+  * documented divergence).
   */
 class GapProbe7 extends AnyFunSuite {
   import TestSpark._

@@ -741,6 +741,40 @@ class GatewaySpec extends AnyFunSuite {
     assert(sat.exists(_.toSeq.exists(v => v != null && v.toString == "orders")))
   }
 
+  test("round-6 batch 8: JSON introspection matches DuckDB") {
+    def one(q: String) = gw.sql(q).collect().head
+    // json_type: integer sign split, path form, missing path → NULL
+    assert(one("SELECT json_type('1') AS t").getString(0) == "UBIGINT")
+    assert(one("SELECT json_type('-1') AS t").getString(0) == "BIGINT")
+    assert(one("SELECT json_type('1.5') AS t").getString(0) == "DOUBLE")
+    assert(one("""SELECT json_type('{"a":[1]}', '$.a') AS t""").getString(0) == "ARRAY")
+    assert(one("""SELECT json_type('{"a":1}', '$.b') AS t""").isNullAt(0))
+    // json_structure: numeric widening, null absorption, object
+    // key-merge, mismatch => "JSON", empty array => ["NULL"]
+    assert(one("SELECT json_structure('[1,1.5]') AS s").getString(0) == """["DOUBLE"]""")
+    assert(one("SELECT json_structure('[null,1]') AS s").getString(0) == """["UBIGINT"]""")
+    assert(one("""SELECT json_structure('[{"a":1},{"b":2}]') AS s""")
+      .getString(0) == """[{"a":"UBIGINT","b":"UBIGINT"}]""")
+    assert(one("""SELECT json_structure('[1,"a"]') AS s""").getString(0) == """["JSON"]""")
+    assert(one("SELECT json_structure('[]') AS s").getString(0) == """["NULL"]""")
+    // json_merge_patch: RFC 7386 — null patch values DELETE keys
+    assert(one("""SELECT json_merge_patch('{"a":1,"c":{"d":2}}','{"b":2,"c":null}') AS m""")
+      .getString(0) == """{"a":1,"b":2}""")
+    assert(one("""SELECT json_merge_patch('{"a":1}','3') AS m""").getString(0) == "3")
+    // json_contains: subtree subset containment, strict scalar equality
+    assert(one("""SELECT json_contains('{"a":{"b":2,"c":3}}','{"b":2}') AS c""").getBoolean(0))
+    assert(one("SELECT json_contains('[1,2,3]','[2,1]') AS c").getBoolean(0))
+    assert(!one("SELECT json_contains('[1.0]','1') AS c").getBoolean(0))
+    // from_json structure-literal form
+    val fj = one("""SELECT from_json('{"a": 1}', '{"a": "BIGINT"}') AS s""").getStruct(0)
+    assert(fj.getLong(0) == 1L)
+    // format_bytes TRUNCATES to one decimal (1500/1024 = 1.46 → 1.4)
+    assert(one("SELECT format_bytes(1500) AS f").getString(0) == "1.4 KiB")
+    assert(one("SELECT format_bytes(1) AS f").getString(0) == "1 byte")
+    assert(one("SELECT format_bytes(-2048) AS f").getString(0) == "-2.0 KiB")
+    assert(one("SELECT nfc_normalize('café') AS n").getString(0) == "café")
+  }
+
   test("PREPARE / EXECUTE / DEALLOCATE ($N, ?, named params)") {
     gw.sql("PREPARE padd AS SELECT $1 + $2 AS v")
     assert(gw.sql("EXECUTE padd(3, 4)").collect().head.get(0).toString == "7")
