@@ -448,7 +448,14 @@ object Dialect {
               // scalar shim (stop-exclusive sequence) + explode
               if (fn == "range" && !args.exists(
                   _.toUpperCase.matches("(?s).*\\b(TIMESTAMP|INTERVAL)\\b.*"))) {
-                i
+                // keep the NATIVE distributed range TVF but rename its
+                // output column: Spark names it `id`, DuckDB `range`.
+                // The /**/ between name and paren keeps this pass
+                // idempotent (macro expansion re-runs the pipeline): the
+                // emitted inner call no longer matches `range\s*\(`.
+                sb.append(s"${m.group(1)} (SELECT id AS range FROM " +
+                  s"range/**/(${args.mkString(", ")}))")
+                end
               } else {
                 val inner = fn match {
                   case "unnest" => s"explode(${args.mkString(", ")})"
@@ -494,9 +501,12 @@ object Dialect {
             splitCallArgs(sql, open) match {
               case Some((args, end))
                   if args.exists(_.matches("(?s)\\s*\\w+\\s*:=.*")) =>
-                def pair(a: String): String = {
-                  val Array(k, v) = a.split(":=", 2)
-                  s"'${k.trim}', ${v.trim}"
+                def pair(a: String): String = a.split(":=", 2) match {
+                  case Array(k, v) if k.trim.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+                    s"'${k.trim}', ${v.trim}"
+                  case _ => throw new GatewayException(
+                    s"${n.toLowerCase}: argument `${a.trim}` is not of the " +
+                      "form name := value")
                 }
                 val call = n match {
                   case "STRUCT_PACK" =>

@@ -608,7 +608,7 @@ object Functions {
     * session registry, falling through to the builtin's expression for
     * the Spark-native arity.
     */
-  private val overrides: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private val overrides: Seq[(String, PartialFunction[Seq[Expression], Expression])] = Seq(
     // DuckDB log(x) is LOG BASE 10 (Spark's 1-arg log is ln — a silent
     // VALUE divergence, caught by GapProbe6); 2-arg log(b, x) agrees
     "log" -> {
@@ -823,12 +823,33 @@ object Functions {
       val already = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
         .builtin.functionExists(FunctionIdentifier(name))
       if (!already) {
-        reg.createOrReplaceTempFunction(name, builder, "internal")
+        // a shim builder that doesn't match the argument shape (e.g. a
+        // non-literal flag where the dialect requires a literal) must
+        // surface as a diagnostic naming the function, not a MatchError
+        val safe: Seq[Expression] => Expression = args =>
+          try builder(args)
+          catch {
+            case _: MatchError => throw new GatewayException(
+              s"$name: unsupported argument form for ${args.length} " +
+                "argument(s) (dialect flags must be string literals)")
+          }
+        reg.createOrReplaceTempFunction(name, safe, "internal")
       }
     }
-    // deliberate builtin shadows (arity-dispatched, Spark forms preserved)
-    overrides.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "internal")
+    // deliberate builtin shadows (arity-dispatched): argument shapes the
+    // shim doesn't claim keep Spark's native builtin behavior, so e.g.
+    // 3-arg from_json or from_json(j, schema_of_json(...)) still resolve
+    overrides.foreach { case (name, pf) =>
+      val native = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+        .builtin.lookupFunctionBuilder(FunctionIdentifier(name))
+      val combined: Seq[Expression] => Expression = args =>
+        if (pf.isDefinedAt(args)) pf(args)
+        else native match {
+          case Some(b) => b(args)
+          case None => throw new GatewayException(
+            s"$name: unsupported argument form for ${args.length} argument(s)")
+        }
+      reg.createOrReplaceTempFunction(name, combined, "internal")
     }
   }
 }

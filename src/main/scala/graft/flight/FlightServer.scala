@@ -253,7 +253,15 @@ final class FlightServer(gateway: Gateway, port: Int) {
       try Some(AnyMsg.fromBytes(cmd))
       catch { case _: Exception => return None }
     val sess = gateway.session
-    def esc(s: String) = s.replace("'", "''")
+    // Spark string literals treat backslash as an escape character, so a
+    // client pattern ending in \ (or containing \') could otherwise break
+    // out of the literal — double backslashes BEFORE doubling quotes.
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "''")
+    // LIKE patterns additionally treat backslash as the pattern-escape
+    // character (Flight SQL patterns have no escape syntax — a client
+    // backslash is a literal character), so double once more at the
+    // pattern level before the string-literal escaping.
+    def escPat(s: String) = esc(s.replace("\\", "\\\\"))
     any.collect {
       case a if a.typeUrl == GetCatalogsUrl =>
         sess.sql("""SELECT DISTINCT database_name AS catalog_name
@@ -261,7 +269,7 @@ final class FlightServer(gateway: Gateway, port: Int) {
       case a if a.typeUrl == GetDbSchemasUrl =>
         val c = CommandGetDbSchemas.fromBytes(a.value)
         val conds = c.catalog.map(v => s"database_name = '${esc(v)}'") ++
-          c.schemaPattern.map(p => s"schema_name LIKE '${esc(p)}'")
+          c.schemaPattern.map(p => s"schema_name LIKE '${escPat(p)}'")
         val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
         sess.sql(
           s"""SELECT DISTINCT database_name AS catalog_name,
@@ -274,8 +282,8 @@ final class FlightServer(gateway: Gateway, port: Int) {
       case a if a.typeUrl == GetTablesUrl =>
         val c = CommandGetTables.fromBytes(a.value)
         val conds = c.catalog.map(v => s"database_name = '${esc(v)}'") ++
-          c.schemaPattern.map(p => s"schema_name LIKE '${esc(p)}'") ++
-          c.tablePattern.map(p => s"table_name LIKE '${esc(p)}'") ++
+          c.schemaPattern.map(p => s"schema_name LIKE '${escPat(p)}'") ++
+          c.tablePattern.map(p => s"table_name LIKE '${escPat(p)}'") ++
           (if (c.tableTypes.nonEmpty)
             Seq(c.tableTypes.map(t => s"'${esc(t)}'")
               .mkString("table_type IN (", ", ", ")"))
@@ -406,6 +414,9 @@ final class FlightServer(gateway: Gateway, port: Int) {
     import org.apache.spark.sql.{GraftArrow => GA}
     val encapsulated = messages.map(m => encapsulate(m.dataHeader, m.dataBody))
       .filterNot(isEos)
+    if (encapsulated.isEmpty)
+      throw new GatewayException(
+        "parameter stream carried no Arrow schema message")
     val schema = GA.sparkSchemaFromIpc(encapsulated.head)
     val tz = gateway.session.sessionState.conf.sessionLocalTimeZone
     val rows = GA.rowsFromBatches(encapsulated.tail.iterator, schema, tz)
@@ -435,6 +446,14 @@ final class FlightServer(gateway: Gateway, port: Int) {
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
         s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)}'"
+      case FloatType | DoubleType =>
+        // bare NaN/Infinity is not valid SQL text — render the non-finite
+        // values as casts the parser accepts
+        val d = v match { case f: Float => f.toDouble; case d: Double => d }
+        if (d.isNaN) "CAST('NaN' AS DOUBLE)"
+        else if (d.isInfinite)
+          s"CAST('${if (d > 0) "Infinity" else "-Infinity"}' AS DOUBLE)"
+        else v.toString
       case _: DecimalType | _: NumericType => v.toString
       case other =>
         throw new GatewayException(

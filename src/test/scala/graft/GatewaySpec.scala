@@ -807,4 +807,32 @@ class GatewaySpec extends AnyFunSuite {
     val e = intercept[Exception](gw.sql("EXECUTE pwrite(1)"))
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
+
+  test("round-7 hardening: range column name, override fallbacks, named-arg diagnostics") {
+    // FROM range(...) keeps the native distributed TVF but the output
+    // column is DuckDB's `range`, not Spark's `id` (r6 ADVICE)
+    val r = gw.sql("SELECT range FROM range(3) ORDER BY range").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // idempotent under the macro path (pipeline re-runs on expanded text)
+    gw.sql("CREATE MACRO r7_rng(n) AS TABLE SELECT range AS v FROM range(n)")
+    assert(gw.sql("SELECT count(*) AS c FROM r7_rng(4)").collect().head.getLong(0) == 4L)
+    gw.sql("DROP MACRO r7_rng")
+    // user alias still attaches to the rewritten relation
+    assert(gw.sql("SELECT t.range FROM range(2) t").collect().length == 2)
+    // override shims fall through to Spark builtins for unclaimed
+    // argument shapes: 3-arg from_json and schema_of_json second arg
+    val fj = gw.sql(
+      """SELECT from_json('{"a": 7}', 'a INT', map('mode', 'PERMISSIVE')).a AS x,
+        |  from_json('[1, 2]', schema_of_json('[9]')) AS y""".stripMargin).collect().head
+    assert(fj.getInt(0) == 7 && fj.getSeq[Long](1) == Seq(1L, 2L))
+    // a shim given an argument shape the dialect can't dispatch reports
+    // a diagnostic naming the function, not an opaque MatchError
+    val e1 = intercept[Exception](
+      gw.sql("SELECT list_sort([3,1], CASE WHEN rand() < 2 THEN 'ASC' END)").collect())
+    assert(e1.getMessage.contains("list_sort"), e1.getMessage)
+    // struct_pack argument without := is a dialect diagnostic
+    val e2 = intercept[GatewayException](
+      gw.sql("SELECT struct_pack(a := 1, b)").collect())
+    assert(e2.getMessage.contains("name := value"), e2.getMessage)
+  }
 }

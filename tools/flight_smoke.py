@@ -154,6 +154,14 @@ table = client.do_get(info.endpoints[0].ticket).read_all()
 print(table)
 assert table.column("table_name").to_pylist() == ["orders"], table
 
+# a backslash-quote pattern must stay INSIDE the literal (no SQL
+# injection through the metadata filter): zero rows, not an error and
+# not the full catalog
+inj = meta_cmd("CommandGetTables", pb_ld(3, "\\' UNION SELECT 1, 2, 3, 4 --"))
+info = client.get_flight_info(flight.FlightDescriptor.for_command(inj))
+table = client.do_get(info.endpoints[0].ticket).read_all()
+assert table.num_rows == 0, table
+
 # read-only enforcement over the wire
 try:
     client.do_get(flight.Ticket(b"CREATE TABLE hack AS SELECT 1")).read_all()
