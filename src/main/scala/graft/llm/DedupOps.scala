@@ -374,7 +374,8 @@ object DedupOps {
     * spec; scale notes on dd_components above.
     */
   private[graft] def components(
-      nodes: DataFrame, edges: DataFrame, tag: String): DataFrame = {
+      nodes: DataFrame, edges: DataFrame, tag: String,
+      starAfter: Int = 10): DataFrame = {
     // symmetric edge list, cached: re-read every round — without the
     // persist each round re-runs the whole edge-producing pipeline
     val sym = graft.engine.CacheOnce(s"$tag/sym",
@@ -392,6 +393,22 @@ object DedupOps {
     val maxIter = 50
     var it = 0
     while (!converged && it < maxIter) {
+      if (it == starAfter) {
+        // Adversarially deep graph (near-dup chain drifting across LSH
+        // buckets): propagation + shortcutting has not converged in
+        // `starAfter` rounds, so switch to the large-star/small-star
+        // algorithm — provably O(log² n) rounds with per-round state
+        // bounded by the CURRENT edge list (the union-based shortcut
+        // rounds instead re-feed the full label relation every round).
+        // Restarting from the original edges is correct regardless of
+        // partial progress; the fallback trades the lost rounds for a
+        // convergence bound that no longer depends on graph diameter.
+        org.apache.spark.sql.GraftPlans.checkpointRdd(labels)
+          .foreach(_.unpersist(blocking = false))
+        labels = starLabels(nodes,
+          sym.select(col("src").as("id_a"), col("dst").as("id_b")))
+        converged = true
+      } else {
       val prop = labels.join(sym, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("component"))
       // Pointer doubling (shortcutting) on DEEP graphs only: from round 6
@@ -426,6 +443,7 @@ object DedupOps {
         .foreach(_.unpersist(blocking = false))
       prev = cur
       labels = next
+      }
       it += 1
     }
     if (!converged)
@@ -439,6 +457,80 @@ object DedupOps {
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("csize"))
+  }
+
+  /** Connected-component labels (doc_id, component) via alternating
+    * large-star/small-star edge rewriting (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm, re-expressed as DataFrame rounds):
+    *
+    *  - large-star(u): every neighbor v > u is re-pointed at
+    *    m = min(N(u) ∪ {u});
+    *  - small-star(u), over edges oriented child(u) > parent(v): every
+    *    parent and u itself are re-pointed at the minimum parent.
+    *
+    * Each combined round is two groupBy-min + join passes over the
+    * current edge list and converges in O(log² n) rounds INDEPENDENT of
+    * graph diameter — the fallback bound for adversarially deep dup
+    * chains where propagation rounds ∝ diameter. At fixpoint the edge
+    * list IS the component mapping: stars (child → min-root). Singletons
+    * never appear in edges and keep their own id via the left join.
+    */
+  private[graft] def starLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // canonical orientation child > parent; self-loops dropped
+    var e = edges
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    // edge-set fixpoint check: (count, order-free hash sum) — exact
+    // equality of sets is an except() anti-join; the pair collides only
+    // if xxhash64 collides across the whole set sum, acceptable for a
+    // convergence test backed by the maxIter guard
+    def chk(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = chk(e)
+    var it = 0
+    val maxIter = 60
+    var done = false
+    while (!done && it < maxIter) {
+      // large-star over the SYMMETRIC adjacency
+      val symE = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = symE.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = symE.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over child>parent orientation (large's output keeps it:
+      // emitted (v, m) has v > u ≥ m)
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = small.localCheckpoint()
+      val cur = chk(next)
+      done = cur == prev
+      org.apache.spark.sql.GraftPlans.checkpointRdd(e)
+        .foreach(_.unpersist(blocking = false))
+      e = next
+      prev = cur
+      it += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"starLabels: no convergence after $maxIter star rounds")
+    val lab = nodes.select(col("doc_id"))
+      .join(e.select(col("u").as("doc_id"), col("v").as("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftPlans.checkpointRdd(e)
+      .foreach(_.unpersist(blocking = false))
+    lab
   }
 
   val all: Seq[Q] = Seq(d1, d2, d4, d5, d6)

@@ -370,12 +370,13 @@ object TextOps {
   /** Benchmark decontamination — the eval-hygiene step every training
     * pipeline runs before a model ships: drop (here: flag) training
     * documents that share an n-gram shingle with the held-out benchmark
-    * set. The benchmark side is ALWAYS the small side (benchmarks are
+    * set. The benchmark side is USUALLY the small side (benchmarks are
     * thousands of docs against a corpus of billions), so its distinct
     * shingle set is built once and broadcast — the corpus never
-    * shuffles; each partition probes the broadcast hash set. If a
-    * benchmark ever outgrew broadcast, the same plan shuffles both
-    * sides on the shingle digest.
+    * shuffles; each partition probes the broadcast hash set. The
+    * broadcast is size-GATED, not assumed: [[contaminationHits]]
+    * measures the benchmark relation and falls back to a two-sided
+    * shuffle join when it exceeds the session broadcast threshold.
     *
     * The fixture's benchmark is the doc_id % 13 slice of `documents`
     * CAPPED at doc_id < 2600 (≤200 docs at ANY scale factor) —
@@ -407,15 +408,45 @@ object TextOps {
     val bench = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") < 2600)
       .select(explode(col("sh")).as("s")).distinct()
     val cand = docs.filter(col("doc_id") % 13 =!= 0)
-    val hits = cand.select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(broadcast(bench), "s")
-      .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
+    val hits = contaminationHits(
+      cand.select(col("doc_id"), explode(col("sh")).as("s")),
+      bench, "tx_decontaminate")
     cand.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Per-doc contamination hit counts (doc_id, n_hits) for a candidate
+    * (doc_id, s) shingle stream probed against a benchmark shingle
+    * relation (s). The join strategy is decided by MEASUREMENT, not a
+    * hard-coded hint: one bounded aggregate over the benchmark side
+    * (cost ∝ the side being gated, never the corpus) counts rows and
+    * string bytes; only when that upper-bound estimate fits the
+    * session's autoBroadcastJoinThreshold is the benchmark broadcast.
+    * Otherwise BOTH sides shuffle on the shingle key — the corpus pays
+    * one exchange, but nothing tries to hash an oversized relation into
+    * executor memory. The pre-pass also warms the CacheOnce copy the
+    * join itself reuses, so the benchmark pipeline runs once either way.
+    */
+  private[graft] def contaminationHits(
+      cand: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    val sess = cand.sparkSession
+    val threshold = sess.sessionState.conf.autoBroadcastJoinThreshold
+    val b = graft.engine.CacheOnce(s"$tag/bench", bench)
+    val m = b.agg(count(lit(1)),
+      coalesce(sum(length(col("s"))), lit(0L))).first()
+    // UTF-16 chars ×2 + ~48 bytes/row hash-relation overhead: a
+    // deliberate over-estimate — the failure mode of under-estimating
+    // is an executor OOM, of over-estimating one extra exchange
+    val estBytes = m.getLong(1) * 2L + m.getLong(0) * 48L
+    val benchSide = if (threshold > 0 && estBytes <= threshold) broadcast(b) else b
+    cand.join(benchSide, "s")
+      .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
   }
 
   val all: Seq[Q] =

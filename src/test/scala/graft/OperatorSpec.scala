@@ -625,6 +625,67 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((5L, 5L, 4L), (6L, 5L, 4L), (7L, 5L, 4L), (8L, 5L, 4L)))
   }
 
+  test("components: deep-chain graph triggers the large-star/small-star fallback") {
+    import spark.implicits._
+    import graft.llm.DedupOps
+    // a 120-node chain with ids deliberately NOT in chain order (min id
+    // sits mid-chain): diameter 119, so plain propagation needs 119
+    // rounds — forcing starAfter=3 proves the star fallback alone labels
+    // the whole component, independent of diameter
+    val n = 120
+    val perm = (0 until n).map(i => ((i * 67) % n).toLong + 1000L)
+    val nodes = perm.toDF("doc_id")
+    val edges = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val out = DedupOps.components(nodes, edges, "spec/cc-deep", starAfter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    val root = perm.min
+    assert(out.forall { case (_, c, s) => c == root && s == n.toLong },
+      out.filterNot { case (_, c, s) => c == root && s == n.toLong }.take(3).toSeq)
+  }
+
+  test("starLabels: stars, cycles, and singletons label identically to propagation") {
+    import spark.implicits._
+    import graft.llm.DedupOps
+    // mixed shapes: 4-cycle, 2-chain, singleton (absent from edges)
+    val nodes = Seq(5L, 6L, 7L, 8L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((6L, 5L), (6L, 7L), (8L, 7L), (5L, 8L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val lab = DedupOps.starLabels(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("decontamination: benchmark over the broadcast threshold shuffles both sides") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val cand = Seq((1L, "ab"), (1L, "cd"), (2L, "cd"), (3L, "zz"))
+      .toDF("doc_id", "s")
+    val bench = Seq("ab", "cd", "ef").toDF("s")
+    def hits(tag: String) = TextOps.contaminationHits(cand, bench, tag)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // happy path: measured size under the default threshold → broadcast
+    val small = hits("spec/decon-bcast")
+    val expected = Map(1L -> 2L, 2L -> 1L)
+    assert(asMap(small) == expected)
+    assert(planOf(small).contains("BroadcastHashJoin"), planOf(small))
+    // adversarial path: a threshold the measured size exceeds → the SAME
+    // helper must produce the SAME rows with NO broadcast anywhere in
+    // the plan (two-sided shuffle join)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+      val big = hits("spec/decon-shuffle")
+      assert(asMap(big) == expected)
+      assert(!planOf(big).contains("BroadcastHashJoin"), planOf(big))
+      assert(planOf(big).contains("Exchange hashpartitioning"), planOf(big))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("repetition signals: degenerate text flags, healthy text does not") {
     import spark.implicits._
     import graft.llm.TextOps
