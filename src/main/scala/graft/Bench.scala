@@ -27,7 +27,45 @@ import org.apache.spark.sql.SparkSession
   * rounds on the suite wall ("value"), not individual tail queries.
   */
 object Bench {
+
+  /** 1-minute loadavg, -1 when unreadable. */
+  private def loadavg1(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split("\\s+")(0).toDouble
+  } catch { case _: Throwable => -1.0 }
+
+  /** Should the bench take ANOTHER timed pass? The recorded artifact was
+    * repeatedly decided by ambient machine load, not the engine (r5:
+    * 83.4 s at loadavg 12-14 vs 11.5 s idle) — a melted measurement is
+    * detectable, so detect it and re-measure instead of recording it:
+    *
+    *  - the two fastest passes disagree by >25% → at least one absorbed
+    *    a load spike; a repeat resolves which;
+    *  - a pass's process-CPU is under 0.5×(wall×threads) while healthy
+    *    suite passes measure ~1.8× → the host throttled/starved the JVM;
+    *  - ambient (pre-warmup) 1-min loadavg above 4 on the 2-pass
+    *    minimum → start was hot, buy one insurance pass.
+    *
+    * Callers cap total passes (4) so a persistently-melted host
+    * terminates; the artifact records every pass either way.
+    */
+  private[graft] def needMorePasses(walls: Seq[Double], cpus: Seq[Double],
+      ambient: Double, threads: Int): Boolean = {
+    val sorted = walls.sorted
+    val disagree = sorted(1) > sorted(0) * 1.25
+    val starved = walls.zip(cpus).exists { case (w, c) =>
+      c >= 0 && w > 0 && c / (w * threads) < 0.5 }
+    val hotStart = ambient > 4.0 && walls.size < 3
+    disagree || starved || hotStart
+  }
+
+  /** A pass whose process-CPU says the JVM actually got the machine. */
+  private[graft] def cleanPass(wall: Double, cpu: Double, threads: Int): Boolean =
+    !(cpu >= 0 && wall > 0 && cpu / (wall * threads) < 0.5)
+
   def main(args: Array[String]): Unit = {
+    val ambientLoad = loadavg1() // BEFORE warmup: self-load-free
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 8 executor threads beat both 4 (starved scans) and 12-16 (task-
     // scheduling overhead dominates micro-queries) in a measured sweep;
@@ -238,37 +276,65 @@ object Bench {
           os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
-    val cpu0 = cpuSec()
-    val (wall1, times1) = runSuite()
-    val cpu1 = cpuSec()
-    dumpState("after pass1")
-    val (wall2, times2) = runSuite()
-    val cpu2 = cpuSec()
-    dumpState("after pass2")
-    val cpuPasses =
-      if (cpu0 < 0) "[]"
-      else s"[${math.round((cpu1 - cpu0) * 10) / 10.0},${math.round((cpu2 - cpu1) * 10) / 10.0}]"
-    val total = math.min(wall1, wall2)
-    def minT(k: String): Double = {
-      val (a, b) = (times1.getOrElse(k, -1.0), times2.getOrElse(k, -1.0))
-      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    // Two timed passes always; a pass under suspicion (load spike,
+    // throttled CPU, passes that disagree) buys up to two retries. The
+    // headline is min over CLEAN passes (process-CPU says the JVM got
+    // the machine) — a melted pass is recorded for auditability but
+    // cannot decide the artifact as long as any pass ran clean.
+    final case class BenchPass(wall: Double, cpu: Double, load0: Double,
+      times: Map[String, Double])
+    val passes = scala.collection.mutable.ArrayBuffer[BenchPass]()
+    def doPass(tag: String): BenchPass = {
+      val l0 = loadavg1()
+      val c0 = cpuSec()
+      val (w, t) = runSuite()
+      val c1 = cpuSec()
+      dumpState(s"after $tag")
+      passes += BenchPass(w,
+        if (c0 < 0 || c1 < 0) -1.0 else c1 - c0, l0, t)
+      passes.last
     }
+    doPass("pass1")
+    doPass("pass2")
+    while (passes.size < 4 && needMorePasses(passes.map(_.wall).toSeq,
+        passes.map(_.cpu).toSeq, ambientLoad, threads)) {
+      System.err.println(
+        s"[bench] pass ${passes.size} set suspect (walls=${passes.map(_.wall)}, " +
+          s"cpu=${passes.map(_.cpu)}, ambient=$ambientLoad) — taking a retry pass")
+      doPass(s"retry${passes.size - 1}")
+    }
+    val clean = passes.filter(p => cleanPass(p.wall, p.cpu, threads))
+    val pool = if (clean.nonEmpty) clean else passes
+    val total = pool.map(_.wall).min
+    def minT(k: String): Double = {
+      val vs = pool.map(_.times.getOrElse(k, -1.0)).filter(_ >= 0)
+      if (vs.isEmpty) -1.0 else vs.min
+    }
+    def r1(d: Double): Double = math.round(d * 10) / 10.0
+    val wallsJson = passes.map(_.wall).mkString("[", ",", "]")
+    val cpuPasses =
+      if (passes.exists(_.cpu < 0)) "[]"
+      else passes.map(p => r1(p.cpu)).mkString("[", ",", "]")
+    val passLoad = passes.map(p => r1(p.load0)).mkString("[", ",", "]")
     val loadavg = try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split("\\s+").take(3).mkString(",")
     } catch { case _: Throwable => "" }
+    val audit = s""""passes":$wallsJson,"cpu_sec":$cpuPasses,"pass_load":$passLoad,""" +
+      s""""ambient_load":${r1(ambientLoad)},"extra_passes":${passes.size - 2},""" +
+      s""""clean_passes":${clean.size},"loadavg":"$loadavg""""
 
     val qs = queries.map { case (k, _) =>
       "\"" + k + "\":" + minT(k)
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":[$wall1,$wall2],"cpu_sec":$cpuPasses,"loadavg":"$loadavg"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$audit}"""
     println(full)
     // compact duplicate LAST: the driver captures only the tail of stdout,
     // and the ~3 KB per-query line above can get head-truncated
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length},"passes":[$wall1,$wall2],"cpu_sec":$cpuPasses,"loadavg":"$loadavg"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length},$audit}"""
     println(compact)
     // sbt prefixes stdout with "[info] ", which defeats the driver's JSON
     // parser (BENCH "parsed": null two rounds running) — emit one copy on
