@@ -556,10 +556,10 @@ object Functions {
     "get_current_timestamp" -> (_ => call("now", Nil)),
     "transaction_timestamp" -> (_ => call("now", Nil)),
     "today" -> (_ => call("current_date", Nil)),
-    // Spark has no TIME type; the current wall-clock time serves as a
-    // VARCHAR (documented divergence — DuckDB returns TIME)
-    "get_current_time" -> (_ =>
-      call("date_format", Seq(call("now", Nil), Literal("HH:mm:ss.SSS")))),
+    // Spark 4.1's native TIME (gateway sessions enable
+    // spark.sql.timeType.enabled): typed TIME like DuckDB, not the
+    // round-6 VARCHAR fallback
+    "get_current_time" -> (_ => call("current_time", Nil)),
     // ---- round-6 batch 8: DuckDB JSON introspection (Jackson-backed
     // static kernels, graft/engine/expressions/JsonIntrospect.scala —
     // semantics DuckDB-verified, see Scaladoc there)

@@ -954,6 +954,10 @@ object Gateway {
       initScript: Option[String] = None,
       attachAllow: Seq[String] = Nil): Gateway = {
     val sess = spark.newSession()
+    // Spark 4.1 ships TIME behind a feature flag — DuckDB clients use
+    // TIME literals/casts freely, so the dialect session turns it on
+    // (closes the round-6 "TIME round-trips as VARCHAR" divergence)
+    sess.conf.set("spark.sql.timeType.enabled", "true")
     // parser-level enforcement flag (ReadOnlyGuard): Thrift/JDBC clients
     // execute on this session directly, never through Gateway.sql
     if (readOnly) sess.conf.set("spark.graft.readOnly", "true")

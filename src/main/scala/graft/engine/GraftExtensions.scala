@@ -27,7 +27,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator ASOF join (SURVEY §2.3 J7): custom LogicalPlan +
     // Strategy + SparkPlan — graft.plans.AsOfJoinPlan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // DuckDB `ts::TIME` (time-of-day of a timestamp): Spark 4.1 has the
+    // TIME type but no timestamp→time cast — rewrite it at resolution
+    ext.injectResolutionRule(_ => TimestampToTimeCast)
   }
+}
+
+/** Resolution rule serving `CAST(timestamp AS TIME)` — DuckDB's
+  * time-of-day projection, which Spark's Cast does not cover: rewritten
+  * to to_time(date_format(ts, µs pattern)), with a TIME(6)→TIME(p)
+  * precision cast on top when the target precision differs. The guard
+  * matches timestamp children only, so the emitted TIME-typed cast
+  * cannot re-trigger the rule.
+  */
+object TimestampToTimeCast
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+  import org.apache.spark.sql.types.{TimeType, TimestampType, TimestampNTZType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case c @ Cast(child, t: TimeType, _, _) if child.resolved &&
+          (child.dataType == TimestampType || child.dataType == TimestampNTZType) =>
+        val asTime = UnresolvedFunction(Seq("to_time"),
+          Seq(UnresolvedFunction(Seq("date_format"),
+            Seq(child, Literal("HH:mm:ss.SSSSSS")), isDistinct = false)),
+          isDistinct = false)
+        if (t.precision == TimeType.MICROS_PRECISION) asTime
+        else Cast(asTime, t, c.timeZoneId, c.evalMode)
+    }
 }
 
 /** Read-only enforcement at the layer ALL SQL passes through (the

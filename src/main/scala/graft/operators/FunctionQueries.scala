@@ -341,7 +341,38 @@ object FunctionQueries {
     }
   }
 
+  /** TIME family (round 7): Spark 4.1's native TimeType (behind
+    * spark.sql.timeType.enabled, which the builder switches on) carries
+    * DuckDB's `ts::TIME` time-of-day projection through extraction and
+    * arithmetic. The TIME column lives INSIDE the plan; the comparable
+    * output edge is integer microseconds (DuckDB datediff µs vs Spark's
+    * exact TIME→DECIMAL(20,6) seconds-of-day ×1e6) — TIME itself has no
+    * parquet encoding for the verify gate to hash.
+    */
+  val fTime = Q(
+    "f_time",
+    """SELECT event_id AS k,
+      |  datediff('microseconds', TIME '00:00:00', CAST(ts AS TIME)) AS us_of_day,
+      |  CAST(hour(CAST(ts AS TIME)) AS INT) AS h,
+      |  CAST(minute(CAST(ts AS TIME)) AS INT) AS mi,
+      |  CAST(datepart('microsecond', CAST(ts AS TIME)) AS BIGINT) AS us_in_min
+      |FROM events ORDER BY k ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.conf.set("spark.sql.timeType.enabled", "true")
+    val t = expr("to_time(date_format(ts, 'HH:mm:ss.SSSSSS'))")
+    s.table("events")
+      .select(col("event_id").as("k"), t.as("t"))
+      .select(col("k"),
+        (col("t").cast(DecimalType(20, 6)) * 1000000)
+          .cast(LongType).as("us_of_day"),
+        hour(col("t")).cast(IntegerType).as("h"),
+        minute(col("t")).cast(IntegerType).as("mi"),
+        // DuckDB's microsecond part is sub-MINUTE µs (seconds ×1e6 + µs)
+        (expr("extract(SECOND FROM t)") * 1000000).cast(LongType).as("us_in_min"))
+      .orderBy(col("k").asc_nulls_last)
+  }
+
   val all: Seq[Q] = Seq(
     fMath, fString, fString2, fRegex, fDatetime, fList, fStructMap, fJson,
-    fJsonIntrospect)
+    fJsonIntrospect, fTime)
 }

@@ -11,8 +11,10 @@ import graft.engine.Gateway
   * Jackson-backed `expressions/JsonIntrospect` kernels with
   * DuckDB-pinned semantics (GatewaySpec "batch 8" asserts the
   * boundary cases; f_json_introspect oracle-gates them per round).
-  * get_current_time returns VARCHAR (Spark has no TIME type —
-  * documented divergence).
+  * Since round 7, TIME is served as Spark 4.1's native TimeType
+  * (gateway sessions enable spark.sql.timeType.enabled): the probes
+  * below assert get_current_time / TIME literals / ts::TIME come back
+  * TYPED, closing the round-6 "TIME round-trips as VARCHAR" divergence.
   */
 class GapProbe7 extends AnyFunSuite {
   import TestSpark._
@@ -66,6 +68,20 @@ class GapProbe7 extends AnyFunSuite {
         case e: Throwable =>
           info(s"GAP  $name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(1).mkString.take(130)}")
       }
+    }
+  }
+
+  test("TIME probes return TYPED values (round-7: native TimeType)") {
+    import org.apache.spark.sql.types.TimeType
+    for (sql <- Seq(
+        "SELECT get_current_time() AS t",
+        "SELECT TIME '23:59:59.999999' AS t",
+        "SELECT CAST(TIMESTAMP '2024-06-01 08:30:00' AS TIME) AS t",
+        "SELECT make_time(1, 2, 3.5) AS t")) {
+      val df = gw.sql(sql)
+      assert(df.schema.head.dataType.isInstanceOf[TimeType],
+        s"$sql -> ${df.schema.head.dataType}")
+      assert(df.collect().head.get(0) != null, sql)
     }
   }
 }

@@ -808,6 +808,34 @@ class GatewaySpec extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
 
+  test("round-7: native TIME type (literals, casts, extraction, arithmetic) matches DuckDB") {
+    import org.apache.spark.sql.types.TimeType
+    // values pinned against DuckDB 1.x on the same statements
+    val df = gw.sql(
+      """SELECT TIME '12:34:56.789123' AS t,
+        |  CAST('07:08:09' AS TIME) AS c,
+        |  CAST(TIMESTAMP '2024-01-01 10:20:30.123456' AS TIME) AS tod,
+        |  CAST(hour(TIME '12:34:56.789123') AS INT) AS h,
+        |  CAST(extract(minute FROM TIME '12:34:56.789123') AS INT) AS mi,
+        |  TIME '12:00:00' + INTERVAL 90 MINUTE AS plus,
+        |  TIME '12:00:00' < TIME '13:00:00' AS lt,
+        |  get_current_time() IS NOT NULL AS now_ok""".stripMargin)
+    // typed, not VARCHAR: the round-6 documented divergence is closed
+    for (c <- Seq("t", "c", "tod", "plus"))
+      assert(df.schema(c).dataType.isInstanceOf[TimeType],
+        s"$c: ${df.schema(c).dataType}")
+    val r = df.collect().head
+    assert(r.get(0).toString == "12:34:56.789123")
+    assert(r.get(1).toString == "07:08:09")
+    assert(r.get(2).toString == "10:20:30.123456") // ts::TIME rewrite rule
+    assert(r.getInt(3) == 12 && r.getInt(4) == 34)
+    assert(r.get(5).toString == "13:30")
+    assert(r.getBoolean(6) && r.getBoolean(7))
+    // the Arrow serving path (Flight DoGet) must carry TIME too
+    val ipc = gw.arrowStream("SELECT TIME '12:34:56.789123' AS t").toSeq
+    assert(ipc.nonEmpty && ipc.map(_.length).sum > 0)
+  }
+
   test("round-7 hardening: range column name, override fallbacks, named-arg diagnostics") {
     // FROM range(...) keeps the native distributed TVF but the output
     // column is DuckDB's `range`, not Spark's `id` (r6 ADVICE)
