@@ -26,7 +26,7 @@ object Dialect {
     *     (reference smoke query, /root/reference/main.go:77)
     */
   private val passes: Seq[String => String] = Seq(
-    normalizeWs, rewriteBlob, rewriteBraceLiterals, rewriteBrackets,
+    normalizeWs, rewriteBlob, rewriteBitCasts, rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
     rewriteTimestampTz, rewriteAtTimeZone, rewritePowOp,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
@@ -423,6 +423,108 @@ object Dialect {
       .replaceAll("(?i)\\bAS\\s+BLOB\\s*\\)", "AS BINARY)")
   }
 
+  /** DuckDB BIT (bitstring) casts — `e::BIT` and `CAST(e AS BIT)` →
+    * `graft_bit(e)` (Functions kernel; the engine's BIT representation
+    * is a '0'/'1' STRING, SURVEY §1.4). Spark has no BIT type name, so
+    * the cast must become a call; the `::` operand is recovered by a
+    * bounded left scan over the primary expression (literal, number,
+    * dotted identifier, or balanced group with a call-name prefix) —
+    * an unrecognized shape is left for the parser to diagnose.
+    */
+  private def rewriteBitCasts(sql: String): String = {
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val opq = consumeOpaque(sql, i, null)
+      if (opq > i) i = opq
+      else if (sql.startsWith("::", i)) {
+        var k = i + 2
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        var j = k
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_')) j += 1
+        if (sql.substring(k, j).equalsIgnoreCase("BIT") &&
+            (j >= sql.length || sql.charAt(j) != '(')) {
+          val start = operandStart(sql, i)
+          if (start >= 0)
+            return rewriteBitCasts(sql.substring(0, start) + "graft_bit(" +
+              sql.substring(start, i) + ")" + sql.substring(j))
+          else i = j
+        } else i = j.max(i + 2)
+      } else if ((up.startsWith("TRY_CAST", i) || up.startsWith("CAST", i)) &&
+          wordStart(sql, i)) {
+        val nameLen = if (up.startsWith("TRY_CAST", i)) 8 else 4
+        var k = i + nameLen
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k < sql.length && sql.charAt(k) == '(') {
+          splitCallArgs(sql, k) match {
+            case Some((_, end)) =>
+              val body = sql.substring(k + 1, end - 1)
+              """(?is)^(.*)\bAS\s+BIT\s*$""".r.findFirstMatchIn(body) match {
+                case Some(m) =>
+                  return rewriteBitCasts(sql.substring(0, i) +
+                    s"graft_bit(${m.group(1).trim})" + sql.substring(end))
+                case None => i = k + 1 // scan inside for nested casts
+              }
+            case None => i += nameLen
+          }
+        } else i += nameLen
+      } else i += 1
+    }
+    sql
+  }
+
+  /** Start of the primary expression ending just before `pos` (the
+    * operand of a postfix `::` cast); -1 when the shape isn't one the
+    * scan recognizes.
+    */
+  private def operandStart(sql: String, pos: Int): Int = {
+    var k = pos - 1
+    while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+    if (k < 0) return -1
+    sql.charAt(k) match {
+      case q @ ('\'' | '"') =>
+        var j = k - 1
+        var open = -1
+        while (open < 0 && j >= 0) {
+          if (sql.charAt(j) == q) {
+            if (j - 1 >= 0 && sql.charAt(j - 1) == q) j -= 2 // '' = escaped
+            else open = j
+          } else j -= 1
+        }
+        open
+      case ')' | ']' =>
+        var depth = 0
+        var j = k
+        var inQ: Char = 0
+        while (j >= 0) {
+          val c = sql.charAt(j)
+          if (inQ != 0) { if (c == inQ) inQ = 0 }
+          else c match {
+            case ')' | ']' => depth += 1
+            case '(' | '[' =>
+              depth -= 1
+              if (depth == 0) {
+                var h = j - 1
+                while (h >= 0 && (sql.charAt(h).isLetterOrDigit ||
+                  sql.charAt(h) == '_' || sql.charAt(h) == '.')) h -= 1
+                return h + 1
+              }
+            case '\'' | '"' => inQ = c
+            case _ =>
+          }
+          j -= 1
+        }
+        -1
+      case c if c.isLetterOrDigit || c == '_' =>
+        var j = k
+        while (j >= 0 && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_' || sql.charAt(j) == '.')) j -= 1
+        j + 1
+      case _ => -1
+    }
+  }
+
   /** DuckDB FROM-position table functions Spark lacks:
     * `FROM generate_series(…)` and `FROM unnest(list)` become inline
     * explode subqueries with DuckDB's output column name (the TVF's own
@@ -482,7 +584,8 @@ object Dialect {
     *    nesting level, the documented list-of-list case; struct
     *    unnesting and deeper nests stay unsupported.
     */
-  private val namedArgFns = Seq("STRUCT_PACK", "STRUCT_INSERT", "UNNEST")
+  private val namedArgFns =
+    Seq("STRUCT_PACK", "STRUCT_INSERT", "UNNEST", "UNION_VALUE")
   private def rewriteNamedArgCalls(sql: String): String = {
     val up = sql.toUpperCase
     var i = 0
@@ -514,6 +617,8 @@ object Dialect {
                   case "STRUCT_INSERT" =>
                     s"struct_insert(${args.head.trim}, " +
                       s"${args.tail.map(_.trim).map(pair).mkString(", ")})"
+                  case "UNION_VALUE" =>
+                    s"union_value(${args.map(_.trim).map(pair).mkString(", ")})"
                   case "UNNEST" =>
                     val (rec, rest) = args.map(_.trim)
                       .partition(_.matches("(?is)recursive\\s*:=\\s*true\\s*"))

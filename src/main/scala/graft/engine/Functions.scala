@@ -563,6 +563,42 @@ object Functions {
     // ---- round-6 batch 8: DuckDB JSON introspection (Jackson-backed
     // static kernels, graft/engine/expressions/JsonIntrospect.scala —
     // semantics DuckDB-verified, see Scaladoc there)
+    // ---- round-7: BIT (bitstring) family. Representation: a STRING of
+    // '0'/'1' (SURVEY §1.4) — DuckDB itself prints/compares BIT as that
+    // text, so the encoding round-trips VARCHAR casts verbatim. Integer
+    // → BIT is the two's-complement pattern at the source type's width
+    // (INT 32, BIGINT 64), exactly DuckDB's cast.
+    "graft_bit" -> { case Seq(e) => bitOf(e) },
+    "bitstring" -> { case Seq(s, n) =>
+      call("lpad", Seq(bitOf(s), n, Literal("0"))) },
+    "get_bit" -> { case Seq(b, i) =>
+      Cast(Substring(b, Add(Cast(i, org.apache.spark.sql.types.IntegerType),
+        Literal(1)), Literal(1)), org.apache.spark.sql.types.IntegerType) },
+    "set_bit" -> { case Seq(b, i, v) =>
+      val ii = Cast(i, org.apache.spark.sql.types.IntegerType)
+      Concat(Seq(Substring(b, Literal(1), ii),
+        Cast(v, org.apache.spark.sql.types.StringType),
+        call("substring", Seq(b, Add(ii, Literal(2)))))) },
+    "bitstring_agg" -> {
+      case Seq(x) => bitstringAgg(x, call("min", Seq(x)), call("max", Seq(x)))
+      case Seq(x, lo, hi) => bitstringAgg(x, lo, hi)
+    },
+    // ---- round-7: UNION data type — struct(tag, member…) encoding
+    // (SURVEY §1.4). union_value arrives via the Dialect := rewrite as
+    // union_value('tag', v).
+    "union_value" -> { case Seq(Literal(tag, _), v) if tag != null =>
+      CreateNamedStruct(Seq(Literal("tag"), Literal(tag.toString),
+        Literal(tag.toString), v)) },
+    "union_tag" -> { case Seq(u) =>
+      org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(u, Literal("tag")) },
+    "union_extract" -> { case Seq(u, Literal(m, _)) if m != null =>
+      val tag = org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(u, Literal("tag"))
+      If(EqualTo(tag, Literal(m.toString)),
+        org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(u, Literal(m.toString)),
+        Literal(null, org.apache.spark.sql.types.NullType)) },
     "json_type" -> {
       case Seq(j) => jsonInvoke("jsonType", Seq(j))
       case Seq(j, p) => jsonInvoke("jsonTypePath", Seq(j, p))
@@ -657,6 +693,14 @@ object Functions {
       case Seq(e) => Cast(e, org.apache.spark.sql.types.BinaryType)
       case Seq(s, cs) => Encode(s, cs)
     },
+    // DuckDB bit_count on a BIT ('0'/'1' string): count set bits; the
+    // integral forms keep Spark's native builtin via fallback
+    "bit_count" -> { case Seq(e) if e.resolved &&
+        e.dataType == org.apache.spark.sql.types.StringType =>
+      Cast(call("length", Seq(call("replace",
+        Seq(e, Literal("0"), Literal(""))))),
+        org.apache.spark.sql.types.LongType)
+    },
     "len" -> { case Seq(e) =>
       // Spark aliases len → length (string/binary only); DuckDB's len is
       // primarily list length — dispatch on the resolved input type
@@ -745,6 +789,63 @@ object Functions {
       ArrayTransform(call("slice", Seq(sorted, Literal(1), n)),
         lam(vs => org.apache.spark.sql.catalyst.analysis
           .UnresolvedExtractValue(vs(0), Literal("x")), 1))
+  }
+
+  /** Value → BIT ('0'/'1' STRING): strings validate, integers render
+    * their two's-complement pattern at source width (DuckDB cast
+    * semantics: INT → 32 bits, BIGINT → 64). The assert_true wrapper
+    * makes an invalid string a runtime conversion error (DuckDB-like
+    * message), not a silent pass-through.
+    */
+  private def bitOf(e: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case ByteType | ShortType | IntegerType =>
+        call("lpad", Seq(call("bin", Seq(
+          BitwiseAnd(Cast(e, LongType), Literal(0xFFFFFFFFL)))),
+          Literal(32), Literal("0")))
+      case LongType =>
+        call("lpad", Seq(call("bin", Seq(e)), Literal(64), Literal("0")))
+      case _ =>
+        Coalesce(Seq(
+          Cast(call("assert_true", Seq(RLike(e, Literal("^[01]+$")),
+            Concat(Seq(Literal("Invalid character encountered in string " +
+              "-> bit conversion: '"), e, Literal("'"))))), StringType),
+          Cast(e, StringType)))
+    }
+  }
+
+  /** DuckDB bitstring_agg(x[, lo, hi]): a BIT with bit v−lo set for
+    * every DISTINCT value v — ONE collect_set aggregation, then a pure
+    * fold over the sorted set (runs of '0' emitted between consecutive
+    * values), so the kernel never materializes a position-per-bit
+    * relation. Defaults lo/hi to min(x)/max(x) like DuckDB.
+    */
+  private def bitstringAgg(x: Expression, lo: Expression, hi: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    def fld(st: Expression, name: String) =
+      org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(st, Literal(name))
+    val sorted = call("array_sort", Seq(call("collect_set", Seq(x))))
+    val st0 = CreateNamedStruct(Seq(
+      Literal("prev"), Subtract(Cast(lo, LongType), Literal(1L)),
+      Literal("acc"), Literal("")))
+    val merge = lam(vs => {
+      val (st, v) = (vs(0), vs(1))
+      CreateNamedStruct(Seq(
+        Literal("prev"), Cast(v, LongType),
+        Literal("acc"), Concat(Seq(fld(st, "acc"),
+          call("repeat", Seq(Literal("0"),
+            Cast(Subtract(Subtract(Cast(v, LongType), fld(st, "prev")),
+              Literal(1L)), IntegerType))),
+          Literal("1")))))
+    }, 2)
+    val finish = lam(vs => fld(vs(0), "acc"), 1)
+    val folded = call("aggregate", Seq(sorted, st0, merge, finish))
+    // tail zeros to hi (empty when hi defaults to max(x))
+    Concat(Seq(folded, call("repeat", Seq(Literal("0"),
+      Cast(Subtract(Cast(hi, LongType), Cast(call("max", Seq(x)), LongType)),
+        IntegerType)))))
   }
 
   /** DuckDB list_sort flag mapping (see shim above). */

@@ -9,10 +9,12 @@ import graft.engine.Gateway
   * the probe record (same pattern as GapProbe2/3/4).
   *
   * Expected residual GAPs (deliberate):
-  *  - bitstring_agg / union_type: DuckDB's BIT and UNION data types
-  *    have no Spark analog — documented non-goals;
   *  - checkpoint_stmt: CHECKPOINT writes; the read-only gateway
   *    rejects it exactly like the reference's access_mode=read_only DB.
+  * bitstring_agg / union_type flipped OK in round 7: BIT is served as a
+  * '0'/'1' STRING with graft_bit/bit_count/bitstring_agg kernels and
+  * UNION as the struct(tag, member) encoding (GatewaySpec "round-7: BIT
+  * bitstrings and UNION values" pins DuckDB-matching results).
   */
 class GapProbe5 extends AnyFunSuite {
   import TestSpark._

@@ -836,6 +836,38 @@ class GatewaySpec extends AnyFunSuite {
     assert(ipc.nonEmpty && ipc.map(_.length).sum > 0)
   }
 
+  test("round-7: BIT bitstrings and UNION values match DuckDB") {
+    // expected values pinned against DuckDB 1.x on identical statements
+    val bit = gw.sql(
+      """SELECT CAST(7::BIT AS VARCHAR) AS b32,
+        |  bit_count(7::BIT) AS c7,
+        |  '0101'::BIT AS b, bit_count('0101'::BIT) AS c,
+        |  bitstring('0101', 8) AS bs,
+        |  get_bit('0110'::BIT, 1) AS g,
+        |  set_bit('0110'::BIT, 0, 1) AS s,
+        |  bit_count(5) AS native_int""".stripMargin).collect().head
+    assert(bit.getString(0) == "00000000000000000000000000000111")
+    assert(bit.getLong(1) == 3L)
+    assert(bit.getString(2) == "0101" && bit.getLong(3) == 2L)
+    assert(bit.getString(4) == "00000101")
+    assert(bit.getInt(5) == 1)
+    assert(bit.getString(6) == "1110")
+    assert(bit.getInt(7) == 2) // integral arg fell through to the builtin
+    val agg = gw.sql(
+      """SELECT bitstring_agg(x, 0, 7) AS b
+        |FROM (VALUES (1), (3), (5)) t(x)""".stripMargin).collect().head
+    assert(agg.getString(0) == "01010100") // pinned vs DuckDB
+    // invalid bitstring text is a runtime conversion error, like DuckDB
+    intercept[Exception](gw.sql("SELECT 'x2'::BIT AS b").collect())
+    val u = gw.sql(
+      """SELECT union_tag(union_value(num := 2)) AS t,
+        |  union_extract(union_value(num := 2), 'num') AS v,
+        |  union_value(s := 'hi') AS uv""".stripMargin).collect().head
+    assert(u.getString(0) == "num")
+    assert(u.getInt(1) == 2)
+    assert(u.getStruct(2).getString(0) == "s" && u.getStruct(2).getString(1) == "hi")
+  }
+
   test("round-7 hardening: range column name, override fallbacks, named-arg diagnostics") {
     // FROM range(...) keeps the native distributed TVF but the output
     // column is DuckDB's `range`, not Spark's `id` (r6 ADVICE)
