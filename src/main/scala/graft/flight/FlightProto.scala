@@ -415,6 +415,19 @@ object FlightProto {
     "type.googleapis.com/arrow.flight.protocol.sql.CommandGetTables"
   val GetTableTypesUrl =
     "type.googleapis.com/arrow.flight.protocol.sql.CommandGetTableTypes"
+  // constraint/type-info metadata commands a stock ADBC GetObjects
+  // (depth=all) issues; the engine has no declared constraints, so these
+  // answer the spec'd schemas with zero rows (FlightServer.metaDf)
+  val GetPrimaryKeysUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetPrimaryKeys"
+  val GetImportedKeysUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetImportedKeys"
+  val GetExportedKeysUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetExportedKeys"
+  val GetCrossReferenceUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetCrossReference"
+  val GetXdbcTypeInfoUrl =
+    "type.googleapis.com/arrow.flight.protocol.sql.CommandGetXdbcTypeInfo"
 
   /** CommandGetDbSchemas: catalog=1, db_schema_filter_pattern=2. */
   final case class CommandGetDbSchemas(

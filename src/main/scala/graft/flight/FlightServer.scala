@@ -279,6 +279,36 @@ final class FlightServer(gateway: Gateway, port: Int) {
       case a if a.typeUrl == GetTableTypesUrl =>
         sess.sql("""SELECT DISTINCT table_type
                    |FROM duckdb_tables ORDER BY table_type""".stripMargin)
+      // parquet-backed relations declare no key constraints (exactly the
+      // reference: DuckDB over read-only parquet views exposes none), so
+      // the constraint commands answer their spec'd schemas with ZERO
+      // rows — stock ADBC GetObjects(depth=all) then completes instead
+      // of surfacing a gRPC UNIMPLEMENTED from the driver
+      case a if a.typeUrl == GetPrimaryKeysUrl =>
+        emptyMeta(sess,
+          "catalog_name STRING, db_schema_name STRING, table_name STRING, " +
+            "column_name STRING, key_name STRING, key_sequence INT")
+      case a if a.typeUrl == GetImportedKeysUrl ||
+          a.typeUrl == GetExportedKeysUrl ||
+          a.typeUrl == GetCrossReferenceUrl =>
+        emptyMeta(sess,
+          "pk_catalog_name STRING, pk_db_schema_name STRING, " +
+            "pk_table_name STRING, pk_column_name STRING, " +
+            "fk_catalog_name STRING, fk_db_schema_name STRING, " +
+            "fk_table_name STRING, fk_column_name STRING, " +
+            "key_sequence INT, fk_key_name STRING, pk_key_name STRING, " +
+            "update_rule SMALLINT, delete_rule SMALLINT")
+      case a if a.typeUrl == GetXdbcTypeInfoUrl =>
+        emptyMeta(sess,
+          "type_name STRING, data_type INT, column_size INT, " +
+            "literal_prefix STRING, literal_suffix STRING, " +
+            "create_params ARRAY<STRING>, nullable INT, " +
+            "case_sensitive BOOLEAN, searchable INT, " +
+            "unsigned_attribute BOOLEAN, fixed_prec_scale BOOLEAN, " +
+            "auto_increment BOOLEAN, local_type_name STRING, " +
+            "minimum_scale INT, maximum_scale INT, sql_data_type INT, " +
+            "datetime_subcode INT, num_prec_radix INT, " +
+            "interval_precision INT")
       case a if a.typeUrl == GetTablesUrl =>
         val c = CommandGetTables.fromBytes(a.value)
         val conds = c.catalog.map(v => s"database_name = '${esc(v)}'") ++
@@ -313,6 +343,14 @@ final class FlightServer(gateway: Gateway, port: Int) {
         }
     }
   }
+
+  /** Zero-row DataFrame with the given DDL schema (metadata commands the
+    * engine answers structurally-empty; no job is launched).
+    */
+  private def emptyMeta(sess: org.apache.spark.sql.SparkSession,
+      ddl: String): org.apache.spark.sql.DataFrame =
+    sess.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   // ---- prepared-statement RPCs ----------------------------------------
 

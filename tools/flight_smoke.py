@@ -154,6 +154,29 @@ table = client.do_get(info.endpoints[0].ticket).read_all()
 print(table)
 assert table.column("table_name").to_pylist() == ["orders"], table
 
+# the constraint/type-info commands a stock ADBC GetObjects(depth=all)
+# issues: spec'd schemas, zero rows, no gRPC error
+pk_cmd = meta_cmd("CommandGetPrimaryKeys", pb_ld(3, "orders"))
+info = client.get_flight_info(flight.FlightDescriptor.for_command(pk_cmd))
+table = client.do_get(info.endpoints[0].ticket).read_all()
+assert table.num_rows == 0, table
+assert table.column_names[:4] == [
+    "catalog_name", "db_schema_name", "table_name", "column_name"], table
+
+for name in ("CommandGetImportedKeys", "CommandGetExportedKeys"):
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(meta_cmd(name, pb_ld(3, "orders"))))
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.num_rows == 0, table
+    assert "pk_table_name" in table.column_names, table
+    assert "fk_table_name" in table.column_names, table
+
+info = client.get_flight_info(
+    flight.FlightDescriptor.for_command(meta_cmd("CommandGetXdbcTypeInfo")))
+table = client.do_get(info.endpoints[0].ticket).read_all()
+assert table.num_rows == 0, table
+assert table.column_names[0] == "type_name" and "data_type" in table.column_names
+
 # a backslash-quote pattern must stay INSIDE the literal (no SQL
 # injection through the metadata filter): zero rows, not an error and
 # not the full catalog
