@@ -412,15 +412,43 @@ object Dialect {
   }
 
   private def rewriteBlob(sql: String): String = {
-    val lit = blobLitRe.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"unhex('${literalToHex(m.group(1))}')"))
-    val litCast = blobLitCastRe.replaceAllIn(lit, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"unhex('${literalToHex(m.group(1))}')"))
-    litCast
-      .replaceAll("(?i)::\\s*BLOB\\b", "::BINARY")
-      .replaceAll("(?i)\\bAS\\s+BLOB\\s*\\)", "AS BINARY)")
+    // hand scan, NOT whole-string replaceAll: a `'…'::BLOB` shape inside
+    // a quoted identifier or comment must survive verbatim (the
+    // literal-safety property pins this). A string literal directly
+    // followed by ::BLOB IS the rewrite target, so the quote position
+    // tries the blob-literal match BEFORE consuming the literal opaquely.
+    val sb = new StringBuilder
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        blobLitRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            sb.append(s"unhex('${literalToHex(m.group(1))}')"); i += m.end
+          case None => i = consumeOpaque(sql, i, sb)
+        }
+      } else if (c == '"' || sql.startsWith("--", i) || sql.startsWith("/*", i)) {
+        i = consumeOpaque(sql, i, sb)
+      } else if (up.startsWith("CAST", i) && wordStart(sql, i)) {
+        blobLitCastRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            sb.append(s"unhex('${literalToHex(m.group(1))}')"); i += m.end
+          case None => sb.append(c); i += 1
+        }
+      } else if (sql.startsWith("::", i)) {
+        """(?i)^::\s*BLOB\b""".r.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) => sb.append("::BINARY"); i += m.end
+          case None => sb.append(c); i += 1
+        }
+      } else if (up.startsWith("AS", i) && wordStart(sql, i)) {
+        """(?i)^AS\s+BLOB\s*\)""".r.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) => sb.append("AS BINARY)"); i += m.end
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** DuckDB BIT (bitstring) casts — `e::BIT` and `CAST(e AS BIT)` →

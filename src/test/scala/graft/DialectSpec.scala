@@ -126,6 +126,58 @@ class DialectSpec extends AnyFunSuite {
     assert("LATERAL".r.findAllIn(two).size == 2, two)
   }
 
+  test("property: every rewrite trigger embedded in a literal or quoted identifier survives verbatim") {
+    // one trigger per Dialect pass (the pipeline's 24 passes all claim
+    // "string literals and quoted identifiers are never rewritten" —
+    // this pins the invariant for all of them at once)
+    val triggers = Seq(
+      "'ab'::BLOB", "CAST('x' AS BLOB)",          // rewriteBlob
+      "7::BIT", "CAST(x AS BIT)",                 // rewriteBitCasts
+      "{'a': 1}", "MAP {'k': 2}",                 // rewriteBraceLiterals
+      "[1,2,3]", "l[2]", "l[2:4]",                // rewriteBrackets
+      "struct_pack(a := 1)", "union_value(n := 2)", // rewriteNamedArgCalls
+      "lag(x IGNORE NULLS)",                      // rewriteIgnoreNulls
+      "TIMESTAMPTZ '2024-01-01'",                 // rewriteTimestampTz
+      "x AT TIME ZONE 'UTC'",                     // rewriteAtTimeZone
+      "2 ^ 3",                                    // rewritePowOp
+      "a // b", "x GLOB 'p*'", "j ->> 'a'",       // rewriteOperators
+      "FROM range(5)", "FROM unnest([1])",        // rewriteFromTvf
+      "FROM generate_series(1, 3)",
+      "USING SAMPLE 10%",                         // rewriteSample
+      "> ALL (SELECT 1)", "= ANY (SELECT 1)",     // rewriteQuantified
+      "count(*) OVER ()",                         // rewriteEmptyOver
+      "count(*) FILTER (WHERE x > 1)",            // rewriteBareFilter
+      "list(x ORDER BY y)",                       // rewriteAggOrderBy
+      "* EXCLUDE (a)", "* REPLACE (b AS a)",      // rewriteStarModifiers
+      "SELECT DISTINCT ON (a) b",                 // rewriteDistinctOn
+      "ASOF JOIN t ON a.ts >= t.ts",              // rewriteAsOf
+      "QUALIFY rn = 1",                           // rewriteQualify
+      "duckdb_tables()", "duckdb_columns()",      // rewriteCatalogFns
+      "datediff('day', a, b)",                    // rewriteDateDiff
+      "x::VARCHAR", "CAST(x AS HUGEINT)")         // rewriteCastTypes
+    val noise = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))))
+    val embed = Gen.oneOf(0, 1) // 0 = string literal, 1 = quoted identifier
+    val cases = for {
+      t <- Gen.oneOf(triggers); pre <- noise; post <- noise; e <- embed
+    } yield (t, pre, post, e)
+    TestProps.forAll(cases) { case (t, pre, post, e) =>
+      val payload = pre + t + post
+      val (sql, embedded) =
+        if (e == 0) {
+          val lit = "'" + payload.replace("'", "''") + "'"
+          (s"SELECT $lit AS c FROM t", lit)
+        } else {
+          val id = "\"" + payload.replace("\"", "\"\"") + "\""
+          (s"SELECT x AS $id FROM t", id)
+        }
+      val out = Dialect.rewrite(sql)
+      assert(out.contains(embedded),
+        s"embedded ${if (e == 0) "literal" else "identifier"} was rewritten:" +
+          s"\n  in:  $sql\n  out: $out")
+    }
+  }
+
   test("property: jaro/jaro-winkler bounds, identity, symmetry") {
     import graft.engine.expressions.StringSim
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
