@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the "[info] " prefix the logger adds
+// has defeated the driver's JSON parse of Bench's metric line two rounds
+// running (BENCH parsed:null) — with StdoutOutput the line arrives bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -88,6 +88,9 @@ object Bench {
       // same ANSI default as Verify/Serve (SURVEY §7.3): on, green either way
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      // native TimeType (f_time) — a builder setting, not per-query conf
+      // mutation, so concurrent statement workers never race on session state
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -325,16 +328,55 @@ object Bench {
       s""""ambient_load":${r1(ambientLoad)},"extra_passes":${passes.size - 2},""" +
       s""""clean_passes":${clean.size},"loadavg":"$loadavg""""
 
+    // Same-host oracle seconds IN the artifact: the 2x perf gate needs
+    // both sides of the ratio, but the driver records only engine wall —
+    // so run the DuckDB oracle suite here (after the engine passes, host
+    // now idle) and embed it. SPARK_GRAFT_ORACLE_CMD overrides the
+    // command ("" disables); default is tools/oracle_bench.py when it
+    // exists and python3+duckdb import cleanly. -1 = not measured.
+    val oracleSec: Double = {
+      val cmd = sys.env.get("SPARK_GRAFT_ORACLE_CMD").orElse {
+        val script = java.nio.file.Paths.get("tools/oracle_bench.py")
+        if (java.nio.file.Files.exists(script)) Some(s"python3 $script")
+        else None
+      }.filter(_.nonEmpty)
+      cmd.fold(-1.0) { c =>
+        try {
+          val sqlPath = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+          java.nio.file.Files.writeString(sqlPath, Verify.oracleSqlJson)
+          val pb = new ProcessBuilder("bash", "-c", s"$c $sqlPath '$sfDir'")
+          pb.redirectErrorStream(false)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+          val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) { proc.destroyForcibly(); -1.0 }
+          else {
+            if (err.nonEmpty) System.err.println(s"[bench] oracle stderr: $err")
+            // a partially-failed oracle suite (non-zero exit) must not
+            // pose as a comparable wall time
+            if (proc.exitValue() != 0) -1.0
+            else out.trim.split("\\s+").last.toDouble
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] oracle timing skipped: ${e.getMessage}")
+          -1.0
+        }
+      }
+    }
+    val oracleJson = s""""oracle_sec":$oracleSec,"ratio":${
+      if (oracleSec > 0) math.round(total / oracleSec * 100) / 100.0 else -1.0}"""
+
     val qs = queries.map { case (k, _) =>
       "\"" + k + "\":" + minT(k)
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$audit}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$audit,$oracleJson}"""
     println(full)
     // compact duplicate LAST: the driver captures only the tail of stdout,
     // and the ~3 KB per-query line above can get head-truncated
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length},$audit}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${queries.length},$audit,$oracleJson}"""
     println(compact)
     // sbt prefixes stdout with "[info] ", which defeats the driver's JSON
     // parser (BENCH "parsed": null two rounds running) — emit one copy on

@@ -358,7 +358,10 @@ object FunctionQueries {
       |  CAST(datepart('microsecond', CAST(ts AS TIME)) AS BIGINT) AS us_in_min
       |FROM events ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
-    s.conf.set("spark.sql.timeType.enabled", "true")
+    // spark.sql.timeType.enabled is a session-builder concern: Gateway
+    // sets it for serving sessions (Gateway.scala:960) and Verify/Bench
+    // set it in their builders — mutating shared-session conf here would
+    // race with Bench's concurrent statement workers
     val t = expr("to_time(date_format(ts, 'HH:mm:ss.SSSSSS'))")
     s.table("events")
       .select(col("event_id").as("k"), t.as("t"))

@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       // same ANSI default as Verify/Bench/Serve (SURVEY §7.3)
       .config("spark.sql.ansi.enabled", "true")
+      // native TimeType, same as the Verify/Bench/Gateway builders —
+      // f_time no longer mutates session conf from inside its lambda
+      .config("spark.sql.timeType.enabled", "true")
       // the full serving stack (dialect parser + ASOF strategy +
       // ReadOnlyGuard) — every spec's SQL exercises the injected parser
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
