@@ -28,11 +28,12 @@ object Dialect {
   private val passes: Seq[String => String] = Seq(
     normalizeWs, rewriteBlob, rewriteBitCasts, rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
-    rewriteTimestampTz, rewriteAtTimeZone, rewritePowOp,
+    rewriteTimestampTz, rewriteAtTimeZone, rewritePowOp, rewriteFactorial,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
     rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
-    rewriteDistinctOn, rewriteAsOf, rewriteQualify, rewriteCatalogFns,
+    rewriteDistinctOn, rewriteAsOf, rewriteGroupsFrame, rewriteQualify,
+    rewriteCatalogFns,
     rewriteDateDiff, rewriteCastTypes)
 
   def rewrite(sql: String): String =
@@ -502,6 +503,21 @@ object Dialect {
     sql
   }
 
+  // Backward jump over a block comment: `closeSlash` sits on the '/' of
+  // a star-slash terminator — returns the index of the '/' opening the
+  // matching slash-star, or -1 when unterminated. Keeps backward operand
+  // scans from counting brackets/quotes INSIDE comments: a bracket-
+  // bearing comment in a call argument list, followed by ::BIT, must
+  // still recover the full call as the cast operand.
+  private def blockCommentOpener(sql: String, closeSlash: Int): Int = {
+    var j = closeSlash - 2
+    while (j > 0) {
+      if (sql.charAt(j) == '*' && sql.charAt(j - 1) == '/') return j - 1
+      j -= 1
+    }
+    -1
+  }
+
   /** Start of the primary expression ending just before `pos` (the
     * operand of a postfix `::` cast); -1 when the shape isn't one the
     * scan recognizes.
@@ -528,6 +544,12 @@ object Dialect {
         while (j >= 0) {
           val c = sql.charAt(j)
           if (inQ != 0) { if (c == inQ) inQ = 0 }
+          else if (c == '/' && j > 0 && sql.charAt(j - 1) == '*') {
+            // end of a block comment: its content is opaque
+            val opener = blockCommentOpener(sql, j)
+            if (opener < 0) return -1
+            j = opener
+          }
           else c match {
             case ')' | ']' => depth += 1
             case '(' | '[' =>
@@ -775,6 +797,28 @@ object Dialect {
             sb.append(s"power($left, $right)")
             rEnd
           }
+        case None => i
+      }
+    }
+
+  /** DuckDB postfix factorial: `n!` → `factorial(n)` (the Functions
+    * override with HUGEINT semantics). `!=` stays not-equals — the
+    * lexer-level distinction DuckDB itself makes: `5 ! = 3` parses as
+    * `factorial(5) = 3` there, so only `!` IMMEDIATELY followed by `=`
+    * is the comparison. `!` with no preceding primary (prefix-NOT
+    * position) and `!!`/`!~` forms are left for the parser to diagnose,
+    * as DuckDB does.
+    */
+  private def rewriteFactorial(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (sql.charAt(i) != '!' ||
+          (i + 1 < sql.length && "=!~".indexOf(sql.charAt(i + 1)) >= 0)) i
+      else backtrackPrimary(sb) match {
+        case Some(start) =>
+          val operand = sb.substring(start)
+          sb.setLength(start)
+          sb.append(s"factorial($operand)")
+          i + 1
         case None => i
       }
     }
@@ -1157,6 +1201,11 @@ object Dialect {
         while (start < 0 && p >= 0) {
           out.charAt(p) match {
             case '\'' => p = quoteOpener(p) // jump over the literal
+            case '/' if p > 0 && out.charAt(p - 1) == '*' =>
+              // block comment end: jump to its opener (comment content
+              // is opaque — brackets inside must not count)
+              p = blockCommentOpener(out.toString, p)
+              if (p < 0) return None
             case ')' => depth += 1
             case '(' => depth -= 1; if (depth == 0) start = p
             case _ =>
@@ -1763,6 +1812,114 @@ object Dialect {
     require(fi >= 0, "QUALIFY rewrite: no FROM clause found")
     val withQ = head.substring(0, fi) + s", ($pred) AS __q" + head.substring(fi)
     s"SELECT * EXCEPT (__q) FROM ($withQ) WHERE __q$tail"
+  }
+
+  /** GROUPS window frames (SQL:2011 frame mode DuckDB has and Spark's
+    * grammar lacks): over a dense_rank key, peer-group DISTANCE equals
+    * rank-value distance, so
+    *   `agg OVER ([PARTITION BY p] ORDER BY o GROUPS <frame>)`
+    * is exactly
+    *   `agg OVER ([PARTITION BY p] ORDER BY __gdr RANGE <frame>)`
+    * with `__gdr = dense_rank() OVER ([PARTITION BY p] ORDER BY o)`
+    * computed in an injected subquery around the scope's FROM…WHERE (the
+    * same rows a window sees — windows evaluate after WHERE). The frame
+    * bound TEXT carries over verbatim, CURRENT ROW included: RANGE's
+    * tie-inclusive CURRENT ROW over the rank key IS the peer group.
+    * Scopes with top-level GROUP BY/HAVING/WINDOW and frames with
+    * EXCLUDE are left untouched (Spark's parser diagnoses them), same
+    * bail discipline as the other structural rewrites. Applied at any
+    * nesting depth, innermost scope first (QUALIFY discipline).
+    */
+  private def rewriteGroupsFrame(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 32) {
+      rewriteOneGroupsFrame(cur) match {
+        case Some(next) => cur = next
+        case None => return cur
+      }
+      guard += 1
+    }
+    cur
+  }
+
+  private def rewriteOneGroupsFrame(sql: String): Option[String] = {
+    var searchFrom = 0
+    while (searchFrom < sql.length) {
+      val gi = {
+        val idx = indexOfAnyDepth(sql.substring(searchFrom), " GROUPS ")
+        if (idx < 0) return None else searchFrom + idx
+      }
+      searchFrom = gi + 1
+      // the innermost paren scope holding GROUPS must be an OVER spec:
+      // `... OVER ( [PARTITION BY p] ORDER BY o GROUPS <frame> )`
+      val (sb0, se0) = scopeBounds(sql, gi)
+      if (sb0 > 0 && se0 > sb0) {
+        val beforeParen = sql.substring(0, sb0 - 1)
+        val spec = sql.substring(sb0, se0)
+        val overOk = """(?is).*\bOVER\s*$""".r.matches(beforeParen)
+        val obIdx = indexOfTopLevel(spec, " ORDER BY ") match {
+          case -1 => if ("""(?is)^\s*ORDER\s+BY\s.*""".r.matches(spec)) 0 else -1
+          case i => i
+        }
+        val gIdx = indexOfTopLevel(spec, " GROUPS ")
+        if (overOk && obIdx >= 0 && gIdx > obIdx) {
+          val frame = spec.substring(gIdx + " GROUPS ".length).trim
+          val frameOk = """(?is)^(BETWEEN|UNBOUNDED|CURRENT|\d).*""".r.matches(frame) &&
+            !"""(?is).*\bEXCLUDE\b.*""".r.matches(frame)
+          if (frameOk) {
+            val partSpec = spec.substring(0, obIdx).trim // may be empty
+            val orderPart = spec.substring(obIdx, gIdx)
+              .replaceAll("""(?is)^\s*ORDER\s+BY\s+""", "").trim
+            // the SELECT scope enclosing this OVER clause
+            val (ss, se) = scopeBounds(sql, sb0 - 1)
+            val scope = sql.substring(ss, se)
+            rewriteGroupsScope(scope, partSpec, orderPart, frame,
+              sb0 - ss, se0 - ss).foreach { out =>
+              return Some(sql.substring(0, ss) + out + sql.substring(se))
+            }
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** One SELECT scope holding a GROUPS window at spec offsets
+    * [specStart, specEnd) (gi = the GROUPS keyword inside it). Returns
+    * None when the scope's shape can't take the subquery injection.
+    */
+  private def rewriteGroupsScope(scope: String, partSpec: String,
+      orderPart: String, frame: String,
+      specStart: Int, specEnd: Int): Option[String] = {
+    // bail: aggregation scopes (windows run post-GROUP BY there) and
+    // named-window scopes
+    if (Seq(" GROUP BY ", " HAVING ", " WINDOW ")
+        .exists(k => indexOfTopLevel(scope, k) >= 0)) return None
+    // the OVER clause must sit in the select list, before the FROM
+    val fi = indexOfTopLevel(scope, " FROM ")
+    if (fi < 0 || fi < specEnd) return None
+    // source+WHERE segment = FROM … up to the first top-level tail
+    // keyword (ORDER BY/LIMIT/…): exactly the rows the window sees
+    val afterFrom = fi + " FROM ".length
+    val tailIdx = Seq(" ORDER BY ", " LIMIT ", " OFFSET ",
+      " UNION ", " INTERSECT ", " EXCEPT ")
+      .map(k => indexOfTopLevel(scope, k)).filter(_ >= afterFrom)
+      .sorted.headOption.getOrElse(scope.length)
+    // fresh rank-column name (several GROUPS windows stack wrappers)
+    var rank = "__gdr"
+    var n = 0
+    while (scope.contains(rank)) { n += 1; rank = s"__gdr$n" }
+    val sourceWhere = scope.substring(afterFrom, tailIdx).trim
+    val inner = s"(SELECT *, dense_rank() OVER " +
+      s"(${if (partSpec.nonEmpty) partSpec + " " else ""}ORDER BY $orderPart) " +
+      s"AS $rank FROM $sourceWhere) __graft_groups$n"
+    // new OVER spec: same partition, rank-key RANGE frame
+    val newSpec = (if (partSpec.nonEmpty) partSpec + " " else "") +
+      s"ORDER BY $rank RANGE $frame"
+    val head = scope.substring(0, specStart) + newSpec + scope.substring(specEnd, fi)
+    val tail = scope.substring(tailIdx)
+    Some(s"$head FROM $inner$tail")
   }
 
   /** First index of `needle` (case-insensitive) outside literals at any

@@ -651,6 +651,13 @@ object Functions {
       case Seq(x) => Log10(x)
       case Seq(b, x) => Logarithm(b, x)
     },
+    // DuckDB factorial returns HUGEINT (21!..33! are values, not the
+    // NULL Spark's BIGINT builtin degrades to) — DECIMAL(38,0) carrier,
+    // same as every other HUGEINT in the dialect (GapProbe6 residual)
+    "factorial" -> {
+      case Seq(x) => graft.engine.expressions.Factorial38(
+        Cast(x, org.apache.spark.sql.types.LongType))
+    },
     // DuckDB repeat() also repeats LISTs; dispatch on the resolved type
     "repeat" -> {
       case Seq(x, n) if x.resolved &&

@@ -117,8 +117,10 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     }
     // transaction + maintenance statements clients emit reflexively
     // (database/sql wraps work in BEGIN/COMMIT): read-path no-ops here,
-    // like DuckDB read-only sessions. CHECKPOINT stays rejected — it
-    // writes, and the reference serves access_mode=read_only.
+    // like DuckDB read-only sessions. CHECKPOINT included: DuckDB 1.0
+    // runs it successfully on a read-only database (nothing to flush,
+    // empty `Success BOOLEAN` relation — verified against the oracle),
+    // so rejecting it was a needless divergence (GapProbe5 residual).
     trimmed match {
       case txnRe(_*) | maintRe(_*) =>
         return session.sql("SELECT true AS Success").limit(0)
@@ -389,7 +391,8 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   // in FROM position.
   private val txnRe =
     """(?is)^(?:BEGIN(?:\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT)\s*;?\s*$""".r
-  private val maintRe = """(?is)^(?:ANALYZE|VACUUM(?:\s+ANALYZE)?)\s*;?\s*$""".r
+  private val maintRe =
+    """(?is)^(?:ANALYZE|VACUUM(?:\s+ANALYZE)?|(?:FORCE\s+)?CHECKPOINT(?:\s+\w+)?)\s*;?\s*$""".r
   private val showAllTablesRe = """(?is)^SHOW\s+ALL\s+TABLES\s*;?\s*$""".r
   private val explainAnalyzeRe = """(?is)^EXPLAIN\s+ANALYZE\s+(.+)$""".r
 

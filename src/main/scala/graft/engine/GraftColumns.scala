@@ -27,4 +27,13 @@ object GraftColumns {
 
   def topBigram(text: Column): Column =
     GraftColumn.column(TopBigram(GraftColumn.expression(text)))
+
+  /** DuckDB-domain factorial (HUGEINT carrier DECIMAL(38,0), valid
+    * through 33!) — the SQL path reaches it via the `factorial`
+    * override in Functions.
+    */
+  def factorialHuge(n: Column): Column =
+    GraftColumn.column(Factorial38(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        GraftColumn.expression(n), org.apache.spark.sql.types.LongType)))
 }

@@ -3,7 +3,7 @@ package graft.engine.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, LongType}
 
 /** Number-theory and gamma-family scalars of the DuckDB dialect
   * (reached through /root/reference/main.go:229) that Spark has no
@@ -47,6 +47,25 @@ object IntMath {
   }
 
   def gamma(x: Double): Double = math.exp(lgamma(x))
+
+  /** DuckDB-domain factorial (`factorial(n)` / postfix `n!`): HUGEINT
+    * result, so 21!..33! are real values, not the NULL Spark's BIGINT
+    * builtin degrades to. n ≤ 1 — including negatives — is an empty
+    * product = 1 (DuckDB 1.0 behavior); 34! overflows HUGEINT and
+    * errors there, so it errors here instead of silently wrapping. The
+    * dialect's HUGEINT carrier is DECIMAL(38,0) (castTypeMap), which
+    * holds every representable result.
+    */
+  def factorial38(n: Long): org.apache.spark.sql.types.Decimal = {
+    if (n > 33) throw new ArithmeticException(
+      s"factorial($n): value out of range (HUGEINT holds up to 33!)")
+    var acc = java.math.BigInteger.ONE
+    var i = 2L
+    while (i <= n) {
+      acc = acc.multiply(java.math.BigInteger.valueOf(i)); i += 1
+    }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(acc), 38, 0)
+  }
 }
 
 abstract class LongBinaryMath extends BinaryExpression {
@@ -81,6 +100,28 @@ case class Lcm(left: Expression, right: Expression) extends LongBinaryMath {
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `factorial(n)` with the dialect's HUGEINT semantics (DECIMAL(38,0)
+  * carrier) — shadows Spark's BIGINT builtin, whose NULL-above-20!
+  * degradation would be a silent value divergence. Codegen like the
+  * rest of the family; the BigInteger product only runs per evaluated
+  * row of a 34-value domain, so there is nothing to cache.
+  */
+case class Factorial38(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "factorial"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integer, got ${child.dataType.simpleString}")
+  override def nullSafeEval(x: Any): Any =
+    IntMath.factorial38(x.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x =>
+      s"graft.engine.expressions.IntMath.factorial38($x)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class LogGamma(child: Expression, exp: Boolean) extends UnaryExpression {

@@ -41,6 +41,7 @@ object FunctionQueries {
       |  ROUND(radians(n_nationkey), 6) AS rd,
       |  ROUND(cbrt(n_nationkey), 6) AS cb,
       |  CAST(factorial(n_nationkey % 6) AS BIGINT) AS fact,
+      |  CAST(factorial(20 + n_nationkey % 14) AS DECIMAL(38,0)) AS bigfact,
       |  ROUND(pi(), 6) AS piv
       |FROM nation ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
@@ -66,6 +67,9 @@ object FunctionQueries {
       round(radians(k), 6).as("rd"),
       round(cbrt(k), 6).as("cb"),
       factorial(k % 6).as("fact"),
+      // HUGEINT-domain factorial (20!..33!): values Spark's BIGINT
+      // builtin can't hold — the engine's Factorial38 kernel
+      graft.engine.GraftColumns.factorialHuge((k % 14) + 20).as("bigfact"),
       round(lit(math.Pi), 6).as("piv"))
       .orderBy(col("k").asc_nulls_last)
   }

@@ -8,13 +8,12 @@ import graft.engine.Gateway
   * findings graduate into GatewaySpec/Dialect shims; this file stays as
   * the probe record (same pattern as GapProbe2/3/4).
   *
-  * Expected residual GAPs (deliberate):
-  *  - checkpoint_stmt: CHECKPOINT writes; the read-only gateway
-  *    rejects it exactly like the reference's access_mode=read_only DB.
-  * bitstring_agg / union_type flipped OK in round 7: BIT is served as a
-  * '0'/'1' STRING with graft_bit/bit_count/bitstring_agg kernels and
-  * UNION as the struct(tag, member) encoding (GatewaySpec "round-7: BIT
-  * bitstrings and UNION values" pins DuckDB-matching results).
+  * No expected residual GAPs. bitstring_agg / union_type flipped OK in
+  * round 7 (BIT as '0'/'1' STRING kernels, UNION as struct(tag, member)
+  * encoding, GatewaySpec "round-7"); checkpoint_stmt flipped OK in
+  * round 8 — DuckDB 1.0 RUNS CHECKPOINT on a read-only database as an
+  * empty-Success no-op (verified against the oracle), so the gateway
+  * now answers it the same way instead of rejecting.
   */
 class GapProbe5 extends AnyFunSuite {
   import TestSpark._

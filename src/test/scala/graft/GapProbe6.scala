@@ -11,10 +11,11 @@ import graft.engine.Gateway
   * Spark's is ln — a silent VALUE divergence; `^` parses in Spark as
   * xor but means power in DuckDB; bare VARCHAR/TEXT/BLOB cast type
   * names. nfc_normalize / format_bytes are served since batch 8
-  * (`expressions/JsonIntrospect` kernels). Expected residual GAPs
-  * (deliberate): factorial postfix `5!` (ambiguous with `!=` —
-  * factorial() works), generic GROUPS window frames (w6-style rewrites
-  * cover the declared shapes; Spark has no GROUPS mode).
+  * (`expressions/JsonIntrospect` kernels). No expected residual GAPs
+  * since round 8: postfix `5!` rewrites to factorial() (only `!`
+  * immediately followed by `=` is not-equals — DuckDB's own lexer
+  * split), and GROUPS window frames run as RANGE over an injected
+  * dense_rank (beyond-reference: DuckDB 1.0 itself rejects GROUPS).
   */
 class GapProbe6 extends AnyFunSuite {
   import TestSpark._

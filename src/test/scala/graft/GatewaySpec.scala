@@ -895,4 +895,79 @@ class GatewaySpec extends AnyFunSuite {
       gw.sql("SELECT struct_pack(a := 1, b)").collect())
     assert(e2.getMessage.contains("name := value"), e2.getMessage)
   }
+
+  test("round-8: factorial — HUGEINT domain, postfix !, != untouched") {
+    // DuckDB 1.0 pinned: factorial(25) is a value (HUGEINT), not the
+    // NULL Spark's BIGINT builtin degrades to above 20!; factorial(-1)
+    // is the empty product 1
+    val f = gw.sql(
+      """SELECT factorial(5) AS f, factorial(25) AS big,
+        |  factorial(-1) AS neg, factorial(NULL::INT) AS nul""".stripMargin)
+      .collect().head
+    assert(f.getDecimal(0).longValueExact == 120L)
+    assert(f.getDecimal(1).toBigInteger.toString ==
+      "15511210043330985984000000") // DuckDB 1.0: SELECT 25!
+    assert(f.getDecimal(2).longValueExact == 1L)
+    assert(f.isNullAt(3))
+    // 34! overflows HUGEINT — errors (DuckDB: Out of Range), never wraps
+    intercept[Exception](gw.sql("SELECT factorial(34) AS x").collect())
+    // postfix `!`: literal, parenthesized expr, and DuckDB's own
+    // lexer split — `5 ! = 120` is factorial-then-compare, `!=` is
+    // not-equals (both pinned against DuckDB 1.0)
+    val p = gw.sql(
+      "SELECT 5! AS f, (2+3)! AS g, 5 ! = 120 AS cmp, 5 != 3 AS ne, 'a!' AS lit")
+      .collect().head
+    assert(p.getDecimal(0).longValueExact == 120L)
+    assert(p.getDecimal(1).longValueExact == 120L)
+    assert(p.getBoolean(2) && p.getBoolean(3))
+    assert(p.getString(4) == "a!") // literals stay opaque
+  }
+
+  test("round-8: GROUPS window frames run as RANGE over an injected dense_rank") {
+    // beyond-reference: DuckDB 1.0 itself rejects GROUPS mode ("not
+    // implemented yet"), so expected values are hand-computed from the
+    // SQL:2011 definition (frame = peer groups within rank distance)
+    val basic = gw.sql(
+      """SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+        |FROM (VALUES (1),(2),(3)) t(x) ORDER BY s""".stripMargin).collect()
+    assert(basic.map(_.getLong(0)).toSeq == Seq(3L, 5L, 6L))
+    // ties: duplicate ORDER BY keys form ONE group — both x=1 rows see
+    // the same frame {1,1,2}; a ROWS-mode emulation would diverge here
+    val ties = gw.sql(
+      """SELECT x, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+        |FROM (VALUES (1),(1),(2),(3)) t(x) ORDER BY x, s""".stripMargin).collect()
+    assert(ties.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 4L), (1, 4L), (2, 7L), (3, 5L)))
+    // PARTITION BY carries into both the rank and the frame window
+    val part = gw.sql(
+      """SELECT p, x, sum(x) OVER (PARTITION BY p ORDER BY x
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM (VALUES ('a',1),('a',2),('b',5)) t(p,x) ORDER BY p, x""".stripMargin)
+      .collect()
+    assert(part.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1, 1L), ("a", 2, 3L), ("b", 5, 5L)))
+    // WHERE belongs to the window's input: the injected subquery must
+    // absorb it (x=9 filtered BEFORE ranking)
+    val filt = gw.sql(
+      """SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |FROM (VALUES (1),(2),(3),(9)) t(x) WHERE x < 5 ORDER BY s""".stripMargin)
+      .collect()
+    assert(filt.map(_.getLong(0)).toSeq == Seq(1L, 3L, 6L))
+    // short form GROUPS n PRECEDING = BETWEEN n PRECEDING AND CURRENT ROW
+    val short = gw.sql(
+      """SELECT sum(x) OVER (ORDER BY x GROUPS 1 PRECEDING) AS s
+        |FROM (VALUES (1),(1),(2),(3)) t(x) ORDER BY s""".stripMargin).collect()
+    assert(short.map(_.getLong(0)).toSeq == Seq(2L, 2L, 4L, 5L))
+  }
+
+  test("round-8: CHECKPOINT succeeds as a read-only no-op, like DuckDB") {
+    // DuckDB 1.0 on a read_only database RUNS CHECKPOINT (empty
+    // `Success BOOLEAN` relation — nothing to flush); rejecting it was
+    // a divergence (GapProbe5 residual)
+    for (stmt <- Seq("CHECKPOINT", "FORCE CHECKPOINT", "CHECKPOINT;")) {
+      val df = gw.sql(stmt)
+      assert(df.columns.toSeq == Seq("Success"))
+      assert(df.collect().isEmpty)
+    }
+  }
 }
