@@ -25,9 +25,30 @@ import org.apache.spark.sql.DataFrame
   * otherwise wait on GC+ContextCleaner — on a big idle heap that can
   * be minutes, which is exactly the round-5 pass-2 degradation).
   * `scoped`/`deferRelease` give those a query lifetime.
+  *
+  * LIFETIME BOUND under long-running serving: the per-key bound alone
+  * does not cap the KEY COUNT — several keys embed the dataset dir
+  * (`pq:codes:<dir>`, IVF centroids), so a serving session that
+  * registers many roots over weeks would accumulate one live entry per
+  * (root, artifact) forever. The map is therefore LRU-bounded at
+  * `MaxEntries` (default 64, `SPARK_GRAFT_CACHE_ENTRIES` overrides):
+  * inserting past the cap evicts + unpersists the least-recently-USED
+  * entry. 64 is ~5× the whole suite's key population, so the bench and
+  * any single-dataset serving session never evict; only multi-root
+  * serving turns over, oldest root first. Eviction is storage-only —
+  * readers of an evicted DataFrame recompute from lineage.
   */
 object CacheOnce {
-  private val live = new ConcurrentHashMap[String, DataFrame]()
+  private final class Entry(val df: DataFrame) {
+    @volatile var tick: Long = 0L
+  }
+  private val live = new ConcurrentHashMap[String, Entry]()
+  private val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val MaxEntries: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CACHE_ENTRIES", "64").toInt
+
+  /** Live entry count — the bound the spec pins. */
+  private[graft] def liveCount: Int = live.size()
 
   private final class Scope {
     val rdds = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]()
@@ -40,7 +61,10 @@ object CacheOnce {
 
   def apply(key: String, df: DataFrame): DataFrame = {
     val cached = df.persist()
-    Option(live.put(key, cached))
+    val entry = new Entry(cached)
+    entry.tick = clock.incrementAndGet()
+    Option(live.put(key, entry))
+      .map(_.df)
       .filter(_ ne cached)
       // Spark's CacheManager is keyed by PLAN, not by DataFrame handle:
       // when the new run builds an identical plan, persist() above was a
@@ -49,6 +73,21 @@ object CacheOnce {
       // plan actually changed.
       .filterNot(old => samePlan(old, cached))
       .foreach(_.unpersist(blocking = false))
+    // LRU bound (see scaladoc): evict least-recently-used entries past
+    // the cap. Synchronized so concurrent inserts can't double-evict;
+    // the map itself stays concurrent for the hot read path.
+    if (live.size() > MaxEntries) live.synchronized {
+      while (live.size() > MaxEntries) {
+        var oldest: (String, Entry) = null
+        live.forEach { (k, e) =>
+          if ((e ne entry) && (oldest == null || e.tick < oldest._2.tick))
+            oldest = (k, e)
+        }
+        if (oldest == null) return cached
+        live.remove(oldest._1)
+        oldest._2.df.unpersist(blocking = false)
+      }
+    }
     cached
   }
 

@@ -10,7 +10,7 @@ import graft.engine.Q
   *
   * The fixture corpus has no verbatim duplicates, so dedup queries build a
   * duplicated corpus from the fixtures themselves: `documents` UNION ALL a
-  * copy (doc_id + 10000) whose text is truncated to the first 80% of
+  * copy (doc_id + corpus-derived offset) whose text is truncated to the first 80% of
   * tokens — a realistic near-duplicate population with known answers.
   *
   * All hashing is md5-based so the DuckDB oracle computes the identical
@@ -23,35 +23,54 @@ import graft.engine.Q
   */
 object DedupOps {
 
-  /** Duplicated corpus: original docs + 80%-prefix copies at id+10000. */
-  private def dupCorpus(s: SparkSession): DataFrame = {
+  /** One past the corpus' max doc_id — the id offset for synthetic
+    * copies. Previously hard-coded 10000/20000, which COLLIDED with
+    * real ids once the corpus grew past 10k docs: the 10× scale run
+    * caught dupCorpus holding 100k rows with only 60k distinct ids
+    * (the star labeling faithfully reported every duplicated node).
+    * Corpus-derived, so the precondition holds at any scale. Memoized
+    * per dataset root; min/max resolve from parquet footer stats.
+    */
+  private val idOffsets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def idOffset(s: SparkSession): Long = {
+    val key = graft.engine.Tables.dirOf(s)
+      .getOrElse("session:" + System.identityHashCode(s))
+    idOffsets.computeIfAbsent(key, _ =>
+      s.table("documents").agg(max(col("doc_id"))).first().getLong(0) + 1)
+  }
+  /** The same offset in oracle SQL (DuckDB computes it itself). */
+  private[llm] val idOffsetSql = "(SELECT MAX(doc_id) + 1 FROM documents)"
+
+  /** Duplicated corpus: original docs + 80%-prefix copies at id+offset. */
+  private[graft] def dupCorpus(s: SparkSession): DataFrame = {
     val toks = split(col("text"), " ")
     val cut = greatest(lit(3), floor(size(toks) * 4 / 5).cast(IntegerType))
     val copy = s.table("documents").select(
-      (col("doc_id") + 10000).as("doc_id"),
+      (col("doc_id") + idOffset(s)).as("doc_id"),
       array_join(slice(toks, lit(1), cut), " ").as("text"))
     s.table("documents").select(col("doc_id"), col("text")).union(copy)
   }
 
   private val dupCorpusSql =
-    """SELECT doc_id, text FROM documents
+    s"""SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS doc_id,
+      |SELECT doc_id + $idOffsetSql AS doc_id,
       |  array_to_string(list_slice(string_split(text, ' '), 1,
       |    GREATEST(3, CAST(FLOOR(len(string_split(text, ' ')) * 4 / 5) AS INT))), ' ') AS text
       |FROM documents""".stripMargin
 
   /** Exact dedup: group on md5(text), keep the minimum doc_id, report the
     * dropped ids. (On the raw corpus this is the identity; here the
-    * corpus is doubled with *verbatim* copies at +20000 to give the op
+    * corpus is doubled with *verbatim* copies at id+2·offset to give the op
     * real work.)
     */
   val d1 = Q(
     "dd_exact",
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 20000 AS doc_id, text FROM documents),
+      |  SELECT doc_id + 2 * $idOffsetSql AS doc_id, text FROM documents),
       |keep AS (
       |  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM corpus GROUP BY md5(text))
       |SELECT c.doc_id, k.keeper
@@ -63,7 +82,8 @@ object DedupOps {
     // keeper is min(doc_id) over rows sharing a hash, and each text is
     // md5'd exactly once
     val base = s.table("documents").select(col("doc_id"), col("text"))
-    val corpus = base.union(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val corpus = base.union(
+      base.select((col("doc_id") + 2 * idOffset(s)).as("doc_id"), col("text")))
       .withColumn("h", md5(col("text").cast(BinaryType)))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     corpus.withColumn("keeper", min(col("doc_id")).over(w))
@@ -283,7 +303,7 @@ object DedupOps {
     * verification. `tag` keys the CacheOnce slots so concurrent queries
     * don't fight over one cache entry.
     */
-  private def verifiedEdges(
+  private[graft] def verifiedEdges(
       corpus: DataFrame, tag: String, minJac: Double): DataFrame = {
     val sh = graft.engine.CacheOnce(s"$tag/sh",
       corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))

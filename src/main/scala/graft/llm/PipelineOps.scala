@@ -146,7 +146,7 @@ object PipelineOps {
 
   /** Full dedup COMPACTION as one plan — the production corpus-shrink
     * job: exact dedup (digest window, keep min id) over a corpus with
-    * both verbatim copies (+20000) and 80%-prefix near-dups (+10000),
+    * both verbatim copies (+2·offset) and 80%-prefix near-dups (+offset),
     * then MinHash/LSH near-dup removal among the exact survivors
     * (banded candidates → shingle-jaccard ≥ 0.3 → drop the later id),
     * then a one-row funnel report.
@@ -165,12 +165,12 @@ object PipelineOps {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id,
+         |  SELECT doc_id + ${D.idOffsetSql} AS doc_id,
          |    array_to_string(list_slice(string_split(text, ' '), 1,
          |      GREATEST(3, CAST(FLOOR(len(string_split(text, ' ')) * 4 / 5) AS INT))), ' ') AS text
          |  FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 20000 AS doc_id, text FROM documents),
+         |  SELECT doc_id + 2 * ${D.idOffsetSql} AS doc_id, text FROM documents),
          |exact AS (
          |  SELECT doc_id, text FROM (
          |    SELECT doc_id, text,
@@ -210,10 +210,13 @@ object PipelineOps {
     val toks = split(col("text"), " ")
     val cut = greatest(lit(3), floor(size(toks) * 4 / 5).cast(IntegerType))
     val base = s.table("documents").select(col("doc_id"), col("text"))
+    // corpus-derived copy offset (not a constant): hard-coded offsets
+    // collided with real doc_ids past 10k docs — see DedupOps.idOffset
+    val off = D.idOffset(s)
     val corpus = base
-      .union(base.select((col("doc_id") + 10000).as("doc_id"),
+      .union(base.select((col("doc_id") + off).as("doc_id"),
         array_join(slice(toks, lit(1), cut), " ").as("text")))
-      .union(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .union(base.select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
     // stage 1 — exact: one digest shuffle, keep the minimum id
     val exact = graft.engine.CacheOnce("pipe_compact/exact",
       corpus
@@ -261,6 +264,14 @@ object PipelineOps {
     * cosine is the same left-to-right double fold the oracle's
     * list_cosine_similarity computes, so the verify threshold is
     * engine-portable bit-for-bit.
+    *
+    * The oracle SQL models the HOT-BUCKET CAP explicitly (bsize > 100 →
+    * star pairs against the bucket minimum): with only 2⁶ buckets per
+    * band, a 20k-vector corpus averages >300 members per bucket, and
+    * the 10× scale gate caught the uncapped oracle exploding to 7.2M
+    * candidate pairs where the engine's guarded path carries 48.5k —
+    * the cap is part of the operator's CONTRACT, so the oracle states
+    * it too.
     */
   val pEmbed = Q(
     "pipe_embed_dedup",
@@ -283,10 +294,20 @@ object PipelineOps {
       |  SELECT vec_id, 0 AS band, substr(sig, 1, 6) AS bucket FROM sigs
       |  UNION ALL
       |  SELECT vec_id, 1 AS band, substr(sig, 7, 6) AS bucket FROM sigs),
+      |sized AS (
+      |  SELECT vec_id, band, bucket,
+      |    COUNT(*) OVER (PARTITION BY band, bucket) AS bsize,
+      |    MIN(vec_id) OVER (PARTITION BY band, bucket) AS brep
+      |  FROM bands),
       |cand AS (
-      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM sized a JOIN sized b
+      |      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |    WHERE a.bsize <= 100
+      |    UNION ALL
+      |    SELECT brep AS id_a, vec_id AS id_b
+      |    FROM sized WHERE bsize > 100 AND vec_id <> brep) u),
       |verified AS (
       |  SELECT c.id_a, c.id_b
       |  FROM cand c

@@ -40,6 +40,14 @@ object GraftPlans {
       case _ => None
     }
 
+  /** Drain the listener bus (private[spark]) — metric listeners see
+    * every completed task before the caller reads their counters. Used
+    * by the scale harness; a 10 s cap keeps a wedged bus from hanging
+    * the run.
+    */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(10000)
+
   def localCheckpointWithCount(df: Dataset[Row]): (DataFrame, Long) = {
     val classic = df.asInstanceOf[ClassicDataFrame]
     val rdd = classic.queryExecution.toRdd.map(_.copy())

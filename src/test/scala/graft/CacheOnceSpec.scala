@@ -68,4 +68,26 @@ class CacheOnceSpec extends AnyFunSuite {
     }
     assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
+
+  test("LRU bound holds across many distinct keys (multi-root serving lifetime)") {
+    // a month-long serving session registering many dataset roots mints
+    // per-root keys (pq:codes:<dir>, …) — the map must stay bounded at
+    // MaxEntries with the least-recently-used entry evicted AND its
+    // storage released (round-7 VERDICT item 7)
+    val before = CacheOnce.liveCount
+    val dfs = (0 until CacheOnce.MaxEntries + 40).map { i =>
+      val df = spark.range(10).toDF("n").selectExpr(s"n + $i AS m")
+      CacheOnce(s"spec/lru/root$i", df).count()
+      df
+    }
+    assert(CacheOnce.liveCount <= CacheOnce.MaxEntries,
+      s"live=${CacheOnce.liveCount} exceeds cap ${CacheOnce.MaxEntries}")
+    // the earliest roots were evicted and unpersisted; the newest live
+    assert(storageLevelOf(dfs.last).isDefined, "newest entry must stay cached")
+    assert(storageLevelOf(dfs.head).isEmpty,
+      "oldest entry past the cap must be evicted and released")
+    // cleanup: drop this test's keys from the shared session's cache
+    dfs.foreach(_.unpersist(blocking = false))
+    assert(before <= CacheOnce.MaxEntries)
+  }
 }

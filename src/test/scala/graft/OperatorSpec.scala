@@ -143,8 +143,12 @@ class OperatorSpec extends AnyFunSuite {
 
   test("dd_exact drops exactly the shifted copies") {
     val rows = SparkEntry.queries("dd_exact")(spark, sf).collect()
+    // copy offset is corpus-derived (2 × (max doc_id + 1)) since the
+    // round-8 scale gate caught the hard-coded 20000 colliding with
+    // real ids past 10k docs
+    val off = 2 * graft.llm.DedupOps.idOffset(spark)
     assert(rows.length == 500)
-    assert(rows.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("keeper") + 20000))
+    assert(rows.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("keeper") + off))
   }
 
   test("lang_id predicts majority-correctly on its own corpus") {
@@ -156,8 +160,9 @@ class OperatorSpec extends AnyFunSuite {
 
   test("minhash LSH finds the planted 80%-prefix near-dups") {
     val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, sf).collect()
+    val off = graft.llm.DedupOps.idOffset(spark)
     val planted = pairs.count(r =>
-      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 10000)
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + off)
     // ≥90% of the 500 planted near-dup pairs should survive banding+verify
     assert(planted >= 450, s"only $planted planted pairs found")
   }

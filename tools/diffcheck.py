@@ -101,8 +101,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; ScaleGen corpora are
+        # directories of part files — register either layout
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     oracle_sql = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_ok = n_fail = 0

@@ -3,6 +3,15 @@
 # This is the strongest interop proof available in-container: a stock,
 # unmodified pyarrow.flight client over real gRPC/TCP.
 #
+# ADBC note (round-8 check): `adbc_driver_flightsql` is NOT installed in
+# this container and cannot be fetched (zero egress), so a true
+# ADBC-driver end-to-end run is not possible here. The RPC surface an
+# ADBC client would exercise is instead driven by hand below over stock
+# pyarrow.flight: GetFlightInfo/DoGet, Flight SQL prepared statements
+# with DoPut parameter binding, SqlInfo, and the catalog/constraint/
+# type-info metadata commands — the same protobuf commands
+# adbc_driver_flightsql issues on connect and query.
+#
 # Usage:
 #   1. SPARK_GRAFT_FLIGHT_PORT=32010 sbt "runMain graft.Serve" &
 #   2. python3 tools/flight_smoke.py [port]
@@ -192,5 +201,18 @@ try:
 except flight.FlightError as e:
     assert "read-only" in str(e), e
     print("write rejected:", type(e).__name__)
+
+# round-8: native TIME survives the Arrow wire as a time type with the
+# exact value (the serving session enables spark.sql.timeType.enabled;
+# a silent fallback to string/int64 here would break typed clients)
+import datetime
+import pyarrow as pa
+table = client.do_get(flight.Ticket(
+    b"SELECT TIME '12:34:56.789' AS t, CAST(ts AS TIME) AS tt "
+    b"FROM events ORDER BY event_id LIMIT 3")).read_all()
+assert pa.types.is_time(table.schema.field("t").type), table.schema
+assert pa.types.is_time(table.schema.field("tt").type), table.schema
+assert table.column("t").to_pylist()[0] == datetime.time(12, 34, 56, 789000), table
+print("TIME over Arrow:", table.schema.field("tt").type)
 
 print("FLIGHT SMOKE OK")
