@@ -395,7 +395,7 @@ object DedupOps {
     */
   private[graft] def components(
       nodes: DataFrame, edges: DataFrame, tag: String,
-      starAfter: Int = 10): DataFrame = {
+      starAfter: Int = 16): DataFrame = {
     // symmetric edge list, cached: re-read every round — without the
     // persist each round re-runs the whole edge-producing pipeline
     val sym = graft.engine.CacheOnce(s"$tag/sym",
@@ -423,6 +423,13 @@ object DedupOps {
         // Restarting from the original edges is correct regardless of
         // partial progress; the fallback trades the lost rounds for a
         // convergence bound that no longer depends on graph diameter.
+        // The trigger sits at 16 (doubling starts at round 5, so by 16
+        // it has covered diameter ~2^11 ≈ 2k): the round-8 sf10
+        // measurement showed firing at 10 ABANDONS a doubling run that
+        // would converge by round ~13 on a diameter-400 component —
+        // 167 s for trigger-at-10 vs 13.6 s letting doubling finish,
+        // at 1M nodes (SCALE.md). Star remains the guard for genuinely
+        // deeper graphs.
         org.apache.spark.sql.GraftPlans.checkpointRdd(labels)
           .foreach(_.unpersist(blocking = false))
         labels = starLabels(nodes,
