@@ -26,14 +26,15 @@ object Dialect {
     *     (reference smoke query, /root/reference/main.go:77)
     */
   private val passes: Seq[String => String] = Seq(
-    normalizeWs, rewriteBlob, rewriteBitCasts, rewriteBraceLiterals, rewriteBrackets,
+    normalizeWs, rewriteBlob, rewriteBitCasts, rewriteArrayTypeSuffix,
+    rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
     rewriteTimestampTz, rewriteAtTimeZone, rewritePowOp, rewriteFactorial,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
     rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
-    rewriteDistinctOn, rewriteAsOf, rewriteGroupsFrame, rewriteQualify,
-    rewriteCatalogFns,
+    rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
+    rewriteQualify, rewriteCatalogFns,
     rewriteDateDiff, rewriteCastTypes)
 
   def rewrite(sql: String): String =
@@ -823,6 +824,45 @@ object Dialect {
       }
     }
 
+  /** DuckDB fixed/list array type suffixes in cast positions — `x::T[3]`
+    * (fixed-size array), `x::T[]` (list), `CAST(x AS T[3])` — become
+    * `ARRAY<T>` with castTypeMap applied to the element type (the plain
+    * array is the dialect's carrier for both; fixed length is not a
+    * Spark type property). MUST run before rewriteBrackets, which would
+    * otherwise read `T[3]` as a subscript of an identifier `T`.
+    */
+  private def rewriteArrayTypeSuffix(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      // (ARRAY<elem>, index past the closing ']') when a type-with-
+      // bracket-suffix starts at `start`
+      def tryAt(start: Int): Option[(String, Int)] = {
+        var k = start
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        var j = k
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_')) j += 1
+        if (j == k) return None
+        val word = sql.substring(k, j)
+        """^\s*\[\s*\d*\s*\]""".r.findPrefixMatchOf(sql.substring(j)).map { br =>
+          (s"ARRAY<${castTypeMap.getOrElse(word.toUpperCase, word)}>", j + br.end)
+        }
+      }
+      if (sql.startsWith("::", i)) {
+        tryAt(i + 2) match {
+          case Some((t, end)) => sb.append("::").append(t); end
+          case None => i
+        }
+      } else if (wordStart(sql, i) && sql.regionMatches(true, i, "AS", 0, 2) &&
+          i + 2 < sql.length && sql.charAt(i + 2).isWhitespace) {
+        // `AS T[n]` — only a cast-body type position can be followed by
+        // a bracket suffix, so the match is unambiguous
+        tryAt(i + 3) match {
+          case Some((t, end)) => sb.append("AS ").append(t); end
+          case None => i
+        }
+      } else i
+    }
+
   /** DuckDB type names inside CAST/TRY_CAST that Spark spells
     * differently: bare VARCHAR/TEXT (Spark's VARCHAR needs a length),
     * BLOB/BYTEA, unsigned ints (widened to the next signed type that
@@ -853,7 +893,8 @@ object Dialect {
         var j = k
         while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
           sql.charAt(j) == '_')) j += 1
-        castTypeMap.get(sql.substring(k, j).toUpperCase) match {
+        val word = sql.substring(k, j).toUpperCase
+        castTypeMap.get(word) match {
           case Some(t) if j >= sql.length || sql.charAt(j) != '(' =>
             return rewriteCastTypes(
               sql.substring(0, k) + t + sql.substring(j))
@@ -1812,6 +1853,161 @@ object Dialect {
     require(fi >= 0, "QUALIFY rewrite: no FROM clause found")
     val withQ = head.substring(0, fi) + s", ($pred) AS __q" + head.substring(fi)
     s"SELECT * EXCEPT (__q) FROM ($withQ) WHERE __q$tail"
+  }
+
+  /** Window frame EXCLUDE clauses (SQL:2011; DuckDB has them, Spark's
+    * grammar does not): rewritten to the same subtraction algebra the
+    * engine's w6_exclude DataFrame emulation uses, generalized to text —
+    * for F ∈ {SUM, COUNT, AVG} over expression e:
+    *
+    *  - `EXCLUDE NO OTHERS` — drop the clause (it is the default);
+    *  - `EXCLUDE CURRENT ROW` — F(frame) minus the current row's
+    *    contribution, with a non-null-count guard so an empty
+    *    post-exclusion frame yields NULL (SUM/AVG) or 0 (COUNT);
+    *  - `EXCLUDE GROUP` / `EXCLUDE TIES` — subtract the peer-group
+    *    aggregate, computed over a PARTITION BY (partition keys, order
+    *    keys) window; TIES adds the current row back.
+    *
+    * Soundness constraints (checked; violating shapes are left for the
+    * parser to diagnose): GROUP/TIES need peer-aligned frames — RANGE
+    * (or the default frame), never ROWS, whose frame may cut a peer
+    * group; CURRENT ROW/GROUP/TIES need the frame to span CURRENT ROW
+    * (otherwise exclusion is a no-op the subtraction would get wrong);
+    * the aggregate must be SUM/COUNT/AVG (MIN/MAX etc. are not
+    * subtractable). Runs BEFORE the GROUPS-frame pass so a GROUPS
+    * frame with EXCLUDE decomposes into plain GROUPS windows.
+    */
+  private def rewriteExcludeFrames(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 32) {
+      rewriteOneExclude(cur) match {
+        case Some(next) => cur = next
+        case None => return cur
+      }
+      guard += 1
+    }
+    cur
+  }
+
+  private val excludeModeRe =
+    """(?is)^\s*EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*$""".r
+  private val aggCallRe = """(?is)^(\w+)\s*\((.*)\)$""".r
+
+  /** Does the frame text (empty = default frame) span CURRENT ROW? */
+  private def frameSpansCurrent(frame: String): Boolean = {
+    val f = frame.trim.toUpperCase.replaceAll("\\s+", " ")
+    if (f.isEmpty) return true // default: RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    val body = f.replaceFirst("^(ROWS|RANGE|GROUPS)\\s+", "")
+    if (!body.startsWith("BETWEEN")) {
+      // single-bound form: <lo> AND CURRENT ROW implied upper
+      return body.endsWith("PRECEDING") || body == "CURRENT ROW"
+    }
+    """^BETWEEN (UNBOUNDED PRECEDING|\d+ PRECEDING|CURRENT ROW) AND (UNBOUNDED FOLLOWING|\d+ FOLLOWING|CURRENT ROW)$"""
+      .r.matches(body)
+  }
+
+  private def rewriteOneExclude(sql: String): Option[String] = {
+    var searchFrom = 0
+    while (searchFrom < sql.length) {
+      val ei = {
+        val idx = indexOfAnyDepth(sql.substring(searchFrom), " EXCLUDE ")
+        if (idx < 0) return None else searchFrom + idx
+      }
+      searchFrom = ei + 1
+      val (sb0, se0) = scopeBounds(sql, ei)
+      if (sb0 > 0 && se0 > sb0) {
+        val beforeParen = sql.substring(0, sb0 - 1)
+        val spec = sql.substring(sb0, se0)
+        val overM = """(?is)^(.*?)\bOVER\s*$""".r.findFirstMatchIn(beforeParen)
+        val exIdx = indexOfTopLevel(spec, " EXCLUDE ")
+        if (overM.isDefined && exIdx >= 0) {
+          excludeModeRe.findFirstMatchIn(spec.substring(exIdx)) match {
+            case None => // not a frame EXCLUDE (e.g. inside a subexpr) — skip
+            case Some(m) =>
+              val mode = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+              val specClean = spec.substring(0, exIdx).trim
+              if (mode == "NO OTHERS") {
+                return Some(sql.substring(0, sb0) + specClean + sql.substring(se0))
+              }
+              rewriteExcludeAgg(sql, sb0, se0, specClean, mode).foreach { out =>
+                return Some(out)
+              }
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** Build the subtraction expression for one `agg OVER (spec EXCLUDE
+    * mode)` site; None when the shape is outside the supported algebra.
+    */
+  private def rewriteExcludeAgg(sql: String, sb0: Int, se0: Int,
+      specClean: String, mode: String): Option[String] = {
+    // the aggregate call preceding OVER
+    val overStart = {
+      var k = sb0 - 2 // before '('
+      while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+      k - 3 // start of the OVER word ("OVER" is 4 chars ending at k)
+    }
+    val aggStart = operandStart(sql, overStart)
+    if (aggStart < 0) return None
+    val aggText = sql.substring(aggStart, overStart).trim
+    val (fn, arg) = aggCallRe.findFirstMatchIn(aggText) match {
+      case Some(m) => (m.group(1).toUpperCase, m.group(2).trim)
+      case None => return None
+    }
+    if (!Set("SUM", "COUNT", "AVG").contains(fn)) return None
+    if (arg.toUpperCase.startsWith("DISTINCT")) return None
+    // spec anatomy
+    val obIdx = indexOfTopLevel(specClean, " ORDER BY ") match {
+      case -1 => if ("""(?is)^\s*ORDER\s+BY\s.*""".r.matches(specClean)) 0 else -1
+      case i => i
+    }
+    if (obIdx < 0) return None // EXCLUDE without ORDER BY: leave for parser
+    val partPart = specClean.substring(0, obIdx).trim
+    val afterOb = specClean.substring(obIdx)
+      .replaceAll("""(?is)^\s*ORDER\s+BY\s+""", "")
+    val frameIdx = Seq(" ROWS ", " RANGE ", " GROUPS ")
+      .map(k => indexOfTopLevel(afterOb, k)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(afterOb.length)
+    val orderPart = afterOb.substring(0, frameIdx).trim
+    val frame = afterOb.substring(frameIdx).trim
+    val rowsMode = """(?is)^ROWS\b.*""".r.matches(frame)
+    if ((mode == "GROUP" || mode == "TIES") && rowsMode) return None
+    if (!frameSpansCurrent(frame)) return None
+    // peer window: partition by (partition keys, bare order exprs)
+    val orderKeys = splitTopLevel(orderPart, ',').map(_.trim)
+      .map(_.replaceAll("""(?is)\s+(ASC|DESC)\s*$""", "")
+        .replaceAll("""(?is)\s+NULLS\s+(FIRST|LAST)\s*$""", "")
+        .replaceAll("""(?is)\s+(ASC|DESC)\s*$""", "").trim)
+    val peers = "(" + (if (partPart.isEmpty) "PARTITION BY "
+      else partPart + ", ") + orderKeys.mkString(", ") + ")"
+    val w = s"($specClean)"
+    val isStar = arg == "*"
+    val nz = if (isStar) "1" else s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+    def cnt(over: String) = s"COUNT($arg) OVER $over"
+    def sm(over: String) = s"SUM($arg) OVER $over"
+    // post-exclusion non-null count and sum, per mode
+    val (cntExcl, sumExcl) = mode match {
+      case "CURRENT ROW" =>
+        (s"(${cnt(w)} - $nz)",
+          s"(${sm(w)} - COALESCE(${if (isStar) "1" else s"($arg)"}, 0))")
+      case "GROUP" =>
+        (s"(${cnt(w)} - ${cnt(peers)})",
+          s"(${sm(w)} - COALESCE(${sm(peers)}, 0))")
+      case _ => // TIES
+        (s"(${cnt(w)} - ${cnt(peers)} + $nz)",
+          s"(${sm(w)} - COALESCE(${sm(peers)}, 0) + COALESCE(${if (isStar) "1" else s"($arg)"}, 0))")
+    }
+    val repl = fn match {
+      case "COUNT" => cntExcl
+      case "SUM" => s"(CASE WHEN $cntExcl > 0 THEN $sumExcl END)"
+      case _ => // AVG
+        s"(CASE WHEN $cntExcl > 0 THEN $sumExcl END) / NULLIF($cntExcl, 0)"
+    }
+    Some(sql.substring(0, aggStart) + repl + sql.substring(se0 + 1))
   }
 
   /** GROUPS window frames (SQL:2011 frame mode DuckDB has and Spark's

@@ -333,6 +333,16 @@ object Functions {
     "starts_with" -> (a => call("startswith", a)),
     "regexp_split_to_array" -> (a => call("split", a)),
     "list_zip" -> (a => call("arrays_zip", a)),
+    // list-family aliases surfaced by GapProbe8 (BIGINT results, like
+    // DuckDB's len family)
+    "array_concat" -> (a => call("concat", a)),
+    "array_length" -> { case Seq(x) => graft.engine.expressions.LenAny(x) },
+    // generate_subscripts(list, dim): lists are 1-D, dim is accepted and
+    // ignored like DuckDB's own behavior for dim=1
+    "generate_subscripts" -> { case l +: _ =>
+      Explode(call("sequence", Seq(Literal(1L),
+        graft.engine.expressions.LenAny(l))))
+    },
     "unnest" -> { case Seq(e) => Explode(e) },
     "json_keys" -> { case Seq(j) => call("json_object_keys", Seq(j)) },
     "struct_extract" -> { case Seq(s, name) =>
@@ -657,6 +667,14 @@ object Functions {
     "factorial" -> {
       case Seq(x) => graft.engine.expressions.Factorial38(
         Cast(x, org.apache.spark.sql.types.LongType))
+    },
+    // DuckDB length() also measures lists/maps (len alias territory);
+    // Spark's builtin is string/binary-only — dispatch on resolved type
+    "length" -> {
+      case Seq(x) if x.resolved &&
+          (x.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            x.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]) =>
+        graft.engine.expressions.LenAny(x)
     },
     // DuckDB repeat() also repeats LISTs; dispatch on the resolved type
     "repeat" -> {

@@ -156,7 +156,9 @@ class DialectSpec extends AnyFunSuite {
       "datediff('day', a, b)",                    // rewriteDateDiff
       "x::VARCHAR", "CAST(x AS HUGEINT)",         // rewriteCastTypes
       "5!", "n ! = 120",                          // rewriteFactorial
-      "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING") // rewriteGroupsFrame
+      "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING", // rewriteGroupsFrame
+      "EXCLUDE CURRENT ROW", "EXCLUDE TIES",      // rewriteExcludeFrames
+      "x::INT[3]", "CAST(x AS BIGINT[])")         // rewriteArrayTypeSuffix
     val noise = Gen.chooseNum(0, 8).flatMap(n =>
       Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))))
     val embed = Gen.oneOf(0, 1) // 0 = string literal, 1 = quoted identifier

@@ -960,6 +960,70 @@ class GatewaySpec extends AnyFunSuite {
     assert(short.map(_.getLong(0)).toSeq == Seq(2L, 2L, 4L, 5L))
   }
 
+  test("round-8: window EXCLUDE frames match DuckDB (subtraction algebra)") {
+    // all expected values pinned against DuckDB 1.0 on these literals
+    val cur = gw.sql(
+      """SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        |  EXCLUDE CURRENT ROW) AS s FROM (VALUES (1),(2),(3)) t(x) ORDER BY s""".stripMargin)
+      .collect()
+    assert(cur.map(_.getLong(0)).toSeq == Seq(2L, 2L, 4L))
+    // EXCLUDE GROUP: both x=1 rows lose their whole peer group → NULL
+    val grp = gw.sql(
+      """SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |  EXCLUDE GROUP) AS s FROM (VALUES (1),(1),(2)) t(x) ORDER BY x, s""".stripMargin)
+      .collect()
+    assert(grp.map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((1, -1L), (1, -1L), (2, 2L)))
+    // EXCLUDE TIES keeps the current row
+    val ties = gw.sql(
+      """SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |  EXCLUDE TIES) AS s FROM (VALUES (1),(1),(2)) t(x) ORDER BY x, s""".stripMargin)
+      .collect()
+    assert(ties.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 1L), (1, 1L), (2, 4L)))
+    // COUNT(*) and AVG route through the same algebra
+    val cnt = gw.sql(
+      """SELECT count(*) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        |  EXCLUDE CURRENT ROW) AS c FROM (VALUES (1),(2),(3)) t(x) ORDER BY c""".stripMargin)
+      .collect()
+    assert(cnt.map(_.getLong(0)).toSeq == Seq(1L, 1L, 2L))
+    val avg = gw.sql(
+      """SELECT CAST(round(avg(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        |  EXCLUDE CURRENT ROW), 3) AS DOUBLE) AS a
+        |FROM (VALUES (1.0),(2.0),(4.0)) t(x) ORDER BY a""".stripMargin)
+      .collect()
+    assert(avg.map(_.getDouble(0)).toSeq == Seq(2.0, 2.0, 2.5))
+    // NULL discipline: empty post-exclusion frame (or all-NULL) is NULL,
+    // not 0 — the guard DuckDB's native EXCLUDE applies
+    val nul = gw.sql(
+      """SELECT sum(x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        |  EXCLUDE CURRENT ROW) AS s
+        |FROM (VALUES (1, 5), (2, NULL), (3, NULL)) t(i, x) ORDER BY i""".stripMargin)
+      .collect()
+    assert(nul.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq ==
+      Seq(-1L, 5L, -1L))
+    // EXCLUDE NO OTHERS is the default — clause dropped, values unchanged
+    val none = gw.sql(
+      """SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        |  EXCLUDE NO OTHERS) AS s FROM (VALUES (1),(2),(3)) t(x) ORDER BY s""".stripMargin)
+      .collect()
+    assert(none.map(_.getLong(0)).toSeq == Seq(3L, 5L, 6L))
+  }
+
+  test("round-8: batch-8 shims — array types, list aliases, length on lists") {
+    val arr = gw.sql("SELECT [1,2,3]::INT[3] AS a, [1,2]::BIGINT[] AS b").collect().head
+    assert(arr.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(arr.getSeq[Long](1) == Seq(1L, 2L))
+    val fns = gw.sql(
+      """SELECT array_concat([1], [2, 3]) AS c, array_length([7,8]) AS n,
+        |  length([1,2,3]) AS l, length(MAP {'k': 1}) AS m""".stripMargin)
+      .collect().head
+    assert(fns.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(fns.getLong(1) == 2L && fns.getLong(2) == 3L && fns.getLong(3) == 1L)
+    val gs = gw.sql("SELECT generate_subscripts([9,8,7], 1) AS g").collect()
+    assert(gs.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("round-8: CHECKPOINT succeeds as a read-only no-op, like DuckDB") {
     // DuckDB 1.0 on a read_only database RUNS CHECKPOINT (empty
     // `Success BOOLEAN` relation — nothing to flush); rejecting it was
