@@ -29,7 +29,8 @@ object Dialect {
     normalizeWs, rewriteBlob, rewriteBitCasts, rewriteArrayTypeSuffix,
     rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
-    rewriteTimestampTz, rewriteAtTimeZone, rewritePowOp, rewriteFactorial,
+    rewriteTimestampTz, rewriteAtTimeZone, rewriteIntervalExpr, rewriteAtAbs,
+    rewritePowOp, rewriteFactorial,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
     rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
@@ -799,6 +800,44 @@ object Dialect {
             rEnd
           }
         case None => i
+      }
+    }
+
+  /** DuckDB parameterized interval literals — `INTERVAL (expr) UNIT` →
+    * `((expr) * INTERVAL '1' UNIT)`: Spark's INTERVAL literal takes only
+    * a constant, but interval-times-integral multiplication expresses
+    * the same value for any expression.
+    */
+  private val intervalUnitRe =
+    """(?i)^\s*(DAY|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND|WEEK|MONTH|YEAR)S?\b""".r
+  private def rewriteIntervalExpr(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(sql.regionMatches(true, i, "INTERVAL", 0, 8) && wordStart(sql, i))) i
+      else {
+        var k = i + 8
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k >= sql.length || sql.charAt(k) != '(') i
+        else splitCallArgs(sql, k) match {
+          case Some((args, end)) if args.length == 1 =>
+            intervalUnitRe.findPrefixMatchOf(sql.substring(end)) match {
+              case Some(u) =>
+                sb.append(s"((${args.head.trim}) * INTERVAL '1' ${u.group(1).toUpperCase})")
+                end + u.end
+              case None => i
+            }
+          case _ => i
+        }
+      }
+    }
+
+  /** DuckDB prefix-`@` absolute value: `@x` → `abs(x)`. */
+  private def rewriteAtAbs(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (sql.charAt(i) != '@') i
+      else {
+        val end = forwardPrimary(sql, i + 1)
+        if (end <= i + 1) i
+        else { sb.append(s"abs(${sql.substring(i + 1, end).trim})"); end }
       }
     }
 

@@ -333,6 +333,11 @@ object Functions {
     "starts_with" -> (a => call("startswith", a)),
     "regexp_split_to_array" -> (a => call("split", a)),
     "list_zip" -> (a => call("arrays_zip", a)),
+    // banker's rounding (DuckDB round_even macro, 2-arg): Spark's
+    // bround IS HALF_EVEN
+    "round_even" -> { case Seq(x, n) => call("bround", Seq(x, n)) },
+    // row(...) = anonymous struct constructor
+    "row" -> (a => call("struct", a)),
     // list-family aliases surfaced by GapProbe8 (BIGINT results, like
     // DuckDB's len family)
     "array_concat" -> (a => call("concat", a)),
@@ -667,6 +672,12 @@ object Functions {
     "factorial" -> {
       case Seq(x) => graft.engine.expressions.Factorial38(
         Cast(x, org.apache.spark.sql.types.LongType))
+    },
+    // 1-arg numeric trunc (toward zero): x - mod(x, 1) keeps the
+    // carrier type (floor(double) would degrade to BIGINT); Spark's
+    // native 2-arg date trunc keeps working through the fallthrough
+    "trunc" -> { case Seq(x) =>
+      Subtract(x, call("mod", Seq(x, Literal(1))))
     },
     // DuckDB length() also measures lists/maps (len alias territory);
     // Spark's builtin is string/binary-only — dispatch on resolved type

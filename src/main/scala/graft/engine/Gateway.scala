@@ -318,10 +318,27 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         case _ => // native parser handles it (or reports the real error)
       }
     }
+    // DuckDB percentage LIMIT — `LIMIT n%` keeps floor(n% of the result
+    // rows). Inherently two-pass (DuckDB materializes and counts
+    // internally too): run the body, count, limit. The count is one
+    // aggregate job, not a collect.
+    pctLimitRe.findFirstMatchIn(rewritten) match {
+      case Some(m) =>
+        val base = session.sql(m.group(1).trim)
+        base.queryExecution.assertAnalyzed()
+        val k = math.floor(base.count() * m.group(2).toDouble / 100.0).toLong
+        return base.limit(math.min(math.max(0L, k), Int.MaxValue.toLong).toInt)
+      case None =>
+    }
     val df = session.sql(rewritten)
     df.queryExecution.assertAnalyzed() // structured failure before execution
     df
   }
+
+  // `… LIMIT n%` at statement end ('%' is unambiguous there: a modulo
+  // expression cannot terminate a LIMIT clause followed by nothing)
+  private val pctLimitRe =
+    """(?is)^(.*\s)LIMIT\s+(\d+(?:\.\d+)?)\s*%\s*;?\s*$""".r
 
   // ---- DuckDB direct-file queries ------------------------------------
   // `FROM 'path.parquet'` / `FROM read_parquet('path')` /

@@ -1024,6 +1024,36 @@ class GatewaySpec extends AnyFunSuite {
     assert(gs.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("round-8: batch-9 sugar — LIMIT n%, INTERVAL (expr), @abs, round_even, trunc") {
+    // LIMIT n% keeps floor(n% of rows) — DuckDB 1.0 pinned (20% of 25 = 5;
+    // 10% of 25 = 2)
+    assert(gw.sql("SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 20%")
+      .collect().length == 5)
+    assert(gw.sql("SELECT n_nationkey FROM nation LIMIT 10%").collect().length == 2)
+    // parameterized interval literal
+    val iv = gw.sql(
+      "SELECT DATE '2024-01-01' + INTERVAL (2 + 1) DAY AS d").collect().head
+    assert(iv.get(0).toString.startsWith("2024-01-04"))
+    // prefix-@ absolute value (DuckDB: @(-7) = 7, INTEGER)
+    val at = gw.sql("SELECT @(-7) AS a, @7.5 AS b").collect().head
+    assert(at.getInt(0) == 7)
+    assert(at.getDecimal(1).doubleValue == 7.5)
+    // banker's rounding + carrier-typed numeric trunc (DuckDB pinned:
+    // round_even(2.5,0)=2, (3.5,0)=4; trunc keeps DOUBLE as DOUBLE)
+    val r = gw.sql(
+      """SELECT CAST(round_even(2.5, 0) AS DOUBLE) AS a,
+        |  CAST(round_even(3.5, 0) AS DOUBLE) AS b,
+        |  trunc(CAST(2.7 AS DOUBLE)) AS c, trunc(CAST(-2.7 AS DOUBLE)) AS d""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == -2.0)
+    // native 2-arg date trunc still resolves through the fallthrough
+    assert(gw.sql("SELECT trunc(DATE '2024-02-15', 'MM') AS t").collect()
+      .head.get(0).toString == "2024-02-01")
+    // row() constructs a struct
+    assert(gw.sql("SELECT row(1, 'x') AS s").collect().head.getStruct(0).getInt(0) == 1)
+  }
+
   test("round-8: CHECKPOINT succeeds as a read-only no-op, like DuckDB") {
     // DuckDB 1.0 on a read_only database RUNS CHECKPOINT (empty
     // `Success BOOLEAN` relation — nothing to flush); rejecting it was
