@@ -735,7 +735,17 @@ object Dialect {
     */
   private def forwardPrimary(sql: String, i0: Int): Int = {
     var i = i0
-    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    // leading whitespace AND block comments are operand prelude
+    // (`2 ** /* c */ 3` — the comment is opaque, like the backward scans)
+    var skipped = true
+    while (skipped) {
+      skipped = false
+      while (i < sql.length && sql.charAt(i).isWhitespace) { i += 1; skipped = true }
+      if (sql.startsWith("/*", i)) {
+        val close = sql.indexOf("*/", i + 2)
+        if (close >= 0) { i = close + 2; skipped = true }
+      }
+    }
     if (i >= sql.length) return i0
     if (sql.charAt(i) == '-' || sql.charAt(i) == '+') i += 1
     if (i >= sql.length) return i0
@@ -1209,13 +1219,24 @@ object Dialect {
                     out.append(s"graft_subscript($lhs, ${content.trim})")
                   } else {
                     val a0 = content.substring(0, colonAt).trim
-                    val b0 = content.substring(colonAt + 1).trim
+                    val rest = content.substring(colonAt + 1)
+                    val colon2 = topLevelColon(rest)
                     val a = if (a0.isEmpty) "1" else a0
-                    // graft_slice: 1-based stop-inclusive, polymorphic
-                    // over string/list (expressions/SliceAny)
-                    if (b0.isEmpty)
-                      out.append(s"graft_slice($lhs, $a, len($lhs))")
-                    else out.append(s"graft_slice($lhs, $a, $b0)")
+                    if (colon2 >= 0) {
+                      // stepped slice `l[a:b:s]` (negative steps walk
+                      // backward) → the 4-arg list_slice shim
+                      val b0 = rest.substring(0, colon2).trim
+                      val s0 = rest.substring(colon2 + 1).trim
+                      val b = if (b0.isEmpty) s"len($lhs)" else b0
+                      out.append(s"list_slice($lhs, $a, $b, $s0)")
+                    } else {
+                      val b0 = rest.trim
+                      // graft_slice: 1-based stop-inclusive, polymorphic
+                      // over string/list (expressions/SliceAny)
+                      if (b0.isEmpty)
+                        out.append(s"graft_slice($lhs, $a, len($lhs))")
+                      else out.append(s"graft_slice($lhs, $a, $b0)")
+                    }
                   }
                 case None => // unrecognized primary: pass through
                   out.append('[').append(content).append(']')

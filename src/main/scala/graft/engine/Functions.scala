@@ -59,10 +59,47 @@ object Functions {
     "list_concat" -> (a => call("concat", a)),
     "list_cat" -> (a => call("concat", a)),
     "list_unique" -> (a => call("size", Seq(call("array_distinct", a)))),
-    "list_slice" -> { case Seq(l, b, e) =>
-      // DuckDB list_slice(l, begin, end) is inclusive; Spark slice takes
-      // (start, length)
-      call("slice", Seq(l, b, Add(Subtract(e, b), Literal(1))))
+    "list_slice" -> {
+      case Seq(l, b, e) =>
+        // DuckDB list_slice(l, begin, end) is inclusive; Spark slice takes
+        // (start, length)
+        call("slice", Seq(l, b, Add(Subtract(e, b), Literal(1))))
+      case Seq(l, b, e, s) =>
+        // stepped slice (also `l[a:b:s]` via the bracket rewrite):
+        // bounds clamped to the list per step direction, then one
+        // element_at per generated index; an empty range yields []
+        // instead of sequence()'s start/stop/step error
+        val sz = call("size", Seq(l))
+        val fwd = GreaterThan(s, Literal(0))
+        val lo = call("if", Seq(fwd,
+          call("greatest", Seq(b, Literal(1))), call("least", Seq(b, sz))))
+        val hi = call("if", Seq(fwd,
+          call("least", Seq(e, sz)), call("greatest", Seq(e, Literal(1)))))
+        val nonEmpty = Or(And(fwd, LessThanOrEqual(lo, hi)),
+          And(LessThan(s, Literal(0)), GreaterThanOrEqual(lo, hi)))
+        call("if", Seq(nonEmpty,
+          call("transform", Seq(call("sequence", Seq(lo, hi, s)),
+            lam(vs => call("element_at", Seq(l, vs(0))), 1))),
+          call("slice", Seq(l, Literal(1), Literal(0)))))
+    },
+    // pop/push family (DuckDB array_* aliases over list ops)
+    "array_pop_back" -> { case Seq(l) =>
+      call("slice", Seq(l, Literal(1), call("greatest",
+        Seq(Literal(0), Subtract(call("size", Seq(l)), Literal(1))))))
+    },
+    "array_pop_front" -> { case Seq(l) =>
+      call("slice", Seq(l, Literal(2), call("greatest",
+        Seq(Literal(0), Subtract(call("size", Seq(l)), Literal(1))))))
+    },
+    "array_push_back" -> (a => call("array_append", a)),
+    "array_push_front" -> { case Seq(l, x) => call("array_prepend", Seq(l, x)) },
+    // map_extract(m, k) → a LIST of the value ([] when absent, DuckDB
+    // 1.0 pinned); the empty branch slices map_values so no element_at
+    // ever evaluates a missing key (ANSI mode would error)
+    "map_extract" -> { case Seq(m, k) =>
+      call("if", Seq(call("map_contains_key", Seq(m, k)),
+        call("array", Seq(call("element_at", Seq(m, k)))),
+        call("slice", Seq(call("map_values", Seq(m)), Literal(1), Literal(0)))))
     },
     "list_extract" -> (a => call("element_at", a)),
     "list_element" -> (a => call("element_at", a)),
@@ -678,6 +715,28 @@ object Functions {
     // native 2-arg date trunc keeps working through the fallthrough
     "trunc" -> { case Seq(x) =>
       Subtract(x, call("mod", Seq(x, Literal(1))))
+    },
+    // top-n aggregate variants: min(x, n)/max(x, n) return a LIST of
+    // the n extremes (DuckDB ≥1.1 surface; beyond the 1.0 oracle but a
+    // staple of data-pipeline SQL). collect_list drops NULLs like
+    // min/max do; the sort fixes collection order.
+    "min" -> { case Seq(x, n) =>
+      call("slice", Seq(call("sort_array", Seq(call("collect_list", Seq(x)))),
+        Literal(1), n))
+    },
+    "max" -> { case Seq(x, n) =>
+      call("slice", Seq(call("sort_array",
+        Seq(call("collect_list", Seq(x)), Literal(false))), Literal(1), n))
+    },
+    // contains() over lists/maps (DuckDB ≥1.1 sugar; string form stays
+    // native through the fallthrough)
+    "contains" -> {
+      case Seq(l, x) if l.resolved &&
+          l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        call("array_contains", Seq(l, x))
+      case Seq(m, k) if m.resolved &&
+          m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        call("map_contains_key", Seq(m, k))
     },
     // DuckDB length() also measures lists/maps (len alias territory);
     // Spark's builtin is string/binary-only — dispatch on resolved type

@@ -259,6 +259,11 @@ class DialectSpec extends AnyFunSuite {
     assert(squash(powOut).contains(squash("power(f(x /* ( */), 2)")), powOut)
     val factOut = Dialect.rewrite("SELECT g(y /* )) */)! AS f FROM t")
     assert(squash(factOut).contains(squash("factorial(g(y /* )) */))")), factOut)
+    // forward scan: a comment between the operator and its RIGHT operand
+    // rides along inside the call (Spark parses it; pre-fix the scan
+    // stopped AT the comment and left `** ` unrewritten)
+    val powFwd = Dialect.rewrite("SELECT 2 ** /* c */ 3 AS p FROM t")
+    assert(squash(powFwd).contains(squash("power(2, /* c */ 3)")), powFwd)
   }
 
   test("property: jaro/jaro-winkler bounds, identity, symmetry") {

@@ -1054,6 +1054,47 @@ class GatewaySpec extends AnyFunSuite {
     assert(gw.sql("SELECT row(1, 'x') AS s").collect().head.getStruct(0).getInt(0) == 1)
   }
 
+  test("round-8: batch-10 — stepped slices, top-n min/max, pop/push, map_extract") {
+    // stepped slice incl. negative step — DuckDB 1.0 pinned:
+    // [1:5:2] = [1,3,5]; [6:1:-2] = [6,4,2]; list_slice(l,2,6,2) = [2,4,6]
+    val sl = gw.sql(
+      """SELECT ([1,2,3,4,5,6])[1:5:2] AS a, ([1,2,3,4,5,6])[6:1:-2] AS b,
+        |  list_slice([1,2,3,4,5,6], 2, 6, 2) AS c,
+        |  ([1,2,3])[3:1:1] AS empty""".stripMargin).collect().head
+    assert(sl.getSeq[Int](0) == Seq(1, 3, 5))
+    assert(sl.getSeq[Int](1) == Seq(6, 4, 2))
+    assert(sl.getSeq[Int](2) == Seq(2, 4, 6))
+    assert(sl.getSeq[Int](3).isEmpty)
+    // top-n min/max (DuckDB >= 1.1 surface, hand-pinned): lists of the
+    // n extremes, NULLs dropped like plain min/max
+    val mn = gw.sql(
+      """SELECT min(x, 2) AS lo, max(x, 2) AS hi
+        |FROM (VALUES (3),(NULL),(1),(2)) t(x)""".stripMargin).collect().head
+    assert(mn.getSeq[Int](0) == Seq(1, 2))
+    assert(mn.getSeq[Int](1) == Seq(3, 2))
+    // pop/push family — DuckDB 1.0 pinned
+    val pp = gw.sql(
+      """SELECT array_pop_back([1,2,3]) AS a, array_pop_front([1,2,3]) AS b,
+        |  array_pop_back(([1])[1:0]) AS empty,
+        |  array_push_back([1,2], 3) AS c, array_push_front([1,2], 0) AS d""".stripMargin)
+      .collect().head
+    assert(pp.getSeq[Int](0) == Seq(1, 2) && pp.getSeq[Int](1) == Seq(2, 3))
+    assert(pp.getSeq[Int](2).isEmpty)
+    assert(pp.getSeq[Int](3) == Seq(1, 2, 3) && pp.getSeq[Int](4) == Seq(0, 1, 2))
+    // map_extract returns a value LIST, [] when absent (no ANSI
+    // element_at error on the missing-key path) — DuckDB 1.0 pinned
+    val me = gw.sql(
+      "SELECT map_extract(MAP {'k': 7}, 'k') AS hit, map_extract(MAP {'k': 7}, 'z') AS miss")
+      .collect().head
+    assert(me.getSeq[Int](0) == Seq(7))
+    assert(me.getSeq[Int](1).isEmpty)
+    // contains() dispatches on lists and maps, string form stays native
+    val ct = gw.sql(
+      "SELECT contains([1,2], 2) AS l, contains(MAP {'k': 1}, 'k') AS m, contains('abc', 'b') AS s")
+      .collect().head
+    assert(ct.getBoolean(0) && ct.getBoolean(1) && ct.getBoolean(2))
+  }
+
   test("round-8: CHECKPOINT succeeds as a read-only no-op, like DuckDB") {
     // DuckDB 1.0 on a read_only database RUNS CHECKPOINT (empty
     // `Success BOOLEAN` relation — nothing to flush); rejecting it was
