@@ -297,6 +297,59 @@ object DedupOps {
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
+  /** Asymmetric containment dedup — the near-dup class symmetric
+    * jaccard MISSES: a short document wholly contained in a longer one
+    * (a quote, an excerpt, a page embedded in a crawl of the full
+    * site) has low jaccard (the union is dominated by the long side)
+    * but containment |A∩B| / |A| ≈ 1 on the short side. Emits both
+    * directions plus which side is the contained one.
+    *
+    * Same bounded-pair discipline as dd_ngram_jaccard (the all-pairs
+    * form is the correctness kernel; at corpus scale the pair stream
+    * comes from LSH candidates — [[verifiedEdges]] — and this metric
+    * replaces the jaccard verify).
+    */
+  val d7 = Q(
+    "dd_containment",
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM documents WHERE doc_id < 60)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS cont_a,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS cont_b,
+       |  CASE WHEN len(a.sh) <= len(b.sh) THEN a.doc_id ELSE b.doc_id END AS contained_id
+       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |WHERE GREATEST(
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)) >= 0.05
+       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+  ) { s =>
+    containmentOf(
+      s.table("documents").filter(col("doc_id") < 60), minCont = 0.05)
+  }
+
+  /** Containment core over any (doc_id, text) relation — factored for
+    * the hand-built direction spec; notes on dd_containment above.
+    */
+  private[graft] def containmentOf(
+      corpus: DataFrame, minCont: Double): DataFrame = {
+    val docs = corpus
+      .select(col("doc_id"), shinglesPadded(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val contA = inter / size(col("sh_a"))
+    val contB = inter / size(col("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(greatest(contA, contB) >= minCont)
+      .select(col("id_a"), col("id_b"),
+        round(contA, 6).as("cont_a"),
+        round(contB, 6).as("cont_b"),
+        when(size(col("sh_a")) <= size(col("sh_b")), col("id_a"))
+          .otherwise(col("id_b")).as("contained_id"))
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+  }
+
   /** Verified near-dup edges (id_a < id_b, jaccard ≥ `minJac`) over a
     * corpus — the shared kernel of dd_minhash_lsh and dd_components:
     * signature → banded buckets → guarded candidates → shingle-set
@@ -560,5 +613,5 @@ object DedupOps {
     lab
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6)
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7)
 }

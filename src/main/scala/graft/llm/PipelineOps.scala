@@ -144,6 +144,128 @@ object PipelineOps {
       .orderBy(col("user_id").asc_nulls_last, col("session_id").asc_nulls_last)
   }
 
+  /** Ordered conversion funnel over the event stream — the product-
+    * analytics staple: of all users, how many ever viewed; of those,
+    * how many clicked AFTER their first view; of those, how many
+    * purchased AFTER that click. Order matters (a purchase before the
+    * first view does not count), which is what separates this from
+    * three independent COUNT(DISTINCT)s.
+    *
+    * Scale layout: all three stage timestamps are windows over the SAME
+    * (user_id) partitioning — one shuffle; the per-user collapse
+    * (groupBy user_id) reuses that partitioning (EnsureRequirements
+    * adds no exchange), and the final one-row summary is a partial/
+    * final aggregate over one row per user.
+    */
+  val pFunnelEvents = Q(
+    "ev_funnel",
+    """WITH st AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      |st2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t2
+      |  FROM st),
+      |st3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t3
+      |  FROM st2),
+      |u AS (
+      |  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      |  FROM st3 GROUP BY user_id)
+      |SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(COUNT(t1) AS BIGINT) AS n_view,
+      |  CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+      |  CAST(COUNT(t3) AS BIGINT) AS n_full_funnel,
+      |  ROUND(CAST(COUNT(t2) AS DOUBLE) / NULLIF(COUNT(t1), 0), 6) AS conv_click,
+      |  ROUND(CAST(COUNT(t3) AS DOUBLE) / NULLIF(COUNT(t2), 0), 6) AS conv_purchase
+      |FROM u""".stripMargin
+  ) { s => funnelOf(s.table("events")) }
+
+  /** Funnel core over any (user_id, ts, event_type) relation — factored
+    * for the hand-built ordering spec; plan notes on ev_funnel above.
+    */
+  private[graft] def funnelOf(events: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id"))
+    val st = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+    val st2 = st.withColumn("t2",
+      min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+    val st3 = st2.withColumn("t3",
+      min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+    val u = st3.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    u.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_view"),
+      count(col("t2")).as("n_view_click"),
+      count(col("t3")).as("n_full_funnel"),
+      round(count(col("t2")).cast(DoubleType) /
+        nullif(count(col("t1")), lit(0L)), 6).as("conv_click"),
+      round(count(col("t3")).cast(DoubleType) /
+        nullif(count(col("t2")), lit(0L)), 6).as("conv_purchase"))
+  }
+
+  /** Day-N cohort retention over the event stream — the second
+    * product-analytics staple: users are cohorted by their first active
+    * day; each cohort reports how many came back exactly 1 and 7 days
+    * later.
+    *
+    * Scale layout: the first-day aggregate and the distinct (user, day)
+    * activity relation both shuffle on user_id, and their join reuses
+    * that key; the final per-cohort rollup shuffles |cohorts| ×
+    * |users| rows of (date, id) pairs — the text/event payload never
+    * moves past the first projection. COUNT(DISTINCT CASE …) keys all
+    * three distinct counts off one expand of the same relation.
+    */
+  val pRetention = Q(
+    "ev_retention",
+    """WITH first AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |j AS (
+      |  SELECT f.cohort, a.user_id, date_diff('day', f.cohort, a.day) AS off
+      |  FROM act a JOIN first f USING (user_id))
+      |SELECT cohort,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size,
+      |  CAST(COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS BIGINT) AS d1_retained,
+      |  CAST(COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS BIGINT) AS d7_retained,
+      |  ROUND(CAST(COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS DOUBLE)
+      |    / COUNT(DISTINCT user_id), 6) AS d1_rate,
+      |  ROUND(CAST(COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS DOUBLE)
+      |    / COUNT(DISTINCT user_id), 6) AS d7_rate
+      |FROM j GROUP BY cohort
+      |ORDER BY cohort ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val first = s.table("events").groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    val act = s.table("events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val j = act.join(first, "user_id")
+      .select(col("cohort"), col("user_id"),
+        datediff(col("day"), col("cohort")).as("off"))
+    j.groupBy(col("cohort"))
+      .agg(
+        countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("off") === 1, col("user_id"))).as("d1_retained"),
+        countDistinct(when(col("off") === 7, col("user_id"))).as("d7_retained"),
+        round(countDistinct(when(col("off") === 1, col("user_id"))).cast(DoubleType) /
+          countDistinct(col("user_id")), 6).as("d1_rate"),
+        round(countDistinct(when(col("off") === 7, col("user_id"))).cast(DoubleType) /
+          countDistinct(col("user_id")), 6).as("d7_rate"))
+      .orderBy(col("cohort").asc_nulls_last)
+  }
+
   /** Full dedup COMPACTION as one plan — the production corpus-shrink
     * job: exact dedup (digest window, keep min id) over a corpus with
     * both verbatim copies (+2·offset) and 80%-prefix near-dups (+offset),
@@ -403,5 +525,6 @@ object PipelineOps {
       .orderBy(col("lang").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix)
+  val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix,
+    pFunnelEvents, pRetention)
 }

@@ -449,7 +449,164 @@ object TextOps {
       .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
   }
 
+  /** Self-trained bigram language-model scoring — the CCNet/Gopher-style
+    * perplexity filter every corpus-prep pipeline runs: score each
+    * document by the average log-probability of its word bigrams under
+    * an add-one-smoothed bigram model trained on the corpus itself,
+    * then flag the low-likelihood tail (boilerplate, non-language,
+    * mojibake score far below running text).
+    *
+    * logp(w1 w2) = ln((C(w1,w2) + 1) / (C(w1) + V)), V = |vocab|.
+    *
+    * Scale layout: the bigram stream is a per-doc projection (explode,
+    * no text shuffle — bigram strings only); model training is two
+    * partial/final count aggregations (map-side combine carries one row
+    * per distinct gram per partition); scoring is a shuffle join on the
+    * bigram key — the model stays DISTRIBUTED (a corpus-scale bigram
+    * table can be billions of rows; nothing here assumes it fits one
+    * node, unlike a broadcast-top-K variant, which is the cheaper knob
+    * when a capped model is acceptable). The per-doc average routes
+    * each ln term through ROUND+DECIMAL so partial-agg order cannot
+    * skew the float sum vs the single-threaded oracle.
+    */
+  val tBigramLm = Q(
+    "tx_bigram_lm",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM tok),
+      |bc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+      |uc AS (SELECT w, COUNT(*) AS cu FROM (
+      |  SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+      |v AS (SELECT COUNT(*) AS v FROM uc),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    ROUND(ln((bc.cb + 1.0) / (uc.cu + v.v)), 9) AS lp
+      |  FROM big b
+      |  JOIN bc USING (bg)
+      |  JOIN uc ON uc.w = string_split(b.bg, ' ')[1]
+      |  CROSS JOIN v),
+      |sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS alp
+      |  FROM terms GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  ROUND(COALESCE(sc.alp, 0.0), 6) AS avg_logprob,
+      |  COALESCE(sc.alp, 0.0) < -9.0 AS low_quality
+      |FROM tok t LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s => bigramLmOf(s.table("documents"), "tx_bigram_lm") }
+
+  /** Bigram-LM core over any (doc_id, text) relation — factored for the
+    * hand-built smoothing/edge spec; plan notes on tx_bigram_lm above.
+    */
+  private[graft] def bigramLmOf(
+      docs: org.apache.spark.sql.DataFrame, tag: String) = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // 1-based element_at matches the oracle's list indexing; the
+    // when-guard keeps sequence() ascending (sequence(1,0) would count
+    // DOWN in Spark where generate_series yields empty)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val big = graft.engine.CacheOnce(s"$tag/big",
+      docs.select(col("doc_id"), explode(bigrams).as("bg")))
+    val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val uc = graft.engine.CacheOnce(s"$tag/uc",
+      docs.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val v = uc.agg(count(lit(1)).as("v"))
+    val terms = big
+      .join(bc, "bg")
+      .join(uc, element_at(split(col("bg"), " "), 1) === col("w"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((col("cb") + 1.0) / (col("cu") + col("v"))), 9).as("lp"))
+    val sc = terms.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      (sum(col("lp").cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1))).as("alp"))
+    docs.select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("alp"), lit(0.0)), 6).as("avg_logprob"),
+        (coalesce(col("alp"), lit(0.0)) < -9.0).as("low_quality"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Per-language top-10 terms by TF-IDF — the corpus-characterization
+    * report (what distinguishes each language/domain slice) and the
+    * keyword stage of classic retrieval.
+    *
+    * tfidf(lang, t) = tf(lang, t) · ln((N + 1) / (df(t) + 1)).
+    *
+    * Scale layout: tf and df are partial/final count aggregations; the
+    * scoring join shuffles on the term key. The top-k is TWO-STAGE —
+    * per (lang, hash-bucket) row_number keeps ≤ 10 rows per bucket,
+    * then the per-lang window ranks only ≤ 10·32 survivors — because a
+    * single window PARTITION BY lang puts an entire language's vocab
+    * (millions of terms at corpus scale) through one task. Monotone
+    * ordering makes the two-stage result exactly the global top-10, so
+    * the oracle keeps the one-window formulation. Scores are rounded
+    * BEFORE ranking on both sides so float ties collapse and the term
+    * tie-break decides deterministically.
+    */
+  val tTfidf = Q(
+    "tx_tfidf_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |tfc AS (
+      |  SELECT lang, term, COUNT(*) AS tf FROM (
+      |    SELECT lang, unnest(toks) AS term FROM tok) GROUP BY lang, term),
+      |dfc AS (
+      |  SELECT term, COUNT(*) AS df FROM (
+      |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+      |  GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT lang, term, tf, df,
+      |    ROUND(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+      |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+      |top AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT lang, CAST(rank AS INT) AS rank, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+      |FROM top WHERE rank <= 10
+      |ORDER BY lang ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val docs = s.table("documents")
+    val toks = split(col("text"), " ")
+    val tfc = docs.select(col("lang"), explode(toks).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tfc.join(dfc, "term").crossJoin(broadcast(n))
+      .select(col("lang"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+    val ord = Seq(col("tfidf").desc, col("term").asc)
+    val wBucket = Window
+      .partitionBy(col("lang"), pmod(hash(col("term")), lit(32)))
+      .orderBy(ord: _*)
+    val wLang = Window.partitionBy(col("lang")).orderBy(ord: _*)
+    scored
+      .withColumn("brn", row_number().over(wBucket)).filter(col("brn") <= 10)
+      .withColumn("rank", row_number().over(wLang)).filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("lang").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
   val all: Seq[Q] =
     Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler,
-      tRepetition, tDecontaminate)
+      tRepetition, tDecontaminate, tBigramLm, tTfidf)
 }

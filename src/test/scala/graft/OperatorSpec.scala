@@ -731,4 +731,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[String]("top_bigram") == "y z")
     assert(r.getAs[Double]("top_bigram_frac") == 0.5)
   }
+
+  test("ev_funnel: stage order is enforced, not three independent counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // u1 completes in order; u2's purchase PRECEDES its view (must not
+    // count); u3's click precedes its view (no click-after-view); u4
+    // never views (counts only toward n_users)
+    val events = Seq(
+      (1L, "2024-01-01 00:00:10", "view"),
+      (1L, "2024-01-01 00:00:20", "click"),
+      (1L, "2024-01-01 00:00:30", "purchase"),
+      (2L, "2024-01-01 00:00:05", "purchase"),
+      (2L, "2024-01-01 00:00:10", "view"),
+      (2L, "2024-01-01 00:00:20", "click"),
+      (3L, "2024-01-01 00:00:05", "click"),
+      (3L, "2024-01-01 00:00:10", "view"),
+      (4L, "2024-01-01 00:00:10", "error"))
+      .toDF("user_id", "s", "event_type")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_type"))
+    val r = graft.llm.PipelineOps.funnelOf(events).collect()(0)
+    assert(r.getAs[Long]("n_users") == 4)
+    assert(r.getAs[Long]("n_view") == 3)        // u1, u2, u3
+    assert(r.getAs[Long]("n_view_click") == 2)  // u1, u2 (u3's click too early)
+    assert(r.getAs[Long]("n_full_funnel") == 1) // u1 only
+    assert(r.getAs[Double]("conv_purchase") == 0.5)
+  }
+
+  test("dd_containment: short-doc-inside-long fires where jaccard stays low") {
+    import spark.implicits._
+    val long =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "eta theta iota kappa lambda mu" // verbatim excerpt
+    val docs = Seq((1L, long), (2L, short), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.containmentOf(docs, minCont = 0.5).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // every shingle of the excerpt appears in the long doc
+    assert(r.getAs[Double]("cont_b") == 1.0)
+    assert(r.getAs[Long]("contained_id") == 2L)
+    // the symmetric jaccard for the same pair is far below the
+    // containment signal — the class this operator exists to catch
+    assert(r.getAs[Double]("cont_a") < 0.25)
+  }
+
+  test("tx_bigram_lm: add-one smoothing matches hand-computed logprob") {
+    import spark.implicits._
+    // corpus: "a b a b", "a b", "z" → C(a b)=3, C(b a)=1, C(a)=3,
+    // C(b)=3, C(z)=1, V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.bigramLmOf(docs, "spec_lm").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 2: one bigram "a b" → ln((3+1)/(3+3)) = ln(2/3)
+    val exp = BigDecimal(math.log(2.0 / 3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(2L).getAs[Double]("avg_logprob") == exp)
+    // doc 1: bigrams a b, b a, a b → (2·ln(4/6) + ln((1+1)/(3+3))) / 3
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    // single-token doc: no bigrams, defined score, not flagged
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(3L).getAs[Double]("avg_logprob") == 0.0)
+    assert(!out(3L).getAs[Boolean]("low_quality"))
+  }
 }

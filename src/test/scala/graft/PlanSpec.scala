@@ -266,4 +266,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
     assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p)
   }
+
+  test("ev_funnel: all three stage windows and the user rollup share ONE shuffle") {
+    val df = SparkEntry.queries("ev_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one hashpartitioning(user_id) serves t1/t2/t3 windows AND the
+    // groupBy(user_id); the only other exchange is the final one-row agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx_tfidf_terms: two-stage top-k, no per-language global sort of the vocab") {
+    val df = SparkEntry.queries("tx_tfidf_terms")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // bucket-local row_number prunes to ≤10·32 rows BEFORE the per-lang
+    // window — two Window operators, and the corpus-sized relation is
+    // never range/hash-partitioned on lang alone ahead of the prune
+    assert("row_number".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx_bigram_lm: distributed model joins, no cartesian, scratch cached once") {
+    val df = SparkEntry.queries("tx_bigram_lm")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the vocab-size scalar rides a broadcast (1 row); the bigram/term
+    // model joins are key-partitioned — nothing nested-loops the corpus
+    assert(!p.contains("CartesianProduct"), p)
+    // CacheOnce'd bigram stream feeds both the count agg and the score
+    // join without recomputing the explode
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }
