@@ -89,7 +89,9 @@ object ScaleBench {
   private val heavy = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
     "dd_components", "tx_decontaminate", "tx_token_count", "tx_fingerprint",
+    "tx_bigram_lm", "tx_tfidf_terms",
     "pipe_compact", "pipe_embed_dedup", "pipe_funnel", "ev_sessionize",
+    "ev_funnel", "ev_retention",
     "mm_decode", "mm_resize",
     "nn_cosine_topk", "nn_ivf_topk", "nn_pq_topk",
     "a10_approx_distinct", "q1_pricing", "q18_large_orders")
@@ -245,7 +247,14 @@ object ScaleBench {
     sb.append("propagation and star component labelings identical; ")
     sb.append("decontaminate broadcast and shuffle gate paths return equal ")
     sb.append("survivor counts; IVF and PQ top-3 equal brute-force top-3.\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      sb.toString.getBytes("UTF-8"))
+    // preserve hand-written sections (## headings) from a prior file —
+    // the tier-1 table above is the only part this harness owns
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val old = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val idx = old.indexOf("\n## ")
+      if (idx >= 0) sb.append(old.substring(idx + 1))
+    }
+    java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
   }
 }

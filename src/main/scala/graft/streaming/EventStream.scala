@@ -86,6 +86,79 @@ object EventStream {
   final case class RunState(best: Int, cur: Int, lastType: String, lastTs: Long)
   final case class UserRun(userId: Long, runLength: Int, lastType: String)
 
+  /** Per-user funnel progression state: epoch-millis of the first view,
+    * first click after it, first purchase after that (MinValue = not
+    * reached), plus the last applied event time for late-arrival
+    * fencing.
+    */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, lastTs: Long)
+  final case class UserFunnel(userId: Long, stage: Int)
+
+  /** Streaming counterpart of the batch `ev_funnel` operator
+    * (llm.PipelineOps.funnelOf): per-user ordered view→click→purchase
+    * progression maintained incrementally with mapGroupsWithState.
+    * Emits each user's current stage (0 = nothing, 1 = viewed,
+    * 2 = clicked after the first view, 3 = purchased after that click)
+    * — the live dashboard the batch query computes retrospectively.
+    *
+    * Equivalence with the batch windows: events are applied in
+    * event-time order with first-qualifying-wins transitions, which
+    * reproduces MIN(view), MIN(click > t1), MIN(purchase > t2) exactly
+    * — a funnel stage, once reached, is never revised by later events.
+    * Cross-batch LATE arrivals (ts ≤ the state's last applied event)
+    * are dropped, same fencing discipline as [[longestRunPerUser]]: a
+    * late earlier view could in principle lower t1 and admit an
+    * intermediate click the batch pass would count — the documented
+    * stream-vs-batch trade-off, bounded by the source's ordering
+    * guarantees. State is 4 longs per user — O(active users), evictable
+    * via ProcessingTimeTimeout like the other stateful ops.
+    */
+  def funnelStage(
+      clicks: Dataset[Click],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutDuration: String = "1 hour"): Dataset[UserFunnel] = {
+    require(
+      timeout == GroupStateTimeout.NoTimeout ||
+        timeout == GroupStateTimeout.ProcessingTimeTimeout,
+      s"funnelStage: unsupported timeout mode $timeout")
+    import clicks.sparkSession.implicits._
+    val Unset = Long.MinValue
+    clicks
+      .groupByKey(_.userId)
+      .mapGroupsWithState(timeout) {
+        (userId: Long, rows: Iterator[Click], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            UserFunnel(userId,
+              Seq(last.t1, last.t2, last.t3).count(_ != Unset))
+          } else {
+            var st = state.getOption
+              .getOrElse(FunnelState(Unset, Unset, Unset, Unset))
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+              .filter(_.ts.getTime > st.lastTs)
+            sorted.foreach { c =>
+              val t = c.ts.getTime
+              c.eventType match {
+                case "view" if st.t1 == Unset =>
+                  st = st.copy(t1 = t)
+                case "click" if st.t2 == Unset && st.t1 != Unset && t > st.t1 =>
+                  st = st.copy(t2 = t)
+                case "purchase" if st.t3 == Unset && st.t2 != Unset && t > st.t2 =>
+                  st = st.copy(t3 = t)
+                case _ => ()
+              }
+              st = st.copy(lastTs = t)
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
+              state.setTimeoutDuration(timeoutDuration)
+            }
+            UserFunnel(userId, Seq(st.t1, st.t2, st.t3).count(_ != Unset))
+          }
+      }
+  }
+
   /** Custom keyed state (§2.11 UDF surface analog for streams): per-user
     * longest run of consecutive same-type events, maintained with
     * mapGroupsWithState. State carries both the best and the in-progress

@@ -224,4 +224,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Int]("runLength") == 3)
     assert(last.getAs[String]("lastType") == "click")
   }
+
+  test("funnelStage: cross-batch progression matches the batch ev_funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Click]
+    // u1 progresses across batches (view | click, purchase) → stage 3;
+    // u2's purchase PRECEDES everything → stage 2 (view, click only);
+    // u3 clicks before viewing → stage 1; u4 never views → stage 0
+    val batch1 = Seq(
+      Click(1L, ts(0), "view"),
+      Click(2L, ts(0), "purchase"), Click(2L, ts(1), "view"),
+      Click(3L, ts(0), "click"), Click(4L, ts(0), "error"))
+    val batch2 = Seq(
+      Click(1L, ts(5), "click"), Click(1L, ts(9), "purchase"),
+      Click(2L, ts(6), "click"), Click(3L, ts(4), "view"))
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    val q = EventStream.funnelStage(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_stream").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits per batch: latest row per user wins
+    val stages = spark.table("funnel_stream").collect()
+      .groupBy(_.getAs[Long]("userId"))
+      .map { case (u, rows) => u -> rows.last.getAs[Int]("stage") }
+    assert(stages == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+
+    // stream-vs-batch differential: stage tallies must equal the batch
+    // ev_funnel aggregate over the same rows
+    val events = (batch1 ++ batch2)
+      .toDF("user_id", "ts", "event_type")
+    val b = graft.llm.PipelineOps.funnelOf(events).collect()(0)
+    assert(b.getAs[Long]("n_view") == stages.values.count(_ >= 1))
+    assert(b.getAs[Long]("n_view_click") == stages.values.count(_ >= 2))
+    assert(b.getAs[Long]("n_full_funnel") == stages.values.count(_ >= 3))
+  }
 }
