@@ -93,6 +93,12 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   private val pivotRe =
     ("""(?is)^PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(.+?)""" +
       """\s+GROUP\s+BY\s+([\w.\s,]+?)\s*(ORDER\s+BY[\w.\s,]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$""").r
+  private val pivotNoGroupRe =
+    ("""(?is)^PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(.+?)""" +
+      """\s*(ORDER\s+BY[\w.\s,]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$""").r
+  private val unpivotRe =
+    ("""(?is)^UNPIVOT\s+([\w.]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s*(ORDER\s+BY[\w.\s,]+?)?\s*(LIMIT\s+\d+)?\s*;?\s*$""").r
   private val attachRe =
     """(?is)ATTACH\s+'(\w+)'\s*\(\s*TYPE\s+AIRPORT\s*,\s*location\s+'([^']+)'\s*\)\s*;?\s*""".r
 
@@ -201,31 +207,90 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       case summarizeRe(table) => return session.table(table).summary()
       case _ =>
     }
-    // DuckDB `PIVOT t ON c USING agg GROUP BY g [ORDER BY …] [LIMIT n]`
+    // DuckDB `PIVOT t ON c USING agg [GROUP BY g] [ORDER BY …] [LIMIT n]`
     // (the dynamic-pivot statement, T4): two passes — collect the pivot
     // column's domain (cardinality-capped by pivotDomain), then the
-    // relational pivot. The no-GROUP-BY form (implicit group-by-rest)
-    // falls through to the native parser's error.
+    // relational pivot. The no-GROUP-BY form groups by every column the
+    // statement doesn't otherwise reference (DuckDB's implicit
+    // group-by-rest, pinned in GatewaySpec).
+    def runPivot(tbl: String, onCol: String, using: String,
+        groupBy: Option[String], orderBy: String, limit: String): DataFrame = {
+      import org.apache.spark.sql.functions.{col, expr}
+      val base = session.table(tbl)
+      val groupCols = groupBy match {
+        case Some(g) => g.split(",").map(_.trim)
+        case None =>
+          // implicit group-by-rest: every base column not the pivot
+          // key and not referenced by the USING aggregate
+          val usingWords = """[A-Za-z_][A-Za-z_0-9]*""".r
+            .findAllIn(using.toLowerCase).toSet
+          base.columns.filterNot(c =>
+            c.equalsIgnoreCase(onCol) || usingWords.contains(c.toLowerCase))
+      }
+      val domain = graft.operators.GeneratorQueries.pivotDomain(base, onCol)
+      var df = base
+        .groupBy(groupCols.map(col): _*)
+        .pivot(onCol, domain)
+        .agg(expr(using.trim))
+      // DuckDB's count-pivot reports 0 for absent cells, not NULL
+      if (using.trim.toLowerCase.startsWith("count")) df = df.na.fill(0L)
+      val tailText = Seq(Option(orderBy), Option(limit)).flatten
+        .map(_.trim).mkString(" ")
+      if (tailText.isEmpty) return df
+      session.synchronized {
+        val tmp = s"__graft_pivot_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        df.createOrReplaceTempView(tmp)
+        try {
+          val out = session.sql(s"SELECT * FROM $tmp $tailText")
+          out.queryExecution.assertAnalyzed() // view plan inlined here
+          out
+        } finally session.catalog.dropTempView(tmp)
+      }
+    }
     expanded match {
       case pivotRe(tbl, onCol, using, groupBy, orderBy, limit) =>
-        import org.apache.spark.sql.functions.{col, expr}
+        return runPivot(tbl, onCol, using, Some(groupBy), orderBy, limit)
+      case pivotNoGroupRe(tbl, onCol, using, orderBy, limit)
+          // a USING tail that still contains GROUP BY means the greedy
+          // no-group regex mis-split an explicit-group statement that
+          // the stricter pattern rejected — let the parser error speak
+          if !using.toUpperCase.contains("GROUP BY") =>
+        return runPivot(tbl, onCol, using, None, orderBy, limit)
+      case _ =>
+    }
+    // DuckDB `UNPIVOT t ON c1 [AS l1], … INTO NAME n VALUE v` — wide →
+    // long. Pinned semantics (GatewaySpec, DuckDB 1.0): NULL cells are
+    // dropped; output columns are the kept (non-ON) columns in table
+    // order, then NAME, then VALUE; an AS alias relabels the NAME cell.
+    expanded match {
+      case unpivotRe(tbl, onList, nameCol, valueCol, orderBy, limit) =>
+        import org.apache.spark.sql.functions.col
         val base = session.table(tbl)
-        val domain = graft.operators.GeneratorQueries.pivotDomain(base, onCol)
-        var df = base
-          .groupBy(groupBy.split(",").map(_.trim).map(col): _*)
-          .pivot(onCol, domain)
-          .agg(expr(using.trim))
-        // DuckDB's count-pivot reports 0 for absent cells, not NULL
-        if (using.trim.toLowerCase.startsWith("count")) df = df.na.fill(0L)
+        val entries = onList.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
+          val m = """(?is)^([\w.]+)(?:\s+AS\s+(\w+))?$""".r
+          e match {
+            case m(c, alias) => (c, Option(alias).getOrElse(c))
+            case _ => throw new GatewayException(
+              s"UNPIVOT: cannot parse ON entry '$e'")
+          }
+        }
+        val onCols = entries.map(_._1.toLowerCase).toSet
+        val ids = base.columns.filterNot(c => onCols.contains(c.toLowerCase))
+        val df = base
+          .unpivot(
+            ids.map(col),
+            entries.map { case (c, alias) => col(c).as(alias) },
+            nameCol, valueCol)
+          .filter(col(valueCol).isNotNull)
         val tailText = Seq(Option(orderBy), Option(limit)).flatten
           .map(_.trim).mkString(" ")
         if (tailText.isEmpty) return df
         return session.synchronized {
-          val tmp = s"__graft_pivot_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          val tmp = s"__graft_unpivot_${java.util.UUID.randomUUID.toString.replace("-", "")}"
           df.createOrReplaceTempView(tmp)
           try {
             val out = session.sql(s"SELECT * FROM $tmp $tailText")
-            out.queryExecution.assertAnalyzed() // view plan inlined here
+            out.queryExecution.assertAnalyzed()
             out
           } finally session.catalog.dropTempView(tmp)
         }

@@ -237,6 +237,44 @@ object AggQueries {
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
   }
 
+  /** A9d: sketch-based approximate quantiles, bounded in-query — the
+    * a10 pattern applied to percentiles: each engine's own sketch
+    * (Spark percentile_approx / DuckDB approx_quantile) is compared to
+    * the EXACT quantile inside the query and only the comparable
+    * outcome (exact values + within-1%-bool) crosses the differential
+    * gate — sketch internals never do. Exact quantile parity itself is
+    * a9_quantiles_exact's job; this row proves the SCALE path (a
+    * mergeable fixed-size sketch per group, no sorted materialization)
+    * stays inside its error envelope.
+    */
+  val a9d = Q(
+    "a9_quantiles_sketch",
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+      |  (abs(approx_quantile(l_extendedprice, 0.5)
+      |     - quantile_cont(l_extendedprice, 0.5))
+      |     <= 0.01 * quantile_cont(l_extendedprice, 0.5)) AND
+      |  (abs(approx_quantile(l_extendedprice, 0.95)
+      |     - quantile_cont(l_extendedprice, 0.95))
+      |     <= 0.01 * quantile_cont(l_extendedprice, 0.95)) AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT l_returnflag,
+        |  ROUND(percentile(l_extendedprice, 0.5), 6) AS p50,
+        |  ROUND(percentile(l_extendedprice, 0.95), 6) AS p95,
+        |  (abs(percentile_approx(l_extendedprice, 0.5, 10000)
+        |     - percentile(l_extendedprice, 0.5))
+        |     <= 0.01 * percentile(l_extendedprice, 0.5)) AND
+        |  (abs(percentile_approx(l_extendedprice, 0.95, 10000)
+        |     - percentile(l_extendedprice, 0.95))
+        |     <= 0.01 * percentile(l_extendedprice, 0.95)) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
+  }
+
   /** A11: arg_min/arg_max ≡ min_by/max_by (unique ordering col ⇒ deterministic). */
   val a11 = Q(
     "a11_min_max_by",
@@ -407,6 +445,6 @@ object AggQueries {
   }
 
   val all: Seq[Q] = Seq(
-    q1Pricing, a2, a4, a5, a6, a6b, a6c, a7, a8, a9b, a9c, a11, a12, a13, a14, a15, a10,
+    q1Pricing, a2, a4, a5, a6, a6b, a6c, a7, a8, a9b, a9c, a9d, a11, a12, a13, a14, a15, a10,
     a16, a17)
 }

@@ -180,14 +180,22 @@ object GeneratorQueries {
     * advisory: collect at most max+1 distinct values and fail fast if
     * the domain exceeds the cap.
     */
-  private[graft] def pivotDomain(df: DataFrame, column: String): Seq[String] = {
+  private[graft] def pivotDomain(df: DataFrame, column: String): Seq[Any] = {
+    // any pivot-key type (DuckDB pivots on ints, dates, …); NULL keys
+    // are dropped from the domain — DuckDB 1.0 pinned (no NULL column)
     val values = df.select(col(column)).distinct()
-      .limit(MaxPivotColumns + 1).collect().map(_.getString(0))
+      .limit(MaxPivotColumns + 1).collect().map(_.get(0)).filter(_ != null)
     if (values.length > MaxPivotColumns)
       throw new IllegalArgumentException(
         s"dynamic pivot on '$column' exceeds $MaxPivotColumns distinct values; " +
           "pivot on a lower-cardinality column or supply an explicit IN list")
-    values.sorted.toSeq
+    // natural ascending order when the type is comparable (2020 < 2021,
+    // numerically — lexicographic would misorder), stringified otherwise
+    values.sortWith {
+      case (a: Comparable[_], b) if a.getClass == b.getClass =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      case (a, b) => String.valueOf(a) < String.valueOf(b)
+    }.toSeq
   }
 
   val t4c = Q(

@@ -168,6 +168,38 @@ class GatewaySpec extends AnyFunSuite {
       Seq(0L, 10L, 20L, 30L, 40L))
   }
 
+  test("UNPIVOT statement and implicit-group PIVOT (DuckDB 1.0 pinned)") {
+    // fixtures pinned against DuckDB 1.0:
+    //   UNPIVOT t ON jan, feb, mar INTO NAME month VALUE sales
+    //   → NULL cells DROPPED; columns = kept cols, NAME, VALUE
+    gw.sql("CREATE OR REPLACE TEMP VIEW up_t AS SELECT * FROM VALUES " +
+      "(1, 10, CAST(NULL AS INT), 30), (2, 40, 50, CAST(NULL AS INT)) " +
+      "AS t(id, jan, feb, mar)").collect()
+    val up = gw.sql(
+      "UNPIVOT up_t ON jan, feb, mar INTO NAME month VALUE sales")
+    assert(up.columns.toSeq == Seq("id", "month", "sales"))
+    assert(up.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet ==
+      Set((1, "jan", 10), (1, "mar", 30), (2, "jan", 40), (2, "feb", 50)))
+    // ORDER BY / LIMIT tail + AS alias relabels the NAME cell
+    val top = gw.sql(
+      "UNPIVOT up_t ON jan AS j, feb INTO NAME month VALUE sales " +
+        "ORDER BY sales DESC LIMIT 2").collect()
+    assert(top.map(r => (r.getString(top.head.fieldIndex("month")),
+      r.getInt(top.head.fieldIndex("sales")))).toSeq ==
+      Seq(("feb", 50), ("j", 40)))
+
+    // PIVOT without GROUP BY: implicit group-by-rest (DuckDB pinned:
+    // PIVOT cs ON year USING sum(amount) groups by city)
+    gw.sql("CREATE OR REPLACE TEMP VIEW up_cs AS SELECT * FROM VALUES " +
+      "('NY', 2020, 10), ('NY', 2021, 20), ('LA', 2020, 5) " +
+      "AS t(city, year, amount)").collect()
+    val pv = gw.sql("PIVOT up_cs ON year USING sum(amount) ORDER BY city")
+    assert(pv.columns.toSeq == Seq("city", "2020", "2021"))
+    assert(pv.collect().map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
+      Seq(("LA", Some(5), None), ("NY", Some(10), Some(20))))
+  }
+
   test("duckdb-dialect functions run unchanged") {
     val r = gw.sql(
       """SELECT string_split('a,b,c', ',') AS sp,
