@@ -350,6 +350,86 @@ object DedupOps {
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
+  /** SemDeDup-style semantic dedup over the embedding corpus (Abbas et
+    * al. 2023, arXiv:2303.09540 — public method): cluster vectors,
+    * compare each member ONLY to its cluster representative, drop
+    * members whose cosine to the representative exceeds the threshold.
+    * The point vs pairwise near-dup (pipe_embed_dedup) is the cost
+    * model: one comparison per vector — O(n) verify work, no
+    * candidate-pair stream at all.
+    *
+    * Clusters here are the 12-bit hyperplane signature (deterministic,
+    * shared with nn_lsh_buckets/pipe_embed_dedup — SQL-expressible, so
+    * the oracle replays it exactly; a production run would swap in the
+    * trained IVF k-means lists, same plan shape). Representative = the
+    * cluster's minimum vec_id. Emits every non-singleton member with
+    * its cosine and the drop verdict.
+    *
+    * Scale: ONE shuffle on the signature serves the representative
+    * aggregate and the member join; the per-member cosine is a codegen
+    * kernel against the rep's vector fetched by equi-join — at any
+    * corpus size the work is |corpus| dot products, executor-local.
+    */
+  val d8 = Q(
+    "dd_semantic",
+    """WITH planes AS (
+      |  SELECT p,
+      |    list_transform(range(64), d ->
+      |      CASE WHEN (strpos('0123456789abcdef',
+      |        substr(md5(p::VARCHAR || ':' || d::VARCHAR), 2, 1)) - 1) % 2 = 0
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      |  FROM range(12) t(p)),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |bits AS (
+      |  SELECT e.vec_id, p.p,
+      |    CASE WHEN list_dot_product(e.v, p.plane) > 0 THEN '1' ELSE '0' END AS bit
+      |  FROM e CROSS JOIN planes p),
+      |sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig
+      |         FROM bits GROUP BY vec_id),
+      |rep AS (SELECT sig, MIN(vec_id) AS rep_id, COUNT(*) AS cluster_size
+      |        FROM sigs GROUP BY sig),
+      |j AS (
+      |  SELECT s.vec_id, r.rep_id, r.cluster_size,
+      |    list_dot_product(ea.v, eb.v) /
+      |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+      |  FROM sigs s
+      |  JOIN rep r USING (sig)
+      |  JOIN e ea ON ea.vec_id = s.vec_id
+      |  JOIN e eb ON eb.vec_id = r.rep_id
+      |  WHERE s.vec_id <> r.rep_id)
+      |SELECT vec_id, rep_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |  ROUND(cos, 6) AS cos, cos >= 0.2 AS dropped
+      |FROM j ORDER BY vec_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    semanticDedupOf(s.table("embeddings"), "dd_semantic", minCos = 0.2)
+  }
+
+  /** Semantic-dedup core over any (vec_id, embedding) relation —
+    * factored for the hand-built cluster spec; notes on dd_semantic
+    * above.
+    */
+  private[graft] def semanticDedupOf(
+      embeddings: DataFrame, tag: String, minCos: Double): DataFrame = {
+    import graft.engine.GraftColumns.dot
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val sigs = graft.engine.CacheOnce(s"$tag/sigs",
+      embeddings.select(col("vec_id"),
+        SimilarityOps.hyperplaneSig(col("embedding"), 12).as("sig")))
+    val rep = sigs.groupBy(col("sig"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("cluster_size"))
+    val cos = dot(col("va"), col("vb")) /
+      (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))
+    sigs.join(rep, "sig")
+      .filter(col("vec_id") =!= col("rep_id"))
+      .join(e.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(e.select(col("vec_id").as("rep_id"), col("v").as("vb")), "rep_id")
+      .select(col("vec_id"), col("rep_id"), col("cluster_size"),
+        round(cos, 6).as("cos"), (cos >= minCos).as("dropped"))
+      .orderBy(col("vec_id").asc_nulls_last)
+  }
+
   /** Verified near-dup edges (id_a < id_b, jaccard ≥ `minJac`) over a
     * corpus — the shared kernel of dd_minhash_lsh and dd_components:
     * signature → banded buckets → guarded candidates → shingle-set
@@ -613,5 +693,5 @@ object DedupOps {
     lab
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7)
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8)
 }

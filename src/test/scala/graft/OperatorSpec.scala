@@ -778,6 +778,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[Double]("cont_a") < 0.25)
   }
 
+  test("dd_semantic: identical vectors collapse to the min-id representative") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val w = v.map(-_)
+    val docs = Seq((10L, v), (11L, v), (12L, v), (20L, w))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.DedupOps.semanticDedupOf(docs, "spec_sem", 0.9).collect()
+    // 10 is the cluster minimum → representative; 11/12 are emitted as
+    // dropped with cosine 1; 20's flipped vector lands in its own
+    // singleton cluster and is never emitted (nothing to compare)
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L, 12L))
+    assert(out.forall(r => r.getAs[Long]("rep_id") == 10L &&
+      r.getAs[Double]("cos") == 1.0 && r.getAs[Boolean]("dropped")))
+    assert(out.forall(_.getAs[Long]("cluster_size") == 3L))
+  }
+
   test("tx_bigram_lm: add-one smoothing matches hand-computed logprob") {
     import spark.implicits._
     // corpus: "a b a b", "a b", "z" → C(a b)=3, C(b a)=1, C(a)=3,
