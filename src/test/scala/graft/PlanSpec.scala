@@ -288,6 +288,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ev_retention: per-user pre-collapse, no COUNT(DISTINCT) expand") {
+    val df = SparkEntry.queries("ev_retention")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the rollup input is one row per (cohort, user) with two booleans;
+    // a distinct-aggregate Expand would triple it (877 MB spill at the
+    // 100× tier before this shape)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tx_bigram_lm: distributed model joins, no cartesian, scratch cached once") {
     val df = SparkEntry.queries("tx_bigram_lm")(spark, sf)
     df.collect()
