@@ -26,7 +26,9 @@ object Dialect {
     *     (reference smoke query, /root/reference/main.go:77)
     */
   private val passes: Seq[String => String] = Seq(
+    rewriteDollarQuotes, // FIRST: later scanners assume '…' string syntax
     normalizeWs, rewriteBlob, rewriteBitCasts, rewriteArrayTypeSuffix,
+    rewriteTrailingCommas, rewriteEmptyGroupBy,
     rewriteBraceLiterals, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
     rewriteTimestampTz, rewriteAtTimeZone, rewriteIntervalExpr, rewriteAtAbs,
@@ -40,6 +42,107 @@ object Dialect {
 
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
+
+  /** DuckDB/Postgres dollar-quoted strings: `$$…$$` / `$tag$…$tag$` →
+    * standard quoted literals with '' doubling. Runs FIRST — every
+    * other pass's opacity scanner only understands '…' syntax, so a
+    * dollar-quoted body containing quotes or keywords would otherwise
+    * desynchronize them. `$1`/`$name` prepared-statement params don't
+    * match (no closing `$`).
+    */
+  /** Gateway's PREPARE capture normalizes dollar quotes before the
+    * placeholder binder ever sees the text.
+    */
+  private[engine] def normalizeDollarQuotes(sql: String): String =
+    rewriteDollarQuotes(sql)
+
+  private val dollarOpenRe = """\$([A-Za-z_][A-Za-z_0-9]*)?\$""".r
+  private def rewriteDollarQuotes(sql: String): String = {
+    if (!sql.contains("$")) return sql
+    val sb = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, sb)
+      if (opaque > i) i = opaque
+      else if (sql.charAt(i) == '$') {
+        val m = dollarOpenRe.pattern.matcher(sql).region(i, sql.length)
+        if (m.lookingAt()) {
+          val open = m.group(0)
+          val close = sql.indexOf(open, i + open.length)
+          if (close >= 0) {
+            val body = sql.substring(i + open.length, close)
+            sb.append('\'').append(body.replace("'", "''")).append('\'')
+            i = close + open.length
+            changed = true
+          } else { sb.append('$'); i += 1 }
+        } else { sb.append('$'); i += 1 }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    if (changed) sb.toString else sql
+  }
+
+  /** DuckDB tolerates trailing commas in SELECT lists and collection
+    * literals; Spark rejects them. Drop any comma whose next
+    * non-whitespace/non-comment token is a clause keyword, a closer
+    * (`)`/`]`/`}`), `;`, or end of statement — a position where the
+    * comma can never separate real list elements.
+    */
+  private val trailingCommaStops = Set(
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "WINDOW", "QUALIFY", "UNION", "EXCEPT", "INTERSECT")
+  private def rewriteTrailingCommas(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, sb)
+      if (opaque > i) i = opaque
+      else if (sql.charAt(i) == ',') {
+        // peek past whitespace and comments only (a string literal
+        // after a comma is a REAL next element)
+        var j = i + 1
+        var moved = true
+        while (moved) {
+          moved = false
+          while (j < sql.length && sql.charAt(j).isWhitespace) { j += 1; moved = true }
+          if (j < sql.length &&
+              (sql.startsWith("--", j) || sql.startsWith("/*", j))) {
+            val o = consumeOpaque(sql, j, null)
+            if (o > j) { j = o; moved = true }
+          }
+        }
+        val atStop =
+          j >= sql.length || ")]};".contains(sql.charAt(j)) || {
+            val w = new StringBuilder
+            var k = j
+            while (k < sql.length &&
+                (sql.charAt(k).isLetter || sql.charAt(k) == '_')) {
+              w.append(sql.charAt(k)); k += 1
+            }
+            trailingCommaStops.contains(w.toString.toUpperCase)
+          }
+        if (atStop) { changed = true; i += 1 } // drop the comma
+        else { sb.append(','); i += 1 }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    if (changed) sb.toString else sql
+  }
+
+  /** DuckDB `GROUP BY ()` (the empty grouping set → one global group)
+    * → Spark's `GROUP BY GROUPING SETS (())`.
+    */
+  private val emptyGroupByRe = """(?i)(GROUP\s+BY)\s*\(\s*\)""".r
+  private def rewriteEmptyGroupBy(sql: String): String = {
+    if (!sql.toUpperCase.contains("GROUP")) return sql
+    scanOutsideLiterals(sql) { (i, sb) =>
+      val m = emptyGroupByRe.pattern.matcher(sql).region(i, sql.length)
+      if (wordStart(sql, i) && m.lookingAt()) {
+        sb.append(m.group(1)).append(" GROUPING SETS (())")
+        m.end
+      } else i
+    }
+  }
 
   /** DuckDB star modifiers:
     *  - `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)` (same semantics)

@@ -150,7 +150,10 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // read-only classification applies to the BOUND statement.
     trimmed match {
       case prepareRe(name, body) =>
-        prepared.put(name.toLowerCase, body.trim)
+        // normalize dollar-quoted literals NOW: the binder runs before
+        // the dialect pipeline and would read `$$v$$` as a `$v` param
+        prepared.put(name.toLowerCase,
+          Dialect.normalizeDollarQuotes(body.trim))
         return session.sql("SELECT true AS Success").limit(0)
       case executeRe(name, argText) =>
         return this.sql(bindPrepared(name, Option(argText)))

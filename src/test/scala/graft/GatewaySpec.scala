@@ -168,6 +168,29 @@ class GatewaySpec extends AnyFunSuite {
       Seq(0L, 10L, 20L, 30L, 40L))
   }
 
+  test("dollar quotes, trailing commas, empty GROUP BY (DuckDB 1.0 pinned)") {
+    // $$…$$ / $tag$…$tag$ → quoted literal, '' doubling
+    assert(gw.sql("SELECT $$it's$$ AS s").collect()(0).getString(0) == "it's")
+    assert(gw.sql("SELECT $q$a 'b' -- c$q$ AS s").collect()(0)
+      .getString(0) == "a 'b' -- c")
+    // $1 params must survive (no closing $) — PREPARE still binds
+    gw.sql("PREPARE dq AS SELECT $$v:$$ || $1 AS s").collect()
+    assert(gw.sql("EXECUTE dq('x')").collect()(0).getString(0) == "v:x")
+    gw.sql("DEALLOCATE dq").collect()
+
+    // trailing commas: SELECT list, list literal; a string literal
+    // after a comma is a real element, not a trailing comma
+    assert(gw.sql("SELECT 1 AS a, 2 AS b, FROM region LIMIT 1")
+      .columns.toSeq == Seq("a", "b"))
+    assert(gw.sql("SELECT [1, 2,] AS l").collect()(0)
+      .getSeq[Int](0) == Seq(1, 2))
+    assert(gw.sql("SELECT 'a', 'b' AS x").collect()(0).getString(1) == "b")
+
+    // GROUP BY () = one global group (DuckDB: 25 nation rows → 1)
+    val g = gw.sql("SELECT count(*) AS n FROM nation GROUP BY ()").collect()
+    assert(g.length == 1 && g(0).getLong(0) == 25L)
+  }
+
   test("UNPIVOT statement and implicit-group PIVOT (DuckDB 1.0 pinned)") {
     // fixtures pinned against DuckDB 1.0:
     //   UNPIVOT t ON jan, feb, mar INTO NAME month VALUE sales
