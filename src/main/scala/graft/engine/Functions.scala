@@ -24,6 +24,26 @@ object Functions {
     LambdaFunction(build(vars), vars)
   }
 
+  /** DuckDB's indexed lambdas are 1-BASED ((x, i) -> … sees i=1 for the
+    * first element) where Spark's HOF index is 0-based: shift every
+    * reference to the second lambda variable by +1 inside the body.
+    * One-param lambdas pass through untouched. (Nested same-name
+    * shadowing would double-shift — not expressible from the gateway's
+    * single-level lambda syntax.)
+    */
+  private def oneBasedIdx(f: LambdaFunction): LambdaFunction =
+    if (f.arguments.length < 2) f
+    else {
+      val idx = f.arguments(1)
+      val shifted = f.function.transformUp {
+        case v: UnresolvedNamedLambdaVariable
+            if idx.isInstanceOf[UnresolvedNamedLambdaVariable] &&
+              v.nameParts == idx.asInstanceOf[UnresolvedNamedLambdaVariable].nameParts =>
+          Add(v, Literal(1))
+      }
+      LambdaFunction(shifted, f.arguments)
+    }
+
   /** Vector-kernel input: cast to array<double> so DECIMAL-literal and
     * float lists resolve against the codegen expressions.
     */
@@ -37,8 +57,8 @@ object Functions {
     // Lambda-taking shims MUST return the resolved HigherOrderFunction
     // node: the analyzer rejects a LambdaFunction whose parent resolves
     // to another UnresolvedFunction.
-    "list_transform" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, f) },
-    "list_filter" -> { case Seq(l, f: LambdaFunction) => ArrayFilter(l, f) },
+    "list_transform" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "list_filter" -> { case Seq(l, f: LambdaFunction) => ArrayFilter(l, oneBasedIdx(f)) },
     // DuckDB list_sort takes string order flags ('ASC'/'DESC', then a
     // null-order flag); defaults are ASC + NULLS LAST (default_null_order).
     // Spark mapping: array_sort = asc nulls-last; sort_array(asc) = asc

@@ -168,6 +168,18 @@ class GatewaySpec extends AnyFunSuite {
       Seq(0L, 10L, 20L, 30L, 40L))
   }
 
+  test("indexed lambdas are 1-based like DuckDB (batch 12 pinned)") {
+    // DuckDB: (x, i) sees i=1 for the first element — Spark's 0-based
+    // HOF index is shifted inside the shim
+    assert(gw.sql("SELECT list_filter([10,20,30], (x, i) -> i % 2 = 1) AS l")
+      .collect()(0).getSeq[Int](0) == Seq(10, 30))
+    assert(gw.sql("SELECT list_transform([7,8], (x, i) -> i) AS l")
+      .collect()(0).getSeq[Int](0) == Seq(1, 2))
+    // one-param lambdas untouched
+    assert(gw.sql("SELECT list_transform([7,8], x -> x + 1) AS l")
+      .collect()(0).getSeq[Int](0) == Seq(8, 9))
+  }
+
   test("dollar quotes, trailing commas, empty GROUP BY (DuckDB 1.0 pinned)") {
     // $$…$$ / $tag$…$tag$ → quoted literal, '' doubling
     assert(gw.sql("SELECT $$it's$$ AS s").collect()(0).getString(0) == "it's")
