@@ -541,6 +541,75 @@ object TextOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  /** Duplicate-text coverage (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — public
+    * method): for each document, the fraction of its 10-gram windows
+    * that also appear in ANOTHER document. Near-1 coverage = the doc is
+    * assembled from text duplicated elsewhere (mirrors, boilerplate,
+    * quote farms) even when no single pair-level near-dup fires —
+    * the corpus-level complement to dd_* pair detection. Within-doc
+    * repetition deliberately does NOT count (tx_repetition's signal):
+    * a gram is "duplicated" only when seen in >1 DISTINCT doc.
+    *
+    * Scale layout: grams travel as 128-bit digests, never text; the
+    * gram-frequency table is a partial/final count aggregation and the
+    * coverage join shuffles on the digest — the same distributed-model
+    * shape as tx_bigram_lm (nothing broadcast, nothing driver-side).
+    */
+  val tDupCoverage = Q(
+    "tx_dup_coverage",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 9),
+      |    i -> md5(array_to_string(toks[i:i+9], ' ')))) AS h
+      |  FROM tok),
+      |cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+      |per AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |    COUNT(*) FILTER (cnt.nd > 1) AS n_dup
+      |  FROM g JOIN cnt USING (h) GROUP BY g.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+      |  ROUND(COALESCE(CAST(per.n_dup AS DOUBLE) / per.n_grams, 0.0), 6) AS dup_frac,
+      |  COALESCE(CAST(per.n_dup AS DOUBLE) / per.n_grams, 0.0) > 0.5 AS flagged
+      |FROM tok t LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s => dupCoverageOf(s.table("documents"), "tx_dup_coverage") }
+
+  /** Dup-coverage core over any (doc_id, text) relation — factored for
+    * the hand-built planted-duplicate spec; notes on tx_dup_coverage
+    * above.
+    */
+  private[graft] def dupCoverageOf(
+      docs: org.apache.spark.sql.DataFrame, tag: String) = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // 10-token windows, 1-based inclusive slice — matches the oracle's
+    // toks[i:i+9]; digests only (md5 of the joined window) leave the doc
+    val grams = when(n >= 10,
+      transform(sequence(lit(1), n - 9),
+        i => md5(concat_ws(" ", slice(toks, i, lit(10))).cast(BinaryType))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val g = graft.engine.CacheOnce(s"$tag/g",
+      docs.select(col("doc_id"), explode(grams).as("h")))
+    val cnt = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val per = g.join(cnt, "h").groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_grams"),
+      count(when(col("nd") > 1, 1)).as("n_dup"))
+    val frac = col("n_dup").cast(DoubleType) / col("n_grams")
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(frac, lit(0.0)), 6).as("dup_frac"),
+        (coalesce(frac, lit(0.0)) > 0.5).as("flagged"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   /** Per-language top-10 terms by TF-IDF — the corpus-characterization
     * report (what distinguishes each language/domain slice) and the
     * keyword stage of classic retrieval.
@@ -608,5 +677,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler,
-      tRepetition, tDecontaminate, tBigramLm, tTfidf)
+      tRepetition, tDecontaminate, tBigramLm, tTfidf, tDupCoverage)
 }

@@ -794,6 +794,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("cluster_size") == 3L))
   }
 
+  test("tx_dup_coverage: cross-doc 10-grams count, within-doc repeats don't") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"w$i").mkString(" ") // 12 toks → 3 grams
+    val selfRep = ((1 to 12).map(i => s"u$i") ++ (1 to 12).map(i => s"u$i"))
+      .mkString(" ") // same phrase twice WITHIN one doc
+    val docs = Seq(
+      (1L, passage), (2L, passage), // verbatim cross-doc duplicates
+      (3L, selfRep),                // within-doc repetition only
+      (4L, "too short"))            // < 10 tokens → no grams
+    .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.dupCoverageOf(docs, "spec_dupcov").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") == 3L &&
+      out(1L).getAs[Double]("dup_frac") == 1.0 &&
+      out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Boolean]("flagged"))
+    // doc 3's grams recur only inside itself — one DISTINCT doc → clean
+    assert(out(3L).getAs[Long]("n_grams") == 15L &&
+      out(3L).getAs[Long]("n_dup") == 0L && !out(3L).getAs[Boolean]("flagged"))
+    assert(out(4L).getAs[Long]("n_grams") == 0L &&
+      out(4L).getAs[Double]("dup_frac") == 0.0)
+  }
+
   test("tx_bigram_lm: add-one smoothing matches hand-computed logprob") {
     import spark.implicits._
     // corpus: "a b a b", "a b", "z" → C(a b)=3, C(b a)=1, C(a)=3,
