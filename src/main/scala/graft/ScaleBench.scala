@@ -89,7 +89,7 @@ object ScaleBench {
   private val heavy = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
     "dd_components", "tx_decontaminate", "tx_token_count", "tx_fingerprint",
-    "tx_bigram_lm", "tx_tfidf_terms",
+    "tx_bigram_lm", "tx_tfidf_terms", "tx_dup_coverage", "dd_semantic",
     "pipe_compact", "pipe_embed_dedup", "pipe_funnel", "ev_sessionize",
     "ev_funnel", "ev_retention",
     "mm_decode", "mm_resize",
