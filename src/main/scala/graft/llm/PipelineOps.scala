@@ -274,6 +274,53 @@ object PipelineOps {
       .orderBy(col("cohort").asc_nulls_last)
   }
 
+  /** Last-touch attribution over the event stream — the third
+    * product-analytics staple, and a COMPOSITION of the engine's custom
+    * ASOF operator (plans.AsOfJoinPlan: LogicalPlan + SparkStrategy +
+    * streaming-merge exec) with an aggregation report: each purchase is
+    * attributed to the latest view-or-click at or before it by the same
+    * user; purchases with no preceding touch are 'organic'.
+    *
+    * Touches are pre-collapsed per (user_id, ts) with a deterministic
+    * winner (MAX(event_type)) so a same-microsecond view+click cannot
+    * make the nearest-predecessor choice engine-dependent — BOTH sides
+    * run the same collapse. Scale: the ASOF exec shuffles each side
+    * once on user_id and merges in-partition with O(1) state; the
+    * report is a 3-row aggregate. Purchase values route through
+    * DECIMAL.
+    */
+  val pAttribution = Q(
+    "ev_attribution",
+    """WITH t AS (
+      |  SELECT user_id, ts, MAX(event_type) AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |  GROUP BY user_id, ts)
+      |SELECT COALESCE(t.touch_type, 'organic') AS touch_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN t
+      |  ON p.user_id = t.user_id AND p.ts >= t.ts
+      |GROUP BY 1
+      |ORDER BY touch_type ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val purchases = s.table("events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val touches = s.table("events")
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_type")).as("tt"))
+    graft.plans.AsOfJoinPlan.asof(s, purchases, touches, "user_id", "ts",
+      Seq("tt" -> "touch_type"))
+      .groupBy(coalesce(col("touch_type"), lit("organic")).as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("attributed_value"))
+      .orderBy(col("touch_type").asc_nulls_last)
+  }
+
   /** Full dedup COMPACTION as one plan — the production corpus-shrink
     * job: exact dedup (digest window, keep min id) over a corpus with
     * both verbatim copies (+2·offset) and 80%-prefix near-dups (+offset),
@@ -534,5 +581,5 @@ object PipelineOps {
   }
 
   val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix,
-    pFunnelEvents, pRetention)
+    pFunnelEvents, pRetention, pAttribution)
 }
