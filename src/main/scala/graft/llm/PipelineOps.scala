@@ -580,6 +580,103 @@ object PipelineOps {
       .orderBy(col("lang").asc_nulls_last)
   }
 
+  /** Daily event-volume anomaly detection — the monitoring staple over
+    * an event stream: for each (event_type, day), flag days whose count
+    * sits more than 2 sample standard deviations from that type's daily
+    * mean.
+    *
+    * Numeric determinism: the per-type mean/variance are derived from
+    * EXACT DECIMAL sums (Σn and Σn² over integer day-counts commute
+    * under any partial-aggregation order), cast to DOUBLE only for the
+    * final mean/var/z arithmetic — identical IEEE expressions on both
+    * engines, so even the pre-round |z| > 2 cut cannot disagree.
+    *
+    * Scale: one shuffle to (event_type, day) counts — everything after
+    * runs on |types|×|days| rows: the per-type moment aggregate is tiny
+    * and broadcast back onto the daily relation. Event payloads never
+    * move; adding years of history grows the post-shuffle relation
+    * linearly in days, not events.
+    */
+  val pAnomaly = Q(
+    "ev_anomaly",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type,
+      |    COUNT(*) AS n_days,
+      |    SUM(CAST(n AS DECIMAL(18,0))) AS s1,
+      |    SUM(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) AS s2
+      |  FROM daily GROUP BY 1),
+      |z AS (
+      |  SELECT d.event_type, d.day, d.n,
+      |    (CAST(d.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_days) /
+      |      SQRT((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n_days)
+      |           / (s.n_days - 1)) AS zs
+      |  FROM daily d JOIN stats s ON d.event_type = s.event_type
+      |  WHERE s.n_days > 1)
+      |SELECT event_type, day, n, ROUND(zs, 6) AS z
+      |FROM z WHERE ABS(zs) > 2
+      |ORDER BY event_type ASC NULLS LAST, day ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val daily = s.table("events")
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dec = col("n").cast(DecimalType(18, 0))
+    val stats = daily.groupBy(col("event_type").as("set"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec).as("s1"), sum(dec * dec).as("s2"))
+      .filter(col("n_days") > 1)
+    val mean = col("s1").cast(DoubleType) / col("n_days")
+    val variance = (col("s2").cast(DoubleType) -
+      col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n_days")) /
+      (col("n_days") - 1)
+    val zs = (col("n").cast(DoubleType) - mean) / sqrt(variance)
+    daily.join(broadcast(stats), daily("event_type") === col("set"))
+      .withColumn("zs", zs)
+      .filter(abs(col("zs")) > 2)
+      .select(col("event_type"), col("day"), col("n"), round(col("zs"), 6).as("z"))
+      .orderBy(col("event_type").asc_nulls_last, col("day").asc_nulls_last)
+  }
+
+  /** Deterministic stratified sampling — cap every language stratum at
+    * CAP docs, keeping the CAP smallest md5(doc_id) values (a seedless,
+    * reproducible uniform draw both engines can restate).
+    *
+    * The scale shape is the TWO-PHASE TOP-K, and on Spark 4.x the
+    * single declarative rank-limit window IS that shape: Catalyst's
+    * InferWindowGroupLimit inserts a map-side `WindowGroupLimit
+    * (Partial)` BEFORE the stratum shuffle, so every map partition
+    * forwards at most CAP rows per lang and a 90%-English corpus lands
+    * ≤ CAP×maps rows on one reducer instead of the whole stratum —
+    * exactly the salted pre-prune, minus the extra exchange a
+    * hand-salted first phase would add (measured: the hand-salted
+    * variant plans one more hashpartitioning). PlanSpec pins the
+    * Partial group-limit so a regression to full-stratum shuffling
+    * can't land silently.
+    */
+  val pMixSample = Q(
+    "pipe_mix_sample",
+    """SELECT doc_id, lang, rn FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 30
+      |ORDER BY lang ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val cap = 30
+    val hashed = s.table("documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast(StringType).cast(BinaryType)).as("h"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang").asc_nulls_last, col("rn").asc_nulls_last)
+  }
+
   val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix,
-    pFunnelEvents, pRetention, pAttribution)
+    pFunnelEvents, pRetention, pAttribution, pAnomaly, pMixSample)
 }

@@ -437,5 +437,47 @@ object SimilarityOps {
         col("vec_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5)
+  /** kNN-GRAPH construction, cell-confined: every vector's exact top-3
+    * cosine neighbors WITHIN its blocking cell (`label` stands in for
+    * the IVF/LSH cell id, as in nn_cosine_neardup). The k-NN graph is
+    * the substrate for graph-based dedup clustering and kNN classifiers
+    * over training corpora — distinct from v2's THRESHOLD pairs: every
+    * vector gets exactly min(k, cell-size−1) ranked edges, similarity
+    * floor or not.
+    *
+    * Scale: both sides shuffle once on the cell id; the quadratic pair
+    * enumeration is confined to a cell (IVF keeps cells ~√n, so
+    * per-cell work is bounded by design, not hope); the top-k window
+    * partitions by vec_id — millions of tiny partitions, no skew. Ties
+    * break on neighbor id; both engines fold the identical
+    * double-precision cosine, so the pre-round ordering agrees.
+    */
+  val v6 = Q(
+    "nn_label_knn",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id, label, nb, sim, rn FROM (
+      |  SELECT a.vec_id, a.label, b.vec_id AS nb,
+      |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id ASC) AS rn
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      |WHERE rn <= 3
+      |ORDER BY vec_id ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val e = s.table("embeddings")
+    val a = e.select(col("vec_id"), col("label"), col("embedding").as("va"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = e.select(col("vec_id").as("nb"), col("label"), col("embedding").as("vb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nb_n"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb_n"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(sim.desc, col("nb").asc)
+    a.join(b, Seq("label")).filter(col("vec_id") =!= col("nb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("label"), col("nb"), round(sim, 6).as("sim"), col("rn"))
+      .orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6)
 }

@@ -310,4 +310,38 @@ class PlanSpec extends AnyFunSuite {
     // join without recomputing the explode
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("ev_anomaly: per-type stats broadcast back onto the daily relation") {
+    val df = SparkEntry.queries("ev_anomaly")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the |types|-row moment aggregate must broadcast — a sort-merge
+    // join would re-shuffle the daily relation for a handful of rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pipe_mix_sample: map-side partial group-limit prunes before the stratum shuffle") {
+    val df = SparkEntry.queries("pipe_mix_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the two-phase top-k: Catalyst's WindowGroupLimit(Partial) must sit
+    // below the lang exchange (each map forwards ≤ cap rows per stratum
+    // — the skew bound), with the Final limit + window above it
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("nn_label_knn: pair generation is the cell equi-join, no cross product") {
+    val df = SparkEntry.queries("nn_label_knn")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the quadratic enumeration must ride the label equi-join (cell-
+    // confined by construction); an unkeyed nested loop is the 100 TB
+    // cliff. The top-k window partitions by vec_id (millions of tiny
+    // partitions — no skew).
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("row_number"), p)
+  }
 }
