@@ -91,9 +91,9 @@ object ScaleBench {
     "dd_components", "tx_decontaminate", "tx_token_count", "tx_fingerprint",
     "tx_bigram_lm", "tx_tfidf_terms", "tx_dup_coverage", "dd_semantic",
     "pipe_compact", "pipe_embed_dedup", "pipe_funnel", "ev_sessionize",
-    "ev_funnel", "ev_retention", "ev_attribution",
-    "mm_decode", "mm_resize",
-    "nn_cosine_topk", "nn_ivf_topk", "nn_pq_topk",
+    "ev_funnel", "ev_retention", "ev_attribution", "ev_anomaly",
+    "pipe_mix_sample", "mm_decode", "mm_resize",
+    "nn_cosine_topk", "nn_ivf_topk", "nn_pq_topk", "nn_label_knn",
     "a10_approx_distinct", "q1_pricing", "q18_large_orders")
 
   def run(spark: SparkSession, dir: String,

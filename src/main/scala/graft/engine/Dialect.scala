@@ -1823,7 +1823,21 @@ object Dialect {
             c == ')' || c == ']' || c == '`'
         }
       }
-      if (noGlob.startsWith("!~~", i)) { sb.append(" NOT LIKE "); i + 3 }
+      if (noGlob.startsWith("!~~*", i)) { sb.append(" NOT ILIKE "); i + 4 }
+      else if (noGlob.startsWith("!~~", i)) { sb.append(" NOT LIKE "); i + 3 }
+      else if (noGlob.startsWith("~~*", i)) { sb.append(" ILIKE "); i + 3 }
+      else if (noGlob.startsWith("~~~", i)) {
+        // `~~~` is DuckDB's GLOB operator spelling — literal RHS folds to
+        // the same anchored regex as the GLOB keyword path; a non-literal
+        // RHS passes through raw (same policy as keyword GLOB)
+        tildeLitRe.findPrefixMatchOf(noGlob.substring(i + 3)) match {
+          case Some(m) =>
+            sb.append(" RLIKE '")
+              .append(globToRegex(m.group(1)).replace("'", "''")).append("'")
+            i + 3 + m.end
+          case None => sb.append("~~~"); i + 3
+        }
+      }
       else if (noGlob.startsWith("~~", i)) { sb.append(" LIKE "); i + 2 }
       else if ((noGlob.startsWith("!~", i) || noGlob.charAt(i) == '~') &&
           prevIsOperand) {
@@ -1851,9 +1865,21 @@ object Dialect {
         }
       } else i
     }
-    rewriteJsonArrows(noSimilar)
+    // DuckDB's case-insensitive collation spelling → Spark 4's UTF8_LCASE
+    // (both compare case-insensitively; accent-sensitive either way)
+    val noCollate = scanOutsideLiterals(noSimilar) { (i, sb) =>
+      if (wordStart(noSimilar, i) &&
+          noSimilar.regionMatches(true, i, "COLLATE", 0, 7)) {
+        collateNocaseRe.findPrefixMatchOf(noSimilar.substring(i)) match {
+          case Some(m) => sb.append("COLLATE UTF8_LCASE"); i + m.end
+          case None => i
+        }
+      } else i
+    }
+    rewriteJsonArrows(noCollate)
   }
 
+  private val collateNocaseRe = """(?i)^COLLATE\s+NOCASE\b""".r
   private val tildeLitRe = """^\s*'((?:[^']|'')*)'""".r
   private val similarToRe = """(?i)^SIMILAR\s+TO\s*'((?:[^']|'')*)'""".r
 

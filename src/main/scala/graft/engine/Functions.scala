@@ -81,9 +81,10 @@ object Functions {
     "list_unique" -> (a => call("size", Seq(call("array_distinct", a)))),
     "list_slice" -> {
       case Seq(l, b, e) =>
-        // DuckDB list_slice(l, begin, end) is inclusive; Spark slice takes
-        // (start, length)
-        call("slice", Seq(l, b, Add(Subtract(e, b), Literal(1))))
+        // DuckDB list_slice(l, begin, end) is 1-based stop-inclusive and
+        // string-polymorphic (list_slice('hello',2,4)='ell') — SliceAny
+        // dispatches on the resolved type at analysis
+        graft.engine.expressions.SliceAny(l, b, e)
       case Seq(l, b, e, s) =>
         // stepped slice (also `l[a:b:s]` via the bracket rewrite):
         // bounds clamped to the list per step direction, then one
@@ -102,6 +103,10 @@ object Functions {
             lam(vs => call("element_at", Seq(l, vs(0))), 1))),
           call("slice", Seq(l, Literal(1), Literal(0)))))
     },
+    // array_slice is DuckDB's documented alias of list_slice (same
+    // 1-based stop-inclusive, string-polymorphic semantics)
+    "array_slice" -> { case Seq(l, b, e) =>
+      graft.engine.expressions.SliceAny(l, b, e) },
     // pop/push family (DuckDB array_* aliases over list ops)
     "array_pop_back" -> { case Seq(l) =>
       call("slice", Seq(l, Literal(1), call("greatest",
@@ -343,11 +348,16 @@ object Functions {
     "unicode" -> (a => call("ascii", a)),
     // round-6 gap-probe batch 6
     "julian" -> { case Seq(d) =>
-      // julian day number: days since epoch + 2440587.5
-      Add(Cast(call("datediff", Seq(d, Literal(
-        java.time.LocalDate.of(1970, 1, 1).toEpochDay.toInt,
-        org.apache.spark.sql.types.DateType))),
-        org.apache.spark.sql.types.DoubleType), Literal(2440587.5))
+      // DuckDB's julian() pins MIDNIGHT to N.0 (half a day above the
+      // astronomical JD, which puts midnight at N-0.5): julian(DATE
+      // '2000-01-01') = 2451545.0, noon = +0.5 — so epoch-days + 2440588
+      // plus the day fraction (probe batch 13 caught the 0.5 drift and
+      // the dropped time-of-day). Session tz is UTC, matching DuckDB's
+      // naive TIMESTAMP.
+      Add(Divide(Cast(call("unix_micros",
+        Seq(Cast(d, org.apache.spark.sql.types.TimestampType))),
+        org.apache.spark.sql.types.DoubleType), Literal(8.64e10)),
+        Literal(2440588.0))
     },
     "century" -> { case Seq(d) =>
       Cast(Ceil(Divide(Cast(call("year", Seq(d)),
@@ -554,6 +564,12 @@ object Functions {
     "to_years" -> { case Seq(n) => call("make_interval", Seq(n)) },
     "to_months" -> { case Seq(n) =>
       call("make_interval", Seq(Literal(0), n)) },
+    "to_decades" -> { case Seq(n) =>
+      call("make_interval", Seq(Multiply(n, Literal(10)))) },
+    "to_centuries" -> { case Seq(n) =>
+      call("make_interval", Seq(Multiply(n, Literal(100)))) },
+    "to_millennia" -> { case Seq(n) =>
+      call("make_interval", Seq(Multiply(n, Literal(1000)))) },
     // current_setting: resolved at analysis time from the session conf
     "current_setting" -> { case Seq(Literal(k, _)) if k != null =>
       k.toString.toLowerCase match {
@@ -723,6 +739,13 @@ object Functions {
       case Seq(x) => Log10(x)
       case Seq(b, x) => Logarithm(b, x)
     },
+    // DuckDB dayname/monthname return FULL names ('Saturday', 'June');
+    // Spark 4's builtins abbreviate ('Sat', 'Jun') — a silent value
+    // divergence caught by GapProbe13
+    "dayname" -> { case Seq(d) =>
+      call("date_format", Seq(d, Literal("EEEE"))) },
+    "monthname" -> { case Seq(d) =>
+      call("date_format", Seq(d, Literal("MMMM"))) },
     // DuckDB factorial returns HUGEINT (21!..33! are values, not the
     // NULL Spark's BIGINT builtin degrades to) — DECIMAL(38,0) carrier,
     // same as every other HUGEINT in the dialect (GapProbe6 residual)

