@@ -27,6 +27,7 @@ object Dialect {
     */
   private val passes: Seq[String => String] = Seq(
     rewriteDollarQuotes, // FIRST: later scanners assume '…' string syntax
+    rewriteEscapeStrings, // e'…' folded to plain literals while still raw
     normalizeWs, rewriteBlob, rewriteBitCasts, rewriteArrayTypeSuffix,
     rewriteTrailingCommas, rewriteEmptyGroupBy,
     rewriteBraceLiterals, rewriteBrackets,
@@ -43,6 +44,66 @@ object Dialect {
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
 
+  /** DuckDB string literals are RAW (standard SQL): '\d' is
+    * backslash+d, never an escape — Spark's default lexer would
+    * silently eat the backslash from every client regex (GapProbe14
+    * found regexp_extract matching nothing where DuckDB matches).
+    * Doubling each backslash inside plain '…' literals makes Spark's
+    * unescaping restore the raw content, while `''` doubling keeps its
+    * native meaning (the alternative — the escapedStringLiterals
+    * parser mode — breaks `''`, which that mode keeps as TWO quotes).
+    * Escape PROCESSING exists only in e'…' strings, which
+    * rewriteEscapeStrings has already decoded by now.
+    *
+    * NOT idempotent, so it is not a `passes` member: Gateway pre-rewrites
+    * statements and the injected parser rewrites them again — this runs
+    * exactly once, in GraftSqlParser, immediately before Spark's lexer.
+    */
+  private[engine] def rawifyLiterals(sql: String): String = {
+    if (sql.indexOf('\\') < 0) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' =>
+          sb.append(c); i += 1
+          var closed = false
+          while (i < sql.length && !closed) {
+            val ch = sql.charAt(i)
+            if (ch == '\'') {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+                sb.append("''"); i += 2
+              } else { sb.append('\''); i += 1; closed = true }
+            } else if (ch == '\\') { sb.append("\\\\"); i += 1 }
+            else { sb.append(ch); i += 1 }
+          }
+        case '"' | '`' =>
+          // identifiers: opaque (no backslash processing either side)
+          sb.append(c); i += 1
+          var closed = false
+          while (i < sql.length && !closed) {
+            val ch = sql.charAt(i)
+            sb.append(ch); i += 1
+            if (ch == c) {
+              if (i < sql.length && sql.charAt(i) == c) { sb.append(c); i += 1 }
+              else closed = true
+            }
+          }
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val nl = sql.indexOf('\n', i)
+          val end = if (nl < 0) sql.length else nl + 1
+          sb.append(sql, i, end); i = end
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val close = sql.indexOf("*/", i + 2)
+          val end = if (close < 0) sql.length else close + 2
+          sb.append(sql, i, end); i = end
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** DuckDB/Postgres dollar-quoted strings: `$$…$$` / `$tag$…$tag$` →
     * standard quoted literals with '' doubling. Runs FIRST — every
     * other pass's opacity scanner only understands '…' syntax, so a
@@ -55,6 +116,77 @@ object Dialect {
     */
   private[engine] def normalizeDollarQuotes(sql: String): String =
     rewriteDollarQuotes(sql)
+
+  /** DuckDB/Postgres escape strings `e'a\nb'`: ONLY this literal form
+    * processes backslash escapes — ordinary '…' literals are RAW in
+    * DuckDB (standard SQL), which rawifyLiterals preserves against
+    * Spark's unescaping lexer. This pass decodes the e-string's escapes
+    * itself (\n \t \r \b \f \0 \\ \' \xHH \uXXXX; unknown escapes drop
+    * the backslash, the Postgres rule) and emits a plain literal whose
+    * remaining backslashes are literal characters (rawifyLiterals will
+    * protect them). Runs right after dollar-quote folding, before any
+    * scanner that assumes plain '…' syntax.
+    */
+  private def rewriteEscapeStrings(sql: String): String = {
+    if (!sql.contains("'")) return sql
+    val sb = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val isEPrefix = (c == 'e' || c == 'E') && i + 1 < sql.length &&
+        sql.charAt(i + 1) == '\'' &&
+        (i == 0 || { val p = sql.charAt(i - 1)
+          !p.isLetterOrDigit && p != '_' && p != '\'' && p != '"' && p != '`' })
+      if (isEPrefix) {
+        // decode the e-string body: both '' and \' continue the literal
+        val body = new StringBuilder
+        var j = i + 2
+        var closed = false
+        while (j < sql.length && !closed) {
+          val ch = sql.charAt(j)
+          if (ch == '\'') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') {
+              body.append('\''); j += 2
+            } else { closed = true; j += 1 }
+          } else if (ch == '\\' && j + 1 < sql.length) {
+            sql.charAt(j + 1) match {
+              case 'n' => body.append('\n'); j += 2
+              case 't' => body.append('\t'); j += 2
+              case 'r' => body.append('\r'); j += 2
+              case 'b' => body.append('\b'); j += 2
+              case 'f' => body.append('\f'); j += 2
+              case '0' => body.append('\u0000'); j += 2
+              case '\\' => body.append('\\'); j += 2
+              case '\'' => body.append('\''); j += 2
+              case 'x' if j + 3 < sql.length &&
+                  sql.substring(j + 2, j + 4).forall(isHexDigit) =>
+                body.append(Integer.parseInt(sql.substring(j + 2, j + 4), 16).toChar)
+                j += 4
+              case 'u' if j + 5 < sql.length &&
+                  sql.substring(j + 2, j + 6).forall(isHexDigit) =>
+                body.append(Integer.parseInt(sql.substring(j + 2, j + 6), 16).toChar)
+                j += 6
+              case other => body.append(other); j += 2 // drop the backslash
+            }
+          } else { body.append(ch); j += 1 }
+        }
+        if (closed) {
+          sb.append('\'').append(body.toString.replace("'", "''")).append('\'')
+          i = j
+          changed = true
+        } else { sb.append(c); i += 1 } // unterminated: leave as-is
+      } else {
+        val opaque = consumeOpaque(sql, i, sb)
+        if (opaque > i) i = opaque
+        else { sb.append(c); i += 1 }
+      }
+    }
+    if (changed) sb.toString else sql
+  }
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   private val dollarOpenRe = """\$([A-Za-z_][A-Za-z_0-9]*)?\$""".r
   private def rewriteDollarQuotes(sql: String): String = {
@@ -778,7 +910,10 @@ object Dialect {
                     val (rec, rest) = args.map(_.trim)
                       .partition(_.matches("(?is)recursive\\s*:=\\s*true\\s*"))
                     if (rec.isEmpty) null
-                    else s"unnest(flatten(${rest.mkString(", ")}))"
+                    // graft_rec defers the flatten-vs-inline choice to
+                    // the DuckUnnest resolution rule (type-dependent:
+                    // list-of-list flattens, list-of-struct inlines)
+                    else s"unnest(graft_rec(${rest.mkString(", ")}))"
                 }
                 if (call == null) i = end
                 else return rewriteNamedArgCalls(
@@ -1156,6 +1291,8 @@ object Dialect {
     val up = sql.toUpperCase
     val names =
       Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "FIRST", "LAST",
+        // DuckDB any_value(x ORDER BY y) = first in that order
+        "ANY_VALUE",
         // DuckDB list(x ORDER BY y) — the paren check keeps LIST from
         // capturing LIST_AGG(, and plain list(x) stays on the
         // list→collect_list shim
@@ -1185,7 +1322,8 @@ object Dialect {
                 else if (key.toUpperCase.endsWith(" ASC"))
                   key = key.substring(0, key.length - 4).trim
                 val isString = Set("STRING_AGG", "LIST_AGG", "LISTAGG")(n)
-                val isFirstLast = n == "FIRST" || n == "LAST"
+                val isFirstLast =
+                  n == "FIRST" || n == "LAST" || n == "ANY_VALUE"
                 val value = if (args.length > 1) args.head.trim else valueHead
                 val sep =
                   if (isString && args.length > 1) valueHead

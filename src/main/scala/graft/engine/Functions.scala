@@ -24,6 +24,89 @@ object Functions {
     LambdaFunction(build(vars), vars)
   }
 
+  /** strftime with the C-library specifiers Spark's proleptic
+    * date_format REFUSES as patterns (the week-based family) computed
+    * as expressions, everything else as date_format runs. C semantics
+    * verified against DuckDB 1.0 (GapProbe14):
+    *  %W/%U = weeks since Jan 1 counting from the first Monday/Sunday
+    *  (zero-padded 2), %u ISO weekday 1-7, %w weekday 0-6 Sunday=0,
+    *  %V ISO week, %G ISO year (year of the week's Thursday), and the
+    *  `%-X` no-pad variants.
+    */
+  private def strftimeExpr(ts: Expression, fmt: String): Expression = {
+    import org.apache.spark.sql.types.{DateType, LongType, StringType}
+    val segs = scala.collection.mutable.ArrayBuffer[Expression]()
+    val run = new StringBuilder
+    def flushRun(): Unit = if (run.nonEmpty) {
+      segs += call("date_format",
+        Seq(ts, Literal(Dialect.strftimeToJava(run.toString))))
+      run.clear()
+    }
+    def str(e: Expression) = Cast(e, StringType)
+    def pad2(e: Expression) =
+      call("lpad", Seq(Cast(e, StringType), Literal(2), Literal("0")))
+    def weekday = call("weekday", Seq(ts)) // Monday = 0
+    def sunday0 = Subtract(call("dayofweek", Seq(ts)), Literal(1))
+    def yday0 = Subtract(call("dayofyear", Seq(ts)), Literal(1))
+    def cweek(firstDow: Expression) = pad2(Cast(call("floor", Seq(Divide(
+      Cast(Subtract(Add(yday0, Literal(7)), firstDow),
+        org.apache.spark.sql.types.DoubleType), Literal(7.0)))), LongType))
+    def computed(code: String): Option[Expression] = code match {
+      case "W" => Some(cweek(weekday))
+      case "U" => Some(cweek(sunday0))
+      case "u" => Some(str(Add(weekday, Literal(1))))
+      case "w" => Some(str(sunday0))
+      case "V" => Some(pad2(call("weekofyear", Seq(ts))))
+      case "G" => Some(str(call("year", Seq(call("date_add",
+        Seq(Cast(ts, DateType), Subtract(Literal(3), weekday)))))))
+      case "-d" => Some(str(call("day", Seq(ts))))
+      case "-m" => Some(str(call("month", Seq(ts))))
+      case "-H" => Some(str(call("hour", Seq(ts))))
+      case "-M" => Some(str(call("minute", Seq(ts))))
+      case "-S" => Some(str(Cast(call("second", Seq(ts)),
+        org.apache.spark.sql.types.IntegerType)))
+      case "-j" => Some(str(call("dayofyear", Seq(ts))))
+      case _ => None
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val (code, len) =
+          if (fmt.charAt(i + 1) == '-' && i + 2 < fmt.length)
+            ("-" + fmt.charAt(i + 2), 3)
+          else (fmt.charAt(i + 1).toString, 2)
+        computed(code) match {
+          case Some(e) => flushRun(); segs += e
+          case None => run.append(fmt.substring(i, i + len))
+        }
+        i += len
+      } else { run.append(fmt.charAt(i)); i += 1 }
+    }
+    flushRun()
+    if (segs.isEmpty) Literal("")
+    else if (segs.size == 1) segs.head
+    else Concat(segs.toSeq)
+  }
+
+  /** Matches an array-of-string-literals argument (`['a','b']`, which
+    * the bracket rewrite hands over as `array('a','b')`).
+    */
+  private object NameList {
+    def unapply(e: Expression): Option[Seq[String]] = e match {
+      case uf: UnresolvedFunction
+          if uf.nameParts.lastOption.exists(_.equalsIgnoreCase("array")) =>
+        lits(uf.arguments)
+      case CreateArray(args, _) => lits(args)
+      case _ => None
+    }
+    private def lits(args: Seq[Expression]): Option[Seq[String]] =
+      if (args.nonEmpty && args.forall {
+        case Literal(s, org.apache.spark.sql.types.StringType) => s != null
+        case _ => false
+      }) Some(args.map { case Literal(s, _) => s.toString })
+      else None
+  }
+
   /** DuckDB's indexed lambdas are 1-BASED ((x, i) -> … sees i=1 for the
     * first element) where Spark's HOF index is 0-based: shift every
     * reference to the second lambda variable by +1 inside the body.
@@ -216,7 +299,21 @@ object Functions {
     "string_to_array" -> (a => call("split", a)),
     "string_split_regex" -> (a => call("split", a)),
     "str_split_regex" -> (a => call("split", a)),
-    "regexp_matches" -> { case Seq(s, re) => RLike(s, re) },
+    "regexp_matches" -> {
+      case Seq(s, re) => RLike(s, re)
+      // options string: embed as inline regex flags ('c' = default
+      // case-sensitive; 'l' = literal via \Q…\E quoting)
+      case Seq(s, re, Literal(flags, _)) if flags != null =>
+        val f = flags.toString
+        val inline = Seq('i' -> "(?i)", 's' -> "(?s)", 'm' -> "(?m)",
+          'n' -> "(?m)", 'p' -> "(?m)")
+          .collect { case (c, p) if f.indexOf(c.toInt) >= 0 => p }
+          .distinct.mkString
+        val body = if (f.indexOf('l') >= 0)
+          Concat(Seq(Literal("\\Q"), re, Literal("\\E"))) else re
+        val re2 = if (inline.isEmpty) body else Concat(Seq(Literal(inline), body))
+        RLike(s, re2)
+    },
     "regexp_full_match" -> { case Seq(s, re) =>
       RLike(s, call("concat", Seq(Literal("^(?:"), re, Literal(")$"))))
     },
@@ -279,7 +376,7 @@ object Functions {
       call("unix_micros", Seq(Cast(ts, org.apache.spark.sql.types.TimestampType)))
     },
     "strftime" -> { case Seq(ts, Literal(fmt, _)) =>
-      call("date_format", Seq(ts, Literal(Dialect.strftimeToJava(fmt.toString))))
+      strftimeExpr(ts, fmt.toString)
     },
     "strptime" -> { case Seq(s, Literal(fmt, _)) =>
       call("to_timestamp_ntz", Seq(s, Literal(Dialect.strftimeToJava(fmt.toString))))
@@ -416,6 +513,10 @@ object Functions {
         graft.engine.expressions.LenAny(l))))
     },
     "unnest" -> { case Seq(e) => Explode(e) },
+    // Dialect's `unnest(x, recursive := true)` target — the marker keeps
+    // the Explode unresolved until DuckUnnest dispatches on x's type
+    "graft_rec" -> { case Seq(e) =>
+      graft.engine.expressions.RecMarker(e) },
     "json_keys" -> { case Seq(j) => call("json_object_keys", Seq(j)) },
     "struct_extract" -> { case Seq(s, name) =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, name)
@@ -443,14 +544,17 @@ object Functions {
         Or(EqualTo(d, Literal(Double.PositiveInfinity)),
           EqualTo(d, Literal(Double.NegativeInfinity)))))
     },
-    // DuckDB format() is fmt-style braces; translate literal '{}'
-    // placeholders to printf '%s' (positional '{0}' unsupported)
+    // DuckDB format() is fmt-style braces: `{}` sequential and `{n}`
+    // positional (0-based) both translate to printf forms ('%s' /
+    // '%(n+1)$s'); literal '%' doubles
     "format" -> {
       case Literal(fmt, _) +: rest if fmt != null =>
-        val f = fmt.toString
-        require(!f.matches(""".*\{\d.*"""),
-          "format: positional {n} placeholders unsupported in shim")
-        call("format_string", Literal(f.replace("{}", "%s")) +: rest)
+        val f = fmt.toString.replace("%", "%%")
+          .replaceAll("""\{(\d+)\}""", """%$1\$s""")
+        // shift fmt's 0-based {n} to printf's 1-based %N$s
+        val shifted = """%(\d+)\$s""".r.replaceAllIn(f,
+          m => "%" + (m.group(1).toInt + 1) + "\\$s")
+        call("format_string", Literal(shifted.replace("{}", "%s")) +: rest)
     },
     "damerau_levenshtein" -> { case Seq(x, y) =>
       graft.engine.expressions.DamerauLevenshtein(x, y)
@@ -746,6 +850,23 @@ object Functions {
       call("date_format", Seq(d, Literal("EEEE"))) },
     "monthname" -> { case Seq(d) =>
       call("date_format", Seq(d, Literal("MMMM"))) },
+    // DuckDB regexp_extract(s, re, ['a','b']) — named-group list form
+    // returns a STRUCT mapping name i to capture group i+1; integer and
+    // 2-arg forms keep Spark's builtin
+    "regexp_extract" -> {
+      case Seq(s, re, NameList(names)) =>
+        // DuckDB/RE2 named groups spell (?P<n>…); Java wants (?<n>…) —
+        // group INDEXING is what maps names to values, so only literal
+        // pattern syntax needs the fixup
+        val re2 = re match {
+          case Literal(p, org.apache.spark.sql.types.StringType) if p != null =>
+            Literal(p.toString.replace("(?P<", "(?<"))
+          case other => other
+        }
+        CreateNamedStruct(names.zipWithIndex.flatMap { case (n, i) =>
+          Seq(Literal(n), call("regexp_extract", Seq(s, re2, Literal(i + 1))))
+        })
+    },
     // DuckDB factorial returns HUGEINT (21!..33! are values, not the
     // NULL Spark's BIGINT builtin degrades to) — DECIMAL(38,0) carrier,
     // same as every other HUGEINT in the dialect (GapProbe6 residual)
@@ -797,18 +918,25 @@ object Functions {
           Seq(x, Cast(n, org.apache.spark.sql.types.IntegerType)))))
       case Seq(x, n) => StringRepeat(x, n)
     },
-    // DuckDB regexp_replace takes an options string; Spark replaces all
-    // occurrences always, so 'g' is the default here (the flagless
-    // DuckDB form replaces only the FIRST match — documented divergence)
+    // DuckDB regexp_replace: flagless replaces the FIRST match only
+    // (Spark's builtin replaces all — GapProbe14 caught the value
+    // divergence); the options string adds g/i/s/m/n/p/l/c, and
+    // replacement backrefs use RE2 `\1` syntax. All of it lives in the
+    // RegexOps kernel (StaticInvoke, codegen-resident, memoized
+    // pattern compile).
     "regexp_replace" -> {
-      case Seq(s, re, rep) => RegExpReplace(s, re, rep)
-      case Seq(s, re, rep, Literal(flags, _)) if flags != null =>
-        val f = flags.toString
-        val inline = Seq('i' -> "(?i)", 's' -> "(?s)", 'm' -> "(?m)")
-          .collect { case (c, p) if f.indexOf(c.toInt) >= 0 => p }.mkString
-        val re2 = if (inline.isEmpty) re
-          else Concat(Seq(Literal(inline), re))
-        RegExpReplace(s, re2, rep)
+      case Seq(s, re, rep) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.engine.expressions.RegexOps.getClass,
+          org.apache.spark.sql.types.StringType, "replace",
+          Seq(s, re, rep, Literal("")),
+          Seq.fill(4)(org.apache.spark.sql.types.StringType))
+      case Seq(s, re, rep, flags) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.engine.expressions.RegexOps.getClass,
+          org.apache.spark.sql.types.StringType, "replace",
+          Seq(s, re, rep, flags),
+          Seq.fill(4)(org.apache.spark.sql.types.StringType))
     },
     // DuckDB date_add(d, INTERVAL): Spark's builtin takes int days —
     // dispatch on the resolved interval type, keep the int form native
@@ -868,9 +996,13 @@ object Functions {
       case Seq(start, stop, step)
           if Seq(start, stop).exists(e => e.resolved &&
             (e.dataType == org.apache.spark.sql.types.TimestampType ||
-              e.dataType == org.apache.spark.sql.types.TimestampNTZType)) =>
-        call("sequence", Seq(start,
-          Subtract(stop, Literal(
+              e.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+              e.dataType == org.apache.spark.sql.types.DateType)) =>
+        // DATE bounds produce timestamps in DuckDB (range(DATE '…', …,
+        // INTERVAL 1 DAY) → TIMESTAMP list) — widen before the sequence
+        def ts(e: Expression) = Cast(e, org.apache.spark.sql.types.TimestampType)
+        call("sequence", Seq(ts(start),
+          Subtract(ts(stop), Literal(
             new org.apache.spark.unsafe.types.CalendarInterval(0, 0, 1L),
             org.apache.spark.sql.types.CalendarIntervalType)), step))
       case Seq(start, stop, step) => rangeList(start, stop, step)

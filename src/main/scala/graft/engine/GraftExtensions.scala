@@ -37,7 +37,73 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DuckDB BLOB→VARCHAR renders non-printables as \xHH; Spark's Cast
     // reinterprets the raw bytes as UTF-8 — swap in the escaping form
     ext.injectResolutionRule(_ => BlobVarcharCast)
+    // DuckDB unnest over structs / recursive unnest — type-dependent
+    // generator choice Spark's fixed explode can't express
+    ext.injectResolutionRule(_ => DuckUnnest)
   }
+}
+
+/** DuckDB's polymorphic unnest: `unnest(struct)` expands the struct into
+  * one column per field (= inline(array(s))), and `unnest(x,
+  * recursive := true)` — arriving as Explode(RecMarker(x)) — flattens
+  * one list level or inlines a list of structs, by x's resolved type.
+  * The marker is unresolved by construction, so the analyzer cannot
+  * finalize the Generate's output schema before this rule picks the
+  * generator (an output-arity mismatch otherwise).
+  */
+object DuckUnnest
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+  import org.apache.spark.sql.catalyst.expressions.{
+    Alias, CreateArray, Explode, Expression, Flatten, Inline}
+  import org.apache.spark.sql.types.{ArrayType, StructType}
+  import graft.engine.expressions.RecMarker
+
+  /** The generator a DuckDB-unnest shape should become, by element
+    * type. Matches both the still-unresolved `'unnest'(recmarker(x))`
+    * call (the registry cannot resolve it while the marker is
+    * unresolved — deliberate, it keeps the output schema open) and the
+    * already-resolved-but-type-invalid `Explode(struct)`.
+    */
+  private def asGenerator(e: Expression): Option[Expression] = e match {
+    case uf: UnresolvedFunction
+        if uf.nameParts.lastOption.exists(_.equalsIgnoreCase("unnest")) &&
+          uf.arguments.sizeIs == 1 =>
+      uf.arguments.head match {
+        case RecMarker(c) if c.resolved => Some(c.dataType match {
+          case ArrayType(_: ArrayType, _) => Explode(Flatten(c))
+          case ArrayType(_: StructType, _) => Inline(c)
+          case _: StructType => Inline(CreateArray(Seq(c)))
+          case _ => Explode(c)
+        })
+        case c if c.resolved && c.dataType.isInstanceOf[StructType] =>
+          Some(Inline(CreateArray(Seq(c))))
+        case _ => None
+      }
+    case Explode(RecMarker(c)) if c.resolved => Some(c.dataType match {
+      case ArrayType(_: ArrayType, _) => Explode(Flatten(c))
+      case ArrayType(_: StructType, _) => Inline(c)
+      case _: StructType => Inline(CreateArray(Seq(c)))
+      case _ => Explode(c)
+    })
+    case Explode(c) if c.resolved && c.dataType.isInstanceOf[StructType] =>
+      Some(Inline(CreateArray(Seq(c))))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // DuckDB IGNORES a user alias on a struct unnest (the output
+      // columns take the field names) — so must the rewrite, or the
+      // single alias trips the multi-column UDTF arity check
+      case al @ Alias(child, _)
+          if asGenerator(child).exists(_.isInstanceOf[Inline]) =>
+        // UnresolvedAlias lets the analyzer multi-name the generator's
+        // output (a bare Inline is not a NamedExpression)
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAlias(
+          asGenerator(child).get)
+      case e if asGenerator(e).isDefined => asGenerator(e).get
+    }
 }
 
 /** `CAST(blob AS VARCHAR)` — DuckDB renders the escaped form
@@ -211,12 +277,15 @@ class GraftSqlParser(
     session: Option[org.apache.spark.sql.SparkSession] = None)
   extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(Dialect.rewrite(sqlText))
+    // rawifyLiterals LAST and exactly once (it is not idempotent):
+    // restores DuckDB's raw-literal semantics against Spark's lexer
+    val plan = delegate.parsePlan(
+      Dialect.rawifyLiterals(Dialect.rewrite(sqlText)))
     if (ReadOnlyGuard.active(session)) ReadOnlyGuard.enforce(plan)
     plan
   }
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(Dialect.rewrite(sqlText))
+    delegate.parseQuery(Dialect.rawifyLiterals(Dialect.rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

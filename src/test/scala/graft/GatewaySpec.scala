@@ -1209,4 +1209,44 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT CAST(to_centuries(2) AS VARCHAR) AS i")
       .getString(0).contains("200 years"))
   }
+
+  test("round-8: batch-14 — regex semantics, raw literals, ordered aggs, strftime tail") {
+    def one(q: String) = gw.sql(q).collect().head
+    // RAW string literals (standard SQL / DuckDB): '\d' keeps its
+    // backslash — before this, every client regex with \d silently
+    // degraded (regexp_extract matched nothing)
+    assert(one("SELECT regexp_extract('ab12', '([a-z]+)(\\d+)', 2) AS g")
+      .getString(0) == "12")
+    assert(one("SELECT length('\\n') AS n").getInt(0) == 2)
+    // e'…' strings are where escapes live (dialect-decoded)
+    assert(one("SELECT length(e'\\n') AS n").getInt(0) == 1)
+    assert(one("SELECT e'a\\x41' AS s").getString(0) == "aA")
+    // regexp_replace: DuckDB replaces FIRST match unless 'g'
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b') AS s").getString(0) == "baa")
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS s").getString(0) == "bbb")
+    // RE2 \1 backrefs in the replacement (Java spells them $1)
+    assert(one("SELECT regexp_replace('ab', '(a)(b)', '\\2\\1') AS s")
+      .getString(0) == "ba")
+    assert(one("SELECT regexp_matches('ABC', 'abc', 'i') AS ok").getBoolean(0))
+    // named-group extract returns a struct keyed by the name list
+    val ns = one("SELECT regexp_extract('2024-06', '(?P<y>\\d+)-(?P<m>\\d+)', ['y','m']) AS s")
+      .getStruct(0)
+    assert(ns.getString(0) == "2024" && ns.getString(1) == "06")
+    // ordered aggregate forms
+    assert(one("SELECT any_value(x ORDER BY x) AS a FROM (VALUES (3),(1)) t(x)")
+      .getInt(0) == 1)
+    // format positional {n} (0-based) placeholders
+    assert(one("SELECT format('{1}{0}', 'a', 'b') AS s").getString(0) == "ba")
+    // strftime week-based tail — C semantics, verified against DuckDB
+    assert(one(
+      "SELECT strftime(TIMESTAMP '2024-06-01 10:20:30', '%j|%W|%U|%u|%w|%y|%G|%V|%-d') AS s")
+      .getString(0) == "153|22|21|6|6|24|2024|22|1")
+    // polymorphic unnest: struct → one column per field, alias ignored
+    val us = gw.sql("SELECT unnest({'a': 1, 'b': 2})").collect().head
+    assert(us.getInt(0) == 1 && us.getInt(1) == 2)
+    assert(one("SELECT unnest([{'a':7}], recursive := true) AS u").getInt(0) == 7)
+    // range over DATE bounds: stop-exclusive timestamps
+    assert(one("SELECT size(range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY)) AS n")
+      .getInt(0) == 3)
+  }
 }
