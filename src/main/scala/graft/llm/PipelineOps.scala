@@ -304,10 +304,19 @@ object PipelineOps {
       |GROUP BY 1
       |ORDER BY touch_type ASC NULLS LAST""".stripMargin
   ) { s =>
-    val purchases = s.table("events")
+    attributionOf(s, s.table("events"))
+  }
+
+  /** The ev_attribution plan over an arbitrary events relation — shared
+    * with StreamingSpec's stream-vs-batch differential (the streaming
+    * counterpart is streaming.EventStream.attribution).
+    */
+  private[graft] def attributionOf(s: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"))
-    val touches = s.table("events")
+    val touches = events
       .filter(col("event_type").isin("view", "click"))
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_type")).as("tt"))

@@ -216,4 +216,70 @@ object EventStream {
           }
       }
   }
+
+  final case class Ev(userId: Long, ts: java.sql.Timestamp,
+    eventType: String, value: Double)
+  /** Recent touches, DESCENDING ts, capped; lastType collapses a
+    * same-millisecond view+click to the MAX type, same as the batch
+    * operator's pre-collapse.
+    */
+  final case class Touch(ts: Long, tt: String)
+  final case class AttState(touches: List[Touch])
+  final case class AttributedPurchase(userId: Long,
+    ts: java.sql.Timestamp, value: Double, touchType: String)
+
+  /** Streaming last-touch attribution — the live counterpart of the
+    * batch `ev_attribution` operator (llm.PipelineOps.attributionOf,
+    * which runs the custom ASOF exec): each purchase is attributed to
+    * the latest view-or-click at or before it by the same user,
+    * 'organic' when none.
+    *
+    * The ASOF lookup becomes per-user KEYED STATE: a bounded
+    * most-recent-touch buffer (default 32) ordered by event time, so a
+    * purchase arriving moderately late — after a touch with a LATER
+    * timestamp already landed — still binds to its true predecessor,
+    * which a single last-touch register would get wrong. Same-timestamp
+    * view+click collapses to the MAX event type, exactly the batch
+    * pre-collapse, so stream and batch cannot diverge on ties. A
+    * purchase older than the whole buffer is the documented lateness
+    * bound (buffer depth × touch rate), the state-size/correctness
+    * trade every streaming attribution system makes; state is O(active
+    * users × maxTouches), evictable via ProcessingTimeTimeout like the
+    * other stateful ops.
+    */
+  def attribution(
+      events: Dataset[Ev],
+      maxTouches: Int = 32): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[AttState]) =>
+          var touches = state.getOption.map(_.touches).getOrElse(Nil)
+          val out = List.newBuilder[AttributedPurchase]
+          // MICROsecond event time (getTime is millis; the fraction
+          // lives in getNanos) — ties must collapse at exactly the
+          // precision the batch ASOF compares at
+          def micros(ts: java.sql.Timestamp): Long =
+            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
+            e.eventType match {
+              case "view" | "click" =>
+                val (same, rest) = touches.partition(_.ts == t)
+                val merged = Touch(t,
+                  (e.eventType :: same.map(_.tt)).max) // MAX-type collapse
+                touches = (merged :: rest).sortBy(-_.ts).take(maxTouches)
+              case "purchase" =>
+                val tt = touches.find(_.ts <= t).map(_.tt).getOrElse("organic")
+                out += AttributedPurchase(userId, e.ts, e.value, tt)
+              case _ => ()
+            }
+          }
+          state.update(AttState(touches))
+          out.result().iterator
+      }
+  }
 }

@@ -259,4 +259,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_view_click") == stages.values.count(_ >= 2))
     assert(b.getAs[Long]("n_full_funnel") == stages.values.count(_ >= 3))
   }
+
+  test("attribution: cross-batch last-touch equals the batch ASOF operator") {
+    import spark.implicits._
+    import EventStream.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // u1: view then purchase (attributed 'view'), then a click and a
+    //     LATE purchase whose ts precedes that click → still 'view';
+    // u2: same-ts view+click collapse → MAX type 'view' wins the tie;
+    // u3: purchase with no touch → 'organic';
+    // u4: touch in batch 1, purchase in batch 2 (state carries over)
+    val batch1 = Seq(
+      Ev(1L, ts(0), "view", 0), Ev(1L, ts(2), "purchase", 10.0),
+      Ev(2L, ts(1), "view", 0), Ev(2L, ts(1), "click", 0),
+      Ev(3L, ts(0), "purchase", 7.0), Ev(4L, ts(3), "click", 0))
+    val batch2 = Seq(
+      Ev(1L, ts(6), "click", 0), Ev(1L, ts(4), "purchase", 5.0),
+      Ev(2L, ts(5), "purchase", 20.0), Ev(4L, ts(8), "purchase", 2.0))
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    val q = EventStream.attribution(mem.toDS()).writeStream
+      .format("memory").queryName("att_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("att_stream").collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Timestamp]("ts")) ->
+        r.getAs[String]("touchType")).toMap
+    assert(streamed == Map(
+      (1L, ts(2)) -> "view", (1L, ts(4)) -> "view",
+      (2L, ts(5)) -> "view", (3L, ts(0)) -> "organic",
+      (4L, ts(8)) -> "click"))
+
+    // stream-vs-batch differential: per-touch-type tallies must equal
+    // the batch ev_attribution report (custom ASOF exec) over the same
+    // rows
+    val events = (batch1 ++ batch2)
+      .map(e => (e.userId, e.ts, e.eventType, e.value))
+      .toDF("user_id", "ts", "event_type", "value")
+    val b = graft.llm.PipelineOps.attributionOf(spark, events).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_value"))).toMap
+    val s = spark.table("att_stream").collect()
+      .groupBy(_.getAs[String]("touchType"))
+      .map { case (t, rows) =>
+        t -> (rows.length.toLong, rows.map(_.getAs[Double]("value")).sum) }
+    assert(b == s, s"batch=$b stream=$s")
+  }
 }
