@@ -93,11 +93,11 @@ object Dialect {
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           val nl = sql.indexOf('\n', i)
           val end = if (nl < 0) sql.length else nl + 1
-          sb.append(sql, i, end); i = end
+          sb.append(sql.substring(i, end)); i = end
         case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
           val close = sql.indexOf("*/", i + 2)
           val end = if (close < 0) sql.length else close + 2
-          sb.append(sql, i, end); i = end
+          sb.append(sql.substring(i, end)); i = end
         case _ => sb.append(c); i += 1
       }
     }

@@ -418,53 +418,207 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   // readers accept them natively.
   private val fileFromRe =
     """(?i)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|pq|csv|tsv|json|jsonl|ndjson)(?:\.gz)?)'""".r
-  private val readFnRe =
-    """(?i)\b(FROM|JOIN)\s+read_(parquet|csv_auto|csv|json_auto|json)\s*\(\s*'([^']+)'\s*[^)]*\)""".r
+  private val readFnHeadRe =
+    """(?i)\b(FROM|JOIN)\s+read_(parquet|csv_auto|csv|json_auto|json)\s*(?=\()""".r
 
   private val fileViews = scala.collection.mutable.HashMap.empty[String, String]
 
-  private def fileView(path: String, kindHint: Option[String]): String =
+  /** DuckDB's common scanner options, honored on the Spark reader.
+    * DuckDB option spellings → behavior (verified against DuckDB 1.0):
+    * header/delim/sep/quote/escape/nullstr/all_varchar/columns/names/
+    * dateformat/timestampformat/ignore_errors (csv); format='array'
+    * (json); filename=true adds the source path column;
+    * union_by_name=true merges schemas across files. Auto-detection
+    * knobs that don't change RESULTS (auto_detect, sample_size,
+    * compression, hive_partitioning — Spark partition-discovers
+    * natively, normalize_names=false, binary_as_string=false) are
+    * accepted and ignored; anything else raises a diagnostic instead of
+    * silently dropping semantics.
+    */
+  private val ignorableOpts = Set("auto_detect", "sample_size",
+    "compression", "hive_partitioning", "normalize_names",
+    "binary_as_string", "maximum_object_size", "records", "parallel")
+
+  private def duckTypeDdl(t: String): String = t.trim.toUpperCase match {
+    case "VARCHAR" | "TEXT" | "STRING" => "STRING"
+    case "HUGEINT" => "DECIMAL(38,0)"
+    case "INT8" | "LONG" => "BIGINT"
+    case "INT4" | "INT" | "SIGNED" => "INT"
+    case "INT2" => "SMALLINT"
+    case "INT1" => "TINYINT"
+    case "FLOAT8" | "REAL" => "DOUBLE"
+    case "FLOAT4" => "FLOAT"
+    case "BOOL" | "LOGICAL" => "BOOLEAN"
+    case other => other // BIGINT, DOUBLE, DATE, TIMESTAMP, DECIMAL(p,s), …
+  }
+
+  private def fileView(paths: Seq[String], kindHint: Option[String],
+      opts: Seq[(String, String)]): String =
     session.synchronized {
-      fileViews.getOrElseUpdate(path, {
+      val key = (paths, kindHint, opts).toString
+      fileViews.getOrElseUpdate(key, {
         val kind = kindHint.getOrElse {
-          val p = path.toLowerCase.stripSuffix(".gz")
+          val p = paths.head.toLowerCase.stripSuffix(".gz")
           if (p.endsWith(".csv") || p.endsWith(".tsv")) "csv"
           else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
             p.endsWith(".ndjson")) "json"
           else "parquet"
         }
-        val df = kind match {
-          case "csv" => session.read
-            .option("header", "true").option("inferSchema", "true")
-            .csv(path)
-          case "json" => session.read.json(path)
-          case _ => session.read.parquet(path)
+        val om = opts.toMap
+        def str(v: String): String = {
+          val t = v.trim
+          if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+            t.substring(1, t.length - 1).replace("''", "'")
+          else t
         }
-        val base = path.reverse.takeWhile(c => c != '/' && c != '\\').reverse
-          .takeWhile(_ != '.').replaceAll("[^A-Za-z0-9_]", "_")
+        def bool(v: String): Boolean = str(v).equalsIgnoreCase("true")
+        def unknown = om.keys.filterNot(k =>
+          ignorableOpts(k) || Set("header", "delim", "sep", "quote",
+            "escape", "nullstr", "all_varchar", "columns", "names",
+            "dateformat", "timestampformat", "ignore_errors", "format",
+            "filename", "union_by_name")(k))
+        if (unknown.nonEmpty) throw new GatewayException(
+          s"read_$kind: unsupported option(s) ${unknown.mkString(", ")}")
+        // columns={'n':'TYPE',…} → explicit schema (no inference pass)
+        val colRe = """'((?:[^']|'')*)'\s*:\s*'((?:[^']|'')*)'""".r
+        val schemaDdl = om.get("columns").map { c =>
+          colRe.findAllMatchIn(c)
+            .map(m => s"`${m.group(1)}` ${duckTypeDdl(m.group(2))}")
+            .mkString(", ")
+        }
+        val df0 = kind match {
+          case "csv" =>
+            // header default mirrors DuckDB's auto-detect outcome for
+            // the common cases: headered files unless names= says the
+            // file is headerless
+            var r = session.read
+              .option("header", om.get("header").map(bool)
+                .getOrElse(!om.contains("names")).toString)
+            schemaDdl match {
+              case Some(ddl) if !om.get("all_varchar").exists(bool) =>
+                r = r.schema(ddl)
+              case _ => r = r.option("inferSchema",
+                (!om.get("all_varchar").exists(bool)).toString)
+            }
+            om.get("delim").orElse(om.get("sep"))
+              .foreach(v => r = r.option("sep", str(v)))
+            om.get("quote").foreach(v => r = r.option("quote", str(v)))
+            om.get("escape").foreach(v => r = r.option("escape", str(v)))
+            om.get("nullstr").foreach(v => r = r.option("nullValue", str(v)))
+            om.get("dateformat").foreach(v => r = r.option("dateFormat", str(v)))
+            om.get("timestampformat")
+              .foreach(v => r = r.option("timestampFormat", str(v)))
+            if (om.get("ignore_errors").exists(bool))
+              r = r.option("mode", "DROPMALFORMED")
+            if (om.get("union_by_name").exists(bool))
+              r = r.option("mergeSchema", "true")
+            val read = r.csv(paths: _*)
+            om.get("names").map { n =>
+              val names = """'((?:[^']|'')*)'""".r
+                .findAllMatchIn(n).map(_.group(1)).toSeq
+              read.toDF((names ++ read.columns.drop(names.length)): _*)
+            }.getOrElse(read)
+          case "json" =>
+            var r = session.read
+            schemaDdl.foreach(ddl => r = r.schema(ddl))
+            // DuckDB format='array': one top-level JSON array per file
+            if (om.get("format").map(str).exists(_.equalsIgnoreCase("array")))
+              r = r.option("multiLine", "true")
+            r.json(paths: _*)
+          case _ =>
+            var r = session.read
+            if (om.get("union_by_name").exists(bool))
+              r = r.option("mergeSchema", "true")
+            r.parquet(paths: _*)
+        }
+        // filename=true: DuckDB appends the source path; strip Spark's
+        // file: URI scheme so local paths match DuckDB's spelling
+        val df = if (om.get("filename").exists(bool))
+          df0.withColumn("filename", org.apache.spark.sql.functions
+            .regexp_replace(org.apache.spark.sql.functions.input_file_name(),
+              "^file:(//)?", ""))
+        else df0
+        val base = paths.head.reverse.takeWhile(c => c != '/' && c != '\\')
+          .reverse.takeWhile(_ != '.').replaceAll("[^A-Za-z0-9_]", "_")
         val name =
-          if (base.nonEmpty && base.head.isLetter &&
-              !session.catalog.tableExists(base)) base
+          if (base.nonEmpty && base.head.isLetter && opts.isEmpty &&
+              paths.sizeIs == 1 && !session.catalog.tableExists(base)) base
           else "gf_" + java.util.UUID.nameUUIDFromBytes(
-            path.getBytes("UTF-8")).toString.replace("-", "").take(12)
+            key.getBytes("UTF-8")).toString.replace("-", "").take(12)
         df.createOrReplaceTempView(name)
         name
       })
     }
 
   private def rewriteFileReads(sql: String): String = {
-    val viaFn = readFnRe.replaceAllIn(sql, m => {
-      val kind = m.group(2).toLowerCase match {
-        case "csv_auto" | "csv" => "csv"
-        case "json_auto" | "json" => "json"
-        case _ => "parquet"
+    // read_xxx(…) calls: full argument split (options carry nested
+    // ['lists'] and {'structs'} a [^)]* regex mis-scans)
+    val viaFn = {
+      val out = new StringBuilder
+      var last = 0
+      val ms = readFnHeadRe.findAllMatchIn(sql).toSeq
+      for (m <- ms) {
+        if (m.start >= last) {
+          Dialect.splitCallArgsPublic(sql, m.end) match {
+            case Some((args, end)) if args.nonEmpty =>
+              val kind = m.group(2).toLowerCase match {
+                case "csv_auto" | "csv" => "csv"
+                case "json_auto" | "json" => "json"
+                case _ => "parquet"
+              }
+              val litRe = """'((?:[^']|'')*)'""".r
+              // splitCallArgs tracks parens but not {}/[]: re-merge args
+              // the columns={'a':'T','b':'U'} struct and ['p1','p2']
+              // list forms split at their inner commas (quote-aware
+              // balance count)
+              def braceBalance(s: String): Int = {
+                var d = 0; var i = 0; var inQ = false
+                while (i < s.length) {
+                  val c = s.charAt(i)
+                  if (inQ) { if (c == '\'') inQ = false }
+                  else if (c == '\'') inQ = true
+                  else if (c == '{' || c == '[') d += 1
+                  else if (c == '}' || c == ']') d -= 1
+                  i += 1
+                }
+                d
+              }
+              val merged = args.foldLeft(List.empty[String]) { (acc, a) =>
+                acc match {
+                  case h :: t if braceBalance(h) > 0 => (h + "," + a) :: t
+                  case _ => a :: acc
+                }
+              }.reverse
+              val paths = {
+                val a0 = merged.head.trim
+                if (a0.startsWith("["))
+                  litRe.findAllMatchIn(a0).map(_.group(1)).toSeq
+                else litRe.findPrefixMatchOf(a0).map(_.group(1)).toSeq
+              }
+              val optRe = """(?s)^\s*([A-Za-z_]+)\s*=\s*(.*)$""".r
+              val opts = merged.tail.flatMap {
+                case optRe(k, v) => Some(k.toLowerCase -> v.trim)
+                case _ => None
+              }
+              if (paths.isEmpty || opts.length != merged.tail.length) {
+                // non-literal path or unrecognized arg shape: leave the
+                // call text as-is (it will surface a resolution error
+                // naming the function, not silently mis-read)
+                out.append(sql.substring(last, end)); last = end
+              } else {
+                out.append(sql.substring(last, m.start))
+                out.append(s"${m.group(1)} ${fileView(paths, Some(kind), opts)}")
+                last = end
+              }
+            case _ => // not a call — leave untouched
+          }
+        }
       }
-      java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)} ${fileView(m.group(3), Some(kind))}")
-    })
+      out.append(sql.substring(last)).toString
+    }
     fileFromRe.replaceAllIn(viaFn, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)} ${fileView(m.group(2), None)}"))
+        s"${m.group(1)} ${fileView(Seq(m.group(2)), None, Nil)}"))
   }
 
   // ---- CREATE MACRO (scalar + table) ---------------------------------
