@@ -298,5 +298,60 @@ object TpchQueries {
         |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q2m, q3, q4, q5, q10, q14, q18, sq1, sq2, sq3)
+  /** Q6 forecasting revenue change: the purest scan-shape in TPC-H —
+    * single table, three range predicates, one aggregate. The entire
+    * query should collapse to a parquet scan with every filter in
+    * PushedFilters and a two-level partial/final agg; any shuffle
+    * beyond the final single-row exchange is a regression. DECIMAL
+    * product keeps the sum exact under any partial-agg order.
+    */
+  val q6 = Q(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+  ) { s =>
+    s.table("lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampNTZType))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast(TimestampNTZType))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(sum(d("l_extendedprice") * d("l_discount"))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  /** Q19 discounted revenue (adapted to the fixture columns): the
+    * DISJUNCTIVE join predicate — OR of brand/size/quantity bands —
+    * that tests CNF extraction: the common `p_partkey = l_partkey`
+    * conjunct must still drive a broadcast equi-join (part is the dim),
+    * with the OR evaluated as a post-join filter, and the
+    * scan-eligible disjunct bounds (size ≥ 1, quantity ≥ 1) pushed.
+    * A nested-loop or cartesian here is the plan regression this query
+    * exists to catch.
+    */
+  val q19 = Q(
+    "q19_disjunctive",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 5 AND l_quantity <= 25)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 10 AND l_quantity <= 30)""".stripMargin
+  ) { s =>
+    val bands =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity") >= 5 && col("l_quantity") <= 25) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 30)
+    s.table("lineitem")
+      .join(s.table("part"), col("p_partkey") === col("l_partkey"))
+      .filter(bands)
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+  }
+
+  val all: Seq[Q] = Seq(q2m, q3, q4, q5, q6, q10, q14, q18, q19, sq1, sq2, sq3)
 }

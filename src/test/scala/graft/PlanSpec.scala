@@ -311,6 +311,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q6 collapses to a pushed-filter scan + partial/final agg, no joins") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    assert(p.contains("l_discount") && p.contains("l_quantity"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q19 disjunctive predicate still drives the equi-join (no nested loop)") {
+    val p = plan("q19_disjunctive")
+    // the common p_partkey = l_partkey conjunct must be extracted as the
+    // join key — the OR-of-ANDs evaluates as a post-join filter
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("ev_anomaly: per-type stats broadcast back onto the daily relation") {
     val df = SparkEntry.queries("ev_anomaly")(spark, sf)
     df.collect()
