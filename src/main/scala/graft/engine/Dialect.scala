@@ -1842,13 +1842,13 @@ object Dialect {
   }
 
   private val catalogFnRe =
-    """(?i)^(duckdb_(?:extensions|tables|functions|views|settings))\s*\(\s*\)""".r
+    """(?i)^(duckdb_(?:extensions|tables|functions|views|settings|columns))\s*\(\s*\)""".r
 
   /** `duckdb_tables()` → `duckdb_tables`, outside string literals only
     * (a literal '…duckdb_tables()…' must survive verbatim).
     */
-  private def rewriteCatalogFns(sql: String): String =
-    scanOutsideLiterals(sql) { (i, sb) =>
+  private def rewriteCatalogFns(sql: String): String = {
+    val noFns = scanOutsideLiterals(sql) { (i, sb) =>
       if (sql.regionMatches(true, i, "duckdb_", 0, 7) && wordStart(sql, i)) {
         catalogFnRe.findPrefixMatchOf(sql.substring(i)) match {
           case Some(m) => sb.append(m.group(1).toLowerCase); i + m.end
@@ -1856,6 +1856,24 @@ object Dialect {
         }
       } else i
     }
+    // ANSI information_schema.{tables,columns,schemata} → the live
+    // graft_is_* views (Spark temp views cannot be schema-qualified)
+    scanOutsideLiterals(noFns) { (i, sb) =>
+      if (noFns.regionMatches(true, i, "information_schema", 0, 18) &&
+          wordStart(noFns, i)) {
+        infoSchemaRe.findPrefixMatchOf(noFns.substring(i)) match {
+          case Some(m) =>
+            val v = m.group(1).toLowerCase
+            sb.append(if (v == "schemata") "graft_schemata" else s"graft_is_$v")
+            i + m.end
+          case None => i
+        }
+      } else i
+    }
+  }
+
+  private val infoSchemaRe =
+    """(?i)^information_schema\s*\.\s*(tables|columns|schemata)\b""".r
 
   /** Collapse whitespace runs to single spaces outside literals so the
     * keyword scanners below see a canonical form (newlines before

@@ -435,6 +435,10 @@ object Functions {
     // ---- round-5 gap-probe batch (each found by running DuckDB
     // idioms through the gateway and fixing what failed) ----
     "strlen" -> (a => call("length", a)),
+    // current_schemas has no Spark builtin; the other session scalars
+    // shadow builtins (see overrides)
+    "current_schemas" -> { case Seq(_) =>
+      CreateArray(Seq(Literal("main"))) },
     // to_base(n, b): Spark conv() converts between bases (uppercase
     // digits, same as DuckDB)
     "to_base" -> { case Seq(n, b) =>
@@ -846,6 +850,12 @@ object Functions {
     // DuckDB dayname/monthname return FULL names ('Saturday', 'June');
     // Spark 4's builtins abbreviate ('Sat', 'Jun') — a silent value
     // divergence caught by GapProbe13
+    // session introspection scalars (DuckDB defaults: served database
+    // 'memory', default schema 'main') — Spark's builtins answer
+    // 'default'/the Spark build version, a client-visible divergence
+    "current_schema" -> { case Seq() => Literal("main") },
+    "current_database" -> { case Seq() => Literal("memory") },
+    "version" -> { case Seq() => Literal("v0.5.0-graft") },
     "dayname" -> { case Seq(d) =>
       call("date_format", Seq(d, Literal("EEEE"))) },
     "monthname" -> { case Seq(d) =>

@@ -616,9 +616,37 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       }
       out.append(sql.substring(last)).toString
     }
-    fileFromRe.replaceAllIn(viaFn, m =>
+    // glob('pattern') table function: one `file` column, driver-side
+    // Hadoop FS listing (works for local paths and any configured
+    // remote FS), memoized per pattern like the file views
+    val viaGlob = globFnRe.replaceAllIn(viaFn, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} ${globView(m.group(2))}"))
+    // FROM pragma_version() → the registered one-row view
+    val viaPragma = pragmaVersionFnRe.replaceAllIn(viaGlob,
+      m => s"${m.group(1)} graft_pragma_version")
+    fileFromRe.replaceAllIn(viaPragma, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} ${fileView(Seq(m.group(2)), None, Nil)}"))
+  }
+
+  private val globFnRe =
+    """(?i)\b(FROM|JOIN)\s+glob\s*\(\s*'([^']+)'\s*\)""".r
+  private val pragmaVersionFnRe =
+    """(?i)\b(FROM|JOIN)\s+pragma_version\s*\(\s*\)""".r
+
+  private def globView(pattern: String): String = session.synchronized {
+    fileViews.getOrElseUpdate("glob::" + pattern, {
+      val p = new org.apache.hadoop.fs.Path(pattern)
+      val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+      val files = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+        .map(_.getPath.toUri.getPath).sorted
+      import session.implicits._
+      val name = "gf_glob_" + java.util.UUID.nameUUIDFromBytes(
+        pattern.getBytes("UTF-8")).toString.replace("-", "").take(12)
+      files.toDF("file").createOrReplaceTempView(name)
+      name
+    })
   }
 
   // ---- CREATE MACRO (scalar + table) ---------------------------------
@@ -1171,10 +1199,25 @@ object Gateway {
     // session catalog at scan-planning time via the V2 source, so DDL
     // after open() — CREATE VIEW, SET — is visible immediately
     val key = graft.sources.LiveCatalog.registerSession(sess)
-    Seq("tables", "views", "functions", "settings").foreach { v =>
+    Seq("tables", "views", "functions", "settings", "columns").foreach { v =>
       sess.read.format("graft.sources.LiveCatalogSource")
         .option("view", v).option("session", key)
         .load().createOrReplaceTempView(s"duckdb_$v")
+    }
+    // information_schema.{tables,columns,schemata} — Dialect rewrites the
+    // qualified names onto these (Spark temp views cannot be schema-
+    // qualified); same live-catalog backing
+    Seq("is_tables", "is_columns", "schemata").foreach { v =>
+      sess.read.format("graft.sources.LiveCatalogSource")
+        .option("view", v).option("session", key)
+        .load().createOrReplaceTempView(s"graft_$v")
+    }
+    // FROM pragma_version() (table-function form of PRAGMA version)
+    locally {
+      import sess.implicits._
+      Seq(("v0.5.0-graft", s"spark-${sess.version}"))
+        .toDF("library_version", "source_id")
+        .createOrReplaceTempView("graft_pragma_version")
     }
   }
 

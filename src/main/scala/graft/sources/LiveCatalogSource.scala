@@ -44,7 +44,62 @@ object LiveCatalog {
       StructField("is_temporary", BooleanType))),
     "settings" -> StructType(Seq(
       StructField("name", StringType),
-      StructField("value", StringType))))
+      StructField("value", StringType))),
+    // duckdb_columns() shape (DuckDB 1.0 pinned: database_name,
+    // schema_name, table_name, column_name, 1-based column_index,
+    // data_type in DuckDB spelling, is_nullable BOOLEAN)
+    "columns" -> StructType(Seq(
+      StructField("database_name", StringType),
+      StructField("schema_name", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("column_index", IntegerType),
+      StructField("data_type", StringType),
+      StructField("is_nullable", BooleanType))),
+    // information_schema shapes (ANSI spellings DuckDB serves; BI tools
+    // and ADBC GetObjects fallbacks read these)
+    "is_tables" -> StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("table_type", StringType))),
+    "is_columns" -> StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("ordinal_position", IntegerType),
+      StructField("is_nullable", StringType),
+      StructField("data_type", StringType))),
+    "schemata" -> StructType(Seq(
+      StructField("catalog_name", StringType),
+      StructField("schema_name", StringType))))
+
+  /** Spark type → DuckDB's type spelling (duckdb_columns/info-schema). */
+  def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case StringType => "VARCHAR"
+    case org.apache.spark.sql.types.LongType => "BIGINT"
+    case org.apache.spark.sql.types.IntegerType => "INTEGER"
+    case org.apache.spark.sql.types.ShortType => "SMALLINT"
+    case org.apache.spark.sql.types.ByteType => "TINYINT"
+    case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+    case org.apache.spark.sql.types.FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case org.apache.spark.sql.types.DateType => "DATE"
+    case org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP"
+    case org.apache.spark.sql.types.TimestampType => "TIMESTAMP WITH TIME ZONE"
+    case org.apache.spark.sql.types.BinaryType => "BLOB"
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"DECIMAL(${d.precision},${d.scale})"
+    case a: org.apache.spark.sql.types.ArrayType =>
+      duckTypeName(a.elementType) + "[]"
+    case m: org.apache.spark.sql.types.MapType =>
+      s"MAP(${duckTypeName(m.keyType)}, ${duckTypeName(m.valueType)})"
+    case s: StructType =>
+      s.fields.map(f => s""""${f.name}" ${duckTypeName(f.dataType)}""")
+        .mkString("STRUCT(", ", ", ")")
+    case other => other.sql
+  }
 
   /** Sessions are resolved through a weak registry: the scan carries only
     * a string key (serializable into the plan), and a closed gateway's
@@ -94,6 +149,37 @@ object LiveCatalog {
       case "settings" =>
         sess.conf.getAll.toArray.sortBy(_._1)
           .map { case (k, v) => Array[Any](k, v) }
+      case "columns" | "is_columns" =>
+        sess.catalog.listTables().collect()
+          .filterNot(t => isSelf(t.name))
+          .flatMap { t =>
+            val schema =
+              try sess.table(t.name).schema
+              catch { case _: Throwable =>
+                org.apache.spark.sql.types.StructType(Nil) }
+            schema.fields.zipWithIndex.map { case (f, i) =>
+              if (view == "columns")
+                Array[Any]("memory", "main", t.name, f.name,
+                  Integer.valueOf(i + 1), duckTypeName(f.dataType),
+                  java.lang.Boolean.valueOf(f.nullable))
+              else
+                Array[Any]("memory", "main", t.name, f.name,
+                  Integer.valueOf(i + 1), if (f.nullable) "YES" else "NO",
+                  duckTypeName(f.dataType))
+            }
+          }
+      case "is_tables" =>
+        // the served fixture tables present as BASE TABLEs (they are the
+        // database's tables to a client); everything else the session
+        // created is a VIEW
+        sess.catalog.listTables().collect()
+          .filterNot(t => isSelf(t.name))
+          .map(t => Array[Any]("memory", "main", t.name,
+            if (graft.engine.Tables.names.contains(t.name)) "BASE TABLE"
+            else "VIEW"))
+      case "schemata" =>
+        Array(Array[Any]("memory", "main"),
+          Array[Any]("memory", "information_schema"))
       case other =>
         throw new IllegalArgumentException(s"unknown catalog view: $other")
     }
