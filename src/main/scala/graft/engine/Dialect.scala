@@ -59,7 +59,7 @@ object Dialect {
     * statements and the injected parser rewrites them again — this runs
     * exactly once, in GraftSqlParser, immediately before Spark's lexer.
     */
-  private[engine] def rawifyLiterals(sql: String): String = {
+  private[graft] def rawifyLiterals(sql: String): String = {
     if (sql.indexOf('\\') < 0) return sql
     val sb = new StringBuilder(sql.length + 8)
     var i = 0

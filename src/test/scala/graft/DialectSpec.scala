@@ -158,7 +158,12 @@ class DialectSpec extends AnyFunSuite {
       "5!", "n ! = 120",                          // rewriteFactorial
       "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING", // rewriteGroupsFrame
       "EXCLUDE CURRENT ROW", "EXCLUDE TIES",      // rewriteExcludeFrames
-      "x::INT[3]", "CAST(x AS BIGINT[])")         // rewriteArrayTypeSuffix
+      "x::INT[3]", "CAST(x AS BIGINT[])",         // rewriteArrayTypeSuffix
+      "e'a\\nb'",                                 // rewriteEscapeStrings
+      "x ~~* 'p%'", "x !~~* 'p%'", "x ~~~ 'g*'",  // tilde operators
+      "COLLATE NOCASE",                           // collation mapping
+      "information_schema.tables",                // info-schema views
+      "any_value(x ORDER BY y)")                  // ordered any_value
     val noise = Gen.chooseNum(0, 8).flatMap(n =>
       Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))))
     val embed = Gen.oneOf(0, 1) // 0 = string literal, 1 = quoted identifier
@@ -278,5 +283,39 @@ class DialectSpec extends AnyFunSuite {
       assert(StringSim.jaro(u(b), u(a)) == j, s"asymmetric on ($a,$b)")
       if (a.nonEmpty) assert(StringSim.jaro(u(a), u(a)) == 1.0)
     }
+  }
+
+  test("property: rawifyLiterals doubles literal backslashes, nothing else") {
+    // content alphabet stresses the scanner's edges: backslashes, quote
+    // doubling, comment-lookalikes, bracket/operator text
+    val piece = Gen.oneOf("\\", "\\\\", "d", "''", "--x", "/*y*/", " ",
+      "~", "[1]", "a")
+    val content = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+    val cases = for { c <- content; tail <- content } yield (c, tail)
+    TestProps.forAll(cases) { case (c, tail) =>
+      val lit = "'" + c + "'"
+      // literal body: every backslash doubled, quote structure kept
+      val sql = s"SELECT $lit AS x -- note: $tail\\d\nFROM t \"id\\q\""
+      val out = Dialect.rawifyLiterals(sql)
+      val expectLit = "'" + c.replace("\\", "\\\\") + "'"
+      assert(out.contains(expectLit), s"in: $sql\nout: $out")
+      // the comment and the quoted identifier keep their single backslash
+      assert(out.contains(s"-- note: $tail\\d"), out)
+      assert(out.contains("\"id\\q\""), out)
+      // idempotent on backslash-free input
+      val clean = sql.replace("\\", "")
+      assert(Dialect.rawifyLiterals(clean) == clean)
+    }
+  }
+
+  test("e-strings decode escapes; plain literals stay raw end-to-end") {
+    // dialect-level: e'…' decodes, '…' passes through for rawify
+    assert(Dialect.rewrite("SELECT e'a\\nb' AS s").contains("'a\nb'"))
+    assert(Dialect.rewrite("SELECT e'\\x41\\u0042' AS s").contains("'AB'"))
+    assert(Dialect.rewrite("SELECT e'it''s' AS s").contains("'it''s'"))
+    // an e-string INSIDE a plain literal is content, not syntax
+    val inLit = "SELECT 'prefix e''x\\n'' suffix' AS s"
+    assert(Dialect.rewrite(inLit) == inLit)
   }
 }
