@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential-fuzz evaluator: reads one SQL expression per line from
+  * args(0) (each already validated to run under DuckDB by
+  * tools/fuzz_scalar.py), evaluates `SELECT (expr) AS v` through the
+  * full Gateway dialect pipeline, and writes one JSON line per input to
+  * args(1): {"i": n, "ok": true, "t": "<type>", "v": "<canonical>"} or
+  * {"i": n, "ok": false, "err": "..."}. The python driver compares
+  * against DuckDB's answer with type-aware tolerance.
+  */
+object FuzzEval {
+
+  private def canon(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case f: Float => canon(f.toDouble)
+    case d: Double =>
+      if (d.isNaN) "nan"
+      else if (d.isPosInfinity) "inf"
+      else if (d.isNegInfinity) "-inf"
+      else d.toString
+    case s: collection.Seq[_] => s.map(canon).mkString("[", ", ", "]")
+    case a: Array[_] => a.map(canon).mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(canon).mkString("{", ", ", "}")
+    case m: collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${canon(k)}=${canon(x)}" }
+        .sorted.mkString("{", ", ", "}")
+    case b: Array[Byte] => b.map("%02X".format(_)).mkString
+    case other => other.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: FuzzEval <exprFile> <outFile>")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.timeType.enabled", "true")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val gw = graft.engine.Gateway.open(spark, "/root/testdata/sf0.001")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(args(0)))
+    val out = new java.io.PrintWriter(args(1), "UTF-8")
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+    var i = 0
+    lines.forEach { expr =>
+      if (expr.trim.nonEmpty) {
+        try {
+          val df = gw.sql(s"SELECT ($expr) AS v")
+          val t = df.schema.head.dataType.simpleString
+          val rows = df.collect()
+          val v = if (rows.isEmpty) "NULL" else canon(rows.head.get(0))
+          out.println(s"""{"i": $i, "ok": true, "t": "${esc(t)}", "v": "${esc(v)}"}""")
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            out.println(s"""{"i": $i, "ok": false, "err": "${esc(msg.take(160))}"}""")
+        }
+      } else out.println(s"""{"i": $i, "ok": false, "err": "empty"}""")
+      i += 1
+    }
+    out.close()
+    spark.stop()
+  }
+}

@@ -850,6 +850,21 @@ object Functions {
     // DuckDB dayname/monthname return FULL names ('Saturday', 'June');
     // Spark 4's builtins abbreviate ('Sat', 'Jun') — a silent value
     // divergence caught by GapProbe13
+    // DuckDB hash() is UBIGINT (64-bit); Spark's builtin is a 32-bit
+    // INT — match the TYPE (unsigned 64-bit via the DECIMAL(20,0)
+    // carrier, xxhash64 kernel). VALUES are engine-defined on both
+    // sides: DuckDB documents its hash as unstable across versions, so
+    // clients may depend on determinism-within-a-version (held here)
+    // but not on the bit pattern. tools/fuzz_scalar.py compares hash()
+    // expressions on null-ness/type only for this reason.
+    "hash" -> { case args if args.nonEmpty =>
+      val x = call("xxhash64", args)
+      val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+      Cast(CaseWhen(Seq((LessThan(x, Literal(0L)),
+        Add(Cast(x, dec),
+          Literal(new java.math.BigDecimal("18446744073709551616"))))),
+        Cast(x, dec)), dec)
+    },
     // session introspection scalars (DuckDB defaults: served database
     // 'memory', default schema 'main') — Spark's builtins answer
     // 'default'/the Spark build version, a client-visible divergence
@@ -1031,13 +1046,37 @@ object Functions {
     },
     // DuckDB date_part(['year','month'], d) list form → one struct with
     // a field per requested part; the scalar form keeps Spark's builtin
+    // EXCEPT where DuckDB's numbering differs (fuzz-found: 'dow' is
+    // Sunday=0..Saturday=6 in DuckDB vs Spark's Sunday=1 extract)
     "date_part" -> {
       case Seq(parts, d) if datePartList(parts).isDefined =>
         CreateNamedStruct(datePartList(parts).get.flatMap(p =>
-          Seq(Literal(p), DatePart.parseExtractField(p, d))))
+          Seq(Literal(p), duckDatePart(p, d))))
       case Seq(Literal(field, _), d) if field != null =>
-        DatePart.parseExtractField(field.toString, d)
+        duckDatePart(field.toString, d)
     })
+
+  /** date_part field with DuckDB's numbering/extras; falls back to
+    * Spark's extract for the parts the two agree on.
+    */
+  private def duckDatePart(field: String, d: Expression): Expression =
+    field.toLowerCase match {
+      case "dow" | "dayofweek" | "weekday" =>
+        Subtract(call("dayofweek", Seq(d)), Literal(1)) // Sunday = 0
+      case "isodow" => Add(call("weekday", Seq(d)), Literal(1)) // Monday = 1
+      case "century" => call("century", Seq(d))
+      case "decade" => Cast(call("floor", Seq(Divide(
+        Cast(call("year", Seq(d)), org.apache.spark.sql.types.DoubleType),
+        Literal(10.0)))), org.apache.spark.sql.types.LongType)
+      case "millennium" => Cast(call("ceil", Seq(Divide(
+        Cast(call("year", Seq(d)), org.apache.spark.sql.types.DoubleType),
+        Literal(1000.0)))), org.apache.spark.sql.types.LongType)
+      case "epoch" => Cast(call("unix_timestamp",
+        Seq(Cast(d, org.apache.spark.sql.types.TimestampType))),
+        org.apache.spark.sql.types.DoubleType) // DuckDB: DOUBLE seconds
+      case "yearweek" => call("yearweek", Seq(d))
+      case other => DatePart.parseExtractField(other, d)
+    }
 
   /** The part names of a `['year','month']`-style literal list argument
     * (pre-analysis: an unresolved array(...) call of string literals).

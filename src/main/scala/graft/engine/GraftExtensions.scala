@@ -40,7 +40,84 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DuckDB unnest over structs / recursive unnest — type-dependent
     // generator choice Spark's fixed explode can't express
     ext.injectResolutionRule(_ => DuckUnnest)
+    // DuckDB compares BOOLEAN with numerics (true > 0 is legal, via an
+    // implicit bool→int cast in comparisons ONLY — bool+1 errors there
+    // too); Spark rejects the comparison outright
+    ext.injectResolutionRule(_ => DuckBoolCompare)
   }
+}
+
+/** DuckDB's BOOLEAN coercions that Spark refuses (all fuzz-found by
+  * tools/fuzz_scalar.py, each pinned against DuckDB 1.0):
+  *
+  *  - comparisons with numerics (`true > 0`): bool casts to INTEGER —
+  *    comparisons ONLY, DuckDB rejects boolean ARITHMETIC too;
+  *  - comparisons with a string EXPRESSION (`upper(s) <> flag`): the
+  *    bool side casts to VARCHAR. A string LITERAL keeps Spark's
+  *    behavior (literal casts toward BOOL, malformed errors) — DuckDB
+  *    treats untyped string literals the same way, so the two agree
+  *    there and only the typed-expression case needs the rewrite;
+  *  - CASE/IF branches mixing BOOLEAN and numeric values (`CASE …
+  *    THEN false ELSE -9`): bool branches cast to INTEGER.
+  */
+object DuckBoolCompare
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    BinaryComparison, CaseWhen, Cast, Expression, If, Literal}
+  import org.apache.spark.sql.types.{
+    BooleanType, IntegerType, NumericType, StringType}
+
+  private def numFix(e: Expression, other: Expression): Option[Expression] =
+    if (e.resolved && other.resolved && e.dataType == BooleanType &&
+      other.dataType.isInstanceOf[NumericType]) Some(Cast(e, IntegerType))
+    else None
+
+  /** Coercion-inserted Cast(stringEXPR → BOOL) opposite a genuine
+    * boolean: unwind it and pull the boolean to VARCHAR instead.
+    */
+  private def strCastSide(e: Expression): Option[Expression] = e match {
+    case Cast(child, BooleanType, _, _) if child.resolved &&
+        child.dataType.isInstanceOf[StringType] &&
+        !child.isInstanceOf[Literal] => Some(child)
+    case _ => None
+  }
+
+  private def boolSide(e: Expression): Boolean =
+    e.resolved && e.dataType == BooleanType && strCastSide(e).isEmpty
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case c: BinaryComparison
+          if numFix(c.left, c.right).isDefined ||
+            numFix(c.right, c.left).isDefined =>
+        val l = numFix(c.left, c.right).getOrElse(c.left)
+        val r = numFix(c.right, c.left).getOrElse(c.right)
+        c.withNewChildren(Seq(l, r)).asInstanceOf[Expression]
+      case c: BinaryComparison
+          if strCastSide(c.left).isDefined && boolSide(c.right) =>
+        c.withNewChildren(Seq(strCastSide(c.left).get,
+          Cast(c.right, StringType))).asInstanceOf[Expression]
+      case c: BinaryComparison
+          if strCastSide(c.right).isDefined && boolSide(c.left) =>
+        c.withNewChildren(Seq(Cast(c.left, StringType),
+          strCastSide(c.right).get)).asInstanceOf[Expression]
+      case cw @ CaseWhen(branches, elseValue) if {
+        val vals = branches.map(_._2) ++ elseValue.toSeq
+        vals.forall(_.resolved) &&
+          vals.exists(_.dataType == BooleanType) &&
+          vals.exists(_.dataType.isInstanceOf[NumericType])
+      } =>
+        def up(e: Expression) =
+          if (e.dataType == BooleanType) Cast(e, IntegerType) else e
+        CaseWhen(branches.map { case (w, v) => (w, up(v)) },
+          elseValue.map(up))
+      case If(p, t, f) if p.resolved && t.resolved && f.resolved &&
+          Seq(t, f).exists(_.dataType == BooleanType) &&
+          Seq(t, f).exists(_.dataType.isInstanceOf[NumericType]) =>
+        def up(e: Expression) =
+          if (e.dataType == BooleanType) Cast(e, IntegerType) else e
+        If(p, up(t), up(f))
+    }
 }
 
 /** DuckDB's polymorphic unnest: `unnest(struct)` expands the struct into

@@ -56,7 +56,10 @@ case class SubscriptAny(child: Expression, index: Expression)
 
   override lazy val replacement: Expression = child.dataType match {
     case StringType => Substring(child, Cast(index, IntegerType), Literal(1))
-    case _ => ElementAt(child, index)
+    // failOnError=false: DuckDB's out-of-bounds subscript is NULL
+    // (`([10,20])[3]` → NULL even under its strict typing; fuzz-found —
+    // Spark's ANSI element_at raises INVALID_ARRAY_INDEX instead)
+    case _ => ElementAt(child, index, None, false)
   }
 
   override protected def withNewChildrenInternal(

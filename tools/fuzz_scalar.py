@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Differential scalar-expression fuzzer (dev-only, driver-side stack):
+generate random expressions from a small DuckDB-dialect grammar, keep
+the ones DuckDB 1.0 evaluates without error, run the same text through
+the engine's Gateway (graft.FuzzEval), and compare values with
+type-aware tolerance. A mismatch is a silent value divergence of the
+kind the per-operator oracles can't systematically sweep for.
+
+Usage: python3 tools/fuzz_scalar.py [n=400] [seed=8] [--no-run]
+Exit 0 when every comparable case agrees; prints each divergence.
+"""
+import json, random, subprocess, sys, math
+from pathlib import Path
+
+import duckdb
+
+
+def gen_expr(rng, depth=0):
+    """Random expression in the shared DuckDB/engine dialect."""
+    atoms = [
+        lambda: str(rng.randint(-50, 200)),
+        lambda: str(rng.randint(-5, 5)),
+        lambda: f"{rng.uniform(-100, 100):.3f}",
+        lambda: rng.choice(["'abc'", "'Hello World'", "''", "'it''s'",
+                            "'a,b;c'", "'%d%'", "'  pad  '"]),
+        lambda: "NULL",
+        lambda: rng.choice(["true", "false"]),
+        lambda: rng.choice(["DATE '2024-03-05'", "DATE '1999-12-31'"]),
+        lambda: rng.choice(["[1,2,3]", "[10,20]", "['x','y']"]),
+    ]
+    if depth >= 3:
+        return rng.choice(atoms)()
+    def e():
+        return gen_expr(rng, depth + 1)
+    forms = [
+        lambda: rng.choice(atoms)(),
+        lambda: f"-({e()})",
+        lambda: f"abs({e()})",
+        lambda: f"({e()} {rng.choice(['+', '-', '*'])} {e()})",
+        lambda: f"round({e()}, {rng.randint(0, 4)})",
+        lambda: f"floor({e()})",
+        lambda: f"ceil({e()})",
+        lambda: f"sqrt(abs({e()}))",
+        lambda: f"ln(abs({e()}) + 1)",
+        lambda: f"greatest({e()}, {e()})",
+        lambda: f"least({e()}, {e()})",
+        lambda: f"coalesce(NULL, {e()})",
+        lambda: f"nullif({e()}, {e()})",
+        lambda: f"(CASE WHEN {e()} > {e()} THEN {e()} ELSE {e()} END)",
+        lambda: f"upper({s()})",
+        lambda: f"lower({s()})",
+        lambda: f"reverse({s()})",
+        lambda: f"trim({s()})",
+        lambda: f"length({s()})",
+        lambda: f"substr({s()}, {rng.randint(1, 4)}, {rng.randint(0, 5)})",
+        lambda: f"replace({s()}, 'a', 'Z')",
+        lambda: f"left({s()}, {rng.randint(0, 4)})",
+        lambda: f"right({s()}, {rng.randint(0, 4)})",
+        lambda: f"repeat({s()}, 2)",
+        lambda: f"lpad({s()}, {rng.randint(0, 8)}, '*')",
+        lambda: f"concat({s()}, {s()})",
+        lambda: f"({s()} || {s()})",
+        lambda: f"instr({s()}, 'l')",
+        lambda: f"contains({s()}, 'a')",
+        lambda: f"starts_with({s()}, 'a')",
+        lambda: f"md5({s()})",
+        lambda: f"({e()} {rng.choice(['=', '<', '>', '<=', '>=', '<>'])} {e()})",
+        lambda: f"({e()} IS NULL)",
+        lambda: f"({e()} IS DISTINCT FROM {e()})",
+        lambda: f"len({l()})",
+        lambda: f"list_contains({l()}, 2)",
+        lambda: f"array_to_string({l()}, '-')",
+        lambda: f"({l()})[{rng.randint(1, 3)}]",
+        lambda: f"list_sort({l()})",
+        lambda: f"date_part('{rng.choice(['year', 'month', 'day', 'dow', 'doy', 'week', 'quarter'])}', {d()})",
+        lambda: f"({d()} + {rng.randint(0, 400)})",
+        lambda: f"datediff('day', {d()}, {d()})",
+        lambda: f"strftime({d()}, '%Y-%m-%d')",
+        lambda: f"CAST({e()} AS VARCHAR)",
+        lambda: f"try_cast({s()} AS INTEGER)",
+        lambda: f"if({e()} > 0, {e()}, {e()})",
+        lambda: f"hash({s()}) % 97",
+        lambda: f"printf('%d:%s', {rng.randint(0, 99)}, {s()})",
+        lambda: f"format('{{}}-{{}}', {rng.randint(0, 9)}, {s()})",
+    ]
+    return rng.choice(forms)()
+
+
+def _typed(rng, depth, pick):
+    x = gen_expr(rng, depth)
+    return pick(x)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rng = random.Random(seed)
+
+    # typed sub-generators used inside gen_expr via closure rebinding
+    global s, l, d
+    s = lambda: rng.choice(["'abc'", "'Hello World'", "'it''s'",
+                            "'  pad  '", f"CAST({rng.randint(0, 99)} AS VARCHAR)",
+                            "upper('mix')", "concat('a', 'b')"])
+    l = lambda: rng.choice(["[1,2,3]", "[10,20]", "[2,2,5]"])
+    d = lambda: rng.choice(["DATE '2024-03-05'", "DATE '1999-12-31'",
+                            "DATE '2000-02-29'"])
+
+    con = duckdb.connect()
+    kept, duck_vals = [], []
+    tries = 0
+    while len(kept) < n and tries < n * 30:
+        tries += 1
+        expr = gen_expr(rng)
+        if len(expr) > 400:
+            continue
+        try:
+            cur = con.sql(f"SELECT ({expr}) AS v")
+            v = cur.fetchone()[0]
+            t = cur.types[0]
+        except Exception:
+            continue
+        kept.append(expr)
+        duck_vals.append((str(t), v))
+
+    work = Path("/tmp/fuzz_scalar")
+    work.mkdir(exist_ok=True)
+    (work / "exprs.txt").write_text("\n".join(kept) + "\n")
+    print(f"generated {len(kept)} DuckDB-valid expressions ({tries} tries)")
+    if "--no-run" in sys.argv:
+        return
+
+    subprocess.run(
+        ["sbt", "-batch",
+         f'runMain graft.FuzzEval {work}/exprs.txt {work}/engine.jsonl'],
+        cwd="/root/repo", check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    results = [json.loads(x) for x in
+               (work / "engine.jsonl").read_text().splitlines() if x.strip()]
+    assert len(results) == len(kept), (len(results), len(kept))
+
+    def duck_canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            if math.isinf(v):
+                return "inf" if v > 0 else "-inf"
+            return repr(v)
+        if isinstance(v, list):
+            return "[" + ", ".join(duck_canon(x) for x in v) + "]"
+        if isinstance(v, bytes):
+            return v.hex().upper()
+        return str(v)
+
+    def agree(duck_t, duck_v, eng):
+        if not eng["ok"]:
+            return False
+        ev = eng["v"]
+        dv = duck_canon(duck_v)
+        if dv == ev:
+            return True
+        # float tolerance (formatting + last-ulp)
+        try:
+            a, b = float(dv), float(ev)
+            if math.isnan(a) and math.isnan(b):
+                return True
+            if a == b:
+                return True
+            return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        except (ValueError, OverflowError):
+            pass
+        # date canonicalization (duckdb date vs engine Date.toString match)
+        return False
+
+    mismatch = engine_err = 0
+    for i, (expr, (dt, dv)) in enumerate(zip(kept, duck_vals)):
+        eng = results[i]
+        if not eng["ok"]:
+            engine_err += 1
+            print(f"ENGINE-ERR [{i}] {expr}\n  duck={duck_canon(dv)} ({dt})\n  err={eng['err']}")
+            continue
+        if "hash(" in expr:
+            # hash() values are engine-defined on BOTH sides (DuckDB
+            # documents them unstable across versions) — compare only
+            # null-ness; the engine's 64-bit unsigned type is pinned in
+            # GatewaySpec
+            if (dv is None) != (eng["v"] == "NULL"):
+                mismatch += 1
+                print(f"MISMATCH [{i}] (hash null-ness) {expr}")
+            continue
+        if not agree(dt, dv, eng):
+            mismatch += 1
+            print(f"MISMATCH [{i}] {expr}\n  duck={duck_canon(dv)} ({dt})\n  eng ={eng['v']} ({eng['t']})")
+
+    ok = len(kept) - mismatch - engine_err
+    print(f"{ok} agree, {mismatch} mismatch, {engine_err} engine errors of {len(kept)}")
+    sys.exit(0 if mismatch == 0 and engine_err == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()
