@@ -55,10 +55,18 @@ object FuzzEval {
     lines.forEach { expr =>
       if (expr.trim.nonEmpty) {
         try {
-          val df = gw.sql(s"SELECT ($expr) AS v")
-          val t = df.schema.head.dataType.simpleString
+          // a full statement runs as-is (relational fuzzing); a bare
+          // expression wraps into a one-row SELECT (scalar fuzzing)
+          val isStmt = expr.trim.toUpperCase
+            .matches("^(SELECT|WITH|VALUES|FROM)\\b.*")
+          val df = if (isStmt) gw.sql(expr) else gw.sql(s"SELECT ($expr) AS v")
+          val t = df.schema.map(_.dataType.simpleString).mkString(",")
           val rows = df.collect()
-          val v = if (rows.isEmpty) "NULL" else canon(rows.head.get(0))
+          val v =
+            if (!isStmt) { if (rows.isEmpty) "NULL" else canon(rows.head.get(0)) }
+            else rows.take(200).map(r =>
+              r.toSeq.map(canon).mkString(", ")).mkString(" ; ") +
+              s" #${rows.length}"
           out.println(s"""{"i": $i, "ok": true, "t": "${esc(t)}", "v": "${esc(v)}"}""")
         } catch {
           case e: Throwable =>

@@ -1311,44 +1311,80 @@ object Dialect {
         hit match {
           case Some(n) =>
             splitCallArgs(sql, i + n.length) match {
-              case Some((args, end)) if args.nonEmpty &&
-                  indexOfTopLevel(args.last, " ORDER BY ") >= 0 =>
-                val last = args.last
-                val ob = indexOfTopLevel(last, " ORDER BY ")
-                val valueHead = last.substring(0, ob).trim
-                var key = last.substring(ob + " ORDER BY ".length).trim
-                val desc = key.toUpperCase.endsWith(" DESC")
-                if (desc) key = key.substring(0, key.length - 5).trim
-                else if (key.toUpperCase.endsWith(" ASC"))
-                  key = key.substring(0, key.length - 4).trim
+              // a multi-key ORDER BY splits across the comma-separated
+              // args (fuzz-found: string_agg(v, sep ORDER BY k1, k2)
+              // arrived as args [v, "sep ORDER BY k1", "k2"]) — locate
+              // the FIRST arg carrying the clause; everything after it
+              // belongs to the key list
+              case Some((args, end)) if args.exists(a =>
+                  indexOfTopLevel(a, " ORDER BY ") >= 0) =>
+                val obIdx = args.indexWhere(a =>
+                  indexOfTopLevel(a, " ORDER BY ") >= 0)
+                val obArg = args(obIdx)
+                val ob = indexOfTopLevel(obArg, " ORDER BY ")
+                val valueHead = obArg.substring(0, ob).trim
+                val key = (obArg.substring(ob + " ORDER BY ".length)
+                  +: args.drop(obIdx + 1)).mkString(",").trim
                 val isString = Set("STRING_AGG", "LIST_AGG", "LISTAGG")(n)
                 val isFirstLast =
                   n == "FIRST" || n == "LAST" || n == "ANY_VALUE"
-                val value = if (args.length > 1) args.head.trim else valueHead
+                val value = if (obIdx > 0) args.head.trim else valueHead
                 val sep =
-                  if (isString && args.length > 1) valueHead
+                  if (isString && obIdx > 0) valueHead
                   else "','" // DuckDB string_agg default separator
-                // multi-key / NULLS spec: leave for the native parser
-                if (indexOfTopLevel(key, ",") >= 0 ||
-                    key.toUpperCase.endsWith(" FIRST") ||
-                    key.toUpperCase.endsWith(" LAST")) {
-                  i += n.length
+                // each key carries its own ASC/DESC
+                val keyParts = splitTopLevel(key, ',').map(_.trim)
+                val parsed = keyParts.map { k =>
+                  val up = k.toUpperCase
+                  if (up.endsWith(" DESC")) (k.dropRight(5).trim, true)
+                  else if (up.endsWith(" ASC")) (k.dropRight(4).trim, false)
+                  else (k, false)
+                }
+                val hasNulls = key.toUpperCase.endsWith(" FIRST") ||
+                  key.toUpperCase.endsWith(" LAST")
+                if (hasNulls || parsed.isEmpty) {
+                  i += n.length // NULLS spec: leave for the native parser
                 } else if (isFirstLast) {
-                  // first(x ORDER BY y) = value at the min key;
-                  // last = at the max; DESC flips (min_by/max_by are
-                  // Spark's exact single-pass forms of these)
-                  val fn = if ((n == "LAST") != desc) "max_by" else "min_by"
-                  return rewriteAggOrderBy(
-                    sql.substring(0, i) + s"$fn($value, $key)" +
-                      sql.substring(end))
+                  // first(x ORDER BY keys) = value at the min composite
+                  // key (struct natural ordering is lexicographic);
+                  // last / DESC flips — mixed directions have no
+                  // min_by/max_by form, leave those
+                  if (parsed.map(_._2).distinct.sizeIs > 1) i += n.length
+                  else {
+                    val allDesc = parsed.head._2
+                    val fn = if ((n == "LAST") != allDesc) "max_by" else "min_by"
+                    val k =
+                      if (parsed.sizeIs == 1) parsed.head._1
+                      else parsed.map(_._1).mkString("struct(", ", ", ")")
+                    return rewriteAggOrderBy(
+                      sql.substring(0, i) + s"$fn($value, $k)" +
+                        sql.substring(end))
+                  }
                 } else {
+                  val allAsc = parsed.forall(!_._2)
+                  val singleDesc = parsed.sizeIs == 1 && parsed.head._2
                   val sorted =
-                    if (key == value) {
-                      val rev = if (desc) ", false" else ""
+                    if (parsed.sizeIs == 1 && parsed.head._1 == value) {
+                      val rev = if (singleDesc) ", false" else ""
                       s"sort_array(collect_list($value)$rev)"
                     } else {
-                      val rev = if (desc) ", (l, r) -> CASE WHEN l.k < r.k THEN 1 WHEN l.k > r.k THEN -1 ELSE 0 END" else ""
-                      s"transform(array_sort(collect_list(struct($key AS k, $value AS v))$rev), s -> s.v)"
+                      val fields = parsed.zipWithIndex
+                        .map { case ((k, _), j) => s"$k AS k$j" }
+                        .mkString(", ")
+                      val cmp =
+                        if (allAsc) "" // struct natural order = lexicographic
+                        else {
+                          // comparator chain: per-key direction (DESC
+                          // returns 1 on l<r so smaller sorts later)
+                          val arms = parsed.zipWithIndex.flatMap {
+                            case ((_, d), j) =>
+                              val (lt, gt) = if (d) (1, -1) else (-1, 1)
+                              Seq(s"WHEN l.k$j < r.k$j THEN $lt",
+                                s"WHEN l.k$j > r.k$j THEN $gt")
+                          }.mkString(" ")
+                          s", (l, r) -> CASE $arms ELSE 0 END"
+                        }
+                      s"transform(array_sort(collect_list(struct($fields, $value AS v))$cmp), s -> s.v)"
                     }
                   val call =
                     if (isString) s"array_join($sorted, $sep)" else sorted

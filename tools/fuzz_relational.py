@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Differential RELATIONAL fuzzer (companion to fuzz_scalar.py): random
+whole queries — projections, grouped aggregates, window functions, set
+ops — over the nation/region fixtures, validated under DuckDB 1.0, then
+run through the engine's Gateway and compared row-for-row (every query
+is fully ORDER BY-ed with explicit tie-breaks so both engines must
+produce the identical ordered relation).
+
+Usage: python3 tools/fuzz_relational.py [n=200] [seed=8] [--no-run]
+"""
+import json, math, random, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rng = random.Random(seed)
+
+    int_exprs = ["n_nationkey", "n_regionkey", "(n_nationkey % 4)",
+                 "(n_nationkey + n_regionkey)", "abs(n_nationkey - 12)",
+                 "length(n_name)", "(n_nationkey * 3 % 7)"]
+    str_exprs = ["n_name", "upper(n_name)", "left(n_name, 3)",
+                 "reverse(n_name)", "substr(n_name, 2, 4)",
+                 "concat(n_name, '-', CAST(n_regionkey AS VARCHAR))"]
+    keys = ["n_regionkey", "(n_nationkey % 3)", "(length(n_name) % 4)"]
+    aggs = [
+        lambda e: f"count({e})",
+        lambda e: f"count(DISTINCT {e})",
+        lambda e: f"min({e})",
+        lambda e: f"max({e})",
+        lambda e: f"sum(CAST({e} AS BIGINT))",
+        lambda e: f"round(avg(CAST({e} AS DOUBLE)), 6)",
+        lambda e: f"CAST(median(CAST({e} AS DOUBLE)) AS DOUBLE)",
+        lambda e: f"bool_and({e} > 5)",
+        lambda e: f"bool_or({e} > 5)",
+        lambda e: f"bit_and(CAST({e} AS BIGINT))",
+        lambda e: f"bit_or(CAST({e} AS BIGINT))",
+        lambda e: f"string_agg(CAST({e} AS VARCHAR), ',' ORDER BY {e}, n_nationkey)",
+        lambda e: f"arg_min({e}, n_nationkey)",
+        lambda e: f"arg_max({e}, n_nationkey)",
+        lambda e: f"first({e} ORDER BY n_nationkey)",
+        lambda e: f"last({e} ORDER BY n_nationkey)",
+        lambda e: f"mode({e}) FILTER (WHERE n_nationkey > 2)",
+        lambda e: f"count(*) FILTER (WHERE {e} IS NOT NULL)",
+    ]
+    winfns = [
+        "row_number()", "rank()", "dense_rank()",
+        "CAST(percent_rank() AS DOUBLE)", "CAST(cume_dist() AS DOUBLE)",
+        "ntile(3)", "lag(n_nationkey, 1) ", "lead(n_nationkey, 2)",
+        "sum(n_nationkey)", "min(n_regionkey)", "count(*)",
+        "first_value(n_name)", "last_value(n_name)",
+    ]
+    frames = ["", " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+              " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+
+    def gen(rng):
+        shape = rng.randrange(5)
+        if shape == 0:  # projection + filter
+            cols = rng.sample(int_exprs + str_exprs, rng.randint(1, 3))
+            sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+            pred = rng.choice([
+                "n_nationkey > 7", "n_regionkey IN (1, 3)",
+                "n_name LIKE '%A%'", "n_nationkey % 2 = 0",
+                "length(n_name) BETWEEN 5 AND 9", "TRUE"])
+            return (f"SELECT {sel} FROM nation WHERE {pred} "
+                    f"ORDER BY n_nationkey ASC NULLS LAST")
+        if shape == 1:  # grouped aggregate
+            k = rng.choice(keys)
+            picks = rng.sample(aggs, rng.randint(1, 3))
+            e = rng.choice(int_exprs)
+            sel = ", ".join(f"{a(e)} AS a{i}" for i, a in enumerate(picks))
+            having = rng.choice(["", " HAVING count(*) > 1"])
+            return (f"SELECT {k} AS k, {sel} FROM nation GROUP BY {k}"
+                    f"{having} ORDER BY k ASC NULLS LAST")
+        if shape == 2:  # window
+            f = rng.choice(winfns)
+            part = rng.choice(["PARTITION BY n_regionkey ", ""])
+            frame = rng.choice(frames) if f.split("(")[0] in (
+                "sum", "min", "count", "first_value", "last_value") else ""
+            return (f"SELECT n_nationkey, {f} OVER ({part}"
+                    f"ORDER BY n_nationkey ASC{frame}) AS w FROM nation "
+                    f"ORDER BY n_nationkey ASC NULLS LAST")
+        if shape == 3:  # set op over projections
+            op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            e = rng.choice(int_exprs)
+            return (f"SELECT {e} AS v FROM nation WHERE n_nationkey < 15 "
+                    f"{op} SELECT {e} AS v FROM nation WHERE n_regionkey > 1 "
+                    f"ORDER BY v ASC NULLS LAST")
+        # join + aggregate
+        e = rng.choice(["count(*)", "sum(CAST(n_nationkey AS BIGINT))",
+                        "min(n_name)"])
+        return (f"SELECT r_name, {e} AS a FROM nation "
+                f"JOIN region ON n_regionkey = r_regionkey "
+                f"GROUP BY r_name ORDER BY r_name ASC NULLS LAST")
+
+    con = duckdb.connect()
+    for t in ["nation", "region"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    kept, duck_rows = [], []
+    tries = 0
+    while len(kept) < n and tries < n * 30:
+        tries += 1
+        q = gen(rng)
+        try:
+            rows = con.sql(q).fetchall()
+        except Exception:
+            continue
+        kept.append(q)
+        duck_rows.append(rows)
+
+    work = Path("/tmp/fuzz_rel")
+    work.mkdir(exist_ok=True)
+    (work / "exprs.txt").write_text("\n".join(kept) + "\n")
+    print(f"generated {len(kept)} DuckDB-valid queries ({tries} tries)")
+    if "--no-run" in sys.argv:
+        return
+
+    subprocess.run(
+        ["sbt", "-batch",
+         f'runMain graft.FuzzEval {work}/exprs.txt {work}/engine.jsonl'],
+        cwd="/root/repo", check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    results = [json.loads(x) for x in
+               (work / "engine.jsonl").read_text().splitlines() if x.strip()]
+    assert len(results) == len(kept)
+
+    def canon_cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return repr(v)
+        return str(v)
+
+    def canon_rows(rows):
+        return (" ; ".join(", ".join(canon_cell(c) for c in r)
+                           for r in rows[:200]) + f" #{len(rows)}")
+
+    def cells(s):
+        return [c for row in s.rsplit(" #", 1)[0].split(" ; ")
+                for c in row.split(", ")]
+
+    def agree(dv, ev):
+        if dv == ev:
+            return True
+        a, b = cells(dv), cells(ev)
+        if len(a) != len(b) or dv.rsplit(" #", 1)[-1] != ev.rsplit(" #", 1)[-1]:
+            return False
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+                if fx == fy or abs(fx - fy) <= 1e-9 * max(1.0, abs(fx), abs(fy)):
+                    continue
+            except ValueError:
+                return False
+            else:
+                continue
+        return True
+
+    mismatch = engine_err = 0
+    for i, (q, rows) in enumerate(zip(kept, duck_rows)):
+        eng = results[i]
+        if not eng["ok"]:
+            engine_err += 1
+            print(f"ENGINE-ERR [{i}] {q}\n  err={eng['err']}")
+            continue
+        dv = canon_rows(rows)
+        if not agree(dv, eng["v"]):
+            mismatch += 1
+            print(f"MISMATCH [{i}] {q}\n  duck={dv[:220]}\n  eng ={eng['v'][:220]}")
+    ok = len(kept) - mismatch - engine_err
+    print(f"{ok} agree, {mismatch} mismatch, {engine_err} engine errors of {len(kept)}")
+    sys.exit(0 if mismatch == 0 and engine_err == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()
