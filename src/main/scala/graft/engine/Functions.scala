@@ -865,6 +865,31 @@ object Functions {
           Literal(new java.math.BigDecimal("18446744073709551616"))))),
         Cast(x, dec)), dec)
     },
+    // EXTRACT(field FROM x) routes through DuckDB's part numbering
+    // (epoch/dow/isodow/decade… — Spark's extract rejects epoch and
+    // numbers dow differently; same table as date_part)
+    "extract" -> { case Seq(Literal(f, _), d) if f != null &&
+        d.resolved && (d.dataType == org.apache.spark.sql.types.DateType ||
+          d.dataType == org.apache.spark.sql.types.TimestampType ||
+          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+      // DATE/TIMESTAMP sources only: TIME and interval extraction keep
+      // Spark's native builders (parseExtractField mis-types TIME)
+      duckDatePart(f.toString, d)
+    },
+    // DuckDB date_trunc on a DATE input returns DATE (Spark's builtin
+    // always widens to TIMESTAMP — fuzz-found display divergence);
+    // sub-day truncation of a date is the date itself
+    "date_trunc" -> {
+      case Seq(Literal(p, _), x) if p != null && x.resolved &&
+          x.dataType == org.apache.spark.sql.types.DateType =>
+        p.toString.toLowerCase match {
+          case "day" | "hour" | "minute" | "second" | "millisecond" |
+              "microsecond" => x
+          case part => Cast(call("date_trunc", Seq(Literal(part),
+            Cast(x, org.apache.spark.sql.types.TimestampType))),
+            org.apache.spark.sql.types.DateType)
+        }
+    },
     // session introspection scalars (DuckDB defaults: served database
     // 'memory', default schema 'main') — Spark's builtins answer
     // 'default'/the Spark build version, a client-visible divergence

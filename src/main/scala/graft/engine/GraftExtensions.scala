@@ -44,7 +44,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // implicit bool→int cast in comparisons ONLY — bool+1 errors there
     // too); Spark rejects the comparison outright
     ext.injectResolutionRule(_ => DuckBoolCompare)
+    // DuckDB INTERVAL→VARCHAR wording + DATE−DATE = BIGINT days
+    ext.injectResolutionRule(_ => DuckIntervalForms)
   }
+}
+
+/** Interval-adjacent divergences the fuzzer surfaced, DuckDB 1.0
+  * pinned:
+  *  - `DATE − DATE` is BIGINT days in DuckDB; Spark makes an INTERVAL;
+  *  - `CAST(interval AS VARCHAR)` renders '1 year 2 months 3 days
+  *    04:05:06' wording (expressions.IntervalText), not Spark's ANSI
+  *    `INTERVAL '90' MINUTE` form. Spark's day-time interval carries
+  *    one total-microseconds field, so the renderer splits whole days
+  *    out — matching DuckDB's timestamp-subtraction output ('1 day
+  *    11:30:00'), while an hour-constructed `INTERVAL 36 HOUR` (which
+  *    DuckDB keeps as '36:00:00') renders as the equal-valued
+  *    '1 day 12:00:00' — the one documented representational edge.
+  */
+object DuckIntervalForms
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case sd: SubtractDates =>
+        Cast(DateDiff(sd.left, sd.right), LongType)
+      case Cast(child, _: StringType, _, _) if child.resolved &&
+          // a SubtractDates child is about to become BIGINT days (the
+          // arm above) — top-down transform order would otherwise bind
+          // the renderer to the pre-rewrite interval type
+          !child.isInstanceOf[SubtractDates] &&
+          (child.dataType == CalendarIntervalType ||
+            child.dataType.isInstanceOf[DayTimeIntervalType] ||
+            child.dataType.isInstanceOf[YearMonthIntervalType]) =>
+        val method = child.dataType match {
+          case CalendarIntervalType => "fromCalendar"
+          case _: DayTimeIntervalType => "fromDayTime"
+          case _ => "fromYearMonth"
+        }
+        StaticInvoke(graft.engine.expressions.IntervalText.getClass,
+          StringType, method, Seq(child), Seq(child.dataType))
+    }
 }
 
 /** DuckDB's BOOLEAN coercions that Spark refuses (all fuzz-found by

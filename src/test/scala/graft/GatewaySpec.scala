@@ -320,9 +320,9 @@ class GatewaySpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("td") && r.getAs[Boolean]("th"))
     assert(r.getAs[Int]("x") == 6)
     assert(r.getAs[Double]("na") == 1.0000000000000002)
-    // Spark's date_trunc yields TIMESTAMP where DuckDB keeps DATE —
-    // same instant, documented kind divergence
-    assert(r.getAs[java.sql.Timestamp]("dt").toString.startsWith("2024-02-01"))
+    // date_trunc on a DATE input keeps DATE (DuckDB semantics — the
+    // earlier TIMESTAMP-widening divergence is fixed)
+    assert(r.getAs[java.sql.Date]("dt").toString == "2024-02-01")
     assert(r.getAs[String]("cs") == spark.conf.get("spark.sql.session.timeZone"))
     assert(r.getAs[scala.collection.Seq[Double]]("qcl").toSeq == Seq(1.75, 2.5))
   }

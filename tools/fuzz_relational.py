@@ -60,7 +60,37 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(5)
+        shape = rng.randrange(9)
+        if shape == 5:  # IN / NOT IN / EXISTS subquery
+            sub = rng.choice([
+                "SELECT r_regionkey FROM region WHERE r_regionkey > 1",
+                "SELECT n_regionkey FROM nation WHERE n_nationkey < 9",
+                "SELECT r_regionkey FROM region WHERE r_name LIKE 'A%'"])
+            form = rng.choice([
+                f"n_regionkey IN ({sub})",
+                f"n_regionkey NOT IN ({sub})",
+                f"EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND r_regionkey > 1)",
+                f"NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND r_name LIKE 'E%')"])
+            return (f"SELECT n_nationkey, n_name FROM nation WHERE {form} "
+                    f"ORDER BY n_nationkey ASC NULLS LAST")
+        if shape == 6:  # correlated scalar subquery
+            return ("SELECT n_nationkey, "
+                    "(SELECT r_name FROM region WHERE r_regionkey = n_regionkey) AS rn "
+                    "FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+        if shape == 7:  # CTE + DISTINCT + LIMIT/OFFSET
+            lim = rng.randint(1, 10)
+            off = rng.randint(0, 5)
+            return (f"WITH x AS (SELECT DISTINCT n_regionkey AS k FROM nation) "
+                    f"SELECT k FROM x ORDER BY k ASC NULLS LAST "
+                    f"LIMIT {lim} OFFSET {off}")
+        if shape == 8:  # grouping sets / rollup
+            g = rng.choice(["ROLLUP(n_regionkey)",
+                            "CUBE(n_regionkey, (n_nationkey % 2))",
+                            "GROUPING SETS ((n_regionkey), ())"])
+            return (f"SELECT n_regionkey, count(*) AS c, "
+                    f"sum(CAST(n_nationkey AS BIGINT)) AS s FROM nation "
+                    f"GROUP BY {g} "
+                    f"ORDER BY n_regionkey ASC NULLS LAST, c ASC NULLS LAST")
         if shape == 0:  # projection + filter
             cols = rng.sample(int_exprs + str_exprs, rng.randint(1, 3))
             sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))

@@ -72,10 +72,19 @@ def gen_expr(rng, depth=0):
         lambda: f"array_to_string({l()}, '-')",
         lambda: f"({l()})[{rng.randint(1, 3)}]",
         lambda: f"list_sort({l()})",
-        lambda: f"date_part('{rng.choice(['year', 'month', 'day', 'dow', 'doy', 'week', 'quarter'])}', {d()})",
+        lambda: f"date_part('{rng.choice(['year', 'month', 'day', 'dow', 'doy', 'week', 'quarter', 'isodow', 'decade', 'century'])}', {d()})",
         lambda: f"({d()} + {rng.randint(0, 400)})",
-        lambda: f"datediff('day', {d()}, {d()})",
+        lambda: f"({d()} - {d()})",
+        lambda: f"datediff('{rng.choice(['day', 'month', 'year', 'week'])}', {d()}, {d()})",
         lambda: f"strftime({d()}, '%Y-%m-%d')",
+        lambda: f"strftime({t()}, '{rng.choice(['%H:%M:%S', '%Y%j', '%A %B %-d'])}')",
+        lambda: f"CAST(date_trunc('{rng.choice(['month', 'year', 'quarter', 'week'])}', {d()}) AS VARCHAR)",
+        lambda: f"CAST(({t()} + INTERVAL {rng.randint(1, 90)} {rng.choice(['MINUTE', 'HOUR', 'DAY'])}) AS VARCHAR)",
+        lambda: f"CAST(last_day({d()}) AS VARCHAR)",
+        lambda: f"CAST(greatest({d()}, {d()}) AS VARCHAR)",
+        lambda: f"extract(epoch FROM {t()})",
+        lambda: f"dayname({d()})",
+        lambda: f"monthname({d()})",
         lambda: f"CAST({e()} AS VARCHAR)",
         lambda: f"try_cast({s()} AS INTEGER)",
         lambda: f"if({e()} > 0, {e()}, {e()})",
@@ -97,13 +106,16 @@ def main():
     rng = random.Random(seed)
 
     # typed sub-generators used inside gen_expr via closure rebinding
-    global s, l, d
+    global s, l, d, t
     s = lambda: rng.choice(["'abc'", "'Hello World'", "'it''s'",
                             "'  pad  '", f"CAST({rng.randint(0, 99)} AS VARCHAR)",
                             "upper('mix')", "concat('a', 'b')"])
     l = lambda: rng.choice(["[1,2,3]", "[10,20]", "[2,2,5]"])
     d = lambda: rng.choice(["DATE '2024-03-05'", "DATE '1999-12-31'",
                             "DATE '2000-02-29'"])
+    t = lambda: rng.choice(["TIMESTAMP '2024-03-05 10:20:30'",
+                            "TIMESTAMP '1999-12-31 23:59:59'",
+                            "TIMESTAMP '2000-02-29 00:00:01'"])
 
     con = duckdb.connect()
     kept, duck_vals = [], []
@@ -116,11 +128,11 @@ def main():
         try:
             cur = con.sql(f"SELECT ({expr}) AS v")
             v = cur.fetchone()[0]
-            t = cur.types[0]
+            typ = cur.types[0]
         except Exception:
             continue
         kept.append(expr)
-        duck_vals.append((str(t), v))
+        duck_vals.append((str(typ), v))
 
     work = Path("/tmp/fuzz_scalar")
     work.mkdir(exist_ok=True)
