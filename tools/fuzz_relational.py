@@ -83,6 +83,19 @@ def main():
             return (f"WITH x AS (SELECT DISTINCT n_regionkey AS k FROM nation) "
                     f"SELECT k FROM x ORDER BY k ASC NULLS LAST "
                     f"LIMIT {lim} OFFSET {off}")
+        if shape == 4 and rng.random() < 0.5:  # decimal aggregates (lineitem)
+            de = rng.choice([
+                "CAST(l_quantity AS DECIMAL(12,2))",
+                "CAST(l_extendedprice AS DECIMAL(18,2))",
+                "CAST(l_discount AS DECIMAL(4,2))",
+                "(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"])
+            agg = rng.choice([
+                f"sum({de})", f"min({de})", f"max({de})",
+                f"CAST(round(avg({de}), 6) AS DOUBLE)",
+                f"count(DISTINCT {de})"])
+            return (f"SELECT l_returnflag AS k, {agg} AS a FROM lineitem "
+                    f"WHERE l_orderkey % {rng.randint(2, 7)} = 0 "
+                    f"GROUP BY l_returnflag ORDER BY k ASC NULLS LAST")
         if shape == 8:  # grouping sets / rollup
             g = rng.choice(["ROLLUP(n_regionkey)",
                             "CUBE(n_regionkey, (n_nationkey % 2))",
@@ -130,7 +143,7 @@ def main():
                 f"GROUP BY r_name ORDER BY r_name ASC NULLS LAST")
 
     con = duckdb.connect()
-    for t in ["nation", "region"]:
+    for t in ["nation", "region", "lineitem"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     kept, duck_rows = [], []
