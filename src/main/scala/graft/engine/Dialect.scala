@@ -2311,9 +2311,9 @@ object Dialect {
               if (mode == "NO OTHERS") {
                 return Some(sql.substring(0, sb0) + specClean + sql.substring(se0))
               }
-              rewriteExcludeAgg(sql, sb0, se0, specClean, mode).foreach { out =>
-                return Some(out)
-              }
+              rewriteExcludeAgg(sql, sb0, se0, specClean, mode)
+                .orElse(generalExcludeAgg(sql, sb0, se0, specClean, mode))
+                .foreach { out => return Some(out) }
           }
         }
       }
@@ -2387,6 +2387,97 @@ object Dialect {
       case "SUM" => s"(CASE WHEN $cntExcl > 0 THEN $sumExcl END)"
       case _ => // AVG
         s"(CASE WHEN $cntExcl > 0 THEN $sumExcl END) / NULLIF($cntExcl, 0)"
+    }
+    Some(sql.substring(0, aggStart) + repl + sql.substring(se0 + 1))
+  }
+
+  /** General EXCLUDE fallback (fuzz-found: min/max, and GROUP/TIES
+    * under bounded ROWS frames, fell through the subtraction algebra to
+    * a parse error). Collects the frame as (order-key, value) structs —
+    * any frame mode, any bounds — then drops the excluded elements by
+    * value:
+    *   CURRENT ROW — remove one instance of the row's own (k, v) pair
+    *     (identical pairs are interchangeable, so "which one" cannot
+    *     change any aggregate);
+    *   GROUP — keep only elements whose key differs (null-safe);
+    *   TIES — GROUP's filter plus the row's own pair added back.
+    * A row outside its own frame (possible with shifted bounds) is
+    * guarded by the array_position null checks. Aggregation then runs
+    * over the array: size/array_min/array_max, and a first-element-
+    * seeded fold for SUM (type-preserving — no synthetic zero literal
+    * to mistype DECIMAL sums). O(frame) per row, same bound as Spark's
+    * own windowed aggregation.
+    */
+  private def generalExcludeAgg(sql: String, sb0: Int, se0: Int,
+      specClean: String, mode: String): Option[String] = {
+    val overStart = {
+      var k = sb0 - 2
+      while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+      k - 3
+    }
+    val aggStart = operandStart(sql, overStart)
+    if (aggStart < 0) return None
+    val aggText = sql.substring(aggStart, overStart).trim
+    val (fn, arg) = aggCallRe.findFirstMatchIn(aggText) match {
+      case Some(m) => (m.group(1).toUpperCase, m.group(2).trim)
+      case None => return None
+    }
+    if (!Set("SUM", "COUNT", "AVG", "MIN", "MAX").contains(fn)) return None
+    if (arg.toUpperCase.startsWith("DISTINCT")) return None
+    val isStar = arg == "*"
+    if (isStar && fn != "COUNT") return None
+    val obIdx = indexOfTopLevel(specClean, " ORDER BY ") match {
+      case -1 => if ("""(?is)^\s*ORDER\s+BY\s.*""".r.matches(specClean)) 0 else -1
+      case i => i
+    }
+    if (obIdx < 0) return None
+    val afterOb = specClean.substring(obIdx)
+      .replaceAll("""(?is)^\s*ORDER\s+BY\s+""", "")
+    val frameIdx = Seq(" ROWS ", " RANGE ", " GROUPS ")
+      .map(k => indexOfTopLevel(afterOb, k)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(afterOb.length)
+    val orderKeys = splitTopLevel(afterOb.substring(0, frameIdx), ',')
+      .map(_.trim)
+      .map(_.replaceAll("""(?is)\s+NULLS\s+(FIRST|LAST)\s*$""", "")
+        .replaceAll("""(?is)\s+(ASC|DESC)\s*$""", "").trim)
+    if (orderKeys.isEmpty) return None
+    val k = s"struct(${orderKeys.mkString(", ")})"
+    val v = if (isStar) "1" else s"($arg)"
+    val cur = s"struct($k AS k, $v AS v)"
+    val arr = s"collect_list(struct($k AS k, $v AS v)) OVER ($specClean)"
+    val vals = mode match {
+      case "CURRENT ROW" =>
+        // remove one instance of the row's own pair by position
+        s"""(CASE WHEN array_position($arr, $cur) IS NULL
+           | OR array_position($arr, $cur) = 0 THEN $arr
+           |ELSE concat(
+           |  slice($arr, 1, CAST(array_position($arr, $cur) AS INT) - 1),
+           |  slice($arr, CAST(array_position($arr, $cur) AS INT) + 1,
+           |    greatest(0, size($arr) - CAST(array_position($arr, $cur) AS INT))))
+           |END)""".stripMargin.replaceAll("\\s+", " ")
+      case "GROUP" =>
+        s"filter($arr, gx_s -> gx_s.k IS DISTINCT FROM $k)"
+      case _ => // TIES
+        s"""(CASE WHEN array_position($arr, $cur) IS NULL
+           | OR array_position($arr, $cur) = 0
+           |THEN filter($arr, gx_s -> gx_s.k IS DISTINCT FROM $k)
+           |ELSE concat(filter($arr, gx_s -> gx_s.k IS DISTINCT FROM $k),
+           |  array($cur)) END)""".stripMargin.replaceAll("\\s+", " ")
+    }
+    def vlist = s"transform($vals, gx_s -> gx_s.v)"
+    def nn = s"filter($vlist, gx_x -> gx_x IS NOT NULL)"
+    def sumOf(a: String) =
+      s"""(CASE WHEN size($a) = 0 THEN NULL ELSE aggregate(
+         |slice($a, 2, size($a) - 1), element_at($a, 1),
+         |(gx_a, gx_x) -> gx_a + gx_x) END)""".stripMargin
+        .replaceAll("\\s+", " ")
+    val repl = fn match {
+      case "COUNT" => if (isStar) s"size($vals)" else s"size($nn)"
+      case "MIN" => s"array_min($vlist)"
+      case "MAX" => s"array_max($vlist)"
+      case "SUM" => sumOf(nn)
+      case _ => // AVG — DuckDB returns DOUBLE
+        s"(CAST(${sumOf(nn)} AS DOUBLE) / NULLIF(size($nn), 0))"
     }
     Some(sql.substring(0, aggStart) + repl + sql.substring(se0 + 1))
   }

@@ -60,7 +60,28 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(9)
+        shape = rng.randrange(11)
+        if shape == 9:  # EXCLUDE / GROUPS frames (hand-rolled rewrites)
+            agg = rng.choice(["sum(n_nationkey)", "count(*)",
+                              "min(n_nationkey)", "max(n_regionkey)"])
+            frame = rng.choice([
+                "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW",
+                "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP",
+                "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES",
+                "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+            part = rng.choice(["PARTITION BY n_regionkey ", ""])
+            okey = rng.choice(["n_nationkey", "(n_nationkey % 5)"])
+            return (f"SELECT n_nationkey, {agg} OVER ({part}"
+                    f"ORDER BY {okey} ASC {frame}) AS w FROM nation "
+                    f"ORDER BY n_nationkey ASC NULLS LAST")
+        if shape == 10:  # QUALIFY
+            wf = rng.choice(["row_number()", "rank()", "dense_rank()"])
+            k = rng.randint(1, 3)
+            return (f"SELECT n_nationkey, n_regionkey FROM nation "
+                    f"QUALIFY {wf} OVER (PARTITION BY n_regionkey "
+                    f"ORDER BY n_nationkey ASC) <= {k} "
+                    f"ORDER BY n_nationkey ASC NULLS LAST")
         if shape == 5:  # IN / NOT IN / EXISTS subquery
             sub = rng.choice([
                 "SELECT r_regionkey FROM region WHERE r_regionkey > 1",
