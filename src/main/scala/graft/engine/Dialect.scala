@@ -2134,9 +2134,12 @@ object Dialect {
         if (rewritable) {
           var expr = out.substring(lhsStart, k)
           out.setLength(lhsStart)
-          steps.foreach { case (_, seg) =>
+          steps.foreach { case (op, seg) =>
             val path = if (seg.startsWith("$")) seg else "$." + seg
-            expr = s"get_json_object($expr, '$path')"
+            // `->` keeps the JSON-text form (DuckDB JSON type: '"x"',
+            // '[1,2]'); only `->>` unquotes to VARCHAR
+            val fn = if (op == "->>") "get_json_object" else "json_extract"
+            expr = s"$fn($expr, '$path')"
           }
           out.append(expr)
           i = j

@@ -356,8 +356,15 @@ object Functions {
     "json_extract_string" -> { case Seq(j, p) =>
       call("get_json_object", Seq(j, normalizeJsonPath(p)))
     },
+    // json_extract carries the JSON TEXT form (quoted scalars,
+    // structural nodes) — DuckDB's JSON type, not get_json_object's
+    // unquoted scalars (fuzz-found; kernel in JsonIntrospect)
     "json_extract" -> { case Seq(j, p) =>
-      call("get_json_object", Seq(j, normalizeJsonPath(p)))
+      StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+        org.apache.spark.sql.types.StringType, "extractJson",
+        Seq(j, normalizeJsonPath(p)),
+        Seq(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
     },
     "json_valid" -> { case Seq(j) =>
       IsNotNull(call("try_parse_json", Seq(j)))
@@ -521,7 +528,22 @@ object Functions {
     // the Explode unresolved until DuckUnnest dispatches on x's type
     "graft_rec" -> { case Seq(e) =>
       graft.engine.expressions.RecMarker(e) },
-    "json_keys" -> { case Seq(j) => call("json_object_keys", Seq(j)) },
+    // json_keys: insertion-ordered names; [] for present non-objects
+    // (Spark's json_object_keys answers NULL there — fuzz-found)
+    "json_keys" -> {
+      case Seq(j) =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType), "keysOf", Seq(j),
+          Seq(org.apache.spark.sql.types.StringType))
+      case Seq(j, p) =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType), "keysOfPath",
+          Seq(j, normalizeJsonPath(p)),
+          Seq(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))
+    },
     "struct_extract" -> { case Seq(s, name) =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, name)
     },
@@ -864,6 +886,21 @@ object Functions {
         Add(Cast(x, dec),
           Literal(new java.math.BigDecimal("18446744073709551616"))))),
         Cast(x, dec)), dec)
+    },
+    // json_array_length is a Spark builtin (1-arg, NULL for
+    // non-arrays) — DuckDB's form adds an optional path and answers 0
+    // for present non-arrays (fuzz-pinned), so both arities shadow it
+    "json_array_length" -> {
+      case Seq(j) =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          org.apache.spark.sql.types.LongType, "arrayLength", Seq(j),
+          Seq(org.apache.spark.sql.types.StringType))
+      case Seq(j, p) =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          org.apache.spark.sql.types.LongType, "arrayLengthPath",
+          Seq(j, normalizeJsonPath(p)),
+          Seq(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))
     },
     // EXTRACT(field FROM x) routes through DuckDB's part numbering
     // (epoch/dow/isodow/decade… — Spark's extract rejects epoch and

@@ -81,6 +81,56 @@ object JsonIntrospect {
     if (n == null) null else UTF8String.fromString(typeName(n))
   }
 
+  /** json_extract: the node's JSON TEXT (DuckDB's JSON type carries the
+    * quoted/structural form — '"x"', '[1,2]' — where Spark's
+    * get_json_object unquotes scalars; fuzz-found divergence). Compact
+    * Jackson serialization matches DuckDB's canonical output; a missing
+    * path is SQL NULL while a JSON null extracts as the text 'null'.
+    */
+  def extractJson(s: UTF8String, path: UTF8String): UTF8String = {
+    val n = atPath(parse(s), path.toString)
+    // a JSON null extracts as SQL NULL too (DuckDB 1.0 pinned)
+    if (n == null || n.isMissingNode || n.isNull) null
+    else UTF8String.fromString(mapper.writeValueAsString(n))
+  }
+
+  /** json_array_length: DuckDB returns 0 for a present NON-array node
+    * and NULL only when the path misses (fuzz-pinned).
+    */
+  def arrayLength(s: UTF8String): java.lang.Long = {
+    val n = parse(s)
+    if (n.isArray) n.size().toLong else 0L
+  }
+
+  def arrayLengthPath(s: UTF8String, path: UTF8String): java.lang.Long = {
+    val n = atPath(parse(s), path.toString)
+    if (n == null || n.isMissingNode) null
+    else if (n.isArray) n.size().toLong else 0L
+  }
+
+  /** json_keys: object field names in INSERTION order; any present
+    * non-object is [] (DuckDB 1.0 pinned — Spark's json_object_keys
+    * answers NULL there); a missing path is NULL.
+    */
+  private def keyArray(n: JsonNode): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val names = if (n.isObject) {
+      val it = n.fieldNames()
+      val buf = scala.collection.mutable.ArrayBuffer[AnyRef]()
+      while (it.hasNext) buf += UTF8String.fromString(it.next())
+      buf.toArray
+    } else Array.empty[AnyRef]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(names)
+  }
+
+  def keysOf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    keyArray(parse(s))
+
+  def keysOfPath(s: UTF8String, path: UTF8String):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = atPath(parse(s), path.toString)
+    if (n == null || n.isMissingNode) null else keyArray(n)
+  }
+
   // ---- json_structure -------------------------------------------------
 
   /** Unify two structure trees (type-name leaves). */
