@@ -24,6 +24,32 @@ object Functions {
     LambdaFunction(build(vars), vars)
   }
 
+  /** Discrete quantile with DuckDB's element-typed result: the value IS
+    * a member of the input, so the double→element cast is exact. List-q
+    * forms cast element-wise.
+    */
+  private def discreteQuantile(x: Expression, q: Expression): Expression = {
+    val pdFn = org.apache.spark.sql.catalyst.expressions.aggregate
+      .PercentileDisc(x, q, reverse = false)
+    if (!x.resolved ||
+      !x.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) pdFn
+    else {
+      // a Cast above the aggregate hides it from the registry's
+      // auto-wrapping — wrap in AggregateExpression explicitly
+      val pd = pdFn.toAggregateExpression()
+      val isList = q match {
+        case uf: UnresolvedFunction =>
+          uf.nameParts.lastOption.exists(_.equalsIgnoreCase("array"))
+        case _: CreateArray => true
+        case other => other.resolved &&
+          other.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      }
+      if (isList)
+        Cast(pd, org.apache.spark.sql.types.ArrayType(x.dataType))
+      else Cast(pd, x.dataType)
+    }
+  }
+
   /** strftime with the C-library specifiers Spark's proleptic
     * date_format REFUSES as patterns (the week-based family) computed
     * as expressions, everything else as date_format runs. C semantics
@@ -636,17 +662,13 @@ object Functions {
     "mad" -> { case Seq(x) => graft.engine.expressions.MadAgg(
       Cast(x, org.apache.spark.sql.types.DoubleType)) },
     // quantile_cont = interpolated exact percentile (scalar or list q);
-    // quantile_disc/quantile = discrete (type-preserving in DuckDB,
-    // DOUBLE here — cast at the call site when the kind matters)
+    // quantile_disc/quantile = discrete — TYPE-PRESERVING like DuckDB
+    // (the discrete quantile is an actual element, so casting the
+    // DOUBLE PercentileDisc back to the element type is exact;
+    // probe batch 16 caught the 12.0-for-12 kind divergence)
     "quantile_cont" -> (a => call("percentile", a)),
-    "quantile_disc" -> { case Seq(x, q) =>
-      org.apache.spark.sql.catalyst.expressions.aggregate
-        .PercentileDisc(x, q, reverse = false)
-    },
-    "quantile" -> { case Seq(x, q) =>
-      org.apache.spark.sql.catalyst.expressions.aggregate
-        .PercentileDisc(x, q, reverse = false)
-    },
+    "quantile_disc" -> { case Seq(x, q) => discreteQuantile(x, q) },
+    "quantile" -> { case Seq(x, q) => discreteQuantile(x, q) },
     "approx_quantile" -> (a => call("approx_percentile", a)),
     // reservoir_quantile(x, q[, sample_size]): approximate; drop the
     // reservoir-size knob (approx_percentile's accuracy is its analog)
