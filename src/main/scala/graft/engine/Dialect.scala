@@ -30,7 +30,7 @@ object Dialect {
     rewriteEscapeStrings, // e'…' folded to plain literals while still raw
     normalizeWs, rewriteBlob, rewriteBitCasts, rewriteArrayTypeSuffix,
     rewriteTrailingCommas, rewriteEmptyGroupBy,
-    rewriteBraceLiterals, rewriteBrackets,
+    rewriteBraceLiterals, rewriteArrayCtor, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
     rewriteTimestampTz, rewriteAtTimeZone, rewriteIntervalExpr, rewriteAtAbs,
     rewritePowOp, rewriteFactorial,
@@ -1910,6 +1910,55 @@ object Dialect {
 
   private val infoSchemaRe =
     """(?i)^information_schema\s*\.\s*(tables|columns|schemata)\b""".r
+
+  /** Postgres-style `ARRAY[1, 2, 3]` constructor (DuckDB accepts it) →
+    * `array(1, 2, 3)`. Must run BEFORE the bracket rewrite, which would
+    * otherwise read it as a subscript of an identifier named ARRAY.
+    * Nested constructors handled by recursing on the bracket body.
+    */
+  private def rewriteArrayCtor(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, sb)
+      if (opaque > i) i = opaque
+      else if (wordStart(sql, i) &&
+          sql.regionMatches(true, i, "ARRAY", 0, 5) && {
+            var k = i + 5
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            k < sql.length && sql.charAt(k) == '['
+          }) {
+        var k = i + 5
+        while (sql.charAt(k) != '[') k += 1
+        // matching close bracket, literal- and nesting-aware
+        var depth = 0
+        var j = k
+        var close = -1
+        while (j < sql.length && close < 0) {
+          val op = consumeOpaque(sql, j, null)
+          if (op > j) j = op
+          else {
+            sql.charAt(j) match {
+              case '[' | '(' => depth += 1
+              case ']' | ')' =>
+                depth -= 1
+                if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+        }
+        if (close < 0) { sb.append(sql.charAt(i)); i += 1 }
+        else {
+          sb.append("array(")
+            .append(rewriteArrayCtor(sql.substring(k + 1, close)))
+            .append(")")
+          i = close + 1
+        }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Collapse whitespace runs to single spaces outside literals so the
     * keyword scanners below see a canonical form (newlines before

@@ -67,10 +67,22 @@ object DuckIntervalForms
   import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
   import org.apache.spark.sql.types._
 
+  import org.apache.spark.sql.catalyst.expressions.{
+    DateAddInterval, DateAddYMInterval, TimestampAddInterval, TimestampAddYMInterval}
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case sd: SubtractDates =>
         Cast(DateDiff(sd.left, sd.right), LongType)
+      // DATE + INTERVAL is TIMESTAMP in DuckDB (even for pure-month
+      // intervals — '2024-01-31' + 1 month = '2024-02-29 00:00:00');
+      // Spark keeps DATE for these two adders. Rewritten to the
+      // timestamp-domain adders (NOT a Cast wrapper, which would
+      // re-match its own child forever under the fixpoint).
+      case da: DateAddInterval =>
+        TimestampAddInterval(Cast(da.start, TimestampNTZType), da.interval)
+      case ym: DateAddYMInterval =>
+        TimestampAddYMInterval(Cast(ym.date, TimestampNTZType), ym.interval)
       case Cast(child, _: StringType, _, _) if child.resolved &&
           // a SubtractDates child is about to become BIGINT days (the
           // arm above) — top-down transform order would otherwise bind
