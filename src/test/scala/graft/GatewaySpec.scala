@@ -1249,4 +1249,29 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT size(range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY)) AS n")
       .getInt(0) == 3)
   }
+
+  test("round-8: interval/date arithmetic forms match DuckDB") {
+    def one(q: String) = gw.sql(q).collect().head
+    // interval→VARCHAR renders DuckDB's wording
+    assert(one("SELECT CAST(INTERVAL 90 MINUTE AS VARCHAR) AS i")
+      .getString(0) == "01:30:00")
+    assert(one("SELECT CAST((INTERVAL 1 YEAR + INTERVAL 2 MONTH) AS VARCHAR) AS i")
+      .getString(0) == "1 year 2 months")
+    assert(one("SELECT CAST((TIMESTAMP '2024-01-03 00:00:00' - TIMESTAMP '2024-01-01 12:30:00') AS VARCHAR) AS i")
+      .getString(0) == "1 day 11:30:00")
+    assert(one("SELECT CAST(-INTERVAL 90 MINUTE AS VARCHAR) AS i")
+      .getString(0) == "-01:30:00")
+    // DATE − DATE is BIGINT days; DATE + INTERVAL widens to TIMESTAMP
+    assert(one("SELECT (DATE '2024-03-05' - DATE '2000-02-29') AS d")
+      .getLong(0) == 8771L)
+    assert(one("SELECT CAST((DATE '2024-01-31' + INTERVAL '1 month') AS VARCHAR) AS t")
+      .getString(0) == "2024-02-29 00:00:00")
+    // postgres-style constructors DuckDB accepts
+    assert(one("SELECT ARRAY[1, 2, 3] AS a").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT ARRAY[ARRAY[1], ARRAY[2, 3]] AS a")
+      .getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) == Seq(Seq(1), Seq(2, 3)))
+    // quantile_disc keeps the element type (probe batch 16)
+    assert(one("SELECT quantile_disc(x, 0.5) AS q FROM (VALUES (1),(2),(3)) t(x)")
+      .getInt(0) == 2)
+  }
 }
