@@ -353,5 +353,33 @@ object TpchQueries {
       .agg(sum(revenue).cast(DoubleType).as("revenue"))
   }
 
-  val all: Seq[Q] = Seq(q2m, q3, q4, q5, q6, q10, q14, q18, q19, sq1, sq2, sq3)
+  /** Q17 small-quantity-order revenue: the correlated scalar-AVERAGE
+    * subquery (each lineitem compares against 0.2 × its part's mean
+    * quantity). Catalyst must decorrelate into a grouped per-part
+    * aggregate joined back on l_partkey — a surviving per-row subquery
+    * re-scans lineitem once per row, the canonical decorrelation cliff
+    * (PlanSpec pins two aggregate levels and no cartesian). The inner
+    * average is DECIMAL-routed so both engines compute the identical
+    * threshold.
+    */
+  val q17 = Q(
+    "q17_small_qty_revenue",
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DECIMAL(18,6)) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3' AND p_size < 15
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DECIMAL(18,6)) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size < 15
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  val all: Seq[Q] =
+    Seq(q2m, q3, q4, q5, q6, q10, q14, q17, q18, q19, sq1, sq2, sq3)
 }

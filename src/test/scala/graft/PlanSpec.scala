@@ -319,6 +319,15 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q17 correlated scalar avg decorrelates (grouped agg + join)") {
+    val p = plan("q17_small_qty_revenue")
+    // the per-part average must become a grouped aggregate joined back
+    // on l_partkey — a surviving per-row subquery re-scans lineitem per
+    // row, the canonical decorrelation cliff
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p) // inner avg + outer sum
+  }
+
   test("q19 disjunctive predicate still drives the equi-join (no nested loop)") {
     val p = plan("q19_disjunctive")
     // the common p_partkey = l_partkey conjunct must be extracted as the
