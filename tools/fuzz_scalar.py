@@ -9,10 +9,15 @@ kind the per-operator oracles can't systematically sweep for.
 Usage: python3 tools/fuzz_scalar.py [n=400] [seed=8] [--no-run]
 Exit 0 when every comparable case agrees; prints each divergence.
 
-Known residual (shows as an occasional ENGINE-ERR, never a silent
-mismatch): DuckDB's universal implicit VARCHAR casts let it compare a
-LIST with a VARCHAR (parsing the string as a list literal); the engine
-raises a type error there instead.
+Known residuals (each deliberate, neither a silent correctness trap):
+- DuckDB's universal implicit VARCHAR casts let it compare a LIST with
+  a VARCHAR (parsing the string as a list literal); the engine raises a
+  loud type error there instead (occasional ENGINE-ERR).
+- DuckDB's unsigned counters wrap under negation/underflow
+  (-json_array_length(x) = 2^64 - n); the engine carries them as signed
+  BIGINT and answers the arithmetic value (-n). Comparisons, addition
+  and multiplication in range agree; only out-of-range unsigned wraps
+  differ.
 """
 import json, random, subprocess, sys, math
 from pathlib import Path
