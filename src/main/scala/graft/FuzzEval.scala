@@ -14,6 +14,16 @@ object FuzzEval {
 
   private def canon(v: Any): String = v match {
     case null => "NULL"
+    // DuckDB's timestamp spelling ('1995-01-05 00:00:00'), not
+    // LocalDateTime's ISO 'T' form or Timestamp's trailing '.0'
+    case t: java.time.LocalDateTime =>
+      val base = t.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val micros = t.getNano / 1000
+      if (micros == 0) base
+      else base + ("." + f"$micros%06d").reverse.dropWhile(_ == '0').reverse
+    case t: java.sql.Timestamp =>
+      t.toString.replaceAll("\\.0$", "")
     case d: java.math.BigDecimal => d.toPlainString
     case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
     case f: Float => canon(f.toDouble)

@@ -935,19 +935,29 @@ object Functions {
       // Spark's native builders (parseExtractField mis-types TIME)
       duckDatePart(f.toString, d)
     },
-    // DuckDB date_trunc on a DATE input returns DATE (Spark's builtin
-    // always widens to TIMESTAMP — fuzz-found display divergence);
-    // sub-day truncation of a date is the date itself
+    // DuckDB date_trunc returns DATE for day-or-coarser parts — on ANY
+    // input kind (TIMESTAMP included; typeof-pinned against 1.0), where
+    // Spark's builtin always answers TIMESTAMP. Sub-day truncation of a
+    // DATE is the date itself.
     "date_trunc" -> {
+      // both arms construct TruncTimestamp DIRECTLY — a call() back into
+      // the registry would re-enter this override forever
       case Seq(Literal(p, _), x) if p != null && x.resolved &&
           x.dataType == org.apache.spark.sql.types.DateType =>
         p.toString.toLowerCase match {
-          case "day" | "hour" | "minute" | "second" | "millisecond" |
+          case "hour" | "minute" | "second" | "millisecond" |
               "microsecond" => x
-          case part => Cast(call("date_trunc", Seq(Literal(part),
-            Cast(x, org.apache.spark.sql.types.TimestampType))),
+          case part => Cast(TruncTimestamp(Literal(part),
+            Cast(x, org.apache.spark.sql.types.TimestampType)),
             org.apache.spark.sql.types.DateType)
         }
+      case Seq(Literal(p, _), x) if p != null && x.resolved &&
+          Set("day", "week", "month", "quarter", "year", "decade",
+            "century", "millennium")(p.toString.toLowerCase) &&
+          (x.dataType == org.apache.spark.sql.types.TimestampType ||
+            x.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+        Cast(TruncTimestamp(Literal(p.toString), x),
+          org.apache.spark.sql.types.DateType)
     },
     // session introspection scalars (DuckDB defaults: served database
     // 'memory', default schema 'main') — Spark's builtins answer

@@ -60,7 +60,20 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(11)
+        shape = rng.randrange(12)
+        if shape == 11:  # date-keyed grouping over orders
+            key = rng.choice([
+                "date_trunc('month', o_orderdate)",
+                "date_part('year', o_orderdate)",
+                "strftime(o_orderdate, '%Y-%m')",
+                "date_part('quarter', o_orderdate)"])
+            agg = rng.choice([
+                "count(*)", "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+                "min(o_orderdate)", "max(o_orderpriority)",
+                "count(DISTINCT o_custkey)"])
+            return (f"SELECT CAST({key} AS VARCHAR) AS k, {agg} AS a "
+                    f"FROM orders WHERE o_orderkey % {rng.randint(2, 5)} = 0 "
+                    f"GROUP BY {key} ORDER BY k ASC NULLS LAST LIMIT 24")
         if shape == 9:  # EXCLUDE / GROUPS frames (hand-rolled rewrites)
             agg = rng.choice(["sum(n_nationkey)", "count(*)",
                               "min(n_nationkey)", "max(n_regionkey)"])
@@ -164,7 +177,7 @@ def main():
                 f"GROUP BY r_name ORDER BY r_name ASC NULLS LAST")
 
     con = duckdb.connect()
-    for t in ["nation", "region", "lineitem"]:
+    for t in ["nation", "region", "lineitem", "orders"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     kept, duck_rows = [], []
