@@ -99,6 +99,9 @@ object Bench {
     // queries don't absorb the JIT/codegen cost of whole expression
     // families
     graft.engine.Tables.register(spark, sfDir)
+    // serving from here: no late dialect registration on the shared
+    // session (see Verify — the r8 f_math mid-run resolution flip)
+    graft.engine.Functions.freeze(spark)
     spark.table("lineitem").groupBy("l_returnflag").count().collect()
     spark.table("events").limit(10).collect()
     spark.sql(

@@ -54,6 +54,12 @@ object Verify {
     // overhead overlaps across queries; each query writes its own
     // directory so the writes never contend
     graft.engine.Tables.register(spark, sfDir)
+    // the shared session is SERVING from here: builtin resolution must
+    // not depend on which worker thread plans first, so any late
+    // dialect registration on it throws (r8 f_math regression — a
+    // concurrent Functions.register flipped `factorial` mid-run).
+    // Dialect-SQL queries use Functions.isolated child sessions.
+    graft.engine.Functions.freeze(spark)
     // a typo'd name in the dev-loop args would otherwise be silently
     // dropped and later misreported as "spark output missing"
     (only -- SparkEntry.queries.keySet).foreach { n =>

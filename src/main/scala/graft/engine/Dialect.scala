@@ -1353,9 +1353,18 @@ object Dialect {
                   else {
                     val allDesc = parsed.head._2
                     val fn = if ((n == "LAST") != allDesc) "max_by" else "min_by"
-                    val k =
+                    val k0 =
                       if (parsed.sizeIs == 1) parsed.head._1
                       else parsed.map(_._1).mkString("struct(", ", ", ")")
+                    // DuckDB any_value(x ORDER BY y) SKIPS NULL x (first
+                    // non-NULL in order), unlike first/last which keep
+                    // the value at the extreme key even when NULL —
+                    // null out the KEY for NULL values so min_by/max_by
+                    // (which ignore NULL keys) skip those rows
+                    val k =
+                      if (n == "ANY_VALUE")
+                        s"(CASE WHEN ($value) IS NULL THEN NULL ELSE $k0 END)"
+                      else k0
                     return rewriteAggOrderBy(
                       sql.substring(0, i) + s"$fn($value, $k)" +
                         sql.substring(end))
@@ -2524,7 +2533,11 @@ object Dialect {
          |(gx_a, gx_x) -> gx_a + gx_x) END)""".stripMargin
         .replaceAll("\\s+", " ")
     val repl = fn match {
-      case "COUNT" => if (isStar) s"size($vals)" else s"size($nn)"
+      // size() is INT; COUNT is BIGINT in both engines — keep the
+      // result KIND identical to the native aggregate it replaces
+      case "COUNT" =>
+        if (isStar) s"CAST(size($vals) AS BIGINT)"
+        else s"CAST(size($nn) AS BIGINT)"
       case "MIN" => s"array_min($vlist)"
       case "MAX" => s"array_max($vlist)"
       case "SUM" => sumOf(nn)

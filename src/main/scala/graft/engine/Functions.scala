@@ -938,7 +938,11 @@ object Functions {
     // DuckDB date_trunc returns DATE for day-or-coarser parts — on ANY
     // input kind (TIMESTAMP included; typeof-pinned against 1.0), where
     // Spark's builtin always answers TIMESTAMP. Sub-day truncation of a
-    // DATE is the date itself.
+    // DATE is the date itself. decade/century/millennium are year
+    // arithmetic (Spark's TruncTimestamp doesn't know those formats and
+    // answers NULL — fuzz/advice-found r8): DuckDB 1.0 floors the year
+    // by simple modulo (century of 2000-06 is 2000-01-01, NOT the
+    // Postgres year-1 convention; value-pinned against 1.0).
     "date_trunc" -> {
       // both arms construct TruncTimestamp DIRECTLY — a call() back into
       // the registry would re-enter this override forever
@@ -947,6 +951,9 @@ object Functions {
         p.toString.toLowerCase match {
           case "hour" | "minute" | "second" | "millisecond" |
               "microsecond" => x
+          case "decade" => yearFloorDate(x, 10)
+          case "century" => yearFloorDate(x, 100)
+          case "millennium" => yearFloorDate(x, 1000)
           case part => Cast(TruncTimestamp(Literal(part),
             Cast(x, org.apache.spark.sql.types.TimestampType)),
             org.apache.spark.sql.types.DateType)
@@ -956,8 +963,13 @@ object Functions {
             "century", "millennium")(p.toString.toLowerCase) &&
           (x.dataType == org.apache.spark.sql.types.TimestampType ||
             x.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
-        Cast(TruncTimestamp(Literal(p.toString), x),
-          org.apache.spark.sql.types.DateType)
+        p.toString.toLowerCase match {
+          case "decade" => yearFloorDate(x, 10)
+          case "century" => yearFloorDate(x, 100)
+          case "millennium" => yearFloorDate(x, 1000)
+          case part => Cast(TruncTimestamp(Literal(part), x),
+            org.apache.spark.sql.types.DateType)
+        }
     },
     // session introspection scalars (DuckDB defaults: served database
     // 'memory', default schema 'main') — Spark's builtins answer
@@ -1150,6 +1162,16 @@ object Functions {
         duckDatePart(field.toString, d)
     })
 
+  /** Jan 1 of the year floored to a multiple of n — DuckDB 1.0's
+    * date_trunc('decade'/'century'/'millennium') convention (simple
+    * modulo, value-pinned: century of 2000-06-15 is DATE '2000-01-01').
+    */
+  private def yearFloorDate(x: Expression, n: Int): Expression = {
+    val y = call("year", Seq(x))
+    call("make_date",
+      Seq(Subtract(y, Pmod(y, Literal(n))), Literal(1), Literal(1)))
+  }
+
   /** date_part field with DuckDB's numbering/extras; falls back to
     * Spark's extract for the parts the two agree on.
     */
@@ -1328,10 +1350,61 @@ object Functions {
     case other => other
   }
 
-  /** Install every shim into the session (idempotent). Skips names the
-    * session already resolves (never shadow a Spark builtin).
+  // Session-identity bookkeeping for register/freeze. Weak keys: a
+  // discarded isolated session must not pin its whole SessionState.
+  private val registeredSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val frozenSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Mark a session as SERVING: from now on `register` refuses to mutate
+    * its function registry. Verify/Bench/test harnesses freeze their
+    * shared session before any worker thread plans a query, so a
+    * DataFrame-API name like `factorial` can never flip resolution
+    * mid-run depending on which query registered the dialect first (the
+    * round-8 f_math regression: a concurrent `Functions.register` on the
+    * shared Verify session silently re-bound `factorial` to the
+    * DECIMAL(38,0) HUGEINT carrier while f_math was planning). The
+    * dialect surface lives on ISOLATED sessions (Gateway's newSession,
+    * or `isolated(...)` below) — never on a frozen shared one.
     */
-  def register(spark: SparkSession): Unit = {
+  def freeze(spark: SparkSession): Unit = synchronized {
+    frozenSessions.add(spark)
+  }
+
+  def isFrozen(spark: SparkSession): Boolean =
+    synchronized { frozenSessions.contains(spark) }
+
+  /** A child session with the DuckDB-dialect registry + the named tables
+    * (temp views don't cross newSession), for queries whose SQL needs
+    * dialect functions without mutating the caller's shared session.
+    * Shares the SparkContext, cache, and external catalog.
+    */
+  def isolated(parent: SparkSession, dir: String, tables: String*): SparkSession = {
+    val iso = parent.newSession()
+    iso.conf.set("spark.sql.session.timeZone",
+      parent.conf.get("spark.sql.session.timeZone", "UTC"))
+    tables.foreach(t =>
+      Tables.load(iso, dir, t).createOrReplaceTempView(t))
+    register(iso)
+    iso
+  }
+
+  /** Install every shim into the session. Idempotent per-session (a
+    * WeakHashMap of already-registered sessions makes re-registration a
+    * no-op) and synchronized: two threads registering the same session
+    * concurrently see one winner, and a registry can never be observed
+    * half-installed. Skips shim names the session already resolves
+    * (never shadow a Spark builtin via `shims`; deliberate shadows live
+    * in `overrides`). Refuses a FROZEN (serving) session — builtin
+    * resolution on a serving session must not depend on query timing.
+    */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registeredSessions.contains(spark)) return
+    if (frozenSessions.contains(spark)) throw new GatewayException(
+      "function registry is frozen on this serving session; register the " +
+        "dialect on an isolated session (Functions.isolated / Gateway) " +
+        "before the session starts serving")
     val reg = spark.sessionState.functionRegistry
     shims.foreach { case (name, builder) =>
       val already = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -1365,5 +1438,6 @@ object Functions {
         }
       reg.createOrReplaceTempFunction(name, combined, "internal")
     }
+    registeredSessions.add(spark)
   }
 }

@@ -84,8 +84,9 @@ object JsonIntrospect {
   /** json_extract: the node's JSON TEXT (DuckDB's JSON type carries the
     * quoted/structural form — '"x"', '[1,2]' — where Spark's
     * get_json_object unquotes scalars; fuzz-found divergence). Compact
-    * Jackson serialization matches DuckDB's canonical output; a missing
-    * path is SQL NULL while a JSON null extracts as the text 'null'.
+    * Jackson serialization matches DuckDB's canonical output; BOTH a
+    * missing path and a JSON null extract as SQL NULL (DuckDB 1.0
+    * pinned — see the inline comment below).
     */
   def extractJson(s: UTF8String, path: UTF8String): UTF8String = {
     val n = atPath(parse(s), path.toString)

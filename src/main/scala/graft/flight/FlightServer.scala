@@ -253,14 +253,16 @@ final class FlightServer(gateway: Gateway, port: Int) {
       try Some(AnyMsg.fromBytes(cmd))
       catch { case _: Exception => return None }
     val sess = gateway.session
-    // Spark string literals treat backslash as an escape character, so a
-    // client pattern ending in \ (or containing \') could otherwise break
-    // out of the literal — double backslashes BEFORE doubling quotes.
-    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "''")
+    // The injected parser (Dialect.rawifyLiterals) makes '…' literals
+    // RAW on every sess.sql entry point — backslashes are literal
+    // characters, so only quote doubling is needed to stay inside the
+    // literal. (Pre-r9 this also doubled backslashes, so a client value
+    // containing \ compared against \\ and silently matched nothing.)
+    def esc(s: String) = s.replace("'", "''")
     // LIKE patterns additionally treat backslash as the pattern-escape
     // character (Flight SQL patterns have no escape syntax — a client
-    // backslash is a literal character), so double once more at the
-    // pattern level before the string-literal escaping.
+    // backslash is a literal character), so double at the PATTERN level
+    // only, then apply the string-literal quote doubling.
     def escPat(s: String) = esc(s.replace("\\", "\\\\"))
     any.collect {
       case a if a.typeUrl == GetCatalogsUrl =>

@@ -265,9 +265,13 @@ object AggQueries {
     // forms), not four: the four-buffer formulation ran 3.0 s at sf0.1
     // — slowest in the suite — vs ~1 s for this shape
     s.sql(
-      """SELECT l_returnflag, ROUND(ex[0], 6) AS p50, ROUND(ex[1], 6) AS p95,
-        |  (abs(ap[0] - ex[0]) <= 0.01 * ex[0]) AND
-        |  (abs(ap[1] - ex[1]) <= 0.01 * ex[1]) AS approx_ok
+      """SELECT l_returnflag,
+        |  ROUND(element_at(ex, 1), 6) AS p50,
+        |  ROUND(element_at(ex, 2), 6) AS p95,
+        |  (abs(element_at(ap, 1) - element_at(ex, 1))
+        |    <= 0.01 * element_at(ex, 1)) AND
+        |  (abs(element_at(ap, 2) - element_at(ex, 2))
+        |    <= 0.01 * element_at(ex, 2)) AS approx_ok
         |FROM (
         |  SELECT l_returnflag,
         |    percentile(l_extendedprice, array(0.5, 0.95)) AS ex,
@@ -417,33 +421,34 @@ object AggQueries {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
-    Q("a16_duck_stats", sqlText) { s =>
-      graft.engine.Functions.register(s)
-      s.sql(sqlText)
-    }
+    // isolated child session: dialect shims never touch the shared
+    // session's registry (the r8 f_math lesson — see Functions.freeze)
+    graft.engine.Q("a16_duck_stats", (s, dir) =>
+      graft.engine.Functions.isolated(s, dir, "orders").sql(sqlText),
+      Some(sqlText))
   }
 
   /** A17: histogram(x) → MAP(value → count), flattened to entry rows so
     * the differential gate compares scalar columns (map key order is
     * ascending in both engines, pinned by the ORDER BY anyway).
     */
-  val a17 = Q(
+  val a17 = graft.engine.Q(
     "a17_histogram",
-    """SELECT o_orderstatus, unnest(map_keys(h)) AS pri,
-      |  CAST(unnest(map_values(h)) AS BIGINT) AS cnt
-      |FROM (SELECT o_orderstatus, histogram(o_orderpriority) AS h
-      |      FROM orders GROUP BY o_orderstatus) t
-      |ORDER BY o_orderstatus ASC NULLS LAST, pri ASC NULLS LAST""".stripMargin
-  ) { s =>
-    graft.engine.Functions.register(s)
-    s.sql(
+    // histogram is a registry shim → isolated child session, so the
+    // shared session's registry stays untouched (r8 f_math lesson)
+    (s, dir) => graft.engine.Functions.isolated(s, dir, "orders").sql(
       """SELECT o_orderstatus, entry_key AS pri,
         |  CAST(entry_value AS BIGINT) AS cnt
         |FROM (SELECT o_orderstatus, histogram(o_orderpriority) AS h
         |      FROM orders GROUP BY o_orderstatus) t
         |LATERAL VIEW explode(h) e AS entry_key, entry_value
-        |ORDER BY o_orderstatus ASC NULLS LAST, pri ASC NULLS LAST""".stripMargin)
-  }
+        |ORDER BY o_orderstatus ASC NULLS LAST, pri ASC NULLS LAST""".stripMargin),
+    Some(
+      """SELECT o_orderstatus, unnest(map_keys(h)) AS pri,
+        |  CAST(unnest(map_values(h)) AS BIGINT) AS cnt
+        |FROM (SELECT o_orderstatus, histogram(o_orderpriority) AS h
+        |      FROM orders GROUP BY o_orderstatus) t
+        |ORDER BY o_orderstatus ASC NULLS LAST, pri ASC NULLS LAST""".stripMargin))
 
   val all: Seq[Q] = Seq(
     q1Pricing, a2, a4, a5, a6, a6b, a6c, a7, a8, a9b, a9c, a9d, a11, a12, a13, a14, a15, a10,

@@ -66,7 +66,10 @@ object FunctionQueries {
       round(degrees(k), 6).as("dg"),
       round(radians(k), 6).as("rd"),
       round(cbrt(k), 6).as("cb"),
-      factorial(k % 6).as("fact"),
+      // cast pins BIGINT whatever `factorial` resolves to (the oracle
+      // declares CAST(... AS BIGINT); the dialect's DECIMAL(38,0)
+      // HUGEINT carrier lives on isolated sessions only — r8 regression)
+      factorial(k % 6).cast(LongType).as("fact"),
       // HUGEINT-domain factorial (20!..33!): values Spark's BIGINT
       // builtin can't hold — the engine's Factorial38 kernel
       graft.engine.GraftColumns.factorialHuge((k % 14) + 20).as("bigfact"),
@@ -339,10 +342,13 @@ object FunctionQueries {
         |  format_bytes(event_id * 1000) AS fb
         |FROM events WHERE event_id < 1000
         |ORDER BY k ASC NULLS LAST""".stripMargin
-    Q("f_json_introspect", sqlText) { s =>
-      graft.engine.Functions.register(s)
-      s.sql(sqlText)
-    }
+    // dialect SQL (json_type/json_structure/… are registry shims) runs
+    // on an ISOLATED child session — registering on the shared Verify
+    // session raced concurrent planning and flipped f_math's factorial
+    // resolution mid-run (r8 regression, VERDICT r8 item 1)
+    graft.engine.Q("f_json_introspect", (s, dir) =>
+      graft.engine.Functions.isolated(s, dir, "events").sql(sqlText),
+      Some(sqlText))
   }
 
   /** TIME family (round 7): Spark 4.1's native TimeType (behind

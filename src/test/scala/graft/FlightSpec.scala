@@ -236,4 +236,25 @@ class FlightSpec extends AnyFunSuite {
     assert(new String(back.endpoints.head.ticket.ticket) == "t")
     assert(back.totalRecords == 42L)
   }
+
+  test("round-9: backslash in a metadata filter matches literally (raw-literal esc)") {
+    // a view whose NAME contains a backslash: pre-r9 esc doubled
+    // backslashes for Spark's old escaping lexer, but the injected
+    // parser makes '…' literals RAW — the filter compared against a
+    // doubled backslash and silently matched NOTHING
+    gw.sql("CREATE TEMP VIEW `bs\\vw9` AS SELECT 1 AS x").collect()
+    try {
+      // google.protobuf.Any + CommandGetTables{table_name_filter_pattern=3}
+      // hand-encoded (metadata tickets round-trip the command bytes)
+      val pat = "bs\\vw9".getBytes("UTF-8")
+      val body = Array[Byte](0x1A.toByte, pat.length.toByte) ++ pat
+      val ticket = FlightProto.AnyMsg(
+        "type.googleapis.com/arrow.flight.protocol.sql.CommandGetTables",
+        body).toBytes
+      val r = client.doGet(ticket)
+      assert(r.columns.take(3) ==
+        Seq("catalog_name", "db_schema_name", "table_name"))
+      assert(r.rows.map(_(2).toString) == Seq("bs\\vw9"), r.rows)
+    } finally gw.sql("DROP VIEW `bs\\vw9`").collect()
+  }
 }

@@ -1274,4 +1274,34 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT quantile_disc(x, 0.5) AS q FROM (VALUES (1),(2),(3)) t(x)")
       .getInt(0) == 2)
   }
+
+  test("round-9: advice fixes — coarse date_trunc, null-skipping any_value, EXCLUDE COUNT type") {
+    def one(q: String) = gw.sql(q).collect().head
+    // date_trunc decade/century/millennium: DuckDB 1.0 floors the year
+    // by simple modulo (century of 2000-06 is 2000-01-01, NOT the
+    // Postgres year-1 convention) and answers DATE; pre-r9 these parts
+    // routed through TruncTimestamp and silently returned NULL
+    assert(one("SELECT CAST(date_trunc('decade', DATE '1999-12-31') AS VARCHAR) AS d")
+      .getString(0) == "1990-01-01")
+    assert(one("SELECT CAST(date_trunc('century', TIMESTAMP '2020-06-15 10:11:12') AS VARCHAR) AS d")
+      .getString(0) == "2000-01-01")
+    assert(one("SELECT CAST(date_trunc('millennium', DATE '1850-03-04') AS VARCHAR) AS d")
+      .getString(0) == "1000-01-01")
+    assert(one("SELECT CAST(date_trunc('decade', TIMESTAMP '2001-01-01 00:00:01') AS VARCHAR) AS d")
+      .getString(0) == "2000-01-01")
+    // any_value(x ORDER BY y) skips NULL values (first NON-NULL in
+    // order, DuckDB-pinned) — min_by alone would return the NULL at the
+    // extreme key
+    assert(one("SELECT any_value(x ORDER BY y) AS a FROM (VALUES (NULL,1),(5,2)) t(x,y)")
+      .getInt(0) == 5)
+    assert(one("SELECT any_value(x ORDER BY y DESC) AS a FROM (VALUES (7,1),(NULL,2)) t(x,y)")
+      .getInt(0) == 7)
+    // EXCLUDE-frame COUNT answers BIGINT like the native aggregate
+    val cr = gw.sql(
+      """SELECT count(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING
+        |AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS c
+        |FROM (VALUES (1,1),(2,NULL),(3,3)) t(k,x) ORDER BY k""".stripMargin)
+    assert(cr.schema.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(cr.collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 0L))
+  }
 }

@@ -294,8 +294,11 @@ class OperatorSpec extends AnyFunSuite {
     val low = StringSim.jaro(u("prefix_low"), u("prefiy_xxxxxxx"))
     assert(low <= 0.7)
     assert(StringSim.jaroWinkler(u("prefix_low"), u("prefiy_xxxxxxx")) == low)
-    graft.engine.Functions.register(spark)
-    val viaSql = spark.sql(
+    // dialect registry on a child session — the shared test session is
+    // frozen (TestSpark), mirroring the Verify/Bench serving contract
+    val iso = spark.newSession()
+    graft.engine.Functions.register(iso)
+    val viaSql = iso.sql(
       "SELECT jaro_winkler_similarity('dwayne', 'duane') AS jw").collect()(0).getDouble(0)
     assert(math.abs(viaSql - 0.84) < 1e-9)
     // UTF-8 BYTE units like DuckDB (multi-byte chars count per byte):

@@ -21,6 +21,12 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // serving contract, same as Verify/Bench: the SHARED session's
+    // function registry is immutable — a spec needing the dialect
+    // builds a child session (Functions.isolated / newSession). A late
+    // register here throws, which is the canary this freeze exists for
+    // (r8: a concurrent register flipped f_math's factorial mid-run).
+    graft.engine.Functions.freeze(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"

@@ -65,9 +65,10 @@ class VectorMathSpec extends AnyFunSuite {
   }
 
   test("SQL shim list_cosine_similarity resolves to the native expression") {
-    graft.engine.Tables.register(spark, sf)
-    graft.engine.Functions.register(spark)
-    val out = spark.sql(
+    // dialect registry on an isolated child session (shared test session
+    // is frozen — TestSpark mirrors the Verify/Bench serving contract)
+    val iso = graft.engine.Functions.isolated(spark, sf, "embeddings")
+    val out = iso.sql(
       """SELECT list_cosine_similarity(embedding, embedding) AS c
         |FROM embeddings LIMIT 5""".stripMargin).collect()
     out.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
