@@ -327,7 +327,8 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split("\\s+").take(3).mkString(",")
     } catch { case _: Throwable => "" }
-    val audit = s""""passes":$wallsJson,"cpu_sec":$cpuPasses,"pass_load":$passLoad,""" +
+    val audit = s""""engine_threads":$cpus,""" +
+      s""""passes":$wallsJson,"cpu_sec":$cpuPasses,"pass_load":$passLoad,""" +
       s""""ambient_load":${r1(ambientLoad)},"extra_passes":${passes.size - 2},""" +
       s""""clean_passes":${clean.size},"loadavg":"$loadavg""""
 
@@ -337,13 +338,18 @@ object Bench {
     // now idle) and embed it. SPARK_GRAFT_ORACLE_CMD overrides the
     // command ("" disables); default is tools/oracle_bench.py when it
     // exists and python3+duckdb import cleanly. -1 = not measured.
-    val oracleSec: Double = {
+    // (oracle best-pass seconds, oracle config JSON object) — the script
+    // now self-describes its side (threads, duckdb version, passes, host
+    // load before/after) so the ratio is auditable from the artifact
+    // alone, round-over-round. A bare float (override scripts) still
+    // parses; -1/"{}" = not measured.
+    val (oracleSec, oracleCfg): (Double, String) = {
       val cmd = sys.env.get("SPARK_GRAFT_ORACLE_CMD").orElse {
         val script = java.nio.file.Paths.get("tools/oracle_bench.py")
         if (java.nio.file.Files.exists(script)) Some(s"python3 $script")
         else None
       }.filter(_.nonEmpty)
-      cmd.fold(-1.0) { c =>
+      cmd.fold((-1.0, "{}")) { c =>
         try {
           val sqlPath = java.nio.file.Files.createTempFile("oracle_sql", ".json")
           java.nio.file.Files.writeString(sqlPath, Verify.oracleSqlJson)
@@ -353,21 +359,28 @@ object Bench {
           val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
           val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
           val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-          if (!done) { proc.destroyForcibly(); -1.0 }
+          if (!done) { proc.destroyForcibly(); (-1.0, "{}") }
           else {
             if (err.nonEmpty) System.err.println(s"[bench] oracle stderr: $err")
             // a partially-failed oracle suite (non-zero exit) must not
             // pose as a comparable wall time
-            if (proc.exitValue() != 0) -1.0
-            else out.trim.split("\\s+").last.toDouble
+            if (proc.exitValue() != 0) (-1.0, "{}")
+            else {
+              val last = out.trim.split("\\s+").last
+              if (last.startsWith("{")) {
+                val sec = """"sec":\s*([0-9.]+)""".r
+                  .findFirstMatchIn(last).map(_.group(1).toDouble).getOrElse(-1.0)
+                (sec, last)
+              } else (last.toDouble, "{}")
+            }
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] oracle timing skipped: ${e.getMessage}")
-          -1.0
+          (-1.0, "{}")
         }
       }
     }
-    val oracleJson = s""""oracle_sec":$oracleSec,"ratio":${
+    val oracleJson = s""""oracle_sec":$oracleSec,"oracle_cfg":$oracleCfg,"ratio":${
       if (oracleSec > 0) math.round(total / oracleSec * 100) / 100.0 else -1.0}"""
 
     val qs = queries.map { case (k, _) =>

@@ -46,6 +46,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => DuckBoolCompare)
     // DuckDB INTERVAL→VARCHAR wording + DATE−DATE = BIGINT days
     ext.injectResolutionRule(_ => DuckIntervalForms)
+    // UBIGINT counters wrap under negation in DuckDB; the engine
+    // refuses loudly instead of silently answering -n
+    ext.injectResolutionRule(_ => UnsignedWrapGuard)
+  }
+}
+
+/** DuckDB 1.0's unsigned counters WRAP under unary negation:
+  * `-json_array_length('[1,2]')` is 18446744073709551614 (UBIGINT,
+  * 2^64 − 2). The engine carries these counts as signed BIGINT and has
+  * no modular unsigned arithmetic, so negating one would silently
+  * answer −n — the divergence the round-8 fuzzer documented as a
+  * residual. Refusing with a TYPED error beats the silence: the client
+  * either wants DuckDB's wrap (not expressible here, and almost
+  * certainly a bug in their query) or the arithmetic −n, which both
+  * engines agree on after an explicit CAST:
+  * `-CAST(json_array_length(x) AS BIGINT)` = −n in BOTH.
+  * (Underflowing SUBTRACTION needs no guard: DuckDB itself errors
+  * out-of-range there, so that path is already loud on the oracle.)
+  */
+object UnsignedWrapGuard
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, UnaryMinus}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+
+  /** The kernels whose DuckDB peer is UBIGINT-typed. Casts are NOT
+    * looked through: an explicit CAST is exactly the client saying
+    * "signed arithmetic, please".
+    */
+  private def unsignedCount(e: Expression): Boolean = e match {
+    case si: StaticInvoke =>
+      si.staticObject == graft.engine.expressions.JsonIntrospect.getClass &&
+        (si.functionName == "arrayLength" ||
+          si.functionName == "arrayLengthPath")
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.transformAllExpressions {
+      case um @ UnaryMinus(child, _) if unsignedCount(child) =>
+        throw new GatewayException(
+          "json_array_length is UBIGINT in DuckDB and WRAPS under " +
+            "negation (2^64 - n); this engine carries it as BIGINT and " +
+            "refuses the silent divergence. CAST(json_array_length(...) " +
+            "AS BIGINT) first - both engines then agree on -n.")
+    }
+    plan
   }
 }
 

@@ -130,53 +130,94 @@ object LiveCatalog {
     */
   private def isSelf(name: String): Boolean = name.startsWith("duckdb_")
 
-  /** Driver-side catalog read; one call per query referencing the view. */
+  /** Listing invocations, observable so a spec can pin ONE catalog
+    * listing per scan planning (VERDICT r8 item 3: the Dataset-based
+    * `sess.catalog.listTables().collect()` ran a full Spark JOB per
+    * call, repeated per referenced view).
+    */
+  private[graft] val listingCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver-side live listing straight off the SessionCatalog — the
+    * same objects `sess.catalog.listTables()` reports, WITHOUT building
+    * a Dataset (which runs a Spark job and re-fetches per-table
+    * metadata). (name, tableType) pairs, tableType in the Catalog API's
+    * spelling ("TEMPORARY" for temp views) so the served rows are
+    * byte-identical to the pre-r9 Dataset path.
+    */
+  private[graft] def listLive(sess: SparkSession): Seq[(String, String)] = {
+    listingCount.incrementAndGet()
+    val cat = sess.sessionState.catalog
+    val db = cat.getCurrentDatabase
+    cat.listTables(db).map { ti =>
+      val typ =
+        if (ti.database.isEmpty || cat.isTempView(ti)) "TEMPORARY"
+        else
+          try cat.getTableMetadata(ti).tableType.name
+          catch { case _: Throwable => "TABLE" }
+      (ti.table, typ)
+    }.filterNot { case (n, _) => isSelf(n) }
+  }
+
+  /** A listed relation's schema without constructing a Dataset: temp
+    * views store their analyzed plan in the catalog; only persistent
+    * tables fall back to the (heavier) table() analysis.
+    */
+  private def schemaOf(sess: SparkSession, name: String): StructType =
+    try {
+      // a CREATE TEMP VIEW stored as an UNRESOLVED plan throws on
+      // .schema — fall through to full analysis for those
+      sess.sessionState.catalog.getTempView(name)
+        .filter(_.resolved).map(_.schema)
+        .getOrElse(sess.table(name).schema)
+    } catch { case _: Throwable => StructType(Nil) }
+
+  /** Driver-side catalog read; one call (= ONE catalog listing) per
+    * query referencing the view.
+    */
   def rows(view: String, sessionKey: String): Array[Array[Any]] = {
     val sess = resolve(sessionKey)
     view match {
       case "tables" =>
-        sess.catalog.listTables().collect()
-          .filterNot(t => isSelf(t.name))
-          .map(t => Array[Any]("memory", "main", t.name, t.tableType))
+        listLive(sess)
+          .map { case (n, t) => Array[Any]("memory", "main", n, t) }.toArray
       case "views" =>
-        sess.catalog.listTables().collect()
-          .filter(t => t.tableType.equalsIgnoreCase("VIEW") && !isSelf(t.name))
-          .map(t => Array[Any]("memory", "main", t.name))
+        listLive(sess)
+          .filter { case (_, t) => t.equalsIgnoreCase("VIEW") }
+          .map { case (n, _) => Array[Any]("memory", "main", n) }.toArray
       case "functions" =>
-        sess.catalog.listFunctions().collect()
-          .map(f => Array[Any]("memory", "main", f.name,
-            java.lang.Boolean.valueOf(f.isTemporary)))
+        val cat = sess.sessionState.catalog
+        val db = cat.getCurrentDatabase
+        // session-scoped (no database) = temporary, matching the Catalog
+        // API's isTemporary flag this path used to read off the Dataset
+        cat.listFunctions(db).map { case (ident, _) =>
+          Array[Any]("memory", "main", ident.funcName,
+            java.lang.Boolean.valueOf(ident.database.isEmpty))
+        }.toArray
       case "settings" =>
         sess.conf.getAll.toArray.sortBy(_._1)
           .map { case (k, v) => Array[Any](k, v) }
       case "columns" | "is_columns" =>
-        sess.catalog.listTables().collect()
-          .filterNot(t => isSelf(t.name))
-          .flatMap { t =>
-            val schema =
-              try sess.table(t.name).schema
-              catch { case _: Throwable =>
-                org.apache.spark.sql.types.StructType(Nil) }
-            schema.fields.zipWithIndex.map { case (f, i) =>
-              if (view == "columns")
-                Array[Any]("memory", "main", t.name, f.name,
-                  Integer.valueOf(i + 1), duckTypeName(f.dataType),
-                  java.lang.Boolean.valueOf(f.nullable))
-              else
-                Array[Any]("memory", "main", t.name, f.name,
-                  Integer.valueOf(i + 1), if (f.nullable) "YES" else "NO",
-                  duckTypeName(f.dataType))
-            }
+        listLive(sess).flatMap { case (name, _) =>
+          schemaOf(sess, name).fields.zipWithIndex.map { case (f, i) =>
+            if (view == "columns")
+              Array[Any]("memory", "main", name, f.name,
+                Integer.valueOf(i + 1), duckTypeName(f.dataType),
+                java.lang.Boolean.valueOf(f.nullable))
+            else
+              Array[Any]("memory", "main", name, f.name,
+                Integer.valueOf(i + 1), if (f.nullable) "YES" else "NO",
+                duckTypeName(f.dataType))
           }
+        }.toArray
       case "is_tables" =>
         // the served fixture tables present as BASE TABLEs (they are the
         // database's tables to a client); everything else the session
         // created is a VIEW
-        sess.catalog.listTables().collect()
-          .filterNot(t => isSelf(t.name))
-          .map(t => Array[Any]("memory", "main", t.name,
-            if (graft.engine.Tables.names.contains(t.name)) "BASE TABLE"
-            else "VIEW"))
+        listLive(sess).map { case (n, _) =>
+          Array[Any]("memory", "main", n,
+            if (graft.engine.Tables.names.contains(n)) "BASE TABLE"
+            else "VIEW")
+        }.toArray
       case "schemata" =>
         Array(Array[Any]("memory", "main"),
           Array[Any]("memory", "information_schema"))
@@ -224,9 +265,14 @@ final class LiveCatalogScan(view: String, sessionKey: String)
   override def toBatch: Batch = this
   override def description(): String = s"LiveCatalog(duckdb_$view)"
 
-  // driver-side, per query execution: this is where "live" happens
+  // driver-side, per query execution: this is where "live" happens.
+  // Memoized per SCAN INSTANCE (each query builds a fresh scan, so
+  // liveness is untouched): Spark plans a V2 batch's partitions more
+  // than once per query (physical planning + AQE stage materialization),
+  // and the listing must not repeat per call (VERDICT r8 item 3)
+  private lazy val snapshot = LiveCatalog.rows(view, sessionKey)
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LiveCatalogPartition(LiveCatalog.rows(view, sessionKey)))
+    Array(LiveCatalogPartition(snapshot))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

@@ -632,6 +632,43 @@ class GatewaySpec extends AnyFunSuite {
     } finally gw.session.catalog.dropTempView("__live_probe")
   }
 
+  test("round-9: one catalog listing per scan planning; listing equals the Catalog API") {
+    // the live listing is direct SessionCatalog access (no Spark job) —
+    // pin that a duckdb_columns query, which enumerates every relation
+    // AND its schema, still performs exactly ONE listing per planning
+    val before = graft.sources.LiveCatalog.listingCount.get()
+    val cols = gw.sql(
+      """SELECT table_name, column_name FROM duckdb_columns()
+        |WHERE table_name = 'nation' ORDER BY column_index""".stripMargin)
+      .collect()
+    assert(graft.sources.LiveCatalog.listingCount.get() == before + 1)
+    assert(cols.map(_.getString(1)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // the fast path lists the same objects as the Catalog API Dataset
+    val viaApi = gw.session.catalog.listTables().collect()
+      .map(t => (t.name, t.tableType)).toSet
+    val viaLive = graft.sources.LiveCatalog.listLive(gw.session)
+      .filterNot(_._1.startsWith("graft_")).toSet
+    assert(viaLive == viaApi.filterNot(_._1.startsWith("duckdb_"))
+      .filterNot(_._1.startsWith("graft_")), s"live=$viaLive api=$viaApi")
+  }
+
+  test("round-9: negating a UBIGINT counter is a typed refusal, not a silent -n") {
+    // DuckDB 1.0: -json_array_length('[1,2]') WRAPS to 2^64-2 (UBIGINT);
+    // the engine has no unsigned arithmetic and refuses loudly instead
+    // of silently answering -2
+    val e = intercept[Exception](
+      gw.sql("SELECT -json_array_length('[1,2]') AS v").collect())
+    assert(e.getMessage.contains("UBIGINT"), e.getMessage)
+    // the documented opt-out: explicit CAST = signed arithmetic, and
+    // BOTH engines answer -n for it
+    assert(gw.sql("SELECT -CAST(json_array_length('[1,2]') AS BIGINT) AS v")
+      .collect()(0).getLong(0) == -2L)
+    // un-negated use is untouched
+    assert(gw.sql("SELECT json_array_length('[1,2,3]') AS v")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("duckdb_settings() is LIVE: SET is visible on the next query") {
     // not under spark.graft.* — that namespace is SET-protected
     gw.sql("SET graft.test.live_probe=42").collect()

@@ -13,11 +13,12 @@ Known residuals (each deliberate, neither a silent correctness trap):
 - DuckDB's universal implicit VARCHAR casts let it compare a LIST with
   a VARCHAR (parsing the string as a list literal); the engine raises a
   loud type error there instead (occasional ENGINE-ERR).
-- DuckDB's unsigned counters wrap under negation/underflow
-  (-json_array_length(x) = 2^64 - n); the engine carries them as signed
-  BIGINT and answers the arithmetic value (-n). Comparisons, addition
-  and multiplication in range agree; only out-of-range unsigned wraps
-  differ.
+- DuckDB's unsigned counters wrap under negation
+  (-json_array_length(x) = 2^64 - n, UBIGINT). Since round 9 the engine
+  REFUSES that negation with a typed error naming UBIGINT and the CAST
+  opt-out (GraftExtensions.UnsignedWrapGuard, pinned in GatewaySpec) —
+  this fuzzer counts exactly that error as the EXPECTED outcome instead
+  of excluding the shape.
 """
 import json, random, subprocess, sys, math
 from pathlib import Path
@@ -213,10 +214,16 @@ def main():
         # date canonicalization (duckdb date vs engine Date.toString match)
         return False
 
-    mismatch = engine_err = 0
+    mismatch = engine_err = typed_refusals = 0
     for i, (expr, (dt, dv)) in enumerate(zip(kept, duck_vals)):
         eng = results[i]
         if not eng["ok"]:
+            # negating a UBIGINT counter: DuckDB wraps, the engine
+            # refuses with a TYPED error (UnsignedWrapGuard) — the
+            # refusal IS the pinned behavior, not a divergence
+            if "UBIGINT" in (eng.get("err") or ""):
+                typed_refusals += 1
+                continue
             engine_err += 1
             print(f"ENGINE-ERR [{i}] {expr}\n  duck={duck_canon(dv)} ({dt})\n  err={eng['err']}")
             continue
@@ -233,8 +240,9 @@ def main():
             mismatch += 1
             print(f"MISMATCH [{i}] {expr}\n  duck={duck_canon(dv)} ({dt})\n  eng ={eng['v']} ({eng['t']})")
 
-    ok = len(kept) - mismatch - engine_err
-    print(f"{ok} agree, {mismatch} mismatch, {engine_err} engine errors of {len(kept)}")
+    ok = len(kept) - mismatch - engine_err - typed_refusals
+    print(f"{ok} agree, {mismatch} mismatch, {engine_err} engine errors, "
+          f"{typed_refusals} typed UBIGINT refusals of {len(kept)}")
     sys.exit(0 if mismatch == 0 and engine_err == 0 else 1)
 
 

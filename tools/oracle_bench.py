@@ -10,9 +10,12 @@ best-of-N wall seconds, so Bench can embed "oracle_sec" next to the
 engine number and the ratio is auditable from the artifact alone.
 
 Usage: oracle_bench.py <oracle_sql.json> <sf_dir> [passes=3]
-Prints ONE float (best-pass seconds) on the last stdout line; any
-per-statement failures go to stderr and make the exit code non-zero so a
-broken oracle can never masquerade as a fast one.
+Prints ONE compact JSON object (no spaces) on the last stdout line —
+{"sec":best,"threads":N,"duckdb":"x.y.z","passes":N,"load_before":f,
+"load_after":f} — so the artifact self-describes the oracle side's
+config and host load (the ratio must be auditable round-over-round).
+Any per-statement failures go to stderr and make the exit code non-zero
+so a broken oracle can never masquerade as a fast one.
 """
 import json
 import os
@@ -35,9 +38,11 @@ def main() -> int:
 
     best = None
     failed = set()
+    threads = os.cpu_count()
+    load_before = round(os.getloadavg()[0], 2)
     for _ in range(passes):
         con = duckdb.connect()
-        con.execute(f"SET threads TO {os.cpu_count()}")
+        con.execute(f"SET threads TO {threads}")
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
@@ -55,7 +60,12 @@ def main() -> int:
         con.close()
         best = wall if best is None else min(best, wall)
 
-    print(f"{best:.3f}")
+    load_after = round(os.getloadavg()[0], 2)
+    print(json.dumps({
+        "sec": round(best, 3), "threads": threads,
+        "duckdb": duckdb.__version__, "passes": passes,
+        "load_before": load_before, "load_after": load_after,
+    }, separators=(",", ":")))
     return 1 if failed else 0
 
 
