@@ -44,10 +44,14 @@ object FuzzEval {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: FuzzEval <exprFile> <outFile>")
+    require(args.length >= 2, "usage: FuzzEval <exprFile> <outFile> [sfDir]")
+    // optional fixture dir: the 10x scale pass points this at the
+    // ScaleGen corpus so multi-partition effects (partial-agg ordering,
+    // window partition boundaries) are inside the differential sweep
+    val sfDir = if (args.length >= 3) args(2) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "true")
@@ -55,7 +59,7 @@ object FuzzEval {
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val gw = graft.engine.Gateway.open(spark, "/root/testdata/sf0.001")
+    val gw = graft.engine.Gateway.open(spark, sfDir)
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(args(0)))
     val out = new java.io.PrintWriter(args(1), "UTF-8")

@@ -7,6 +7,14 @@ is fully ORDER BY-ed with explicit tie-breaks so both engines must
 produce the identical ordered relation).
 
 Usage: python3 tools/fuzz_relational.py [n=200] [seed=8] [--no-run]
+                                        [--sf=/path/to/fixtures]
+
+--sf points both engines at another fixture dir — the 10x pass uses the
+ScaleGen corpus (/tmp/graft_sf1, multi-file parquet) so divergences that
+only appear with multiple partitions (partial-agg ordering, window
+partition boundaries, shuffle-dependent DECIMAL sums) are in the sweep.
+At scale the generator adds orders/lineitem window+agg shapes whose
+inputs genuinely span partitions; every query stays fully ORDER BY-ed.
 """
 import json, math, random, subprocess, sys
 from pathlib import Path
@@ -17,8 +25,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    global SF
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            SF = a[len("--sf="):]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 200
+    seed = int(args[1]) if len(args) > 1 else 8
     rng = random.Random(seed)
 
     int_exprs = ["n_nationkey", "n_regionkey", "(n_nationkey % 4)",
@@ -60,7 +73,33 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(12)
+        shape = rng.randrange(14)
+        if shape == 12:  # multi-partition window over orders (scale-sensitive)
+            wf = rng.choice([
+                "row_number()", "rank()",
+                "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+                "count(*)", "lag(o_orderkey, 1)",
+                "min(o_orderdate)"])
+            frame = (" ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+                     if wf.split("(")[0] in ("sum", "count", "min")
+                     and rng.random() < 0.5 else "")
+            m = rng.randint(50, 400)
+            return (f"SELECT o_orderkey, {wf} OVER (PARTITION BY o_custkey % 8 "
+                    f"ORDER BY o_orderkey ASC{frame}) AS w FROM orders "
+                    f"WHERE o_orderkey % {m} = 0 "
+                    f"ORDER BY o_orderkey ASC NULLS LAST LIMIT 100")
+        if shape == 13:  # multi-partition grouped DISTINCT/stat aggs (orders)
+            agg = rng.choice([
+                "count(DISTINCT o_custkey)",
+                "sum(DISTINCT CAST(o_orderkey % 97 AS BIGINT))",
+                "CAST(round(stddev_samp(CAST(o_totalprice AS DOUBLE)), 4) AS DOUBLE)",
+                "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+                "max(o_orderpriority)", "arg_min(o_orderpriority, o_orderkey)"])
+            k = rng.choice(["o_orderstatus",
+                            "(o_custkey % 5)", "o_orderpriority"])
+            return (f"SELECT {k} AS k, {agg} AS a FROM orders "
+                    f"WHERE o_orderkey % {rng.randint(2, 5)} = 0 "
+                    f"GROUP BY {k} ORDER BY k ASC NULLS LAST")
         if shape == 11:  # date-keyed grouping over orders
             key = rng.choice([
                 "date_trunc('month', o_orderdate)",
@@ -178,7 +217,10 @@ def main():
 
     con = duckdb.connect()
     for t in ["nation", "region", "lineitem", "orders"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        p = Path(SF) / f"{t}.parquet"
+        # ScaleGen writes multi-file parquet DIRECTORIES; glob those
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     kept, duck_rows = [], []
     tries = 0
@@ -201,7 +243,7 @@ def main():
 
     subprocess.run(
         ["sbt", "-batch",
-         f'runMain graft.FuzzEval {work}/exprs.txt {work}/engine.jsonl'],
+         f'runMain graft.FuzzEval {work}/exprs.txt {work}/engine.jsonl {SF}'],
         cwd="/root/repo", check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     results = [json.loads(x) for x in
