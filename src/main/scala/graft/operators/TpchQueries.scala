@@ -380,6 +380,161 @@ object TpchQueries {
         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  /** Q7 volume shipping (adapted: synthetic NATION_n names): the
+    * two-nation disjunctive pair filter over a supplier-side AND a
+    * customer-side nation join. Plan shape: lineitem⋈orders is the one
+    * real shuffle (orderkey); supplier and both nation copies broadcast;
+    * the pair predicate prunes AFTER both nation names are in scope
+    * (it references columns from two different join branches, so it
+    * can't push below either — the optimizer keeps it as a post-join
+    * filter, which is correct).
+    */
+  val q7 = Q(
+    "q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST,
+      |  l_year ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val n1 = broadcast(s.table("nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(s.table("nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    s.table("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampNTZType))
+      .join(s.table("orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(s.table("supplier")), col("s_suppkey") === col("l_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"), revenue.as("volume"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation").asc_nulls_last,
+        col("cust_nation").asc_nulls_last, col("l_year").asc_nulls_last)
+  }
+
+  /** Q13 customer order-count distribution (adapted: the original's
+    * o_comment NOT LIKE filter becomes an o_orderpriority predicate —
+    * the fixture has no comment column). The double aggregation: LEFT
+    * join keeps zero-order customers (c_count = 0 bucket), first
+    * group-by on the customer key, second on the count itself. At scale
+    * both aggregations are partial+final on their own keys; the left
+    * join shuffles on custkey once.
+    */
+  val q13 = Q(
+    "q13_cust_distribution",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("customer")
+      .join(s.table("orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc_nulls_last, col("c_count").desc_nulls_last)
+  }
+
+  /** Q15 top supplier: revenue-per-supplier CTE consumed twice — once
+    * for the rows, once for its own max (scalar subquery). The max
+    * equality stays on the EXACT DECIMAL sum (never the DOUBLE edge
+    * cast), so tie detection is deterministic in both engines. Plan:
+    * the CTE aggregate is partial+final on l_suppkey; the one-row max
+    * broadcasts back; supplier dim broadcasts.
+    */
+  val q15 = Q(
+    "q15_top_supplier",
+    """WITH revenue0 AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val rev0 = s.table("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampNTZType))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(revenue).as("total_revenue"))
+    val mx = rev0.agg(max(col("total_revenue")).as("mx"))
+    rev0.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(s.table("supplier")), col("s_suppkey") === col("supplier_no"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast(DoubleType).as("total_revenue"))
+      .orderBy(col("s_suppkey").asc_nulls_last)
+  }
+
+  /** Q22 global-sales-opportunity SHAPE (adapted: no c_phone column —
+    * the country-code IN-list becomes the mktsegment grouping): rich
+    * customers (above the positive-balance average) with NO orders.
+    * The average threshold is compared MULTIPLICATIVELY
+    * (balance * cnt > total) so both engines decide the boundary on
+    * exact DECIMAL/integer arithmetic — an avg() division would put a
+    * DOUBLE rounding step inside a correctness-critical comparison.
+    * Plan: one-row aggregate broadcasts under a cross join; NOT EXISTS
+    * becomes a left-anti shuffle join on custkey.
+    */
+  val q22 = Q(
+    "q22_idle_rich_customers",
+    """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+      |    COUNT(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0.0) t
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY seg ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val thr = s.table("customer").filter(col("c_acctbal") > 0.0)
+      .agg(sum(d("c_acctbal")).as("tot"), count(lit(1)).as("cnt"))
+    s.table("customer")
+      .crossJoin(broadcast(thr))
+      .filter(d("c_acctbal") * col("cnt") > col("tot"))
+      .join(s.table("orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(d("c_acctbal")).cast(DoubleType).as("totacctbal"))
+      .orderBy(col("seg").asc_nulls_last)
+  }
+
   val all: Seq[Q] =
-    Seq(q2m, q3, q4, q5, q6, q10, q14, q17, q18, q19, sq1, sq2, sq3)
+    Seq(q2m, q3, q4, q5, q6, q7, q10, q13, q14, q15, q17, q18, q19, q22,
+      sq1, sq2, sq3)
 }

@@ -369,4 +369,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("row_number"), p)
   }
+
+  test("q7: shipdate pushed to the lineitem scan, nations/supplier broadcast, partial agg") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    // both nation copies + supplier build broadcast-hash sides; the
+    // pair filter prunes each nation SCAN to the two names (Catalyst
+    // derives it from the post-join disjunction)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("NATION_3") && p.contains("NATION_7"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q13: double aggregation is partial+final at BOTH levels, outer join keyed") {
+    val p = plan("q13_cust_distribution")
+    // level 1 groups on c_custkey, level 2 on the count itself — four
+    // HashAggregates total (partial+final each); a single-level plan
+    // would funnel every customer row through one task at scale
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q15: the max-revenue scalar broadcasts back (no re-shuffle of the CTE)") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // revenue0's one-row max joins back via broadcast; supplier dim
+    // broadcasts; the per-supplier aggregate is partial+final
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q22: anti join stays keyed; the one-row threshold broadcasts") {
+    val df = SparkEntry.queries("q22_idle_rich_customers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftAnti"), p)
+    // the threshold aggregate is one row: its join to customer must be
+    // a broadcast nested-loop/cross of a SINGLE row (cheap), never a
+    // shuffle of customer against it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
