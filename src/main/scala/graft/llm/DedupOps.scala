@@ -693,5 +693,43 @@ object DedupOps {
     lab
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8)
+  /** Canonical-representative selection (round 9): the standard step
+    * AFTER any dedup pass — per duplicate cluster keep ONE document, by
+    * the usual pipeline policy "longest wins, ties to the smallest id"
+    * (e.g. RefinedWeb/CCNet keep-heuristics; public lineage). Clusters
+    * here are the cheap blocking key the corpus actually collides on (a
+    * 3-token prefix fingerprint); the SAME shape composes over any
+    * cluster label (dd_exact digests, dd_components labels). One
+    * shuffle: rank inside the cluster window, aggregate the survivors.
+    */
+  val d9 = Q(
+    "dd_keep_longest",
+    """WITH blocked AS (
+      |  SELECT doc_id, n_chars,
+      |    array_to_string(string_split(text, ' ')[1:3], ' ') AS ck
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY ck ORDER BY n_chars DESC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY ck) AS members
+      |  FROM blocked)
+      |SELECT ck, CAST(members AS BIGINT) AS dup_cnt,
+      |  doc_id AS rep_id, CAST(n_chars AS BIGINT) AS rep_chars
+      |FROM ranked WHERE rn = 1 AND members > 1
+      |ORDER BY ck ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val ck = array_join(slice(split(col("text"), " "), 1, 3), " ")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+    s.table("documents")
+      .select(col("doc_id"), col("n_chars"), ck.as("ck"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("members", count(lit(1)).over(w))
+      .filter(col("rn") === 1 && col("members") > 1)
+      .select(col("ck"), col("members").cast(LongType).as("dup_cnt"),
+        col("doc_id").as("rep_id"), col("n_chars").cast(LongType).as("rep_chars"))
+      .orderBy(col("ck").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d9)
 }

@@ -686,6 +686,44 @@ object PipelineOps {
       .orderBy(col("lang").asc_nulls_last, col("rn").asc_nulls_last)
   }
 
+  /** Deterministic train/validation holdout split (round 9): the
+    * standard salted-hash split every training pipeline needs — a doc's
+    * split must be a pure function of its id (stable under re-runs,
+    * re-partitioning, and corpus growth; never random()). The bucket is
+    * the md5 hex prefix compared LEXICALLY ('e6' ≈ 90%), the same
+    * engine-neutral trick pipe_domain_mix's pick key uses — no
+    * hex-to-int conversion, which the two engines spell differently.
+    * Scale shape: one codegen'd projection + one partial/final agg, no
+    * per-split scans.
+    */
+  val pTrainSplit = Q(
+    "pipe_train_split",
+    """WITH tagged AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CASE WHEN substr(md5('split42' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |      THEN 'train' ELSE 'valid' END AS split
+      |  FROM documents)
+      |SELECT split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM tagged GROUP BY split
+      |ORDER BY split ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.table("documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+        when(substring(md5(concat(lit("split42"),
+          col("doc_id").cast(StringType)).cast(BinaryType)), 1, 2) < "e6", "train")
+          .otherwise("valid").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split").asc_nulls_last)
+  }
+
   val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix,
-    pFunnelEvents, pRetention, pAttribution, pAnomaly, pMixSample)
+    pFunnelEvents, pRetention, pAttribution, pAnomaly, pMixSample,
+    pTrainSplit)
 }

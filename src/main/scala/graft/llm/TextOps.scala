@@ -675,7 +675,68 @@ object TextOps {
       .orderBy(col("lang").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
+  /** Per-SOURCE (domain) filter signals (round 9): the domain-level
+    * quality table a web-corpus pipeline filters on before any per-doc
+    * pass (RefinedWeb-style URL/domain filtering, public lineage) —
+    * docs, token mass, mean stopword density, lexical diversity
+    * (distinct-token share), and the dominant language per source.
+    * Scale shape: per-doc signals are one codegen'd projection; the
+    * per-source rollup is a partial/final agg on the source key; the
+    * dominant language is a second, narrower aggregate over the same
+    * projected scan ((source,lang) counts → per-source max_by), whose
+    * source-keyed result is catalog-sized and broadcast-joins back.
+    */
+  val tSourceStats = Q(
+    "tx_source_stats",
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |per_lang AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM d GROUP BY source, lang)
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  CAST(ROUND(SUM(n_stop) * 1.0 / SUM(n_tok), 6) AS DOUBLE) AS stopword_ratio,
+      |  CAST(ROUND(SUM(n_uniq) * 1.0 / SUM(n_tok), 6) AS DOUBLE) AS diversity,
+      |  (SELECT lang FROM per_lang p WHERE p.source = d.source
+      |   ORDER BY c DESC, lang DESC LIMIT 1) AS top_lang
+      |FROM d GROUP BY d.source
+      |ORDER BY d.source ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val toks = split(col("text"), " ")
+    val perDoc = s.table("documents").select(
+      col("source"), col("lang"),
+      size(toks).cast(LongType).as("n_tok"),
+      size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+      size(filter(toks, t => t === "the" || t === "a"))
+        .cast(LongType).as("n_stop"))
+    // dominant language: group on (source, lang) first (same upstream
+    // scan), then max_by on the (count, lang) struct — lang inside the
+    // comparison key makes ties deterministic (matches the oracle's
+    // ORDER BY c DESC, lang DESC LIMIT 1)
+    val topLang = perDoc.groupBy(col("source").as("src2"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("src2"))
+      .agg(max_by(col("lang"), struct(col("c"), col("lang"))).as("top_lang"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("tokens"),
+        round(sum(col("n_stop")) * 1.0 / sum(col("n_tok")), 6)
+          .cast(DoubleType).as("stopword_ratio"),
+        round(sum(col("n_uniq")) * 1.0 / sum(col("n_tok")), 6)
+          .cast(DoubleType).as("diversity"))
+      .join(topLang, col("source") === col("src2"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("stopword_ratio"), col("diversity"), col("top_lang"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
   val all: Seq[Q] =
     Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler,
-      tRepetition, tDecontaminate, tBigramLm, tTfidf, tDupCoverage)
+      tRepetition, tDecontaminate, tBigramLm, tTfidf, tDupCoverage,
+      tSourceStats)
 }

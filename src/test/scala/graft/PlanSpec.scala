@@ -403,6 +403,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("round-9 llm ops: keep_longest is one window shuffle; train_split one agg; source_stats broadcasts top-lang back") {
+    val kl = plan("dd_keep_longest")
+    // cluster ranking + member count share ONE ck-keyed exchange
+    assert("Exchange hashpartitioning\\(ck".r.findAllIn(kl).size == 1, kl)
+    assert(!kl.contains("CartesianProduct"), kl)
+    val ts = plan("pipe_train_split")
+    assert(ts.contains("partial_count") || ts.contains("partial_sum"), ts)
+    assert(!ts.contains("Join"), ts) // pure projection + agg
+    val df = SparkEntry.queries("tx_source_stats")(spark, sf)
+    df.collect()
+    val ss = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(ss.contains("partial_"), ss)
+    // the 20-row top-lang relation joins back broadcast, never by
+    // shuffling the stats side
+    assert(ss.contains("BroadcastHashJoin"), ss)
+  }
+
   test("q22: anti join stays keyed; the one-row threshold broadcasts") {
     val df = SparkEntry.queries("q22_idle_rich_customers")(spark, sf)
     df.collect()
