@@ -32,7 +32,8 @@ object Dialect {
     rewriteTrailingCommas, rewriteEmptyGroupBy,
     rewriteBraceLiterals, rewriteArrayCtor, rewriteBrackets,
     rewriteNamedArgCalls, rewriteIgnoreNulls,
-    rewriteTimestampTz, rewriteAtTimeZone, rewriteIntervalExpr, rewriteAtAbs,
+    rewriteTimestampTz, rewriteAtTimeZone, rewriteMixedInterval,
+    rewriteIntervalExpr, rewriteAtAbs,
     rewritePowOp, rewriteFactorial,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
@@ -1078,6 +1079,72 @@ object Dialect {
       }
     }
 
+  /** DuckDB accepts MIXED-unit interval strings — `INTERVAL '1 month 2
+    * days 3 hours'` — where Spark's literal grammar forbids mixing
+    * year-month with day-time fields. Those become `make_interval(...)`
+    * (CalendarIntervalType carries months+days+micros together; its
+    * text rendering already matches via IntervalText). Single-class
+    * strings keep Spark's native typed literal, which has the more
+    * specific interval type.
+    */
+  private val mixedIntervalRe = """(?is)^INTERVAL\s+'([^']*)'""".r
+  private val intervalItemRe =
+    ("""(?i)(-?\d+(?:\.\d+)?)\s*(years?|yrs?|months?|mons?|weeks?|days?|""" +
+      """hours?|hrs?|minutes?|mins?|seconds?|secs?|milliseconds?|""" +
+      """microseconds?|ms|us)(?![a-z])""").r
+  private def rewriteMixedInterval(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) && sql.regionMatches(true, i, "INTERVAL", 0, 8))) i
+      else mixedIntervalRe.findPrefixMatchOf(sql.substring(i)) match {
+        case Some(m) =>
+          val content = m.group(1)
+          val items = intervalItemRe.findAllMatchIn(content).toSeq
+          // the rewrite must understand the WHOLE string (no residual
+          // like a trailing '03:00:00' clock form) or it stays native
+          val covered = items.foldLeft(content) { (s, it) =>
+            s.replace(it.matched, " ")
+          }.trim.isEmpty
+          def unitClass(u: String): Char = {
+            val n = u.toLowerCase.stripSuffix("s")
+            if (n == "year" || n == "yr" || n == "month" || n == "mon") 'y'
+            else 'd'
+          }
+          val classes = items.map(it => unitClass(it.group(2))).toSet
+          if (!covered || items.isEmpty || classes.size < 2 ||
+              items.exists(it => it.group(1).contains(".") &&
+                !it.group(2).toLowerCase.startsWith("sec"))) i
+          else {
+            def total(pred: String => Boolean): String = {
+              val xs = items.filter(it => pred(
+                it.group(2).toLowerCase.stripSuffix("s")))
+              if (xs.isEmpty) "0" else xs.map(_.group(1)).mkString("(", " + ", ")")
+            }
+            val secs = {
+              val parts =
+                items.filter(_.group(2).toLowerCase.startsWith("sec"))
+                  .map(_.group(1)) ++
+                items.filter(it => { val u = it.group(2).toLowerCase
+                  u.startsWith("milli") || u == "ms" })
+                  .map(it => s"(${it.group(1)} / 1000.0)") ++
+                items.filter(it => { val u = it.group(2).toLowerCase
+                  u.startsWith("micro") || u == "us" })
+                  .map(it => s"(${it.group(1)} / 1000000.0)")
+              if (parts.isEmpty) "0" else parts.mkString("(", " + ", ")")
+            }
+            sb.append("make_interval(" +
+              total(u => u == "year" || u == "yr") + ", " +
+              total(u => u == "month" || u == "mon") + ", " +
+              total(_ == "week") + ", " +
+              total(_ == "day") + ", " +
+              total(u => u == "hour" || u == "hr") + ", " +
+              total(u => u == "minute" || u == "min") + ", " +
+              secs + ")")
+            i + m.end
+          }
+        case None => i
+      }
+    }
+
   /** DuckDB prefix-`@` absolute value: `@x` → `abs(x)`. */
   private def rewriteAtAbs(sql: String): String =
     scanOutsideLiterals(sql) { (i, sb) =>
@@ -1290,7 +1357,8 @@ object Dialect {
   private def rewriteAggOrderBy(sql: String): String = {
     val up = sql.toUpperCase
     val names =
-      Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "FIRST", "LAST",
+      Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "GROUP_CONCAT",
+        "FIRST", "LAST",
         // DuckDB any_value(x ORDER BY y) = first in that order
         "ANY_VALUE",
         // DuckDB list(x ORDER BY y) — the paren check keeps LIST from
@@ -1325,7 +1393,8 @@ object Dialect {
                 val valueHead = obArg.substring(0, ob).trim
                 val key = (obArg.substring(ob + " ORDER BY ".length)
                   +: args.drop(obIdx + 1)).mkString(",").trim
-                val isString = Set("STRING_AGG", "LIST_AGG", "LISTAGG")(n)
+                val isString =
+                  Set("STRING_AGG", "LIST_AGG", "LISTAGG", "GROUP_CONCAT")(n)
                 val isFirstLast =
                   n == "FIRST" || n == "LAST" || n == "ANY_VALUE"
                 val value = if (obIdx > 0) args.head.trim else valueHead

@@ -167,6 +167,16 @@ object Functions {
     // node: the analyzer rejects a LambdaFunction whose parent resolves
     // to another UnresolvedFunction.
     "list_transform" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "list_apply" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "array_apply" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "array_reverse" -> (a => call("reverse", a)),
+    // list_resize(l, n[, fill]): truncate or pad to exactly n elements
+    // (fill defaults to NULL) — probe-pinned against DuckDB 1.0
+    "list_resize" -> {
+      case Seq(l, n) => listResize(l, n, Cast(Literal(null),
+        org.apache.spark.sql.types.NullType))
+      case Seq(l, n, fill) => listResize(l, n, fill)
+    },
     "list_filter" -> { case Seq(l, f: LambdaFunction) => ArrayFilter(l, oneBasedIdx(f)) },
     // DuckDB list_sort takes string order flags ('ASC'/'DESC', then a
     // null-order flag); defaults are ASC + NULLS LAST (default_null_order).
@@ -411,8 +421,20 @@ object Functions {
     "strftime" -> { case Seq(ts, Literal(fmt, _)) =>
       strftimeExpr(ts, fmt.toString)
     },
-    "strptime" -> { case Seq(s, Literal(fmt, _)) =>
-      call("to_timestamp_ntz", Seq(s, Literal(Dialect.strftimeToJava(fmt.toString))))
+    "strptime" -> {
+      case Seq(s, Literal(fmt, _)) =>
+        call("to_timestamp_ntz", Seq(s, Literal(Dialect.strftimeToJava(fmt.toString))))
+      // format LIST: first format that parses wins; if NONE parse,
+      // error like DuckDB does — via an explicit raise_error, NOT the
+      // session's ANSI flag (a non-ANSI session would silently NULL)
+      case Seq(s, NameList(fmts)) if fmts.nonEmpty =>
+        val ntz = org.apache.spark.sql.types.TimestampNTZType
+        val parsed = Coalesce(fmts.map(f => Cast(call("try_to_timestamp",
+          Seq(s, Literal(Dialect.strftimeToJava(f)))), ntz)))
+        If(Or(IsNull(s), IsNotNull(parsed)), parsed,
+          Cast(call("raise_error", Seq(call("concat", Seq(
+            Literal("strptime: could not parse '"), s,
+            Literal("' with any of the given formats"))))), ntz))
     },
     "isodow" -> { case Seq(d) => Add(call("weekday", Seq(d)), Literal(1)) },
     "week" -> (a => call("weekofyear", a)),
@@ -596,22 +618,34 @@ object Functions {
         Or(EqualTo(d, Literal(Double.PositiveInfinity)),
           EqualTo(d, Literal(Double.NegativeInfinity)))))
     },
-    // DuckDB format() is fmt-style braces: `{}` sequential and `{n}`
-    // positional (0-based) both translate to printf forms ('%s' /
-    // '%(n+1)$s'); literal '%' doubles
+    // DuckDB format() is fmt-style braces: `{}` sequential, `{n}`
+    // positional (0-based), and `{:spec}` with the common spec subset
+    // ({:.2f}, {:>6}, {:06.2f}, {:,}) — all translate to printf
+    // conversions; literal '%' doubles. Unsupported specs keep the
+    // native path (which errors loudly, like an unknown conversion).
     "format" -> {
-      case Literal(fmt, _) +: rest if fmt != null =>
-        val f = fmt.toString.replace("%", "%%")
-          .replaceAll("""\{(\d+)\}""", """%$1\$s""")
-        // shift fmt's 0-based {n} to printf's 1-based %N$s
-        val shifted = """%(\d+)\$s""".r.replaceAllIn(f,
-          m => "%" + (m.group(1).toInt + 1) + "\\$s")
-        call("format_string", Literal(shifted.replace("{}", "%s")) +: rest)
+      case Literal(fmt, _) +: rest if fmt != null &&
+          formatToPrintf(fmt.toString).isDefined =>
+        FormatString((Literal(formatToPrintf(fmt.toString).get) +:
+          rest.map {
+            case e if e.resolved &&
+                e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+              Cast(e, org.apache.spark.sql.types.DoubleType)
+            case e => e
+          }): _*)
     },
     "damerau_levenshtein" -> { case Seq(x, y) =>
       graft.engine.expressions.DamerauLevenshtein(x, y)
     },
     "ends_with" -> (a => call("endswith", a)),
+    // group_concat ≡ string_agg (MySQL-compat alias DuckDB ships);
+    // default separator ',' — non-string inputs cast like DuckDB
+    "group_concat" -> {
+      case Seq(x) => call("string_agg",
+        Seq(Cast(x, org.apache.spark.sql.types.StringType), Literal(",")))
+      case Seq(x, sep) => call("string_agg",
+        Seq(Cast(x, org.apache.spark.sql.types.StringType), sep))
+    },
     // DuckDB generate_series is stop-INCLUSIVE — exactly Spark sequence
     "generate_series" -> {
       case Seq(stop) => call("sequence", Seq(Literal(0L), stop))
@@ -771,25 +805,43 @@ object Functions {
       ArrayTransform(idxs,
         lam(vs => graft.engine.expressions.SubscriptAny(l, vs(0)), 1))
     },
-    "parse_filename" -> { case Seq(p) =>
-      call("regexp_extract", Seq(p, Literal("([^/\\\\]*)$"), Literal(1)))
+    // parse_filename(p[, trim_extension]): last path component; the
+    // boolean form strips from the LAST dot (probe-pinned: 'c.tar.gz'
+    // with true → 'c.tar'; '.hidden' → ''; 'noext' unchanged)
+    "parse_filename" -> {
+      case Seq(p) =>
+        call("regexp_extract", Seq(p, Literal("([^/\\\\]*)$"), Literal(1)))
+      case Seq(p, Literal(true, org.apache.spark.sql.types.BooleanType)) =>
+        call("regexp_replace", Seq(
+          call("regexp_extract", Seq(p, Literal("([^/\\\\]*)$"), Literal(1))),
+          Literal("\\.[^.]*$"), Literal(""), Literal("g")))
+      case Seq(p, Literal(false, org.apache.spark.sql.types.BooleanType)) =>
+        call("regexp_extract", Seq(p, Literal("([^/\\\\]*)$"), Literal(1)))
     },
+    // parse_dirname = the FIRST path component ('/' for an absolute
+    // path, '' when there is no separator); parse_dirpath = everything
+    // before the last separator — probe-pinned against DuckDB 1.0
+    // (pre-r9 parse_dirname wrongly answered the dirpath)
     "parse_dirname" -> { case Seq(p) =>
+      CaseWhen(Seq(
+        (IsNull(p), Cast(Literal(null), org.apache.spark.sql.types.StringType)),
+        (call("startswith", Seq(p, Literal("/"))), Literal("/")),
+        (call("startswith", Seq(p, Literal("\\"))), Literal("\\")),
+        (call("rlike", Seq(p, Literal("[/\\\\]"))),
+          call("regexp_extract", Seq(p, Literal("^([^/\\\\]*)"), Literal(1))))),
+        Literal(""))
+    },
+    "parse_dirpath" -> { case Seq(p) =>
       call("regexp_extract", Seq(p, Literal("^(.*)[/\\\\]"), Literal(1)))
     },
-    // md5_number_lower/upper: one 8-byte half of the digest as an
-    // unsigned 64-bit number (conv() interprets 16 hex chars unsigned)
+    // md5_number_lower/upper: one 8-byte half of the digest read
+    // LITTLE-ENDIAN (DuckDB loads the half verbatim from digest memory;
+    // probe-pinned values) — reverse the byte pairs before conv()
     "md5_number_lower" -> { case Seq(x) =>
-      Cast(call("conv", Seq(call("substring",
-        Seq(call("md5", Seq(x)), Literal(17), Literal(16))),
-        Literal(16), Literal(10))),
-        org.apache.spark.sql.types.DecimalType(20, 0))
+      md5HalfLE(call("md5", Seq(x)), lower = true)
     },
     "md5_number_upper" -> { case Seq(x) =>
-      Cast(call("conv", Seq(call("substring",
-        Seq(call("md5", Seq(x)), Literal(1), Literal(16))),
-        Literal(16), Literal(10))),
-        org.apache.spark.sql.types.DecimalType(20, 0))
+      md5HalfLE(call("md5", Seq(x)), lower = false)
     },
     // uuidv7: served as a random UUID (v4) — monotonicity not promised
     "uuidv7" -> (_ => call("uuid", Nil)),
@@ -927,13 +979,22 @@ object Functions {
     // EXTRACT(field FROM x) routes through DuckDB's part numbering
     // (epoch/dow/isodow/decade… — Spark's extract rejects epoch and
     // numbers dow differently; same table as date_part)
-    "extract" -> { case Seq(Literal(f, _), d) if f != null &&
-        d.resolved && (d.dataType == org.apache.spark.sql.types.DateType ||
-          d.dataType == org.apache.spark.sql.types.TimestampType ||
-          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
-      // DATE/TIMESTAMP sources only: TIME and interval extraction keep
-      // Spark's native builders (parseExtractField mis-types TIME)
-      duckDatePart(f.toString, d)
+    "extract" -> {
+      case Seq(Literal(f, _), d) if f != null &&
+          d.resolved && (d.dataType == org.apache.spark.sql.types.DateType ||
+            d.dataType == org.apache.spark.sql.types.TimestampType ||
+            d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+        // DATE/TIMESTAMP sources only: TIME and non-epoch interval
+        // extraction keep Spark's native builders (parseExtractField
+        // mis-types TIME)
+        duckDatePart(f.toString, d)
+      case Seq(Literal(f, _), it) if f != null &&
+          f.toString.equalsIgnoreCase("epoch") && it.resolved &&
+          epochOfInterval(it).isDefined =>
+        // epoch OF AN INTERVAL: total seconds as DOUBLE, a month
+        // counting 30 days (DuckDB 1.0 probe-pinned; Spark's extract
+        // rejects epoch on intervals outright)
+        epochOfInterval(it).get
     },
     // DuckDB date_trunc returns DATE for day-or-coarser parts — on ANY
     // input kind (TIMESTAMP included; typeof-pinned against 1.0), where
@@ -1004,6 +1065,72 @@ object Functions {
     "factorial" -> {
       case Seq(x) => graft.engine.expressions.Factorial38(
         Cast(x, org.apache.spark.sql.types.LongType))
+    },
+    // DuckDB's concat() FUNCTION skips NULL arguments ('abc' stays
+    // 'abc'); the || operator keeps SQL NULL propagation — so only the
+    // named function rewrites (to concat_ws(''), which skips NULLs).
+    // Guarded to all-string/null args: array concat and Spark's ||
+    // (which parses to the Concat EXPRESSION, not this name) untouched.
+    "concat" -> {
+      case args if args.length >= 2 && args.forall(e => e.resolved &&
+          (e.dataType == org.apache.spark.sql.types.StringType ||
+            e.dataType == org.apache.spark.sql.types.NullType)) =>
+        call("concat_ws", Literal("") +: args)
+    },
+    // DuckDB left/right accept NEGATIVE n: drop |n| characters from the
+    // OTHER end (left('hello', -2) = 'hel'), where Spark answers ''.
+    // Probe-pinned; over-drop clamps to ''.
+    "left" -> { case Seq(s, n) =>
+      val ni = Cast(n, org.apache.spark.sql.types.IntegerType)
+      CaseWhen(Seq((LessThan(ni, Literal(0)),
+        Substring(s, Literal(1),
+          call("greatest", Seq(Add(Length(s), ni), Literal(0)))))),
+        Substring(s, Literal(1), ni))
+    },
+    "right" -> { case Seq(s, n) =>
+      val ni = Cast(n, org.apache.spark.sql.types.IntegerType)
+      CaseWhen(Seq(
+        (LessThan(ni, Literal(0)),
+          Substring(s, Subtract(Literal(1), ni), Literal(Int.MaxValue))),
+        (EqualTo(ni, Literal(0)), Literal(""))),
+        Substring(s, UnaryMinus(ni), Literal(Int.MaxValue)))
+    },
+    // DuckDB typeof answers DUCKDB type spellings ('VARCHAR', 'BIGINT')
+    // — Spark's builtin answers Spark names ('string'); the expression
+    // shares the catalog view's spelling table so both agree
+    "typeof" -> { case Seq(x) => graft.engine.expressions.DuckTypeOf(x) },
+    // printf/format_string: JVM String.format rejects %f/%e/%g fed a
+    // Decimal ('f != Decimal') — the dialect parses 3.14 as DECIMAL, so
+    // cast decimal args to DOUBLE (value-identical for format output)
+    "printf" -> {
+      case fmt +: rest if rest.exists(e => e.resolved &&
+          e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        FormatString((fmt +: rest.map {
+          case e if e.resolved &&
+              e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            Cast(e, org.apache.spark.sql.types.DoubleType)
+          case e => e
+        }): _*)
+    },
+    "format_string" -> {
+      case fmt +: rest if rest.exists(e => e.resolved &&
+          e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        FormatString((fmt +: rest.map {
+          case e if e.resolved &&
+              e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            Cast(e, org.apache.spark.sql.types.DoubleType)
+          case e => e
+        }): _*)
+    },
+    // DuckDB 2-arg reduce(list, lambda) = list_reduce (no init, folds
+    // from the head); Spark's native 3/4-arg reduce keeps resolving
+    // through the fallthrough
+    "reduce" -> { case Seq(l, f: LambdaFunction) =>
+      ArrayAggregate(
+        call("slice", Seq(l, Literal(2),
+          Subtract(call("size", Seq(l)), Literal(1)))),
+        call("element_at", Seq(l, Literal(1))),
+        f, lam(vs => vs(0), 1))
     },
     // 1-arg numeric trunc (toward zero): x - mod(x, 1) keeps the
     // carrier type (floor(double) would degrade to BIGINT); Spark's
@@ -1158,9 +1285,99 @@ object Functions {
       case Seq(parts, d) if datePartList(parts).isDefined =>
         CreateNamedStruct(datePartList(parts).get.flatMap(p =>
           Seq(Literal(p), duckDatePart(p, d))))
+      case Seq(Literal(field, _), it) if field != null &&
+          field.toString.equalsIgnoreCase("epoch") && it.resolved &&
+          epochOfInterval(it).isDefined =>
+        epochOfInterval(it).get
       case Seq(Literal(field, _), d) if field != null =>
         duckDatePart(field.toString, d)
     })
+
+  /** Total seconds of an interval as DOUBLE (DuckDB epoch-of-interval:
+    * a month counts 30 days). None when the expression isn't an
+    * interval kind this helper knows.
+    */
+  private def epochOfInterval(it: Expression): Option[Expression] = {
+    import org.apache.spark.sql.types._
+    it.dataType match {
+      case _: DayTimeIntervalType =>
+        // canonical micros: cast to the full DAY..SECOND range, then to
+        // DECIMAL seconds (Spark's interval↔decimal cast is exact)
+        Some(Cast(Cast(Cast(it, DayTimeIntervalType(
+          DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND)),
+          DecimalType(25, 6)), DoubleType))
+      case _: YearMonthIntervalType =>
+        Some(Cast(Multiply(Cast(Cast(it, YearMonthIntervalType(
+          YearMonthIntervalType.MONTH, YearMonthIntervalType.MONTH)),
+          LongType), Literal(2592000L)), DoubleType))
+      case CalendarIntervalType => it match {
+        case Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _) =>
+          Some(Literal(iv.months * 2592000.0 + iv.days * 86400.0 +
+            iv.microseconds / 1e6))
+        case _ => None // non-literal mixed interval: keep native (error)
+      }
+      case _ => None
+    }
+  }
+
+  /** fmt-style format string → Java printf form. Handles `{}`, 0-based
+    * `{n}`, and the `{[n]:[<>][0][width][,][.prec][type]}` spec subset
+    * (probe-pinned examples: {:.2f}→%.2f, {:>6}→%6s, {:06.2f}→%06.2f,
+    * {:,}→%,d). None when any spec falls outside the subset — the
+    * caller then leaves the native path to error loudly.
+    */
+  private[engine] def formatToPrintf(fmt: String): Option[String] = {
+    val specRe = """\{(\d*)(?::([^{}]*))?\}""".r
+    val inner = """([<>]?)(0?)(\d*)(,?)(?:\.(\d+))?([dfFeEgGxXos]?)""".r
+    var ok = true
+    val out = specRe.replaceAllIn(fmt.replace("%", "%%"), m => {
+      val pos = if (m.group(1).nonEmpty) "%" + (m.group(1).toInt + 1) + "$" else "%"
+      val spec = Option(m.group(2)).getOrElse("")
+      val tail = spec match {
+        case "" => Some("s")
+        case inner(align, zero, width, comma, prec, typ) =>
+          val conv =
+            if (typ.nonEmpty) typ
+            else if (comma.nonEmpty) "d"
+            else if (prec != null) "f"
+            else "s"
+          // precision on conversions that reject it → unsupported
+          if (prec != null && !"fFeEgGs".contains(conv)) None
+          else Some((if (align == "<") "-" else "") + zero + width + comma +
+            (if (prec != null) "." + prec else "") + conv)
+        case _ => None
+      }
+      tail match {
+        case Some(t) => java.util.regex.Matcher.quoteReplacement(pos + t)
+        case None => ok = false; ""
+      }
+    })
+    if (ok) Some(out) else None
+  }
+
+  /** list_resize core: truncate to n, or pad with `fill` up to n. */
+  private def listResize(l: Expression, n: Expression, fill: Expression): Expression = {
+    val ni = Cast(n, org.apache.spark.sql.types.IntegerType)
+    val sz = call("size", Seq(l))
+    call("concat", Seq(
+      call("slice", Seq(l, Literal(1), call("least", Seq(ni, sz)))),
+      call("array_repeat", Seq(fill,
+        call("greatest", Seq(Subtract(ni, sz), Literal(0)))))))
+  }
+
+  /** One 8-byte half of an md5 hex digest as an unsigned 64-bit number,
+    * read LITTLE-ENDIAN like DuckDB (the digest half is loaded verbatim
+    * from memory there): reverse the 8 hex byte-pairs, then conv() the
+    * 16 hex chars unsigned into the DECIMAL(20,0) carrier.
+    */
+  private def md5HalfLE(hexDigest: Expression, lower: Boolean): Expression = {
+    val base = if (lower) 17 else 1
+    val pairs = (0 until 8).map { i =>
+      call("substring", Seq(hexDigest, Literal(base + 14 - 2 * i), Literal(2)))
+    }
+    Cast(call("conv", Seq(call("concat", pairs), Literal(16), Literal(10))),
+      org.apache.spark.sql.types.DecimalType(20, 0))
+  }
 
   /** Jan 1 of the year floored to a multiple of n — DuckDB 1.0's
     * date_trunc('decade'/'century'/'millennium') convention (simple

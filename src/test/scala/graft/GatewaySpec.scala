@@ -653,6 +653,72 @@ class GatewaySpec extends AnyFunSuite {
       .filterNot(_._1.startsWith("graft_")), s"live=$viaLive api=$viaApi")
   }
 
+  test("round-9 probe batch 17: string/path/format/interval tails match DuckDB") {
+    def one(q: String) = gw.sql(q).collect().head
+    // left/right with NEGATIVE n drop |n| from the other end
+    assert(one("SELECT left('hello', -2) AS v").getString(0) == "hel")
+    assert(one("SELECT right('hello', -2) AS v").getString(0) == "llo")
+    assert(one("SELECT left('hello', -7) AS v").getString(0) == "")
+    assert(one("SELECT right('hello', 2) AS v").getString(0) == "lo")
+    assert(one("SELECT right('hello', 0) AS v").getString(0) == "")
+    // concat() skips NULLs; the || operator keeps NULL propagation
+    assert(one("SELECT concat('abc', NULL) AS v").getString(0) == "abc")
+    assert(one("SELECT ('abc' || NULL) IS NULL AS v").getBoolean(0))
+    // parse_* family (probe-pinned: dirname is the FIRST component)
+    assert(one("SELECT parse_dirname('/a/b/c.txt') AS v").getString(0) == "/")
+    assert(one("SELECT parse_dirname('a/b/c.txt') AS v").getString(0) == "a")
+    assert(one("SELECT parse_dirname('c.txt') AS v").getString(0) == "")
+    assert(one("SELECT parse_dirpath('a/b/c.txt') AS v").getString(0) == "a/b")
+    assert(one("SELECT parse_filename('a/b/c.tar.gz', true) AS v")
+      .getString(0) == "c.tar")
+    assert(one("SELECT parse_filename('noext', true) AS v").getString(0) == "noext")
+    // md5_number halves are LITTLE-ENDIAN u64 (DuckDB loads verbatim)
+    assert(one("SELECT CAST(md5_number_lower('abc') AS VARCHAR) AS v")
+      .getString(0) == "8250560606382298838")
+    assert(one("SELECT CAST(md5_number_upper('abc') AS VARCHAR) AS v")
+      .getString(0) == "12704604231530709392")
+    // typeof answers DuckDB spellings, matching the catalog view
+    assert(one("SELECT typeof('x') AS v").getString(0) == "VARCHAR")
+    assert(one("SELECT typeof(1::BIGINT) AS v").getString(0) == "BIGINT")
+    assert(one("SELECT typeof([1, 2]) AS v").getString(0) == "INTEGER[]")
+    // printf/format accept floats with width.precision; fmt spec subset
+    assert(one("SELECT printf('%5.2f|%-4d|', 3.14159, 7) AS v")
+      .getString(0) == " 3.14|7   |")
+    assert(one("SELECT format('{:.2f}|{:>6}|{:06.2f}|{:,}', 3.14159, 'ab', 3.14159, 1234567) AS v")
+      .getString(0) == "3.14|    ab|003.14|1,234,567")
+    // list tails
+    assert(one("SELECT CAST(to_json(list_resize([1,2], 4, 0)) AS VARCHAR) AS v")
+      .getString(0) == "[1,2,0,0]")
+    assert(one("SELECT CAST(to_json(list_resize([1,2,3], 2)) AS VARCHAR) AS v")
+      .getString(0) == "[1,2]")
+    assert(one("SELECT CAST(to_json(array_reverse([1,2,3])) AS VARCHAR) AS v")
+      .getString(0) == "[3,2,1]")
+    assert(one("SELECT CAST(to_json(list_apply([1,2], x -> x + 1)) AS VARCHAR) AS v")
+      .getString(0) == "[2,3]")
+    assert(one("SELECT reduce([1,2,3], (a, b) -> a + b) AS v").getInt(0) == 6)
+    // epoch of an interval: total seconds, a month counting 30 days
+    assert(one("SELECT extract(epoch FROM INTERVAL 3 HOUR) AS v")
+      .getDouble(0) == 10800.0)
+    assert(one("SELECT extract(epoch FROM INTERVAL '1 month') AS v")
+      .getDouble(0) == 2592000.0)
+    assert(one("SELECT extract(epoch FROM INTERVAL '1.5 seconds') AS v")
+      .getDouble(0) == 1.5)
+    assert(one("SELECT date_part('epoch', INTERVAL '2 days 3 hours') AS v")
+      .getDouble(0) == 183600.0)
+    // MIXED-unit interval strings (Spark's literal grammar refuses)
+    assert(one("SELECT CAST(INTERVAL '1 month 2 days 3 hours' AS VARCHAR) AS v")
+      .getString(0) == "1 month 2 days 03:00:00")
+    // strptime format LIST: first parse wins; all-fail errors like DuckDB
+    assert(one("SELECT CAST(strptime('03/07/2024', ['%Y-%m-%d', '%d/%m/%Y']) AS VARCHAR) AS v")
+      .getString(0).startsWith("2024-07-03"))
+    intercept[Exception](one("SELECT strptime('xx', ['%Y-%m-%d']) AS v"))
+    // group_concat alias (default ',' separator; ordered form rewrites)
+    assert(one("SELECT group_concat(x) AS v FROM (VALUES (1),(2)) t(x)")
+      .getString(0) == "1,2")
+    assert(one("SELECT group_concat(r_name, '|' ORDER BY r_name) AS v FROM region")
+      .getString(0) == "AFRICA|AMERICA|ASIA|EUROPE|MIDDLE EAST")
+  }
+
   test("round-9: negating a UBIGINT counter is a typed refusal, not a silent -n") {
     // DuckDB 1.0: -json_array_length('[1,2]') WRAPS to 2^64-2 (UBIGINT);
     // the engine has no unsigned arithmetic and refuses loudly instead
