@@ -1307,12 +1307,21 @@ object Functions {
           DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND)),
           DecimalType(25, 6)), DoubleType))
       case _: YearMonthIntervalType =>
-        Some(Cast(Multiply(Cast(Cast(it, YearMonthIntervalType(
+        // DuckDB normalizes first: full YEARS count 365.25 days
+        // (31557600 s), leftover months 30 days (fuzz-found on 85
+        // months: 7y*31557600 + 1mo*2592000, not 85*2592000)
+        val m = Cast(Cast(it, YearMonthIntervalType(
           YearMonthIntervalType.MONTH, YearMonthIntervalType.MONTH)),
-          LongType), Literal(2592000L)), DoubleType))
+          LongType)
+        // integral div + TRUNCATED remainder (not pmod): negative
+        // intervals normalize symmetrically (-13 mo = -1y -1mo)
+        Some(Cast(Add(
+          Multiply(IntegralDivide(m, Literal(12L)), Literal(31557600L)),
+          Multiply(Remainder(m, Literal(12L)), Literal(2592000L))), DoubleType))
       case CalendarIntervalType => it match {
         case Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _) =>
-          Some(Literal(iv.months * 2592000.0 + iv.days * 86400.0 +
+          Some(Literal((iv.months / 12) * 31557600.0 +
+            (iv.months % 12) * 2592000.0 + iv.days * 86400.0 +
             iv.microseconds / 1e6))
         case _ => None // non-literal mixed interval: keep native (error)
       }

@@ -705,6 +705,11 @@ class GatewaySpec extends AnyFunSuite {
       .getDouble(0) == 1.5)
     assert(one("SELECT date_part('epoch', INTERVAL '2 days 3 hours') AS v")
       .getDouble(0) == 183600.0)
+    // months normalize first: full years count 365.25 days (fuzz-found)
+    assert(one("SELECT extract(epoch FROM INTERVAL 85 MONTH) AS v")
+      .getDouble(0) == 223495200.0)
+    assert(one("SELECT extract(epoch FROM -INTERVAL '13 months') AS v")
+      .getDouble(0) == -34149600.0)
     // MIXED-unit interval strings (Spark's literal grammar refuses)
     assert(one("SELECT CAST(INTERVAL '1 month 2 days 3 hours' AS VARCHAR) AS v")
       .getString(0) == "1 month 2 days 03:00:00")

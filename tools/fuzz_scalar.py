@@ -65,8 +65,21 @@ def gen_expr(rng, depth=0):
         lambda: f"length({s()})",
         lambda: f"substr({s()}, {rng.randint(1, 4)}, {rng.randint(0, 5)})",
         lambda: f"replace({s()}, 'a', 'Z')",
-        lambda: f"left({s()}, {rng.randint(0, 4)})",
-        lambda: f"right({s()}, {rng.randint(0, 4)})",
+        lambda: f"left({s()}, {rng.randint(-6, 4)})",
+        lambda: f"right({s()}, {rng.randint(-6, 4)})",
+        lambda: f"concat({s()}, NULL, {s()})",
+        lambda: f"parse_dirname({p()})",
+        lambda: f"parse_dirpath({p()})",
+        lambda: f"parse_filename({p()}, {rng.choice(['true', 'false'])})",
+        lambda: f"CAST(md5_number_{rng.choice(['lower', 'upper'])}({s()}) AS VARCHAR)",
+        lambda: f"typeof({e()})",
+        lambda: f"printf('%{rng.randint(3, 8)}.{rng.randint(0, 3)}f|%s', {rng.uniform(-99, 99):.4f}, {s()})",
+        lambda: f"format('{{:.{rng.randint(0, 3)}f}}|{{}}', {rng.uniform(-99, 99):.4f}, {s()})",
+        lambda: f"CAST(to_json(list_resize({l()}, {rng.randint(0, 5)}, 9)) AS VARCHAR)",
+        lambda: f"array_reverse({l()})",
+        lambda: f"reduce({l()}, (a, b) -> a + b)",
+        lambda: f"CAST(extract(epoch FROM INTERVAL {rng.randint(1, 99)} {rng.choice(['MINUTE', 'HOUR', 'DAY', 'MONTH'])}) AS DOUBLE)",
+        lambda: f"CAST(INTERVAL '{rng.randint(1, 11)} months {rng.randint(1, 20)} days {rng.randint(1, 23)} hours' AS VARCHAR)",
         lambda: f"repeat({s()}, 2)",
         lambda: f"lpad({s()}, {rng.randint(0, 8)}, '*')",
         lambda: f"concat({s()}, {s()})",
@@ -134,6 +147,9 @@ def main():
     t = lambda: rng.choice(["TIMESTAMP '2024-03-05 10:20:30'",
                             "TIMESTAMP '1999-12-31 23:59:59'",
                             "TIMESTAMP '2000-02-29 00:00:01'"])
+    global p
+    p = lambda: rng.choice(["'/a/b/c.txt'", "'rel/path/f.tar.gz'",
+                            "'noext'", "'.hidden'", "'a/'", "'/x'", "''"])
     global j, jp
     j = lambda: rng.choice([
         "'{\"a\": 1, \"b\": [1, 2, 3]}'",
