@@ -1601,20 +1601,40 @@ object Functions {
   def isFrozen(spark: SparkSession): Boolean =
     synchronized { frozenSessions.contains(spark) }
 
+  // One dialect child session per (parent, fixture dir), weak on the
+  // parent: building a SessionState per query invocation cost ~0.5 s
+  // per bench pass on a16/a17/f_json_introspect. The memoized child
+  // only ever receives read-only SQL (no conf mutation), so sharing it
+  // across the three dialect queries is safe; different dirs stay in
+  // different children (their same-named temp views differ).
+  private val isoSessions =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, SparkSession]]()
+
   /** A child session with the DuckDB-dialect registry + the named tables
     * (temp views don't cross newSession), for queries whose SQL needs
     * dialect functions without mutating the caller's shared session.
-    * Shares the SparkContext, cache, and external catalog.
+    * Shares the SparkContext, cache, and external catalog. Memoized per
+    * (parent, dir); missing tables are registered on demand.
     */
-  def isolated(parent: SparkSession, dir: String, tables: String*): SparkSession = {
-    val iso = parent.newSession()
-    iso.conf.set("spark.sql.session.timeZone",
-      parent.conf.get("spark.sql.session.timeZone", "UTC"))
-    tables.foreach(t =>
-      Tables.load(iso, dir, t).createOrReplaceTempView(t))
-    register(iso)
-    iso
-  }
+  def isolated(parent: SparkSession, dir: String, tables: String*): SparkSession =
+    synchronized {
+      val byDir = {
+        var m = isoSessions.get(parent)
+        if (m == null) { m = scala.collection.mutable.Map(); isoSessions.put(parent, m) }
+        m
+      }
+      val iso = byDir.getOrElseUpdate(dir, {
+        val s = parent.newSession()
+        s.conf.set("spark.sql.session.timeZone",
+          parent.conf.get("spark.sql.session.timeZone", "UTC"))
+        register(s)
+        s
+      })
+      tables.foreach(t => if (!iso.catalog.tableExists(t))
+        Tables.load(iso, dir, t).createOrReplaceTempView(t))
+      iso
+    }
 
   /** Install every shim into the session. Idempotent per-session (a
     * WeakHashMap of already-registered sessions makes re-registration a
