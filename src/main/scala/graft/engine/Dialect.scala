@@ -37,7 +37,8 @@ object Dialect {
     rewritePowOp, rewriteFactorial,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
     rewriteEmptyOver,
-    rewriteBareFilter, rewriteAggOrderBy, rewriteStarModifiers,
+    rewriteBareFilter, rewriteWindowFilter, rewriteAggOrderBy,
+    rewritePercentileDisc, rewriteStarModifiers,
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
     rewriteQualify, rewriteCatalogFns,
     rewriteDateDiff, rewriteCastTypes)
@@ -1145,6 +1146,92 @@ object Dialect {
       }
     }
 
+  /** `percentile_disc(q) WITHIN GROUP (ORDER BY x)` → `quantile_disc(x,
+    * q)`: Spark's native percentile_disc answers DOUBLE, but the
+    * discrete quantile is an actual ELEMENT — DuckDB keeps the element
+    * type (probe-18). Ascending order only; a DESC spec keeps the
+    * native path (its rank rule isn't a simple 1−q flip under the
+    * floor((n−1)q) convention).
+    */
+  private val withinGroupRe =
+    """(?is)^\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)(\s+ASC)?\s*\)""".r
+  private def rewritePercentileDisc(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) &&
+          sql.regionMatches(true, i, "PERCENTILE_DISC", 0, 15))) i
+      else {
+        var k = i + 15
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k >= sql.length || sql.charAt(k) != '(') i
+        else splitCallArgs(sql, k) match {
+          case Some((args, end)) if args.length == 1 =>
+            withinGroupRe.findPrefixMatchOf(sql.substring(end)) match {
+              case Some(m) if !m.group(1).toUpperCase.endsWith(" DESC") &&
+                  !m.group(1).toUpperCase.contains(" NULLS ") =>
+                sb.append(s"quantile_disc(${m.group(1).trim}, ${args.head.trim})")
+                end + m.end
+              case _ => i
+            }
+          case _ => i
+        }
+      }
+    }
+
+  /** Aggregate FILTER over a WINDOW — `fn(x) FILTER (WHERE p) OVER …` —
+    * which Spark rejects ("filter predicate is not supported yet" for
+    * window aggregates): fold the predicate into the argument,
+    * `fn(CASE WHEN p THEN x END) OVER …` (aggregates skip NULLs, so the
+    * filtered rows vanish exactly); `count(*)` counts a CASE-guarded 1.
+    * Only single-argument, non-DISTINCT aggregates with well-known
+    * NULL-skipping semantics rewrite; anything else keeps the native
+    * path (loud error, like Spark).
+    */
+  private val windowFilterFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
+    "BOOL_AND", "BOOL_OR", "STDDEV", "STDDEV_SAMP", "VAR_SAMP", "VAR_POP",
+    "MEDIAN", "FIRST", "LAST", "ANY_VALUE", "STRING_AGG", "ARRAY_AGG")
+  private def rewriteWindowFilter(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) && sql.regionMatches(true, i, "FILTER", 0, 6) &&
+          (i + 6 >= sql.length ||
+            !(sql.charAt(i + 6).isLetterOrDigit || sql.charAt(i + 6) == '_')))) i
+      else {
+        var k = i + 6
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k >= sql.length || sql.charAt(k) != '(') i
+        else splitCallArgs(sql, k) match {
+          case Some((fargs, end)) if fargs.length == 1 &&
+              fargs.head.trim.toUpperCase.startsWith("WHERE ") =>
+            var m = end
+            while (m < sql.length && sql.charAt(m).isWhitespace) m += 1
+            if (!(sql.regionMatches(true, m, "OVER", 0, 4) &&
+                (m + 4 >= sql.length ||
+                  !(sql.charAt(m + 4).isLetterOrDigit ||
+                    sql.charAt(m + 4) == '_')))) i
+            else backtrackPrimary(sb) match {
+              case Some(start) =>
+                val callText = sb.substring(start).trim
+                val open = callText.indexOf('(')
+                val fn = if (open > 0) callText.substring(0, open).trim else ""
+                val inner = if (open > 0 && callText.endsWith(")"))
+                  callText.substring(open + 1, callText.length - 1).trim
+                else null
+                val pred = fargs.head.trim.substring(5).trim
+                if (inner == null || !windowFilterFns(fn.toUpperCase) ||
+                    inner.toUpperCase.startsWith("DISTINCT") ||
+                    (inner != "*" && splitTopLevel(inner, ',').lengthIs > 1)) i
+                else {
+                  val arg = if (inner == "*") "1" else inner
+                  sb.setLength(start)
+                  sb.append(s"$fn(CASE WHEN $pred THEN $arg END) ")
+                  end // resume at OVER (FILTER clause consumed)
+                }
+              case None => i
+            }
+          case _ => i
+        }
+      }
+    }
+
   /** DuckDB prefix-`@` absolute value: `@x` → `abs(x)`. */
   private def rewriteAtAbs(sql: String): String =
     scanOutsideLiterals(sql) { (i, sb) =>
@@ -1358,6 +1445,10 @@ object Dialect {
     val up = sql.toUpperCase
     val names =
       Seq("ARRAY_AGG", "STRING_AGG", "LIST_AGG", "LISTAGG", "GROUP_CONCAT",
+        // order-INSENSITIVE aggregates: DuckDB tolerates (and ignores)
+        // an ORDER BY clause on these — the clause is dropped
+        "COUNT", "SUM", "AVG", "MIN", "MAX", "BOOL_AND", "BOOL_OR",
+        "BIT_AND", "BIT_OR", "BIT_XOR",
         "FIRST", "LAST",
         // DuckDB any_value(x ORDER BY y) = first in that order
         "ANY_VALUE",
@@ -1411,7 +1502,18 @@ object Dialect {
                 }
                 val hasNulls = key.toUpperCase.endsWith(" FIRST") ||
                   key.toUpperCase.endsWith(" LAST")
-                if (hasNulls || parsed.isEmpty) {
+                val orderInsensitive = Set("COUNT", "SUM", "AVG", "MIN",
+                  "MAX", "BOOL_AND", "BOOL_OR", "BIT_AND", "BIT_OR",
+                  "BIT_XOR")(n)
+                if (orderInsensitive) {
+                  // drop the clause (and any trailing key args): the
+                  // result is order-independent, DuckDB just accepts it
+                  val keptArgs = (args.take(obIdx) :+ valueHead)
+                    .mkString(", ")
+                  return rewriteAggOrderBy(
+                    sql.substring(0, i) + s"$n($keptArgs)" +
+                      sql.substring(end))
+                } else if (hasNulls || parsed.isEmpty) {
                   i += n.length // NULLS spec: leave for the native parser
                 } else if (isFirstLast) {
                   // first(x ORDER BY keys) = value at the min composite

@@ -687,6 +687,31 @@ object Functions {
 
     // ---- round-5 gap-probe batch 2 (aggregates / datetime / misc;
     // semantics pinned against DuckDB 1.0 before mapping) ----
+    // Kahan-compensated float aggregates: the engine's plain DOUBLE
+    // sum/avg agree within float tolerance (the differential gate's
+    // 1e-9 relative) — the compensation itself is not reproducible
+    // bit-for-bit across partitionings anyway
+    "fsum" -> { case Seq(x) =>
+      sumDouble(x) },
+    "kahan_sum" -> { case Seq(x) =>
+      sumDouble(x) },
+    "favg" -> { case Seq(x) =>
+      call("avg", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    "arbitrary" -> (a => call("first", a)),
+    // population excess kurtosis — exactly Spark's builtin
+    "kurtosis_pop" -> { case Seq(x) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(
+        Cast(x, org.apache.spark.sql.types.DoubleType)).toAggregateExpression()
+    },
+    // standard error of the mean — DuckDB computes it from the
+    // POPULATION stddev (probe-pinned: sem of {1,2,4} is 0.7201 =
+    // stddev_pop/√n, not the stddev_samp form)
+    "sem" -> { case Seq(x) =>
+      val xd = Cast(x, org.apache.spark.sql.types.DoubleType)
+      Divide(call("stddev_pop", Seq(xd)),
+        call("sqrt", Seq(Cast(call("count", Seq(xd)),
+          org.apache.spark.sql.types.DoubleType))))
+    },
     // product/entropy/histogram/mad have no Spark builtin → custom
     // aggregates in expressions/DuckAggs.scala
     "product" -> { case Seq(x) => graft.engine.expressions.ProductAgg(
@@ -1095,6 +1120,37 @@ object Functions {
         (EqualTo(ni, Literal(0)), Literal(""))),
         Substring(s, UnaryMinus(ni), Literal(Int.MaxValue)))
     },
+    // DuckDB skewness/kurtosis are SAMPLE statistics (bias-corrected),
+    // Spark's builtins are population ones — probe-18 found the silent
+    // value divergence. Corrections (standard, e.g. the g1→G1 and
+    // g2→G2 formulas): G1 = g1·√(n(n−1))/(n−2) with n≥3;
+    // G2 = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6) with n≥4. Zero-variance
+    // groups answer NULL like DuckDB (Spark yields NaN).
+    "skewness" -> { case Seq(x) =>
+      val xd = Cast(x, org.apache.spark.sql.types.DoubleType)
+      val g1 = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .Skewness(xd).toAggregateExpression()
+      val n = Cast(org.apache.spark.sql.catalyst.expressions.aggregate
+        .Count(Seq(xd)).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType)
+      val corrected = Multiply(g1, Divide(
+        Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
+        Subtract(n, Literal(2.0))))
+      nullifyBelow(corrected, n, 3.0)
+    },
+    "kurtosis" -> { case Seq(x) =>
+      val xd = Cast(x, org.apache.spark.sql.types.DoubleType)
+      val g2 = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .Kurtosis(xd).toAggregateExpression()
+      val n = Cast(org.apache.spark.sql.catalyst.expressions.aggregate
+        .Count(Seq(xd)).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType)
+      val corrected = Multiply(
+        Divide(Subtract(n, Literal(1.0)),
+          Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0)))),
+        Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)))
+      nullifyBelow(corrected, n, 4.0)
+    },
     // DuckDB typeof answers DUCKDB type spellings ('VARCHAR', 'BIGINT')
     // — Spark's builtin answers Spark names ('string'); the expression
     // shares the catalog view's spelling table so both agree
@@ -1362,6 +1418,19 @@ object Functions {
       }
     })
     if (ok) Some(out) else None
+  }
+
+  private def sumDouble(x: Expression): Expression =
+    call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType)))
+
+  /** NULL below the minimum n (sample-statistic domain) and on NaN
+    * (Spark's zero-variance answer, where DuckDB serves NULL).
+    */
+  private def nullifyBelow(e: Expression, n: Expression, min: Double): Expression = {
+    val nul = Cast(Literal(null), org.apache.spark.sql.types.DoubleType)
+    CaseWhen(Seq(
+      (LessThan(n, Literal(min)), nul),
+      (IsNaN(e), nul)), e)
   }
 
   /** list_resize core: truncate to n, or pad with `fill` up to n. */

@@ -132,6 +132,18 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         return session.sql("SELECT true AS Success").limit(0)
       case showAllTablesRe() =>
         return this.sql("SELECT * FROM duckdb_tables")
+      // DuckDB SHOW TABLES is a single 'name' column (Spark's native
+      // three-column layout is a client-visible shape divergence)
+      case showTablesRe() =>
+        return pragma("show_tables", None)
+      // DESCRIBE <query> / DESCRIBE <table>: DuckDB's six-column layout
+      // (column_name, column_type, null, key, default, extra) with
+      // DuckDB type spellings — Spark's native DESCRIBE differs in both
+      case describeSelectRe(body) =>
+        return describeSchema(this.sql(body).schema)
+      case describeTableRe(ident)
+          if !showKeywords.contains(ident.toUpperCase) =>
+        return describeTable(ident)
       case explainAnalyzeRe(body) =>
         // DuckDB EXPLAIN ANALYZE runs the query; report the EXECUTED
         // physical plan (AQE-final) in DuckDB's two-column shape
@@ -205,10 +217,30 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         }
       case None =>
     }
-    // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats
+    // DuckDB `SUMMARIZE t` (T7 of SURVEY §2.9) → per-column stats in
+    // DuckDB's exact column layout (one ROW per column; pre-r9 this
+    // answered Spark's transposed .summary() table, a different shape)
     expanded match {
-      case summarizeRe(table) => return session.table(table).summary()
+      case summarizeRe(table) => return summarize(table)
       case _ =>
+    }
+    // table-function form of PRAGMA table_info (common client shape):
+    // materialize the pragma relation, then run the statement tail
+    // (ORDER BY / WHERE / projection) over it
+    locally {
+      val ptiRe =
+        """(?is)^(SELECT\s+.*?\s+FROM)\s+pragma_table_info\s*\(\s*'([\w./]+)'\s*\)(.*)""".r
+      expanded match {
+        case ptiRe(head, t, tail) =>
+          val tmp = s"graft_pti_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          pragma("table_info", Some(t)).createOrReplaceTempView(tmp)
+          try {
+            val out = session.sql(s"$head $tmp $tail")
+            out.queryExecution.assertAnalyzed()
+            return out
+          } finally session.catalog.dropTempView(tmp)
+        case _ =>
+      }
     }
     // DuckDB `PIVOT t ON c USING agg [GROUP BY g] [ORDER BY …] [LIMIT n]`
     // (the dynamic-pivot statement, T4): two passes — collect the pivot
@@ -661,6 +693,10 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   private val maintRe =
     """(?is)^(?:ANALYZE|VACUUM(?:\s+ANALYZE)?|(?:FORCE\s+)?CHECKPOINT(?:\s+\w+)?)\s*;?\s*$""".r
   private val showAllTablesRe = """(?is)^SHOW\s+ALL\s+TABLES\s*;?\s*$""".r
+  private val showTablesRe = """(?is)^SHOW\s+TABLES\s*;?\s*$""".r
+  private val describeSelectRe =
+    """(?is)^DESC(?:RIBE)?\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+)$""".r
+  private val describeTableRe = """(?is)^DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
   private val explainAnalyzeRe = """(?is)^EXPLAIN\s+ANALYZE\s+(.+)$""".r
 
   // ---- prepared statements (PREPARE / EXECUTE / DEALLOCATE) ----------
@@ -919,8 +955,8 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
           throw new GatewayException("PRAGMA table_info requires a table"))
         val fields = session.table(t).schema.fields.zipWithIndex.map {
           case (f, i) =>
-            (i, f.name, f.dataType.sql, !f.nullable,
-              null.asInstanceOf[String], false)
+            (i, f.name, graft.sources.LiveCatalog.duckTypeName(f.dataType),
+              !f.nullable, null.asInstanceOf[String], false)
         }.toSeq
         fields.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
       case "database_size" =>
@@ -954,11 +990,72 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     }
   }
 
-  /** DuckDB `SHOW t` / `DESCRIBE t` column layout. */
-  private def describeTable(ident: String): DataFrame = {
+  /** DuckDB `SUMMARIZE t`: one row per column — (column_name,
+    * column_type, min, max, approx_unique, avg, std, q25, q50, q75,
+    * count, null_percentage), the stat cells as VARCHAR like DuckDB.
+    * ONE aggregate job over the table (all per-column stats in a single
+    * agg row, partial/final combined), then a driver-side reshape
+    * bounded by the COLUMN count — scale-safe by construction.
+    */
+  private def summarize(table: String): DataFrame = {
     import session.implicits._
-    val fields = session.table(ident).schema.fields.map { f =>
-      (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO",
+    import org.apache.spark.sql.functions._
+    val df = session.table(table)
+    val fields = df.schema.fields
+    def strNull = lit(null).cast(org.apache.spark.sql.types.StringType)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__total") +: fields.toSeq.flatMap { f =>
+        val c = col(f.name)
+        val isNum = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val orderable = !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+        def q(p: Double) =
+          if (isNum) percentile_approx(c.cast("double"), lit(p), lit(10000))
+            .cast(f.dataType).cast("string")
+          else strNull
+        Seq(
+          (if (orderable) min(c).cast("string") else strNull).as(s"${f.name}!min"),
+          (if (orderable) max(c).cast("string") else strNull).as(s"${f.name}!max"),
+          approx_count_distinct(c).as(s"${f.name}!uniq"),
+          (if (isNum) avg(c.cast("double")).cast("string") else strNull).as(s"${f.name}!avg"),
+          (if (isNum) stddev_samp(c.cast("double")).cast("string") else strNull).as(s"${f.name}!std"),
+          q(0.25).as(s"${f.name}!q25"), q(0.5).as(s"${f.name}!q50"),
+          q(0.75).as(s"${f.name}!q75"),
+          count(c).as(s"${f.name}!cnt"))
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("__total")
+    def s(n: String): String = Option(row.getAs[Any](n)).map(_.toString).orNull
+    val out = fields.toSeq.map { f =>
+      val cnt = row.getAs[Long](s"${f.name}!cnt")
+      val nullPct = if (total == 0) java.math.BigDecimal.ZERO
+        else new java.math.BigDecimal(100.0 * (total - cnt) / total)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+      (f.name, graft.sources.LiveCatalog.duckTypeName(f.dataType),
+        s(s"${f.name}!min"), s(s"${f.name}!max"),
+        row.getAs[Long](s"${f.name}!uniq"),
+        s(s"${f.name}!avg"), s(s"${f.name}!std"),
+        s(s"${f.name}!q25"), s(s"${f.name}!q50"), s(s"${f.name}!q75"),
+        total, nullPct)
+    }
+    out.toDF("column_name", "column_type", "min", "max", "approx_unique",
+      "avg", "std", "q25", "q50", "q75", "count", "null_percentage")
+      // pin DuckDB's DECIMAL(9,2) — toDF's inferred (38,18) renders 0
+      // as 0E-18 to clients
+      .withColumn("null_percentage", org.apache.spark.sql.functions
+        .col("null_percentage")
+        .cast(org.apache.spark.sql.types.DecimalType(9, 2)))
+  }
+
+  /** DuckDB `SHOW t` / `DESCRIBE t` column layout. */
+  private def describeTable(ident: String): DataFrame =
+    describeSchema(session.table(ident).schema)
+
+  private def describeSchema(
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import session.implicits._
+    val fields = schema.fields.map { f =>
+      (f.name, graft.sources.LiveCatalog.duckTypeName(f.dataType),
+        if (f.nullable) "YES" else "NO",
         null.asInstanceOf[String], null.asInstanceOf[String],
         null.asInstanceOf[String])
     }.toSeq

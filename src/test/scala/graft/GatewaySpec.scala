@@ -488,7 +488,8 @@ class GatewaySpec extends AnyFunSuite {
   }
 
   test("catalog introspection (reference client/main.go:27 analog)") {
-    val tables = gw.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    // DuckDB SHOW TABLES is a single 'name' column (r9 shape fix)
+    val tables = gw.sql("SHOW TABLES").collect().map(_.getString(0)).toSet
     assert(tables.contains("lineitem") && tables.contains("documents"))
   }
 
@@ -651,6 +652,82 @@ class GatewaySpec extends AnyFunSuite {
       .filterNot(_._1.startsWith("graft_")).toSet
     assert(viaLive == viaApi.filterNot(_._1.startsWith("duckdb_"))
       .filterNot(_._1.startsWith("graft_")), s"live=$viaLive api=$viaApi")
+  }
+
+  test("round-9 probe batch 18: statements and aggregate tails match DuckDB") {
+    def one(q: String) = gw.sql(q).collect().head
+    // SUMMARIZE answers DuckDB's per-column layout (value-pinned on the
+    // region fixture vs DuckDB 1.0: q25/q50/q75 of 0..4 are 1/2/3)
+    val sm = gw.sql("SUMMARIZE region")
+    assert(sm.columns.toSeq == Seq("column_name", "column_type", "min",
+      "max", "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+      "null_percentage"))
+    val r0 = sm.collect().head
+    assert(r0.getString(0) == "r_regionkey" && r0.getString(1) == "INTEGER")
+    assert(r0.getString(2) == "0" && r0.getString(3) == "4")
+    assert(r0.getString(7) == "1" && r0.getString(8) == "2" &&
+      r0.getString(9) == "3")
+    assert(r0.getLong(10) == 5L && r0.getDecimal(11).toPlainString == "0.00")
+    // SHOW TABLES = single 'name' column; DESCRIBE = DuckDB's 6 columns
+    // with DuckDB type spellings — both were Spark-native layouts
+    val st = gw.sql("SHOW TABLES")
+    assert(st.columns.toSeq == Seq("name"))
+    assert(st.collect().map(_.getString(0)).contains("region"))
+    val de = gw.sql("DESCRIBE region")
+    assert(de.columns.toSeq == Seq("column_name", "column_type", "null",
+      "key", "default", "extra"))
+    assert(de.collect().head.getString(1) == "INTEGER")
+    assert(gw.sql("DESCRIBE SELECT r_name FROM region")
+      .collect().head.getString(1) == "VARCHAR")
+    // PRAGMA table_info (both statement and table-function form) uses
+    // DuckDB type spellings
+    assert(gw.sql("PRAGMA table_info('region')")
+      .collect().head.getString(2) == "INTEGER")
+    assert(gw.sql("SELECT name FROM pragma_table_info('region') ORDER BY cid")
+      .collect().map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
+    // sample statistics: DuckDB skewness/kurtosis are bias-corrected
+    // (probe-found: Spark's population forms silently diverged)
+    assert(math.abs(one(
+      "SELECT skewness(x) AS v FROM (VALUES (1.0),(2.0),(4.0)) t(x)")
+      .getDouble(0) - 0.935219529582821) < 1e-12)
+    assert(math.abs(one(
+      "SELECT kurtosis(x) AS v FROM (VALUES (1.0),(2.0),(4.0),(8.0)) t(x)")
+      .getDouble(0) - 0.7576559546313808) < 1e-12)
+    assert(math.abs(one(
+      "SELECT kurtosis_pop(x) AS v FROM (VALUES (1.0),(2.0),(4.0),(8.0)) t(x)")
+      .getDouble(0) - (-1.0989792060491494)) < 1e-12)
+    // below the sample-statistic domain (and zero variance): NULL
+    assert(one("SELECT skewness(x) IS NULL AS v FROM (VALUES (1.0),(2.0)) t(x)")
+      .getBoolean(0))
+    assert(one("SELECT kurtosis(x) IS NULL AS v FROM (VALUES (1.0),(2.0),(3.0)) t(x)")
+      .getBoolean(0))
+    assert(one("SELECT skewness(x) IS NULL AS v FROM (VALUES (2.0),(2.0),(2.0)) t(x)")
+      .getBoolean(0))
+    // sem = stddev_POP/sqrt(n) (probe-pinned); compensated-sum aliases
+    assert(math.abs(one(
+      "SELECT sem(x) AS v FROM (VALUES (1.0),(2.0),(4.0)) t(x)")
+      .getDouble(0) - 0.7200822998230956) < 1e-12)
+    assert(one("SELECT fsum(x) AS v FROM (VALUES (1.5),(2.5)) t(x)")
+      .getDouble(0) == 4.0)
+    assert(one("SELECT arbitrary(x) AS v FROM (VALUES (7)) t(x)").getInt(0) == 7)
+    // aggregate FILTER over a WINDOW (Spark rejects natively)
+    assert(one("SELECT count(*) FILTER (x > 1) OVER () AS v FROM (VALUES (1),(2)) t(x) LIMIT 1")
+      .getLong(0) == 1L)
+    val wf = gw.sql(
+      """SELECT sum(x) FILTER (WHERE x % 2 = 0) OVER (ORDER BY x) AS v
+        |FROM (VALUES (1),(2),(3),(4)) t(x) ORDER BY x""".stripMargin)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(wf == Seq(-1L, 2L, 2L, 6L), wf)
+    // percentile_disc WITHIN GROUP keeps the ELEMENT type
+    val pd = gw.sql(
+      "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS v FROM (VALUES (1),(2),(3),(4)) t(x)")
+    assert(pd.schema.head.dataType == org.apache.spark.sql.types.IntegerType)
+    assert(pd.collect().head.getInt(0) == 2)
+    // ORDER BY on order-insensitive aggregates is accepted and ignored
+    assert(one("SELECT count(DISTINCT x ORDER BY x) AS v FROM (VALUES (1),(1),(2)) t(x)")
+      .getLong(0) == 2L)
+    assert(one("SELECT sum(x ORDER BY x DESC) AS v FROM (VALUES (1),(2)) t(x)")
+      .getLong(0) == 3L)
   }
 
   test("round-9 probe batch 17: string/path/format/interval tails match DuckDB") {
@@ -844,9 +921,12 @@ class GatewaySpec extends AnyFunSuite {
   }
 
   test("SUMMARIZE statement (DuckDB T7 form)") {
+    // one ROW per column in DuckDB's layout (r9 shape fix — previously
+    // Spark's transposed .summary() table)
     val out = gw.sql("SUMMARIZE nation").collect()
-    assert(out.map(_.getString(0)).contains("count"))
-    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(out.head.getString(1) == "INTEGER")
   }
 
   test("round-6 dialect batch: values match DuckDB") {
