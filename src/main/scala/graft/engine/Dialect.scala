@@ -628,6 +628,8 @@ object Dialect {
   private val blobLitRe = """(?i)'((?:[^']|'')*)'\s*::\s*BLOB\b""".r
   private val blobLitCastRe =
     """(?i)CAST\s*\(\s*'((?:[^']|'')*)'\s+AS\s+BLOB\s*\)""".r
+  // typed-literal form BLOB '…' (probe-19: Spark has no BLOB literal)
+  private val blobTypedLitRe = """(?i)BLOB\s+'((?:[^']|'')*)'""".r
   private val hexEscRe = """(?i)\\x([0-9a-f]{2})""".r
 
   private def literalToHex(lit: String): String = {
@@ -672,6 +674,12 @@ object Dialect {
         i = consumeOpaque(sql, i, sb)
       } else if (up.startsWith("CAST", i) && wordStart(sql, i)) {
         blobLitCastRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            sb.append(s"unhex('${literalToHex(m.group(1))}')"); i += m.end
+          case None => sb.append(c); i += 1
+        }
+      } else if (up.startsWith("BLOB", i) && wordStart(sql, i)) {
+        blobTypedLitRe.findPrefixMatchOf(sql.substring(i)) match {
           case Some(m) =>
             sb.append(s"unhex('${literalToHex(m.group(1))}')"); i += m.end
           case None => sb.append(c); i += 1

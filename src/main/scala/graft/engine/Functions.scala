@@ -195,9 +195,17 @@ object Functions {
     "list_distinct" -> (a => call("array_distinct", a)),
     "list_contains" -> (a => call("array_contains", a)),
     "list_has" -> (a => call("array_contains", a)),
-    "list_concat" -> (a => call("concat", a)),
-    "list_cat" -> (a => call("concat", a)),
-    "list_unique" -> (a => call("size", Seq(call("array_distinct", a)))),
+    // DuckDB's list concat SKIPS NULL operands ([1] ++ NULL = [1]) but
+    // answers NULL when EVERY operand is NULL (probe-19 pinned)
+    "list_concat" -> (a => nullSkippingListConcat(a)),
+    "list_cat" -> (a => nullSkippingListConcat(a)),
+    // list_unique counts distinct NON-NULL elements (probe-19:
+    // [1,1,2,NULL] → 2); BIGINT carrier for DuckDB's UBIGINT
+    "list_unique" -> { case Seq(l) =>
+      Cast(call("size", Seq(call("array_distinct",
+        Seq(call("array_compact", Seq(l)))))),
+        org.apache.spark.sql.types.LongType)
+    },
     "list_slice" -> {
       case Seq(l, b, e) =>
         // DuckDB list_slice(l, begin, end) is 1-based stop-inclusive and
@@ -382,6 +390,14 @@ object Functions {
       call("translate", Seq(e, Literal("áàâäãåéèêëíìîïóòôöõúùûüñçý"),
         Literal("aaaaaaeeeeiiiiooooouuuuncy")))
     },
+    // RE2 QuoteMeta: backslash-escape every non-word character
+    // (probe-19: 'a-b[c]' → 'a\-b\[c\]')
+    "regexp_escape" -> { case Seq(s) =>
+      // NATIVE RegExpReplace (global, Java replacement syntax) — going
+      // through the dialect's regexp_replace shim would re-interpret
+      // the replacement under DuckDB's \N backref rules
+      RegExpReplace(s, Literal("([^a-zA-Z0-9_])"), Literal("\\\\$1"))
+    },
     "ucase" -> (a => call("upper", a)),
     "lcase" -> (a => call("lower", a)),
     "strpos" -> (a => call("instr", a)),
@@ -391,6 +407,39 @@ object Functions {
     // ---- JSON (DuckDB json extension names) ----
     "json_extract_string" -> { case Seq(j, p) =>
       call("get_json_object", Seq(j, normalizeJsonPath(p)))
+    },
+    // json(x): canonical minified re-serialization (key order kept)
+    "json" -> { case Seq(j) =>
+      StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+        org.apache.spark.sql.types.StringType, "canon", Seq(j),
+        Seq(org.apache.spark.sql.types.StringType))
+    },
+    // json_quote: the value's JSON text form; json_array/json_object:
+    // constructors built from per-element JSON forms (a Spark array
+    // literal would coerce mixed types first — probe-19)
+    "json_quote" -> { case Seq(x) => jsonVal(x) },
+    "json_array" -> { case args =>
+      Concat(Seq(Literal("["),
+        call("concat_ws",
+          Literal(",") +: args.map(a => Coalesce(Seq(jsonVal(a),
+            Literal("null"))))),
+        Literal("]")))
+    },
+    "json_object" -> { case args if args.length % 2 == 0 =>
+      val pairs = args.grouped(2).map { case Seq(k, v) =>
+        Concat(Seq(jsonVal(k), Literal(":"),
+          Coalesce(Seq(jsonVal(v), Literal("null")))))
+      }.toSeq
+      Concat(Seq(Literal("{"),
+        call("concat_ws", Literal(",") +: pairs), Literal("}")))
+    },
+    // json_group_array/object: DuckDB macros over list()/map aggregation
+    "json_group_array" -> { case Seq(x) =>
+      call("to_json", Seq(call("collect_list", Seq(x))))
+    },
+    "json_group_object" -> { case Seq(k, v) =>
+      call("to_json", Seq(call("map_from_entries",
+        Seq(call("collect_list", Seq(call("struct", Seq(k, v))))))))
     },
     // json_extract carries the JSON TEXT form (quoted scalars,
     // structural nodes) — DuckDB's JSON type, not get_json_object's
@@ -563,8 +612,14 @@ object Functions {
     "row" -> (a => call("struct", a)),
     // list-family aliases surfaced by GapProbe8 (BIGINT results, like
     // DuckDB's len family)
-    "array_concat" -> (a => call("concat", a)),
-    "array_length" -> { case Seq(x) => graft.engine.expressions.LenAny(x) },
+    "array_concat" -> (a => nullSkippingListConcat(a)),
+    "array_length" -> {
+      case Seq(x) => graft.engine.expressions.LenAny(x)
+      // 2-arg dimension form: flat lists only have dimension 1 (DuckDB
+      // errors on any other dimension; probe-19)
+      case Seq(x, Literal(d, _)) if d != null && d.toString == "1" =>
+        graft.engine.expressions.LenAny(x)
+    },
     // generate_subscripts(list, dim): lists are 1-D, dim is accepted and
     // ignored like DuckDB's own behavior for dim=1
     "generate_subscripts" -> { case l +: _ =>
@@ -1151,6 +1206,20 @@ object Functions {
         Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)))
       nullifyBelow(corrected, n, 4.0)
     },
+    // full-Unicode chr: Spark's builtin truncates the code point to
+    // latin-1 (chr(8364) must be '€', probe-19)
+    "chr" -> { case Seq(n) =>
+      StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+        org.apache.spark.sql.types.StringType, "chr",
+        Seq(Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.LongType))
+    },
+    "char" -> { case Seq(n) =>
+      StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+        org.apache.spark.sql.types.StringType, "chr",
+        Seq(Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.LongType))
+    },
     // DuckDB typeof answers DUCKDB type spellings ('VARCHAR', 'BIGINT')
     // — Spark's builtin answers Spark names ('string'); the expression
     // shares the catalog view's spelling table so both agree
@@ -1219,8 +1288,12 @@ object Functions {
     // DuckDB length() also measures lists/maps (len alias territory);
     // Spark's builtin is string/binary-only — dispatch on resolved type
     "length" -> {
+      // BIGINT on every input kind like DuckDB (fuzz: typeof(length(s))
+      // exposed Spark's INT on strings); LenAny counts chars/elements
       case Seq(x) if x.resolved &&
-          (x.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          (x.dataType == org.apache.spark.sql.types.StringType ||
+            x.dataType == org.apache.spark.sql.types.BinaryType ||
+            x.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
             x.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]) =>
         graft.engine.expressions.LenAny(x)
     },
@@ -1418,6 +1491,39 @@ object Functions {
       }
     })
     if (ok) Some(out) else None
+  }
+
+  /** An expression's JSON TEXT form, dispatched on the RESOLVED type:
+    * strings quote/escape via Jackson, containers go through to_json,
+    * everything else renders as its SQL text (numbers, booleans).
+    * NULL input → SQL NULL (json_quote semantics; constructors wrap in
+    * coalesce to get the literal `null` text instead).
+    */
+  private def jsonVal(x: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    x.dataType match {
+      case StringType =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          StringType, "quoteString", Seq(x), Seq(StringType))
+      case _: ArrayType | _: StructType | _: MapType =>
+        call("to_json", Seq(x))
+      case BooleanType | _: NumericType | NullType => Cast(x, StringType)
+      case _ =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          StringType, "quoteString", Seq(Cast(x, StringType)),
+          Seq(StringType))
+    }
+  }
+
+  /** DuckDB list concatenation skips NULL operands but answers NULL
+    * when ALL operands are NULL (probe-19).
+    */
+  private def nullSkippingListConcat(args: Seq[Expression]): Expression = {
+    val anyPresent = args.map(IsNotNull(_): Expression).reduce(Or)
+    val skipped = call("concat",
+      args.map(a => Coalesce(Seq(a, call("array", Nil)))))
+    // no else branch: the all-NULL case answers NULL of the result type
+    CaseWhen(Seq((anyPresent, skipped)))
   }
 
   private def sumDouble(x: Expression): Expression =
@@ -1625,7 +1731,13 @@ object Functions {
       val str = s.toString
       val norm =
         if (str.startsWith("$")) str
-        else if (str.startsWith("/")) "$." + str.substring(1).replace("/", ".")
+        else if (str.startsWith("/"))
+          // JSON-pointer form: numeric segments index ARRAYS 0-based
+          // (probe-19: '/a/1' on {"a":[1,2]} is 2, i.e. $.a[1])
+          "$" + str.substring(1).split("/", -1).map { seg =>
+            if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]"
+            else s".$seg"
+          }.mkString
         else "$." + str
       Literal(norm)
     case other => other

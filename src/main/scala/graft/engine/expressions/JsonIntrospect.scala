@@ -45,10 +45,41 @@ object JsonIntrospect {
     else if (n.isNumber) "DOUBLE"
     else "NULL"
 
-  /** Minimal JSONPath subset: `$`, `$.key`, `$.key[0].other`, or a bare
-    * key (DuckDB accepts both). Returns null when the path misses.
+  /** chr(codepoint): the full-Unicode code point as a string — Spark's
+    * builtin truncates to latin-1 (chr(8364) should be '€', probe-19).
     */
-  private def atPath(root: JsonNode, path: String): JsonNode = {
+  def chr(cp: Long): UTF8String =
+    UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+
+  /** json(x): canonical (minified) re-serialization, key order kept —
+    * DuckDB's JSON constructor/validator (probe-19 pinned:
+    * json(' {"b" : 2, "a":1} ') = '{"b":2,"a":1}').
+    */
+  def canon(s: UTF8String): UTF8String =
+    UTF8String.fromString(mapper.writeValueAsString(parse(s)))
+
+  /** json_quote: any SQL string as its JSON TEXT form (quoted/escaped).
+    * Numeric/bool/array callers route around this builder-side.
+    */
+  def quoteString(s: UTF8String): UTF8String =
+    UTF8String.fromString(mapper.writeValueAsString(
+      TextNode.valueOf(s.toString)))
+
+  /** Minimal JSONPath subset: `$`, `$.key`, `$.key[0].other`, a bare
+    * key, or an RFC-6901-ish POINTER (`/a/1`, numeric segments index
+    * arrays 0-based — DuckDB accepts all three). Returns null when the
+    * path misses.
+    */
+  private def atPath(root: JsonNode, path0: String): JsonNode = {
+    val path =
+      if (!path0.startsWith("/")) path0
+      else "$" + path0.substring(1).split("/", -1).map { seg =>
+        if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
+      }.mkString
+    atPathDotted(root, path)
+  }
+
+  private def atPathDotted(root: JsonNode, path: String): JsonNode = {
     var cur = root
     val p = if (path.startsWith("$")) path.substring(1)
             else "." + path

@@ -2,12 +2,14 @@ package graft.engine.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, Cast, Expression, Literal, RuntimeReplaceable, Slice, Subtract,
-  Substring}
+  Add, Cast, EqualTo, Expression, Greatest, If, LessThan, Length, Literal,
+  RuntimeReplaceable, Size, Slice, Subtract, Substring}
 import org.apache.spark.sql.types._
 
 /** DuckDB slice `x[a:b]` — 1-based, stop-inclusive, polymorphic over
   * STRING and LIST (SURVEY.md §2.8; DuckDB's `'abcdef'[2:4]` = 'bcd').
+  * NEGATIVE indexes count from the END inclusively (`[1..5][2:-2]` =
+  * [2,3,4]; probe-19) and 0 behaves as 1; out-of-range bounds clamp.
   * Spark splits this across `substring` and `slice`, so the dialect's
   * bracket rewrite emits this one expression and the dispatch happens
   * at analysis on the resolved input type — zero runtime overhead.
@@ -26,10 +28,24 @@ case class SliceAny(child: Expression, from: Expression, stop: Expression)
   private def intCast(e: Expression) = Cast(e, IntegerType)
 
   override lazy val replacement: Expression = {
-    val len = Add(Subtract(intCast(stop), intCast(from)), Literal(1))
+    val sz = child.dataType match {
+      case StringType => Length(child)
+      case _ => Size(child, legacySizeOfNull = false)
+    }
+    // DuckDB index normalization: negative = size+i+1 (stop-inclusive
+    // from the end), 0 = 1; then clamp the start to ≥1 and the length
+    // to ≥0 (Slice/Substring clamp the far end themselves)
+    def norm(e: Expression): Expression = {
+      val i = intCast(e)
+      If(LessThan(i, Literal(0)), Add(Add(sz, i), Literal(1)),
+        If(EqualTo(i, Literal(0)), Literal(1), i))
+    }
+    val f = Greatest(Seq(Literal(1), norm(from)))
+    val len = Greatest(Seq(Literal(0),
+      Add(Subtract(norm(stop), f), Literal(1))))
     child.dataType match {
-      case StringType => Substring(child, intCast(from), len)
-      case _ => Slice(child, intCast(from), len)
+      case StringType => Substring(child, f, len)
+      case _ => Slice(child, f, len)
     }
   }
 

