@@ -126,7 +126,9 @@ final class FlightServer(gateway: Gateway, port: Int) {
             schema = schemaBytes,
             descriptor = desc,
             endpoints = Seq(FlightEndpoint(ticket)),
-            totalRecords = -1L, totalBytes = -1L).toBytes
+            // the reference's exact cosmetics for statement infos
+            // (main.go:164-165): records 0 (unknown-until-run), bytes -1
+            totalRecords = 0L, totalBytes = -1L).toBytes
       }
     }
 
