@@ -351,6 +351,29 @@ object FunctionQueries {
       Some(sqlText))
   }
 
+  /** JSON constructor family (round 9, probe-19 surface): canonical
+    * json(), json_quote, json_array/json_object built from per-element
+    * JSON text forms, and JSON-POINTER extraction — all scalar per-row
+    * projections (deterministic; the group aggregates json_group_* are
+    * ORDER-nondeterministic under parallel collect and stay spec-pinned
+    * instead). Dialect SQL → isolated child session, same as
+    * f_json_introspect.
+    */
+  val fJsonCtor: Q = {
+    val sqlText =
+      """SELECT event_id AS k,
+        |  json(props) AS canon,
+        |  json_quote(event_type) AS jq,
+        |  json_array(event_id % 5, event_type) AS ja,
+        |  json_object('t', event_type, 'v', event_id % 7) AS jo,
+        |  json_extract(props, '/k') AS ptr
+        |FROM events WHERE event_id < 1000
+        |ORDER BY k ASC NULLS LAST""".stripMargin
+    graft.engine.Q("f_json_ctor", (s, dir) =>
+      graft.engine.Functions.isolated(s, dir, "events").sql(sqlText),
+      Some(sqlText))
+  }
+
   /** TIME family (round 7): Spark 4.1's native TimeType (behind
     * spark.sql.timeType.enabled, which the builder switches on) carries
     * DuckDB's `ts::TIME` time-of-day projection through extraction and
@@ -387,5 +410,5 @@ object FunctionQueries {
 
   val all: Seq[Q] = Seq(
     fMath, fString, fString2, fRegex, fDatetime, fList, fStructMap, fJson,
-    fJsonIntrospect, fTime)
+    fJsonIntrospect, fJsonCtor, fTime)
 }

@@ -307,5 +307,36 @@ object WindowQueries {
       .orderBy(col("o_custkey").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(w1, w2, w3, w4, w5, w5b, w6, w6b, w7, w8)
+  /** W9 (round 9): aggregate FILTER over a window — DuckDB-native
+    * syntax, which Spark rejects outright; the dialect folds the
+    * predicate into a CASE-guarded argument (GatewaySpec pins the
+    * rewrite), and the Spark side here IS that folded form. Running
+    * DECIMAL sum + conditional count on one user shuffle; ties broken
+    * by event_id so the running frames are deterministic.
+    */
+  val w9 = Q(
+    "w9_window_filter",
+    """SELECT event_id AS k,
+      |  CAST(count(*) FILTER (WHERE value > 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_hi,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+      |    FILTER (WHERE event_type = 'click') OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS DOUBLE) AS click_sum
+      |FROM events WHERE event_id < 5000
+      |ORDER BY k ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    s.table("events").filter(col("event_id") < 5000)
+      .select(col("event_id").as("k"),
+        count(when(col("value") > 0.5, lit(1)))
+          .over(w.rowsBetween(-3, 0)).cast(LongType).as("cnt_hi"),
+        sum(when(col("event_type") === "click",
+          col("value").cast(DecimalType(18, 6))))
+          .over(w).cast(DoubleType).as("click_sum"))
+      .orderBy(col("k").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(w1, w2, w3, w4, w5, w5b, w6, w6b, w7, w8, w9)
 }
