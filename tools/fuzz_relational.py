@@ -73,7 +73,33 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(14)
+        shape = rng.randrange(16)
+        if shape == 14:  # join variety over nation/region (outer/semi/anti)
+            jt = rng.choice(["LEFT", "RIGHT", "FULL", "SEMI", "ANTI"])
+            pred = rng.choice(["", " AND r_regionkey > 1",
+                               " AND r_name LIKE 'A%'"])
+            if jt in ("SEMI", "ANTI"):
+                return (f"SELECT n_nationkey, n_name FROM nation "
+                        f"{jt} JOIN region ON n_regionkey = r_regionkey{pred} "
+                        f"ORDER BY n_nationkey ASC NULLS LAST")
+            return (f"SELECT n_nationkey, r_name FROM nation "
+                    f"{jt} JOIN region ON n_regionkey = r_regionkey{pred} "
+                    f"ORDER BY n_nationkey ASC NULLS LAST, "
+                    f"r_name ASC NULLS LAST")
+        if shape == 15:  # correlated EXISTS / set ops over orders (scale)
+            if rng.random() < 0.5:
+                m = rng.randint(3, 9)
+                neg = rng.choice(["", "NOT "])
+                return (f"SELECT o_orderkey FROM orders o "
+                        f"WHERE o_orderkey % {m} = 0 AND {neg}EXISTS ("
+                        f"SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+                        f"AND l.l_quantity > 45) "
+                        f"ORDER BY o_orderkey ASC NULLS LAST LIMIT 50")
+            op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+            m1, m2 = rng.randint(2, 5), rng.randint(2, 5)
+            return (f"SELECT o_custkey % 100 AS v FROM orders WHERE o_orderkey % {m1} = 0 "
+                    f"{op} SELECT o_custkey % 100 AS v FROM orders WHERE o_orderkey % {m2} = 0 "
+                    f"ORDER BY v ASC NULLS LAST")
         if shape == 12:  # multi-partition window over orders (scale-sensitive)
             wf = rng.choice([
                 "row_number()", "rank()",
