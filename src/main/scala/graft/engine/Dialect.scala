@@ -41,7 +41,7 @@ object Dialect {
     rewritePercentileDisc, rewriteStarModifiers,
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
     rewriteQualify, rewriteCatalogFns,
-    rewriteDateDiff, rewriteCastTypes)
+    rewriteDateDiff, rewriteCastTypes, rewriteFetchFirst)
 
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
@@ -1237,6 +1237,23 @@ object Dialect {
             }
           case _ => i
         }
+      }
+    }
+
+  /** SQL-standard `FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY` → `LIMIT n`
+    * (n defaults to 1) — DuckDB accepts the standard spelling, Spark's
+    * grammar only has LIMIT (probe-20).
+    */
+  private val fetchFirstRe =
+    """(?is)^FETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY""".r
+  private def rewriteFetchFirst(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) && sql.regionMatches(true, i, "FETCH", 0, 5))) i
+      else fetchFirstRe.findPrefixMatchOf(sql.substring(i)) match {
+        case Some(m) =>
+          sb.append("LIMIT " + Option(m.group(1)).map(_.trim).getOrElse("1"))
+          i + m.end
+        case None => i
       }
     }
 

@@ -71,8 +71,8 @@ object Functions {
     def str(e: Expression) = Cast(e, StringType)
     def pad2(e: Expression) =
       call("lpad", Seq(Cast(e, StringType), Literal(2), Literal("0")))
-    def weekday = call("weekday", Seq(ts)) // Monday = 0
-    def sunday0 = Subtract(call("dayofweek", Seq(ts)), Literal(1))
+    def weekday = WeekDay(ts) // Monday = 0 (Spark kernel, NOT the dialect name)
+    def sunday0 = Subtract(DayOfWeek(ts), Literal(1))
     def yday0 = Subtract(call("dayofyear", Seq(ts)), Literal(1))
     def cweek(firstDow: Expression) = pad2(Cast(call("floor", Seq(Divide(
       Cast(Subtract(Add(yday0, Literal(7)), firstDow),
@@ -485,13 +485,13 @@ object Functions {
             Literal("strptime: could not parse '"), s,
             Literal("' with any of the given formats"))))), ntz))
     },
-    "isodow" -> { case Seq(d) => Add(call("weekday", Seq(d)), Literal(1)) },
+    "isodow" -> { case Seq(d) => Add(WeekDay(d), Literal(1)) },
     "week" -> (a => call("weekofyear", a)),
     "yearweek" -> { case Seq(d) =>
       // ISO year (DuckDB semantics), not calendar year: the year of the
       // Thursday in d's ISO week — differs near year boundaries
       // (2024-12-30 is 202501, 2027-01-01 is 202653)
-      val isoDow = Add(call("weekday", Seq(d)), Literal(1))
+      val isoDow = Add(WeekDay(d), Literal(1))
       val thursday = call("date_add", Seq(d, Subtract(Literal(4), isoDow)))
       Add(Multiply(call("year", Seq(thursday)), Literal(100)),
         call("weekofyear", Seq(d)))
@@ -538,7 +538,19 @@ object Functions {
 
     // ---- round-5 gap-probe batch (each found by running DuckDB
     // idioms through the gateway and fixing what failed) ----
-    "strlen" -> (a => call("length", a)),
+    // strlen is BYTE length in DuckDB (strlen('🤦') = 4, probe-20) —
+    // length() counts characters; both answer BIGINT
+    "strlen" -> { case Seq(s) => graft.engine.expressions.LenAny(
+      Cast(s, org.apache.spark.sql.types.BinaryType)) },
+    // current_localtime/current_localtimestamp: session-zone now
+    "current_localtime" -> (_ => Cast(call("localtimestamp", Nil),
+      org.apache.spark.sql.types.TimeType())),
+    "current_localtimestamp" -> (_ => call("localtimestamp", Nil)),
+    // timezone_hour/minute of a NAIVE timestamp: the session renders in
+    // UTC (Verify/Bench/Gateway pin spark.sql.session.timeZone=UTC), so
+    // the offset components are constant 0, exactly DuckDB-on-UTC
+    "timezone_hour" -> { case Seq(_) => Literal(0L) },
+    "timezone_minute" -> { case Seq(_) => Literal(0L) },
     // current_schemas has no Spark builtin; the other session scalars
     // shadow builtins (see overrides)
     "current_schemas" -> { case Seq(_) =>
@@ -1206,6 +1218,29 @@ object Functions {
         Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)))
       nullifyBelow(corrected, n, 4.0)
     },
+    // DuckDB dayofweek/weekday number SUNDAY = 0 (probe-20: Tuesday is
+    // 2, not Spark's 3); every internal helper that needs Spark's
+    // Monday-0 constructs the WeekDay kernel directly, never this name
+    "dayofweek" -> { case Seq(d) if d.resolved &&
+        (d.dataType == org.apache.spark.sql.types.DateType ||
+          d.dataType == org.apache.spark.sql.types.TimestampType ||
+          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+      Subtract(DayOfWeek(d), Literal(1))
+    },
+    "weekday" -> { case Seq(d) if d.resolved &&
+        (d.dataType == org.apache.spark.sql.types.DateType ||
+          d.dataType == org.apache.spark.sql.types.TimestampType ||
+          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+      Subtract(DayOfWeek(d), Literal(1))
+    },
+    // make_timestamp(µs): the 1-arg epoch-micros form (probe-20);
+    // the 6-arg constructor keeps Spark's builtin via the fallthrough
+    "make_timestamp" -> { case Seq(us) if us.resolved &&
+        us.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      Cast(call("timestamp_micros", Seq(Cast(us,
+        org.apache.spark.sql.types.LongType))),
+        org.apache.spark.sql.types.TimestampNTZType)
+    },
     // full-Unicode chr: Spark's builtin truncates the code point to
     // latin-1 (chr(8364) must be '€', probe-19)
     "chr" -> { case Seq(n) =>
@@ -1579,8 +1614,8 @@ object Functions {
   private def duckDatePart(field: String, d: Expression): Expression =
     field.toLowerCase match {
       case "dow" | "dayofweek" | "weekday" =>
-        Subtract(call("dayofweek", Seq(d)), Literal(1)) // Sunday = 0
-      case "isodow" => Add(call("weekday", Seq(d)), Literal(1)) // Monday = 1
+        Subtract(DayOfWeek(d), Literal(1)) // Sunday = 0
+      case "isodow" => Add(WeekDay(d), Literal(1)) // Monday = 1
       case "century" => call("century", Seq(d))
       case "decade" => Cast(call("floor", Seq(Divide(
         Cast(call("year", Seq(d)), org.apache.spark.sql.types.DoubleType),

@@ -654,6 +654,33 @@ class GatewaySpec extends AnyFunSuite {
       .filterNot(_._1.startsWith("graft_")), s"live=$viaLive api=$viaApi")
   }
 
+  test("round-9 probe batch 20: FETCH FIRST, day numbering, strlen, epoch constructors") {
+    def one(q: String) = gw.sql(q).collect().head
+    // SQL-standard FETCH FIRST spelling → LIMIT
+    assert(gw.sql("SELECT r_name FROM region ORDER BY r_regionkey FETCH FIRST 2 ROWS ONLY")
+      .collect().map(_.getString(0)).toSeq == Seq("AFRICA", "AMERICA"))
+    assert(gw.sql("SELECT r_name FROM region ORDER BY r_regionkey FETCH FIRST ROW ONLY")
+      .collect().map(_.getString(0)).toSeq == Seq("AFRICA"))
+    // DuckDB numbers Sunday = 0 for dayofweek/weekday (probe-pinned:
+    // Tuesday 2024-03-05 is 2, Sunday 2024-03-03 is 0); isodow stays
+    // Monday = 1 (Sunday 7)
+    assert(one("SELECT dayofweek(DATE '2024-03-05') AS v").getInt(0) == 2)
+    assert(one("SELECT weekday(DATE '2024-03-03') AS v").getInt(0) == 0)
+    assert(one("SELECT isodow(DATE '2024-03-03') AS v").getInt(0) == 7)
+    // strlen = BYTES; length = characters (both BIGINT)
+    assert(one("SELECT strlen('🤦') AS v").getLong(0) == 4L)
+    assert(one("SELECT length('🤦') AS v").getLong(0) == 1L)
+    // 1-arg make_timestamp takes epoch MICROS; 6-arg stays native
+    assert(one("SELECT CAST(make_timestamp(1700000000000000) AS VARCHAR) AS v")
+      .getString(0) == "2023-11-14 22:13:20")
+    assert(one("SELECT CAST(make_timestamp(2024, 2, 29, 1, 2, 3.5) AS VARCHAR) AS v")
+      .getString(0).startsWith("2024-02-29 01:02:03"))
+    // session-zone scalars exist; naive-timestamp tz components are 0
+    assert(one("SELECT current_localtime() IS NOT NULL AS v").getBoolean(0))
+    assert(one("SELECT timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS v")
+      .getLong(0) == 0L)
+  }
+
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
     def one(q: String) = gw.sql(q).collect().head
     // JSON constructors / canonicalization / quoting (all value-pinned)
