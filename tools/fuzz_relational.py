@@ -60,6 +60,12 @@ def main():
         lambda e: f"last({e} ORDER BY n_nationkey)",
         lambda e: f"mode({e}) FILTER (WHERE n_nationkey > 2)",
         lambda e: f"count(*) FILTER (WHERE {e} IS NOT NULL)",
+        # sample statistics (bias-corrected in both engines since r9)
+        lambda e: f"round(skewness(CAST({e} AS DOUBLE)), 6)",
+        lambda e: f"round(kurtosis(CAST({e} AS DOUBLE)), 6)",
+        lambda e: f"round(sem(CAST({e} AS DOUBLE)), 6)",
+        lambda e: f"round(entropy({e}), 6)",
+        lambda e: f"CAST(round(fsum(CAST({e} AS DOUBLE)), 6) AS DOUBLE)",
     ]
     winfns = [
         "row_number()", "rank()", "dense_rank()",

