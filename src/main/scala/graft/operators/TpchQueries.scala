@@ -534,7 +534,67 @@ object TpchQueries {
       .orderBy(col("seg").asc_nulls_last)
   }
 
+  /** Q8 national market share (adapted to fixture columns/names): the
+    * target nation's share of STANDARD-part revenue per order year —
+    * conditional aggregation (CASE inside SUM) over the widest join in
+    * the suite (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation×2 ⋈
+    * part ⋈ region). The share division stays on the EXACT DECIMAL
+    * sums; only the final ratio casts to DOUBLE. Plan shape: part's
+    * p_type filter prunes lineitem via the partkey join before the
+    * wide rollup; all dims broadcast; one year-keyed partial/final agg.
+    */
+  val q8 = Q(
+    "q8_market_share",
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS DECIMAL(18,6)) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name IN ('ASIA', 'EUROPE', 'AFRICA', 'AMERICA', 'MIDDLE EAST')
+      |    AND p_type = 'STANDARD'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val n1 = broadcast(s.table("nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk")))
+    val n2 = broadcast(s.table("nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
+    val vol = revenue.as("volume")
+    val base = s.table("lineitem")
+      .join(broadcast(s.table("part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))), col("p_partkey") === col("l_partkey"))
+      .join(s.table("orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampNTZType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampNTZType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("c_nk"))
+      .join(broadcast(s.table("region")), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(s.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("s_nk"))
+      .filter(col("r_name").isin("ASIA", "EUROPE", "AFRICA", "AMERICA", "MIDDLE EAST"))
+      .select(year(col("o_orderdate")).as("o_year"), vol, col("nation"))
+    base.groupBy(col("o_year"))
+      .agg((sum(when(col("nation") === "NATION_5", col("volume"))
+        .otherwise(lit(0).cast(dec))).cast(DoubleType) /
+        sum(col("volume")).cast(DoubleType))
+        .cast(DecimalType(18, 6)).as("mkt_share"))
+      .orderBy(col("o_year").asc_nulls_last)
+  }
+
   val all: Seq[Q] =
-    Seq(q2m, q3, q4, q5, q6, q7, q10, q13, q14, q15, q17, q18, q19, q22,
-      sq1, sq2, sq3)
+    Seq(q2m, q3, q4, q5, q6, q7, q8, q10, q13, q14, q15, q17, q18, q19,
+      q22, sq1, sq2, sq3)
 }

@@ -420,6 +420,16 @@ class PlanSpec extends AnyFunSuite {
     assert(ss.contains("BroadcastHashJoin"), ss)
   }
 
+  test("q8: part filter prunes via broadcast semi-shape, conditional agg partial+final") {
+    val p = plan("q8_market_share")
+    // the STANDARD-part keys broadcast onto lineitem BEFORE the wide
+    // rollup; date range pushes to the orders scan; one partial agg
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q22: anti join stays keyed; the one-row threshold broadcasts") {
     val df = SparkEntry.queries("q22_idle_rich_customers")(spark, sf)
     df.collect()
