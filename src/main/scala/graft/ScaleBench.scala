@@ -96,8 +96,8 @@ object ScaleBench {
     "nn_cosine_topk", "nn_ivf_topk", "nn_pq_topk", "nn_label_knn",
     "a10_approx_distinct", "q1_pricing", "q18_large_orders",
     // round-9 additions: the new TPC-H shapes and pipeline operators
-    "q7_volume_shipping", "q13_cust_distribution", "q15_top_supplier",
-    "q22_idle_rich_customers",
+    "q7_volume_shipping", "q8_market_share", "q13_cust_distribution",
+    "q15_top_supplier", "q22_idle_rich_customers",
     "dd_keep_longest", "pipe_train_split", "tx_source_stats")
 
   def run(spark: SparkSession, dir: String,
