@@ -693,13 +693,8 @@ object Functions {
     "format" -> {
       case Literal(fmt, _) +: rest if fmt != null &&
           formatToPrintf(fmt.toString).isDefined =>
-        FormatString((Literal(formatToPrintf(fmt.toString).get) +:
-          rest.map {
-            case e if e.resolved &&
-                e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-              Cast(e, org.apache.spark.sql.types.DoubleType)
-            case e => e
-          }): _*)
+        val printf = formatToPrintf(fmt.toString).get
+        FormatString((Literal(printf) +: cFormatArgs(printf, rest)): _*)
     },
     "damerau_levenshtein" -> { case Seq(x, y) =>
       graft.engine.expressions.DamerauLevenshtein(x, y)
@@ -1260,27 +1255,20 @@ object Functions {
     // shares the catalog view's spelling table so both agree
     "typeof" -> { case Seq(x) => graft.engine.expressions.DuckTypeOf(x) },
     // printf/format_string: JVM String.format rejects %f/%e/%g fed a
-    // Decimal ('f != Decimal') — the dialect parses 3.14 as DECIMAL, so
-    // cast decimal args to DOUBLE (value-identical for format output)
+    // Decimal ('f != Decimal') — cast decimal args to DOUBLE — and its
+    // %f rounds the SHORTEST decimal repr half-up where C/DuckDB round
+    // the exact binary value (fuzz-found on -37.0755 at %.3f): %f args
+    // pre-round on the exact value (cFormatArgs), making Java's
+    // formatting exact
     "printf" -> {
-      case fmt +: rest if rest.exists(e => e.resolved &&
-          e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
-        FormatString((fmt +: rest.map {
-          case e if e.resolved &&
-              e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-            Cast(e, org.apache.spark.sql.types.DoubleType)
-          case e => e
-        }): _*)
+      case (fmt @ Literal(f, org.apache.spark.sql.types.StringType)) +: rest
+          if f != null =>
+        FormatString((fmt +: cFormatArgs(f.toString, rest)): _*)
     },
     "format_string" -> {
-      case fmt +: rest if rest.exists(e => e.resolved &&
-          e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
-        FormatString((fmt +: rest.map {
-          case e if e.resolved &&
-              e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-            Cast(e, org.apache.spark.sql.types.DoubleType)
-          case e => e
-        }): _*)
+      case (fmt @ Literal(f, org.apache.spark.sql.types.StringType)) +: rest
+          if f != null =>
+        FormatString((fmt +: cFormatArgs(f.toString, rest)): _*)
     },
     // DuckDB 2-arg reduce(list, lambda) = list_reduce (no init, folds
     // from the head); Spark's native 3/4-arg reduce keeps resolving
@@ -1559,6 +1547,42 @@ object Functions {
       args.map(a => Coalesce(Seq(a, call("array", Nil)))))
     // no else branch: the all-NULL case answers NULL of the result type
     CaseWhen(Seq((anyPresent, skipped)))
+  }
+
+  /** printf argument preparation: decimals become DOUBLE, and every arg
+    * feeding an `%[flags][width][.prec]f` conversion is pre-rounded on
+    * its EXACT binary value (JsonIntrospect.cRound) so Java's Formatter
+    * prints the C-printf digits. Positional (%N$) and sequential
+    * conversions both tracked; '%%' skipped.
+    */
+  private def cFormatArgs(fmt: String, args: Seq[Expression]): Seq[Expression] = {
+    val out = args.map {
+      case e if e.resolved &&
+          e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        Cast(e, org.apache.spark.sql.types.DoubleType)
+      case e => e
+    }.toArray
+    val conv = """%(?:(\d+)\$)?[-#+ 0,(]*\d*(?:\.(\d+))?([a-zA-Z%])""".r
+    var seq = 0
+    for (m <- conv.findAllMatchIn(fmt)) {
+      val c = m.group(3)
+      if (c != "%") {
+        val idx =
+          if (m.group(1) != null) m.group(1).toInt - 1
+          else { val k = seq; seq += 1; k }
+        if ((c == "f" || c == "F") && idx >= 0 && idx < out.length) {
+          val p = if (m.group(2) != null) m.group(2).toInt else 6
+          out(idx) = StaticInvoke(
+            graft.engine.expressions.JsonIntrospect.getClass,
+            org.apache.spark.sql.types.DoubleType, "cRound",
+            Seq(Cast(out(idx), org.apache.spark.sql.types.DoubleType),
+              Literal(p)),
+            Seq(org.apache.spark.sql.types.DoubleType,
+              org.apache.spark.sql.types.IntegerType))
+        }
+      }
+    }
+    out.toSeq
   }
 
   private def sumDouble(x: Expression): Expression =

@@ -45,6 +45,23 @@ object JsonIntrospect {
     else if (n.isNumber) "DOUBLE"
     else "NULL"
 
+  /** C-printf rounding for %.Nf: round the EXACT binary value of the
+    * double (new BigDecimal(d), not the shortest decimal repr) to N
+    * places half-even, like glibc/fmt — Java's Formatter instead
+    * HALF-UPs the shortest string, so %.3f of -37.0755 (exactly
+    * -37.075499…) printed -37.076 where DuckDB prints -37.075
+    * (fuzz-found). Formatting the pre-rounded value is then exact.
+    */
+  def cRound(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else {
+      val r = new java.math.BigDecimal(d)
+        .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue
+      // BigDecimal has no -0: C prints '-0' for a negative value that
+      // rounds to zero (fuzz-found on %.0f of -0.455)
+      if (r == 0.0 && (d < 0.0 || 1.0 / d < 0.0)) -0.0 else r
+    }
+
   /** chr(codepoint): the full-Unicode code point as a string — Spark's
     * builtin truncates to latin-1 (chr(8364) should be '€', probe-19).
     */

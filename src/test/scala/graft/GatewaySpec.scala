@@ -826,6 +826,10 @@ class GatewaySpec extends AnyFunSuite {
     // printf/format accept floats with width.precision; fmt spec subset
     assert(one("SELECT printf('%5.2f|%-4d|', 3.14159, 7) AS v")
       .getString(0) == " 3.14|7   |")
+    // %f rounds the EXACT binary value like C (fuzz-found: Java's
+    // Formatter half-ups the shortest decimal repr instead)
+    assert(one("SELECT printf('%4.3f', -37.0755) AS v").getString(0) == "-37.075")
+    assert(one("SELECT printf('%.2f', 2.675) AS v").getString(0) == "2.67")
     assert(one("SELECT format('{:.2f}|{:>6}|{:06.2f}|{:,}', 3.14159, 'ab', 3.14159, 1234567) AS v")
       .getString(0) == "3.14|    ab|003.14|1,234,567")
     // list tails
