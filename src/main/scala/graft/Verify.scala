@@ -78,7 +78,14 @@ object Verify {
           // once its dump lands (same hygiene as Bench — dead checkpoint
           // blocks from finished queries must not pressure in-flight ones)
           try graft.engine.CacheOnce.scoped {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            val df = fn(spark, sfDir)
+            // executable output-edge type contract (OutputContract
+            // scaladoc): a DECIMAL/interval/instant-timestamp output
+            // column is a guaranteed driver hash mismatch even on
+            // identical values — refuse before dumping so the query
+            // shows red HERE, with the offending column named
+            graft.engine.OutputContract.enforce(name, df.schema)
+            df.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
           }
           catch { case e: Throwable =>

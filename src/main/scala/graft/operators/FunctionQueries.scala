@@ -41,7 +41,7 @@ object FunctionQueries {
       |  ROUND(radians(n_nationkey), 6) AS rd,
       |  ROUND(cbrt(n_nationkey), 6) AS cb,
       |  CAST(factorial(n_nationkey % 6) AS BIGINT) AS fact,
-      |  CAST(factorial(20 + n_nationkey % 14) AS DECIMAL(38,0)) AS bigfact,
+      |  CAST(factorial(20 + n_nationkey % 14) AS VARCHAR) AS bigfact,
       |  ROUND(pi(), 6) AS piv
       |FROM nation ORDER BY k ASC NULLS LAST""".stripMargin
   ) { s =>
@@ -71,8 +71,12 @@ object FunctionQueries {
       // HUGEINT carrier lives on isolated sessions only — r8 regression)
       factorial(k % 6).cast(LongType).as("fact"),
       // HUGEINT-domain factorial (20!..33!): values Spark's BIGINT
-      // builtin can't hold — the engine's Factorial38 kernel
-      graft.engine.GraftColumns.factorialHuge((k % 14) + 20).as("bigfact"),
+      // builtin can't hold — the engine's Factorial38 kernel. Output is
+      // VARCHAR (exact digits), never DECIMAL: the driver comparator
+      // materializes DuckDB DECIMAL as float64 but Spark decimal128 as
+      // Decimal objects — a dtype-kind hash mismatch on identical values.
+      graft.engine.GraftColumns.factorialHuge((k % 14) + 20)
+        .cast(StringType).as("bigfact"),
       round(lit(math.Pi), 6).as("piv"))
       .orderBy(col("k").asc_nulls_last)
   }
@@ -213,8 +217,11 @@ object FunctionQueries {
     val fmt = Dialect.strftimeToJava("%Y-%m-%d %H:%M")
     s.table("events").select(
       col("event_id").as("k"),
-      date_trunc("hour", ts).as("ts_hour"),
-      date_trunc("day", ts).as("ts_day"),
+      // date_trunc resolves to instant TimestampType even on NTZ input;
+      // cast back so the output edge stays NTZ like the fixture (the
+      // oracle's naive timestamp) — OutputContract gate
+      date_trunc("hour", ts).cast(TimestampNTZType).as("ts_hour"),
+      date_trunc("day", ts).cast(TimestampNTZType).as("ts_day"),
       year(ts).as("y"), month(ts).as("mo"),
       dayofmonth(ts).as("d"), hour(ts).as("h"),
       minute(ts).as("mi"), second(ts).as("sec"),

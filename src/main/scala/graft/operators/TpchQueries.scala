@@ -364,7 +364,7 @@ object TpchQueries {
     */
   val q17 = Q(
     "q17_small_qty_revenue",
-    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DECIMAL(18,6)) AS avg_yearly
+    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#3' AND p_size < 15
       |  AND l_quantity < (
@@ -372,7 +372,7 @@ object TpchQueries {
       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
   ) { s =>
     s.sql(
-      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DECIMAL(18,6)) AS avg_yearly
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#3' AND p_size < 15
         |  AND l_quantity < (
@@ -547,8 +547,8 @@ object TpchQueries {
   val q8 = Q(
     "q8_market_share",
     """SELECT o_year,
-      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-      |    / CAST(SUM(volume) AS DOUBLE) AS DECIMAL(18,6)) AS mkt_share
+      |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
       |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
@@ -586,10 +586,9 @@ object TpchQueries {
       .join(n2, col("s_nationkey") === col("s_nk"))
       .select(year(col("o_orderdate")).as("o_year"), vol, col("nation"))
     base.groupBy(col("o_year"))
-      .agg((sum(when(col("nation") === "NATION_5", col("volume"))
+      .agg(round(sum(when(col("nation") === "NATION_5", col("volume"))
         .otherwise(lit(0).cast(dec))).cast(DoubleType) /
-        sum(col("volume")).cast(DoubleType))
-        .cast(DecimalType(18, 6)).as("mkt_share"))
+        sum(col("volume")).cast(DoubleType), 6).as("mkt_share"))
       .orderBy(col("o_year").asc_nulls_last)
   }
 
