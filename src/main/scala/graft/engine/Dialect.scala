@@ -1192,11 +1192,16 @@ object Dialect {
     * filtered rows vanish exactly); `count(*)` counts a CASE-guarded 1.
     * Only single-argument, non-DISTINCT aggregates with well-known
     * NULL-skipping semantics rewrite; anything else keeps the native
-    * path (loud error, like Spark).
+    * path (loud error, like Spark). FIRST/LAST/ANY_VALUE are excluded:
+    * Spark resolves them with ignoreNulls=false, so the CASE fold would
+    * return the nullified value of the frame's first row instead of the
+    * first row PASSING the filter — a silent divergence, not the loud
+    * error this guard promises. ARRAY_AGG is excluded too: collect_list
+    * drops genuine NULL elements where DuckDB's array_agg keeps them.
     */
   private val windowFilterFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "BOOL_AND", "BOOL_OR", "STDDEV", "STDDEV_SAMP", "VAR_SAMP", "VAR_POP",
-    "MEDIAN", "FIRST", "LAST", "ANY_VALUE", "STRING_AGG", "ARRAY_AGG")
+    "MEDIAN", "STRING_AGG")
   private def rewriteWindowFilter(sql: String): String =
     scanOutsideLiterals(sql) { (i, sb) =>
       if (!(wordStart(sql, i) && sql.regionMatches(true, i, "FILTER", 0, 6) &&

@@ -548,9 +548,15 @@ object Functions {
     "current_localtimestamp" -> (_ => call("localtimestamp", Nil)),
     // timezone_hour/minute of a NAIVE timestamp: the session renders in
     // UTC (Verify/Bench/Gateway pin spark.sql.session.timeZone=UTC), so
-    // the offset components are constant 0, exactly DuckDB-on-UTC
-    "timezone_hour" -> { case Seq(_) => Literal(0L) },
-    "timezone_minute" -> { case Seq(_) => Literal(0L) },
+    // the offset components are constant 0, exactly DuckDB-on-UTC —
+    // but NULL must still propagate (timezone_hour(NULL) IS NULL,
+    // ADVICE r9; a bare Literal(0L) ignored the argument)
+    "timezone_hour" -> { case Seq(t) =>
+      If(IsNull(t), Cast(Literal(null), org.apache.spark.sql.types.LongType),
+        Literal(0L)) },
+    "timezone_minute" -> { case Seq(t) =>
+      If(IsNull(t), Cast(Literal(null), org.apache.spark.sql.types.LongType),
+        Literal(0L)) },
     // current_schemas has no Spark builtin; the other session scalars
     // shadow builtins (see overrides)
     "current_schemas" -> { case Seq(_) =>
@@ -749,16 +755,8 @@ object Functions {
 
     // ---- round-5 gap-probe batch 2 (aggregates / datetime / misc;
     // semantics pinned against DuckDB 1.0 before mapping) ----
-    // Kahan-compensated float aggregates: the engine's plain DOUBLE
-    // sum/avg agree within float tolerance (the differential gate's
-    // 1e-9 relative) — the compensation itself is not reproducible
-    // bit-for-bit across partitionings anyway
-    "fsum" -> { case Seq(x) =>
-      sumDouble(x) },
-    "kahan_sum" -> { case Seq(x) =>
-      sumDouble(x) },
-    "favg" -> { case Seq(x) =>
-      call("avg", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    // (fsum/kahan_sum/favg live with sumkahan in the Kahan block below —
+    // a duplicate set here silently overwrote it, ADVICE r9)
     "arbitrary" -> (a => call("first", a)),
     // population excess kurtosis — exactly Spark's builtin
     "kurtosis_pop" -> { case Seq(x) =>
@@ -800,15 +798,15 @@ object Functions {
     "argmin" -> { case a => argN(a, desc = false) },
     "arg_max" -> { case a => argN(a, desc = true) },
     "argmax" -> { case a => argN(a, desc = true) },
-    // Kahan-compensated float aggs: Spark's double sum is the analog
+    // Kahan-compensated float aggs: Spark's double sum is the analog —
+    // the plain DOUBLE sum/avg agree within the differential gate's
+    // float tolerance, and the compensation itself is not reproducible
+    // bit-for-bit across partitionings anyway
     "favg" -> { case Seq(x) =>
       call("avg", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
-    "fsum" -> { case Seq(x) =>
-      call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
-    "sumkahan" -> { case Seq(x) =>
-      call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
-    "kahan_sum" -> { case Seq(x) =>
-      call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType))) },
+    "fsum" -> { case Seq(x) => sumDouble(x) },
+    "sumkahan" -> { case Seq(x) => sumDouble(x) },
+    "kahan_sum" -> { case Seq(x) => sumDouble(x) },
     // DuckDB list(x) = array_agg
     "list" -> (a => call("collect_list", a)),
     "epoch_ns" -> { case Seq(t) =>
@@ -1215,19 +1213,11 @@ object Functions {
     },
     // DuckDB dayofweek/weekday number SUNDAY = 0 (probe-20: Tuesday is
     // 2, not Spark's 3); every internal helper that needs Spark's
-    // Monday-0 constructs the WeekDay kernel directly, never this name
-    "dayofweek" -> { case Seq(d) if d.resolved &&
-        (d.dataType == org.apache.spark.sql.types.DateType ||
-          d.dataType == org.apache.spark.sql.types.TimestampType ||
-          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
-      Subtract(DayOfWeek(d), Literal(1))
-    },
-    "weekday" -> { case Seq(d) if d.resolved &&
-        (d.dataType == org.apache.spark.sql.types.DateType ||
-          d.dataType == org.apache.spark.sql.types.TimestampType ||
-          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
-      Subtract(DayOfWeek(d), Literal(1))
-    },
+    // Monday-0 constructs the WeekDay kernel directly, never this name.
+    // VARCHAR args get DuckDB's implicit cast-to-DATE first (ADVICE r9:
+    // a string fell through to the builtin's Sunday-1 numbering).
+    "dayofweek" -> sundayZeroDow,
+    "weekday" -> sundayZeroDow,
     // make_timestamp(µs): the 1-arg epoch-micros form (probe-20);
     // the 6-arg constructor keeps Spark's builtin via the fallthrough
     "make_timestamp" -> { case Seq(us) if us.resolved &&
@@ -1587,6 +1577,22 @@ object Functions {
 
   private def sumDouble(x: Expression): Expression =
     call("sum", Seq(Cast(x, org.apache.spark.sql.types.DoubleType)))
+
+  /** DuckDB Sunday-0 day numbering for dayofweek/weekday, including the
+    * implicit VARCHAR→DATE cast DuckDB applies (ADVICE r9: a string
+    * argument fell through to Spark's Sunday-1/Monday-0 builtins). */
+  // def, not val: referenced from `overrides`, which initializes first
+  private def sundayZeroDow: PartialFunction[Seq[Expression], Expression] = {
+    case Seq(d) if d.resolved &&
+        (d.dataType == org.apache.spark.sql.types.DateType ||
+          d.dataType == org.apache.spark.sql.types.TimestampType ||
+          d.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+      Subtract(DayOfWeek(d), Literal(1))
+    case Seq(d) if d.resolved &&
+        d.dataType == org.apache.spark.sql.types.StringType =>
+      Subtract(DayOfWeek(Cast(d, org.apache.spark.sql.types.DateType)),
+        Literal(1))
+  }
 
   /** NULL below the minimum n (sample-statistic domain) and on NaN
     * (Spark's zero-variance answer, where DuckDB serves NULL).

@@ -667,6 +667,11 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT dayofweek(DATE '2024-03-05') AS v").getInt(0) == 2)
     assert(one("SELECT weekday(DATE '2024-03-03') AS v").getInt(0) == 0)
     assert(one("SELECT isodow(DATE '2024-03-03') AS v").getInt(0) == 7)
+    // VARCHAR arg takes DuckDB's implicit cast-to-DATE, keeping the
+    // Sunday-0 numbering (ADVICE r9: strings fell through to Spark's
+    // Sunday-1/Monday-0 builtins — a silent off-by-one)
+    assert(one("SELECT dayofweek('2024-03-05') AS v").getInt(0) == 2)
+    assert(one("SELECT weekday('2024-03-03') AS v").getInt(0) == 0)
     // strlen = BYTES; length = characters (both BIGINT)
     assert(one("SELECT strlen('🤦') AS v").getLong(0) == 4L)
     assert(one("SELECT length('🤦') AS v").getLong(0) == 1L)
@@ -679,6 +684,12 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT current_localtime() IS NOT NULL AS v").getBoolean(0))
     assert(one("SELECT timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS v")
       .getLong(0) == 0L)
+    // ... but NULL propagates (ADVICE r9: the UTC-pinned constant 0
+    // ignored the argument entirely)
+    assert(one("SELECT timezone_hour(CAST(NULL AS TIMESTAMP)) IS NULL AS v")
+      .getBoolean(0))
+    assert(one("SELECT timezone_minute(CAST(NULL AS TIMESTAMP)) IS NULL AS v")
+      .getBoolean(0))
   }
 
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
@@ -783,6 +794,17 @@ class GatewaySpec extends AnyFunSuite {
         |FROM (VALUES (1),(2),(3),(4)) t(x) ORDER BY x""".stripMargin)
       .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
     assert(wf == Seq(-1L, 2L, 2L, 6L), wf)
+    // FIRST/LAST/ANY_VALUE/ARRAY_AGG are NOT folded: Spark resolves
+    // them with ignoreNulls=false, so the CASE fold would silently
+    // return the frame-first row's nullified value instead of the first
+    // row PASSING the filter (and collect_list drops NULL elements
+    // array_agg keeps). These shapes must keep the loud native error.
+    for (fn <- Seq("first(x)", "last(x)", "any_value(x)", "array_agg(x)")) {
+      val e = intercept[Exception](gw.sql(
+        s"""SELECT $fn FILTER (WHERE x > 1) OVER (ORDER BY x) AS v
+           |FROM (VALUES (1),(2)) t(x)""".stripMargin).collect())
+      assert(!e.getMessage.contains("CASE WHEN"), s"$fn: $e")
+    }
     // percentile_disc WITHIN GROUP keeps the ELEMENT type
     val pd = gw.sql(
       "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS v FROM (VALUES (1),(2),(3),(4)) t(x)")
