@@ -592,7 +592,244 @@ object TpchQueries {
       .orderBy(col("o_year").asc_nulls_last)
   }
 
+  /** Q9 product-type profit (adapted: no partsupp, so unit supply cost
+    * is the part's retail price — profit = discounted revenue minus
+    * retailprice × quantity), grouped by SUPPLIER nation and order
+    * year. Exercises the profit expression over a 6-table join with a
+    * dim-side LIKE prune. Plan shape at scale: the p_name filter
+    * broadcasts part and prunes lineitem FIRST (1 part row per ~30
+    * lineitem rows), supplier/nation broadcast, orders⋈lineitem on
+    * orderkey is the single real shuffle, then one (nation, year)
+    * partial/final agg. All arithmetic stays on exact scale-4 DECIMAL
+    * until the final DOUBLE cast.
+    */
+  val q9 = Q(
+    "q9_product_profit",
+    """SELECT nation, o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    l_extendedprice, l_discount, p_retailprice, l_quantity
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST""".stripMargin
+  ) { s =>
+    val profit = revenue - (d("p_retailprice") * d("l_quantity"))
+    s.table("lineitem")
+      .join(broadcast(s.table("part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(s.table("supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(s.table("nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(s.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), year(col("o_orderdate")).as("o_year"), profit.as("p"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("p")).cast(DoubleType).as("sum_profit"))
+      .orderBy(col("nation").asc_nulls_last, col("o_year").desc_nulls_last)
+  }
+
+  /** Q11 important stock (adapted: no partsupp — per-part "value" is
+    * the summed extended price of its lineitems from a 3-nation
+    * supplier slice): grouped HAVING against a GLOBAL scalar threshold.
+    * The shape that matters: the uncorrelated scalar subquery inside
+    * HAVING must plan ONCE (subquery broadcast), not per group, and
+    * the threshold comparison stays on exact DECIMAL both sides.
+    * SQL-identical on both engines — the dialect layer plans it.
+    */
+  val q11 = Q(
+    "q11_important_stock",
+    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+      |ORDER BY part_value DESC NULLS LAST, l_partkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+        |ORDER BY part_value DESC NULLS LAST, l_partkey ASC NULLS LAST""".stripMargin)
+  }
+
+  /** Q12 shipping-mode priority counts (adapted: the fixture has no
+    * l_shipmode or commit/receipt dates — the mode axis is
+    * l_returnflag and "late" = shipped >30 days after the order date).
+    * The point is the dual conditional count over one fact-fact join
+    * slice: both CASE sums ride a single (orderkey-shuffled) join with
+    * the date-range filter pushed to the lineitem scan.
+    */
+  val q12 = Q(
+    "q12_shipmode_priority",
+    """SELECT l_returnflag AS shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY shipmode ASC NULLS LAST""".stripMargin
+  ) { s =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    s.table("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampNTZType))
+      .join(s.table("orders"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .groupBy(col("l_returnflag").as("shipmode"))
+      .agg(
+        sum(when(hi, 1).otherwise(0)).cast(LongType).as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).cast(LongType).as("low_line_count"))
+      .orderBy(col("shipmode").asc_nulls_last)
+  }
+
+  /** Q16 supplier count by part attributes (adapted: lineitem is the
+    * part↔supplier relation in partsupp's absence): COUNT(DISTINCT)
+    * per 3-column group under a NOT-IN anti-join against an excluded
+    * supplier list. The NOT IN must plan as a null-aware anti join on
+    * the broadcast-sized supplier side, and the distinct-count expands
+    * map-side (partial distinct) — not a per-group re-scan.
+    */
+  val q16 = Q(
+    "q16_parts_supplier_cnt",
+    """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0000001%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
+      |  p_type ASC NULLS LAST, p_size ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0000001%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
+        |  p_type ASC NULLS LAST, p_size ASC NULLS LAST""".stripMargin)
+  }
+
+  /** Q20 potential part promotion (adapted: the stocked-quantity
+    * condition comes from lineitem itself — suppliers who moved >60
+    * units of some red part in 1997): the NESTED semi-join chain,
+    * IN (grouped-HAVING subquery that itself contains an IN subquery).
+    * Catalyst must collapse both INs to left-semi joins with the
+    * grouped aggregate in between — no correlated re-execution.
+    * SQL-identical on both engines.
+    */
+  val q20 = Q(
+    "q20_promotion_suppliers",
+    """SELECT s_name, s_suppkey
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+      |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT s_name, s_suppkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+        |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin)
+  }
+
+  /** Q21 suppliers who kept orders waiting (adapted: "late" = shipped
+    * >60 days after the order date, as in Q4): the hardest
+    * decorrelation in TPC-H — a correlated EXISTS (another supplier on
+    * the same order) AND a correlated NOT EXISTS (no OTHER supplier
+    * was also late, which references o_orderdate from a DIFFERENT
+    * outer table than the equi-key). Catalyst must plan one left-semi
+    * and one left-anti join against lineitem on l_orderkey, each with
+    * the extra non-equi condition folded in — any surviving per-row
+    * subquery re-scans lineitem per match and dies at scale.
+    * SQL-identical on both engines.
+    */
+  val q21 = Q(
+    "q21_waiting_suppliers",
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+      |                 'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7')
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
+      |LIMIT 100""".stripMargin
+  ) { s =>
+    s.sql(
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+        |                 'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7')
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin)
+  }
+
   val all: Seq[Q] =
-    Seq(q2m, q3, q4, q5, q6, q7, q8, q10, q13, q14, q15, q17, q18, q19,
-      q22, sq1, sq2, sq3)
+    Seq(q2m, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
+      q16, q17, q18, q19, q20, q21, q22, sq1, sq2, sq3)
 }

@@ -441,4 +441,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q9: red-part prune broadcasts onto lineitem; profit agg partial+final; no cartesian") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q11: HAVING's global scalar plans as a one-time subquery, not per group") {
+    val df = SparkEntry.queries("q11_important_stock")(spark, sf)
+    df.collect()
+    val qe = df.queryExecution
+    val p = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the threshold is a scalar subquery evaluated once...
+    assert(qe.optimizedPlan.toString.contains("scalar-subquery"), qe.optimizedPlan)
+    // ...and the grouped side aggregates partial+final with broadcast dims
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q12: shipdate range pushed to the lineitem scan; both CASE sums in ONE agg pass") {
+    val p = plan("q12_shipmode_priority")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    // one partial/final pair computes both conditional counts — a
+    // second aggregate would mean two passes over the joined slice
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q16: NOT IN plans as an anti join on the broadcast supplier side") {
+    val p = plan("q16_parts_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q20: both INs collapse to semi joins around the grouped HAVING — no re-execution") {
+    val p = plan("q20_promotion_suppliers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to one semi + one anti join on l_orderkey") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the non-equi late-shipment condition folds INTO the joins —
+    // a surviving per-row subquery or a nested-loop over lineitem
+    // re-scans the fact table per match
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
