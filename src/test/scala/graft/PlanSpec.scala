@@ -358,16 +358,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
-  test("nn_label_knn: pair generation is the cell equi-join, no cross product") {
+  test("nn_label_knn: chunk-blocked cell join, partial top-k map-side, no cross product") {
     val df = SparkEntry.queries("nn_label_knn")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the quadratic enumeration must ride the label equi-join (cell-
-    // confined by construction); an unkeyed nested loop is the 100 TB
-    // cliff. The top-k window partitions by vec_id (millions of tiny
-    // partitions — no skew).
+    // the quadratic enumeration must ride the (label, chunk) equi-join
+    // — C× more shuffle keys than cells, per-task buffering bounded by
+    // cell/C; an unkeyed nested loop is the 100 TB cliff
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("row_number"), p)
+    // the partial per-(vec, chunk) top-3 must prune MAP-SIDE via
+    // WindowGroupLimit, so the final window's shuffle carries ≤3C rows
+    // per vector instead of the whole cell
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q7: shipdate pushed to the lineitem scan, nations/supplier broadcast, partial agg") {
