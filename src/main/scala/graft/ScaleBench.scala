@@ -105,7 +105,13 @@ object ScaleBench {
     // round-9 additions: the new TPC-H shapes and pipeline operators
     "q7_volume_shipping", "q8_market_share", "q13_cust_distribution",
     "q15_top_supplier", "q22_idle_rich_customers",
-    "dd_keep_longest", "pipe_train_split", "tx_source_stats")
+    "dd_keep_longest", "pipe_train_split", "tx_source_stats",
+    // round-10 additions: the TPC-H completion set (decorrelation
+    // heavyweights — Q21's semi+anti pair, Q16's distinct-count under
+    // NOT IN, Q11's global-scalar HAVING, Q9's widest profit rollup)
+    "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
+    "q16_parts_supplier_cnt", "q20_promotion_suppliers",
+    "q21_waiting_suppliers")
 
   def run(spark: SparkSession, dir: String,
       queries: Seq[String] = heavy,
@@ -164,7 +170,7 @@ object ScaleBench {
       // melting the tier; IVF/PQ are the measured scale path for ANN.
       if (name == "nn_label_knn") {
         val perCell = spark.table("embeddings").count() / 10.0
-        if (perCell > 20000) {
+        if (perCell >= 20000) {
           out += Row(name, -1, -1, -1, -1, -1, -1,
             f"skipped: exact kNN pair count quadratic in cell size " +
               f"(avg $perCell%.0f vectors/cell > 20k wall gate); IVF/PQ are the scale path")

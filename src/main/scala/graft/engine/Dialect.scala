@@ -41,7 +41,8 @@ object Dialect {
     rewritePercentileDisc, rewriteStarModifiers,
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
     rewriteQualify, rewriteCatalogFns,
-    rewriteDateDiff, rewriteCastTypes, rewriteFetchFirst)
+    rewriteDateDiff, rewriteCastTypes, rewriteFetchFirst,
+    rewriteQueryTable)
 
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
@@ -2233,6 +2234,45 @@ object Dialect {
     sb.toString
   }
 
+  /** DuckDB 1.1 `query_table('name')` → the named relation (SURVEY
+    * §5.3). Literal arguments only, and only identifier-shaped names —
+    * a non-literal or non-identifier argument keeps the loud native
+    * error (dynamic SQL stays outside the read-only surface).
+    */
+  private val queryTableRe =
+    """(?is)^QUERY_TABLE\s*\(\s*'([A-Za-z_][\w.]*)'\s*\)""".r
+  private def rewriteQueryTable(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (wordStart(sql, i) &&
+          sql.regionMatches(true, i, "QUERY_TABLE", 0, 11))
+        queryTableRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) => sb.append(m.group(1)); i + m.end
+          case None => i
+        }
+      else i
+    }
+
+  /** DuckDB 1.1 `getvariable('name')` — resolved by the GATEWAY (the
+    * variable store is per-session state), substituting the stored SQL
+    * literal text, or NULL when unset (DuckDB's behavior). Literal
+    * argument only; runs before every other rewrite so the substituted
+    * literal flows through raw-string doubling like user text.
+    */
+  private val getVarRe =
+    """(?is)^GETVARIABLE\s*\(\s*'([^']*)'\s*\)""".r
+  def substituteGetVariable(sql: String,
+      resolve: String => Option[String]): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (wordStart(sql, i) &&
+          sql.regionMatches(true, i, "GETVARIABLE", 0, 11))
+        getVarRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            sb.append(resolve(m.group(1)).getOrElse("NULL")); i + m.end
+          case None => i
+        }
+      else i
+    }
+
   private val globRe =
     """(?i)^GLOB\s+'([^']*)'""".r
 
@@ -2684,7 +2724,8 @@ object Dialect {
       case Some(m) => (m.group(1).toUpperCase, m.group(2).trim)
       case None => return None
     }
-    if (!Set("SUM", "COUNT", "AVG", "MIN", "MAX").contains(fn)) return None
+    if (!Set("SUM", "COUNT", "AVG", "MIN", "MAX",
+        "BOOL_AND", "BOOL_OR").contains(fn)) return None
     if (arg.toUpperCase.startsWith("DISTINCT")) return None
     val isStar = arg == "*"
     if (isStar && fn != "COUNT") return None
@@ -2741,6 +2782,12 @@ object Dialect {
         else s"CAST(size($nn) AS BIGINT)"
       case "MIN" => s"array_min($vlist)"
       case "MAX" => s"array_max($vlist)"
+      // booleans are orderable (false < true): bool_and is min over the
+      // non-excluded booleans, bool_or is max — NULL elements skipped by
+      // array_min/max like the native aggregates (fuzz r10: bool FILTER
+      // folds composed with EXCLUDE fell to a parse error)
+      case "BOOL_AND" => s"array_min($vlist)"
+      case "BOOL_OR" => s"array_max($vlist)"
       case "SUM" => sumOf(nn)
       case _ => // AVG — DuckDB returns DOUBLE
         s"(CAST(${sumOf(nn)} AS DOUBLE) / NULLIF(size($nn), 0))"

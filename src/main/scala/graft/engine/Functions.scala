@@ -557,6 +557,10 @@ object Functions {
     "timezone_minute" -> { case Seq(t) =>
       If(IsNull(t), Cast(Literal(null), org.apache.spark.sql.types.LongType),
         Literal(0L)) },
+    // DuckDB 1.3 TRY(expr): NULL on runtime evaluation error (SURVEY
+    // §5.3) — Spark's TryEval is the same contract under ANSI mode,
+    // and it composes with the TRY_CAST surface already served
+    "try" -> { case Seq(x) => TryEval(x) },
     // current_schemas has no Spark builtin; the other session scalars
     // shadow builtins (see overrides)
     "current_schemas" -> { case Seq(_) =>

@@ -103,7 +103,28 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     """(?is)ATTACH\s+'(\w+)'\s*\(\s*TYPE\s+AIRPORT\s*,\s*location\s+'([^']+)'\s*\)\s*;?\s*""".r
 
   def sql(text: String): DataFrame = {
-    val trimmed = text.trim
+    val preVar = text.trim
+    // DuckDB 1.1 session variables (SURVEY §5.3): SET VARIABLE
+    // evaluates its expression EAGERLY through the full pipeline and
+    // stores the result as SQL literal text; getvariable('x') is then
+    // substituted before any other processing, so the literal flows
+    // through raw-string doubling exactly like user-typed text.
+    preVar match {
+      case Gateway.setVarRe(name, ex) =>
+        val df = this.sql(s"SELECT (${ex.trim.stripSuffix(";").trim}) AS v")
+        val rows = df.limit(2).collect()
+        if (rows.length != 1)
+          throw new GatewayException(
+            s"SET VARIABLE: expression must yield exactly one row, got ${rows.length}")
+        sessionVars.put(name.toLowerCase, Gateway.varLiteral(rows.head.get(0)))
+        return session.sql("SELECT true AS Success").limit(0)
+      case Gateway.resetVarRe(name) =>
+        sessionVars.remove(name.toLowerCase)
+        return session.sql("SELECT true AS Success").limit(0)
+      case _ =>
+    }
+    val trimmed = Dialect.substituteGetVariable(preVar,
+      n => Option(sessionVars.get(n.toLowerCase)))
     secretStatement(trimmed) match {
       case Some(props) => return applySecret(props)
       case None =>
@@ -699,6 +720,11 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   private val describeTableRe = """(?is)^DESC(?:RIBE)?\s+([\w.]+)\s*;?\s*$""".r
   private val explainAnalyzeRe = """(?is)^EXPLAIN\s+ANALYZE\s+(.+)$""".r
 
+  // ---- session variables (SET VARIABLE / getvariable, DuckDB 1.1) ----
+  // name → SQL literal text of the eagerly-evaluated value
+  private val sessionVars =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // ---- prepared statements (PREPARE / EXECUTE / DEALLOCATE) ----------
   private val prepared =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1199,6 +1225,41 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
 final class GatewayException(msg: String) extends RuntimeException(msg)
 
 object Gateway {
+
+  private[engine] val setVarRe =
+    """(?is)^SET\s+VARIABLE\s+(\w+)\s*=\s*(.+)$""".r
+  private[engine] val resetVarRe =
+    """(?is)^RESET\s+VARIABLE\s+(\w+)\s*;?\s*$""".r
+
+  /** Render an evaluated variable value as SQL literal text for
+    * substitution into later statements. Strings use standard ''
+    * doubling ONLY — substitution happens before the raw-literal
+    * backslash pass, so backslashes get doubled downstream like any
+    * user-typed literal. Complex types are refused loudly (DuckDB
+    * stores them; this engine's variable surface is scalar). */
+  private[engine] def varLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "true" else "false"
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double =>
+      if (d.isNaN) "CAST('NaN' AS DOUBLE)"
+      else if (d == Double.PositiveInfinity) "CAST('Infinity' AS DOUBLE)"
+      else if (d == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
+      else s"CAST($d AS DOUBLE)"
+    case f: Float => varLiteral(f.toDouble)
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: BigDecimal => bd.underlying.toPlainString
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case t: java.sql.Timestamp =>
+      s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
+    case t: java.time.LocalDateTime =>
+      s"TIMESTAMP '${t.toString.replace('T', ' ')}'"
+    case other => throw new GatewayException(
+      s"SET VARIABLE: unsupported value type ${other.getClass.getSimpleName}" +
+        " (scalar variables only)")
+  }
 
   /** Substitute prepared-statement placeholders with argument SQL text,
     * outside string literals: `$1`-style positionals, `$name` named

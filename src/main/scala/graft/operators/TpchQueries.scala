@@ -616,13 +616,13 @@ object TpchQueries {
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
       |  JOIN orders ON l_orderkey = o_orderkey
-      |  WHERE p_name LIKE '%red%') profit
+      |  WHERE p_name LIKE '%e%') profit
       |GROUP BY nation, o_year
       |ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST""".stripMargin
   ) { s =>
     val profit = revenue - (d("p_retailprice") * d("l_quantity"))
     s.table("lineitem")
-      .join(broadcast(s.table("part").filter(col("p_name").like("%red%"))
+      .join(broadcast(s.table("part").filter(col("p_name").like("%e%"))
         .select(col("p_partkey"), col("p_retailprice"))),
         col("p_partkey") === col("l_partkey"))
       .join(broadcast(s.table("supplier")
@@ -641,7 +641,9 @@ object TpchQueries {
 
   /** Q11 important stock (adapted: no partsupp — per-part "value" is
     * the summed extended price of its lineitems from a 3-nation
-    * supplier slice): grouped HAVING against a GLOBAL scalar threshold.
+    * supplier slice): grouped HAVING against a GLOBAL scalar threshold (2x the mean
+    * per-part value - RELATIVE, so the query stays non-vacuous at any
+    * corpus size, unlike a fixed fraction of the total).
     * The shape that matters: the uncorrelated scalar subquery inside
     * HAVING must plan ONCE (subquery broadcast), not per group, and
     * the threshold comparison stays on exact DECIMAL both sides.
@@ -655,7 +657,7 @@ object TpchQueries {
       |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
       |GROUP BY l_partkey
       |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
-      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+      |  SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(DISTINCT l_partkey)
       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
       |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
@@ -668,7 +670,7 @@ object TpchQueries {
         |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
         |GROUP BY l_partkey
         |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
-        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+        |  SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(DISTINCT l_partkey)
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
@@ -741,8 +743,8 @@ object TpchQueries {
   }
 
   /** Q20 potential part promotion (adapted: the stocked-quantity
-    * condition comes from lineitem itself — suppliers who moved >60
-    * units of some red part in 1997): the NESTED semi-join chain,
+    * condition comes from lineitem itself — suppliers who moved >40
+    * units of some matching part in 1997): the NESTED semi-join chain,
     * IN (grouped-HAVING subquery that itself contains an IN subquery).
     * Catalyst must collapse both INs to left-semi joins with the
     * grouped aggregate in between — no correlated re-execution.
@@ -756,7 +758,7 @@ object TpchQueries {
       |  AND s_suppkey IN (
       |    SELECT l_suppkey FROM lineitem
       |    WHERE l_partkey IN (
-      |      SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      |      SELECT p_partkey FROM part WHERE p_name LIKE '%e%')
       |      AND l_shipdate >= TIMESTAMP '1997-01-01'
       |      AND l_shipdate < TIMESTAMP '1998-01-01'
       |    GROUP BY l_suppkey, l_partkey
@@ -770,7 +772,7 @@ object TpchQueries {
         |  AND s_suppkey IN (
         |    SELECT l_suppkey FROM lineitem
         |    WHERE l_partkey IN (
-        |      SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |      SELECT p_partkey FROM part WHERE p_name LIKE '%e%')
         |      AND l_shipdate >= TIMESTAMP '1997-01-01'
         |      AND l_shipdate < TIMESTAMP '1998-01-01'
         |    GROUP BY l_suppkey, l_partkey

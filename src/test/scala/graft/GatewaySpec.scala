@@ -692,6 +692,37 @@ class GatewaySpec extends AnyFunSuite {
       .getBoolean(0))
   }
 
+  test("round-10: DuckDB 1.1-1.4 dialect tail (SURVEY §5.3 implemented rows)") {
+    def one(q: String) = gw.sql(q).collect().head
+    // SET VARIABLE evaluates eagerly; getvariable substitutes, NULL when unset
+    gw.sql("SET VARIABLE who = 'ann''s'")
+    assert(one("SELECT getvariable('who') AS v").getString(0) == "ann's")
+    gw.sql("SET VARIABLE answer = 6 * 7")
+    assert(one("SELECT getvariable('answer') + 0 AS v").getInt(0) == 42)
+    gw.sql("SET VARIABLE frac = 1.5 + 0.25")
+    assert(one("SELECT getvariable('frac') AS v").getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1.75")) == 0)
+    assert(one("SELECT getvariable('never_set') IS NULL AS v").getBoolean(0))
+    gw.sql("RESET VARIABLE who")
+    assert(one("SELECT getvariable('who') IS NULL AS v").getBoolean(0))
+    // query_table('name') resolves the named relation; only literal
+    // identifier-shaped args rewrite (others keep the native error)
+    assert(gw.sql("SELECT count(*) AS c FROM query_table('region')")
+      .collect().head.getLong(0) == 5L)
+    intercept[Exception](
+      gw.sql("SELECT * FROM query_table(r_name)").collect())
+    // TRY(expr): NULL on runtime error, value otherwise (ANSI mode on)
+    assert(one("SELECT TRY(1/0) IS NULL AS v").getBoolean(0))
+    assert(one("SELECT TRY(CAST('x' AS INT)) IS NULL AS v").getBoolean(0))
+    assert(one("SELECT TRY(2 + 2) AS v").getInt(0) == 4)
+    // MERGE INTO is a WRITE: typed read-only refusal, not a parse error
+    val e = intercept[graft.engine.GatewayException](gw.sql(
+      "MERGE INTO region USING region r2 ON false WHEN MATCHED THEN UPDATE SET r_name = 'x'"))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // uuidv7 serves a UUID (v4 carrier; monotonicity documented not promised)
+    assert(one("SELECT uuidv7() AS v").getString(0).length == 36)
+  }
+
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
     def one(q: String) = gw.sql(q).collect().head
     // JSON constructors / canonicalization / quoting (all value-pinned)
@@ -1311,6 +1342,17 @@ class GatewaySpec extends AnyFunSuite {
 
   test("round-8: window EXCLUDE frames match DuckDB (subtraction algebra)") {
     // all expected values pinned against DuckDB 1.0 on these literals
+    // r10 fuzz find: bool aggregates composed with FILTER + EXCLUDE fell
+    // through both rewrite paths to a parse error — bool_and/bool_or now
+    // ride the general fallback as min/max over orderable booleans
+    val bx = gw.sql(
+      """SELECT x, bool_and(x < 4) FILTER (WHERE x % 2 = 0) OVER (
+        |  ORDER BY x ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+        |  EXCLUDE CURRENT ROW) AS w
+        |FROM (VALUES (1),(2),(3),(4),(5)) t(x) ORDER BY x""".stripMargin)
+      .collect()
+    assert(bx.map(r => (r.getInt(0), r.getBoolean(1))).toSeq ==
+      Seq((1, true), (2, false), (3, false), (4, true), (5, false)))
     val cur = gw.sql(
       """SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
         |  EXCLUDE CURRENT ROW) AS s FROM (VALUES (1),(2),(3)) t(x) ORDER BY s""".stripMargin)

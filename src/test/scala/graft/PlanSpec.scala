@@ -445,7 +445,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("q9: red-part prune broadcasts onto lineitem; profit agg partial+final; no cartesian") {
+  test("q9: part prune broadcasts onto lineitem; profit agg partial+final; no cartesian") {
     val p = plan("q9_product_profit")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_sum"), p)

@@ -79,7 +79,70 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(16)
+        shape = rng.randrange(18)
+        if shape == 16:  # window FILTER × frames/partitions (r10: composes
+            # the rewriteWindowFilter fold with EXCLUDE/GROUPS rewrites)
+            fn = rng.choice([
+                "count(*)",
+                "sum(CAST(n_nationkey AS BIGINT))",
+                "min(n_nationkey)", "max(n_regionkey)",
+                "CAST(round(avg(CAST(n_nationkey AS DOUBLE)), 6) AS DOUBLE)",
+                "bool_and(n_nationkey % 2 = 0)",
+                "bool_or(n_regionkey > 2)"])
+            pred = rng.choice([
+                "n_nationkey % 2 = 0", "n_regionkey > 1",
+                "length(n_name) > 6", "n_name LIKE '%A%'"])
+            frame = rng.choice([
+                "", " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW",
+                " GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING"])
+            part = rng.choice(["PARTITION BY n_regionkey ", ""])
+            okey = rng.choice(["n_nationkey", "(n_nationkey % 5)"])
+            if rng.random() < 0.3:  # grouped FILTER under grouping sets
+                g = rng.choice(["ROLLUP(n_regionkey)",
+                                "GROUPING SETS ((n_regionkey), ())",
+                                "CUBE(n_regionkey)"])
+                return (f"SELECT n_regionkey, "
+                        f"count(*) FILTER (WHERE {pred}) AS cf, "
+                        f"sum(CAST(n_nationkey AS BIGINT)) "
+                        f"FILTER (WHERE length(n_name) > 6) AS sf "
+                        f"FROM nation GROUP BY {g} "
+                        f"ORDER BY n_regionkey ASC NULLS LAST, cf ASC NULLS LAST")
+            return (f"SELECT n_nationkey, {fn} FILTER (WHERE {pred}) "
+                    f"OVER ({part}ORDER BY {okey} ASC{frame}) AS w "
+                    f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+        if shape == 17:  # JSON constructors composed relationally (r10)
+            je = rng.choice([
+                "json(props)", "json_quote(event_type)",
+                "json_array(event_id % 5, event_type)",
+                "json_object('t', event_type, 'n', event_id % 7)",
+                "json_extract(props, '/k')", "json_type(props)"])
+            pick = rng.random()
+            if pick < 0.3:  # grouped over ctor output + FILTER clause
+                return (f"SELECT event_type AS k, count(DISTINCT {je}) AS c, "
+                        f"min(CAST({je} AS VARCHAR)) AS m, "
+                        f"count({je}) FILTER (WHERE event_id % 3 = 0) AS cf "
+                        f"FROM events WHERE event_id < 2000 "
+                        f"GROUP BY event_type ORDER BY k ASC NULLS LAST")
+            if pick < 0.6:  # rollup over ctor
+                return (f"SELECT event_type AS k, count({je}) AS c "
+                        f"FROM events WHERE event_id < 2000 "
+                        f"GROUP BY ROLLUP(event_type) "
+                        f"ORDER BY k ASC NULLS LAST, c ASC NULLS LAST")
+            if pick < 0.85:  # window over ctor with frame
+                fr = rng.choice([" ROWS BETWEEN 1 PRECEDING AND CURRENT ROW", ""])
+                return (f"SELECT event_id AS k, "
+                        f"first_value(CAST({je} AS VARCHAR)) "
+                        f"OVER (PARTITION BY event_type "
+                        f"ORDER BY event_id ASC{fr}) AS w "
+                        f"FROM events WHERE event_id < 500 "
+                        f"ORDER BY k ASC NULLS LAST")
+            return (f"SELECT event_type AS k, "
+                    f"string_agg(CAST({je} AS VARCHAR), '|' ORDER BY event_id) AS s "
+                    f"FROM events WHERE event_id < 200 "
+                    f"GROUP BY event_type ORDER BY k ASC NULLS LAST")
         if shape == 14:  # join variety over nation/region (outer/semi/anti)
             jt = rng.choice(["LEFT", "RIGHT", "FULL", "SEMI", "ANTI"])
             pred = rng.choice(["", " AND r_regionkey > 1",
@@ -248,7 +311,7 @@ def main():
                 f"GROUP BY r_name ORDER BY r_name ASC NULLS LAST")
 
     con = duckdb.connect()
-    for t in ["nation", "region", "lineitem", "orders"]:
+    for t in ["nation", "region", "lineitem", "orders", "events"]:
         p = Path(SF) / f"{t}.parquet"
         # ScaleGen writes multi-file parquet DIRECTORIES; glob those
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
