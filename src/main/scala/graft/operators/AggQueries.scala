@@ -409,6 +409,13 @@ object AggQueries {
     * cf. q1_pricing: DECIMAL internally, DOUBLE at the output edge).
     */
   val a16 = {
+    // product() folds floats in partition order, so its raw value
+    // drifts by an ulp once the corpus spans multiple partitions (the
+    // 10x gate caught exactly one last-ulp mismatch at 6.9e58). The
+    // output edge takes ln(product) rounded: a relative 1e-16 drift
+    // becomes a 1e-16 ABSOLUTE difference in the log, which round(.,6)
+    // absorbs at any corpus size — while product() itself stays the
+    // aggregate under test.
     val sqlText =
       """SELECT o_orderstatus,
         |  CAST(round(entropy(o_orderpriority), 9) AS DOUBLE) AS ent,
@@ -417,7 +424,7 @@ object AggQueries {
         |  CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS qd,
         |  arg_min(o_orderpriority, o_orderkey) AS amn,
         |  arg_max(o_orderpriority, o_orderkey) AS amx,
-        |  CAST(round(product(1.0 + o_totalprice / 1e9), 9) AS DOUBLE) AS pr
+        |  CAST(round(ln(product(1.0 + o_totalprice / 1e9)), 6) AS DOUBLE) AS lpr
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
