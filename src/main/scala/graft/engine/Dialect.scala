@@ -42,7 +42,7 @@ object Dialect {
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
     rewriteQualify, rewriteCatalogFns,
     rewriteDateDiff, rewriteCastTypes, rewriteFetchFirst,
-    rewriteQueryTable)
+    rewriteQueryTable, rewriteFillWindow)
 
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
@@ -2250,6 +2250,72 @@ object Dialect {
           case None => i
         }
       else i
+    }
+
+  /** DuckDB 1.4 `FILL(x) OVER ([PARTITION BY p] ORDER BY k)` — gap
+    * interpolation (SURVEY §5.3): non-NULL values pass through; a NULL
+    * gets LINEAR interpolation between the nearest non-NULL neighbors
+    * by the (single, numeric) order key; at the edges the nearest
+    * neighbor's value carries (no extrapolation — pinned by spec, no
+    * 1.4 oracle exists locally). Composed from three windows over the
+    * same spec: the original plus last_value/first_value IGNORE NULLS
+    * of (key, value) pairs over the preceding/following halves — the
+    * formula is symmetric in the two anchor points, so ASC and DESC
+    * specs both interpolate correctly. Result type is DOUBLE (the
+    * interpolated branch is inherently fractional). Frames, multiple
+    * order keys, and non-castable (non-numeric) keys keep the loud
+    * native error.
+    */
+  private def rewriteFillWindow(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) && sql.regionMatches(true, i, "FILL", 0, 4))) i
+      else splitCallArgs(sql, i + 4) match {
+        case Some((args, end)) if args.length == 1 =>
+          var m = end
+          while (m < sql.length && sql.charAt(m).isWhitespace) m += 1
+          if (!(sql.regionMatches(true, m, "OVER", 0, 4) &&
+              (m + 4 >= sql.length ||
+                !(sql.charAt(m + 4).isLetterOrDigit || sql.charAt(m + 4) == '_')))) i
+          else splitCallArgs(sql, m + 4) match {
+            case Some((specParts, specEnd)) =>
+              val spec = specParts.mkString(",")
+              val obIdx = indexOfTopLevel(spec, " ORDER BY ") match {
+                case -1 =>
+                  if ("""(?is)^\s*ORDER\s+BY\s.*""".r.matches(spec)) 0 else -1
+                case x => x
+              }
+              val hasFrame = Seq(" ROWS ", " RANGE ", " GROUPS ")
+                .exists(f => indexOfTopLevel(spec, f) >= 0)
+              if (obIdx < 0 || hasFrame) i
+              else {
+                val afterOb = spec.substring(obIdx)
+                  .replaceAll("""(?is)^\s*ORDER\s+BY\s+""", "")
+                if (splitTopLevel(afterOb, ',').lengthIs != 1) i
+                else {
+                  val k = afterOb.trim
+                    .replaceAll("""(?is)\s+NULLS\s+(FIRST|LAST)\s*$""", "")
+                    .replaceAll("""(?is)\s+(ASC|DESC)\s*$""", "").trim
+                  val x = args.head.trim
+                  val pw = s"($spec ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+                  val nw = s"($spec ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+                  val pair = s"(CASE WHEN ($x) IS NOT NULL THEN " +
+                    s"struct(CAST(($k) AS DOUBLE) AS gx_k, CAST(($x) AS DOUBLE) AS gx_v) END)"
+                  val p = s"(last_value($pair) IGNORE NULLS OVER $pw)"
+                  val n = s"(first_value($pair) IGNORE NULLS OVER $nw)"
+                  val interp = s"(CASE WHEN $p IS NULL THEN $n.gx_v " +
+                    s"WHEN $n IS NULL THEN $p.gx_v " +
+                    s"WHEN $n.gx_k = $p.gx_k THEN $p.gx_v " +
+                    s"ELSE $p.gx_v + ($n.gx_v - $p.gx_v) * " +
+                    s"(CAST(($k) AS DOUBLE) - $p.gx_k) / ($n.gx_k - $p.gx_k) END)"
+                  sb.append(s"(CASE WHEN ($x) IS NOT NULL THEN " +
+                    s"CAST(($x) AS DOUBLE) ELSE $interp END)")
+                  specEnd
+                }
+              }
+            case None => i
+          }
+        case _ => i
+      }
     }
 
   /** DuckDB 1.1 `getvariable('name')` — resolved by the GATEWAY (the

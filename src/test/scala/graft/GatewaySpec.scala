@@ -721,6 +721,28 @@ class GatewaySpec extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"), e.getMessage)
     // uuidv7 serves a UUID (v4 carrier; monotonicity documented not promised)
     assert(one("SELECT uuidv7() AS v").getString(0).length == 36)
+    // FILL window fn (1.4): linear interpolation over the order key;
+    // edges carry the nearest neighbor (pinned by spec — no 1.4 oracle)
+    val filled = gw.sql(
+      """SELECT x, fill(v) OVER (ORDER BY x) AS f
+        |FROM (VALUES (0, CAST(NULL AS DOUBLE)), (1, 10.0), (2, NULL),
+        |             (3, 30.0), (5, NULL), (6, 60.0)) t(x, v)
+        |ORDER BY x""".stripMargin).collect()
+    assert(filled.map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq(
+      (0, 10.0),  // leading edge: nearest non-null carries
+      (1, 10.0), (2, 20.0),  // midpoint of (1,10)-(3,30)
+      (3, 30.0), (5, 50.0),  // 30 + (60-30) * (5-3)/(6-3)
+      (6, 60.0)))
+    // partitions interpolate independently; DESC order works (the
+    // two-anchor formula is direction-symmetric)
+    val fp = gw.sql(
+      """SELECT g, x, fill(v) OVER (PARTITION BY g ORDER BY x DESC) AS f
+        |FROM (VALUES ('a', 1, 2.0), ('a', 2, NULL), ('a', 3, 4.0),
+        |             ('b', 1, NULL), ('b', 2, 8.0)) t(g, x, v)
+        |ORDER BY g, x""".stripMargin).collect()
+    assert(fp.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 1, 2.0), ("a", 2, 3.0), ("a", 3, 4.0),
+        ("b", 1, 8.0), ("b", 2, 8.0)))
   }
 
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
