@@ -32,6 +32,9 @@ object FuzzEval {
       else if (d.isPosInfinity) "inf"
       else if (d.isNegInfinity) "-inf"
       else d.toString
+    // Array[Byte] MUST precede the generic array cases: BINARY results
+    // otherwise render as a signed-int list instead of hex (r10 audit)
+    case b: Array[Byte] => b.map("%02X".format(_)).mkString
     case s: collection.Seq[_] => s.map(canon).mkString("[", ", ", "]")
     case a: Array[_] => a.map(canon).mkString("[", ", ", "]")
     case r: org.apache.spark.sql.Row =>
@@ -39,7 +42,6 @@ object FuzzEval {
     case m: collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => s"${canon(k)}=${canon(x)}" }
         .sorted.mkString("{", ", ", "}")
-    case b: Array[Byte] => b.map("%02X".format(_)).mkString
     case other => other.toString
   }
 

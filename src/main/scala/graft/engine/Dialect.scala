@@ -42,7 +42,7 @@ object Dialect {
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
     rewriteQualify, rewriteCatalogFns,
     rewriteDateDiff, rewriteCastTypes, rewriteFetchFirst,
-    rewriteQueryTable, rewriteFillWindow)
+    rewriteQueryTable, rewriteFillWindow, rewriteIcuCollate)
 
   def rewrite(sql: String): String =
     passes.foldLeft(sql)((s, pass) => pass(s))
@@ -2317,6 +2317,45 @@ object Dialect {
         case _ => i
       }
     }
+
+  /** The ICU extension's ~150 per-locale collation functions —
+    * `icu_collate_<loc>(x)` → `icu_sort_key(x, '<loc>')` (one kernel,
+    * TextKernels.icuSortKey). Sort keys are ordering-compatible with
+    * DuckDB's; key BYTES are collation-library-specific (SURVEY §5.3
+    * audit note). Locale tags pass through verbatim ('de', 'ar_sa').
+    */
+  private val icuCollateRe = """(?is)^ICU_COLLATE_([a-z_]+)\s*\(""".r
+  private def rewriteIcuCollate(sql: String): String =
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) &&
+          sql.regionMatches(true, i, "ICU_COLLATE_", 0, 12))) i
+      else icuCollateRe.findPrefixMatchOf(sql.substring(i)) match {
+        case Some(m) =>
+          splitCallArgs(sql, i + m.end - 1) match {
+            case Some((args, end)) if args.length == 1 =>
+              sb.append(s"icu_sort_key(${args.head.trim}, '${m.group(1).toLowerCase}')")
+              end
+            case _ => i
+          }
+        case None => i
+      }
+    }
+
+  /** `current_query()` — substituted by the GATEWAY with the statement
+    * text as a literal (the registry cannot see the statement). Single
+    * pass; the substituted literal is opaque to later scans. */
+  private val currentQueryRe = """(?is)^CURRENT_QUERY\s*\(\s*\)""".r
+  def substituteCurrentQuery(sql: String): String = {
+    lazy val lit = "'" + sql.replace("'", "''") + "'"
+    scanOutsideLiterals(sql) { (i, sb) =>
+      if (!(wordStart(sql, i) &&
+          sql.regionMatches(true, i, "CURRENT_QUERY", 0, 13))) i
+      else currentQueryRe.findPrefixMatchOf(sql.substring(i)) match {
+        case Some(m) => sb.append(lit); i + m.end
+        case None => i
+      }
+    }
+  }
 
   /** DuckDB 1.1 `getvariable('name')` — resolved by the GATEWAY (the
     * variable store is per-session state), substituting the stored SQL

@@ -327,15 +327,7 @@ object Functions {
     },
     // list_grade_up: 1-based positions that would sort the list —
     // sort (value, index) pairs by value, project the indices
-    "list_grade_up" -> { case Seq(l) =>
-      ArrayTransform(
-        call("array_sort", Seq(ZipWith(l,
-          call("sequence", Seq(Literal(1), call("size", Seq(l)))),
-          lam(vs => CreateNamedStruct(
-            Seq(Literal("v"), vs(0), Literal("i"), vs(1))), 2)))),
-        lam(vs => org.apache.spark.sql.catalyst.analysis
-          .UnresolvedExtractValue(vs(0), Literal("i")), 1))
-    },
+    "list_grade_up" -> { case Seq(l) => gradeUp(l) },
 
     // ---- string family ----
     "string_split" -> (a => call("split", a)),
@@ -470,16 +462,18 @@ object Functions {
     "strftime" -> { case Seq(ts, Literal(fmt, _)) =>
       strftimeExpr(ts, fmt.toString)
     },
+    // strptime defaults ABSENT fields to 1900-01-01 (C strptime's
+    // struct tm epoch) — strptime('05/03','%d/%m') is 1900-03-05, where
+    // the earlier to_timestamp_ntz path landed on the JDK's 1970
+    // (round-10 audit find)
     "strptime" -> {
-      case Seq(s, Literal(fmt, _)) =>
-        call("to_timestamp_ntz", Seq(s, Literal(Dialect.strftimeToJava(fmt.toString))))
+      case Seq(s, Literal(fmt, _)) => strptime1900(s, fmt.toString)
       // format LIST: first format that parses wins; if NONE parse,
       // error like DuckDB does — via an explicit raise_error, NOT the
       // session's ANSI flag (a non-ANSI session would silently NULL)
       case Seq(s, NameList(fmts)) if fmts.nonEmpty =>
         val ntz = org.apache.spark.sql.types.TimestampNTZType
-        val parsed = Coalesce(fmts.map(f => Cast(call("try_to_timestamp",
-          Seq(s, Literal(Dialect.strftimeToJava(f)))), ntz)))
+        val parsed = Coalesce(fmts.map(f => TryEval(strptime1900(s, f))))
         If(Or(IsNull(s), IsNotNull(parsed)), parsed,
           Cast(call("raise_error", Seq(call("concat", Seq(
             Literal("strptime: could not parse '"), s,
@@ -504,7 +498,7 @@ object Functions {
       val us = Subtract(
         call("unix_micros", Seq(Cast(ts,
           org.apache.spark.sql.types.TimestampType))), origin)
-      call("timestamp_micros", Seq(Add(
+      val bucket = call("timestamp_micros", Seq(Add(
         Multiply(
           Cast(call("floor", Seq(Divide(
             Cast(us, org.apache.spark.sql.types.DoubleType),
@@ -512,6 +506,10 @@ object Functions {
             org.apache.spark.sql.types.LongType),
           intervalMicros(width)),
         origin)))
+      // type-preserving on DATE input (DuckDB returns DATE, r10 audit)
+      if (ts.resolved && ts.dataType == org.apache.spark.sql.types.DateType)
+        Cast(bucket, org.apache.spark.sql.types.DateType)
+      else bucket
     },
     // DuckDB date_diff counts PART-BOUNDARY CROSSINGS, not complete
     // elapsed units: truncate both sides to the part first, then count
@@ -614,15 +612,27 @@ object Functions {
     // (DuckDB adds partial-eighth block chars — documented divergence).
     "bar" -> { case x +: mn +: mx +: rest =>
       val width = rest.headOption.getOrElse(Literal(80))
-      val frac = Divide(
+      // min = max makes the fraction 0/0 — Spark's double divide
+      // returns NULL there (not IEEE NaN), and least() SKIPS NULLs, so
+      // the un-guarded form rendered a FULL bar where DuckDB renders
+      // the empty one (r10 audit edge). Zero the degenerate fraction,
+      // but keep NULL INPUTS null-propagating.
+      val rawFrac = Divide(
         Cast(Subtract(x, mn), org.apache.spark.sql.types.DoubleType),
         Cast(Subtract(mx, mn), org.apache.spark.sql.types.DoubleType))
+      val frac = If(Or(IsNull(rawFrac), IsNaN(rawFrac)),
+        Literal(0.0), rawFrac)
       val n = call("greatest", Seq(Literal(0),
         call("least", Seq(Cast(width, org.apache.spark.sql.types.IntegerType),
           Cast(call("round", Seq(Multiply(frac, Cast(width,
             org.apache.spark.sql.types.DoubleType)))),
             org.apache.spark.sql.types.IntegerType)))))
-      call("repeat", Seq(Literal("█"), n))
+      // NULL inputs propagate to a NULL bar (DuckDB) — the zeroing
+      // above would otherwise render them as an empty bar, and least()
+      // skipping NULLs rendered a FULL one before r10
+      If(Or(IsNull(x), Or(IsNull(mn), IsNull(mx))),
+        Cast(Literal(null), org.apache.spark.sql.types.StringType),
+        call("repeat", Seq(Literal("█"), n)))
     },
     "starts_with" -> (a => call("startswith", a)),
     "regexp_split_to_array" -> (a => call("split", a)),
@@ -813,12 +823,20 @@ object Functions {
     "kahan_sum" -> { case Seq(x) => sumDouble(x) },
     // DuckDB list(x) = array_agg
     "list" -> (a => call("collect_list", a)),
+    // DATE args cast through TIMESTAMP (r10 audit: epoch_ns(DATE)
+    // fell to unix_micros' type error)
     "epoch_ns" -> { case Seq(t) =>
-      Multiply(call("unix_micros", Seq(t)), Literal(1000L)) },
+      Multiply(call("unix_micros", Seq(Cast(t,
+        org.apache.spark.sql.types.TimestampType))), Literal(1000L)) },
     // timezone(tz, ts): interpret naive ts in tz → instant (DuckDB
-    // AT TIME ZONE); to_utc_timestamp matches (verified vs DuckDB)
-    "timezone" -> { case Seq(tz, t) =>
-      call("to_utc_timestamp", Seq(t, tz)) },
+    // AT TIME ZONE); to_utc_timestamp matches (verified vs DuckDB).
+    // 1-arg form = the session offset in seconds — constant 0 on the
+    // UTC-pinned sessions, NULL-propagating (r10 audit)
+    "timezone" -> {
+      case Seq(t) => If(IsNull(t),
+        Cast(Literal(null), org.apache.spark.sql.types.LongType), Literal(0L))
+      case Seq(tz, t) => call("to_utc_timestamp", Seq(t, tz))
+    },
     "to_days" -> { case Seq(n) => call("make_dt_interval", Seq(n)) },
     "to_weeks" -> { case Seq(n) =>
       call("make_dt_interval", Seq(Multiply(n, Literal(7)))) },
@@ -879,20 +897,170 @@ object Functions {
     "array_has_any" -> (a => call("arrays_overlap", a)),
     "list_pack" -> (a => call("array", a)),
     // list_where(l, mask): keep l[i] where mask[i]
-    "list_where" -> { case Seq(l, mask) =>
-      ArrayTransform(
-        ArrayFilter(
-          ZipWith(l, mask, lam(vs => CreateNamedStruct(
-            Seq(Literal("v"), vs(0), Literal("m"), vs(1))), 2)),
-          lam(vs => org.apache.spark.sql.catalyst.analysis
-            .UnresolvedExtractValue(vs(0), Literal("m")), 1)),
-        lam(vs => org.apache.spark.sql.catalyst.analysis
-          .UnresolvedExtractValue(vs(0), Literal("v")), 1))
-    },
+    "list_where" -> { case Seq(l, mask) => listWhere(l, mask) },
     // list_select(l, idxs): elements of l at the (1-based) idxs
-    "list_select" -> { case Seq(l, idxs) =>
-      ArrayTransform(idxs,
-        lam(vs => graft.engine.expressions.SubscriptAny(l, vs(0)), 1))
+    "list_select" -> { case Seq(l, idxs) => listSelect(l, idxs) },
+
+    // ---- round-10 function-surface audit batch (SURVEY §5.3 audit;
+    // tools/audit_functions.py swept all 604 DuckDB-1.0 names and these
+    // were the resolvable gaps) ----
+    // array_* spellings of the list_* handlers DuckDB also exposes
+    "array_cat" -> (a => nullSkippingListConcat(a)),
+    "array_extract" -> (a => call("element_at", a)),
+    "array_has" -> (a => call("array_contains", a)),
+    "array_indexof" -> (a => call("array_position", a)),
+    "array_resize" -> {
+      case Seq(l, n) => listResize(l, n, Cast(Literal(null),
+        org.apache.spark.sql.types.NullType))
+      case Seq(l, n, fill) => listResize(l, n, fill)
+    },
+    "array_unique" -> { case Seq(l) =>
+      Cast(call("size", Seq(call("array_distinct",
+        Seq(call("array_compact", Seq(l)))))),
+        org.apache.spark.sql.types.LongType)
+    },
+    "array_reverse_sort" -> (a =>
+      call("reverse", Seq(call("array_sort", a)))),
+    "array_grade_up" -> { case Seq(l) => gradeUp(l) },
+    "grade_up" -> { case Seq(l) => gradeUp(l) },
+    "array_select" -> { case Seq(l, idxs) => listSelect(l, idxs) },
+    "array_where" -> { case Seq(l, mask) => listWhere(l, mask) },
+    // operator function forms (add(3) = 3, subtract(3) = -3,
+    // divide = the // integral form — all probe-pinned)
+    "add" -> { case Seq(a) => a; case Seq(a, b) => Add(a, b) },
+    "subtract" -> { case Seq(a) => UnaryMinus(a)
+                    case Seq(a, b) => Subtract(a, b) },
+    "multiply" -> { case Seq(a, b) => Multiply(a, b) },
+    "divide" -> { case Seq(a, b) => call("div", Seq(a, b)) },
+    "greatest_common_divisor" -> { case Seq(x, y) =>
+      graft.engine.expressions.Gcd(
+        Cast(x, org.apache.spark.sql.types.LongType),
+        Cast(y, org.apache.spark.sql.types.LongType))
+    },
+    "least_common_multiple" -> { case Seq(x, y) =>
+      graft.engine.expressions.Lcm(
+        Cast(x, org.apache.spark.sql.types.LongType),
+        Cast(y, org.apache.spark.sql.types.LongType))
+    },
+    // alias(e): the expression's output name (alias(3) = '3',
+    // alias('x') = "'x'", alias(col) = column name)
+    "alias" -> { case Seq(e) =>
+      Literal(e match {
+        case n: org.apache.spark.sql.catalyst.expressions.NamedExpression => n.name
+        case other => other.sql
+      })
+    },
+    // arg_max_null/arg_min_null KEEP a NULL argument at the extreme
+    // value (plain arg_max skips them): wrap the arg in a 1-element
+    // array (never NULL itself) so max_by can carry it, then unwrap
+    "arg_max_null" -> { case Seq(a, v) =>
+      call("element_at", Seq(call("max_by",
+        Seq(CreateArray(Seq(a)), v)), Literal(1)))
+    },
+    "arg_min_null" -> { case Seq(a, v) =>
+      call("element_at", Seq(call("min_by",
+        Seq(CreateArray(Seq(a)), v)), Literal(1)))
+    },
+    // constant_or_null(x, cond…): x unless any condition arg is NULL
+    "constant_or_null" -> { case a +: rest if rest.nonEmpty =>
+      If(rest.map(IsNull(_): Expression).reduce(Or), Literal(null), a)
+    },
+    "count_star" -> { case Seq() => call("count", Seq(Literal(1))) },
+    // isoyear = year of the Thursday of d's ISO week (same derivation
+    // as yearweek's ISO-year component)
+    "isoyear" -> { case Seq(d) =>
+      val isoDow = Add(WeekDay(d), Literal(1))
+      Cast(call("year", Seq(call("date_add",
+        Seq(d, Subtract(Literal(4), isoDow))))),
+        org.apache.spark.sql.types.LongType)
+    },
+    // json_extract_path[_text]: path-form aliases; DuckDB accepts
+    // numeric path atoms ('{"3": 9}' with path 3), so stringify
+    "json_extract_path" -> { case Seq(j, p) =>
+      call("json_extract",
+        Seq(j, Cast(p, org.apache.spark.sql.types.StringType)))
+    },
+    "json_extract_path_text" -> { case Seq(j, p) =>
+      call("json_extract_string",
+        Seq(j, Cast(p, org.apache.spark.sql.types.StringType)))
+    },
+    // grapheme-cluster string family (UAX#29 via BreakIterator —
+    // length('héllo' with a combining accent) counts 6, graphemes 5)
+    "length_grapheme" -> { case Seq(s) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.LongType, "lengthGrapheme",
+        Seq(s), Seq(org.apache.spark.sql.types.StringType))
+    },
+    "left_grapheme" -> { case Seq(s, n) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "leftGrapheme",
+        Seq(s, Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+    },
+    "right_grapheme" -> { case Seq(s, n) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "rightGrapheme",
+        Seq(s, Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+    },
+    "substring_grapheme" -> { case Seq(s, b, n) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "substringGrapheme",
+        Seq(s, Cast(b, org.apache.spark.sql.types.LongType),
+          Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType))
+    },
+    // sub-minute time parts accept DATE too (0 there); millennium is
+    // ceil(year/1000) — 2024 → 3
+    "microsecond" -> { case Seq(t) =>
+      Pmod(call("unix_micros", Seq(Cast(t,
+        org.apache.spark.sql.types.TimestampType))), Literal(60000000L))
+    },
+    "millisecond" -> { case Seq(t) =>
+      Divide(Pmod(call("unix_micros", Seq(Cast(t,
+        org.apache.spark.sql.types.TimestampType))), Literal(60000000L)),
+        Literal(1000L))
+    },
+    "millennium" -> { case Seq(d) =>
+      Cast(call("ceil", Seq(Divide(
+        Cast(call("year", Seq(d)), org.apache.spark.sql.types.DoubleType),
+        Literal(1000.0)))), org.apache.spark.sql.types.LongType)
+    },
+    // parse_path: components with both separators, root slash kept
+    "parse_path" -> { case Seq(p) =>
+      val norm = call("regexp_replace", Seq(p, Literal("\\\\"), Literal("/")))
+      val parts = ArrayFilter(call("split", Seq(norm, Literal("/"))),
+        lam(vs => Not(EqualTo(vs(0), Literal(""))), 1))
+      If(call("startswith", Seq(norm, Literal("/"))),
+        call("concat", Seq(CreateArray(Seq(Literal("/"))), parts)), parts)
+    },
+    "to_quarters" -> { case Seq(n) =>
+      call("make_interval", Seq(Literal(0), Multiply(n, Literal(3)))) },
+    "try_strptime" -> { case Seq(s, Literal(fmt, _)) =>
+      TryEval(strptime1900(s, fmt.toString))
+    },
+    "unpivot_list" -> (a => CreateArray(a)),
+    // search-path membership for the fixed read-only catalog layout
+    "in_search_path" -> { case Seq(db, sch) =>
+      And(
+        In(db, Seq(Literal("memory"), Literal("system"), Literal("temp"),
+          Literal("spark_catalog"))),
+        In(sch, Seq(Literal("main"), Literal("default"), Literal("pg_catalog"))))
+    },
+    // collation sort keys (uppercase hex): ordering-compatible with
+    // DuckDB's ICU extension, key BYTES are library-specific (JDK
+    // collator here) — documented in §5.3. The ~150 icu_collate_<loc>
+    // sugar forms rewrite onto this in the dialect.
+    "icu_sort_key" -> { case Seq(s, loc) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "icuSortKey",
+        Seq(s, Cast(loc, org.apache.spark.sql.types.StringType)),
+        Seq(org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
     },
     // parse_filename(p[, trim_extension]): last path component; the
     // boolean form strips from the LAST dot (probe-pinned: 'c.tar.gz'
@@ -1129,12 +1297,36 @@ object Functions {
     "version" -> { case Seq() => Literal("v0.5.0-graft") },
     "dayname" -> { case Seq(d) =>
       call("date_format", Seq(d, Literal("EEEE"))) },
+    // single-arg greatest/least pass through (DuckDB allows them;
+    // Spark's builtins demand ≥2 — r10 audit); ≥2 args fall through
+    "greatest" -> { case Seq(x) => x },
+    "least" -> { case Seq(x) => x },
+    // bin/to_binary of a VARCHAR is the bit string of its UTF-8 bytes
+    // (bin('abc') = '011000010110001001100011'); numeric bin keeps
+    // Spark's builtin via the fallthrough. to_binary must live HERE:
+    // Spark 4 has a to_binary builtin (hex decode) that outranks the
+    // shim registry (r10 audit)
+    "bin" -> { case Seq(s) if s.resolved &&
+        s.dataType == org.apache.spark.sql.types.StringType =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "bitsOfString",
+        Seq(s), Seq(org.apache.spark.sql.types.StringType))
+    },
+    "to_binary" -> { case Seq(s) if s.resolved &&
+        s.dataType == org.apache.spark.sql.types.StringType =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "bitsOfString",
+        Seq(s), Seq(org.apache.spark.sql.types.StringType))
+    },
     "monthname" -> { case Seq(d) =>
       call("date_format", Seq(d, Literal("MMMM"))) },
     // DuckDB regexp_extract(s, re, ['a','b']) — named-group list form
     // returns a STRUCT mapping name i to capture group i+1; integer and
     // 2-arg forms keep Spark's builtin
     "regexp_extract" -> {
+      // 2-arg form returns the WHOLE match (group 0) — Spark's builtin
+      // defaults to group 1 and errors on groupless patterns (r10 audit)
+      case Seq(s, re) => call("regexp_extract", Seq(s, re, Literal(0)))
       case Seq(s, re, NameList(names)) =>
         // DuckDB/RE2 named groups spell (?P<n>…); Java wants (?<n>…) —
         // group INDEXING is what maps names to values, so only literal
@@ -1607,6 +1799,56 @@ object Functions {
       (LessThan(n, Literal(min)), nul),
       (IsNaN(e), nul)), e)
   }
+
+  /** list_grade_up core: 1-based positions that would sort the list
+    * ascending — sort (value, index) pairs, project the indices. Shared
+    * by the list_/array_/bare spellings (r10 audit). NULL elements
+    * grade LAST in original order (DuckDB: grade_up([2,NULL,1]) is
+    * [3,1,2]) — Spark's struct ordering puts a null field FIRST, so the
+    * null-valued pairs are split out and appended unsorted. */
+  private def gradeUp(l: Expression): Expression = {
+    def vField(s: Expression) = org.apache.spark.sql.catalyst.analysis
+      .UnresolvedExtractValue(s, Literal("v"))
+    val pairs = ZipWith(l,
+      call("sequence", Seq(Literal(1), call("size", Seq(l)))),
+      lam(vs => CreateNamedStruct(
+        Seq(Literal("v"), vs(0), Literal("i"), vs(1))), 2))
+    val sortedNonNull = call("array_sort",
+      Seq(ArrayFilter(pairs, lam(vs => IsNotNull(vField(vs(0))), 1))))
+    val nulls = ArrayFilter(pairs, lam(vs => IsNull(vField(vs(0))), 1))
+    ArrayTransform(call("concat", Seq(sortedNonNull, nulls)),
+      lam(vs => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(vs(0), Literal("i")), 1))
+  }
+
+  /** list_where core: keep l[i] where mask[i]. */
+  private def listWhere(l: Expression, mask: Expression): Expression =
+    ArrayTransform(
+      ArrayFilter(
+        ZipWith(l, mask, lam(vs => CreateNamedStruct(
+          Seq(Literal("v"), vs(0), Literal("m"), vs(1))), 2)),
+        lam(vs => org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(vs(0), Literal("m")), 1)),
+      lam(vs => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(vs(0), Literal("v")), 1))
+
+  /** list_select core: elements of l at the (1-based) idxs. */
+  private def listSelect(l: Expression, idxs: Expression): Expression =
+    ArrayTransform(idxs,
+      lam(vs => graft.engine.expressions.SubscriptAny(l, vs(0)), 1))
+
+  /** strptime with DuckDB's C-epoch field defaults (absent fields →
+    * 1900-01-01 00:00:00, not the JDK's 1970) — TextKernels kernel,
+    * NTZ result. Shared by strptime (loud on mismatch) and
+    * try_strptime (TryEval-wrapped → NULL). */
+  private def strptime1900(s: Expression, duckFmt: String): Expression =
+    Cast(call("timestamp_micros", Seq(StaticInvoke(
+      graft.engine.expressions.TextKernels.getClass,
+      org.apache.spark.sql.types.LongType, "strptimeMicros",
+      Seq(s, Literal(Dialect.strftimeToJava(duckFmt))),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)))),
+      org.apache.spark.sql.types.TimestampNTZType)
 
   /** list_resize core: truncate to n, or pad with `fill` up to n. */
   private def listResize(l: Expression, n: Expression, fill: Expression): Expression = {

@@ -123,8 +123,9 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         return session.sql("SELECT true AS Success").limit(0)
       case _ =>
     }
-    val trimmed = Dialect.substituteGetVariable(preVar,
-      n => Option(sessionVars.get(n.toLowerCase)))
+    val trimmed = Dialect.substituteCurrentQuery(
+      Dialect.substituteGetVariable(preVar,
+        n => Option(sessionVars.get(n.toLowerCase))))
     secretStatement(trimmed) match {
       case Some(props) => return applySecret(props)
       case None =>

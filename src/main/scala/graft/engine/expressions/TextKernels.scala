@@ -1,0 +1,137 @@
+package graft.engine.expressions
+
+import java.text.BreakIterator
+import java.time.LocalDateTime
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+import java.util.Locale
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Null-safe static kernels for the round-10 function-surface audit
+  * (tools/audit_functions.py) — invoked via StaticInvoke from the
+  * Functions registry. Semantics pinned against DuckDB 1.0:
+  *
+  *  - grapheme family: DuckDB counts/slices GRAPHEME CLUSTERS, not code
+  *    points (`length_grapheme('héllo')` with a combining accent is 5
+  *    where `length` counts 6). JDK `BreakIterator.getCharacterInstance`
+  *    is the same UAX#29 segmentation.
+  *  - bit-string family: `bin('abc')`/`to_binary` on VARCHAR render the
+  *    UTF-8 BYTES as a bit string ('011000010110001001100011').
+  *  - strptime: DuckDB defaults ABSENT datetime fields to
+  *    1900-01-01 00:00:00 (C strptime's struct tm epoch), not 1970 —
+  *    `strptime('05/03', '%d/%m')` is 1900-03-05. JDK formatters are
+  *    built with parseDefaulting on every field (defaults apply only
+  *    when the pattern leaves the field unparsed) and cached.
+  *  - icu sort keys: `icu_sort_key(s, locale)` (and the ~150
+  *    `icu_collate_<loc>` sugar forms the dialect rewrites onto it)
+  *    returns the collator sort key as uppercase hex. Key BYTES are
+  *    collation-library-specific (JDK vs DuckDB's bundled ICU), so the
+  *    contract is ordering-compatibility, not byte equality — documented
+  *    in SURVEY §5.3's audit notes.
+  */
+object TextKernels {
+
+  // ---- grapheme clusters ----
+
+  private def clusters(s: String): IndexedSeq[(Int, Int)] = {
+    val it = BreakIterator.getCharacterInstance(Locale.ROOT)
+    it.setText(s)
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var start = it.first()
+    var end = it.next()
+    while (end != BreakIterator.DONE) {
+      out += ((start, end))
+      start = end
+      end = it.next()
+    }
+    out.result()
+  }
+
+  def lengthGrapheme(s: UTF8String): java.lang.Long =
+    if (s == null) null else java.lang.Long.valueOf(clusters(s.toString).length.toLong)
+
+  def leftGrapheme(s: UTF8String, n: Long): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val cl = clusters(str)
+    // negative n drops |n| clusters from the right (DuckDB left())
+    val k = if (n >= 0) math.min(n, cl.length.toLong).toInt
+    else math.max(0L, cl.length + n).toInt
+    UTF8String.fromString(if (k == 0) "" else str.substring(0, cl(k - 1)._2))
+  }
+
+  def rightGrapheme(s: UTF8String, n: Long): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val cl = clusters(str)
+    val k = if (n >= 0) math.min(n, cl.length.toLong).toInt
+    else math.max(0L, cl.length + n).toInt
+    UTF8String.fromString(
+      if (k == 0) "" else str.substring(cl(cl.length - k)._1))
+  }
+
+  /** 1-based cluster start, cluster count — DuckDB substring semantics
+    * (negative start counts from the end like substring). */
+  def substringGrapheme(s: UTF8String, start: Long, len: Long): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val cl = clusters(str)
+    val n = cl.length
+    val from0 = if (start > 0) start - 1 else if (start < 0) n + start else 0L
+    val lo = math.max(0L, from0)
+    val hi = math.min(n.toLong, math.max(lo, from0 + math.max(0L, len)))
+    UTF8String.fromString(
+      if (lo >= hi) "" else str.substring(cl(lo.toInt)._1, cl(hi.toInt - 1)._2))
+  }
+
+  // ---- bit strings ----
+
+  def bitsOfString(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val bytes = s.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length * 8)
+    bytes.foreach { b =>
+      var i = 7
+      while (i >= 0) { sb.append(if (((b >> i) & 1) == 1) '1' else '0'); i -= 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // ---- strptime with C-epoch (1900) field defaults ----
+
+  private val fmtCache = new ConcurrentHashMap[String, DateTimeFormatter]()
+
+  private def formatter(pattern: String): DateTimeFormatter =
+    fmtCache.computeIfAbsent(pattern, p =>
+      new DateTimeFormatterBuilder()
+        .appendPattern(p)
+        .parseDefaulting(ChronoField.YEAR_OF_ERA, 1900)
+        .parseDefaulting(ChronoField.MONTH_OF_YEAR, 1)
+        .parseDefaulting(ChronoField.DAY_OF_MONTH, 1)
+        .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+        .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+        .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+        .parseDefaulting(ChronoField.MICRO_OF_SECOND, 0)
+        .toFormatter(Locale.US))
+
+  /** Epoch micros of the parsed NAIVE datetime; throws on mismatch
+    * (strptime errors loudly in DuckDB; try_strptime wraps in TryEval). */
+  def strptimeMicros(s: UTF8String, jdkPattern: UTF8String): java.lang.Long = {
+    if (s == null || jdkPattern == null) return null
+    val dt = LocalDateTime.parse(s.toString, formatter(jdkPattern.toString))
+    java.lang.Long.valueOf(
+      dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L)
+  }
+
+  // ---- collation sort keys ----
+
+  def icuSortKey(s: UTF8String, locale: UTF8String): UTF8String = {
+    if (s == null || locale == null) return null
+    val loc = Locale.forLanguageTag(locale.toString.replace('_', '-'))
+    val key = java.text.Collator.getInstance(loc)
+      .getCollationKey(s.toString).toByteArray
+    UTF8String.fromString(key.map("%02X".format(_)).mkString)
+  }
+}

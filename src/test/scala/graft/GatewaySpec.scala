@@ -745,6 +745,69 @@ class GatewaySpec extends AnyFunSuite {
         ("b", 1, 8.0), ("b", 2, 8.0)))
   }
 
+  test("round-10 function-surface audit batch: values pinned against DuckDB 1.0") {
+    def one(q: String) = gw.sql(q).collect().head
+    // strptime defaults absent fields to 1900 (C struct tm), not 1970
+    assert(one("SELECT CAST(strptime('05/03', '%d/%m') AS VARCHAR) AS v")
+      .getString(0) == "1900-03-05 00:00:00")
+    assert(one("SELECT try_strptime('zz', '%Y') IS NULL AS v").getBoolean(0))
+    intercept[Exception](one("SELECT strptime('zz', '%Y') AS v"))
+    // grapheme clusters: the DECOMPOSED e + combining acute (U+0301)
+    // is one cluster but two code points
+    val s = "he\u0301llo"
+    assert(one(s"SELECT length_grapheme('$s') AS v").getLong(0) == 5L)
+    assert(one(s"SELECT length('$s') AS v").getLong(0) == 6L)
+    assert(one(s"SELECT substring_grapheme('$s', 2, 3) AS v")
+      .getString(0) == "éll")
+    assert(one(s"SELECT left_grapheme('$s', 2) AS v").getString(0) == "hé")
+    assert(one(s"SELECT right_grapheme('$s', 2) AS v").getString(0) == "lo")
+    // grade_up: NULL elements grade LAST in original order
+    assert(one("SELECT grade_up([2, NULL, 1]) AS v")
+      .getSeq[Int](0) == Seq(3, 1, 2))
+    assert(one("SELECT array_grade_up([30, 10, 20]) AS v")
+      .getSeq[Int](0) == Seq(2, 3, 1))
+    // operator-function forms; integral divide; single-arg greatest
+    assert(one("SELECT add(3) + subtract(3) + multiply(2, 3) + divide(7, 2) AS v")
+      .getLong(0) == 9L) // 3 - 3 + 6 + 3
+    assert(one("SELECT greatest(7) AS v").getInt(0) == 7)
+    assert(one("SELECT least(7) AS v").getInt(0) == 7)
+    assert(one("SELECT greatest_common_divisor(12, 8) AS v").getLong(0) == 4L)
+    // isoyear crosses the year boundary with the ISO week
+    assert(one("SELECT isoyear(DATE '2021-01-01') AS v").getLong(0) == 2020L)
+    // bin/to_binary of VARCHAR = bits of the UTF-8 bytes
+    assert(one("SELECT bin('abc') AS v")
+      .getString(0) == "011000010110001001100011")
+    assert(one("SELECT to_binary('ab') AS v")
+      .getString(0) == "0110000101100010")
+    // bar: min = max renders the EMPTY bar; NULL inputs stay NULL
+    assert(one("SELECT bar(1.5, 1.5, 1.5, 10) AS v").getString(0) == "")
+    assert(one("SELECT bar(CAST(NULL AS DOUBLE), 1.0, 3.0, 4) IS NULL AS v")
+      .getBoolean(0))
+    // time_bucket preserves DATE; parse_path keeps the root component
+    assert(one("SELECT CAST(time_bucket(INTERVAL 3 DAY, DATE '2024-03-05') AS VARCHAR) AS v")
+      .getString(0) == "2024-03-03")
+    assert(one("SELECT parse_path('/a/b/c.txt') AS v")
+      .getSeq[String](0) == Seq("/", "a", "b", "c.txt"))
+    // arg_max_null KEEPS the null argument at the extreme value
+    assert(one("SELECT arg_max_null(CAST(NULL AS INT), 3) IS NULL AS v")
+      .getBoolean(0))
+    assert(one("SELECT constant_or_null(7, NULL) IS NULL AS v").getBoolean(0))
+    assert(one("SELECT constant_or_null(7, 3) AS v").getInt(0) == 7)
+    // regexp_extract 2-arg returns the whole match (group 0)
+    assert(one("SELECT regexp_extract('abcd', 'b.') AS v").getString(0) == "bc")
+    // icu_collate_<loc> sugar resolves through the sort-key kernel
+    assert(one("SELECT icu_collate_de('abc') = icu_sort_key('abc', 'de') AS v")
+      .getBoolean(0))
+    assert(one("SELECT length(icu_collate_de('abc')) > 0 AS v").getBoolean(0))
+    // array_* spellings of the list handlers; current_query substitutes
+    assert(one("SELECT array_resize([1, 2], 4, 9) AS v")
+      .getSeq[Int](0) == Seq(1, 2, 9, 9))
+    assert(one("SELECT array_where([10, 20, 30], [true, false, true]) AS v")
+      .getSeq[Int](0) == Seq(10, 30))
+    assert(one("SELECT current_query() AS v").getString(0)
+      .contains("current_query()"))
+  }
+
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
     def one(q: String) = gw.sql(q).collect().head
     // JSON constructors / canonicalization / quoting (all value-pinned)
