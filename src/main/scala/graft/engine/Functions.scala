@@ -169,6 +169,9 @@ object Functions {
     "list_transform" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
     "list_apply" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
     "array_apply" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "apply" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "array_transform" -> { case Seq(l, f: LambdaFunction) => ArrayTransform(l, oneBasedIdx(f)) },
+    "array_filter" -> { case Seq(l, f: LambdaFunction) => ArrayFilter(l, oneBasedIdx(f)) },
     "array_reverse" -> (a => call("reverse", a)),
     // list_resize(l, n[, fill]): truncate or pad to exactly n elements
     // (fill defaults to NULL) — probe-pinned against DuckDB 1.0
@@ -247,27 +250,22 @@ object Functions {
     "array_push_front" -> { case Seq(l, x) => call("array_prepend", Seq(l, x)) },
     // map_extract(m, k) → a LIST of the value ([] when absent, DuckDB
     // 1.0 pinned); the empty branch slices map_values so no element_at
-    // ever evaluates a missing key (ANSI mode would error)
-    "map_extract" -> { case Seq(m, k) =>
-      call("if", Seq(call("map_contains_key", Seq(m, k)),
-        call("array", Seq(call("element_at", Seq(m, k)))),
-        call("slice", Seq(call("map_values", Seq(m)), Literal(1), Literal(0)))))
-    },
+    // ever evaluates a missing key (ANSI mode would error). Uses the
+    // catalyst ElementAt NODE directly — the element_at NAME now
+    // resolves to this list form for maps too (r10 audit), and routing
+    // through it here would nest the list
+    "map_extract" -> { case Seq(m, k) => mapValueList(m, k) },
     "list_extract" -> (a => call("element_at", a)),
     "list_element" -> (a => call("element_at", a)),
     "array_to_string" -> (a => call("array_join", a)),
     "list_aggregate" -> { case Seq(l, Literal(fn, _)) =>
-      fn.toString match {
-        case "sum" => ArrayAggregate(l, Literal(0),
-          lam(vs => Add(vs(0), vs(1)), 2),
-          lam(vs => vs(0), 1))
-        case "min" => call("array_min", Seq(l))
-        case "max" => call("array_max", Seq(l))
-        case "count" => call("size", Seq(l))
-        case other => throw new IllegalArgumentException(
-          s"list_aggregate: unsupported '$other'")
-      }
-    },
+      listAggregate(l, fn.toString) },
+    "list_aggr" -> { case Seq(l, Literal(fn, _)) =>
+      listAggregate(l, fn.toString) },
+    "array_aggregate" -> { case Seq(l, Literal(fn, _)) =>
+      listAggregate(l, fn.toString) },
+    "array_aggr" -> { case Seq(l, Literal(fn, _)) =>
+      listAggregate(l, fn.toString) },
     "list_min" -> (a => call("array_min", a)),
     "list_max" -> (a => call("array_max", a)),
     // list_sum/list_avg sugar (DuckDB list_aggregate aliases); the sum
@@ -317,14 +315,7 @@ object Functions {
       graft.engine.expressions.DotProduct(vec(x), vec(y))
     },
     // list_distance: euclidean ‖a−b‖ via the same kernel inputs
-    "list_distance" -> { case Seq(x, y) =>
-      call("sqrt", Seq(ArrayAggregate(
-        ZipWith(vec(x), vec(y),
-          lam(vs => Multiply(Subtract(vs(0), vs(1)),
-            Subtract(vs(0), vs(1))), 2)),
-        Literal(0.0d), lam(vs => Add(vs(0), vs(1)), 2),
-        lam(vs => vs(0), 1))))
-    },
+    "list_distance" -> { case Seq(x, y) => listDistance(x, y) },
     // list_grade_up: 1-based positions that would sort the list —
     // sort (value, index) pairs by value, project the indices
     "list_grade_up" -> { case Seq(l) => gradeUp(l) },
@@ -734,13 +725,8 @@ object Functions {
       case a => call("sequence", a)
     },
     // DuckDB list_reduce has no init: fold the tail from the head
-    "list_reduce" -> { case Seq(l, f: LambdaFunction) =>
-      ArrayAggregate(
-        call("slice", Seq(l, Literal(2),
-          Subtract(call("size", Seq(l)), Literal(1)))),
-        call("element_at", Seq(l, Literal(1))),
-        f, lam(vs => vs(0), 1))
-    },
+    "list_reduce" -> { case Seq(l, f: LambdaFunction) => listReduce(l, f) },
+    "array_reduce" -> { case Seq(l, f: LambdaFunction) => listReduce(l, f) },
     "gcd" -> { case Seq(x, y) =>
       graft.engine.expressions.Gcd(
         Cast(x, org.apache.spark.sql.types.LongType),
@@ -1051,6 +1037,67 @@ object Functions {
           Literal("spark_catalog"))),
         In(sch, Seq(Literal("main"), Literal("default"), Literal("pg_catalog"))))
     },
+    // ---- round-10 audit batch 2 (lambda/exotic-typed names) ----
+    "array_distance" -> { case Seq(x, y) => listDistance(x, y) },
+    // 3-vector cross product: [a2b3−a3b2, a3b1−a1b3, a1b2−a2b1]
+    "array_cross_product" -> { case Seq(x, y) =>
+      def e(v: Expression, i: Int) =
+        Cast(call("element_at", Seq(v, Literal(i))),
+          org.apache.spark.sql.types.DoubleType)
+      CreateArray(Seq(
+        Subtract(Multiply(e(x, 2), e(y, 3)), Multiply(e(x, 3), e(y, 2))),
+        Subtract(Multiply(e(x, 3), e(y, 1)), Multiply(e(x, 1), e(y, 3))),
+        Subtract(Multiply(e(x, 1), e(y, 2)), Multiply(e(x, 2), e(y, 1)))))
+    },
+    "array_value" -> (a => call("array", a)),
+    "array_zip" -> (a => call("arrays_zip", a)),
+    "array_to_json" -> (a => call("to_json", a)),
+    "row_to_json" -> (a => call("to_json", a)),
+    "from_json_strict" -> (a => call("from_json", a)),
+    // json_transform(j, spec): parse by the DuckDB shape spec (the
+    // from_json override translates it), re-serialize — keys absent
+    // from the spec drop, values cast ({"a":1} with {"a":"VARCHAR"}
+    // → {"a":"1"}, duck-pinned)
+    "json_transform" -> { case Seq(j, spec) =>
+      call("to_json", Seq(call("from_json", Seq(j, spec)))) },
+    "json_transform_strict" -> { case Seq(j, spec) =>
+      call("to_json", Seq(call("from_json", Seq(j, spec)))) },
+    // BIT carrier is the 0/1 text (round-7): position is a substring
+    // search, 0 when absent — both duck-pinned
+    "bit_position" -> { case Seq(sub, bs) =>
+      Cast(call("instr", Seq(bs, sub)),
+        org.apache.spark.sql.types.IntegerType) },
+    // unbin/from_binary: bit string → BLOB bytes
+    "unbin" -> { case Seq(s) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.BinaryType, "bytesFromBits",
+        Seq(s), Seq(org.apache.spark.sql.types.StringType))
+    },
+    "from_binary" -> { case Seq(s) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.BinaryType, "bytesFromBits",
+        Seq(s), Seq(org.apache.spark.sql.types.StringType))
+    },
+    // LIKE with an explicit escape character (function forms)
+    "like_escape" -> { case Seq(s, p, Literal(e, _)) if e != null &&
+        e.toString.length == 1 =>
+      Like(s, p, e.toString.head) },
+    "ilike_escape" -> { case Seq(s, p, Literal(e, _)) if e != null &&
+        e.toString.length == 1 =>
+      ILike(s, p, e.toString.head) },
+    "not_like_escape" -> { case Seq(s, p, Literal(e, _)) if e != null &&
+        e.toString.length == 1 =>
+      Not(Like(s, p, e.toString.head)) },
+    "not_ilike_escape" -> { case Seq(s, p, Literal(e, _)) if e != null &&
+        e.toString.length == 1 =>
+      Not(ILike(s, p, e.toString.head)) },
+    // datesub(part, a, b): COMPLETE elapsed units, signed toward zero
+    // — distinct from date_diff's boundary-crossing count (duck-pinned:
+    // datesub('month', Jan 31, Feb 28) = 0 but → Feb 29 = 1;
+    // datesub(a, b) = −datesub(b, a)). The date_sub spelling is an
+    // OVERRIDE (Spark's 2-arg date_sub builtin keeps the fallthrough).
+    "datesub" -> { case Seq(Literal(part, _), a, b) =>
+      completeDiff(part.toString, a, b) },
     // collation sort keys (uppercase hex): ordering-compatible with
     // DuckDB's ICU extension, key BYTES are library-specific (JDK
     // collator here) — documented in §5.3. The ~150 icu_collate_<loc>
@@ -1301,6 +1348,30 @@ object Functions {
     // Spark's builtins demand ≥2 — r10 audit); ≥2 args fall through
     "greatest" -> { case Seq(x) => x },
     "least" -> { case Seq(x) => x },
+    // DuckDB's 3-arg date_sub(part, a, b) = complete elapsed units;
+    // Spark's 2-arg date_sub(date, days) keeps the fallthrough
+    "date_sub" -> { case Seq(Literal(part, _), a, b) =>
+      completeDiff(part.toString, a, b) },
+    // map(keys_list, values_list) builds from the LISTS (DuckDB) —
+    // Spark's builtin would make the arrays themselves the keys
+    // (r10 audit: map(['a'],[1]) keyed by array<string>)
+    "map" -> { case Seq(k, v) if k.resolved && v.resolved &&
+        k.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        v.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      call("map_from_arrays", Seq(k, v))
+    },
+    // aggregate(list, 'name') = DuckDB's list_aggregate sugar; the
+    // 3/4-arg Spark HOF keeps the fallthrough
+    "aggregate" -> { case Seq(l, Literal(fn, _)) if fn != null =>
+      listAggregate(l, fn.toString)
+    },
+    // element_at on a MAP returns the LIST form in DuckDB ([] when
+    // absent), like map_extract; arrays keep Spark's builtin via the
+    // fallthrough (r10 audit)
+    "element_at" -> { case Seq(m, k) if m.resolved &&
+        m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+      mapValueList(m, k)
+    },
     // bin/to_binary of a VARCHAR is the bit string of its UTF-8 bytes
     // (bin('abc') = '011000010110001001100011'); numeric bin keeps
     // Spark's builtin via the fallthrough. to_binary must live HERE:
@@ -1849,6 +1920,93 @@ object Functions {
       Seq(org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.StringType)))),
       org.apache.spark.sql.types.TimestampNTZType)
+
+  /** DuckDB map value access: a LIST of the value, [] when absent —
+    * shared by map_extract and the map-typed element_at override. */
+  private def mapValueList(m: Expression, k: Expression): Expression =
+    call("if", Seq(call("map_contains_key", Seq(m, k)),
+      call("array", Seq(ElementAt(m, k))),
+      call("slice", Seq(call("map_values", Seq(m)), Literal(1), Literal(0)))))
+
+  /** list_aggregate core: named aggregate over a list — shared by the
+    * list_/array_/aggregate-sugar spellings (r10 audit). */
+  private def listAggregate(l: Expression, fn: String): Expression =
+    fn match {
+      case "sum" => ArrayAggregate(l, Literal(0),
+        lam(vs => Add(vs(0), vs(1)), 2),
+        lam(vs => vs(0), 1))
+      case "min" => call("array_min", Seq(l))
+      case "max" => call("array_max", Seq(l))
+      case "count" => call("size", Seq(l))
+      case other => throw new IllegalArgumentException(
+        s"list_aggregate: unsupported '$other'")
+    }
+
+  /** list_reduce core: first-element-seeded fold (no synthetic zero
+    * literal to mistype the result). */
+  private def listReduce(l: Expression, f: LambdaFunction): Expression =
+    ArrayAggregate(
+      call("slice", Seq(l, Literal(2),
+        Subtract(call("size", Seq(l)), Literal(1)))),
+      call("element_at", Seq(l, Literal(1))),
+      f, lam(vs => vs(0), 1))
+
+  /** list_distance core: euclidean ‖a−b‖. */
+  private def listDistance(x: Expression, y: Expression): Expression =
+    call("sqrt", Seq(ArrayAggregate(
+      ZipWith(vec(x), vec(y),
+        lam(vs => Multiply(Subtract(vs(0), vs(1)),
+          Subtract(vs(0), vs(1))), 2)),
+      Literal(0.0d), lam(vs => Add(vs(0), vs(1)), 2),
+      lam(vs => vs(0), 1))))
+
+  /** datesub/date_sub core: complete elapsed `part` units from a to b,
+    * signed with datesub(a,b) = −datesub(b,a) (duck-pinned). Month-family
+    * parts count calendar months m such that a + m months ≤ b (clamped
+    * month arithmetic, identical in both engines), then divide toward
+    * zero for quarter/year/…; time parts truncate the microsecond diff
+    * toward zero. */
+  private def completeDiff(part: String, a: Expression, b: Expression): Expression = {
+    val lt = org.apache.spark.sql.types.LongType
+    val dt = org.apache.spark.sql.types.DoubleType
+    def us(e: Expression) = call("unix_micros", Seq(Cast(e,
+      org.apache.spark.sql.types.TimestampType)))
+    def microPart(unit: Long) =
+      Cast(Divide(Cast(Subtract(us(b), us(a)), dt), Literal(unit.toDouble)), lt)
+    def monthIdx(e: Expression) =
+      Add(Multiply(Cast(call("year", Seq(e)), lt), Literal(12L)),
+        Cast(call("month", Seq(e)), lt))
+    // duck-pinned antisymmetry: datesub(a, b) = −datesub(b, a) — the
+    // negative direction NEGATES the forward count (Feb 29 → Jan 31 is
+    // −1 because Jan 31 → Feb 29 is 1), it is NOT backward-complete
+    def fwd(x: Expression, y: Expression): Expression = {
+      val raw = Subtract(monthIdx(y), monthIdx(x))
+      val shifted = Add(x, call("make_ym_interval",
+        Seq(Literal(0), Cast(raw, org.apache.spark.sql.types.IntegerType))))
+      If(GreaterThan(shifted, y), Subtract(raw, Literal(1L)), raw)
+    }
+    def months: Expression =
+      If(GreaterThanOrEqual(b, a), fwd(a, b), UnaryMinus(fwd(b, a)))
+    def monthPart(div: Long) =
+      Cast(Divide(Cast(months, dt), Literal(div.toDouble)), lt)
+    part.toLowerCase.stripSuffix("s") match {
+      case "microsecond" | "us" | "usec" => microPart(1L)
+      case "millisecond" | "ms" | "msec" => microPart(1000L)
+      case "second" | "sec" => microPart(1000000L)
+      case "minute" | "min" => microPart(60000000L)
+      case "hour" | "hr" | "h" => microPart(3600000000L)
+      case "day" | "d" => microPart(86400000000L)
+      case "week" | "w" => microPart(604800000000L)
+      case "month" | "mon" => months
+      case "quarter" => monthPart(3)
+      case "year" | "y" => monthPart(12)
+      case "decade" => monthPart(120)
+      case "century" => monthPart(1200)
+      case "millennium" | "millennia" => monthPart(12000)
+      case other => throw new IllegalArgumentException(
+        s"date_sub: unsupported part '$other'")
+    }
+  }
 
   /** list_resize core: truncate to n, or pad with `fill` up to n. */
   private def listResize(l: Expression, n: Expression, fill: Expression): Expression = {

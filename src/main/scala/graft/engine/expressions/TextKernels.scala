@@ -99,6 +99,16 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** unbin/from_binary: bit text → BLOB bytes (inverse of
+    * bitsOfString); length must be a multiple of 8, like DuckDB. */
+  def bytesFromBits(s: UTF8String): Array[Byte] = {
+    if (s == null) return null
+    val str = s.toString
+    require(str.length % 8 == 0 && str.forall(c => c == '0' || c == '1'),
+      s"unbin: bit string length must be a multiple of 8 of 0/1 digits, got '$str'")
+    str.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+  }
+
   // ---- strptime with C-epoch (1900) field defaults ----
 
   private val fmtCache = new ConcurrentHashMap[String, DateTimeFormatter]()

@@ -806,6 +806,52 @@ class GatewaySpec extends AnyFunSuite {
       .getSeq[Int](0) == Seq(10, 30))
     assert(one("SELECT current_query() AS v").getString(0)
       .contains("current_query()"))
+    // ---- batch 2 (lambda/exotic-typed names), duck-pinned ----
+    // map built FROM lists (Spark's builtin would key by the arrays);
+    // the BRACKET subscript stays Spark-native scalar — DuckDB's
+    // list-wrapped m[k] is a documented residual (§5.3 audit)
+    assert(one("SELECT map(['a'], [1])['a'] AS v").getInt(0) == 1)
+    // element_at on a MAP is the LIST form ([] when absent)
+    assert(one("SELECT element_at(map(['a'], [1]), 'a') AS v")
+      .getSeq[Int](0) == Seq(1))
+    assert(one("SELECT element_at(map(['a'], [1]), 'z') AS v")
+      .getSeq[Int](0) == Seq())
+    // aggregate sugar + reduce/filter/transform aliases
+    assert(one("SELECT aggregate([1, 2, 3], 'sum') AS v").getInt(0) == 6)
+    assert(one("SELECT array_reduce([1, 2, 3], (a, b) -> a * b) AS v")
+      .getInt(0) == 6)
+    assert(one("SELECT array_filter([1, 2, 3], x -> x > 1) AS v")
+      .getSeq[Int](0) == Seq(2, 3))
+    // datesub/date_sub = COMPLETE elapsed units (clamped month math,
+    // signed antisymmetric) — distinct from date_diff's crossings
+    assert(one("SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-28') AS v")
+      .getLong(0) == 0L)
+    assert(one("SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-29') AS v")
+      .getLong(0) == 1L)
+    assert(one("SELECT date_sub('month', DATE '2024-02-29', DATE '2024-01-31') AS v")
+      .getLong(0) == -1L)
+    assert(one("SELECT datesub('hour', TIMESTAMP '2024-01-01 23:30:00', TIMESTAMP '2024-01-01 22:00:00') AS v")
+      .getLong(0) == -1L)
+    assert(one("SELECT date_sub('quarter', DATE '2024-01-15', DATE '2024-08-20') AS v")
+      .getLong(0) == 2L)
+    // ... and Spark's own 2-arg date_sub keeps the fallthrough
+    assert(one("SELECT CAST(date_sub(DATE '2024-03-05', 4) AS VARCHAR) AS v")
+      .getString(0) == "2024-03-01")
+    // LIKE-with-escape function forms
+    assert(one("SELECT like_escape('a%c', 'a$%c', '$') AS v").getBoolean(0))
+    assert(!one("SELECT like_escape('abc', 'a$%c', '$') AS v").getBoolean(0))
+    assert(one("SELECT ilike_escape('A%C', 'a$%c', '$') AS v").getBoolean(0))
+    // json_transform casts by shape and drops unlisted keys
+    assert(one("""SELECT json_transform('{"a": 1, "b": 2}', '{"a": "VARCHAR"}') AS v""")
+      .getString(0) == """{"a":"1"}""")
+    // bit tails: position + unbin round-trip
+    assert(one("SELECT bit_position('010'::BIT, '11010'::BIT) AS v")
+      .getInt(0) == 3)
+    assert(one("SELECT CAST(unbin('0110000101100010') AS VARCHAR) AS v")
+      .getString(0) == "ab")
+    // 3-vector cross product
+    assert(one("SELECT array_cross_product([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]) AS v")
+      .getSeq[Double](0) == Seq(0.0, 0.0, 1.0))
   }
 
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
