@@ -1880,8 +1880,10 @@ object Functions {
   private def gradeUp(l: Expression): Expression = {
     def vField(s: Expression) = org.apache.spark.sql.catalyst.analysis
       .UnresolvedExtractValue(s, Literal("v"))
+    // BIGINT indices (duck grade_up answers BIGINT[], fuzz-pinned)
     val pairs = ZipWith(l,
-      call("sequence", Seq(Literal(1), call("size", Seq(l)))),
+      call("sequence", Seq(Literal(1L),
+        Cast(call("size", Seq(l)), org.apache.spark.sql.types.LongType))),
       lam(vs => CreateNamedStruct(
         Seq(Literal("v"), vs(0), Literal("i"), vs(1))), 2))
     val sortedNonNull = call("array_sort",

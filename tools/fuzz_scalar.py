@@ -127,6 +127,23 @@ def gen_expr(rng, depth=0):
         lambda: f"CAST(json_extract({j()}, '{jp(rng)}') AS VARCHAR)",
         lambda: f"printf('%d:%s', {rng.randint(0, 99)}, {s()})",
         lambda: f"format('{{}}-{{}}', {rng.randint(0, 9)}, {s()})",
+        # round-10 audit surfaces: keep them under permanent regression
+        lambda: f"date_sub('{rng.choice(['day', 'month', 'year', 'week', 'hour', 'quarter'])}', {d()}, {d()})",
+        lambda: f"CAST(strptime('{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}', '%d/%m') AS VARCHAR)",
+        lambda: f"length_grapheme({s()})",
+        lambda: f"left_grapheme({s()}, {rng.randint(0, 4)})",
+        lambda: f"substring_grapheme({s()}, {rng.randint(1, 3)}, {rng.randint(0, 4)})",
+        lambda: f"grade_up({l()})",
+        lambda: f"array_unique({l()})",
+        lambda: f"isoyear({d()})",
+        lambda: f"regexp_extract({s()}, '[a-z]+')",
+        lambda: f"bin({s()})",
+        lambda: f"greatest({e()})",
+        lambda: f"add({e()})",
+        lambda: f"CAST(element_at(map(['a','b'], [1,2]), {s()}) AS VARCHAR)",
+        lambda: f"aggregate({l()}, '{rng.choice(['sum', 'min', 'max', 'count'])}')",
+        lambda: f"like_escape({s()}, 'a$%%', '$')",
+        lambda: f"constant_or_null({e()}, {e()})",
     ]
     return rng.choice(forms)()
 
