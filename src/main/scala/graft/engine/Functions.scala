@@ -238,13 +238,21 @@ object Functions {
     "array_slice" -> { case Seq(l, b, e) =>
       graft.engine.expressions.SliceAny(l, b, e) },
     // pop/push family (DuckDB array_* aliases over list ops)
+    // string-polymorphic like the DuckDB macros (pop_back('abc')='ab'):
+    // SliceAny/LenAny dispatch on the resolved type (r10 audit stage 3).
+    // pop_back goes through reverse∘pop_front∘reverse because SliceAny
+    // normalizes a 0 stop to 1 (DuckDB's own bracket rule), so the
+    // len−1 stop cannot express "empty" on 1-element inputs
     "array_pop_back" -> { case Seq(l) =>
-      call("slice", Seq(l, Literal(1), call("greatest",
-        Seq(Literal(0), Subtract(call("size", Seq(l)), Literal(1))))))
+      call("reverse", Seq(graft.engine.expressions.SliceAny(
+        call("reverse", Seq(l)), Literal(2),
+        Cast(graft.engine.expressions.LenAny(l),
+          org.apache.spark.sql.types.IntegerType))))
     },
     "array_pop_front" -> { case Seq(l) =>
-      call("slice", Seq(l, Literal(2), call("greatest",
-        Seq(Literal(0), Subtract(call("size", Seq(l)), Literal(1))))))
+      graft.engine.expressions.SliceAny(l, Literal(2),
+        Cast(graft.engine.expressions.LenAny(l),
+          org.apache.spark.sql.types.IntegerType))
     },
     "array_push_back" -> (a => call("array_append", a)),
     "array_push_front" -> { case Seq(l, x) => call("array_prepend", Seq(l, x)) },
@@ -391,11 +399,18 @@ object Functions {
     "json_extract_string" -> { case Seq(j, p) =>
       call("get_json_object", Seq(j, normalizeJsonPath(p)))
     },
-    // json(x): canonical minified re-serialization (key order kept)
-    "json" -> { case Seq(j) =>
-      StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
-        org.apache.spark.sql.types.StringType, "canon", Seq(j),
-        Seq(org.apache.spark.sql.types.StringType))
+    // json(x): canonical minified re-serialization (key order kept);
+    // non-string values (lists, structs) serialize like DuckDB's
+    // implicit cast-to-JSON (r10 audit stage 3)
+    "json" -> {
+      case Seq(j) if j.resolved &&
+          j.dataType != org.apache.spark.sql.types.StringType &&
+          j.dataType != org.apache.spark.sql.types.NullType =>
+        call("to_json", Seq(j))
+      case Seq(j) =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          org.apache.spark.sql.types.StringType, "canon", Seq(j),
+          Seq(org.apache.spark.sql.types.StringType))
     },
     // json_quote: the value's JSON text form; json_array/json_object:
     // constructors built from per-element JSON forms (a Spark array
@@ -1098,6 +1113,125 @@ object Functions {
     // OVERRIDE (Spark's 2-arg date_sub builtin keeps the fallthrough).
     "datesub" -> { case Seq(Literal(part, _), a, b) =>
       completeDiff(part.toString, a, b) },
+    // ---- round-10 audit stage 3: the MACRO surface ----
+    // list_<stat> aggregate sugar → one DOUBLE kernel (nulls skipped,
+    // semantics mirror the scalar aggregates; TextKernels.listStat)
+    "list_median" -> { case Seq(l) => listStat(l, "median") },
+    "list_mad" -> { case Seq(l) => listStat(l, "mad") },
+    "list_sem" -> { case Seq(l) => listStat(l, "sem") },
+    "list_skewness" -> { case Seq(l) => listStat(l, "skewness") },
+    "list_kurtosis" -> { case Seq(l) => listStat(l, "kurtosis") },
+    "list_kurtosis_pop" -> { case Seq(l) => listStat(l, "kurtosis_pop") },
+    "list_stddev_pop" -> { case Seq(l) => listStat(l, "stddev_pop") },
+    "list_stddev_samp" -> { case Seq(l) => listStat(l, "stddev_samp") },
+    "list_var_pop" -> { case Seq(l) => listStat(l, "var_pop") },
+    "list_var_samp" -> { case Seq(l) => listStat(l, "var_samp") },
+    "list_entropy" -> { case Seq(l) => listStat(l, "entropy") },
+    "list_product" -> { case Seq(l) => listStat(l, "product") },
+    // element-typed list sugar
+    "list_count" -> { case Seq(l) =>
+      Cast(call("size", Seq(call("array_compact", Seq(l)))),
+        org.apache.spark.sql.types.LongType) },
+    "list_first" -> { case Seq(l) =>
+      call("try_element_at", Seq(l, Literal(1))) },
+    "list_last" -> { case Seq(l) =>
+      call("try_element_at", Seq(l, Literal(-1))) },
+    "list_any_value" -> { case Seq(l) =>
+      call("try_element_at", Seq(call("array_compact", Seq(l)), Literal(1))) },
+    "list_approx_count_distinct" -> { case Seq(l) =>
+      Cast(call("size", Seq(call("array_distinct",
+        Seq(call("array_compact", Seq(l)))))),
+        org.apache.spark.sql.types.LongType) },
+    "list_string_agg" -> { case Seq(l) =>
+      call("array_join", Seq(Cast(l, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)), Literal(","))) },
+    "list_bit_and" -> { case Seq(l) =>
+      listReduce(call("array_compact", Seq(l)),
+        lam(vs => BitwiseAnd(vs(0), vs(1)), 2)) },
+    "list_bit_or" -> { case Seq(l) =>
+      listReduce(call("array_compact", Seq(l)),
+        lam(vs => BitwiseOr(vs(0), vs(1)), 2)) },
+    "list_bit_xor" -> { case Seq(l) =>
+      listReduce(call("array_compact", Seq(l)),
+        lam(vs => BitwiseXor(vs(0), vs(1)), 2)) },
+    // list_mode: most frequent element, smallest value on ties — the
+    // (−count, value) min picks max count then min value
+    "list_mode" -> { case Seq(l) => listMode(l) },
+    // list_histogram: value → count map, keys ascending
+    "list_histogram" -> { case Seq(l) => listHistogram(l) },
+    // geometric mean aggregate = exp(avg(ln x))
+    "geomean" -> { case Seq(x) =>
+      call("exp", Seq(call("avg", Seq(call("ln", Seq(Cast(x,
+        org.apache.spark.sql.types.DoubleType))))))) },
+    "geometric_mean" -> { case Seq(x) =>
+      call("exp", Seq(call("avg", Seq(call("ln", Seq(Cast(x,
+        org.apache.spark.sql.types.DoubleType))))))) },
+    "roundbankers" -> (a => call("bround", a)),
+    // generator sugar: split then explode in select position
+    "regexp_split_to_table" -> { case Seq(s, re) =>
+      call("explode", Seq(call("split", Seq(s, re)))) },
+    "array_has_all" -> { case Seq(l, sub) =>
+      ArrayForAll(sub, lam(vs => call("array_contains", Seq(l, vs(0))), 1)) },
+    // pg-catalog compat stubs, each value duck-pinned (tools/BI issue
+    // these reflexively: psql \d, DBeaver, metabase introspection)
+    "pg_typeof" -> { case Seq(x) =>
+      call("lower", Seq(call("typeof", Seq(x)))) },
+    "pg_size_pretty" -> { case Seq(n) =>
+      StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+        org.apache.spark.sql.types.StringType, "sizePretty",
+        Seq(Cast(n, org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.LongType)) },
+    "pg_get_expr" -> { case Seq(a, _) => a },
+    "format_pg_type" -> { case Seq(a, _) => a },
+    "pg_my_temp_schema" -> { case Seq() => Literal(0L) },
+    "pg_is_other_temp_schema" -> { case Seq(_) => Literal(false) },
+    "current_role" -> { case Seq() => Literal("duckdb") },
+    // (session_user is a Spark builtin — its 'duckdb' stub lives in
+    // the OVERRIDES with user/current_user)
+    "json_group_structure" -> { case Seq(j) =>
+      // merged group structure approximated by the first value's
+      // structure — exact for uniform groups (the common introspection
+      // use); mixed-shape groups are a documented approximation
+      call("json_structure", Seq(call("any_value", Seq(Cast(j,
+        org.apache.spark.sql.types.StringType))))) },
+    "pg_conf_load_time" -> { case Seq() => call("current_timestamp", Nil) },
+    "pg_postmaster_start_time" -> { case Seq() => call("current_timestamp", Nil) },
+    "map_to_pg_oid" -> { case Seq(_) => nullLit },
+    "format_type" -> { case Seq(_, _) => nullLit },
+    "col_description" -> { case Seq(_, _) => nullLit },
+    "obj_description" -> { case Seq(_, _) => nullLit },
+    "shobj_description" -> { case Seq(_, _) => nullLit },
+    "pg_get_viewdef" -> { case args if args.nonEmpty => nullLit },
+    "pg_get_constraintdef" -> { case args if args.nonEmpty => nullLit },
+    "inet_client_addr" -> { case Seq() => nullLit },
+    "inet_client_port" -> { case Seq() => nullLit },
+    "inet_server_addr" -> { case Seq() => nullLit },
+    "inet_server_port" -> { case Seq() => nullLit },
+    "get_block_size" -> { case Seq(_) => nullLit },
+    "pg_has_role" -> { case args if args.nonEmpty => Literal(true) },
+    "has_table_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_column_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_database_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_schema_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_sequence_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_server_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_tablespace_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_function_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_language_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_foreign_data_wrapper_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "has_any_column_privilege" -> { case args if args.nonEmpty => Literal(true) },
+    "pg_table_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_type_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_function_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_collation_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_conversion_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_opclass_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_operator_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_opfamily_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_ts_config_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_ts_dict_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_ts_parser_is_visible" -> { case Seq(_) => Literal(true) },
+    "pg_ts_template_is_visible" -> { case Seq(_) => Literal(true) },
     // collation sort keys (uppercase hex): ordering-compatible with
     // DuckDB's ICU extension, key BYTES are library-specific (JDK
     // collator here) — documented in §5.3. The ~150 icu_collate_<loc>
@@ -1352,6 +1486,20 @@ object Functions {
     // Spark's 2-arg date_sub(date, days) keeps the fallthrough
     "date_sub" -> { case Seq(Literal(part, _), a, b) =>
       completeDiff(part.toString, a, b) },
+    // count_if over a numeric arg: DuckDB's truthiness cast
+    "count_if" -> { case Seq(x) if x.resolved &&
+        x.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      call("count_if", Seq(Cast(x, org.apache.spark.sql.types.BooleanType))) },
+    // DuckDB array_prepend is (element, list) — Spark's builtin is
+    // (list, element); swap when the shapes identify the duck order
+    "array_prepend" -> { case Seq(e, l) if e.resolved && l.resolved &&
+        !e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      call("array_prepend", Seq(l, e)) },
+    // the reference identifies as duckdb to its clients
+    "user" -> { case Seq() => Literal("duckdb") },
+    "current_user" -> { case Seq() => Literal("duckdb") },
+    "session_user" -> { case Seq() => Literal("duckdb") },
     // map(keys_list, values_list) builds from the LISTS (DuckDB) —
     // Spark's builtin would make the arrays themselves the keys
     // (r10 audit: map(['a'],[1]) keyed by array<string>)
@@ -1606,13 +1754,18 @@ object Functions {
           Seq.fill(4)(org.apache.spark.sql.types.StringType))
     },
     // DuckDB date_add(d, INTERVAL): Spark's builtin takes int days —
-    // dispatch on the resolved interval type, keep the int form native
+    // dispatch on the resolved interval type, keep the int form native.
+    // Numeric-first args are the duck MACRO's plain addition (r10
+    // audit stage 3: date_add(3, 3) = 6).
     "date_add" -> {
       case Seq(d, iv) if iv.resolved &&
           (iv.dataType == org.apache.spark.sql.types.CalendarIntervalType ||
             iv.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
             iv.dataType.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType]) =>
         Add(d, iv)
+      case Seq(d, n) if d.resolved &&
+          d.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        Add(d, n)
       case Seq(d, n) => DateAdd(d, n)
     },
     "datediff" -> {
@@ -2008,6 +2161,61 @@ object Functions {
       case other => throw new IllegalArgumentException(
         s"date_sub: unsupported part '$other'")
     }
+  }
+
+  private def nullLit: Expression =
+    Cast(Literal(null), org.apache.spark.sql.types.StringType)
+
+  /** list_<stat> sugar: the TextKernels.listStat kernel over the list
+    * cast to DOUBLE[] (nulls skipped inside). */
+  private def listStat(l: Expression, stat: String): Expression =
+    StaticInvoke(graft.engine.expressions.TextKernels.getClass,
+      org.apache.spark.sql.types.DoubleType, "listStat",
+      Seq(Cast(l, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)), Literal(stat)),
+      Seq(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StringType))
+
+  /** Nested lambda with DISTINCT variable names — the shared lam()
+    * always names variables v0/v1, so a lambda nested inside another
+    * would shadow the outer binding (fuzz-found: the histogram counts
+    * compared each element to ITSELF and answered size(l) everywhere). */
+  private def lamNamed(prefix: String, arity: Int)(
+      build: Seq[Expression] => Expression): LambdaFunction = {
+    val vars = (0 until arity).map(i =>
+      UnresolvedNamedLambdaVariable(Seq(s"$prefix$i")))
+    LambdaFunction(build(vars), vars)
+  }
+
+  /** Occurrences of outer-bound value `v` in `l` (distinct inner name). */
+  private def countOf(l: Expression, v: Expression): Expression =
+    call("size", Seq(ArrayFilter(l,
+      lamNamed("gx_inner", 1)(ws => EqualTo(ws(0), v)))))
+
+  /** list_mode: most frequent element, smallest on ties — min over
+    * (−count, value) pairs picks max count then min value; element-
+    * typed result like DuckDB. */
+  private def listMode(l: Expression): Expression = {
+    val compact = call("array_compact", Seq(l))
+    val counted = ArrayTransform(call("array_distinct", Seq(compact)),
+      lamNamed("gx_outer", 1)(vs => CreateNamedStruct(Seq(
+        Literal("negc"), UnaryMinus(countOf(compact, vs(0))),
+        Literal("v"), vs(0)))))
+    org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+      call("array_min", Seq(counted)), Literal("v"))
+  }
+
+  /** list_histogram: value → count map, keys ascending (BIGINT counts,
+    * DuckDB's UBIGINT carrier). */
+  private def listHistogram(l: Expression): Expression = {
+    val compact = call("array_compact", Seq(l))
+    call("map_from_entries", Seq(ArrayTransform(
+      call("array_sort", Seq(call("array_distinct", Seq(compact)))),
+      lamNamed("gx_outer", 1)(vs => CreateNamedStruct(Seq(
+        Literal("key"), vs(0),
+        Literal("value"), Cast(countOf(compact, vs(0)),
+          org.apache.spark.sql.types.LongType)))))))
   }
 
   /** list_resize core: truncate to n, or pad with `fill` up to n. */

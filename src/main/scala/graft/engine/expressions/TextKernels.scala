@@ -135,6 +135,72 @@ object TextKernels {
       dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L)
   }
 
+  /** list_<stat> macro family (r10 audit stage 3): one kernel over the
+    * list cast to DOUBLE[], NULL elements skipped, NULL below each
+    * statistic's minimum count — semantics mirror the engine's scalar
+    * aggregates (sem = stddev_pop/√n; skewness/kurtosis bias-corrected
+    * sample forms; kurtosis_pop population excess; entropy base-2;
+    * median/mad interpolated at even counts; product in DOUBLE). */
+  def listStat(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      mode: UTF8String): java.lang.Double = {
+    if (arr == null || mode == null) return null
+    val xs = (0 until arr.numElements())
+      .filterNot(arr.isNullAt).map(arr.getDouble).toArray
+    val n = xs.length.toDouble
+    def mean = xs.sum / n
+    def m(k: Int) = { val mu = mean; xs.map(x => math.pow(x - mu, k)).sum / n }
+    def varPop = m(2)
+    def varSamp = m(2) * n / (n - 1)
+    def sortedMedian(a: Array[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val out: Option[Double] = mode.toString match {
+      case _ if xs.isEmpty => None
+      case "sum" => Some(xs.sum)
+      case "avg" => Some(mean)
+      case "product" => Some(xs.product)
+      case "median" => Some(sortedMedian(xs))
+      case "mad" =>
+        val med = sortedMedian(xs); Some(sortedMedian(xs.map(x => math.abs(x - med))))
+      case "var_pop" => Some(varPop)
+      case "var_samp" => if (n < 2) None else Some(varSamp)
+      case "stddev_pop" => Some(math.sqrt(varPop))
+      case "stddev_samp" => if (n < 2) None else Some(math.sqrt(varSamp))
+      case "sem" => Some(math.sqrt(varPop) / math.sqrt(n))
+      case "skewness" =>
+        if (n < 3 || varPop == 0) None
+        else Some((m(3) / math.pow(varPop, 1.5)) *
+          math.sqrt(n * (n - 1)) / (n - 2))
+      case "kurtosis" =>
+        if (n < 4 || varPop == 0) None
+        else Some(((n - 1) / ((n - 2) * (n - 3))) *
+          ((n + 1) * (m(4) / (varPop * varPop) - 3.0) + 6.0))
+      case "kurtosis_pop" =>
+        if (varPop == 0) None else Some(m(4) / (varPop * varPop) - 3.0)
+      case "entropy" =>
+        val counts = xs.groupBy(identity).values.map(_.length.toDouble)
+        Some(-counts.map(c => (c / n) * (math.log(c / n) / math.log(2.0))).sum)
+      case other => throw new IllegalArgumentException(
+        s"listStat: unknown statistic '$other'")
+    }
+    out.map(java.lang.Double.valueOf).orNull
+  }
+
+  /** pg_size_pretty: DuckDB renders binary units with one decimal
+    * ('3 bytes', '10.0 KiB', '1.0 MiB'). */
+  def sizePretty(n: Long): UTF8String = {
+    val units = Seq("bytes", "KiB", "MiB", "GiB", "TiB", "PiB")
+    var v = math.abs(n.toDouble)
+    var u = 0
+    while (v >= 1024.0 && u < units.length - 1) { v /= 1024.0; u += 1 }
+    val sign = if (n < 0) "-" else ""
+    UTF8String.fromString(
+      if (u == 0) s"$sign${math.abs(n)} ${units(0)}"
+      else f"$sign$v%.1f ${units(u)}")
+  }
+
   // ---- collation sort keys ----
 
   def icuSortKey(s: UTF8String, locale: UTF8String): UTF8String = {

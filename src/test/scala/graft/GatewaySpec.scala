@@ -852,6 +852,43 @@ class GatewaySpec extends AnyFunSuite {
     // 3-vector cross product
     assert(one("SELECT array_cross_product([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]) AS v")
       .getSeq[Double](0) == Seq(0.0, 0.0, 1.0))
+    // ---- stage 3 (macro surface), duck-pinned ----
+    assert(one("SELECT list_median([3, 1]) AS v").getDouble(0) == 2.0)
+    assert(math.abs(one("SELECT list_sem([1, 2, 4]) AS v").getDouble(0)
+      - 0.7200822998230956) < 1e-12)
+    assert(math.abs(one("SELECT list_stddev_samp([1, 2, 4]) AS v")
+      .getDouble(0) - 1.5275252316519465) < 1e-12)
+    assert(one("SELECT list_entropy([1, 1, 2, 3]) AS v").getDouble(0) == 1.5)
+    assert(one("SELECT list_mad([1.0, 2.0, 4.0]) AS v").getDouble(0) == 1.0)
+    assert(one("SELECT list_count([1, NULL, 3]) AS v").getLong(0) == 2L)
+    assert(one("SELECT list_first([NULL, 2]) IS NULL AS v").getBoolean(0))
+    assert(one("SELECT list_any_value([NULL, 2]) AS v").getInt(0) == 2)
+    assert(one("SELECT list_mode([1, 2, 2, 3]) AS v").getInt(0) == 2)
+    assert(one("SELECT list_bit_xor([5, 3]) AS v").getInt(0) == 6)
+    assert(one("SELECT list_string_agg([1, 2, 3]) AS v").getString(0) == "1,2,3")
+    assert(one("SELECT CAST(list_histogram([1, 2, 2]) AS VARCHAR) AS v")
+      .getString(0) == "{1 -> 1, 2 -> 2}")
+    // pg-catalog compat stubs (tools issue these reflexively)
+    assert(one("SELECT pg_typeof(3) AS v").getString(0) == "integer")
+    assert(one("SELECT pg_size_pretty(1048576) AS v").getString(0) == "1.0 MiB")
+    assert(one("SELECT pg_size_pretty(3) AS v").getString(0) == "3 bytes")
+    assert(one("SELECT has_table_privilege(3, 3) AS v").getBoolean(0))
+    assert(one("SELECT pg_table_is_visible(3) AS v").getBoolean(0))
+    assert(one("SELECT col_description(3, 3) IS NULL AS v").getBoolean(0))
+    assert(one("SELECT session_user() AS v").getString(0) == "duckdb")
+    assert(one("SELECT current_role() AS v").getString(0) == "duckdb")
+    // string-polymorphic pops; macro date_add; truthy count_if
+    assert(one("SELECT array_pop_back('abc') AS v").getString(0) == "ab")
+    assert(one("SELECT array_pop_front('abc') AS v").getString(0) == "bc")
+    assert(one("SELECT date_add(3, 3) AS v").getInt(0) == 6)
+    assert(one("SELECT count_if(3) AS v").getLong(0) == 1L)
+    assert(one("SELECT CAST(roundbankers(2.5, 0) AS DOUBLE) AS v")
+      .getDouble(0) == 2.0)
+    // duck arg order array_prepend(elem, list); json of a list
+    assert(one("SELECT array_prepend(9, [1, 2]) AS v")
+      .getSeq[Int](0) == Seq(9, 1, 2))
+    assert(one("SELECT json([1, 2, 3]) AS v").getString(0) == "[1,2,3]")
+    assert(one("SELECT geomean(8.0) AS v").getDouble(0) > 7.99)
   }
 
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {

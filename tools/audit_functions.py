@@ -15,7 +15,7 @@ a DuckDB 1.0 user would find missing. Usage:
   python3 tools/audit_functions.py [--no-run]
 Writes /tmp/fn_audit/{calls.txt,engine.jsonl} and prints the report.
 """
-import json, math, re, subprocess, sys
+import itertools, json, math, re, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -51,9 +51,12 @@ NONDET = {
     "current_timestamp", "current_localtime", "current_localtimestamp",
     "transaction_timestamp", "current_schema", "current_schemas",
     "current_database", "current_query", "current_user", "user",
-    "session_user", "version", "pg_postmaster_start_time", "txid_current",
+    "version", "pg_postmaster_start_time", "txid_current",
     "current_setting", "hash", "icu_sort_key", "md5_number",
     "md5_number_lower", "md5_number_upper", "vector_type", "uuid_string",
+    "pg_conf_load_time", "current_catalog",
+    # generator macro: multi-row result, outside this scalar compare
+    "regexp_split_to_table",
 }
 
 SKIP_NAME = re.compile(r"^(__internal|\W|\$|combine$|finalize$|nobody)")
@@ -91,6 +94,30 @@ def main():
             continue
         calls[name] = call
         undeclared.discard(name)
+    # MACROS (round-10 stage 3): untyped parameters, so probe atom
+    # combinations until DuckDB accepts one — this is where the list_*
+    # aggregate sugar and the pg-catalog compat surface live
+    macro_atoms = ["3", "'abc'", "[1,2,3]", "1.5", "true",
+                   "DATE '2024-03-05'", "map(['a'],[1])", "'{\"a\":1}'"]
+    for name, _, params in con.sql(
+            "SELECT function_name, function_type, parameters "
+            "FROM duckdb_functions() WHERE function_type = 'macro'").fetchall():
+        if not re.match(r"^[a-z_][a-z0-9_]*$", name) or name in calls:
+            continue
+        k = len(params or [])
+        for combo in itertools.product(macro_atoms, repeat=min(k, 2)):
+            args = (list(combo) + ["3"] * (k - 2))[:k]
+            c = f"{name}({', '.join(args)})"
+            try:
+                con.sql(f"SELECT {c} AS v").fetchall()
+                calls[name] = c
+                undeclared.discard(name)
+                break
+            except Exception:
+                continue
+        else:
+            undeclared.add(name)
+
     # names where NO overload produced a duckdb-accepted trivial call
     untestable = sorted(undeclared - set(calls))
     print(f"{len(calls)} functions with a DuckDB-accepted trivial call; "
@@ -125,7 +152,7 @@ def main():
     # residuals (stats = planner-debug text; md5_number = 39-digit
     # HUGEINT beyond the decimal(38) carrier; list_distinct order is
     # unspecified in DuckDB — compared as a SET here).
-    RENDER_OK_TYPES = (datetime.timedelta, dict, datetime.time)
+    RENDER_OK_TYPES = (datetime.timedelta, datetime.time)
     # documented residuals (SURVEY §5.3 audit notes): no honest engine
     # equivalent exists — planner/vectorizer introspection text, the
     # DuckDB SQL-AST serializers, the 39-digit HUGEINT md5_number beyond
@@ -133,7 +160,8 @@ def main():
     # (context the registry can't see), and bar's eighth-block rendering
     DOCUMENTED = {"stats", "md5_number", "json_serialize_plan",
                   "json_serialize_sql", "vector_type", "alias", "bar"}
-    SET_COMPARE = {"array_distinct", "list_distinct"}
+    SET_COMPARE = {"array_distinct", "list_distinct",
+                   "list_intersect", "array_intersect"}
 
     def canon(v):
         if v is None:
@@ -144,8 +172,16 @@ def main():
             return "nan" if math.isnan(v) else repr(v)
         if isinstance(v, bytes):
             return v.hex().upper()
-        if isinstance(v, list):
+        if isinstance(v, (list, tuple)):
             return "[" + ", ".join(canon(e) for e in v) + "]"
+        if isinstance(v, dict):
+            # duckdb python renders MAP as {'key': [...], 'value': [...]}
+            ks, vs = v.get("key"), v.get("value")
+            if isinstance(ks, list) and isinstance(vs, list) and len(v) == 2:
+                return "{" + ", ".join(
+                    f"{canon(k)}={canon(x)}" for k, x in zip(ks, vs)) + "}"
+            return "{" + ", ".join(
+                f"{canon(k)}={canon(x)}" for k, x in v.items()) + "}"
         if isinstance(v, decimal.Decimal):
             return str(v)
         if isinstance(v, datetime.datetime):

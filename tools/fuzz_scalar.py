@@ -270,6 +270,13 @@ def main():
             if "DATATYPE_MISMATCH" in (eng.get("err") or ""):
                 typed_refusals += 1
                 continue
+            # same residual, runtime flavor: Spark coerces the STRING
+            # side of a mixed comparison to the temporal type (ANSI cast
+            # error on non-date text) where DuckDB compares as VARCHAR —
+            # a LOUD error, never a silent value divergence
+            if "CAST_INVALID_INPUT" in (eng.get("err") or ""):
+                typed_refusals += 1
+                continue
             engine_err += 1
             print(f"ENGINE-ERR [{i}] {expr}\n  duck={duck_canon(dv)} ({dt})\n  err={eng['err']}")
             continue
