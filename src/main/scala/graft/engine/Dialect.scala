@@ -2089,14 +2089,21 @@ object Dialect {
   }
 
   private val catalogFnRe =
-    """(?i)^(duckdb_(?:extensions|tables|functions|views|settings|columns))\s*\(\s*\)""".r
+    ("""(?i)^(duckdb_(?:extensions|tables|functions|views|settings|columns""" +
+      """|keywords|types|schemas|databases|constraints|indexes|sequences""" +
+      """|dependencies|temporary_files|memory|optimizers|secrets)""" +
+      """|pg_timezone_names|icu_calendar_names|checkpoint|force_checkpoint""" +
+      """|pragma_(?:platform|user_agent|collations|metadata_info))\s*\(\s*\)""").r
 
   /** `duckdb_tables()` → `duckdb_tables`, outside string literals only
     * (a literal '…duckdb_tables()…' must survive verbatim).
     */
   private def rewriteCatalogFns(sql: String): String = {
     val noFns = scanOutsideLiterals(sql) { (i, sb) =>
-      if (sql.regionMatches(true, i, "duckdb_", 0, 7) && wordStart(sql, i)) {
+      val head = Seq("duckdb_", "pg_timezone_names", "icu_calendar_names",
+        "checkpoint", "force_checkpoint", "pragma_")
+        .exists(p => sql.regionMatches(true, i, p, 0, p.length))
+      if (head && wordStart(sql, i)) {
         catalogFnRe.findPrefixMatchOf(sql.substring(i)) match {
           case Some(m) => sb.append(m.group(1).toLowerCase); i + m.end
           case None => i

@@ -246,16 +246,52 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
       case summarizeRe(table) => return summarize(table)
       case _ =>
     }
-    // table-function form of PRAGMA table_info (common client shape):
-    // materialize the pragma relation, then run the statement tail
-    // (ORDER BY / WHERE / projection) over it
+    // table-function forms of the argumentful PRAGMAs and the parquet
+    // footer introspection family (r10 audit): materialize the
+    // relation, then run the statement tail (ORDER BY / WHERE /
+    // projection) over it
     locally {
-      val ptiRe =
-        """(?is)^(SELECT\s+.*?\s+FROM)\s+pragma_table_info\s*\(\s*'([\w./]+)'\s*\)(.*)""".r
+      val tvfRe =
+        ("""(?is)^(SELECT\s+.*?\s+FROM)\s+(pragma_table_info|pragma_show""" +
+          """|pragma_storage_info|pragma_database_size|parquet_schema""" +
+          """|parquet_metadata|parquet_file_metadata|parquet_kv_metadata)""" +
+          """\s*\(\s*(?:'([^']*)')?\s*\)(.*)""").r
       expanded match {
-        case ptiRe(head, t, tail) =>
-          val tmp = s"graft_pti_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-          pragma("table_info", Some(t)).createOrReplaceTempView(tmp)
+        case tvfRe(head, fn, argOrNull, tail) =>
+          val arg = Option(argOrNull)
+          def need = arg.getOrElse(throw new GatewayException(
+            s"$fn requires a literal argument"))
+          val df = fn.toLowerCase match {
+            case "pragma_table_info" => pragma("table_info", Some(need))
+            case "pragma_show" => describeTable(need)
+            case "pragma_database_size" => pragma("database_size", None)
+            case "pragma_storage_info" =>
+              // parquet-backed views have no DuckDB storage blocks —
+              // typed empty, like a fresh in-memory DuckDB
+              session.sql(
+                """SELECT CAST(NULL AS BIGINT) AS row_group_id,
+                  |  CAST(NULL AS BIGINT) AS row_group_start,
+                  |  CAST(NULL AS BIGINT) AS row_group_count,
+                  |  CAST(NULL AS STRING) AS column_name,
+                  |  CAST(NULL AS BIGINT) AS column_id,
+                  |  CAST(NULL AS STRING) AS column_path,
+                  |  CAST(NULL AS STRING) AS segment_type,
+                  |  CAST(NULL AS BIGINT) AS start,
+                  |  CAST(NULL AS BIGINT) AS count,
+                  |  CAST(NULL AS STRING) AS compression,
+                  |  CAST(NULL AS STRING) AS stats,
+                  |  CAST(NULL AS BOOLEAN) AS has_updates,
+                  |  CAST(NULL AS BOOLEAN) AS persistent,
+                  |  CAST(NULL AS BIGINT) AS block_id,
+                  |  CAST(NULL AS BIGINT) AS block_offset
+                  |LIMIT 0""".stripMargin)
+            case "parquet_schema" => parquetSchemaDf(need)
+            case "parquet_file_metadata" => parquetFileMetaDf(need)
+            case "parquet_kv_metadata" => parquetKvMetaDf(need)
+            case _ => parquetMetadataDf(need)
+          }
+          val tmp = s"graft_tvf_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+          df.createOrReplaceTempView(tmp)
           try {
             val out = session.sql(s"$head $tmp $tail")
             out.queryExecution.assertAnalyzed()
@@ -473,7 +509,8 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
   private val fileFromRe =
     """(?i)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|pq|csv|tsv|json|jsonl|ndjson)(?:\.gz)?)'""".r
   private val readFnHeadRe =
-    """(?i)\b(FROM|JOIN)\s+read_(parquet|csv_auto|csv|json_auto|json)\s*(?=\()""".r
+    ("""(?i)\b(FROM|JOIN)\s+(?:read_(parquet|csv_auto|csv|json_auto|json""" +
+      """|ndjson_auto|ndjson|text|blob)|(parquet_scan))\s*(?=\()""").r
 
   private val fileViews = scala.collection.mutable.HashMap.empty[String, String]
 
@@ -579,6 +616,21 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
             if (om.get("format").map(str).exists(_.equalsIgnoreCase("array")))
               r = r.option("multiLine", "true")
             r.json(paths: _*)
+          case "text" | "blob" =>
+            // read_text/read_blob (r10 audit): DuckDB's whole-file
+            // readers — (filename, content, size, last_modified) —
+            // via Spark's binaryFile source; text decodes UTF-8
+            import org.apache.spark.sql.functions.{col, regexp_replace}
+            val raw = session.read.format("binaryFile").load(paths: _*)
+            val content =
+              if (kind == "text") col("content").cast("string")
+              else col("content")
+            raw.select(
+              regexp_replace(col("path"), "^file:", "").as("filename"),
+              content.as("content"),
+              col("length").as("size"),
+              col("modificationTime").cast("timestamp_ntz")
+                .as("last_modified"))
           case _ =>
             var r = session.read
             if (om.get("union_by_name").exists(bool))
@@ -615,10 +667,13 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         if (m.start >= last) {
           Dialect.splitCallArgsPublic(sql, m.end) match {
             case Some((args, end)) if args.nonEmpty =>
-              val kind = m.group(2).toLowerCase match {
+              val kind = Option(m.group(2)).getOrElse("parquet")
+                .toLowerCase match {
                 case "csv_auto" | "csv" => "csv"
-                case "json_auto" | "json" => "json"
-                case _ => "parquet"
+                case "json_auto" | "json" | "ndjson_auto" | "ndjson" => "json"
+                case "text" => "text"
+                case "blob" => "blob"
+                case _ => "parquet" // read_parquet and the parquet_scan alias
               }
               val litRe = """'((?:[^']|'')*)'""".r
               // splitCallArgs tracks parens but not {}/[]: re-merge args
@@ -679,15 +734,132 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
     // FROM pragma_version() → the registered one-row view
     val viaPragma = pragmaVersionFnRe.replaceAllIn(viaGlob,
       m => s"${m.group(1)} graft_pragma_version")
-    fileFromRe.replaceAllIn(viaPragma, m =>
+    // FROM repeat('s', n): n rows of 's', column named by the value
+    // (DuckDB's repeat table function — r10 audit)
+    val viaRepeat = repeatFnRe.replaceAllIn(viaPragma, m => {
+      val s = m.group(2)
+      val colName = s.replace("''", "'").replace("`", "")
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} (SELECT '$s' AS `$colName` FROM range(${m.group(3)}))")
+    })
+    fileFromRe.replaceAllIn(viaRepeat, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} ${fileView(Seq(m.group(2)), None, Nil)}"))
+  }
+
+  /** Parquet footer introspection (DuckDB's parquet_schema/metadata
+    * family, r10 audit): a bounded driver-side footer read of the NAMED
+    * file — the same work DuckDB does; never a distributed job. Columns
+    * mirror DuckDB 1.0. */
+  private def parquetFooter(path: String) = {
+    val conf = session.sessionState.newHadoopConf()
+    org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+  }
+
+  private def parquetSchemaDf(path: String): DataFrame = {
+    import session.implicits._
+    val r = parquetFooter(path)
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      val root = (path, schema.getName, "GROUP", Option.empty[Long],
+        "REQUIRED", Option(schema.getFieldCount.toLong),
+        Option.empty[Long], Option.empty[Long], Option.empty[String])
+      val cols = scala.jdk.CollectionConverters
+        .ListHasAsScala(schema.getFields).asScala.toSeq.map { f =>
+          if (f.isPrimitive) {
+            val p = f.asPrimitiveType()
+            val dec = Option(p.getLogicalTypeAnnotation).collect {
+              case d: org.apache.parquet.schema
+                  .LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d
+            }
+            (path, f.getName, p.getPrimitiveTypeName.toString,
+              Some(p.getTypeLength.toLong), f.getRepetition.toString,
+              Option.empty[Long], dec.map(_.getScale.toLong),
+              dec.map(_.getPrecision.toLong),
+              Option(p.getLogicalTypeAnnotation).map(_.toString))
+          } else
+            (path, f.getName, "GROUP", Option.empty[Long],
+              f.getRepetition.toString,
+              Some(f.asGroupType().getFieldCount.toLong),
+              Option.empty[Long], Option.empty[Long],
+              Option(f.asGroupType().getLogicalTypeAnnotation)
+                .map(_.toString))
+        }
+      (root +: cols)
+        .toDF("file_name", "name", "type", "type_length",
+          "repetition_type", "num_children", "scale", "precision",
+          "logical_type")
+    } finally r.close()
+  }
+
+  private def parquetFileMetaDf(path: String): DataFrame = {
+    import session.implicits._
+    val r = parquetFooter(path)
+    try {
+      val fm = r.getFooter.getFileMetaData
+      Seq((path, fm.getCreatedBy, r.getRecordCount,
+        r.getFooter.getBlocks.size.toLong, "1.0",
+        null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("file_name", "created_by", "num_rows", "num_row_groups",
+          "format_version", "encryption_algorithm",
+          "footer_signing_key_metadata")
+    } finally r.close()
+  }
+
+  private def parquetKvMetaDf(path: String): DataFrame = {
+    import session.implicits._
+    val r = parquetFooter(path)
+    try {
+      scala.jdk.CollectionConverters.MapHasAsScala(
+        r.getFooter.getFileMetaData.getKeyValueMetaData).asScala.toSeq
+        .map { case (k, v) =>
+          (path, k.getBytes("UTF-8"),
+            Option(v).map(_.getBytes("UTF-8")).orNull)
+        }.toDF("file_name", "key", "value")
+    } finally r.close()
+  }
+
+  private def parquetMetadataDf(path: String): DataFrame = {
+    import session.implicits._
+    val r = parquetFooter(path)
+    try {
+      val rows = scala.jdk.CollectionConverters
+        .ListHasAsScala(r.getFooter.getBlocks).asScala.toSeq.zipWithIndex
+        .flatMap { case (blk, gi) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(blk.getColumns)
+            .asScala.toSeq.zipWithIndex.map { case (c, ci) =>
+              val st = c.getStatistics
+              (path, gi.toLong, blk.getRowCount,
+                blk.getColumns.size.toLong, blk.getTotalByteSize,
+                ci.toLong, c.getFirstDataPageOffset, c.getValueCount,
+                c.getPath.toDotString, c.getPrimitiveType.toString,
+                Option(st).map(s => String.valueOf(s.minAsString)).orNull,
+                Option(st).map(s => String.valueOf(s.maxAsString)).orNull,
+                Option(st).filter(_.isNumNullsSet)
+                  .map(_.getNumNulls).getOrElse(-1L),
+                c.getCodec.toString,
+                c.getEncodings.toString,
+                c.getDictionaryPageOffset, c.getFirstDataPageOffset,
+                c.getTotalSize, c.getTotalUncompressedSize)
+            }
+        }
+      rows.toDF("file_name", "row_group_id", "row_group_num_rows",
+        "row_group_num_columns", "row_group_bytes", "column_id",
+        "file_offset", "num_values", "path_in_schema", "type",
+        "stats_min", "stats_max", "stats_null_count", "compression",
+        "encodings", "dictionary_page_offset", "data_page_offset",
+        "total_compressed_size", "total_uncompressed_size")
+    } finally r.close()
   }
 
   private val globFnRe =
     """(?i)\b(FROM|JOIN)\s+glob\s*\(\s*'([^']+)'\s*\)""".r
   private val pragmaVersionFnRe =
     """(?i)\b(FROM|JOIN)\s+pragma_version\s*\(\s*\)""".r
+  private val repeatFnRe =
+    """(?i)\b(FROM|JOIN)\s+repeat\s*\(\s*'((?:[^']|'')*)'\s*,\s*(\d+)\s*\)""".r
 
   private def globView(pattern: String): String = session.synchronized {
     fileViews.getOrElseUpdate("glob::" + pattern, {
@@ -1377,6 +1549,178 @@ object Gateway {
       Seq(("v0.5.0-graft", s"spark-${sess.version}"))
         .toDF("library_version", "source_id")
         .createOrReplaceTempView("graft_pragma_version")
+    }
+    // ---- round-10: the REST of DuckDB's zero-arg catalog table
+    // functions (tools iterate these; tools/audit swept them). Columns
+    // mirror DuckDB 1.0 exactly; relations that catalog objects this
+    // engine doesn't HAVE (indexes, sequences, …) are typed EMPTY —
+    // the same answer a fresh DuckDB gives.
+    def view(name: String, q: String): Unit =
+      sess.sql(q).createOrReplaceTempView(name)
+    val mapT = "CAST(map() AS MAP<STRING,STRING>)"
+    // reserved/keyword list: the served dialect's reserved words
+    view("duckdb_keywords",
+      """SELECT col1 AS keyword_name, 'reserved' AS keyword_category
+        |FROM VALUES ('all'),('and'),('any'),('as'),('asc'),('between'),
+        |('by'),('case'),('cast'),('create'),('cross'),('cube'),('current'),
+        |('default'),('delete'),('desc'),('distinct'),('drop'),('else'),
+        |('end'),('except'),('exists'),('false'),('filter'),('from'),('full'),
+        |('group'),('grouping'),('having'),('in'),('inner'),('insert'),
+        |('intersect'),('interval'),('into'),('is'),('join'),('lateral'),
+        |('left'),('like'),('limit'),('natural'),('not'),('null'),('offset'),
+        |('on'),('or'),('order'),('outer'),('over'),('partition'),('pivot'),
+        |('qualify'),('right'),('rollup'),('select'),('semi'),('set'),
+        |('table'),('then'),('true'),('union'),('unique'),('unpivot'),
+        |('update'),('using'),('values'),('when'),('where'),('window'),
+        |('with')""".stripMargin)
+    // the engine's served logical types (SURVEY §1.4 mapping)
+    view("duckdb_types",
+      s"""SELECT 'memory' AS database_name, CAST(0 AS BIGINT) AS database_oid,
+         |  'main' AS schema_name, CAST(0 AS BIGINT) AS schema_oid,
+         |  CAST(row_number() OVER (ORDER BY col1) AS BIGINT) AS type_oid,
+         |  col1 AS type_name, CAST(col2 AS BIGINT) AS type_size,
+         |  col1 AS logical_type, col3 AS type_category,
+         |  CAST(NULL AS STRING) AS comment, $mapT AS tags,
+         |  true AS internal
+         |FROM VALUES ('BOOLEAN',1,'BOOLEAN'),('TINYINT',1,'NUMERIC'),
+         |('SMALLINT',2,'NUMERIC'),('INTEGER',4,'NUMERIC'),
+         |('BIGINT',8,'NUMERIC'),('HUGEINT',16,'NUMERIC'),
+         |('FLOAT',4,'NUMERIC'),('DOUBLE',8,'NUMERIC'),
+         |('DECIMAL',16,'NUMERIC'),('VARCHAR',NULL,'STRING'),
+         |('BLOB',NULL,'STRING'),('BIT',NULL,'STRING'),
+         |('DATE',4,'DATETIME'),('TIME',8,'DATETIME'),
+         |('TIMESTAMP',8,'DATETIME'),('INTERVAL',16,'DATETIME'),
+         |('UUID',16,'STRING'),('JSON',NULL,'STRING'),
+         |('LIST',NULL,'COMPOSITE'),('STRUCT',NULL,'COMPOSITE'),
+         |('MAP',NULL,'COMPOSITE')""".stripMargin)
+    view("duckdb_schemas",
+      s"""SELECT CAST(col1 AS BIGINT) AS oid, col2 AS database_name,
+         |  CAST(col3 AS BIGINT) AS database_oid, col4 AS schema_name,
+         |  CAST(NULL AS STRING) AS comment, $mapT AS tags,
+         |  col5 AS internal, CAST(NULL AS STRING) AS sql
+         |FROM VALUES (0,'memory',0,'main',false),
+         |  (1,'system',1,'main',true),(2,'temp',2,'main',true)""".stripMargin)
+    view("duckdb_databases",
+      s"""SELECT col1 AS database_name, CAST(col2 AS BIGINT) AS database_oid,
+         |  CAST(NULL AS STRING) AS path, CAST(NULL AS STRING) AS comment,
+         |  $mapT AS tags, col3 AS internal, 'duckdb' AS type,
+         |  true AS readonly
+         |FROM VALUES ('memory',0,false),('system',1,true),
+         |  ('temp',2,true)""".stripMargin)
+    view("duckdb_constraints",
+      """SELECT CAST(NULL AS STRING) AS database_name,
+        |  CAST(NULL AS BIGINT) AS database_oid,
+        |  CAST(NULL AS STRING) AS schema_name,
+        |  CAST(NULL AS BIGINT) AS schema_oid,
+        |  CAST(NULL AS STRING) AS table_name,
+        |  CAST(NULL AS BIGINT) AS table_oid,
+        |  CAST(NULL AS BIGINT) AS constraint_index,
+        |  CAST(NULL AS STRING) AS constraint_type,
+        |  CAST(NULL AS STRING) AS constraint_text,
+        |  CAST(NULL AS STRING) AS expression,
+        |  CAST(array() AS ARRAY<BIGINT>) AS constraint_column_indexes,
+        |  CAST(array() AS ARRAY<STRING>) AS constraint_column_names
+        |LIMIT 0""".stripMargin)
+    view("duckdb_indexes",
+      s"""SELECT CAST(NULL AS STRING) AS database_name,
+         |  CAST(NULL AS BIGINT) AS database_oid,
+         |  CAST(NULL AS STRING) AS schema_name,
+         |  CAST(NULL AS BIGINT) AS schema_oid,
+         |  CAST(NULL AS STRING) AS index_name,
+         |  CAST(NULL AS BIGINT) AS index_oid,
+         |  CAST(NULL AS STRING) AS table_name,
+         |  CAST(NULL AS BIGINT) AS table_oid,
+         |  CAST(NULL AS STRING) AS comment, $mapT AS tags,
+         |  CAST(NULL AS BOOLEAN) AS is_unique,
+         |  CAST(NULL AS BOOLEAN) AS is_primary
+         |LIMIT 0""".stripMargin)
+    view("duckdb_sequences",
+      s"""SELECT CAST(NULL AS STRING) AS database_name,
+         |  CAST(NULL AS BIGINT) AS database_oid,
+         |  CAST(NULL AS STRING) AS schema_name,
+         |  CAST(NULL AS BIGINT) AS schema_oid,
+         |  CAST(NULL AS STRING) AS sequence_name,
+         |  CAST(NULL AS BIGINT) AS sequence_oid,
+         |  CAST(NULL AS STRING) AS comment, $mapT AS tags,
+         |  CAST(NULL AS BOOLEAN) AS temporary,
+         |  CAST(NULL AS BIGINT) AS start_value,
+         |  CAST(NULL AS BIGINT) AS min_value,
+         |  CAST(NULL AS BIGINT) AS max_value
+         |LIMIT 0""".stripMargin)
+    view("duckdb_dependencies",
+      """SELECT CAST(NULL AS BIGINT) AS classid,
+        |  CAST(NULL AS BIGINT) AS objid, CAST(NULL AS INT) AS objsubid,
+        |  CAST(NULL AS BIGINT) AS refclassid,
+        |  CAST(NULL AS BIGINT) AS refobjid,
+        |  CAST(NULL AS INT) AS refobjsubid,
+        |  CAST(NULL AS STRING) AS deptype LIMIT 0""".stripMargin)
+    view("duckdb_temporary_files",
+      """SELECT CAST(NULL AS STRING) AS path,
+        |  CAST(NULL AS BIGINT) AS size LIMIT 0""".stripMargin)
+    view("duckdb_memory",
+      """SELECT col1 AS tag, CAST(0 AS BIGINT) AS memory_usage_bytes,
+        |  CAST(0 AS BIGINT) AS temporary_storage_bytes
+        |FROM VALUES ('BASE_TABLE'),('HASH_TABLE'),('PARQUET_READER'),
+        |('CSV_READER'),('ORDER_BY'),('ART_INDEX'),('COLUMN_DATA'),
+        |('METADATA'),('OVERFLOW_STRINGS'),('IN_MEMORY_TABLE'),
+        |('ALLOCATOR'),('EXTENSION')""".stripMargin)
+    // the optimizers THIS engine actually runs (Catalyst batches) —
+    // honest introspection, not a copy of DuckDB's list
+    view("duckdb_optimizers",
+      """SELECT col1 AS name FROM VALUES ('PushDownPredicates'),
+        |('ColumnPruning'),('CollapseProject'),('ConstantFolding'),
+        |('NullPropagation'),('BooleanSimplification'),
+        |('SimplifyCasts'),('ReorderJoin'),('EliminateOuterJoin'),
+        |('InferFiltersFromConstraints'),('PruneFilters'),
+        |('RewritePredicateSubquery'),('DecorrelateInnerQuery'),
+        |('CombineFilters'),('LimitPushDown'),('CollapseWindow'),
+        |('OptimizeSkewedJoin'),('CoalesceShufflePartitions')""".stripMargin)
+    view("duckdb_secrets",
+      """SELECT CAST(NULL AS STRING) AS name, CAST(NULL AS STRING) AS type,
+        |  CAST(NULL AS STRING) AS provider,
+        |  CAST(NULL AS BOOLEAN) AS persistent,
+        |  CAST(NULL AS STRING) AS storage,
+        |  CAST(array() AS ARRAY<STRING>) AS scope,
+        |  CAST(NULL AS STRING) AS secret_string LIMIT 0""".stripMargin)
+    view("checkpoint",
+      "SELECT CAST(NULL AS BOOLEAN) AS Success LIMIT 0")
+    view("force_checkpoint",
+      "SELECT CAST(NULL AS BOOLEAN) AS Success LIMIT 0")
+    view("icu_calendar_names",
+      """SELECT col1 AS name FROM VALUES ('gregorian'),('japanese'),
+        |('buddhist'),('roc'),('persian'),('islamic'),('islamic-civil'),
+        |('islamic-umalqura'),('islamic-tbla'),('islamic-rgsa'),('hebrew'),
+        |('chinese'),('indian'),('coptic'),('ethiopic'),
+        |('ethiopic-amete-alem'),('iso8601'),('dangi')""".stripMargin)
+    view("pragma_platform", "SELECT 'linux_amd64' AS platform")
+    view("pragma_user_agent",
+      s"SELECT 'graft/0.5.0(spark-${sess.version})' AS user_agent")
+    view("pragma_collations",
+      """SELECT col1 AS collname FROM VALUES ('default'),('c'),('posix'),
+        |('nocase'),('noaccent'),('nfc')""".stripMargin)
+    view("pragma_metadata_info",
+      """SELECT CAST(NULL AS BIGINT) AS block_id,
+        |  CAST(NULL AS BIGINT) AS total_blocks,
+        |  CAST(NULL AS BIGINT) AS free_blocks,
+        |  CAST(array() AS ARRAY<BIGINT>) AS free_list LIMIT 0""".stripMargin)
+    // live zone list from the JVM (offsets as day-time intervals)
+    locally {
+      import sess.implicits._
+      import org.apache.spark.sql.functions.{col, expr}
+      val now = java.time.Instant.now()
+      scala.jdk.CollectionConverters
+        .SetHasAsScala(java.time.ZoneId.getAvailableZoneIds).asScala.toSeq
+        .sorted.map { z =>
+          val zone = java.time.ZoneId.of(z)
+          val off = zone.getRules.getOffset(now)
+          (z, zone.getRules.getStandardOffset(now).getId,
+            off.getTotalSeconds.toLong,
+            zone.getRules.isDaylightSavings(now))
+        }.toDF("name", "abbrev", "off_s", "is_dst")
+        .select(col("name"), col("abbrev"),
+          expr("make_dt_interval(0, 0, 0, off_s)").as("utc_offset"),
+          col("is_dst"))
+        .createOrReplaceTempView("pg_timezone_names")
     }
   }
 

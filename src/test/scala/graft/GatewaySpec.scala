@@ -891,6 +891,55 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT geomean(8.0) AS v").getDouble(0) > 7.99)
   }
 
+  test("round-10: table-function surface (catalog TVFs, file readers, parquet footers)") {
+    def rows(q: String) = gw.sql(q).collect()
+    // zero-arg catalog TVFs resolve with DuckDB's column layout
+    assert(rows("SELECT * FROM duckdb_keywords() WHERE keyword_name = 'select'")
+      .length == 1)
+    assert(rows("SELECT * FROM duckdb_types() WHERE type_name = 'HUGEINT'")
+      .length == 1)
+    assert(rows("SELECT * FROM duckdb_databases()").length == 3)
+    assert(rows("SELECT * FROM duckdb_schemas()").length == 3)
+    // object kinds this engine doesn't have answer typed-EMPTY, like a
+    // fresh DuckDB — not an error
+    assert(rows("SELECT * FROM duckdb_indexes()").isEmpty)
+    assert(rows("SELECT * FROM duckdb_sequences()").isEmpty)
+    assert(rows("SELECT * FROM duckdb_temporary_files()").isEmpty)
+    assert(rows("SELECT * FROM checkpoint()").isEmpty)
+    assert(rows("SELECT tag FROM duckdb_memory()").length == 12)
+    assert(rows("SELECT name FROM duckdb_optimizers()").nonEmpty)
+    assert(rows("SELECT * FROM pg_timezone_names() WHERE name = 'UTC'")
+      .length == 1)
+    assert(rows("SELECT * FROM icu_calendar_names()").length == 18)
+    assert(rows("SELECT * FROM pragma_platform()").head.getString(0)
+      == "linux_amd64")
+    assert(rows("SELECT * FROM pragma_database_size()").length == 1)
+    assert(rows("SELECT * FROM pragma_show('nation')").length == 3)
+    // repeat table function: n rows of the value, column named by it
+    val rep = gw.sql("SELECT * FROM repeat('x', 3)")
+    assert(rep.columns.toSeq == Seq("x"))
+    assert(rep.collect().map(_.getString(0)).toSeq == Seq("x", "x", "x"))
+    // whole-file readers (binaryFile-backed, DuckDB's schema)
+    val txt = gw.sql("SELECT * FROM read_text('/root/repo/build.sbt')")
+    assert(txt.columns.toSeq ==
+      Seq("filename", "content", "size", "last_modified"))
+    assert(txt.collect().head.getString(1).contains("scalaVersion"))
+    assert(rows("SELECT * FROM read_blob('/root/repo/build.sbt')")
+      .head.get(1).isInstanceOf[Array[Byte]])
+    // parquet footer introspection (driver-side bounded read)
+    val sfp = TestSpark.sf
+    assert(rows(s"SELECT * FROM parquet_schema('$sfp/nation.parquet') " +
+      "WHERE name = 'n_name'").length == 1)
+    val fm = rows(s"SELECT num_rows, num_row_groups FROM " +
+      s"parquet_file_metadata('$sfp/nation.parquet')").head
+    assert(fm.getLong(0) == 25L && fm.getLong(1) >= 1L)
+    assert(rows(s"SELECT * FROM parquet_metadata('$sfp/nation.parquet') " +
+      "WHERE path_in_schema = 'n_nationkey'").nonEmpty)
+    // parquet_scan alias of read_parquet
+    assert(rows(s"SELECT count(*) AS c FROM parquet_scan('$sfp/nation.parquet')")
+      .head.getLong(0) == 25L)
+  }
+
   test("round-9 probe batch 19: JSON constructors, slices, blob/chr tails match DuckDB") {
     def one(q: String) = gw.sql(q).collect().head
     // JSON constructors / canonicalization / quoting (all value-pinned)
