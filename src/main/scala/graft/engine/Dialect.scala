@@ -1192,17 +1192,25 @@ object Dialect {
     * `fn(CASE WHEN p THEN x END) OVER …` (aggregates skip NULLs, so the
     * filtered rows vanish exactly); `count(*)` counts a CASE-guarded 1.
     * Only single-argument, non-DISTINCT aggregates with well-known
-    * NULL-skipping semantics rewrite; anything else keeps the native
-    * path (loud error, like Spark). FIRST/LAST/ANY_VALUE are excluded:
-    * Spark resolves them with ignoreNulls=false, so the CASE fold would
-    * return the nullified value of the frame's first row instead of the
-    * first row PASSING the filter — a silent divergence, not the loud
-    * error this guard promises. ARRAY_AGG is excluded too: collect_list
-    * drops genuine NULL elements where DuckDB's array_agg keeps them.
+    * NULL-skipping semantics rewrite via the CASE fold; FIRST/LAST/
+    * ANY_VALUE/ARRAY_AGG (which the fold would silently corrupt — the
+    * CASE-nullified first row is not the first row PASSING the filter,
+    * and collect_list drops genuine NULLs) instead take a collect-over-
+    * frame path (r11, same machinery as the general EXCLUDE fallback):
+    * collect (predicate, value) structs over the identical frame —
+    * struct elements are never NULL, so genuine NULL values survive —
+    * drop the failing elements by value, then take the positional
+    * element (first/last), the first non-NULL (any_value, DuckDB's
+    * semantics), or the value array (array_agg; empty → NULL like the
+    * native aggregate). O(frame) per row, the same bound as Spark's own
+    * windowed aggregation. Anything else keeps the native path (loud
+    * error, like Spark).
     */
   private val windowFilterFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "BOOL_AND", "BOOL_OR", "STDDEV", "STDDEV_SAMP", "VAR_SAMP", "VAR_POP",
     "MEDIAN", "STRING_AGG")
+  private val windowFilterCollectFns =
+    Set("FIRST", "LAST", "ANY_VALUE", "ARRAY_AGG", "LIST", "ARBITRARY")
   private def rewriteWindowFilter(sql: String): String =
     scanOutsideLiterals(sql) { (i, sb) =>
       if (!(wordStart(sql, i) && sql.regionMatches(true, i, "FILTER", 0, 6) &&
@@ -1230,15 +1238,52 @@ object Dialect {
                   callText.substring(open + 1, callText.length - 1).trim
                 else null
                 val pred = fargs.head.trim.substring(5).trim
-                if (inner == null || !windowFilterFns(fn.toUpperCase) ||
-                    inner.toUpperCase.startsWith("DISTINCT") ||
+                val fnU = fn.toUpperCase
+                if (inner == null || inner.toUpperCase.startsWith("DISTINCT") ||
                     (inner != "*" && splitTopLevel(inner, ',').lengthIs > 1)) i
-                else {
+                else if (windowFilterFns(fnU)) {
                   val arg = if (inner == "*") "1" else inner
                   sb.setLength(start)
                   sb.append(s"$fn(CASE WHEN $pred THEN $arg END) ")
                   end // resume at OVER (FILTER clause consumed)
-                }
+                } else if (windowFilterCollectFns(fnU) && inner != "*") {
+                  // collect-over-frame: consume the OVER ref too (the
+                  // window must bind to the inner collect_list)
+                  var j = m + 4
+                  while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+                  val overRef: Option[(String, Int)] =
+                    if (j < sql.length && sql.charAt(j) == '(')
+                      splitCallArgs(sql, j).map { case (_, e) =>
+                        (sql.substring(j, e), e) }
+                    else {
+                      var e = j
+                      while (e < sql.length &&
+                          (sql.charAt(e).isLetterOrDigit ||
+                            sql.charAt(e) == '_')) e += 1
+                      if (e > j) Some((sql.substring(j, e), e)) else None
+                    }
+                  overRef match {
+                    case Some((over, resume)) =>
+                      val coll = s"collect_list(struct(($pred) AS gxp, " +
+                        s"($inner) AS gxv)) OVER $over"
+                      val kept = s"filter($coll, gx_s -> gx_s.gxp)"
+                      val repl = fnU match {
+                        case "FIRST" | "ARBITRARY" =>
+                          s"try_element_at($kept, 1).gxv"
+                        case "LAST" => s"try_element_at($kept, -1).gxv"
+                        case "ANY_VALUE" => // DuckDB: first NON-NULL value
+                          s"try_element_at(filter($coll, gx_s -> gx_s.gxp" +
+                            s" AND gx_s.gxv IS NOT NULL), 1).gxv"
+                        case _ => // ARRAY_AGG / LIST: empty → NULL
+                          s"(CASE WHEN size($kept) = 0 THEN NULL " +
+                            s"ELSE transform($kept, gx_s -> gx_s.gxv) END)"
+                      }
+                      sb.setLength(start)
+                      sb.append(repl)
+                      resume
+                    case None => i
+                  }
+                } else i
               case None => i
             }
           case _ => i
@@ -2352,8 +2397,14 @@ object Dialect {
     * text as a literal (the registry cannot see the statement). Single
     * pass; the substituted literal is opaque to later scans. */
   private val currentQueryRe = """(?is)^CURRENT_QUERY\s*\(\s*\)""".r
-  def substituteCurrentQuery(sql: String): String = {
-    lazy val lit = "'" + sql.replace("'", "''") + "'"
+  def substituteCurrentQuery(sql: String): String =
+    substituteCurrentQuery(sql, sql)
+
+  /** `original` is the statement text to REPORT — DuckDB returns the
+    * text as the user typed it, so the gateway passes the pre-
+    * getvariable-substitution form while scanning the expanded form. */
+  def substituteCurrentQuery(sql: String, original: String): String = {
+    lazy val lit = "'" + original.replace("'", "''") + "'"
     scanOutsideLiterals(sql) { (i, sb) =>
       if (!(wordStart(sql, i) &&
           sql.regionMatches(true, i, "CURRENT_QUERY", 0, 13))) i

@@ -403,9 +403,15 @@ object Functions {
     // non-string values (lists, structs) serialize like DuckDB's
     // implicit cast-to-JSON (r10 audit stage 3)
     "json" -> {
-      case Seq(j) if j.resolved &&
-          j.dataType != org.apache.spark.sql.types.StringType &&
-          j.dataType != org.apache.spark.sql.types.NullType =>
+      // only complex types route through to_json (its only accepted
+      // inputs); scalars like json(3) keep the canon path via the
+      // implicit string cast, as DuckDB returns the number itself
+      case Seq(j) if j.resolved && (j.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.MapType => true
+            case _ => false
+          }) =>
         call("to_json", Seq(j))
       case Seq(j) =>
         StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
@@ -1021,10 +1027,12 @@ object Functions {
       Pmod(call("unix_micros", Seq(Cast(t,
         org.apache.spark.sql.types.TimestampType))), Literal(60000000L))
     },
+    // integer division: DuckDB returns truncated BIGINT millis, not a
+    // DOUBLE with the fractional micros
     "millisecond" -> { case Seq(t) =>
-      Divide(Pmod(call("unix_micros", Seq(Cast(t,
+      call("div", Seq(Pmod(call("unix_micros", Seq(Cast(t,
         org.apache.spark.sql.types.TimestampType))), Literal(60000000L)),
-        Literal(1000L))
+        Literal(1000L)))
     },
     "millennium" -> { case Seq(d) =>
       Cast(call("ceil", Seq(Divide(
@@ -1209,6 +1217,9 @@ object Functions {
     "inet_server_port" -> { case Seq() => nullLit },
     "get_block_size" -> { case Seq(_) => nullLit },
     "pg_has_role" -> { case args if args.nonEmpty => Literal(true) },
+    // the constant-true grants mirror DuckDB's own pg-compat macros and
+    // are NOT an access-control surface — read-only enforcement lives in
+    // statement classification (Gateway, SURVEY §2.12 D8)
     "has_table_privilege" -> { case args if args.nonEmpty => Literal(true) },
     "has_column_privilege" -> { case args if args.nonEmpty => Literal(true) },
     "has_database_privilege" -> { case args if args.nonEmpty => Literal(true) },

@@ -123,9 +123,11 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
         return session.sql("SELECT true AS Success").limit(0)
       case _ =>
     }
+    // current_query() reports the ORIGINAL text (pre variable
+    // expansion), matching DuckDB's statement-text semantics
     val trimmed = Dialect.substituteCurrentQuery(
       Dialect.substituteGetVariable(preVar,
-        n => Option(sessionVars.get(n.toLowerCase))))
+        n => Option(sessionVars.get(n.toLowerCase))), preVar)
     secretStatement(trimmed) match {
       case Some(props) => return applySecret(props)
       case None =>
@@ -835,8 +837,10 @@ final class Gateway private (val session: SparkSession, readOnly: Boolean) {
                 blk.getColumns.size.toLong, blk.getTotalByteSize,
                 ci.toLong, c.getFirstDataPageOffset, c.getValueCount,
                 c.getPath.toDotString, c.getPrimitiveType.toString,
-                Option(st).map(s => String.valueOf(s.minAsString)).orNull,
-                Option(st).map(s => String.valueOf(s.maxAsString)).orNull,
+                // flatMap: a Statistics object with no min/max (all-null
+                // chunk) must surface SQL NULL, not the string "null"
+                Option(st).flatMap(s => Option(s.minAsString)).orNull,
+                Option(st).flatMap(s => Option(s.maxAsString)).orNull,
                 Option(st).filter(_.isNumNullsSet)
                   .map(_.getNumNulls).getOrElse(-1L),
                 c.getCodec.toString,

@@ -114,25 +114,82 @@ object TextKernels {
   private val fmtCache = new ConcurrentHashMap[String, DateTimeFormatter]()
 
   private def formatter(pattern: String): DateTimeFormatter =
-    fmtCache.computeIfAbsent(pattern, p =>
-      new DateTimeFormatterBuilder()
-        .appendPattern(p)
-        .parseDefaulting(ChronoField.YEAR_OF_ERA, 1900)
-        .parseDefaulting(ChronoField.MONTH_OF_YEAR, 1)
-        .parseDefaulting(ChronoField.DAY_OF_MONTH, 1)
-        .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
-        .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
-        .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
-        .parseDefaulting(ChronoField.MICRO_OF_SECOND, 0)
-        .toFormatter(Locale.US))
+    fmtCache.computeIfAbsent(pattern, p => {
+      // 'xxx' marks %z: C strptime (and DuckDB) accept +02, +0230 AND
+      // +02:30, which no single JDK offset pattern does — try the three
+      // strict forms as sequential optionals (first match consumes the
+      // text; if none match the trailing-text check errors, except for
+      // the lax missing-offset-at-end edge, accepted as naive)
+      val b = new DateTimeFormatterBuilder()
+      val parts = p.split("xxx", -1)
+      parts.zipWithIndex.foreach { case (part, idx) =>
+        if (idx > 0)
+          b.optionalStart().appendOffset("+HH:MM", "Z").optionalEnd()
+            .optionalStart().appendOffset("+HHMM", "Z").optionalEnd()
+            .optionalStart().appendOffset("+HH", "Z").optionalEnd()
+        if (part.nonEmpty) b.appendPattern(part)
+      }
+      b.toFormatter(Locale.US)
+    })
 
   /** Epoch micros of the parsed NAIVE datetime; throws on mismatch
-    * (strptime errors loudly in DuckDB; try_strptime wraps in TryEval). */
+    * (strptime errors loudly in DuckDB; try_strptime wraps in TryEval).
+    *
+    * Parses UNRESOLVED and assembles the datetime from the raw fields —
+    * C struct-tm semantics, which the JDK resolver cannot express
+    * (ADVICE r10, verified against DuckDB 1.0):
+    *  - absent fields default to 1900-01-01 00:00:00 without "Conflict
+    *    found" errors when a sibling field (am/pm hour, 'S' fractions)
+    *    resolves the same ChronoField another way;
+    *  - day-of-year (%j) and weekday (%a/%A) parse but are IGNORED,
+    *    like mktime ignores tm_yday/tm_wday — strptime('2023-100',
+    *    '%Y-%j') is 2023-01-01, a weekday mismatching the date is fine;
+    *  - two-digit %y pivots at 69 (00-68 → 20xx, 69-99 → 19xx), not
+    *    the JDK's 2000-2099 window;
+    *  - a bare %p gives 12:00 for PM; %I without %p keeps 1-12 on the
+    *    morning side (clock-hour 12 → 0);
+    *  - a parsed UTC offset (%z) SHIFTS the result to UTC (DuckDB
+    *    renders the instant at +00).
+    * Field RANGE errors stay loud: LocalDateTime.of rejects month 13
+    * etc., matching DuckDB's parse error. */
   def strptimeMicros(s: UTF8String, jdkPattern: UTF8String): java.lang.Long = {
     if (s == null || jdkPattern == null) return null
-    val dt = LocalDateTime.parse(s.toString, formatter(jdkPattern.toString))
-    java.lang.Long.valueOf(
-      dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L)
+    val text = s.toString
+    val pat = jdkPattern.toString
+    val pos = new java.text.ParsePosition(0)
+    val ta = formatter(pat).parseUnresolved(text, pos)
+    if (ta == null || pos.getErrorIndex >= 0 || pos.getIndex != text.length)
+      throw new IllegalArgumentException(
+        s"strptime: could not parse '$text'")
+    def f(cf: ChronoField, d: Long): Long =
+      if (ta.isSupported(cf)) ta.getLong(cf) else d
+    var year = f(ChronoField.YEAR_OF_ERA, f(ChronoField.YEAR, 1900L))
+    // bare 'yy' parses through the JDK's reduced-value window
+    // [2000, 2099]; re-pivot to C's 69 rule
+    if (year >= 2069 && year <= 2099 &&
+        """(?<!y)yy(?!y)""".r.findFirstIn(pat.replaceAll("'[^']*'", "")).isDefined)
+      year -= 100
+    val ampm = f(ChronoField.AMPM_OF_DAY, -1L)
+    val hour =
+      if (ta.isSupported(ChronoField.HOUR_OF_DAY)) ta.getLong(ChronoField.HOUR_OF_DAY)
+      else if (ta.isSupported(ChronoField.CLOCK_HOUR_OF_AMPM)) {
+        val h = ta.getLong(ChronoField.CLOCK_HOUR_OF_AMPM) % 12
+        if (ampm == 1L) h + 12 else h
+      } else if (ta.isSupported(ChronoField.HOUR_OF_AMPM)) {
+        val h = ta.getLong(ChronoField.HOUR_OF_AMPM)
+        if (ampm == 1L) h + 12 else h
+      } else if (ampm >= 0L) ampm * 12
+      else 0L
+    val nano = f(ChronoField.NANO_OF_SECOND,
+      f(ChronoField.MICRO_OF_SECOND, 0L) * 1000L)
+    val dt = LocalDateTime.of(year.toInt,
+      f(ChronoField.MONTH_OF_YEAR, 1L).toInt,
+      f(ChronoField.DAY_OF_MONTH, 1L).toInt, hour.toInt,
+      f(ChronoField.MINUTE_OF_HOUR, 0L).toInt,
+      f(ChronoField.SECOND_OF_MINUTE, 0L).toInt, nano.toInt)
+    val micros = dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      dt.getNano / 1000L
+    java.lang.Long.valueOf(micros - f(ChronoField.OFFSET_SECONDS, 0L) * 1000000L)
   }
 
   /** list_<stat> macro family (r10 audit stage 3): one kernel over the

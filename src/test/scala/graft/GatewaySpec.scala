@@ -1042,17 +1042,48 @@ class GatewaySpec extends AnyFunSuite {
         |FROM (VALUES (1),(2),(3),(4)) t(x) ORDER BY x""".stripMargin)
       .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
     assert(wf == Seq(-1L, 2L, 2L, 6L), wf)
-    // FIRST/LAST/ANY_VALUE/ARRAY_AGG are NOT folded: Spark resolves
-    // them with ignoreNulls=false, so the CASE fold would silently
-    // return the frame-first row's nullified value instead of the first
-    // row PASSING the filter (and collect_list drops NULL elements
-    // array_agg keeps). These shapes must keep the loud native error.
-    for (fn <- Seq("first(x)", "last(x)", "any_value(x)", "array_agg(x)")) {
-      val e = intercept[Exception](gw.sql(
-        s"""SELECT $fn FILTER (WHERE x > 1) OVER (ORDER BY x) AS v
-           |FROM (VALUES (1),(2)) t(x)""".stripMargin).collect())
-      assert(!e.getMessage.contains("CASE WHEN"), s"$fn: $e")
-    }
+    // FIRST/LAST/ANY_VALUE/ARRAY_AGG under window FILTER take the
+    // collect-over-frame path (r11; the CASE fold would corrupt them —
+    // the nullified frame-first row is not the first row PASSING the
+    // filter, and collect_list drops NULLs array_agg keeps).
+    // any_value/array_agg/list/arbitrary values below are pinned from a
+    // DuckDB 1.0 run of this exact statement; DuckDB 1.0's PARSER
+    // rejects the spellings first/last over a window ("FILTER is not
+    // implemented for non-aggregate window functions") while answering
+    // arbitrary (its aggregate alias of first) — 1.4, the reference's
+    // pin, answers all of them. first/last are pinned to the aggregate
+    // semantics DuckDB itself exhibits (first INCLUDING NULLs).
+    val wfc = gw.sql(
+      """SELECT i,
+        |  first(v) FILTER (WHERE p) OVER w AS f,
+        |  last(v) FILTER (WHERE p) OVER w AS l,
+        |  arbitrary(v) FILTER (WHERE p) OVER w AS r,
+        |  any_value(v) FILTER (WHERE p) OVER w AS a,
+        |  array_agg(v) FILTER (WHERE p) OVER w AS g,
+        |  list(v) FILTER (WHERE p) OVER w AS g2
+        |FROM (VALUES (1, NULL, true), (2, 'b', false), (3, 'c', true),
+        |  (4, NULL, true), (5, 'e', true)) t(i, v, p)
+        |WINDOW w AS (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY i""".stripMargin).collect()
+    def s(r: org.apache.spark.sql.Row, j: Int): String =
+      if (r.isNullAt(j)) null else r.getString(j)
+    assert(wfc.map(s(_, 1)).toSeq == Seq(null, null, "c", "c", null)) // first
+    assert(wfc.map(s(_, 2)).toSeq == Seq(null, "c", null, "e", "e"))  // last
+    assert(wfc.map(s(_, 3)).toSeq == Seq(null, null, "c", "c", null)) // arbitrary = first
+    assert(wfc.map(s(_, 4)).toSeq == Seq(null, "c", "c", "c", "e"))   // any_value: first NON-NULL
+    val ag = wfc.map(r => if (r.isNullAt(5)) null else r.getSeq[String](5)).toSeq
+    assert(ag == Seq(Seq(null), Seq(null, "c"), Seq("c", null),
+      Seq("c", null, "e"), Seq(null, "e")), ag) // array_agg keeps NULL elements
+    assert(wfc.map(r => r.getSeq[String](6)).toSeq ==
+      wfc.map(r => r.getSeq[String](5)).toSeq) // list = array_agg
+    // all rows filtered out → NULL (not empty array), DuckDB-pinned
+    val wfe = gw.sql(
+      """SELECT array_agg(v) FILTER (WHERE v > 100) OVER w AS g,
+        |  any_value(v) FILTER (WHERE v > 100) OVER w AS a
+        |FROM (VALUES (1, 5), (2, 12)) t(i, v)
+        |WINDOW w AS (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY i""".stripMargin).collect()
+    assert(wfe.forall(r => r.isNullAt(0) && r.isNullAt(1)))
     // percentile_disc WITHIN GROUP keeps the ELEMENT type
     val pd = gw.sql(
       "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS v FROM (VALUES (1),(2),(3),(4)) t(x)")
@@ -1841,5 +1872,45 @@ class GatewaySpec extends AnyFunSuite {
         |FROM (VALUES (1,1),(2,NULL),(3,3)) t(k,x) ORDER BY k""".stripMargin)
     assert(cr.schema.head.dataType == org.apache.spark.sql.types.LongType)
     assert(cr.collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 0L))
+  }
+
+  test("round-11 ADVICE batch: strptime struct-tm semantics, millisecond, json scalars, current_query") {
+    def one(q: String) = gw.sql(q).collect().head
+    def v(q: String) = one(s"SELECT CAST(($q) AS VARCHAR) AS v").getString(0)
+    // strptime am/pm + fractions no longer hit JDK "Conflict found"
+    // (ADVICE r10 high; every value below pinned from DuckDB 1.0)
+    assert(v("strptime('03:15 PM', '%I:%M %p')") == "1900-01-01 15:15:00")
+    assert(v("strptime('2024-01-02 03:04:05.123456', '%Y-%m-%d %H:%M:%S.%f')")
+      == "2024-01-02 03:04:05.123456")
+    assert(v("try_strptime('11:30 AM', '%I:%M %p')") == "1900-01-01 11:30:00")
+    // C struct-tm: %j and weekday parse but are IGNORED
+    assert(v("strptime('2023-100', '%Y-%j')") == "2023-01-01 00:00:00")
+    assert(v("strptime('Mon 2023-01-03', '%a %Y-%m-%d')") == "2023-01-03 00:00:00")
+    // %y pivots at 69; 12 AM/PM; bare %p; %z shifts to UTC
+    assert(v("strptime('99', '%y')") == "1999-01-01 00:00:00")
+    assert(v("strptime('68', '%y')") == "2068-01-01 00:00:00")
+    assert(v("strptime('69', '%y')") == "1969-01-01 00:00:00")
+    assert(v("strptime('12:05 AM', '%I:%M %p')") == "1900-01-01 00:05:00")
+    assert(v("strptime('12:05 PM', '%I:%M %p')") == "1900-01-01 12:05:00")
+    assert(v("strptime('PM', '%p')") == "1900-01-01 12:00:00")
+    assert(v("strptime('2023-01-01 05:00:00+0230', '%Y-%m-%d %H:%M:%S%z')")
+      == "2023-01-01 02:30:00")
+    // range errors stay loud, try_ form NULLs
+    intercept[Exception](one("SELECT strptime('13', '%m') AS v"))
+    assert(one("SELECT try_strptime('13', '%m') IS NULL AS v").getBoolean(0))
+    // millisecond(): truncated BIGINT, not a fractional DOUBLE (ADVICE medium)
+    val ms = gw.sql(
+      "SELECT millisecond(TIMESTAMP '2024-01-01 00:00:44.123456') AS v")
+    assert(ms.schema.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(ms.collect().head.getLong(0) == 44123L)
+    // json(scalar) keeps the canon path (to_json rejects scalars)
+    assert(one("SELECT json(3) AS v").getString(0) == "3")
+    assert(one("SELECT json(1.5) AS v").getString(0) == "1.5")
+    assert(one("SELECT json('[1, 2]') AS v").getString(0) == "[1,2]")
+    // current_query() reports the ORIGINAL text, pre variable expansion
+    gw.sql("SET VARIABLE r11q = 42")
+    assert(one("SELECT getvariable('r11q') AS a, current_query() AS v")
+      .getString(1) == "SELECT getvariable('r11q') AS a, current_query() AS v")
+    gw.sql("RESET VARIABLE r11q")
   }
 }
