@@ -79,9 +79,40 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(18)
+        shape = rng.randrange(19)
+        if shape == 18:  # r11: list_* stat sugar + pragma TVFs composed
+            # relationally (VERDICT r10 item 7 — the stage-3/4 shims were
+            # audited as isolated calls only)
+            pick = rng.random()
+            if pick < 0.45:  # list_<stat> over grouped list()
+                st = rng.choice(["list_sum", "list_avg", "list_median",
+                                 "list_min", "list_max"])
+                return (f"SELECT n_regionkey AS k, "
+                        f"CAST(round({st}(list(CAST(n_nationkey AS DOUBLE) "
+                        f"ORDER BY n_nationkey)), 6) AS DOUBLE) AS a "
+                        f"FROM nation GROUP BY n_regionkey "
+                        f"ORDER BY k ASC NULLS LAST")
+            if pick < 0.6:  # list sugar inside a window projection
+                st = rng.choice(["list_sum", "list_min", "list_max"])
+                return (f"SELECT n_nationkey, CAST({st}("
+                        f"list(CAST(n_nationkey AS DOUBLE)) OVER ("
+                        f"ORDER BY n_nationkey ASC ROWS BETWEEN 2 PRECEDING "
+                        f"AND CURRENT ROW)) AS DOUBLE) AS w "
+                        f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+            if pick < 0.8:  # pragma TVF filtered/ordered
+                t = rng.choice(["nation", "region", "orders"])
+                return (f"SELECT name FROM pragma_table_info('{t}') "
+                        f"WHERE name LIKE '%_%' ORDER BY name ASC NULLS LAST")
+            # pragma TVF joined against data and grouped
+            return ("SELECT t.name AS k, count(*) AS c "
+                    "FROM pragma_table_info('nation') t CROSS JOIN region "
+                    "GROUP BY t.name ORDER BY k ASC NULLS LAST")
         if shape == 16:  # window FILTER × frames/partitions (r10: composes
-            # the rewriteWindowFilter fold with EXCLUDE/GROUPS rewrites)
+            # the rewriteWindowFilter fold with EXCLUDE/GROUPS rewrites;
+            # r11 adds the collect-over-frame path — arbitrary is DuckDB
+            # 1.0's aggregate spelling of first, whose parser rejects
+            # first/last over windows; the engine serves those too,
+            # GatewaySpec-pinned)
             fn = rng.choice([
                 "count(*)",
                 "sum(CAST(n_nationkey AS BIGINT))",
@@ -100,6 +131,27 @@ def main():
                 " GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING"])
             part = rng.choice(["PARTITION BY n_regionkey ", ""])
             okey = rng.choice(["n_nationkey", "(n_nationkey % 5)"])
+            if rng.random() < 0.35:  # r11 collect-over-frame path:
+                # arbitrary/any_value/array_agg/list under window FILTER
+                # (DuckDB 1.0 answers these; its parser rejects the
+                # first/last spellings, which share the arbitrary path
+                # and are GatewaySpec-pinned instead)
+                cfn = rng.choice(["arbitrary", "any_value"])
+                cframe = rng.choice([
+                    "", " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+                    " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+                wc = (f"OVER ({part}ORDER BY n_nationkey ASC{cframe})")
+                if rng.random() < 0.5:
+                    return (f"SELECT n_nationkey, "
+                            f"{cfn}(n_name) FILTER (WHERE {pred}) {wc} AS w "
+                            f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+                lfn = rng.choice(["array_agg", "list"])
+                return (f"SELECT n_nationkey, "
+                        f"coalesce(len({lfn}(n_name) FILTER (WHERE {pred}) {wc}), -1) AS c, "
+                        f"array_to_string({lfn}(left(n_name, 2)) "
+                        f"FILTER (WHERE {pred}) {wc}, '|') AS s "
+                        f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
             if rng.random() < 0.3:  # grouped FILTER under grouping sets
                 g = rng.choice(["ROLLUP(n_regionkey)",
                                 "GROUPING SETS ((n_regionkey), ())",
