@@ -72,6 +72,22 @@ case class SubscriptAny(child: Expression, index: Expression)
 
   override lazy val replacement: Expression = child.dataType match {
     case StringType => Substring(child, Cast(index, IntegerType), Literal(1))
+    // DuckDB's map subscript yields a LIST — [v] on hit (even [NULL]
+    // for a NULL value), [] for a missing key, a NULL key, AND a NULL
+    // map (probe-pinned; same contract as map_extract/element_at-on-map
+    // in Functions.mapValueList). Closed in r11 — was the documented
+    // §5.3 bracket residual.
+    case MapType(kt, _, _) =>
+      import org.apache.spark.sql.catalyst.expressions.{
+        CreateArray, IsNull, MapContainsKey, Not, Or, Slice}
+      // hand-built replacement: no analyzer pass inserts implicit
+      // casts here, so a NULL-typed (or mismatched) key must be cast
+      // to the map's key type explicitly or the tree stays unresolved
+      val key = if (index.dataType == kt) index else Cast(index, kt)
+      val one = CreateArray(Seq(ElementAt(child, key, None, false)))
+      val empty = Slice(one, Literal(1), Literal(0))
+      If(Or(IsNull(child),
+        Or(IsNull(key), Not(MapContainsKey(child, key)))), empty, one)
     // failOnError=false: DuckDB's out-of-bounds subscript is NULL
     // (`([10,20])[3]` → NULL even under its strict typing; fuzz-found —
     // Spark's ANSI element_at raises INVALID_ARRAY_INDEX instead)

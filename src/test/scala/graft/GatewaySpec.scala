@@ -808,9 +808,13 @@ class GatewaySpec extends AnyFunSuite {
       .contains("current_query()"))
     // ---- batch 2 (lambda/exotic-typed names), duck-pinned ----
     // map built FROM lists (Spark's builtin would key by the arrays);
-    // the BRACKET subscript stays Spark-native scalar — DuckDB's
-    // list-wrapped m[k] is a documented residual (§5.3 audit)
-    assert(one("SELECT map(['a'], [1])['a'] AS v").getInt(0) == 1)
+    // the BRACKET subscript is DuckDB's list-wrapped form since r11
+    // ([v] on hit, [] on miss/NULL key — the §5.3 residual, closed)
+    assert(one("SELECT map(['a'], [1])['a'] AS v").getSeq[Int](0) == Seq(1))
+    assert(one("SELECT map(['a'], [1])['z'] AS v").getSeq[Int](0) == Seq())
+    assert(one("SELECT map(['a'], [1])[NULL] AS v").getSeq[Int](0) == Seq())
+    assert(one("SELECT map(['a'], [CAST(NULL AS INT)])['a'] AS v")
+      .getSeq[Any](0) == Seq(null))
     // element_at on a MAP is the LIST form ([] when absent)
     assert(one("SELECT element_at(map(['a'], [1]), 'a') AS v")
       .getSeq[Int](0) == Seq(1))
