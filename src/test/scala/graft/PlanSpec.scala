@@ -371,6 +371,26 @@ class PlanSpec extends AnyFunSuite {
     // WindowGroupLimit, so the final window's shuffle carries ≤3C rows
     // per vector instead of the whole cell
     assert(p.contains("WindowGroupLimit"), p)
+    // the partial window's clause leads with the JOIN keys, so the
+    // join's explicit repartitions satisfy its clustering: exactly the
+    // two pair-side repartitions + the final per-vector window may
+    // exchange — a 4th hashpartitioning means the full pair relation
+    // re-shuffled (44.6 GB of tier-2 sort spill when it did)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("nn_label_knn_ivf: projection assignment, join-partitioned partial window") {
+    val df = SparkEntry.queries("nn_label_knn_ivf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // list assignment is the codegen'd IvfNearest projection — no
+    // corpus × centroid join may appear
+    assert(p.contains("ivf_nearest"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // same exchange budget as the exact path: two explicit pair-side
+    // repartitions + the final per-vector window
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
   test("q7: shipdate pushed to the lineitem scan, nations/supplier broadcast, partial agg") {
@@ -488,13 +508,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("q21: EXISTS/NOT EXISTS decorrelate to one semi + one anti join on l_orderkey") {
+  test("q21: single-pass rewrite — lineitem scanned once, window reuses the join partitioning") {
     val p = plan("q21_waiting_suppliers")
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
-    // the non-equi late-shipment condition folds INTO the joins —
-    // a surviving per-row subquery or a nested-loop over lineitem
-    // re-scans the fact table per match
+    // the r10 semi+anti plan sort-merged THREE lineitem scans (8.8 GB
+    // tier-2 spill); the rewrite reads the fact table exactly once
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    // per-order counts come from a Window over the GROUPED relation,
+    // and both reuse the join's l_orderkey hash partitioning: no
+    // exchange may appear between the join and the window
+    assert(p.contains("Window"), p)
+    // lineitem + orders join inputs + the final s_name agg = 3; a 4th
+    // would mean the groupBy or window re-shuffled the joined relation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 }
