@@ -784,12 +784,18 @@ object TpchQueries {
     * >60 days after the order date, as in Q4): the hardest
     * decorrelation in TPC-H — a correlated EXISTS (another supplier on
     * the same order) AND a correlated NOT EXISTS (no OTHER supplier
-    * was also late, which references o_orderdate from a DIFFERENT
-    * outer table than the equi-key). Catalyst must plan one left-semi
-    * and one left-anti join against lineitem on l_orderkey, each with
-    * the extra non-equi condition folded in — any surviving per-row
-    * subquery re-scans lineitem per match and dies at scale.
-    * SQL-identical on both engines.
+    * was also late). The oracle keeps the canonical EXISTS form; the
+    * Spark side runs the standard single-pass rewrite (r10 VERDICT #4:
+    * the decorrelated semi+anti plan sort-merged THREE lineitem scans
+    * against each other — 8.8 GB of tier-2 spill): ONE grouped pass
+    * over lineitem⋈orders(F) per (orderkey, suppkey) counting late
+    * rows, then per-order supplier/late-supplier counts as windows over
+    * that reduced relation. An l1 row qualifies iff its order has >1
+    * distinct supplier (EXISTS) and exactly 1 distinct LATE supplier —
+    * itself (NOT EXISTS another late one). After the join shuffles on
+    * l_orderkey, both the (l_orderkey, l_suppkey) groupBy and the
+    * l_orderkey window reuse that partitioning — the rewrite adds ZERO
+    * exchanges over the join itself, and lineitem is scanned once.
     */
   val q21 = Q(
     "q21_waiting_suppliers",
@@ -812,20 +818,27 @@ object TpchQueries {
       |LIMIT 100""".stripMargin
   ) { s =>
     s.sql(
-      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-        |FROM supplier
-        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |JOIN orders ON o_orderkey = l1.l_orderkey
+      """WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |             THEN 1 ELSE 0 END) AS late_rows
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey
+        |), flagged AS (
+        |  SELECT l_suppkey, late_rows,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    SUM(CASE WHEN late_rows > 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_orderkey) AS n_late_supp
+        |  FROM per_supp
+        |)
+        |SELECT s_name, CAST(SUM(late_rows) AS BIGINT) AS numwait
+        |FROM flagged
+        |JOIN supplier ON s_suppkey = l_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE o_orderstatus = 'F'
+        |WHERE late_rows > 0 AND n_supp > 1 AND n_late_supp = 1
         |  AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
         |                 'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7')
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
         |LIMIT 100""".stripMargin)
