@@ -314,10 +314,33 @@ object Bench {
       val (w, t) = runSuite()
       val c1 = cpuSec()
       dumpState(s"after $tag")
+      // per-pass per-query top times (debug): the min-pass artifact
+      // hides WHERE a warm-up gap lives; this names the cold queries
+      if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) {
+        val top = t.toSeq.sortBy(-_._2).take(30)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+        System.err.println(s"[bench-debug] $tag wall=${f"$w%.1f"} top: $top")
+      }
       passes += BenchPass(w,
         if (c0 < 0 || c1 < 0) -1.0 else c1 - c0, l0, t)
       passes.last
     }
+    // JMH-style explicit warm-up ITERATION (r10 VERDICT item 2): the
+    // family warmups above cover shared kernels, but each of the 160
+    // queries still JIT-compiles its own whole-stage-codegen classes on
+    // first execution — measured 294 extra CPU-seconds in r10's pass 1
+    // (480 vs 186 CPU-s), a 2.6× pass-1/pass-3 wall gap that no
+    // per-family warmup can close. Run the suite once UNTIMED so every
+    // timed pass measures steady-state serving throughput — the same
+    // thing the min-of-3 DuckDB oracle suite reports — and surface the
+    // cold-process cost honestly as warmup_sec in the artifact instead
+    // of letting it decide pass 1.
+    val warmupSec = {
+      val t0 = System.nanoTime()
+      runSuite()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(s"[bench] untimed warm-up pass: ${f"$warmupSec%.1f"}s")
     doPass("pass1")
     doPass("pass2")
     while (passes.size < 4 && needMorePasses(passes.map(_.wall).toSeq,
@@ -345,7 +368,7 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split("\\s+").take(3).mkString(",")
     } catch { case _: Throwable => "" }
-    val audit = s""""engine_threads":$cpus,""" +
+    val audit = s""""engine_threads":$cpus,"warmup_sec":${r1(warmupSec)},""" +
       s""""passes":$wallsJson,"cpu_sec":$cpuPasses,"pass_load":$passLoad,""" +
       s""""ambient_load":${r1(ambientLoad)},"extra_passes":${passes.size - 2},""" +
       s""""clean_passes":${clean.size},"loadavg":"$loadavg""""
