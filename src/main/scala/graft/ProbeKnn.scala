@@ -28,6 +28,11 @@ object ProbeKnn {
     val t0 = System.nanoTime()
     val cents = graft.llm.SimilarityOps.buildIvfIndex(spark, nlists)
     System.err.println(s"[probe] build: ${(System.nanoTime() - t0) / 1e9}s")
+    // dump centroids for offline analysis
+    val w = new java.io.PrintWriter("/tmp/probe_cents.json")
+    w.println(cents.map { case (cid, ce) =>
+      s"""[$cid,[${ce.mkString(",")}]]""" }.mkString("[", ",\n", "]"))
+    w.close()
 
     // quantizer balance: corpus assignment histogram over (label, list)
     val arr = new Array[Array[Double]](cents.map(_._1).max + 1)

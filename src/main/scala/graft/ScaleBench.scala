@@ -116,14 +116,20 @@ object ScaleBench {
     // wall-gated at tier 2 — this is the family's measured 100× row)
     "nn_label_knn_ivf")
 
-  /** Tier nlists for the label-kNN IVF path: candidate work per vector
-    * is nprobe·cell/nlists, so nlists tracks cell size to hold the fold
-    * budget ~constant (~500/vector): 64 at the 2k-cell tier, 512 at the
-    * 20k-cell tier.
+  /** Tier nlists for the label-kNN IVF path. Label-correlated
+    * embeddings make IVF lists label-PURE (measured: median off-label
+    * (label,list) cell 6 vs dominant 566 at the 100× tier), so the
+    * candidate budget per vector is nprobe·cell·L/nlists with L labels
+    * — NOT nprobe·cell/nlists: the label join prunes almost nothing
+    * inside a list. nlists tracks cell size to hold that budget ~2.5k
+    * folds/vector at the 100× tier (measured 519M pairs / 49.7 s,
+    * zero spill). At the 10× tier the cell (2k) is itself budget-sized,
+    * so probing is exhaustive by construction (recall 1.0 — the same
+    * posture the sf fixture oracle pins).
     */
   private def labelTierNlists(spark: SparkSession): Int = {
     val perCell = spark.table("embeddings").count() / 10.0
-    if (perCell >= 10000) 512 else 64
+    if (perCell >= 10000) 1024 else 64
   }
 
   def run(spark: SparkSession, dir: String,
@@ -200,7 +206,9 @@ object ScaleBench {
         graft.llm.SimilarityOps.buildIvfIndex(spark, nl)
         out += Row("nn_label_ivf_build", -1, (System.nanoTime() - tb) / 1e9,
           0, 0, 0, 0, s"offline coarse-quantizer build (k-means, $nl lists)")
-        measure(name, s"nlists=$nl nprobe=16 (${16 * 100 / nl}% of lists probed)")(
+        measure(name,
+          s"nlists=$nl nprobe=16 (~${16 * 100 / (nl / 10)}% of the " +
+            "label's lists probed; lists are label-pure)")(
           graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = 16))
       } else measure(name)(SparkEntry.queries(name)(spark, dir))
     }

@@ -533,27 +533,33 @@ object SimilarityOps {
         col("label") === col("lb") && col("cb") === col("nbc") &&
           col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("label"), col("cb"), col("nb"), sim.as("simv"))
-    // partial top-3 per (vec, chunk) — partition clause led by the JOIN
-    // keys (every (vec_id, cb) group lives inside one (label, cb)
-    // cell), so the join's explicit HashPartitioning already satisfies
-    // the window clustering: no exchange of the pair relation, only a
-    // task-local sort; the final window's shuffle then carries ≤3C
-    // rows per vector (the r11 lesson from the IVF variant's tier-2
-    // run, where the standalone (vec_id, chunk) clause re-shuffled the
-    // full pair relation — 44.6 GB of sort spill)
-    val wPart = Window.partitionBy(col("label"), col("cb"), col("vec_id"))
-      .orderBy(col("simv").desc, col("nb").asc)
-    val partial = pairs.withColumn("prn", row_number().over(wPart))
-      .filter(col("prn") <= 3)
-      .select(col("vec_id"), col("label"), col("nb"), col("simv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("simv").desc, col("nb").asc)
-    partial.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("vec_id"), col("label"), col("nb"),
-        round(col("simv"), 6).as("sim"), col("rn"))
-      .orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
+    // per-vector top-3 as ONE fixed-width hash aggregate (r11): the
+    // window spelling sorts every pair row before the rank filter —
+    // measured 1.02e9 rows / 10.5 GB of sort spill at the 100× tier on
+    // the IVF variant — while TopKEdgeAgg folds each pair into a 3-slot
+    // codegen'd state with identical (sim DESC, nb ASC) ordering. The
+    // partial aggregate runs map-side inside the join's explicit
+    // partitioning, so the only new exchange carries one ≤3-slot state
+    // per vector.
+    topKEdges(pairs, 3)
   }
+
+  /** (vec_id, label, nb, simv) pairs → the oracle-pinned kNN-graph
+    * output shape (vec_id, label, nb, sim, rn): bounded top-k hash
+    * aggregation per vector, then posexplode recovers the rank. Exactly
+    * `row_number() OVER (PARTITION BY vec_id ORDER BY simv DESC, nb
+    * ASC) <= k` — TopKEdgeAgg's comparator is that window's ordering.
+    */
+  private def topKEdges(pairs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    pairs
+      .groupBy(col("vec_id"), col("label"))
+      .agg(graft.engine.expressions.TopKEdgeAgg(
+        col("simv"), col("nb"), k).as("top"))
+      .select(col("vec_id"), col("label"), posexplode(col("top")))
+      .select(col("vec_id"), col("label"), col("col.id").as("nb"),
+        round(col("col.s"), 6).as("sim"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
 
   /** Per-dataset centroid matrix + norms for IvfNearest projection
     * assignment — the SAME instances on every call: plan equality
@@ -576,26 +582,34 @@ object SimilarityOps {
     * kNN-graph family: v6 is EXACT and inherently quadratic per label
     * cell (ScaleBench wall-gates it above 20k vectors/cell), so the
     * scale variant sub-blocks each cell by the coarse quantizer:
-    * candidates are confined to (label × IVF list), per-vector work is
-    * cell/nlists × nprobe.
+    * candidates are confined to (label × IVF list). Label-correlated
+    * embeddings make the lists label-PURE (the realistic case — and the
+    * measured one: median off-label (label,list) cell 6 vs dominant-
+    * label 566 at the 100× tier), so the honest per-vector budget is
+    * nprobe · cell · L / nlists with L label cells, NOT
+    * nprobe · cell / nlists: the label key prunes almost nothing
+    * inside a probed list. ScaleBench.labelTierNlists sizes nlists from
+    * that formula.
     *
     * Default nprobe = nlists = 16 probes EVERY list, making the
     * candidate set the full label cell and the output EQUAL to the
     * exact kNN graph BY CONSTRUCTION — that is what the sf oracle pins
     * (same exact-kNN SQL as v6). The prune ratio comes from corpus
-    * growth, not from this constant: ScaleBench's tier rows run
-    * (nlists=64, nprobe=16) — 25% of lists probed — and measure
-    * recall@3 against the exact v6 edges (SCALE.md §r11), the same
-    * posture as nn_ivf_topk's fixed probe width.
+    * growth, not from this constant: ScaleBench's 100×-tier row runs
+    * (nlists=1024, nprobe=16) — ~16% of the label's lists — and
+    * measures recall@3 against a sampled exact reference at that exact
+    * config (SCALE.md §r11), the same posture as nn_ivf_topk's fixed
+    * probe width.
     *
     * Plan shape: list assignment is a PURE PROJECTION (the codegen'd
     * [[graft.engine.expressions.IvfNearest]] over broadcast-free
     * reference-object centroids — zero shuffle, unlike the
     * crossJoin+window spelling), the (label, list) join is explicitly
     * repartitioned against AQE's row-blind coalescing (the v6 lesson),
-    * and the top-3 runs in the same two stages as v6: partial per
-    * (vec, probed list) — map-side WindowGroupLimit — then final per
-    * vector.
+    * and the per-vector top-3 is the fixed-width codegen
+    * [[graft.engine.expressions.TopKEdgeAgg]] hash aggregate — the
+    * window spelling sorted every candidate pair (measured at the 100×
+    * tier: 1.02e9 pairs, 10.5 GB spill, ~170 s → zero spill, 50 s).
     */
   private[graft] def labelKnnIvf(s: org.apache.spark.sql.SparkSession,
       nlists: Int = 16, nprobe: Int = 16): org.apache.spark.sql.DataFrame = {
@@ -621,28 +635,16 @@ object SimilarityOps {
       .join(b.repartition(P, col("lb"), col("list_id")),
         col("label") === col("lb") && col("plist") === col("list_id") &&
           col("vec_id") =!= col("nb"))
-      .select(col("vec_id"), col("label"), col("plist"), col("nb"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("simv"))
-    // partial top-3 per (vec, probed list). The partition clause leads
-    // with the JOIN keys: every (vec_id, plist) group lives inside one
-    // (label, plist) cell, so HashPartitioning(label, plist) — what the
-    // explicit repartition already produced — satisfies the window's
-    // clustering and NO exchange of the pair relation is planned, only
-    // a task-local sort. (Partitioning the window on (vec_id, plist)
-    // alone re-shuffled all 125M tier-2 pair rows — measured 44.6 GB of
-    // sort spill before this.)
-    val wPart = Window.partitionBy(col("label"), col("plist"), col("vec_id"))
-      .orderBy(col("simv").desc, col("nb").asc)
-    val partial = pairs.withColumn("prn", row_number().over(wPart))
-      .filter(col("prn") <= TOPK)
-      .select(col("vec_id"), col("label"), col("nb"), col("simv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("simv").desc, col("nb").asc)
-    partial.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TOPK)
       .select(col("vec_id"), col("label"), col("nb"),
-        round(col("simv"), 6).as("sim"), col("rn"))
-      .orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
+        (dot(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("simv"))
+    // per-vector top-3 as the fixed-width TopKEdgeAgg hash aggregate:
+    // the label-correlated structure of real embeddings makes IVF lists
+    // label-pure, so the (label × list) blocking measured 1.02e9
+    // candidate pairs at the 100× tier — a window top-3 SORTED all of
+    // them (10.5 GB spill, ~170 s); the aggregate folds each pair into
+    // a 3-slot codegen'd state map-side inside the join partitioning,
+    // and the one new exchange carries a ≤3-slot state per vector.
+    topKEdges(pairs, TOPK)
   }
 
   /** Exact in-label top-3 edges for a deterministic ≤cap sample of

@@ -358,7 +358,7 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
-  test("nn_label_knn: chunk-blocked cell join, partial top-k map-side, no cross product") {
+  test("nn_label_knn: chunk-blocked cell join, codegen top-k agg, no pair sort") {
     val df = SparkEntry.queries("nn_label_knn")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -366,20 +366,18 @@ class PlanSpec extends AnyFunSuite {
     // — C× more shuffle keys than cells, per-task buffering bounded by
     // cell/C; an unkeyed nested loop is the 100 TB cliff
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    assert(p.contains("row_number"), p)
-    // the partial per-(vec, chunk) top-3 must prune MAP-SIDE via
-    // WindowGroupLimit, so the final window's shuffle carries ≤3C rows
-    // per vector instead of the whole cell
-    assert(p.contains("WindowGroupLimit"), p)
-    // the partial window's clause leads with the JOIN keys, so the
-    // join's explicit repartitions satisfy its clustering: exactly the
-    // two pair-side repartitions + the final per-vector window may
-    // exchange — a 4th hashpartitioning means the full pair relation
-    // re-shuffled (44.6 GB of tier-2 sort spill when it did)
+    // the per-vector top-3 is the fixed-width TopKEdgeAgg inside
+    // HashAggregate — a Window/WindowGroupLimit here means the pair
+    // relation is being SORTED again (10.5 GB of tier-2 spill when it
+    // was); the partial aggregate runs map-side in the join partitions
+    assert(p.contains("topk_edge"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "), p)
+    // exactly the two pair-side repartitions + the final-agg exchange
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
-  test("nn_label_knn_ivf: projection assignment, join-partitioned partial window") {
+  test("nn_label_knn_ivf: projection assignment, codegen top-k agg, no pair sort") {
     val df = SparkEntry.queries("nn_label_knn_ivf")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -387,9 +385,9 @@ class PlanSpec extends AnyFunSuite {
     // corpus × centroid join may appear
     assert(p.contains("ivf_nearest"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // same exchange budget as the exact path: two explicit pair-side
-    // repartitions + the final per-vector window
-    assert(p.contains("WindowGroupLimit"), p)
+    // same reduction shape as the exact path: TopKEdgeAgg, no pair sort
+    assert(p.contains("topk_edge"), p)
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
