@@ -622,29 +622,54 @@ object Functions {
     "txid_current" -> (_ => Literal(0L)),
     // bar(x, min, max[, width=80]): ASCII bar sugar. Full blocks only
     // (DuckDB adds partial-eighth block chars — documented divergence).
+    // bar(x, min, max[, width=80]) — DuckDB's exact rendering
+    // (probe-pinned, r11: the eighth-block residual closed):
+    //   e = floor(clamp((x−min)/(max−min), 0, 1) · width · 8) eighths,
+    //   e/8 full blocks + the (e%8)/8 partial block (▏▎▍▌▋▊▉ —
+    //   FLOOR, not round: bar(0.063,0,10,10) is still empty), then
+    //   space-padded to `width` BYTES (each block is 3 UTF-8 bytes,
+    //   which is why DuckDB's padding looks erratic in chars);
+    //   width < 1 errors ("Max bar width must be >= 1").
     "bar" -> { case x +: mn +: mx +: rest =>
-      val width = rest.headOption.getOrElse(Literal(80))
-      // min = max makes the fraction 0/0 — Spark's double divide
-      // returns NULL there (not IEEE NaN), and least() SKIPS NULLs, so
-      // the un-guarded form rendered a FULL bar where DuckDB renders
-      // the empty one (r10 audit edge). Zero the degenerate fraction,
-      // but keep NULL INPUTS null-propagating.
-      val rawFrac = Divide(
-        Cast(Subtract(x, mn), org.apache.spark.sql.types.DoubleType),
-        Cast(Subtract(mx, mn), org.apache.spark.sql.types.DoubleType))
-      val frac = If(Or(IsNull(rawFrac), IsNaN(rawFrac)),
-        Literal(0.0), rawFrac)
-      val n = call("greatest", Seq(Literal(0),
-        call("least", Seq(Cast(width, org.apache.spark.sql.types.IntegerType),
-          Cast(call("round", Seq(Multiply(frac, Cast(width,
-            org.apache.spark.sql.types.DoubleType)))),
-            org.apache.spark.sql.types.IntegerType)))))
-      // NULL inputs propagate to a NULL bar (DuckDB) — the zeroing
-      // above would otherwise render them as an empty bar, and least()
-      // skipping NULLs rendered a FULL one before r10
-      If(Or(IsNull(x), Or(IsNull(mn), IsNull(mx))),
-        Cast(Literal(null), org.apache.spark.sql.types.StringType),
-        call("repeat", Seq(Literal("█"), n)))
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+      val width = Cast(rest.headOption.getOrElse(Literal(80)), DoubleType)
+      // DuckDB divides in raw IEEE: x>min with min=max gives +Inf (a
+      // FULL bar after the clamp), x<min gives −Inf (empty), 0/0 NaN
+      // (empty — the r10 audit edge). Spark's Divide returns NULL on a
+      // zero divisor instead, so the degenerate cases are spelled out.
+      val num = Cast(Subtract(x, mn), DoubleType)
+      val den = Cast(Subtract(mx, mn), DoubleType)
+      val rawFrac = If(EqualTo(den, Literal(0.0)),
+        If(GreaterThan(num, Literal(0.0)), Literal(1.0), Literal(0.0)),
+        Divide(num, den))
+      val frac = call("greatest", Seq(Literal(0.0),
+        call("least", Seq(Literal(1.0),
+          If(Or(IsNull(rawFrac), IsNaN(rawFrac)), Literal(0.0), rawFrac)))))
+      val okWidth = call("assert_true", Seq(
+        GreaterThanOrEqual(width, Literal(1.0)),
+        Literal("Out of Range Error: Max bar width must be >= 1")))
+      val eighths = Cast(Floor(Multiply(Multiply(frac, width),
+        Literal(8.0))), IntegerType)
+      val full = Cast(Divide(eighths, Literal(8)), IntegerType)
+      val part = Pmod(eighths, Literal(8))
+      val partStr = If(EqualTo(part, Literal(0)), Literal(""),
+        Substring(Literal("▏▎▍▌▋▊▉"), part, Literal(1)))
+      // pad with spaces to TRUNC(width) BYTES (each block is 3 UTF-8
+      // bytes; a fractional width pads to its integer part, probe-pinned)
+      val pad = call("greatest", Seq(Literal(0),
+        Subtract(Cast(width, IntegerType),
+          Add(Multiply(full, Literal(3)),
+            If(EqualTo(part, Literal(0)), Literal(0), Literal(3))))))
+      // NULL inputs (width included) propagate to a NULL bar (DuckDB) —
+      // the zeroing above would otherwise render them as an empty bar,
+      // and least() skipping NULLs rendered a FULL one before r10.
+      // Coalesce forces the assert_true width gate to actually evaluate
+      // (the bitOf idiom — an If(IsNull(assert), …) gets optimized away)
+      If(Or(IsNull(x), Or(IsNull(mn), Or(IsNull(mx), IsNull(width)))),
+        Cast(Literal(null), StringType),
+        Coalesce(Seq(Cast(okWidth, StringType), Concat(Seq(
+          call("repeat", Seq(Literal("█"), full)), partStr,
+          call("repeat", Seq(Literal(" "), pad)))))))
     },
     "starts_with" -> (a => call("startswith", a)),
     "regexp_split_to_array" -> (a => call("split", a)),

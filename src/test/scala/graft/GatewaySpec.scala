@@ -779,10 +779,22 @@ class GatewaySpec extends AnyFunSuite {
       .getString(0) == "011000010110001001100011")
     assert(one("SELECT to_binary('ab') AS v")
       .getString(0) == "0110000101100010")
-    // bar: min = max renders the EMPTY bar; NULL inputs stay NULL
-    assert(one("SELECT bar(1.5, 1.5, 1.5, 10) AS v").getString(0) == "")
+    // bar — DuckDB's full rendering since r11 (307-case differential
+    // sweep 0-diff): eighth-block partials by FLOOR, space-padding to
+    // trunc(width) BYTES (blocks are 3 UTF-8 bytes), IEEE division
+    // degenerates (x = min = max → NaN → empty-padded; x > min = max →
+    // +Inf → full), NULL propagation, width < 1 errors
+    assert(one("SELECT bar(1.5, 1.5, 1.5, 10) AS v").getString(0) == " " * 10)
+    assert(one("SELECT bar(2.5, 1.5, 1.5, 4) AS v").getString(0) == "████")
+    assert(one("SELECT bar(5.5, 0, 10, 16) AS v").getString(0) == "████████▊")
+    assert(one("SELECT bar(9.99, 0, 10, 10) AS v").getString(0) == "█████████▉")
+    assert(one("SELECT bar(0.063, 0, 10, 10) AS v").getString(0) == " " * 10)
+    assert(one("SELECT bar(3, 0, 10, 10) AS v").getString(0) == "███ ")
+    assert(one("SELECT bar(23, -5, 128, 10.7) AS v").getString(0) == "██▎ ")
     assert(one("SELECT bar(CAST(NULL AS DOUBLE), 1.0, 3.0, 4) IS NULL AS v")
       .getBoolean(0))
+    assert(intercept[Exception](one("SELECT bar(0.5, 0, 10, 0.5) AS v"))
+      .getMessage.contains("width must be >= 1"))
     // time_bucket preserves DATE; parse_path keeps the root component
     assert(one("SELECT CAST(time_bucket(INTERVAL 3 DAY, DATE '2024-03-05') AS VARCHAR) AS v")
       .getString(0) == "2024-03-03")
