@@ -1729,16 +1729,13 @@ object Functions {
     },
     // top-n aggregate variants: min(x, n)/max(x, n) return a LIST of
     // the n extremes (DuckDB ≥1.1 surface; beyond the 1.0 oracle but a
-    // staple of data-pipeline SQL). collect_list drops NULLs like
-    // min/max do; the sort fixes collection order.
-    "min" -> { case Seq(x, n) =>
-      call("slice", Seq(call("sort_array", Seq(call("collect_list", Seq(x)))),
-        Literal(1), n))
-    },
-    "max" -> { case Seq(x, n) =>
-      call("slice", Seq(call("sort_array",
-        Seq(call("collect_list", Seq(x)), Literal(false))), Literal(1), n))
-    },
+    // staple of data-pipeline SQL). A constant n routes to the
+    // bounded-state BoundedTopNAgg (r11 — the collect-then-sort
+    // spelling buffers the WHOLE group per key, an OOM cliff at scale);
+    // the rare non-constant n keeps the collect+sort fallback. NULLs
+    // are skipped either way, like min/max.
+    "min" -> { case Seq(x, n) => topN(x, n, desc = false) },
+    "max" -> { case Seq(x, n) => topN(x, n, desc = true) },
     // contains() over lists/maps (DuckDB ≥1.1 sugar; string form stays
     // native through the fallthrough)
     "contains" -> {
@@ -2324,20 +2321,50 @@ object Functions {
     case _ => None
   }
 
+  /** n constant and sane → the bounded-state top-n aggregate; anything
+    * else → the collect+sort+slice spelling (identical values — the
+    * aggregate's ordering IS catalyst natural ordering, what
+    * sort_array applies).
+    */
+  private def topN(x: Expression, n: Expression, desc: Boolean): Expression = {
+    val intish = n.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val const: Option[Int] =
+      if (n.foldable && intish) {
+        Option(n.eval()).map(_.toString.toLong)
+          .filter(v => v >= 0 && v <= 10000000L).map(_.toInt)
+      } else None
+    const match {
+      // explicit AggregateExpression wrap: the analyzer only wraps a
+      // raw AggregateFunction when it is the ROOT of a resolved
+      // function call — argN nests this under an ArrayTransform
+      case Some(k) => graft.engine.expressions.BoundedTopNAgg(x, k, desc)
+        .toAggregateExpression()
+      case None =>
+        call("slice", Seq(
+          if (desc) call("sort_array", Seq(call("collect_list", Seq(x)),
+            Literal(false)))
+          else call("sort_array", Seq(call("collect_list", Seq(x)))),
+          Literal(1), n))
+    }
+  }
+
   /** arg_min/arg_max: 2-arg = Spark min_by/max_by (single-pass); 3-arg
-    * DuckDB top-n form = sort collected (val, arg) pairs by val, take
-    * the first n args. The collected pair struct keeps the sort key
-    * first so struct natural ordering sorts by val.
+    * DuckDB top-n form = the n args at the smallest/largest vals —
+    * bounded top-n over the (val, arg) pair struct (the sort key first,
+    * so struct natural ordering sorts by val, ties by arg), then
+    * extract the arg.
     */
   private def argN(a: Seq[Expression], desc: Boolean): Expression = a match {
     case Seq(arg, v) => call(if (desc) "max_by" else "min_by", Seq(arg, v))
     case Seq(arg, v, n) =>
-      val pairs = call("collect_list",
-        Seq(CreateNamedStruct(Seq(Literal("k"), v, Literal("x"), arg))))
-      val sorted =
-        if (desc) call("sort_array", Seq(pairs, Literal(false)))
-        else call("array_sort", Seq(pairs))
-      ArrayTransform(call("slice", Seq(sorted, Literal(1), n)),
+      val pair = CreateNamedStruct(Seq(Literal("k"), v, Literal("x"), arg))
+      ArrayTransform(topN(pair, n, desc),
         lam(vs => org.apache.spark.sql.catalyst.analysis
           .UnresolvedExtractValue(vs(0), Literal("x")), 1))
   }
