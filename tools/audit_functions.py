@@ -156,10 +156,11 @@ def main():
     # documented residuals (SURVEY §5.3 audit notes): no honest engine
     # equivalent exists — planner/vectorizer introspection text, the
     # DuckDB SQL-AST serializers, the 39-digit HUGEINT md5_number beyond
-    # the decimal(38,0) carrier, the projection-alias introspector
-    # (context the registry can't see), and bar's eighth-block rendering
+    # the decimal(38,0) carrier, and the projection-alias introspector
+    # (context the registry can't see). bar left the list in r11 —
+    # eighth-block rendering now matches DuckDB exactly (307-case sweep)
     DOCUMENTED = {"stats", "md5_number", "json_serialize_plan",
-                  "json_serialize_sql", "vector_type", "alias", "bar"}
+                  "json_serialize_sql", "vector_type", "alias"}
     SET_COMPARE = {"array_distinct", "list_distinct",
                    "list_intersect", "array_intersect"}
 
