@@ -595,10 +595,18 @@ object TextOps {
       .otherwise(array().cast(ArrayType(StringType)))
     val g = graft.engine.CacheOnce(s"$tag/g",
       docs.select(col("doc_id"), explode(grams).as("h")))
-    val cnt = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
-    val per = g.join(cnt, "h").groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_grams"),
-      count(when(col("nd") > 1, 1)).as("n_dup"))
+    // only the DUPLICATED digests come back to the gram relation: an
+    // inner join with the full per-digest counts sort-merged the whole
+    // gram relation (95M rows / 2.9 GB of sort spill at the 100× tier);
+    // the dup set is the minority by construction, the left join is
+    // hinted shuffle-hash so the gram side streams unsorted, and
+    // n_grams/n_dup fall out of count(*) / count(flag) identically
+    val dup = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("h"), lit(true).as("isdup"))
+    val per = g.join(dup.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        count(col("isdup")).as("n_dup"))
     val frac = col("n_dup").cast(DoubleType) / col("n_grams")
     docs.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
