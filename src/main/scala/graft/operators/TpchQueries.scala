@@ -99,18 +99,23 @@ object TpchQueries {
       |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
       |LIMIT 100""".stripMargin
   ) { s =>
+    // ONE lineitem pass: the HAVING aggregate IS the output total —
+    // the r10 shape semi-joined on it and then re-scanned + re-summed
+    // lineitem per order (two 60M-row shuffles, 6.2 GB of tier-2
+    // spill). Each qualifying orderkey is unique on both sides, so the
+    // inner join against the aggregated relation is 1:1 and the final
+    // GROUP BY is vacuous — dropped on the Spark side (the oracle
+    // keeps the canonical double-aggregation SQL; identical 100 rows).
     val big = s.table("lineitem")
       .groupBy(col("l_orderkey").as("big_okey"))
       .agg(sum(d("l_quantity")).as("qty"))
       .filter(col("qty") > lit(250).cast(dec))
-      .select(col("big_okey"))
     s.table("orders")
-      .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(big, col("o_orderkey") === col("big_okey"))
       .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
-      .join(s.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(d("l_quantity")).cast(DoubleType).as("total_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("qty").cast(DoubleType).as("total_qty"))
       .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
       .limit(100)
   }

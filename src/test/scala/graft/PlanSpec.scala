@@ -139,9 +139,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
-  test("q18 prunes via semi-join before the wide joins and fuses top-k") {
+  test("q18: one lineitem pass — the HAVING aggregate is the output total; top-k fused") {
     val p = plan("q18_large_orders")
-    assert(p.contains("LeftSemi"), p)
+    // r11: the semi-join + re-scan + re-aggregate shape cost a second
+    // 60M-row lineitem shuffle (6.2 GB of tier-2 spill); the qualifying
+    // totals join back 1:1 instead — lineitem must appear ONCE
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("TakeOrderedAndProject"), p)
     // the heavy-hitter aggregate is partial+final (map-side combine)
     assert(p.contains("partial_sum"), p)
