@@ -80,6 +80,20 @@ object ProbeKnn {
     System.err.println(f"[probe] query: ${(System.nanoTime() - t1) / 1e9}%.1fs " +
       f"rows=$n spill=${spill.get / 1e9}%.1fGB " +
       f"shuffle=${shuffle.get / 1e6}%.0fMB peakTask=${peak.get / 1e6}%.0fMB")
+    // recall@3 vs the sampled exact reference at THIS config
+    val nEmb = emb.count()
+    def edges(d: org.apache.spark.sql.DataFrame) =
+      graft.engine.CacheOnce.scoped {
+        d.select(col("vec_id"), col("nb")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    val exact = edges(graft.llm.SimilarityOps.labelKnnExactSample(spark))
+    val approx = edges(
+      graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe)
+        .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
+    System.err.println(f"[probe] recall@3 = " +
+      f"${approx.intersect(exact).size.toDouble / exact.size}%.4f " +
+      f"(nlists=$nlists nprobe=$nprobe)")
     spark.stop()
   }
 }
