@@ -601,8 +601,14 @@ object TextOps {
     // the dup set is the minority by construction, the left join is
     // hinted shuffle-hash so the gram side streams unsorted, and
     // n_grams/n_dup fall out of count(*) / count(flag) identically
-    val dup = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select(col("h"), lit(true).as("isdup"))
+    // "appears in ANOTHER document" needs no distinct COUNT — it is
+    // exactly min(doc_id) != max(doc_id): fixed-width agg states, no
+    // partial-distinct dedup pass over the (h, doc_id) pairs (that pass
+    // spilled a deterministic 2.9 GB in-suite at the 100× tier)
+    val dup = g.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("h"), lit(true).as("isdup"))
     val per = g.join(dup.hint("shuffle_hash"), Seq("h"), "left")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_grams"),
