@@ -26,8 +26,11 @@ object ProbeKnn {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.Tables.register(spark, dir)
     val t0 = System.nanoTime()
-    val cents = graft.llm.SimilarityOps.buildIvfIndex(spark, nlists)
-    System.err.println(s"[probe] build: ${(System.nanoTime() - t0) / 1e9}s")
+    val labels = graft.llm.SimilarityOps.labelValues(spark)
+    val perLabel = math.max(1, nlists / labels.length)
+    val cents = graft.llm.SimilarityOps.buildLabelIvfIndex(spark, perLabel)
+    System.err.println(s"[probe] per-label build ($perLabel lists/label): " +
+      s"${(System.nanoTime() - t0) / 1e9}s")
     // dump centroids for offline analysis
     val w = new java.io.PrintWriter("/tmp/probe_cents.json")
     w.println(cents.map { case (cid, ce) =>
@@ -38,11 +41,14 @@ object ProbeKnn {
     val arr = new Array[Array[Double]](cents.map(_._1).max + 1)
     cents.foreach { case (cid, ce) => arr(cid) = ce }
     val cn = graft.engine.expressions.IvfNearest.norms(arr)
-    import graft.engine.expressions.IvfNearest
+    import graft.engine.expressions.IvfNearestBlock
+    import org.apache.spark.sql.functions.typedLit
+    val lidx = element_at(typedLit(labels.zipWithIndex.toMap),
+      col("label").cast("int"))
     val emb = spark.table("embeddings")
     val sizes = emb.select(col("label"),
-      element_at(IvfNearest(col("embedding"), arr, cn, false, 1), 1)
-        .as("list_id"))
+      element_at(IvfNearestBlock(col("embedding"), lidx, arr, cn,
+        false, 1, perLabel), 1).as("list_id"))
       .groupBy("label", "list_id").count()
     val stats = sizes.agg(
       count(lit(1)).as("cells"), min("count"), expr("percentile(count, 0.5)"),
@@ -50,8 +56,8 @@ object ProbeKnn {
     System.err.println(s"[probe] (label,list) cells: $stats")
     // probe-weighted candidate count = the join's real output size
     val probes = emb.select(col("label"),
-      explode(IvfNearest(col("embedding"), arr, cn, false, nprobe))
-        .as("list_id"))
+      explode(IvfNearestBlock(col("embedding"), lidx, arr, cn,
+        false, nprobe, perLabel)).as("list_id"))
       .groupBy("label", "list_id").agg(count(lit(1)).as("nq"))
     val pairs = probes.join(sizes, Seq("label", "list_id"))
       .agg(sum(col("nq") * col("count"))).head().getLong(0)
@@ -71,9 +77,20 @@ object ProbeKnn {
           peak.getAndAccumulate(m.peakExecutionMemory, math.max)
         }
       }
+      // stage-level attribution: which stage eats the wall
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val cpu = Option(i.taskMetrics).map(_.executorCpuTime / 1e9).getOrElse(-1.0)
+        val run = Option(i.taskMetrics).map(_.executorRunTime / 1e3).getOrElse(-1.0)
+        System.err.println(f"[stage] ${i.stageId}%3d tasks=${i.numTasks}%4d " +
+          f"run=${run}%8.1fs cpu=${cpu}%8.1fs  ${i.name.takeWhile(_ != '(')}")
+      }
     }
     spark.sparkContext.addSparkListener(listener)
-    val df = graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe)
+    val sym = !sys.env.contains("PROBE_NOSYM")
+    val df = graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe, sym)
+    if (sys.env.contains("PROBE_EXPLAIN")) df.explain("formatted")
     val t1 = System.nanoTime()
     val n = df.count()
     spark.sparkContext.removeSparkListener(listener)
@@ -89,7 +106,7 @@ object ProbeKnn {
       }
     val exact = edges(graft.llm.SimilarityOps.labelKnnExactSample(spark))
     val approx = edges(
-      graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe)
+      graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe, sym)
         .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
     System.err.println(f"[probe] recall@3 = " +
       f"${approx.intersect(exact).size.toDouble / exact.size}%.4f " +

@@ -116,20 +116,23 @@ object ScaleBench {
     // wall-gated at tier 2 — this is the family's measured 100× row)
     "nn_label_knn_ivf")
 
-  /** Tier nlists for the label-kNN IVF path. Label-correlated
-    * embeddings make IVF lists label-PURE (measured: median off-label
-    * (label,list) cell 6 vs dominant 566 at the 100× tier), so the
-    * candidate budget per vector is nprobe·cell·L/nlists with L labels
-    * — NOT nprobe·cell/nlists: the label join prunes almost nothing
-    * inside a list. nlists tracks cell size to hold that budget ~2.5k
-    * folds/vector at the 100× tier (measured 519M pairs / 49.7 s,
-    * zero spill). At the 10× tier the cell (2k) is itself budget-sized,
-    * so probing is exhaustive by construction (recall 1.0 — the same
-    * posture the sf fixture oracle pins).
+  /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
+    * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL
+    * (r12), so every probed list is in-label by construction and the
+    * per-vector budget is nprobe·cell·L/nlists folds. The 100×-tier
+    * point (5100 → 510/label, 48) sits on the measured recall/wall
+    * frontier under symmetric edge emission (ProbeKnn sweep, r12):
+    * (408,40) 483M pairs / 53.1 s / recall 0.820; (510,48) 479M /
+    * 55.3 s / 0.835; (612,56) 477M / 58.6 s / 0.846 — same fold
+    * budget, recall rises with list granularity; (510,48) keeps margin
+    * on BOTH axes of the ≤60 s / ≥0.80 target. At the 10× tier the
+    * cell (2k) is itself budget-sized, so probing is exhaustive by
+    * construction (recall 1.0 — the same posture the sf fixture oracle
+    * pins).
     */
-  private def labelTierNlists(spark: SparkSession): Int = {
+  private def labelTierConf(spark: SparkSession): (Int, Int) = {
     val perCell = spark.table("embeddings").count() / 10.0
-    if (perCell >= 10000) 1024 else 64
+    if (perCell >= 10000) (5100, 48) else (64, 16)
   }
 
   def run(spark: SparkSession, dir: String,
@@ -201,15 +204,20 @@ object ScaleBench {
         // ~nprobe·cell/nlists ≈ 500 folds/vector at every tier; the
         // honest recall cost of that budget is measured below against a
         // sampled exact reference AT THIS config.
-        val nl = labelTierNlists(spark)
+        val (nl, np) = labelTierConf(spark)
+        val perLabel = math.max(1,
+          nl / graft.llm.SimilarityOps.labelValues(spark).length)
         val tb = System.nanoTime()
-        graft.llm.SimilarityOps.buildIvfIndex(spark, nl)
+        graft.llm.SimilarityOps.buildLabelIvfIndex(spark, perLabel)
         out += Row("nn_label_ivf_build", -1, (System.nanoTime() - tb) / 1e9,
-          0, 0, 0, 0, s"offline coarse-quantizer build (k-means, $nl lists)")
+          0, 0, 0, 0,
+          s"offline PER-LABEL coarse-quantizer build (k-means, " +
+            s"$perLabel lists/label)")
         measure(name,
-          s"nlists=$nl nprobe=16 (~${16 * 100 / (nl / 10)}% of the " +
-            "label's lists probed; lists are label-pure)")(
-          graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = 16))
+          f"nlists=$nl nprobe=$np (~${math.min(100.0, np * 100.0 / perLabel)}%.0f%% " +
+            "of the label's own lists probed; per-label quantizer, " +
+            "symmetric edge emission)")(
+          graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = np))
       } else measure(name)(SparkEntry.queries(name)(spark, dir))
     }
 
@@ -223,7 +231,7 @@ object ScaleBench {
     // transfer. Runs in subset mode too (focused re-measurement).
     if (invariants || queries.contains("nn_label_knn_ivf")) {
       val nEmb = spark.table("embeddings").count()
-      val nl = labelTierNlists(spark)
+      val (nl, np) = labelTierConf(spark)
       def edgeSet(df: DataFrame): Set[(Long, Long)] =
         graft.engine.CacheOnce.scoped {
           df.select(col("vec_id"), col("nb")).collect()
@@ -231,11 +239,11 @@ object ScaleBench {
         }
       val exactEdges = edgeSet(graft.llm.SimilarityOps.labelKnnExactSample(spark))
       val approxEdges = edgeSet(
-        graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = 16)
+        graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = np)
           .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
       val recall = approxEdges.intersect(exactEdges).size.toDouble / exactEdges.size
       out += Row("ann_label_knn_recall", exactEdges.size.toLong, 0, 0, 0, 0, 0,
-        f"recall@3=$recall%.4f at nlists=$nl nprobe=16 vs sampled exact in-label kNN")
+        f"recall@3=$recall%.4f at nlists=$nl nprobe=$np vs sampled exact in-label kNN")
     }
 
     // --- ANN equality sweeps at scale ---------------------------------

@@ -27,6 +27,16 @@ import org.apache.spark.sql.types._
   * scores are finite, so −∞ doubles as the presence marker. The result
   * is array<struct<s: double, id: bigint>> best-first, length ≤ k —
   * callers posexplode it to recover (rn, nb, sim).
+  *
+  * PRECONDITION — finite scores only. A genuine −∞ input score is
+  * indistinguishable from the empty-slot sentinel, so `eval` truncates
+  * the emitted prefix at the first −∞ slot: an edge whose score is −∞
+  * (e.g. a dot product of overflowing raw doubles) would be silently
+  * dropped where the window spelling keeps it. Every current feeder
+  * (SimilarityOps.topKEdges) passes cosine similarities in [−1, 1];
+  * any new call site feeding unbounded scores must clamp or pre-filter
+  * non-finite values first, or this aggregate needs an explicit
+  * fill-count buffer slot instead of the −∞ presence marker.
   */
 case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
     extends DeclarativeAggregate {

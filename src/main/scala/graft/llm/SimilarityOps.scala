@@ -196,6 +196,72 @@ object SimilarityOps {
     })
   }
 
+  /** Distinct label values of the session's embeddings corpus, sorted —
+    * memoized per dataset. Bounded collect: label is the class key (the
+    * fixture has 10; any real corpus has tens), the same class as the
+    * 25-nation key collect.
+    */
+  private val labelsByDataset =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+
+  private[graft] def labelValues(s: org.apache.spark.sql.SparkSession): Seq[Int] =
+    labelsByDataset.computeIfAbsent(datasetKey(s), _ =>
+      s.table("embeddings").select(col("label").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted)
+
+  /** Train (or fetch) the PER-LABEL IVF coarse quantizer: `perLabel`
+    * k-means centroids for EACH label, trained only on that label's
+    * vectors, concatenated into one global matrix where label block
+    * `li` (labels in sorted order) owns global list ids
+    * `[li·perLabel, (li+1)·perLabel)`.
+    *
+    * Why per-label (the r11 lesson, SCALE.md §r11): label-correlated
+    * embeddings make a GLOBAL quantizer's lists label-pure, so the
+    * probe budget ranks — and wastes — most of its width on other
+    * labels' lists (tier-2 recall@3 was 0.51 at the same fold budget).
+    * Training nlists/L centroids per label and probing within the
+    * row's own block makes every probed list in-label by construction:
+    * the same ~nprobe·cell/perLabel folds/vector buy strictly more
+    * in-label candidates.
+    *
+    * Training cost: ONE deterministic ≤[[PqTrainCap]] sample pass,
+    * persisted across the L per-label Lloyd runs (each runs on the
+    * sample's label slice — the full corpus is never rescanned).
+    * A label whose sample has fewer than `perLabel` seed vectors pads
+    * its block by repeating the first seed; pad centroids either stay
+    * exact duplicates (ties assign to the lower id — never chosen) or
+    * split off into extra live lists, deterministically either way.
+    */
+  def buildLabelIvfIndex(s: org.apache.spark.sql.SparkSession, perLabel: Int)
+      : Seq[(Int, Array[Double])] = {
+    val memoKey = datasetKey(s) + s"/labelcents/$perLabel"
+    ivfCentroids.computeIfAbsent(memoKey, _ => {
+      val labels = labelValues(s)
+      val emb = s.table("embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          col("embedding"))
+      val train = trainSample(emb, PqTrainCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        labels.zipWithIndex.flatMap { case (lv, li) =>
+          val sub = train.filter(col("label") === lv)
+            .select(col("vec_id"), col("embedding"))
+          val seeds = sub
+            .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
+              col("vec_id").asc)
+            .limit(perLabel)
+            .select(col("embedding").cast(ArrayType(DoubleType)))
+            .collect().map(_.getSeq[Double](0).toArray)
+          require(seeds.nonEmpty, s"label $lv has no training vectors")
+          val init = (0 until perLabel).map(i =>
+            i -> (if (i < seeds.length) seeds(i) else seeds(0).clone))
+          KMeans.lloyd(sub, "embedding", init, iters = 3)
+            .map { case (cid, ce) => (li * perLabel + cid) -> ce }
+        }
+      } finally { train.unpersist(); () }
+    })
+  }
+
   /** Brute-force cosine top-3 oracle (identical text to nn_cosine_topk):
     * the approximate indexes are DECLARED against exact search — their
     * probe/rerank widths are sized so the shortlist provably contains
@@ -549,6 +615,9 @@ object SimilarityOps {
     * aggregation per vector, then posexplode recovers the rank. Exactly
     * `row_number() OVER (PARTITION BY vec_id ORDER BY simv DESC, nb
     * ASC) <= k` — TopKEdgeAgg's comparator is that window's ordering.
+    * All feeders pass cosine similarities (finite, in [−1, 1]), which
+    * satisfies TopKEdgeAgg's finite-score precondition: a −∞ score is
+    * its empty-slot sentinel and would truncate the result prefix.
     */
   private def topKEdges(pairs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame =
@@ -578,6 +647,19 @@ object SimilarityOps {
       (arr, graft.engine.expressions.IvfNearest.norms(arr))
     })
 
+  /** Per-label concatenated centroid matrix + norms (see
+    * [[buildLabelIvfIndex]]) — same reference-equality memoization as
+    * [[centMatrix]].
+    */
+  private def labelCentMatrix(s: org.apache.spark.sql.SparkSession,
+      perLabel: Int): (Array[Array[Double]], Array[Double]) =
+    ivfCentArrays.computeIfAbsent(datasetKey(s) + s"/labelcents/$perLabel", _ => {
+      val cents = buildLabelIvfIndex(s, perLabel)
+      val arr = new Array[Array[Double]](cents.map(_._1).max + 1)
+      cents.foreach { case (cid, ce) => arr(cid) = ce }
+      (arr, graft.engine.expressions.IvfNearest.norms(arr))
+    })
+
   /** IVF-blocked label-kNN — the approximate 100× path for the
     * kNN-graph family: v6 is EXACT and inherently quadratic per label
     * cell (ScaleBench wall-gates it above 20k vectors/cell), so the
@@ -591,20 +673,34 @@ object SimilarityOps {
     * inside a probed list. ScaleBench.labelTierNlists sizes nlists from
     * that formula.
     *
-    * Default nprobe = nlists = 16 probes EVERY list, making the
-    * candidate set the full label cell and the output EQUAL to the
-    * exact kNN graph BY CONSTRUCTION — that is what the sf oracle pins
-    * (same exact-kNN SQL as v6). The prune ratio comes from corpus
-    * growth, not from this constant: ScaleBench's 100×-tier row runs
-    * (nlists=1024, nprobe=16) — ~16% of the label's lists — and
-    * measures recall@3 against a sampled exact reference at that exact
-    * config (SCALE.md §r11), the same posture as nn_ivf_topk's fixed
-    * probe width.
+    * `nlists` is the TOTAL list budget; the quantizer is PER LABEL
+    * (r12, closing the r11 recall gap): each label gets
+    * perLabel = max(1, nlists/L) centroids trained only on its own
+    * vectors ([[buildLabelIvfIndex]]), and a vector is assigned/probed
+    * within its own label's block via the codegen'd
+    * [[graft.engine.expressions.IvfNearestBlock]] projection. The r11
+    * global quantizer measured label-pure lists (median off-label cell
+    * 6 vs dominant 566), so its probe RANKING was label-blind — at the
+    * 100× tier recall@3 was 0.51 because most of the nprobe width
+    * ranked other labels' lists. Per-label blocks make every probed
+    * list in-label by construction: the same nprobe·cell/perLabel
+    * folds/vector buy strictly more in-label candidates.
+    *
+    * Default nlists=16 over the fixture's 10 labels gives perLabel=1:
+    * every label is ONE list, the candidate set is the full label cell
+    * and the output is EQUAL to the exact kNN graph BY CONSTRUCTION —
+    * that is what the sf oracle pins (same exact-kNN SQL as v6). The
+    * prune ratio comes from corpus growth, not from this constant:
+    * ScaleBench's 100×-tier row runs (nlists=1024 → perLabel=102,
+    * nprobe=16) — ~16% of the label's own lists — and measures
+    * recall@3 against a sampled exact reference at that exact config
+    * (SCALE.md §r12), the same posture as nn_ivf_topk's fixed probe
+    * width.
     *
     * Plan shape: list assignment is a PURE PROJECTION (the codegen'd
-    * [[graft.engine.expressions.IvfNearest]] over broadcast-free
-    * reference-object centroids — zero shuffle, unlike the
-    * crossJoin+window spelling), the (label, list) join is explicitly
+    * blocked variant of [[graft.engine.expressions.IvfNearest]] over
+    * broadcast-free reference-object centroids — zero shuffle, unlike
+    * the crossJoin+window spelling), the list join is explicitly
     * repartitioned against AQE's row-blind coalescing (the v6 lesson),
     * and the per-vector top-3 is the fixed-width codegen
     * [[graft.engine.expressions.TopKEdgeAgg]] hash aggregate — the
@@ -612,31 +708,85 @@ object SimilarityOps {
     * tier: 1.02e9 pairs, 10.5 GB spill, ~170 s → zero spill, 50 s).
     */
   private[graft] def labelKnnIvf(s: org.apache.spark.sql.SparkSession,
-      nlists: Int = 16, nprobe: Int = 16): org.apache.spark.sql.DataFrame = {
+      nlists: Int = 16, nprobe: Int = 16, sym: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
     val TOPK = 3
-    val (cents, cn) = centMatrix(s, nlists)
+    val labels = labelValues(s)
+    val perLabel = math.max(1, nlists / labels.length)
+    val (cents, cn) = labelCentMatrix(s, perLabel)
+    // label value → block index in the concatenated matrix (labels are
+    // sorted, blocks contiguous); a tiny literal map, not a join
+    val lidx = element_at(typedLit(labels.zipWithIndex.toMap),
+      col("label").cast("int"))
     val emb = s.table("embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    import graft.engine.expressions.IvfNearest
-    // build side: each vector lands in its ONE nearest list
-    val b = emb.select(
-      element_at(IvfNearest(col("embedding"), cents, cn, false, 1), 1)
-        .as("list_id"),
-      col("label").as("lb"), col("vec_id").as("nb"),
+    import graft.engine.expressions.{IvfNearestBlock, OptimizerBarrier}
+    // best-first in-label probe lists (element 1 = the vector's HOME
+    // list — its single nearest centroid). BARRIERED: without it the
+    // optimizer substitutes this 26k-flop scoring kernel into the
+    // inferred generator filter (size>0, isnotnull) and the join-key
+    // notnull constraint — measured 3 evaluations per vector.
+    def probeLists = OptimizerBarrier(IvfNearestBlock(col("embedding"),
+      lidx, cents, cn, false, nprobe, perLabel))
+    // build side: each vector lands in its ONE nearest in-label list
+    // (list ids are GLOBAL — the label is encoded in the id, so the
+    // list join implies the label match). It also carries its own
+    // probe set for the symmetric-emission reverse-match test below —
+    // nprobe ints per corpus row, NOT replicated.
+    val b = emb.select(probeLists.as("nb_probes"),
+      col("vec_id").as("nb"),
       col("embedding").as("vb"), col("nrm").as("nb_n"))
-    // probe side: replicated across the vector's nprobe nearest lists
+      .select(element_at(col("nb_probes"), 1).as("list_id"),
+        col("nb_probes"), col("nb"), col("vb"), col("nb_n"))
+    // probe side: replicated across the vector's nprobe nearest
+    // in-label lists, carrying its home list id (one int) for the
+    // reverse-match test
     val a = emb.select(col("vec_id"), col("label"),
       col("embedding").as("va"), col("nrm").as("na"),
-      explode(IvfNearest(col("embedding"), cents, cn, false, nprobe))
-        .as("plist"))
+      probeLists.as("plists"))
+      .select(col("vec_id"), col("label"), col("va"), col("na"),
+        element_at(col("plists"), 1).as("home_a"),
+        explode(col("plists")).as("plist"))
     val P = 128
-    val pairs = a.repartition(P, col("label"), col("plist"))
-      .join(b.repartition(P, col("lb"), col("list_id")),
-        col("label") === col("lb") && col("plist") === col("list_id") &&
-          col("vec_id") =!= col("nb"))
-      .select(col("vec_id"), col("label"), col("nb"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("simv"))
+    // SYMMETRIC candidate emission (r12): a matched ordered pair
+    // a→b (home(b) ∈ probes(a)) costs ONE dot product but certifies
+    // BOTH edges of the unordered pair — per-vector coverage becomes
+    // {b: a→b matched} ∪ {b: b→a matched} at the SAME fold count
+    // (measured tier 2: recall@3 0.66 → 0.83 at equal wall). Dedup is
+    // exact: when the reverse direction ALSO matches (home(a) ∈
+    // probes(b)), each direction's join row emits only its forward
+    // edge; when it doesn't, this row emits both. Every unordered pair
+    // thus yields each directed edge exactly once. At the fixture
+    // config (perLabel=1) both directions always match, so emission is
+    // forward-only and the output is the exact kNN graph unchanged.
+    // the exploded per-pair array is a LITERAL (0 = forward edge,
+    // 0,1 = forward+reverse) — per-pair allocation of an array of
+    // structs here measured +74 s on 7.1e8 pairs at tier 2
+    // shuffle-hash, not sort-merge: SMJ sorts the replicated probe side
+    // AND buffer-copies each matched build group per probe row —
+    // measured 1.18 µs/pair at tier 2 (457 cpu-s / 387M pairs); the
+    // hash join streams probes against a ~1.6k-row/task build map
+    val pairs = a.repartition(P, col("plist"))
+      .join(b.repartition(P, col("list_id")).hint("shuffle_hash"),
+        col("plist") === col("list_id") && col("vec_id") =!= col("nb"))
+      // the dot is BARRIERED below the edge-emission Generate: without
+      // the barrier the optimizer defers it to the post-Generate
+      // projection, re-evaluating it once per emitted EDGE (1.35× per
+      // pair) and piping both raw vectors through the Generate
+      .select(col("label"), col("vec_id"), col("nb"),
+        OptimizerBarrier(
+          dot(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("simv"),
+        (lit(!sym) ||
+          array_contains(col("nb_probes"), col("home_a"))).as("fwdonly"))
+      .select(col("label"), col("vec_id"), col("nb"), col("simv"),
+        explode(when(col("fwdonly"), typedLit(Seq(0)))
+          .otherwise(typedLit(Seq(0, 1)))).as("dir"))
+      .select(
+        when(col("dir") === 0, col("vec_id")).otherwise(col("nb")).as("vec_id"),
+        col("label"),
+        when(col("dir") === 0, col("nb")).otherwise(col("vec_id")).as("nb"),
+        col("simv"))
     // per-vector top-3 as the fixed-width TopKEdgeAgg hash aggregate:
     // the label-correlated structure of real embeddings makes IVF lists
     // label-pure, so the (label × list) blocking measured 1.02e9
@@ -657,7 +807,11 @@ object SimilarityOps {
     * the same probe set.
     */
   private[graft] def labelKnnSamplePred(cap: Long, n: Long): Column = {
-    val mod = math.max(1L, n / cap)
+    // ceil-divide like trainSample: the floor form (n/cap) gives mod=1
+    // for cap < n < 2·cap — every row passes and the "≤cap sample"
+    // silently becomes the whole corpus (expected sample is ≤~cap rows
+    // only with mod = ceil(n/cap), min 2 once sampling kicks in)
+    val mod = if (n <= cap) 1L else math.max(2L, (n + cap - 1) / cap)
     pmod(xxhash64(col("vec_id"), lit(77616853L)), lit(mod)) === 0
   }
 
