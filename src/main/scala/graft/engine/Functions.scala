@@ -2324,9 +2324,18 @@ object Functions {
   /** n constant and sane → the bounded-state top-n aggregate; anything
     * else → the collect+sort+slice spelling (identical values — the
     * aggregate's ordering IS catalyst natural ordering, what
-    * sort_array applies).
+    * sort_array applies). With `extract` the input is the argN
+    * struct<k, x> pair and the result is the array of x alone — fused
+    * into the aggregate on the constant-n path so the AGGREGATE is the
+    * call root and `arg_min/arg_max(a, v, n) OVER w` resolves natively
+    * (a transform-over-aggregate root is planned by
+    * ExtractWindowExpressions as a missing-GROUP-BY aggregate query).
     */
-  private def topN(x: Expression, n: Expression, desc: Boolean): Expression = {
+  private def topN(x: Expression, n: Expression, desc: Boolean,
+      extract: Boolean = false): Expression = {
+    def extractX(arr: Expression): Expression =
+      ArrayTransform(arr, lam(vs => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedExtractValue(vs(0), Literal("x")), 1))
     val intish = n.dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
@@ -2334,39 +2343,60 @@ object Functions {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    // a foldable NULL or non-positive n is a DuckDB invalid-input error
+    // (1.1 minmax_n raises, it does not return NULL/[]): emit the
+    // collect spelling with the LENGTH argument replaced by a
+    // raise_error — the output type still resolves to array<typeof x>
+    // (argN's ArrayTransform needs that), and the error fires the
+    // moment the final projection evaluates, instead of the slice
+    // fallback silently answering NULL/[] where DuckDB raises
+    if (n.foldable && intish) {
+      val v = Option(n.eval()).map(_.toString.toLong)
+      if (v.isEmpty || v.exists(_ < 1)) {
+        val raising = call("slice", Seq(
+          call("sort_array", Seq(call("collect_list", Seq(x)))),
+          Literal(1),
+          Cast(call("raise_error", Seq(Literal(
+            "Invalid input: n value must be > 0"))),
+            org.apache.spark.sql.types.IntegerType)))
+        return if (extract) extractX(raising) else raising
+      }
+    }
     val const: Option[Int] =
       if (n.foldable && intish) {
         Option(n.eval()).map(_.toString.toLong)
-          .filter(v => v >= 0 && v <= 10000000L).map(_.toInt)
+          .filter(v => v <= 10000000L).map(_.toInt)
       } else None
     const match {
       // explicit AggregateExpression wrap: the analyzer only wraps a
       // raw AggregateFunction when it is the ROOT of a resolved
-      // function call — argN nests this under an ArrayTransform
-      case Some(k) => graft.engine.expressions.BoundedTopNAgg(x, k, desc)
-        .toAggregateExpression()
+      // function call, and these builders aren't that root
+      case Some(k) =>
+        graft.engine.expressions.BoundedTopNAgg(x, k, desc, extract)
+          .toAggregateExpression()
       case None =>
-        call("slice", Seq(
+        val sliced = call("slice", Seq(
           if (desc) call("sort_array", Seq(call("collect_list", Seq(x)),
             Literal(false)))
           else call("sort_array", Seq(call("collect_list", Seq(x)))),
           Literal(1), n))
+        if (extract) extractX(sliced) else sliced
     }
   }
 
   /** arg_min/arg_max: 2-arg = Spark min_by/max_by (single-pass); 3-arg
     * DuckDB top-n form = the n args at the smallest/largest vals —
     * bounded top-n over the (val, arg) pair struct (the sort key first,
-    * so struct natural ordering sorts by val, ties by arg), then
-    * extract the arg.
+    * so struct natural ordering sorts by val, ties by arg), with the
+    * arg extraction FUSED into the aggregate's result on the
+    * constant-n path (keeps the aggregate at the call root — the
+    * `OVER w` form then works like min/max(x, n) OVER w).
     */
   private def argN(a: Seq[Expression], desc: Boolean): Expression = a match {
     case Seq(arg, v) => call(if (desc) "max_by" else "min_by", Seq(arg, v))
     case Seq(arg, v, n) =>
       val pair = CreateNamedStruct(Seq(Literal("k"), v, Literal("x"), arg))
-      ArrayTransform(topN(pair, n, desc),
-        lam(vs => org.apache.spark.sql.catalyst.analysis
-          .UnresolvedExtractValue(vs(0), Literal("x")), 1))
+      topN(pair, n, desc, extract = true)
   }
 
   /** Value → BIT ('0'/'1' STRING): strings validate, integers render

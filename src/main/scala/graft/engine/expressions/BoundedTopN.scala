@@ -33,6 +33,7 @@ case class BoundedTopNAgg(
     child: Expression,
     n: Int,
     desc: Boolean,
+    extract: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]]
@@ -40,14 +41,35 @@ case class BoundedTopNAgg(
 
   require(n >= 0, s"top-n aggregate needs n >= 0, got $n")
 
+  /** With `extract = true` the child must be a struct whose FIRST field
+    * is the sort key and SECOND the carried argument; the result is the
+    * array of the arguments alone (the `arg_min/arg_max(a, v, n)`
+    * form). Fusing the extraction into the aggregate keeps the
+    * AGGREGATE at the call root — `OVER w` then attaches natively,
+    * where the previous `transform(agg, s -> s.x)` spelling nested the
+    * aggregate under a transform the window machinery planned as a
+    * missing-GROUP-BY aggregate query (the r11 loud-error residual).
+    */
+  private def argField: StructField =
+    child.dataType.asInstanceOf[StructType].fields(1)
+
   override def dataType: DataType =
-    ArrayType(child.dataType, containsNull = false)
+    if (extract) ArrayType(argField.dataType, containsNull = argField.nullable)
+    else ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = if (desc) "max_n" else "min_n"
+  override def prettyName: String =
+    (if (extract) "arg_" else "") + (if (desc) "max_n" else "min_n")
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (extract && (!child.dataType.isInstanceOf[StructType] ||
+        child.dataType.asInstanceOf[StructType].fields.length < 2))
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"$prettyName requires a struct<key, arg> input, got " +
+            child.dataType.simpleString)
     TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+  }
 
   @transient private lazy val ordering: Ordering[Any] = {
     val base = TypeUtils.getInterpretedOrdering(child.dataType)
@@ -85,12 +107,19 @@ case class BoundedTopNAgg(
   }
 
   override def eval(buf: mutable.ArrayBuffer[Any]): Any =
-    new GenericArrayData(buf.toArray)
+    if (extract) {
+      val ft = argField.dataType
+      new GenericArrayData(
+        buf.map(_.asInstanceOf[InternalRow].get(1, ft)).toArray)
+    } else new GenericArrayData(buf.toArray)
 
   // serialize the bounded buffer as one array-typed unsafe row — the
-  // Collect-family idiom, element type fully generic
+  // Collect-family idiom, element type fully generic. NOTE: the buffer
+  // always holds the CHILD values (full structs in extract mode), so
+  // the serializer is typed on the buffer, not on `dataType`.
   @transient private lazy val serProj =
-    UnsafeProjection.create(Array[DataType](dataType))
+    UnsafeProjection.create(
+      Array[DataType](ArrayType(child.dataType, containsNull = false)))
 
   override def serialize(buf: mutable.ArrayBuffer[Any]): Array[Byte] =
     serProj.apply(InternalRow(new GenericArrayData(buf.toArray))).getBytes

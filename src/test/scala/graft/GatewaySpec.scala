@@ -1929,4 +1929,42 @@ class GatewaySpec extends AnyFunSuite {
       .getString(1) == "SELECT getvariable('r11q') AS a, current_query() AS v")
     gw.sql("RESET VARIABLE r11q")
   }
+
+  test("round-12: arg_min/arg_max(a, v, n) OVER w — window hoisted onto the top-n aggregate") {
+    // DuckDB >= 1.1 window form (no 1.0 oracle — spec-pinned like the
+    // non-window top-n family): the registry expands the call to
+    // transform(BoundedTopNAgg(...), λ), and WindowedTopNArg hoists the
+    // OVER onto the aggregate root (the r11 residual error shape)
+    val r = gw.sql(
+      """SELECT g, v,
+        |  arg_min(s, v, 2) OVER (PARTITION BY g) AS am,
+        |  arg_max(s, v, 2) OVER (PARTITION BY g) AS ax,
+        |  min(v, 2) OVER (PARTITION BY g) AS mn
+        |FROM (VALUES (1, 3, 'c'), (1, 1, 'a'), (1, 2, 'b'), (2, 9, 'z')) t(g, v, s)
+        |ORDER BY g, v""".stripMargin).collect()
+    assert(r(0).getSeq[String](2) == Seq("a", "b")) // g=1: s at the 2 smallest v
+    assert(r(0).getSeq[String](3) == Seq("c", "b")) // g=1: s at the 2 largest v
+    assert(r(0).getSeq[Int](4) == Seq(1, 2))
+    assert(r(3).getSeq[String](2) == Seq("z"))
+    // differential vs the collect+sort spelling of the SAME named
+    // window (v unique, so ordering ties cannot differ)
+    val d = gw.sql(
+      """SELECT
+        |  arg_min(s, v, 3) OVER w AS got,
+        |  list_transform(list_slice(list_sort(list(struct_pack(k := v, x := s)) OVER w), 1, 3),
+        |    e -> e.x) AS want
+        |FROM (SELECT o_orderkey AS v, o_orderkey % 7 AS g, o_orderpriority AS s
+        |      FROM orders LIMIT 200)
+        |WINDOW w AS (PARTITION BY g)""".stripMargin).collect()
+    assert(d.nonEmpty)
+    d.foreach(row => assert(row.getSeq[String](0) == row.getSeq[String](1)))
+    // moving frame: the per-frame aggregate evaluation path
+    val f = gw.sql(
+      """SELECT arg_max(s, v, 2) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS am
+        |FROM (VALUES (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'c')) t(g, v, s)
+        |ORDER BY v""".stripMargin).collect()
+    assert(f.map(_.getSeq[String](0)).toSeq ==
+      Seq(Seq("a"), Seq("b", "a"), Seq("c", "b")))
+  }
 }
