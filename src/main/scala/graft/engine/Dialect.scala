@@ -36,7 +36,7 @@ object Dialect {
     rewriteIntervalExpr, rewriteAtAbs,
     rewritePowOp, rewriteFactorial,
     rewriteOperators, rewriteFromTvf, rewriteSample, rewriteQuantified,
-    rewriteEmptyOver,
+    rewriteEmptyOver, rewriteNamedWindows,
     rewriteBareFilter, rewriteWindowFilter, rewriteAggOrderBy,
     rewritePercentileDisc, rewriteStarModifiers,
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
@@ -1209,6 +1209,31 @@ object Dialect {
   private val windowFilterFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
     "BOOL_AND", "BOOL_OR", "STDDEV", "STDDEV_SAMP", "VAR_SAMP", "VAR_POP",
     "MEDIAN", "STRING_AGG")
+
+  /** The bare ORDER BY keys of a window spec (frame and sort-direction
+    * text stripped) — the peer-group identity EXCLUDE GROUP/TIES need.
+    * None when the spec has no ORDER BY (EXCLUDE is degenerate there;
+    * callers leave the loud parser error).
+    */
+  private def windowOrderKeysOf(specClean: String): Option[Seq[String]] = {
+    val obIdx = indexOfTopLevel(specClean, " ORDER BY ") match {
+      case -1 =>
+        if ("""(?is)^\s*ORDER\s+BY\s.*""".r.matches(specClean)) 0 else -1
+      case i => i
+    }
+    if (obIdx < 0) return None
+    val afterOb = specClean.substring(obIdx)
+      .replaceAll("""(?is)^\s*ORDER\s+BY\s+""", "")
+    val frameIdx = Seq(" ROWS ", " RANGE ", " GROUPS ")
+      .map(k => indexOfTopLevel(afterOb, k)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(afterOb.length)
+    val keys = splitTopLevel(afterOb.substring(0, frameIdx), ',')
+      .map(_.trim)
+      .map(_.replaceAll("""(?is)\s+NULLS\s+(FIRST|LAST)\s*$""", "")
+        .replaceAll("""(?is)\s+(ASC|DESC)\s*$""", "").trim)
+      .filter(_.nonEmpty)
+    if (keys.isEmpty) None else Some(keys)
+  }
   private val windowFilterCollectFns =
     Set("FIRST", "LAST", "ANY_VALUE", "ARRAY_AGG", "LIST", "ARBITRARY")
   private def rewriteWindowFilter(sql: String): String =
@@ -1264,23 +1289,97 @@ object Dialect {
                     }
                   overRef match {
                     case Some((over, resume)) =>
-                      val coll = s"collect_list(struct(($pred) AS gxp, " +
-                        s"($inner) AS gxv)) OVER $over"
-                      val kept = s"filter($coll, gx_s -> gx_s.gxp)"
-                      val repl = fnU match {
-                        case "FIRST" | "ARBITRARY" =>
-                          s"try_element_at($kept, 1).gxv"
-                        case "LAST" => s"try_element_at($kept, -1).gxv"
-                        case "ANY_VALUE" => // DuckDB: first NON-NULL value
-                          s"try_element_at(filter($coll, gx_s -> gx_s.gxp" +
-                            s" AND gx_s.gxv IS NOT NULL), 1).gxv"
-                        case _ => // ARRAY_AGG / LIST: empty → NULL
-                          s"(CASE WHEN size($kept) = 0 THEN NULL " +
-                            s"ELSE transform($kept, gx_s -> gx_s.gxv) END)"
+                      // r12: EXCLUDE frames compose with this fold —
+                      // strip the EXCLUDE from the inline spec and drop
+                      // the excluded elements from the collected array
+                      // ORDER-PRESERVINGLY (the general subtraction
+                      // machinery would reorder: its TIES arm
+                      // re-appends the row's own element at the END,
+                      // which the positional consumers below —
+                      // first/last/element_at — would see).
+                      val innerSpec =
+                        if (over.startsWith("(") && over.endsWith(")"))
+                          Some(over.substring(1, over.length - 1))
+                        else None
+                      val exIdx = innerSpec
+                        .map(s => indexOfTopLevel(s, " EXCLUDE ")).getOrElse(-1)
+                      val exParsed: Option[(String, String, Seq[String])] =
+                        if (exIdx < 0) None
+                        else innerSpec.flatMap { spec =>
+                          excludeModeRe
+                            .findFirstMatchIn(spec.substring(exIdx))
+                            .flatMap { mm =>
+                              val specClean = spec.substring(0, exIdx).trim
+                              windowOrderKeysOf(specClean).map(ks =>
+                                (specClean,
+                                  mm.group(1).toUpperCase
+                                    .replaceAll("\\s+", " "), ks))
+                            }
+                        }
+                      if (exIdx >= 0 && (exParsed.isEmpty ||
+                          exParsed.exists { case (sc, _, _) =>
+                            """(?is).*\bGROUPS\s+(BETWEEN|UNBOUNDED|CURRENT|\d).*"""
+                              .r.matches(sc) })) i
+                      // ^ an EXCLUDE this fold can't place (no ORDER BY,
+                      //   not a frame EXCLUDE, or composed with a GROUPS
+                      //   frame — the GROUPS text pass can't rewrite the
+                      //   duplicated window occurrences these arms emit;
+                      //   GROUPS+EXCLUDE stays the same loud-error
+                      //   residual it is for plain aggregates, and the
+                      //   RANGE spelling covers the peer-aligned cases)
+                      //   — leave the loud error
+                      else {
+                        val arr = exParsed match {
+                          case None =>
+                            s"collect_list(struct(($pred) AS gxp, " +
+                              s"($inner) AS gxv)) OVER $over"
+                          case Some((specClean, mode, orderKeys)) =>
+                            val k = s"struct(${orderKeys.mkString(", ")})"
+                            val c = s"collect_list(struct($k AS gxk, " +
+                              s"($pred) AS gxp, ($inner) AS gxv)) " +
+                              s"OVER ($specClean)"
+                            val curT = s"struct($k AS gxk, ($pred) AS gxp, " +
+                              s"($inner) AS gxv)"
+                            val pos = s"array_position($c, $curT)"
+                            mode match {
+                              case "NO OTHERS" => c
+                              case "CURRENT ROW" =>
+                                // remove ONE instance of the row's own
+                                // element by position (identical tuples
+                                // are interchangeable)
+                                s"(CASE WHEN $pos IS NULL OR $pos = 0 " +
+                                  s"THEN $c ELSE concat(" +
+                                  s"slice($c, 1, CAST($pos AS INT) - 1), " +
+                                  s"slice($c, CAST($pos AS INT) + 1, " +
+                                  s"greatest(0, size($c) - CAST($pos AS INT)))) END)"
+                              case "GROUP" =>
+                                s"filter($c, gx_s -> gx_s.gxk IS DISTINCT FROM $k)"
+                              case _ => // TIES: drop peers, keep one
+                                // instance of the row's own element AT
+                                // ITS POSITION (index-aware filter)
+                                s"(CASE WHEN $pos IS NULL OR $pos = 0 " +
+                                  s"THEN filter($c, gx_s -> gx_s.gxk IS DISTINCT FROM $k) " +
+                                  s"ELSE filter($c, (gx_s, gx_i) -> " +
+                                  s"gx_s.gxk IS DISTINCT FROM $k OR " +
+                                  s"gx_i = CAST($pos AS INT) - 1) END)"
+                            }
+                        }
+                        val kept = s"filter($arr, gx_s -> gx_s.gxp)"
+                        val repl = fnU match {
+                          case "FIRST" | "ARBITRARY" =>
+                            s"try_element_at($kept, 1).gxv"
+                          case "LAST" => s"try_element_at($kept, -1).gxv"
+                          case "ANY_VALUE" => // DuckDB: first NON-NULL value
+                            s"try_element_at(filter($arr, gx_s -> gx_s.gxp" +
+                              s" AND gx_s.gxv IS NOT NULL), 1).gxv"
+                          case _ => // ARRAY_AGG / LIST: empty → NULL
+                            s"(CASE WHEN size($kept) = 0 THEN NULL " +
+                              s"ELSE transform($kept, gx_s -> gx_s.gxv) END)"
+                        }
+                        sb.setLength(start)
+                        sb.append(repl)
+                        resume
                       }
-                      sb.setLength(start)
-                      sb.append(repl)
-                      resume
                     case None => i
                   }
                 } else i
@@ -2620,6 +2719,96 @@ object Dialect {
     * QUALIFY, rewrites its innermost enclosing parenthesized scope, and
     * repeats until none remain (subqueries, CTB bodies, etc.).
     */
+  /** Conditional named-WINDOW inlining. Spark executes `WINDOW w AS
+    * (spec)` natively, but the engine's STRUCTURAL window rewrites —
+    * EXCLUDE frames, GROUPS frames, the window-FILTER collect fold —
+    * operate on inline `OVER (spec)` text and cannot see a spec hidden
+    * behind a name (the EXCLUDE pass matches `OVER (`, the GROUPS pass
+    * bails on scopes with WINDOW clauses, and the collect fold must
+    * rebind the window onto its inner collect_list). The r12 dedicated
+    * fuzz sweep measured exactly those compositions failing to parse.
+    *
+    * When a scope's WINDOW clause needs one of those rewrites — a def
+    * contains a top-level EXCLUDE or a GROUPS frame, or the scope has
+    * an aggregate `FILTER` near an `OVER <name>` reference — every
+    * `OVER <name>` in the scope is replaced with `OVER (spec)` and the
+    * clause is dropped (semantically identical by SQL:2003 §7.11;
+    * windows are per-SELECT). Otherwise the clause is left for Spark.
+    * Nested subqueries are separate scopes and resolve their own
+    * WINDOW clauses on later loop iterations; a nested scope redefining
+    * an OUTER scope's window name is not special-cased (names do not
+    * scope across SELECTs in either engine, so the reference would be
+    * invalid anyway).
+    */
+  private val windowDefRe =
+    """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.*)\)$""".r
+  private def rewriteNamedWindows(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var searchFrom = 0
+    while (guard < 32) {
+      guard += 1
+      val rel = indexOfAnyDepth(cur.substring(searchFrom), " WINDOW ")
+      if (rel < 0) return cur
+      val wi = searchFrom + rel
+      val (s0, e0) = scopeBounds(cur, wi)
+      val scope = cur.substring(s0, e0)
+      val wiS = wi - s0
+      if (indexOfTopLevel(scope, " WINDOW ") != wiS) { searchFrom = wi + 1 }
+      else {
+        val rest = scope.substring(wiS + " WINDOW ".length)
+        val tailIdx = Seq(" ORDER BY ", " LIMIT ", " OFFSET ",
+          " UNION ", " INTERSECT ", " EXCEPT ")
+          .map(k => indexOfTopLevel(rest, k)).filter(_ >= 0)
+          .sorted.headOption.getOrElse(rest.length)
+        val defs = splitTopLevel(rest.substring(0, tailIdx), ',')
+          .map(p => windowDefRe.findFirstMatchIn(p.trim)
+            .map(m => (m.group(1), m.group(2).trim)))
+        if (defs.isEmpty || defs.exists(_.isEmpty)) { searchFrom = wi + 1 }
+        else {
+          val ds = defs.flatten
+          val head = scope.substring(0, wiS)
+          val tail = rest.substring(tailIdx)
+          def refRegex(n: String) =
+            ("""(?is)\bOVER\s+""" + java.util.regex.Pattern.quote(n) +
+              """\b""").r
+          val needsInline =
+            ds.exists { case (_, spec) =>
+              indexOfTopLevel(spec, " EXCLUDE ") >= 0 ||
+                """(?is).*\bGROUPS\s+(BETWEEN|UNBOUNDED|CURRENT|\d).*"""
+                  .r.matches(spec)
+            } || (("""(?is).*\bFILTER\s*\(.*""".r.matches(head)) &&
+              ds.exists { case (n, _) => refRegex(n).findFirstIn(head).isDefined })
+          if (!needsInline) { searchFrom = wi + 1 }
+          else {
+            def inline(text: String): String =
+              scanOutsideLiterals(text) { (i, sb) =>
+                if (!(wordStart(text, i) &&
+                    text.regionMatches(true, i, "OVER", 0, 4))) i
+                else {
+                  var j = i + 4
+                  while (j < text.length && text.charAt(j).isWhitespace) j += 1
+                  var e = j
+                  while (e < text.length && (text.charAt(e).isLetterOrDigit ||
+                      text.charAt(e) == '_')) e += 1
+                  val name = text.substring(j, e)
+                  ds.find(_._1.equalsIgnoreCase(name)) match {
+                    case Some((_, spec)) if e > j =>
+                      sb.append(s"OVER ($spec)"); e
+                    case _ => i
+                  }
+                }
+              }
+            cur = cur.substring(0, s0) + inline(head) + inline(tail) +
+              cur.substring(e0)
+            searchFrom = s0
+          }
+        }
+      }
+    }
+    cur
+  }
+
   private def rewriteQualify(sql: String): String = {
     var cur = sql
     var guard = 0

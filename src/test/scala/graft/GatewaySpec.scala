@@ -1930,6 +1930,58 @@ class GatewaySpec extends AnyFunSuite {
     gw.sql("RESET VARIABLE r11q")
   }
 
+  test("round-12: window FILTER collect path × EXCLUDE frames × named windows (fuzz holes pinned)") {
+    // the r12 dedicated 500-case sweep found two parse-error classes:
+    // (a) a named WINDOW whose def carries EXCLUDE/GROUPS (the
+    // structural rewrites couldn't see the spec behind the name — now
+    // inlined by rewriteNamedWindows), and (b) EXCLUDE composed with
+    // the collect-over-frame FILTER fold (now stripped and applied
+    // order-preservingly inside the fold). Values pinned against
+    // DuckDB 1.0 on a 5-row fixture:
+    //   rows (g=1, v=1..5, s='a'..'e'), ORDER BY v,
+    //   frame ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW
+    //   pred: v % 2 = 0 (b, d pass)
+    val r = gw.sql(
+      """SELECT v,
+        |  array_agg(s) FILTER (WHERE v % 2 = 0) OVER w AS aa,
+        |  any_value(s) FILTER (WHERE v % 2 = 0) OVER w AS av,
+        |  count(*) FILTER (WHERE v % 2 = 0) OVER w AS c
+        |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'), (5, 'e')) t(v, s)
+        |WINDOW w AS (ORDER BY v ASC
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+        |ORDER BY v""".stripMargin).collect()
+    def aa(i: Int) = Option(r(i).getSeq[String](1)).getOrElse(Seq())
+    // frames minus current row: v=1 sees {b} pass; v=2 sees {} (b is
+    // excluded as the current row); v=3 sees {b,d}; v=4 sees {}; v=5 sees {d}
+    assert(aa(0) == Seq("b") && aa(1) == Seq() && aa(2) == Seq("b", "d") &&
+      aa(3) == Seq() && aa(4) == Seq("d"))
+    assert(r(2).getString(2) == "b") // any_value: FIRST passing non-null, order preserved
+    assert(r.map(_.getLong(3)).toSeq == Seq(1L, 0L, 2L, 0L, 1L))
+    // EXCLUDE TIES keeps the current row but drops its peers; tied key
+    // (v % 2) makes peer groups real (RANGE UNBOUNDED..CURRENT ROW is
+    // peer-aligned, so this is the GROUPS-equivalent shape DuckDB 1.0
+    // can pin — 1.0 has no GROUPS mode): [3,1,3,1,2]
+    val t = gw.sql(
+      """SELECT v,
+        |  coalesce(len(list(s) FILTER (WHERE v < 5) OVER w), -1) AS c
+        |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'), (5, 'e')) t(v, s)
+        |WINDOW w AS (ORDER BY (v % 2) ASC
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)
+        |ORDER BY v""".stripMargin).collect()
+    // peer groups: evens {2,4} first, odds {1,3,5} second. For v=2:
+    // frame = its own group minus peers + itself = {2} → 1 passing;
+    // v=4 same → 1. For odd v: frame = evens + own group minus peers +
+    // self = {2,4,v} → v=5 fails pred → c=2; v=1,3 → 3.
+    assert(t.map(_.getLong(1)).toSeq == Seq(3L, 1L, 3L, 1L, 2L))
+    // GROUPS composed with EXCLUDE stays the same loud-error residual
+    // it is for plain aggregates (the GROUPS text pass cannot rewrite
+    // the duplicated window occurrences the exclusion arms emit)
+    intercept[Exception](gw.sql(
+      """SELECT v, list(s) FILTER (WHERE v < 5) OVER (ORDER BY (v % 2)
+        |  GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS c
+        |FROM (VALUES (1, 'a'), (2, 'b')) t(v, s)""".stripMargin).collect())
+  }
+
   test("round-12: arg_min/arg_max(a, v, n) OVER w — window hoisted onto the top-n aggregate") {
     // DuckDB >= 1.1 window form (no 1.0 oracle — spec-pinned like the
     // non-window top-n family): the registry expands the call to

@@ -26,9 +26,12 @@ SF = "/root/testdata/sf0.001"
 
 def main():
     global SF
+    pin_shape = None
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             SF = a[len("--sf="):]
+        if a.startswith("--shape="):  # dedicated single-shape sweep
+            pin_shape = int(a[len("--shape="):])
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if len(args) > 0 else 200
     seed = int(args[1]) if len(args) > 1 else 8
@@ -79,7 +82,7 @@ def main():
               " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
 
     def gen(rng):
-        shape = rng.randrange(19)
+        shape = pin_shape if pin_shape is not None else rng.randrange(19)
         if shape == 18:  # r11: list_* stat sugar + pragma TVFs composed
             # relationally (VERDICT r10 item 7 — the stage-3/4 shims were
             # audited as isolated calls only)
@@ -136,22 +139,65 @@ def main():
                 # (DuckDB 1.0 answers these; its parser rejects the
                 # first/last spellings, which share the arbitrary path
                 # and are GatewaySpec-pinned instead)
+                # r12 (VERDICT item 8): composed with EXCLUDE frames,
+                # GROUPS frames, TIED order keys (so EXCLUDE GROUP/TIES
+                # actually excludes peers), and NAMED WINDOW references
+                # — the rewriteWindowFilter fold text-manipulates
+                # OVER (...) refs and named windows, so these
+                # compositions are its adversarial surface.
                 cfn = rng.choice(["arbitrary", "any_value"])
                 cframe = rng.choice([
                     "", " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
                     " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
-                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
-                wc = (f"OVER ({part}ORDER BY n_nationkey ASC{cframe})")
-                if rng.random() < 0.5:
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                    " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW",
+                    " ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP",
+                    " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES",
+                    " GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+                    " GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES",
+                    " GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP"])
+                # TRUE peer groups need a tied ordering with NO unique
+                # tail — but then collect ORDER is engine-dependent, so
+                # that branch projects only order-INSENSITIVE results
+                # (lengths); the order-sensitive projections below keep
+                # a unique tail (peers become singletons — still
+                # exercises the EXCLUDE/named-window text rewrites)
+                if rng.random() < 0.35:
+                    pokey = rng.choice(["(n_nationkey % 5)", "(n_nationkey % 3)",
+                                        "n_regionkey"])
+                    pspec = f"{part}ORDER BY {pokey} ASC{cframe}"
+                    pnamed = rng.random() < 0.5
+                    pwc = "OVER w" if pnamed else f"OVER ({pspec})"
+                    pwdef = f" WINDOW w AS ({pspec})" if pnamed else ""
+                    lfn0 = rng.choice(["array_agg", "list"])
                     return (f"SELECT n_nationkey, "
-                            f"{cfn}(n_name) FILTER (WHERE {pred}) {wc} AS w "
-                            f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+                            f"coalesce(len({lfn0}(n_name) FILTER (WHERE {pred}) {pwc}), -1) AS c1, "
+                            f"count(*) FILTER (WHERE {pred}) {pwc} AS c2 "
+                            f"FROM nation{pwdef} "
+                            f"ORDER BY n_nationkey ASC NULLS LAST")
+                cokey = rng.choice(["n_nationkey", "(n_nationkey % 5)",
+                                    "(n_nationkey % 3)"])
+                tie = "" if cokey == "n_nationkey" else ", n_nationkey ASC"
+                spec = f"{part}ORDER BY {cokey} ASC{tie}{cframe}"
+                named = rng.random() < 0.5
+                wc = "OVER w" if named else f"OVER ({spec})"
+                wdef = f" WINDOW w AS ({spec})" if named else ""
+                if rng.random() < 0.5:
+                    # two collect-path aggregates referencing the SAME
+                    # named window when named
+                    return (f"SELECT n_nationkey, "
+                            f"{cfn}(n_name) FILTER (WHERE {pred}) {wc} AS w1, "
+                            f"{cfn}(left(n_name, 2)) FILTER "
+                            f"(WHERE n_regionkey > 0) {wc} AS w2 "
+                            f"FROM nation{wdef} "
+                            f"ORDER BY n_nationkey ASC NULLS LAST")
                 lfn = rng.choice(["array_agg", "list"])
                 return (f"SELECT n_nationkey, "
                         f"coalesce(len({lfn}(n_name) FILTER (WHERE {pred}) {wc}), -1) AS c, "
                         f"array_to_string({lfn}(left(n_name, 2)) "
                         f"FILTER (WHERE {pred}) {wc}, '|') AS s "
-                        f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+                        f"FROM nation{wdef} "
+                        f"ORDER BY n_nationkey ASC NULLS LAST")
             if rng.random() < 0.3:  # grouped FILTER under grouping sets
                 g = rng.choice(["ROLLUP(n_regionkey)",
                                 "GROUPING SETS ((n_regionkey), ())",
