@@ -3072,13 +3072,28 @@ object Dialect {
     val aggStart = operandStart(sql, overStart)
     if (aggStart < 0) return None
     val aggText = sql.substring(aggStart, overStart).trim
-    val (fn, arg) = aggCallRe.findFirstMatchIn(aggText) match {
+    val (fn, arg0) = aggCallRe.findFirstMatchIn(aggText) match {
       case Some(m) => (m.group(1).toUpperCase, m.group(2).trim)
       case None => return None
     }
-    if (!Set("SUM", "COUNT", "AVG", "MIN", "MAX",
-        "BOOL_AND", "BOOL_OR").contains(fn)) return None
-    if (arg.toUpperCase.startsWith("DISTINCT")) return None
+    // the collect family is ORDER-SENSITIVE: its TIES arm must keep the
+    // row's own element at its position (index-aware filter) instead of
+    // the append-at-the-end the subtractable aggregates tolerate
+    val orderSensitive = Set("ARRAY_AGG", "LIST", "COLLECT_LIST",
+      "FIRST", "ARBITRARY", "LAST", "ANY_VALUE", "STRING_AGG")
+    if (!(Set("SUM", "COUNT", "AVG", "MIN", "MAX",
+        "BOOL_AND", "BOOL_OR").contains(fn) || orderSensitive(fn)))
+      return None
+    if (arg0.toUpperCase.startsWith("DISTINCT")) return None
+    // string_agg(x, sep): two args — the separator stays a literal tail
+    val (arg, sepArg) =
+      if (fn == "STRING_AGG") splitTopLevel(arg0, ',').map(_.trim) match {
+        case Seq(a, s) => (a, Some(s))
+        case Seq(a) => (a, Some("','")) // DuckDB's 1-arg default separator
+        case _ => return None
+      } else (arg0, None)
+    if (fn != "STRING_AGG" && splitTopLevel(arg, ',').lengthIs > 1)
+      return None
     val isStar = arg == "*"
     if (isStar && fn != "COUNT") return None
     val obIdx = indexOfTopLevel(specClean, " ORDER BY ") match {
@@ -3112,7 +3127,18 @@ object Dialect {
            |END)""".stripMargin.replaceAll("\\s+", " ")
       case "GROUP" =>
         s"filter($arr, gx_s -> gx_s.k IS DISTINCT FROM $k)"
-      case _ => // TIES
+      case _ if orderSensitive(fn) => // TIES, order-preserving: drop
+        // peers but keep one instance of the row's own element AT ITS
+        // POSITION (identical (k, v) pairs are interchangeable, so the
+        // first instance stands in exactly)
+        s"""(CASE WHEN array_position($arr, $cur) IS NULL
+           | OR array_position($arr, $cur) = 0
+           |THEN filter($arr, gx_s -> gx_s.k IS DISTINCT FROM $k)
+           |ELSE filter($arr, (gx_s, gx_i) -> gx_s.k IS DISTINCT FROM $k
+           | OR gx_i = CAST(array_position($arr, $cur) AS INT) - 1)
+           |END)""".stripMargin.replaceAll("\\s+", " ")
+      case _ => // TIES (order-insensitive aggregates): peers out, the
+        // row's own pair back — position immaterial under sum/min/etc.
         s"""(CASE WHEN array_position($arr, $cur) IS NULL
            | OR array_position($arr, $cur) = 0
            |THEN filter($arr, gx_s -> gx_s.k IS DISTINCT FROM $k)
@@ -3141,6 +3167,20 @@ object Dialect {
       case "BOOL_AND" => s"array_min($vlist)"
       case "BOOL_OR" => s"array_max($vlist)"
       case "SUM" => sumOf(nn)
+      // collect family (r12, DuckDB 1.0-pinned): list/array_agg KEEP
+      // NULL elements and answer NULL (not []) on an emptied frame;
+      // first/last are positional INCLUDING NULLs; any_value is the
+      // first NON-NULL; string_agg skips NULLs, casts to text, and
+      // answers NULL on empty — all in frame order, which the
+      // order-preserving arms above maintain
+      case "ARRAY_AGG" | "LIST" | "COLLECT_LIST" =>
+        s"(CASE WHEN size($vlist) = 0 THEN NULL ELSE $vlist END)"
+      case "FIRST" | "ARBITRARY" => s"try_element_at($vlist, 1)"
+      case "LAST" => s"try_element_at($vlist, -1)"
+      case "ANY_VALUE" => s"try_element_at($nn, 1)"
+      case "STRING_AGG" =>
+        s"(CASE WHEN size($nn) = 0 THEN NULL ELSE array_join(" +
+          s"transform($nn, gx_x -> CAST(gx_x AS STRING)), ${sepArg.get}) END)"
       case _ => // AVG — DuckDB returns DOUBLE
         s"(CAST(${sumOf(nn)} AS DOUBLE) / NULLIF(size($nn), 0))"
     }

@@ -214,8 +214,13 @@ object DedupOps {
     // shingle → md5 → per-slice minima in one loop, no intermediate
     // arrays); computes exactly what the declarative shingle+md5+minhash
     // chain computes, so the oracle SQL is unchanged
+    // the signature kernel is BARRIERED: the optimizer otherwise
+    // substitutes it into the inferred explode filter (size>0,
+    // isnotnull) below — 3 evaluations per document (the r12
+    // OptimizerBarrier lesson, measured on the IVF assignment)
     val sig = corpus.select(col("doc_id"),
-      graft.engine.GraftColumns.minhashSig(col("text"), K).as("sig"))
+      graft.engine.expressions.OptimizerBarrier(
+        graft.engine.GraftColumns.minhashSig(col("text"), K)).as("sig"))
     // one generator pass, NOT a 4-way union (a union would re-run the
     // whole signature computation once per band); cached because the
     // bucket self-join reads this relation twice — without it every
@@ -441,7 +446,8 @@ object DedupOps {
     val sh = graft.engine.CacheOnce(s"$tag/sh",
       corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
     val sig = corpus.select(col("doc_id"),
-      graft.engine.GraftColumns.minhashSig(col("text"), K).as("sig"))
+      graft.engine.expressions.OptimizerBarrier( // 3×-eval guard, as above
+        graft.engine.GraftColumns.minhashSig(col("text"), K)).as("sig"))
     val bands = graft.engine.CacheOnce(s"$tag/bands",
       sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))

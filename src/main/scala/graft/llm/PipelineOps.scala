@@ -414,7 +414,8 @@ object PipelineOps {
     val sh = graft.engine.CacheOnce("pipe_compact/sh",
       exact.select(col("doc_id"), D.shinglesPadded(col("text")).as("sh")))
     val sig = exact.select(col("doc_id"),
-      graft.engine.GraftColumns.minhashSig(col("text"), D.K).as("sig"))
+      graft.engine.expressions.OptimizerBarrier( // 3×-eval guard (r12)
+        graft.engine.GraftColumns.minhashSig(col("text"), D.K)).as("sig"))
     val bands = graft.engine.CacheOnce("pipe_compact/bands",
       sig.select(col("doc_id"), explode(D.bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
@@ -510,7 +511,8 @@ object PipelineOps {
   ) { s =>
     import graft.engine.expressions.VectorMath.dot
     val sigs = s.table("embeddings")
-      .select(col("vec_id"), SimilarityOps.hyperplaneSig(col("embedding"), 12).as("sig"))
+      .select(col("vec_id"), graft.engine.expressions.OptimizerBarrier(
+        SimilarityOps.hyperplaneSig(col("embedding"), 12)).as("sig"))
     // 2 bands × 6 bits in ONE generator pass (the dd_minhash_lsh band
     // layout); lshCandidates brings the hot-bucket star guard with it
     val bands = sigs

@@ -515,11 +515,18 @@ object TextOps {
       transform(sequence(lit(1), n - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast(ArrayType(StringType)))
+    // the gram kernels are BARRIERED below their explodes: the
+    // optimizer otherwise substitutes them into the inferred generator
+    // filters — 3 evaluations per document (r12 OptimizerBarrier
+    // lesson; the bigram transform and the tokenizer are the per-doc
+    // hot kernels of this operator)
     val big = graft.engine.CacheOnce(s"$tag/big",
-      docs.select(col("doc_id"), explode(bigrams).as("bg")))
+      docs.select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(bigrams).as("__bg"))
+        .select(col("doc_id"), explode(col("__bg")).as("bg")))
     val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val uc = graft.engine.CacheOnce(s"$tag/uc",
-      docs.select(explode(toks).as("w"))
+      docs.select(graft.engine.expressions.OptimizerBarrier(toks).as("__t"))
+        .select(explode(col("__t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cu")))
     val v = uc.agg(count(lit(1)).as("v"))
     val terms = big
@@ -594,7 +601,8 @@ object TextOps {
         i => md5(concat_ws(" ", slice(toks, i, lit(10))).cast(BinaryType))))
       .otherwise(array().cast(ArrayType(StringType)))
     val g = graft.engine.CacheOnce(s"$tag/g",
-      docs.select(col("doc_id"), explode(grams).as("h")))
+      docs.select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(grams).as("__g")) // 3×-eval guard (r12)
+        .select(col("doc_id"), explode(col("__g")).as("h")))
     // only the DUPLICATED digests come back to the gram relation: an
     // inner join with the full per-digest counts sort-merged the whole
     // gram relation (95M rows / 2.9 GB of sort spill at the 100× tier);
@@ -668,9 +676,12 @@ object TextOps {
   ) { s =>
     val docs = s.table("documents")
     val toks = split(col("text"), " ")
-    val tfc = docs.select(col("lang"), explode(toks).as("term"))
+    val tfc = docs.select(col("lang"), graft.engine.expressions.OptimizerBarrier(toks).as("__t")) // 3×-eval guard
+      .select(col("lang"), explode(col("__t")).as("term"))
       .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfc = docs.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+    val dfc = docs
+      .select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(array_distinct(toks)).as("__t"))
+      .select(col("doc_id"), explode(col("__t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tfc.join(dfc, "term").crossJoin(broadcast(n))

@@ -307,8 +307,6 @@ def main():
                     f"FROM orders WHERE o_orderkey % {rng.randint(2, 5)} = 0 "
                     f"GROUP BY {key} ORDER BY k ASC NULLS LAST LIMIT 24")
         if shape == 9:  # EXCLUDE / GROUPS frames (hand-rolled rewrites)
-            agg = rng.choice(["sum(n_nationkey)", "count(*)",
-                              "min(n_nationkey)", "max(n_regionkey)"])
             frame = rng.choice([
                 "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW",
                 "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP",
@@ -317,6 +315,33 @@ def main():
                 "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
             part = rng.choice(["PARTITION BY n_regionkey ", ""])
             okey = rng.choice(["n_nationkey", "(n_nationkey % 5)"])
+            if rng.random() < 0.4:  # r12: the ORDER-SENSITIVE collect
+                # family under EXCLUDE (plain, no FILTER) — total order
+                # (unique tail) keeps frame order engine-independent;
+                # RANGE over a tied key covers the peer-aligned case
+                # with an order-insensitive projection
+                if rng.random() < 0.3:
+                    return (f"SELECT n_nationkey, "
+                            f"coalesce(len(list(n_name) OVER ({part}"
+                            f"ORDER BY (n_nationkey % 4) ASC RANGE BETWEEN "
+                            f"UNBOUNDED PRECEDING AND CURRENT ROW "
+                            f"EXCLUDE {rng.choice(['GROUP', 'TIES'])})), -1) AS c "
+                            f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+                tokey = okey if okey == "n_nationkey" else f"{okey} ASC, n_nationkey"
+                spec = f"{part}ORDER BY {tokey} ASC {frame}"
+                cagg = rng.choice([
+                    "array_to_string(array_agg(left(n_name, 2)) OVER ({0}), '|')",
+                    "array_to_string(list(n_name) OVER ({0}), '+')",
+                    "first(n_name) OVER ({0})",
+                    "last(n_name) OVER ({0})",
+                    "any_value(n_name) OVER ({0})",
+                    "string_agg(n_name, '/') OVER ({0})",
+                    "string_agg(n_nationkey, '-') OVER ({0})",
+                ]).format(spec)
+                return (f"SELECT n_nationkey, coalesce({cagg}, '-') AS w "
+                        f"FROM nation ORDER BY n_nationkey ASC NULLS LAST")
+            agg = rng.choice(["sum(n_nationkey)", "count(*)",
+                              "min(n_nationkey)", "max(n_regionkey)"])
             return (f"SELECT n_nationkey, {agg} OVER ({part}"
                     f"ORDER BY {okey} ASC {frame}) AS w FROM nation "
                     f"ORDER BY n_nationkey ASC NULLS LAST")
