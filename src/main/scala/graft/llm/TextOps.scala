@@ -529,16 +529,32 @@ object TextOps {
         .select(explode(col("__t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cu")))
     val v = uc.agg(count(lit(1)).as("v"))
-    val terms = big
-      .join(bc, "bg")
+    // lp is a function of the BIGRAM alone, so the smoothing join
+    // (bc⨝uc⨝v) runs at DISTINCT-GRAM scale — the former spelling
+    // joined the occurrence stream twice (big⨝bc on bg, then ⨝uc on
+    // the first word), putting the second join at occurrence scale.
+    // The occurrence stream now touches exactly one join (bg → lp) and
+    // one aggregation (doc_id); values are bit-identical (the same
+    // round(lp,9)::DECIMAL term sums per occurrence either way).
+    // Deliberately NOT pre-aggregated to (doc_id, bg, c): measured at
+    // the 100× tier the per-doc dedup doesn't collapse (word-soup docs
+    // repeat few bigrams) while the extra (doc_id, bg) hash shuffle
+    // costs +700 MB. The trained model is CacheOnce'd: the two-join
+    // lineage hides its size from the planner (measured: the scoring
+    // join planned as a sort-merge and shuffled the 95M-row occurrence
+    // stream); materialized stats let Catalyst broadcast a small model
+    // and shuffle a genuinely large one — the same adaptive behavior
+    // the former per-occurrence spelling got from joining bc/uc raw.
+    val lpByBg = graft.engine.CacheOnce(s"$tag/lp", bc
       .join(uc, element_at(split(col("bg"), " "), 1) === col("w"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
-        round(log((col("cb") + 1.0) / (col("cu") + col("v"))), 9).as("lp"))
-    val sc = terms.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_bigrams"),
-      (sum(col("lp").cast(DecimalType(28, 9))).cast(DoubleType) /
-        count(lit(1))).as("alp"))
+      .select(col("bg"),
+        round(log((col("cb") + 1.0) / (col("cu") + col("v"))), 9)
+          .cast(DecimalType(28, 9)).as("lp")))
+    val sc = big.join(lpByBg, "bg")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast(DoubleType) / count(lit(1))).as("alp"))
     docs.select(col("doc_id"))
       .join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"),
