@@ -41,7 +41,7 @@ object Dialect {
     rewritePercentileDisc, rewriteStarModifiers,
     rewriteDistinctOn, rewriteAsOf, rewriteExcludeFrames, rewriteGroupsFrame,
     rewriteQualify, rewriteCatalogFns,
-    rewriteDateDiff, rewriteCastTypes, rewriteFetchFirst,
+    rewriteDateDiff, rewriteJsonCastType, rewriteCastTypes, rewriteFetchFirst,
     rewriteQueryTable, rewriteFillWindow, rewriteIcuCollate)
 
   def rewrite(sql: String): String =
@@ -1539,6 +1539,135 @@ object Dialect {
       } else i += 1
     }
     sql
+  }
+
+  /** DuckDB JSON type casts: `x::JSON` and `[TRY_]CAST(x AS JSON)` →
+    * `graft_json_cast(x)` — a VARCHAR validates (malformed input errors
+    * like DuckDB's cast) and keeps its ORIGINAL text (`::JSON` does NOT
+    * canonicalize — pinned: `' {"b" : 2} '::JSON` keeps its spacing,
+    * unlike `json()`); non-string types serialize through the `json()`
+    * builder. TRY_CAST wraps in `try()` for its NULL-on-malformed
+    * contract. The `::`-form LHS backtrack covers identifier chains,
+    * string literals, and balanced `()`/`[]` groups (with any call-name
+    * prefix) — a group containing a quote bails to the loud native
+    * unsupported-type error rather than risk mis-scanning a literal.
+    */
+  private val castBodyJsonRe = """(?is)^(.*)\bAS\s+JSON\s*$""".r
+  private def rewriteJsonCastType(sql: String): String = {
+    val up = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else if ((up.startsWith("TRY_CAST", i) || up.startsWith("CAST", i)) &&
+          wordStart(sql, i)) {
+        val isTry = up.startsWith("TRY_CAST", i)
+        val nameLen = if (isTry) 8 else 4
+        var k = i + nameLen
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k < sql.length && sql.charAt(k) == '(') {
+          splitCallArgs(sql, k) match {
+            case Some((_, end)) =>
+              val body = sql.substring(k + 1, end - 1)
+              castBodyJsonRe.findFirstMatchIn(body) match {
+                case Some(m) =>
+                  val inner = m.group(1)
+                  val repl =
+                    if (isTry) s"try(graft_json_cast($inner))"
+                    else s"graft_json_cast($inner)"
+                  return rewriteJsonCastType(
+                    sql.substring(0, i) + repl + sql.substring(end))
+                case None => i = k + 1 // scan inside for nested casts
+              }
+            case None => i += nameLen
+          }
+        } else i += nameLen
+      } else if (sql.startsWith("::", i)) {
+        var k = i + 2
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        var j = k
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          sql.charAt(j) == '_')) j += 1
+        val isJson = sql.substring(k, j).equalsIgnoreCase("JSON") &&
+          (j >= sql.length || (sql.charAt(j) != '(' && sql.charAt(j) != '['))
+        val lhsStart = if (isJson) jsonCastLhsStart(sql, i) else -1
+        if (lhsStart >= 0) {
+          return rewriteJsonCastType(
+            sql.substring(0, lhsStart) + "graft_json_cast(" +
+              sql.substring(lhsStart, i) + ")" + sql.substring(j))
+        } else i = j.max(i + 2)
+      } else i += 1
+    }
+    sql
+  }
+
+  /** Start index of the primary expression ending just before `end`
+    * (the `::` position), or -1 when unrecognized: trailing balanced
+    * `()`/`[]` groups (matched by a FORWARD scan from 0 with
+    * consumeOpaque, so literals/comments inside a group never
+    * mis-balance), then an identifier/dotted chain or a string literal.
+    */
+  private def jsonCastLhsStart(sql: String, end: Int): Int = {
+    var k = end
+    while (k > 0 && sql.charAt(k - 1).isWhitespace) k -= 1
+    // balanced trailing groups: f(x)::, (a + 'b')::, arr[i]::
+    var sawGroup = false
+    while (k > 0 && (sql.charAt(k - 1) == ')' || sql.charAt(k - 1) == ']')) {
+      val start = groupOpenPos(sql, k - 1)
+      if (start < 0) return -1
+      k = start
+      sawGroup = true
+    }
+    if (k > 0 && sql.charAt(k - 1) == '\'' && !sawGroup) {
+      // string literal LHS (only when not preceded by a group)
+      var q = k - 2
+      while (q >= 0) {
+        if (sql.charAt(q) == '\'') {
+          if (q > 0 && sql.charAt(q - 1) == '\'') q -= 2 // '' escape
+          else return q
+        } else q -= 1
+      }
+      -1
+    } else {
+      var q = k
+      while (q > 0 && (Character.isLetterOrDigit(sql.charAt(q - 1)) ||
+        sql.charAt(q - 1) == '_' || sql.charAt(q - 1) == '.')) q -= 1
+      // an expression-TERMINATING keyword is not a primary: `CASE …
+      // END::JSON` must not wrap only `END` (parenthesize instead)
+      if (q < k && sql.substring(q, k).equalsIgnoreCase("END")) -1
+      else if (q < k) q
+      else if (sawGroup) k // bare (expr) group with no name prefix
+      else -1
+    }
+  }
+
+  /** Open position of the `()`/`[]` group whose CLOSER sits at
+    * `closeIdx`, found by a forward scan (consumeOpaque skips
+    * literals/comments, so brackets inside them never count); -1 when
+    * `closeIdx` is not a tracked closer (e.g. inside an unterminated
+    * construct).
+    */
+  private def groupOpenPos(sql: String, closeIdx: Int): Int = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i <= closeIdx) {
+      val opaque = consumeOpaque(sql, i, null)
+      if (opaque > i) i = opaque
+      else {
+        val c = sql.charAt(i)
+        if (c == '(' || c == '[') stack += i
+        else if (c == ')' || c == ']') {
+          if (stack.isEmpty) return -1
+          val open = stack.remove(stack.length - 1)
+          val matches = (c == ')' && sql.charAt(open) == '(') ||
+            (c == ']' && sql.charAt(open) == '[')
+          if (!matches) return -1
+          if (i == closeIdx) return open
+        }
+        i += 1
+      }
+    }
+    -1
   }
 
   /** `TIMESTAMPTZ` type name → Spark's `TIMESTAMP_LTZ` (literals and

@@ -418,6 +418,21 @@ object Functions {
           org.apache.spark.sql.types.StringType, "canon", Seq(j),
           Seq(org.apache.spark.sql.types.StringType))
     },
+    // x::JSON / [TRY_]CAST(x AS JSON), dialect-rewritten to this call:
+    // a VARCHAR validates and keeps its ORIGINAL text (DuckDB's JSON
+    // cast errors on malformed input and does NOT canonicalize — the
+    // json() function does); non-string types serialize like json()
+    "graft_json_cast" -> {
+      case Seq(j) if j.resolved && (j.dataType match {
+            case org.apache.spark.sql.types.StringType => false
+            case _ => true
+          }) =>
+        call("json", Seq(j))
+      case Seq(j) =>
+        StaticInvoke(graft.engine.expressions.JsonIntrospect.getClass,
+          org.apache.spark.sql.types.StringType, "validateJson", Seq(j),
+          Seq(org.apache.spark.sql.types.StringType))
+    },
     // json_quote: the value's JSON text form; json_array/json_object:
     // constructors built from per-element JSON forms (a Spark array
     // literal would coerce mixed types first — probe-19)
@@ -1222,11 +1237,11 @@ object Functions {
     // (session_user is a Spark builtin — its 'duckdb' stub lives in
     // the OVERRIDES with user/current_user)
     "json_group_structure" -> { case Seq(j) =>
-      // merged group structure approximated by the first value's
-      // structure — exact for uniform groups (the common introspection
-      // use); mixed-shape groups are a documented approximation
-      call("json_structure", Seq(call("any_value", Seq(Cast(j,
-        org.apache.spark.sql.types.StringType))))) },
+      // true merged group structure (was a first-value approximation
+      // until r12): one structure-tree state per group, unify as
+      // update/merge — expressions/DuckAggs.JsonGroupStructureAgg
+      graft.engine.expressions.JsonGroupStructureAgg(Cast(j,
+        org.apache.spark.sql.types.StringType)) },
     "pg_conf_load_time" -> { case Seq() => call("current_timestamp", Nil) },
     "pg_postmaster_start_time" -> { case Seq() => call("current_timestamp", Nil) },
     "map_to_pg_oid" -> { case Seq(_) => nullLit },

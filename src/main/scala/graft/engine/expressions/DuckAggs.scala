@@ -259,3 +259,71 @@ case class MadAgg(
   override protected def withNewChildInternal(newChild: Expression): MadAgg =
     copy(child = newChild)
 }
+
+/** DuckDB `json_group_structure(j)`: the unified `json_structure` of
+  * every value in the group. Semantics pinned against DuckDB 1.0
+  * (GapProbe sweeps): SQL NULL rows contribute the `"NULL"` type (a
+  * single-NULL group answers `"NULL"`, not SQL NULL), the NULL type
+  * absorbs into anything, numerics widen UBIGINT<BIGINT<DOUBLE, objects
+  * merge keys in first-seen order, array elements unify, any other
+  * mismatch collapses to `"JSON"`; only a zero-row group evaluates to
+  * SQL NULL.
+  *
+  * Scale: the buffer is ONE structure tree bounded by the union schema
+  * (distinct keys × nesting depth), independent of group size — it
+  * partial-aggregates map-side and only the merged tree crosses the
+  * shuffle (`unify` is commutative/associative on the type lattice, so
+  * split/merge order cannot change the TYPES; key ORDER is first-seen
+  * like DuckDB's own parallel aggregate, documented there).
+  */
+case class JsonGroupStructureAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[com.fasterxml.jackson.databind.JsonNode]]
+  with UnaryLike[Expression] {
+  import com.fasterxml.jackson.databind.JsonNode
+  import graft.engine.expressions.{JsonIntrospect => JI}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_group_structure"
+
+  // length-1 slot; null = no rows seen yet
+  override def createAggregationBuffer(): Array[JsonNode] =
+    Array[JsonNode](null)
+
+  override def update(buf: Array[JsonNode], input: InternalRow): Array[JsonNode] = {
+    val v = child.eval(input)
+    val t = if (v == null) JI.nullTree
+            else JI.structureTree(v.asInstanceOf[UTF8String])
+    buf(0) = if (buf(0) == null) t else JI.unifyTrees(buf(0), t)
+    buf
+  }
+
+  override def merge(buf: Array[JsonNode], other: Array[JsonNode]): Array[JsonNode] = {
+    if (other(0) != null)
+      buf(0) = if (buf(0) == null) other(0) else JI.unifyTrees(buf(0), other(0))
+    buf
+  }
+
+  override def eval(buf: Array[JsonNode]): Any =
+    if (buf(0) == null) null else UTF8String.fromString(JI.treeText(buf(0)))
+
+  override def serialize(buf: Array[JsonNode]): Array[Byte] =
+    if (buf(0) == null) Array.emptyByteArray
+    else JI.treeText(buf(0)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def deserialize(bytes: Array[Byte]): Array[JsonNode] =
+    Array(if (bytes.isEmpty) null
+          else JI.parseTreeText(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): JsonGroupStructureAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): JsonGroupStructureAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): JsonGroupStructureAgg =
+    copy(child = newChild)
+}

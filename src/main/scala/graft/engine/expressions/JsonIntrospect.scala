@@ -121,6 +121,13 @@ object JsonIntrospect {
     cur
   }
 
+  /** `x::JSON` of a VARCHAR: validate (malformed errors like DuckDB's
+    * cast) and keep the ORIGINAL text — the JSON cast does NOT
+    * canonicalize (pinned: `' {"b" : 2} '::JSON` keeps its spacing,
+    * unlike `json()`).
+    */
+  def validateJson(s: UTF8String): UTF8String = { parse(s); s }
+
   def jsonType(s: UTF8String): UTF8String =
     UTF8String.fromString(typeName(parse(s)))
 
@@ -186,11 +193,14 @@ object JsonIntrospect {
   private def unify(a: JsonNode, b: JsonNode): JsonNode = {
     if (a == b) return a
     (a, b) match {
+      // the NULL type absorbs into ANY structure, containers included:
+      // json_structure('[null,{"a":1}]') = [{"a":"UBIGINT"}] (DuckDB-
+      // pinned; the former TextNode-only absorption answered ["JSON"])
+      case (at: TextNode, _) if at.asText() == "NULL" => b
+      case (_, bt: TextNode) if bt.asText() == "NULL" => a
       case (at: TextNode, bt: TextNode) =>
         val (x, y) = (at.asText(), bt.asText())
-        if (x == "NULL") bt
-        else if (y == "NULL") at
-        else {
+        locally {
           val num = Seq("UBIGINT", "BIGINT", "DOUBLE")
           val (xi, yi) = (num.indexOf(x), num.indexOf(y))
           if (xi >= 0 && yi >= 0) new TextNode(num(math.max(xi, yi)))
@@ -229,6 +239,23 @@ object JsonIntrospect {
 
   def jsonStructure(s: UTF8String): UTF8String =
     UTF8String.fromString(mapper.writeValueAsString(structureOf(parse(s))))
+
+  // ---- json_group_structure support (DuckAggs.JsonGroupStructureAgg) --
+  // The structure TREE is the aggregate's state: one parse per row,
+  // `unify` as both update and merge (it is commutative/associative on
+  // the type lattice, so partial aggregation is sound).
+
+  def structureTree(s: UTF8String): JsonNode = structureOf(parse(s))
+  def unifyTrees(a: JsonNode, b: JsonNode): JsonNode = unify(a, b)
+  /** A SQL NULL row contributes the "NULL" type (absorbs into anything
+    * — DuckDB-pinned: a single-NULL group answers `"NULL"`, not NULL).
+    */
+  def nullTree: JsonNode = TextNode.valueOf("NULL")
+  /** Structure trees round-trip through their own JSON text (objects,
+    * arrays, type-name leaves) — the shuffle serialization format.
+    */
+  def treeText(n: JsonNode): String = mapper.writeValueAsString(n)
+  def parseTreeText(s: String): JsonNode = mapper.readTree(s)
 
   // ---- json_merge_patch (RFC 7386) ------------------------------------
 

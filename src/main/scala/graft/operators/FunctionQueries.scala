@@ -381,6 +381,42 @@ object FunctionQueries {
       Some(sqlText))
   }
 
+  /** json_group_structure (r12: the true merged-structure AGGREGATE —
+    * `expressions/DuckAggs.JsonGroupStructureAgg`, one tree of state
+    * per group) plus the `::JSON` / `CAST(AS JSON)` dialect cast
+    * (validating identity for VARCHAR). Determinism by construction:
+    * the three object shapes list their shared keys in the same
+    * relative order and each shape's extra keys extend the previous
+    * one's, so first-seen key order is merge-order independent, and
+    * the type lattice join is commutative — safe under partial
+    * aggregation at any partitioning.
+    */
+  val fJsonGroup: Q = {
+    val sqlText =
+      """WITH docs AS (
+        |  SELECT event_id, event_type AS g,
+        |    CASE CAST(event_id % 4 AS INT)
+        |      WHEN 0 THEN '{"a":' || CAST(event_id % 7 AS VARCHAR) || ',"b":"' || event_type || '"}'
+        |      WHEN 1 THEN '{"a":' || CAST(event_id % 5 AS VARCHAR) || '.5,"b":"x","c":[1,2]}'
+        |      WHEN 2 THEN '{"a":null,"b":"y","c":[1.5],"d":{"e":true}}'
+        |      ELSE 'null' END AS j
+        |  FROM events WHERE event_id < 2000)
+        |SELECT g,
+        |  json_group_structure(j::JSON) AS s,
+        |  json_group_structure((CASE WHEN event_id % 4 = 2 THEN j END)::JSON) AS s_sparse,
+        |  MAX(json_structure(('[null,{"q":' || CAST(length(g) AS VARCHAR) || '}]')::JSON)) AS s_null_elem,
+        |  BOOL_AND(TRY_CAST('nope' AS JSON) IS NULL) AS bad_is_null
+        |FROM docs GROUP BY g ORDER BY g ASC NULLS LAST""".stripMargin
+    // unlike the sibling f_json_* (pure registry shims), this text
+    // carries DIALECT SYNTAX (`::JSON`, TRY_CAST AS JSON) — the
+    // isolated session's .sql sees raw Spark SQL, so apply the Gateway's
+    // text rewrite here; the oracle gets the original DuckDB text
+    graft.engine.Q("f_json_group", (s, dir) =>
+      graft.engine.Functions.isolated(s, dir, "events")
+        .sql(graft.engine.Dialect.rewrite(sqlText)),
+      Some(sqlText))
+  }
+
   /** TIME family (round 7): Spark 4.1's native TimeType (behind
     * spark.sql.timeType.enabled, which the builder switches on) carries
     * DuckDB's `ts::TIME` time-of-day projection through extraction and
@@ -417,5 +453,5 @@ object FunctionQueries {
 
   val all: Seq[Q] = Seq(
     fMath, fString, fString2, fRegex, fDatetime, fList, fStructMap, fJson,
-    fJsonIntrospect, fJsonCtor, fTime)
+    fJsonIntrospect, fJsonCtor, fJsonGroup, fTime)
 }

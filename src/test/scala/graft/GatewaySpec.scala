@@ -2019,4 +2019,56 @@ class GatewaySpec extends AnyFunSuite {
     assert(f.map(_.getSeq[String](0)).toSeq ==
       Seq(Seq("a"), Seq("b", "a"), Seq("c", "b")))
   }
+
+  test("json_group_structure: merged structure aggregate, DuckDB 1.0 pinned") {
+    def one(q: String): Any = gw.sql(q).collect()(0).get(0)
+    // key union in first-seen order, numeric widening, mismatch => JSON
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('{"a":1}'),('{"b":"x"}')) t(j)""") == """{"a":"UBIGINT","b":"VARCHAR"}""")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('{"a":1}'),('{"a":"x"}')) t(j)""") == """{"a":"JSON"}""")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('-1'),('18446744073709551615')) t(j)""") == "\"BIGINT\"")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('1'),('1.5')) t(j)""") == "\"DOUBLE\"")
+    // the NULL type (json null AND sql NULL rows) absorbs into anything,
+    // containers included; a single-NULL group answers "NULL", only a
+    // ZERO-row group answers SQL NULL
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('null'),('{"a":1}')) t(j)""") == """{"a":"UBIGINT"}""")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES (NULL),('[1]')) t(j)""") == """["UBIGINT"]""")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES (CAST(NULL AS VARCHAR))) t(j)""") == "\"NULL\"")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('1')) t(j) WHERE FALSE""") == null)
+    // object vs array => JSON; empty array carries the NULL element type
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('{"a":1}'),('[1]')) t(j)""") == "\"JSON\"")
+    assert(one("""SELECT json_group_structure(j::JSON)
+      FROM (VALUES ('[]'),('[1]')) t(j)""") == """["UBIGINT"]""")
+    // json_structure shares the fixed unify: null absorbs into containers
+    assert(one("""SELECT json_structure('[null,{"a":1}]')""") == """[{"a":"UBIGINT"}]""")
+  }
+
+  test("::JSON and CAST(AS JSON): validating identity, original text kept") {
+    def one(q: String): Any = gw.sql(q).collect()(0).get(0)
+    // no canonicalization (json() minifies; the CAST does not)
+    assert(one("SELECT ' {\"b\" : 2, \"a\":1} '::JSON") == """ {"b" : 2, "a":1} """)
+    // malformed: loud error for the cast, NULL for TRY_CAST
+    assertThrows[Exception] { gw.sql("SELECT 'nope'::JSON").collect() }
+    assert(one("SELECT TRY_CAST('nope' AS JSON)") == null)
+    // LHS classes: call group, parenthesized expr w/ literal inside,
+    // dotted column, non-string via the json() route
+    assert(one("SELECT upper('{\"a\":1}')::JSON") == """{"A":1}""")
+    assert(one("SELECT ('{\"a\":' || '1}')::JSON") == """{"a":1}""")
+    assert(one("SELECT CAST(1.5 AS JSON)") == "1.5")
+    assert(one("SELECT e.props::JSON FROM events e WHERE e.event_id = 1") ==
+      one("SELECT props FROM events WHERE event_id = 1"))
+    // CASE … END::JSON is ambiguous for the backtracker: stays a loud
+    // native error (parenthesize instead) rather than wrapping END
+    assertThrows[Exception] {
+      gw.sql("SELECT CASE WHEN 1=1 THEN '1' END::JSON").collect() }
+    assert(one("SELECT (CASE WHEN 1=1 THEN '1' END)::JSON") == "1")
+  }
 }
