@@ -692,8 +692,13 @@ object Functions {
     // banker's rounding (DuckDB round_even macro, 2-arg): Spark's
     // bround IS HALF_EVEN
     "round_even" -> { case Seq(x, n) => call("bround", Seq(x, n)) },
-    // row(...) = anonymous struct constructor
-    "row" -> (a => call("struct", a)),
+    // row(...) = ANONYMOUS struct constructor: DuckDB keeps the fields
+    // nameless and renders them as EMPTY JSON keys
+    // (row_to_json(ROW(1,'x')) = {"":1,"":"x"}, duck-pinned — the
+    // former struct() spelling leaked Spark's col1/col2 auto-names into
+    // the JSON). Spark structs accept empty/duplicate field names.
+    "row" -> (a => CreateNamedStruct(
+      a.flatMap(e => Seq(Literal(""), e)))),
     // list-family aliases surfaced by GapProbe8 (BIGINT results, like
     // DuckDB's len family)
     "array_concat" -> (a => nullSkippingListConcat(a)),

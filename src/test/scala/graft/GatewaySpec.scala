@@ -2071,4 +2071,10 @@ class GatewaySpec extends AnyFunSuite {
       gw.sql("SELECT CASE WHEN 1=1 THEN '1' END::JSON").collect() }
     assert(one("SELECT (CASE WHEN 1=1 THEN '1' END)::JSON") == "1")
   }
+
+  test("row_to_json of anonymous ROW: empty field names, nested too") {
+    def one(q: String): Any = gw.sql(q).collect()(0).get(0)
+    assert(one("SELECT row_to_json(ROW(1,'x'))") == """{"":1,"":"x"}""")
+    assert(one("SELECT json(ROW(1,ROW(2,'y')))") == """{"":1,"":{"":2,"":"y"}}""")
+  }
 }
