@@ -374,7 +374,12 @@ object Bench {
       // codegen/JIT-bound, not data-bound, so statement concurrency can
       // exceed the measured serving optimum without the cached-relation
       // interference that caps the TIMED passes at 4
-      runSuiteAt(warmDir, nThreads = math.max(threads, 12))
+      val (_, warmTimes) = runSuiteAt(warmDir, nThreads = math.max(threads, 12))
+      if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) {
+        val top = warmTimes.toSeq.sortBy(-_._2).take(20)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+        System.err.println(s"[bench-debug] warm pass top: $top")
+      }
       if (warmDir != sfDir) {
         // point the session back at the served dataset and re-warm the
         // per-dataset offline state the tiny pass built for warmDir:

@@ -1337,8 +1337,24 @@ object Functions {
     "md5_number_upper" -> { case Seq(x) =>
       md5HalfLE(call("md5", Seq(x)), lower = false)
     },
-    // uuidv7: served as a random UUID (v4) — monotonicity not promised
-    "uuidv7" -> (_ => call("uuid", Nil)),
+    // uuidv7: real RFC 9562 v7 since r12 (48-bit ms prefix + version/
+    // variant bits + random tail — expressions/UuidV7.scala); the
+    // extraction pair reads the prefix back (v1's Gregorian counter
+    // also supported). uuidv4 = DuckDB 1.4's explicit-version alias.
+    "uuidv7" -> (_ => graft.engine.expressions.UuidV7()),
+    "uuidv4" -> (_ => call("uuid", Nil)),
+    "uuid_extract_version" -> { case Seq(u) =>
+      StaticInvoke(graft.engine.expressions.UuidKernels.getClass,
+        org.apache.spark.sql.types.IntegerType, "extractVersion",
+        Seq(Cast(u, org.apache.spark.sql.types.StringType)),
+        Seq(org.apache.spark.sql.types.StringType)) },
+    // TimestampType's internal form IS epoch micros, so the Long the
+    // kernel returns needs no further conversion
+    "uuid_extract_timestamp" -> { case Seq(u) =>
+      StaticInvoke(graft.engine.expressions.UuidKernels.getClass,
+        org.apache.spark.sql.types.TimestampType, "extractTimestampMicros",
+        Seq(Cast(u, org.apache.spark.sql.types.StringType)),
+        Seq(org.apache.spark.sql.types.StringType)) },
     "get_current_timestamp" -> (_ => call("now", Nil)),
     "transaction_timestamp" -> (_ => call("now", Nil)),
     "today" -> (_ => call("current_date", Nil)),

@@ -719,8 +719,24 @@ class GatewaySpec extends AnyFunSuite {
     val e = intercept[graft.engine.GatewayException](gw.sql(
       "MERGE INTO region USING region r2 ON false WHEN MATCHED THEN UPDATE SET r_name = 'x'"))
     assert(e.getMessage.contains("read-only"), e.getMessage)
-    // uuidv7 serves a UUID (v4 carrier; monotonicity documented not promised)
-    assert(one("SELECT uuidv7() AS v").getString(0).length == 36)
+    // uuidv7 is a REAL RFC 9562 v7 since r12: version nibble 7, variant
+    // 10, and a 48-bit Unix-ms prefix the extraction pair reads back
+    val u7 = one("SELECT uuidv7() AS v").getString(0)
+    assert(u7.length == 36 && u7.charAt(14) == '7')
+    assert(Set('8', '9', 'a', 'b').contains(u7.charAt(19)))
+    assert(one("SELECT uuid_extract_version(uuidv7()) AS v").getInt(0) == 7)
+    assert(one(
+      "SELECT abs(datediff('millisecond', uuid_extract_timestamp(uuidv7()), now())) < 60000 AS ok")
+      .getBoolean(0))
+    // time-ordering across DISTINCT milliseconds: ms prefix is the
+    // string prefix, so lexicographic order follows time
+    val ts = java.util.UUID.fromString(u7).getMostSignificantBits >>> 16
+    assert(math.abs(ts - System.currentTimeMillis()) < 600000L)
+    assert(one("SELECT uuid_extract_version(uuidv4()) AS v").getInt(0) == 4)
+    // v1 extraction goes through the Gregorian 100ns counter
+    assert(one(
+      "SELECT CAST(uuid_extract_timestamp('c232ab00-9414-11ec-b3c8-9f68deced846') AS DATE) AS d")
+      .getDate(0).toString == "2022-02-22")
     // FILL window fn (1.4): linear interpolation over the order key;
     // edges carry the nearest neighbor (pinned by spec — no 1.4 oracle)
     val filled = gw.sql(

@@ -69,6 +69,14 @@ def main():
         lambda e: f"round(sem(CAST({e} AS DOUBLE)), 6)",
         lambda e: f"round(entropy({e}), 6)",
         lambda e: f"CAST(round(fsum(CAST({e} AS DOUBLE)), 6) AS DOUBLE)",
+        # r12 merged-structure aggregate: single object shape -> the
+        # first-seen key order is trivially merge-order independent, and
+        # the value's type flips UBIGINT/DOUBLE/NULL with the expr so the
+        # lattice join is exercised
+        lambda e: ("json_group_structure(('{\"a\":' || CASE WHEN ({e}) % 3 = 0"
+                   " THEN 'null' WHEN ({e}) % 3 = 1 THEN CAST({e} AS VARCHAR)"
+                   " ELSE CAST({e} AS VARCHAR) || '.5' END || '}')::JSON)")
+            .replace("{e}", e),
     ]
     winfns = [
         "row_number()", "rank()", "dense_rank()",
