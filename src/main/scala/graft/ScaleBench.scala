@@ -132,7 +132,18 @@ object ScaleBench {
     */
   private def labelTierConf(spark: SparkSession): (Int, Int) = {
     val perCell = spark.table("embeddings").count() / 10.0
-    if (perCell >= 10000) (5100, 48) else (64, 16)
+    if (perCell < 10000) (64, 16)
+    else {
+      // hold the 100×-tier frontier point's PER-VECTOR budget at every
+      // larger tier: lists stay ~39 rows (20k-cell / 510 lists) and
+      // nprobe stays 48, so folds/vector ≈ 1.9k is scale-invariant —
+      // lists GROW with the cell instead of fattening. The r12 1000×
+      // attempt with the constant (5100, 48) fattened lists 10× and
+      // the candidate set hit ~37B pairs (~78× the 100× row) before
+      // being killed; sizing is part of the operator's scale contract.
+      val perLabel = math.max(510, math.round(perCell / 39.2).toInt)
+      (perLabel * 10, 48)
+    }
   }
 
   def run(spark: SparkSession, dir: String,
