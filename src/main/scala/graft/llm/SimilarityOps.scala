@@ -240,7 +240,16 @@ object SimilarityOps {
       val emb = s.table("embeddings")
         .select(col("vec_id"), col("label").cast("int").as("label"),
           col("embedding"))
-      val train = trainSample(emb, PqTrainCap)
+      // sample sized to the CENTROID count, not just the flat cap: at
+      // large perLabel the 50k default leaves fewer seeds than
+      // centroids per label (the 1000×-tier run sampled ~5k rows/label
+      // for 5,128 lists/label — most lists seeded as duplicates of
+      // seed 0). ≥8 training rows per centroid keeps Lloyd's meaningful
+      // while the per-iteration cost (sample × perLabel dots per label)
+      // stays seconds at every measured tier.
+      val labelCount = math.max(1, labels.length)
+      val train = trainSample(emb,
+        math.max(PqTrainCap, perLabel.toLong * labelCount * 8L))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         labels.zipWithIndex.flatMap { case (lv, li) =>
