@@ -63,107 +63,24 @@ case class IvfNearest(child: Expression, cents: Array[Array[Double]],
     child.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    PqEncode.checkLen(x.numElements(), dim)
-    if (elemNullable) {
-      var i = 0
-      while (i < x.numElements()) {
-        if (x.isNullAt(i)) PqEncode.nullElement()
-        i += 1
-      }
-    }
-    val scores = new Array[Double](k)
-    var ci = 0
-    while (ci < k) {
-      val c = cents(ci)
-      var d = 0.0
-      var j = 0
-      while (j < dim) {
-        val xv = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
-        d += xv * c(j)
-        j += 1
-      }
-      scores(ci) = if (l2) cn(ci) * cn(ci) - 2.0 * d else -(d / cn(ci))
-      ci += 1
-    }
-    val taken = new Array[Boolean](k)
-    val out = new Array[Int](outN)
-    var oi = 0
-    while (oi < outN) {
-      var best = -1
-      var bestS = Double.PositiveInfinity
-      var i = 0
-      while (i < k) {
-        // strict < : the ascending scan makes ties land on the lower id
-        if (!taken(i) && scores(i) < bestS) { bestS = scores(i); best = i }
-        i += 1
-      }
-      if (best < 0) { // all-NaN scores: fall back to the lowest id
-        var f = 0
-        while (best < 0 && f < k) { if (!taken(f)) best = f; f += 1 }
-      }
-      taken(best) = true
-      out(oi) = best
-      oi += 1
-    }
-    new GenericArrayData(out)
+    val x = IvfNearest.toDoubles(a.asInstanceOf[ArrayData], dim, isFloat,
+      elemNullable)
+    new GenericArrayData(IvfNearest.assign(x, cents, cn, l2, 0, k, outN))
   }
 
+  // both paths call the SAME static hot loop (IvfNearest.assign) —
+  // see its scaladoc for why it is not inlined into the WSCG method
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
       val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
       val cnRef = ctx.addReferenceObj("ivfNorms", cn, "double[]")
-      val scores = ctx.freshName("scores")
-      val taken = ctx.freshName("taken")
-      val out = ctx.freshName("out")
-      val ci = ctx.freshName("ci")
-      val j = ctx.freshName("j")
-      val d = ctx.freshName("d")
-      val c = ctx.freshName("c")
-      val oi = ctx.freshName("oi")
-      val i = ctx.freshName("i")
-      val best = ctx.freshName("best")
-      val bestS = ctx.freshName("bestS")
-      val getX = if (isFloat) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
-      val score =
-        if (l2) s"$cnRef[$ci] * $cnRef[$ci] - 2.0 * $d"
-        else s"-($d / $cnRef[$ci])"
-      val nullScan = if (!elemNullable) ""
-        else {
-          val ni = ctx.freshName("ni")
-          s"""for (int $ni = 0; $ni < $x.numElements(); $ni++) {
-             |  if ($x.isNullAt($ni)) graft.engine.expressions.PqEncode.nullElement();
-             |}""".stripMargin
-        }
+      val xv = ctx.freshName("xv")
       s"""
-         |graft.engine.expressions.PqEncode.checkLen($x.numElements(), $dim);
-         |$nullScan
-         |double[] $scores = new double[$k];
-         |for (int $ci = 0; $ci < $k; $ci++) {
-         |  double[] $c = $centsRef[$ci];
-         |  double $d = 0.0;
-         |  for (int $j = 0; $j < $dim; $j++) {
-         |    $d += ($getX) * $c[$j];
-         |  }
-         |  $scores[$ci] = $score;
-         |}
-         |boolean[] $taken = new boolean[$k];
-         |int[] $out = new int[$outN];
-         |for (int $oi = 0; $oi < $outN; $oi++) {
-         |  int $best = -1;
-         |  double $bestS = Double.POSITIVE_INFINITY;
-         |  for (int $i = 0; $i < $k; $i++) {
-         |    if (!$taken[$i] && $scores[$i] < $bestS) { $bestS = $scores[$i]; $best = $i; }
-         |  }
-         |  if ($best < 0) { // all-NaN scores: fall back to the lowest id
-         |    for (int $i = 0; $best < 0 && $i < $k; $i++) {
-         |      if (!$taken[$i]) $best = $i;
-         |    }
-         |  }
-         |  $taken[$best] = true;
-         |  $out[$oi] = $best;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |double[] $xv = graft.engine.expressions.IvfNearest.toDoubles(
+         |  $x, $dim, $isFloat, $elemNullable);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.engine.expressions.IvfNearest.assign(
+         |    $xv, $centsRef, $cnRef, $l2, 0, $k, $outN));
        """.stripMargin
     })
 
@@ -182,6 +99,102 @@ object IvfNearest {
       while (j < c.length) { s += c(j) * c(j); j += 1 }
       math.sqrt(s)
     }
+
+  /** The assignment hot loop as ONE static method, shared by the
+    * interpreted eval and the generated code (r12). Two reasons it is
+    * NOT inlined into the whole-stage-codegen method: (a) the giant
+    * generated method blows the JIT inlining/compile budget — measured
+    * 4.2 dot-Gflop/s inside WSCG vs 10.4 on the plain eval path for
+    * the same loop (ProbeKernel, 2M × 5102 × 32); a small static
+    * method JITs once and stays hot from every call site; (b) the
+    * caller copies the vector out of ArrayData ONCE, so the k×dim
+    * inner loop runs on raw double[] with no accessor calls.
+    *
+    * Selection is an exact insertion top-n over (score, local id)
+    * ascending — the SAME total order as the former n-pass repeated
+    * argmin with strict-< (ties land on the lower id), at k + n·inserts
+    * ops instead of n·k. NaN scores sort after everything (comparisons
+    * false → never inserted); when fewer than outN finite scores
+    * exist, the remaining slots fill with the lowest ids not already
+    * taken — exactly the old all-NaN fallback. Returns GLOBAL ids
+    * (base + local).
+    */
+  def assign(x: Array[Double], cents: Array[Array[Double]],
+      cn: Array[Double], l2: Boolean, base: Int, blockLen: Int,
+      outN: Int): Array[Int] = {
+    val dim = x.length
+    val scores = new Array[Double](outN)
+    val ids = new Array[Int](outN)
+    var filled = 0
+    var ci = 0
+    while (ci < blockLen) {
+      val c = cents(base + ci)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += x(j) * c(j); j += 1 }
+      val s =
+        if (l2) cn(base + ci) * cn(base + ci) - 2.0 * d
+        else -(d / cn(base + ci))
+      // insert (s, ci) if it beats the current worst (strict: equal
+      // score with a HIGHER id never displaces — matches the repeated
+      // argmin's lower-id tie-break); NaN comparisons are false on
+      // both arms, so NaN scores are never inserted
+      if (filled < outN) {
+        if (!(s != s)) { // skip NaN
+          var p = filled
+          while (p > 0 && (scores(p - 1) > s)) {
+            scores(p) = scores(p - 1); ids(p) = ids(p - 1); p -= 1
+          }
+          scores(p) = s; ids(p) = ci; filled += 1
+        }
+      } else if (s < scores(outN - 1)) {
+        var p = outN - 1
+        while (p > 0 && (scores(p - 1) > s)) {
+          scores(p) = scores(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        scores(p) = s; ids(p) = ci
+      }
+      ci += 1
+    }
+    val out = new Array[Int](outN)
+    var oi = 0
+    while (oi < filled) { out(oi) = base + ids(oi); oi += 1 }
+    if (filled < outN) {
+      // all-NaN remainder: lowest untaken local ids, ascending
+      val taken = new Array[Boolean](blockLen)
+      var t = 0
+      while (t < filled) { taken(ids(t)) = true; t += 1 }
+      var f = 0
+      while (oi < outN) {
+        while (taken(f)) f += 1
+        out(oi) = base + f; taken(f) = true; oi += 1
+      }
+    }
+    out
+  }
+
+  /** ArrayData → double[] copy (float arrays widen exactly); the one
+    * place per row that touches the Spark representation.
+    */
+  def toDoubles(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      dim: Int, isFloat: Boolean, checkNulls: Boolean): Array[Double] = {
+    PqEncode.checkLen(x.numElements(), dim)
+    val out = new Array[Double](dim)
+    var j = 0
+    if (checkNulls) {
+      while (j < dim) {
+        if (x.isNullAt(j)) PqEncode.nullElement()
+        out(j) = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
+        j += 1
+      }
+    } else {
+      while (j < dim) {
+        out(j) = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
+        j += 1
+      }
+    }
+    out
+  }
 
   def apply(v: Column, cents: Array[Array[Double]], cn: Array[Double],
       l2: Boolean, n: Int): Column =
@@ -241,114 +254,28 @@ case class IvfNearestBlock(vec: Expression, block: Expression,
     vec.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, blk: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
     val b = blk.asInstanceOf[Int]
     IvfNearest.checkBlock(b, blockLen, k)
-    PqEncode.checkLen(x.numElements(), dim)
-    if (elemNullable) {
-      var i = 0
-      while (i < x.numElements()) {
-        if (x.isNullAt(i)) PqEncode.nullElement()
-        i += 1
-      }
-    }
-    val base = b * blockLen
-    val scores = new Array[Double](blockLen)
-    var ci = 0
-    while (ci < blockLen) {
-      val c = cents(base + ci)
-      var d = 0.0
-      var j = 0
-      while (j < dim) {
-        val xv = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
-        d += xv * c(j)
-        j += 1
-      }
-      scores(ci) = if (l2) cn(base + ci) * cn(base + ci) - 2.0 * d
-        else -(d / cn(base + ci))
-      ci += 1
-    }
-    val taken = new Array[Boolean](blockLen)
-    val out = new Array[Int](outN)
-    var oi = 0
-    while (oi < outN) {
-      var best = -1
-      var bestS = Double.PositiveInfinity
-      var i = 0
-      while (i < blockLen) {
-        // strict < : the ascending scan makes ties land on the lower id
-        if (!taken(i) && scores(i) < bestS) { bestS = scores(i); best = i }
-        i += 1
-      }
-      if (best < 0) { // all-NaN scores: fall back to the lowest id
-        var f = 0
-        while (best < 0 && f < blockLen) { if (!taken(f)) best = f; f += 1 }
-      }
-      taken(best) = true
-      out(oi) = base + best
-      oi += 1
-    }
-    new GenericArrayData(out)
+    val x = IvfNearest.toDoubles(a.asInstanceOf[ArrayData], dim, isFloat,
+      elemNullable)
+    new GenericArrayData(
+      IvfNearest.assign(x, cents, cn, l2, b * blockLen, blockLen, outN))
   }
 
+  // both paths call the SAME static hot loop (IvfNearest.assign) —
+  // see its scaladoc for why it is not inlined into the WSCG method
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, blk) => {
       val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
       val cnRef = ctx.addReferenceObj("ivfNorms", cn, "double[]")
-      val base = ctx.freshName("base")
-      val scores = ctx.freshName("scores")
-      val taken = ctx.freshName("taken")
-      val out = ctx.freshName("out")
-      val ci = ctx.freshName("ci")
-      val j = ctx.freshName("j")
-      val d = ctx.freshName("d")
-      val c = ctx.freshName("c")
-      val oi = ctx.freshName("oi")
-      val i = ctx.freshName("i")
-      val best = ctx.freshName("best")
-      val bestS = ctx.freshName("bestS")
-      val getX = if (isFloat) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
-      val score =
-        if (l2) s"$cnRef[$base + $ci] * $cnRef[$base + $ci] - 2.0 * $d"
-        else s"-($d / $cnRef[$base + $ci])"
-      val nullScan = if (!elemNullable) ""
-        else {
-          val ni = ctx.freshName("ni")
-          s"""for (int $ni = 0; $ni < $x.numElements(); $ni++) {
-             |  if ($x.isNullAt($ni)) graft.engine.expressions.PqEncode.nullElement();
-             |}""".stripMargin
-        }
+      val xv = ctx.freshName("xv")
       s"""
          |graft.engine.expressions.IvfNearest.checkBlock($blk, $blockLen, $k);
-         |graft.engine.expressions.PqEncode.checkLen($x.numElements(), $dim);
-         |$nullScan
-         |int $base = $blk * $blockLen;
-         |double[] $scores = new double[$blockLen];
-         |for (int $ci = 0; $ci < $blockLen; $ci++) {
-         |  double[] $c = $centsRef[$base + $ci];
-         |  double $d = 0.0;
-         |  for (int $j = 0; $j < $dim; $j++) {
-         |    $d += ($getX) * $c[$j];
-         |  }
-         |  $scores[$ci] = $score;
-         |}
-         |boolean[] $taken = new boolean[$blockLen];
-         |int[] $out = new int[$outN];
-         |for (int $oi = 0; $oi < $outN; $oi++) {
-         |  int $best = -1;
-         |  double $bestS = Double.POSITIVE_INFINITY;
-         |  for (int $i = 0; $i < $blockLen; $i++) {
-         |    if (!$taken[$i] && $scores[$i] < $bestS) { $bestS = $scores[$i]; $best = $i; }
-         |  }
-         |  if ($best < 0) { // all-NaN scores: fall back to the lowest id
-         |    for (int $i = 0; $best < 0 && $i < $blockLen; $i++) {
-         |      if (!$taken[$i]) $best = $i;
-         |    }
-         |  }
-         |  $taken[$best] = true;
-         |  $out[$oi] = $base + $best;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |double[] $xv = graft.engine.expressions.IvfNearest.toDoubles(
+         |  $x, $dim, $isFloat, $elemNullable);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.engine.expressions.IvfNearest.assign(
+         |    $xv, $centsRef, $cnRef, $l2, $blk * $blockLen, $blockLen, $outN));
        """.stripMargin
     })
 
