@@ -89,7 +89,11 @@ object ProbeKnn {
     }
     spark.sparkContext.addSparkListener(listener)
     val sym = !sys.env.contains("PROBE_NOSYM")
+    // persisted: the recall phase reuses THIS graph instead of
+    // recomputing the full 6M-edge query (at the 1000× tier the rerun
+    // is another ~31 GB of shuffle — it filled the box's disk twice)
     val df = graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe, sym)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (sys.env.contains("PROBE_EXPLAIN")) df.explain("formatted")
     val t1 = System.nanoTime()
     val n = df.count()
@@ -106,8 +110,7 @@ object ProbeKnn {
       }
     val exact = edges(graft.llm.SimilarityOps.labelKnnExactSample(spark))
     val approx = edges(
-      graft.llm.SimilarityOps.labelKnnIvf(spark, nlists, nprobe, sym)
-        .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
+      df.filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
     System.err.println(f"[probe] recall@3 = " +
       f"${approx.intersect(exact).size.toDouble / exact.size}%.4f " +
       f"(nlists=$nlists nprobe=$nprobe)")
