@@ -444,7 +444,14 @@ object TextOps {
     // deliberate over-estimate — the failure mode of under-estimating
     // is an executor OOM, of over-estimating one extra exchange
     val estBytes = m.getLong(1) * 2L + m.getLong(0) * 48L
-    val benchSide = if (threshold > 0 && estBytes <= threshold) broadcast(b) else b
+    // the __measured_broadcast__ alias is a CONTRACT with PlanSpec's
+    // forced-broadcast guard: it asserts this hint was applied only
+    // after an actual size measurement against the session threshold
+    // (the two lines above). Never alias an unmeasured broadcast.
+    val benchSide =
+      if (threshold > 0 && estBytes <= threshold)
+        broadcast(b.alias("__measured_broadcast__"))
+      else b
     cand.join(benchSide, "s")
       .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n_hits"))
   }

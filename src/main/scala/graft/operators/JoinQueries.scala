@@ -7,14 +7,18 @@ import graft.engine.{Det, Q}
 
 /** Join operators — SURVEY.md §2.3 (J1–J10 except J7 ASOF, which lives in
   * AsOfQueries). Logical semantics mapped to Spark joins; physical choice
-  * left to Catalyst/AQE, with explicit `broadcast()` on dimension tables
-  * (region/nation/supplier are tiny at every scale — the classic
-  * star-schema broadcast pattern that avoids shuffling the fact table).
+  * left to Catalyst/AQE. `broadcast()` hints appear ONLY on relations
+  * whose cardinality is fixed by the schema (region/nation: 5/25 rows) —
+  * SF-proportional tables like supplier are never hinted, because a hint
+  * overrides the size threshold and turns into a driver OOM at 100 TB;
+  * CBO/AQE still broadcasts them by size at the tiers where they fit.
   */
 object JoinQueries {
 
-  /** J1: inner equi-join chain fact→dims with broadcast dims; revenue by
-    * nation. At 100 TB the only shuffle is the final groupBy on 25 keys.
+  /** J1: inner equi-join chain fact→dims; nation hinted (25 rows),
+    * supplier broadcast-by-size; revenue by nation. At 100 TB the only
+    * shuffle is the final groupBy on 25 keys (supplier, no longer
+    * broadcast-able, co-shuffles with lineitem on suppkey).
     */
   val j1 = Q(
     "j1_inner_join",
@@ -29,7 +33,7 @@ object JoinQueries {
   ) { s =>
     val d = (c: String) => col(c).cast(DecimalType(18, 2))
     s.table("lineitem")
-      .join(broadcast(s.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(s.table("supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -153,7 +157,11 @@ object JoinQueries {
   }
 
   /** J6b: pure inequality (theta) join — supplier pairs ranked by balance.
-    * BroadcastNestedLoop; DuckDB uses IEJoin. Kept small-side broadcast.
+    * DuckDB uses IEJoin; Spark picks BroadcastNestedLoop BY SIZE here
+    * (no hint — supplier grows with SF, and a forced broadcast of an
+    * SF-proportional side is a 100 TB OOM). The scale path for
+    * inequality joins is j6_band_join (engine/RangeJoin); this shape
+    * exists to pin the theta-join semantics.
     */
   val j6b = Q(
     "j6_theta_join",
@@ -165,7 +173,7 @@ object JoinQueries {
   ) { s =>
     val a = s.table("supplier").select(col("s_suppkey").as("lo"), col("s_acctbal").as("bal_a"))
     val b = s.table("supplier").select(col("s_acctbal").as("bal_b"))
-    a.join(broadcast(b), col("bal_a") < col("bal_b"))
+    a.join(b, col("bal_a") < col("bal_b"))
       .groupBy(col("lo"))
       .agg(count(lit(1)).as("n_richer"))
       .orderBy(col("lo").asc_nulls_last)

@@ -47,7 +47,9 @@ object TpchQueries {
   }
 
   /** Q5 local supplier volume: 5-way star join with co-located customer
-    * and supplier nation keys; all dims broadcast.
+    * and supplier nation keys. nation/region (fixed 25/5 rows) carry
+    * broadcast hints; supplier is SF-proportional so its join side is
+    * left to CBO/AQE — broadcast when it fits, sort-merge past that.
     */
   val q5 = Q(
     "q5_local_supplier",
@@ -66,7 +68,10 @@ object TpchQueries {
     s.table("customer")
       .join(s.table("orders"), col("c_custkey") === col("o_custkey"))
       .join(s.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s.table("supplier")),
+      // supplier carries NO broadcast hint: it grows with scale factor,
+      // and a hint would override the size threshold (OOM at 100 TB).
+      // CBO/AQE still picks broadcast-by-size at any tier where it fits.
+      .join(s.table("supplier"),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(s.table("region")), col("n_regionkey") === col("r_regionkey"))
@@ -189,9 +194,11 @@ object TpchQueries {
 
   /** Q14 promo revenue: lineitem ⋈ part on the part axis (the fixture's
     * third fact-dim edge, previously only scanned standalone). part is
-    * a broadcast-sized dim at any sane scale ratio (1 part row per ~30
-    * lineitem rows), so the plan is a broadcast hash join under the
-    * pushed shipdate range — one shuffle-free pass over the fact slice.
+    * UNHINTED — it grows with scale factor, so broadcast must be a
+    * size decision (CBO/AQE), never a forced hint: at tiers where part
+    * fits the threshold the plan is still a broadcast hash join under
+    * the pushed shipdate range; past that it degrades to sort-merge
+    * instead of a driver OOM.
     * Both ratio terms are exact DECIMAL sums cast to DOUBLE before one
     * IEEE division, so the two engines compute the identical value.
     */
@@ -210,7 +217,7 @@ object TpchQueries {
     s.table("lineitem")
       .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampNTZType) &&
         col("l_shipdate") < lit("1997-10-01").cast(TimestampNTZType))
-      .join(broadcast(s.table("part")), col("l_partkey") === col("p_partkey"))
+      .join(s.table("part"), col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type").like("PROMO%"), revenue)
           .otherwise(lit(0).cast(dec))).cast(DoubleType).as("promo"),
@@ -224,7 +231,7 @@ object TpchQueries {
     * lineitem): for each small part, the supplier(s) actually selling
     * at that part's minimum unit price. The correlated MIN subquery is
     * the decorrelation stress (Catalyst rewrites it to an aggregate
-    * joined on l_partkey); supplier stays a broadcast dim.
+    * joined on l_partkey); supplier is unhinted (broadcast by size).
     */
   val q2m = Q(
     "q2_min_cost_supp",
@@ -388,7 +395,8 @@ object TpchQueries {
   /** Q7 volume shipping (adapted: synthetic NATION_n names): the
     * two-nation disjunctive pair filter over a supplier-side AND a
     * customer-side nation join. Plan shape: lineitem⋈orders is the one
-    * real shuffle (orderkey); supplier and both nation copies broadcast;
+    * real shuffle (orderkey); both nation copies broadcast (hinted,
+    * fixed 25 rows); supplier is unhinted — broadcast only by size;
     * the pair predicate prunes AFTER both nation names are in scope
     * (it references columns from two different join branches, so it
     * can't push below either — the optimizer keeps it as a post-join
@@ -425,7 +433,7 @@ object TpchQueries {
         col("l_shipdate") < lit("1998-01-01").cast(TimestampNTZType))
       .join(s.table("orders"), col("o_orderkey") === col("l_orderkey"))
       .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
-      .join(broadcast(s.table("supplier")), col("s_suppkey") === col("l_suppkey"))
+      .join(s.table("supplier"), col("s_suppkey") === col("l_suppkey"))
       .join(n1, col("s_nationkey") === col("s_nk"))
       .join(n2, col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
@@ -472,7 +480,7 @@ object TpchQueries {
     * equality stays on the EXACT DECIMAL sum (never the DOUBLE edge
     * cast), so tie detection is deterministic in both engines. Plan:
     * the CTE aggregate is partial+final on l_suppkey; the one-row max
-    * broadcasts back; supplier dim broadcasts.
+    * broadcasts back; supplier is unhinted (broadcast by size).
     */
   val q15 = Q(
     "q15_top_supplier",
@@ -494,8 +502,10 @@ object TpchQueries {
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(revenue).as("total_revenue"))
     val mx = rev0.agg(max(col("total_revenue")).as("mx"))
+    // mx is a one-row global aggregate — provably bounded, hint kept.
+    // supplier is SF-proportional — no hint; broadcast is a size call.
     rev0.join(broadcast(mx), col("total_revenue") === col("mx"))
-      .join(broadcast(s.table("supplier")), col("s_suppkey") === col("supplier_no"))
+      .join(s.table("supplier"), col("s_suppkey") === col("supplier_no"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_revenue").cast(DoubleType).as("total_revenue"))
       .orderBy(col("s_suppkey").asc_nulls_last)
@@ -578,8 +588,8 @@ object TpchQueries {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
     val vol = revenue.as("volume")
     val base = s.table("lineitem")
-      .join(broadcast(s.table("part").filter(col("p_type").startsWith("S"))
-        .select(col("p_partkey"))), col("p_partkey") === col("l_partkey"))
+      .join(s.table("part").filter(col("p_type").startsWith("S"))
+        .select(col("p_partkey")), col("p_partkey") === col("l_partkey"))
       .join(s.table("orders")
         .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampNTZType) &&
           col("o_orderdate") < lit("1997-01-01").cast(TimestampNTZType)),
@@ -587,7 +597,7 @@ object TpchQueries {
       .join(s.table("customer"), col("o_custkey") === col("c_custkey"))
       .join(n1, col("c_nationkey") === col("c_nk"))
       .join(broadcast(s.table("region")), col("c_rk") === col("r_regionkey"))
-      .join(broadcast(s.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(s.table("supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(n2, col("s_nationkey") === col("s_nk"))
       .select(year(col("o_orderdate")).as("o_year"), vol, col("nation"))
     base.groupBy(col("o_year"))
@@ -602,8 +612,9 @@ object TpchQueries {
     * retailprice × quantity), grouped by SUPPLIER nation and order
     * year. Exercises the profit expression over a 6-table join with a
     * dim-side LIKE prune. Plan shape at scale: the p_name filter
-    * broadcasts part and prunes lineitem FIRST (1 part row per ~30
-    * lineitem rows), supplier/nation broadcast, orders⋈lineitem on
+    * prunes with part FIRST (1 part row per ~30 lineitem rows;
+    * unhinted — broadcast only while it fits the size threshold),
+    * supplier unhinted, nation hinted (25 rows), orders⋈lineitem on
     * orderkey is the single real shuffle, then one (nation, year)
     * partial/final agg. All arithmetic stays on exact scale-4 DECIMAL
     * until the final DOUBLE cast.
@@ -627,11 +638,11 @@ object TpchQueries {
   ) { s =>
     val profit = revenue - (d("p_retailprice") * d("l_quantity"))
     s.table("lineitem")
-      .join(broadcast(s.table("part").filter(col("p_name").like("%e%"))
-        .select(col("p_partkey"), col("p_retailprice"))),
+      .join(s.table("part").filter(col("p_name").like("%e%"))
+        .select(col("p_partkey"), col("p_retailprice")),
         col("p_partkey") === col("l_partkey"))
-      .join(broadcast(s.table("supplier")
-        .select(col("s_suppkey"), col("s_nationkey"))),
+      .join(s.table("supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(s.table("nation")
         .select(col("n_nationkey"), col("n_name").as("nation"))),

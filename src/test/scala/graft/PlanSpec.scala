@@ -509,6 +509,102 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  /** CLASS guard for the forced-broadcast bug family (round-12 verdict):
+    * a `broadcast()` hint OVERRIDES the size threshold, so hinting an
+    * SF-proportional relation is a latent 100 TB OOM even when every
+    * measured tier is fine. This spec walks EVERY declared query's
+    * analyzed plan and fails if a broadcast hint wraps a subtree that
+    * is not provably bounded. "Provably bounded" =
+    *  - leaf relations only from fixed-cardinality tables (nation 25,
+    *    region 5 — set by the schema, not the scale factor), or
+    *  - the subtree passes through an Aggregate / Limit / Sample
+    *    (output reduced to group/limit cardinality), or
+    *  - a Filter bounds a dense unique key by literals (vec_id < 5), or
+    *  - literal leaves (LocalRelation / OneRowRelation / Range), or
+    *  - the `__measured_broadcast__` alias — the contract marker that
+    *    the hint was applied only after a runtime size measurement
+    *    against autoBroadcastJoinThreshold (TextOps.contaminationHits).
+    * Anything else — in particular `broadcast(s.table("part"))` — fails
+    * here at fixture scale, where stats alone could never catch it.
+    */
+  test("no declared query force-broadcasts an SF-proportional relation") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.functions.col
+
+    val boundedTables = Set("nation", "region")
+    // dense unique row keys: a literal comparison caps the row count
+    val keyCols = Set("vec_id", "doc_id")
+
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    def isLit(e: Expression): Boolean = stripCast(e).isInstanceOf[Literal]
+    def keyAttr(e: Expression): Boolean = stripCast(e) match {
+      case a: AttributeReference => keyCols(a.name)
+      case _ => false
+    }
+    def keyBounding(cond: Expression): Boolean = cond.exists {
+      case LessThan(a, l) => keyAttr(a) && isLit(l)
+      case LessThanOrEqual(a, l) => keyAttr(a) && isLit(l)
+      case EqualTo(a, l) => (keyAttr(a) && isLit(l)) || (keyAttr(l) && isLit(a))
+      case In(a, vs) => keyAttr(a) && vs.forall(isLit)
+      case _ => false
+    }
+
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _: Sample => true
+      case sa: SubqueryAlias if boundedTables(sa.alias) => true
+      case sa: SubqueryAlias if sa.alias.startsWith("__measured_broadcast") => true
+      case f: Filter if keyBounding(f.condition) => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case _: Range => true
+      case l: LeafNode => false // a base-table scan, never neutralized
+      case other => other.children.forall(bounded)
+    }
+
+    def brHints(p: LogicalPlan): Seq[ResolvedHint] = p.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+
+    // self-check: the detector must FLAG a blind hint on an
+    // SF-proportional dim and must SEE hints at all — otherwise the
+    // sweep below would pass vacuously
+    graft.engine.Tables.register(spark, sf)
+    val blind = brHints(org.apache.spark.sql.functions
+      .broadcast(spark.table("part")).join(
+        spark.table("lineitem"), col("p_partkey") === col("l_partkey"))
+      .queryExecution.analyzed)
+    assert(blind.nonEmpty && blind.forall(h => !bounded(h.child)),
+      "detector failed to flag a blind broadcast(part) hint")
+    val fine = brHints(org.apache.spark.sql.functions
+      .broadcast(spark.table("nation")).join(
+        spark.table("supplier"), col("n_nationkey") === col("s_nationkey"))
+      .queryExecution.analyzed)
+    assert(fine.nonEmpty && fine.forall(h => bounded(h.child)),
+      "detector wrongly flags the bounded nation hint")
+
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    var hintsSeen = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val analyzed = fn(spark, sf).queryExecution.analyzed
+      brHints(analyzed).foreach { h =>
+        hintsSeen += 1
+        if (!bounded(h.child))
+          offenders += s"$name force-broadcasts an unbounded relation:\n${h.child.treeString}"
+      }
+    }
+    // the suite deliberately hints nation/region + one-row scalars in
+    // many queries; seeing none would mean the walk itself broke
+    assert(hintsSeen >= 10, s"only $hintsSeen broadcast hints seen — walk broken?")
+    assert(offenders.isEmpty, offenders.mkString("\n---\n"))
+  }
+
   test("q21: single-pass rewrite — lineitem scanned once, window reuses the join partitioning") {
     val p = plan("q21_waiting_suppliers")
     // the r10 semi+anti plan sort-merged THREE lineitem scans (8.8 GB
