@@ -23,20 +23,21 @@ import org.apache.spark.sql.types._
   * EXACT window ordering semantics: ties on score go to the LOWER id,
   * merge order cannot matter because the comparator is total.
   *
-  * Empty slots carry (score = −∞, id = Long.MaxValue); real cosine
-  * scores are finite, so −∞ doubles as the presence marker. The result
-  * is array<struct<s: double, id: bigint>> best-first, length ≤ k —
-  * callers posexplode it to recover (rn, nb, sim).
+  * Slot occupancy is tracked by an EXPLICIT fill-count buffer slot `n`
+  * (0 ≤ n ≤ k): slots [0, n) are real, [n, k) are padding whose values
+  * are never compared (update short-circuits landing past n, merge
+  * guards both sides' counts, eval emits exactly the n-prefix). This
+  * replaces the earlier −∞ presence sentinel, so a genuine −∞ score
+  * (e.g. a dot product of overflowing raw doubles) is now a
+  * first-class edge, ranked and kept exactly like the window spelling
+  * would. The result is array<struct<s: double, id: bigint>>
+  * best-first, length = min(n, k) — callers posexplode it to recover
+  * (rn, nb, sim).
   *
-  * PRECONDITION — finite scores only. A genuine −∞ input score is
-  * indistinguishable from the empty-slot sentinel, so `eval` truncates
-  * the emitted prefix at the first −∞ slot: an edge whose score is −∞
-  * (e.g. a dot product of overflowing raw doubles) would be silently
-  * dropped where the window spelling keeps it. Every current feeder
-  * (SimilarityOps.topKEdges) passes cosine similarities in [−1, 1];
-  * any new call site feeding unbounded scores must clamp or pre-filter
-  * non-finite values first, or this aggregate needs an explicit
-  * fill-count buffer slot instead of the −∞ presence marker.
+  * PRECONDITION — no NaN scores (unchanged): NaN compares false under
+  * every ordering predicate, so a NaN edge would land at the tail
+  * instead of sorting DESC-first the way Spark's window ORDER BY
+  * places NaN. Current feeders pass cosine similarities in [−1, 1].
   */
 case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
     extends DeclarativeAggregate {
@@ -67,12 +68,17 @@ case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
     (0 until k).map(i => AttributeReference(s"s$i", DoubleType, nullable = false)())
   private val ids: Seq[AttributeReference] =
     (0 until k).map(i => AttributeReference(s"i$i", LongType, nullable = false)())
+  // explicit fill count: slots [0, cnt) are real, [cnt, k) padding
+  private val cnt: AttributeReference =
+    AttributeReference("cnt", IntegerType, nullable = false)()
 
-  override val aggBufferAttributes: Seq[AttributeReference] = ss ++ ids
+  override val aggBufferAttributes: Seq[AttributeReference] = ss ++ ids :+ cnt
 
+  // padding values are arbitrary (never compared, never emitted); keep
+  // the old sentinel pair purely for debuggability of raw buffers
   override val initialValues: Seq[Expression] =
     Seq.fill(k)(Literal(Double.NegativeInfinity)) ++
-      Seq.fill(k)(Literal(Long.MaxValue))
+      Seq.fill(k)(Literal(Long.MaxValue)) :+ Literal(0)
 
   /** (s, id) beats slot (si, idi) under (score DESC, id ASC). NULL
     * inputs never beat (GreaterThan/And are null-rejecting and the
@@ -83,13 +89,18 @@ case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
     Or(GreaterThan(s, si), And(EqualTo(s, si), LessThan(i, ii)))
 
   /** One insertion of (s, id) into the slot lists: returns the new
-    * (scores, ids) expression vectors. b(j) = lands at slot j.
+    * (scores, ids) expression vectors. b(j) = lands at slot j. An
+    * unfilled slot (j ≥ cnt) is beaten unconditionally — padding
+    * values never enter a comparison, so −∞ scores insert correctly.
     */
   private def insert(s: Expression, i: Expression,
       curS: Seq[Expression], curI: Seq[Expression])
       : (Seq[Expression], Seq[Expression]) = {
-    // bRaw(j) = beats slot j; the landing slot is the FIRST beaten one
-    val bRaw = (0 until k).map(j => beats(s, i, curS(j), curI(j)))
+    // bRaw(j) = beats slot j; the landing slot is the FIRST beaten one.
+    // Filled slots are a prefix, so j ≥ cnt ⇒ every later slot is also
+    // unfilled and the entry lands exactly at min(first beaten, cnt).
+    val bRaw: Seq[Expression] = (0 until k).map(j =>
+      Or(GreaterThanOrEqual(Literal(j), cnt), beats(s, i, curS(j), curI(j))))
     val lands = (0 until k).map { j =>
       (0 until j).foldLeft(bRaw(j))((e, p) => And(Not(bRaw(p)), e))
     }
@@ -115,8 +126,13 @@ case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
     // NULL score/id: keep the buffer unchanged (window rows with NULL
     // sort keys can't displace real ones under DESC NULLS LAST either)
     val skip = Or(IsNull(score), IsNull(id))
-    nS.zip(ss).map { case (n, c) => If(skip, c, n) } ++
-      nI.zip(ids).map { case (n, c) => If(skip, c, n) }
+    // a non-skipped row ALWAYS lands while cnt < k (the j ≥ cnt arm),
+    // and past that a displacement keeps cnt at k — so the clamped
+    // increment is correct whether or not the entry survived
+    val newCnt = Least(Seq(Add(cnt, Literal(1)), Literal(k)))
+    (nS.zip(ss).map { case (n, c) => If(skip, c, n) } ++
+      nI.zip(ids).map { case (n, c) => If(skip, c, n) }) :+
+      If(skip, cnt, newCnt)
   }
 
   override val mergeExpressions: Seq[Expression] = {
@@ -127,11 +143,15 @@ case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
     // leaves of O(1) nodes — successive-insert expressions (each level
     // re-substituting the previous level's slot trees) grow
     // exponentially in TREE SIZE instead and OOM'd codegen at k=5.
-    // Empty slots (−∞, MaxValue) tie only against empties and lose to
-    // real entries, so the walk needs no fill-count bookkeeping.
+    // "take left" ⇔ left slot filled AND (right slot unfilled OR left
+    // beats right) — padding never wins a comparison, and slots past
+    // the merged count are don't-care padding.
     val lS = ss.map(_.left); val lI = ids.map(_.left)
     val rS = ss.map(_.right); val rI = ids.map(_.right)
-    def c(i: Int, l: Int): Expression = beats(lS(i), lI(i), rS(l), rI(l))
+    def c(i: Int, l: Int): Expression = And(
+      LessThan(Literal(i), cnt.left),
+      Or(GreaterThanOrEqual(Literal(l), cnt.right),
+        beats(lS(i), lI(i), rS(l), rI(l))))
     // (two structurally-identical trees: one yielding scores, one ids)
     def slot(j: Int, leftV: Seq[Expression], rightV: Seq[Expression])
         : Expression = {
@@ -140,21 +160,22 @@ case class TopKEdgeAgg(score: Expression, id: Expression, k: Int)
         else If(c(i, l), go(i + 1, l), go(i, l + 1))
       go(0, 0)
     }
-    (0 until k).map(j => slot(j, lS, rS)) ++
-      (0 until k).map(j => slot(j, lI, rI))
+    ((0 until k).map(j => slot(j, lS, rS)) ++
+      (0 until k).map(j => slot(j, lI, rI))) :+
+      Least(Seq(Add(cnt.left, cnt.right), Literal(k)))
   }
 
   override val evaluateExpression: Expression = {
     val structs = (0 until k).map(j =>
       CreateNamedStruct(Seq(Literal("s"), ss(j), Literal("id"), ids(j))))
-    // filled prefix only: slot j is real iff its score > −∞ (a bare
-    // CreateArray(Nil) types as ARRAY<VOID>; the prefix arrays must be
-    // typed empty/partial literals of the result element type)
+    // exactly the cnt-prefix (a bare CreateArray(Nil) types as
+    // ARRAY<VOID>; the prefix arrays must be typed empty/partial
+    // literals of the result element type)
     def prefix(j: Int): Expression =
       if (j == 0) Literal.create(Seq.empty[Any], dataType)
       else CreateArray(structs.take(j))
     (0 until k).foldRight(CreateArray(structs): Expression) { (j, full) =>
-      If(EqualTo(ss(j), Literal(Double.NegativeInfinity)), prefix(j), full)
+      If(EqualTo(cnt, Literal(j)), prefix(j), full)
     }
   }
 }

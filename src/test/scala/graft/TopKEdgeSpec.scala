@@ -52,6 +52,25 @@ class TopKEdgeSpec extends AnyFunSuite {
       Seq((1L, 0.5, 10L, 1), (2L, 0.1, 20L, 1)))
   }
 
+  test("genuine −∞ scores are kept and ranked exactly like the window spelling") {
+    // the pre-r13 sentinel encoding truncated the emitted prefix at the
+    // first −∞ slot, silently dropping real −∞ edges; the explicit
+    // fill-count buffer slot must keep them — including the absolute
+    // worst corner (−∞ score AND id == Long.MaxValue, the old padding
+    // pair itself)
+    val inf = Double.NegativeInfinity
+    val rows = Seq(
+      (1L, inf, 10L), (1L, 0.5, 11L), (1L, inf, 9L), (1L, -1.0, 12L),
+      (2L, inf, 20L), (2L, inf, 21L),                 // all-−∞ group
+      (3L, inf, Long.MaxValue),                        // old padding pair
+      (4L, 0.3, 40L), (4L, inf, 41L), (4L, 0.3, 42L), (4L, 0.9, 43L),
+      (4L, inf, 44L))
+    for (parts <- Seq(1, 5); k <- Seq(1, 3)) {
+      val df = rows.toDF("g", "s", "id").repartition(parts)
+      assert(viaAgg(df, k) == viaWindow(df, k), s"parts=$parts k=$k")
+    }
+  }
+
   test("plan: aggregates inside HashAggregate (fixed-width, no ObjectHashAggregate)") {
     val df = Seq((1L, 0.5, 10L)).toDF("g", "s", "id")
       .groupBy(col("g"))
