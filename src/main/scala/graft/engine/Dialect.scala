@@ -1495,6 +1495,26 @@ object Dialect {
     "USMALLINT" -> "INT", "UTINYINT" -> "SMALLINT",
     "LOGICAL" -> "BOOLEAN")
   private val castBodyTypeRe = """(?is)^(.*\bAS\s+)(\w+)\s*$""".r
+
+  /** The CAST body with string literals, quoted identifiers, and SQL
+    * comments blanked to spaces — LENGTH-PRESERVING, so a regex match
+    * on the mask yields positions valid in the original text. The
+    * cast-body regexes run on this mask, never the raw body: a body
+    * ending in a line comment (`CAST(x AS INT -- AS JSON`) would
+    * otherwise match `AS\s+JSON\s*$` inside the comment and rewrite
+    * valid SQL into a parse error.
+    */
+  private def maskOpaque(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val o = consumeOpaque(s, i, null)
+      if (o > i) { var j = i; while (j < o) { sb.append(' '); j += 1 }; i = o }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private def rewriteCastTypes(sql: String): String = {
     val up = sql.toUpperCase
     var i = 0
@@ -1525,9 +1545,12 @@ object Dialect {
           splitCallArgs(sql, k) match {
             case Some((_, end)) =>
               val body = sql.substring(k + 1, end - 1)
-              castBodyTypeRe.findFirstMatchIn(body).flatMap(m =>
+              // match on the opaque-blanked mask (same length), rebuild
+              // from the ORIGINAL body by position — the regex must
+              // never see comment/literal text
+              castBodyTypeRe.findFirstMatchIn(maskOpaque(body)).flatMap(m =>
                 castTypeMap.get(m.group(2).toUpperCase)
-                  .map(t => m.group(1) + t)) match {
+                  .map(t => body.substring(0, m.end(1)) + t)) match {
                 case Some(nb) =>
                   return rewriteCastTypes(
                     sql.substring(0, k + 1) + nb + sql.substring(end - 1))
@@ -1569,9 +1592,12 @@ object Dialect {
           splitCallArgs(sql, k) match {
             case Some((_, end)) =>
               val body = sql.substring(k + 1, end - 1)
-              castBodyJsonRe.findFirstMatchIn(body) match {
+              // mask-matched for the same reason as castBodyTypeRe: an
+              // `AS JSON` inside a trailing line comment must not
+              // trigger the rewrite (ADVICE r12)
+              castBodyJsonRe.findFirstMatchIn(maskOpaque(body)) match {
                 case Some(m) =>
-                  val inner = m.group(1)
+                  val inner = body.substring(0, m.end(1))
                   val repl =
                     if (isTry) s"try(graft_json_cast($inner))"
                     else s"graft_json_cast($inner)"

@@ -275,6 +275,18 @@ case class MadAgg(
   * shuffle (`unify` is commutative/associative on the type lattice, so
   * split/merge order cannot change the TYPES; key ORDER is first-seen
   * like DuckDB's own parallel aggregate, documented there).
+  *
+  * KNOWN DIVERGENCE CLASS (r12 ADVICE, deliberate): first-seen object
+  * key order is merge-order dependent under partial aggregation —
+  * groups whose object shapes list shared keys in different relative
+  * orders can emit different key orders per run/partitioning, and may
+  * differ from the single-threaded oracle. Sorting keys at eval would
+  * fix determinism but BREAK oracle equality wherever DuckDB's own
+  * first-seen order is unsorted, so the divergence is documented
+  * instead: the pinned query and the fuzz lambda restrict themselves
+  * to shapes with a consistent key order (nested or disjoint key
+  * sets). Fuzz triage: a key-ORDER-only diff on this aggregate is this
+  * class, not a bug.
   */
 case class JsonGroupStructureAgg(
     child: Expression,

@@ -40,6 +40,8 @@ case class IvfNearest(child: Expression, cents: Array[Array[Double]],
     cn: Array[Double], l2: Boolean, n: Int)
     extends UnaryExpression {
 
+  require(n >= 1, s"ivf_nearest needs n >= 1, got $n")
+
   private val k = cents.length
   private val dim = if (k == 0) 0 else cents(0).length
   private val outN = math.min(n, k)
@@ -122,6 +124,10 @@ object IvfNearest {
   def assign(x: Array[Double], cents: Array[Array[Double]],
       cn: Array[Double], l2: Boolean, base: Int, blockLen: Int,
       outN: Int): Array[Int] = {
+    // outN == 0 would index scores(-1) in the displacement arm below;
+    // the pre-r12 repeated-argmin loop returned an empty array here,
+    // and ProbeKernel can feed n straight from CLI args
+    if (outN <= 0) return Array.emptyIntArray
     val dim = x.length
     val scores = new Array[Double](outN)
     val ids = new Array[Int](outN)
@@ -227,6 +233,7 @@ case class IvfNearestBlock(vec: Expression, block: Expression,
     blockLen: Int) extends BinaryExpression {
 
   require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+  require(n >= 1, s"ivf_nearest_block needs n >= 1, got $n")
 
   private val k = cents.length
   private val dim = if (k == 0) 0 else cents(0).length

@@ -73,6 +73,24 @@ class DialectSpec extends AnyFunSuite {
     assert(r4.contains("div"), r4)
   }
 
+  test("cast-body rewrites are comment/literal-aware (r12 ADVICE)") {
+    // an `AS JSON` inside a trailing line comment must not turn a valid
+    // CAST into graft_json_cast(x AS INT --) — a parse error
+    val r1 = Dialect.rewrite("SELECT CAST(x AS INT -- AS JSON\n) FROM t")
+    assert(!r1.contains("graft_json_cast"), r1)
+    assert(r1.toUpperCase.contains("AS INT"), r1)
+    // same class for the type-map pass: HUGEINT in a comment stays text
+    val r2 = Dialect.rewrite("SELECT CAST(x AS INT -- AS HUGEINT\n) FROM t")
+    assert(!r2.contains("DECIMAL(38,0)"), r2)
+    // and a REAL cast whose body merely CONTAINS a literal still maps
+    val r3 = Dialect.rewrite("SELECT CAST('7' AS HUGEINT) FROM t")
+    assert(r3.contains("DECIMAL(38,0)") && r3.contains("'7'"), r3)
+    val r4 = Dialect.rewrite("SELECT CAST(' {\"a\":1} ' AS JSON) FROM t")
+    // inner text (incl. the literal) must come from the ORIGINAL body,
+    // never the blanked mask; whitespace tail is cosmetic
+    assert(r4.contains("graft_json_cast(' {\"a\":1} '"), r4)
+  }
+
   test("rewrite boundary: '_'/'.'-joined identifiers are not rewritten") {
     val r1 = Dialect.rewrite("SELECT my_datediff('day', a, b) FROM t")
     assert(r1.contains("my_datediff("), r1)
