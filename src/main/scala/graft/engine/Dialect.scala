@@ -2901,7 +2901,7 @@ object Dialect {
     var cur = sql
     var guard = 0
     var searchFrom = 0
-    while (guard < 32) {
+    while (guard < 512) {
       guard += 1
       val rel = indexOfAnyDepth(cur.substring(searchFrom), " WINDOW ")
       if (rel < 0) return cur
@@ -2967,7 +2967,7 @@ object Dialect {
   private def rewriteQualify(sql: String): String = {
     var cur = sql
     var guard = 0
-    while (guard < 32) {
+    while (guard < 512) {
       val qi = indexOfAnyDepth(cur, " QUALIFY ")
       if (qi < 0) return cur
       val (s0, e0) = scopeBounds(cur, qi)
@@ -3070,7 +3070,7 @@ object Dialect {
   private def rewriteExcludeFrames(sql: String): String = {
     var cur = sql
     var guard = 0
-    while (guard < 32) {
+    while (guard < 512) {
       rewriteOneExclude(cur) match {
         case Some(next) => cur = next
         case None => return cur
@@ -3361,7 +3361,7 @@ object Dialect {
   private def rewriteGroupsFrame(sql: String): String = {
     var cur = sql
     var guard = 0
-    while (guard < 32) {
+    while (guard < 512) {
       rewriteOneGroupsFrame(cur) match {
         case Some(next) => cur = next
         case None => return cur
@@ -3399,8 +3399,18 @@ object Dialect {
             val partSpec = spec.substring(0, obIdx).trim // may be empty
             val orderPart = spec.substring(obIdx, gIdx)
               .replaceAll("""(?is)^\s*ORDER\s+BY\s+""", "").trim
-            // the SELECT scope enclosing this OVER clause
-            val (ss, se) = scopeBounds(sql, sb0 - 1)
+            // the SELECT scope enclosing this OVER clause — walk OUT
+            // through expression parens until a scope with a top-level
+            // FROM: the EXCLUDE subtraction pass (which runs first and
+            // feeds this one on GROUPS×EXCLUDE shapes) wraps its
+            // windows in arithmetic/CASE parens, so the IMMEDIATELY
+            // enclosing scope is an expression, not the SELECT
+            var (ss, se) = scopeBounds(sql, sb0 - 1)
+            while (ss > 0 &&
+                fromClauseIdx(sql.substring(ss, se)) < 0) {
+              val outer = scopeBounds(sql, ss - 1)
+              ss = outer._1; se = outer._2
+            }
             val scope = sql.substring(ss, se)
             rewriteGroupsScope(scope, partSpec, orderPart, frame,
               sb0 - ss, se0 - ss).foreach { out =>
@@ -3424,8 +3434,10 @@ object Dialect {
     // named-window scopes
     if (Seq(" GROUP BY ", " HAVING ", " WINDOW ")
         .exists(k => indexOfTopLevel(scope, k) >= 0)) return None
-    // the OVER clause must sit in the select list, before the FROM
-    val fi = indexOfTopLevel(scope, " FROM ")
+    // the OVER clause must sit in the select list, before the FROM —
+    // the RELATION-clause FROM, not the one inside IS DISTINCT FROM
+    // (the EXCLUDE general fold emits those in the select list)
+    val fi = fromClauseIdx(scope)
     if (fi < 0 || fi < specEnd) return None
     // source+WHERE segment = FROM … up to the first top-level tail
     // keyword (ORDER BY/LIMIT/…): exactly the rows the window sees
@@ -3434,7 +3446,27 @@ object Dialect {
       " UNION ", " INTERSECT ", " EXCEPT ")
       .map(k => indexOfTopLevel(scope, k)).filter(_ >= afterFrom)
       .sorted.headOption.getOrElse(scope.length)
-    // fresh rank-column name (several GROUPS windows stack wrappers)
+    // REUSE an already-injected rank for the same (partition, order):
+    // a select list can hold dozens of GROUPS windows over one spec
+    // (the EXCLUDE folds multiply them), and one wrapper per window
+    // nests subqueries past the parser's complexity limit — one rank
+    // column serves them all. Only OUR injections produce `AS __gdr*`,
+    // so the signature match cannot hit user SQL.
+    val rankSig = ("""dense_rank\(\) OVER \(""" +
+      java.util.regex.Pattern.quote(
+        (if (partSpec.nonEmpty) partSpec + " " else "") +
+          s"ORDER BY $orderPart") +
+      """\) AS (__gdr\d*)""").r
+    rankSig.findFirstMatchIn(scope) match {
+      case Some(m) if m.start > fi =>
+        val rank = m.group(1)
+        val newSpec = (if (partSpec.nonEmpty) partSpec + " " else "") +
+          s"ORDER BY $rank RANGE $frame"
+        return Some(
+          scope.substring(0, specStart) + newSpec + scope.substring(specEnd))
+      case _ => ()
+    }
+    // fresh rank-column name (distinct specs still stack wrappers)
     var rank = "__gdr"
     var n = 0
     while (scope.contains(rank)) { n += 1; rank = s"__gdr$n" }
@@ -3448,6 +3480,23 @@ object Dialect {
     val head = scope.substring(0, specStart) + newSpec + scope.substring(specEnd, fi)
     val tail = scope.substring(tailIdx)
     Some(s"$head FROM $inner$tail")
+  }
+
+  /** First top-level ` FROM ` that starts the RELATION clause — skips
+    * the FROM token of `IS [NOT] DISTINCT FROM`, which EXCLUDE's
+    * general collect-fold emits inside the select list. -1 if absent.
+    */
+  private def fromClauseIdx(scope: String): Int = {
+    var from = 0
+    while (from < scope.length) {
+      val rel = indexOfTopLevel(scope.substring(from), " FROM ")
+      if (rel < 0) return -1
+      val i = from + rel
+      val before = scope.substring(0, i).trim.toUpperCase
+      if (!before.endsWith(" DISTINCT")) return i
+      from = i + 1
+    }
+    -1
   }
 
   /** First index of `needle` (case-insensitive) outside literals at any
