@@ -114,7 +114,11 @@ object ScaleBench {
     "q21_waiting_suppliers",
     // round-11 addition: the approximate label-kNN path (exact v6 is
     // wall-gated at tier 2 — this is the family's measured 100× row)
-    "nn_label_knn_ivf")
+    "nn_label_knn_ivf",
+    // round-13 addition: the graph-index path (one HNSW per label
+    // cell) — sub-quadratic total work with ef-set recall, the
+    // structural answer to flat IVF's coverage-bound recall decay
+    "nn_label_knn_hnsw")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL
@@ -229,7 +233,32 @@ object ScaleBench {
             "of the label's own lists probed; per-label quantizer, " +
             "symmetric edge emission)")(
           graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = np))
+      } else if (name == "nn_label_knn_hnsw") {
+        // constant config at every tier — that is the point of the
+        // graph index: recall is set by ef, not by corpus coverage, so
+        // no tier sizing function exists here. The declared-query
+        // defaults ARE the tier config.
+        measure(name, "m=16 efC=128 efS=96 (per-label HNSW; cells " +
+          "<=4096 exact by construction)")(
+          graft.llm.SimilarityOps.labelKnnHnsw(spark))
       } else measure(name)(SparkEntry.queries(name)(spark, dir))
+    }
+
+    // --- label-kNN HNSW recall@3 (same sampled exact reference) -------
+    if (invariants || queries.contains("nn_label_knn_hnsw")) {
+      val nEmb = spark.table("embeddings").count()
+      def edgeSet2(df: DataFrame): Set[(Long, Long)] =
+        graft.engine.CacheOnce.scoped {
+          df.select(col("vec_id"), col("nb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      val exactEdges = edgeSet2(graft.llm.SimilarityOps.labelKnnExactSample(spark))
+      val approxEdges = edgeSet2(
+        graft.llm.SimilarityOps.labelKnnHnsw(spark)
+          .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
+      val recall = approxEdges.intersect(exactEdges).size.toDouble / exactEdges.size
+      out += Row("ann_label_knn_hnsw_recall", exactEdges.size.toLong, 0, 0, 0, 0, 0,
+        f"recall@3=$recall%.4f at m=16 efC=128 efS=96 vs sampled exact in-label kNN")
     }
 
     // --- label-kNN IVF recall@3 AT the tier config --------------------

@@ -624,9 +624,9 @@ object SimilarityOps {
     * aggregation per vector, then posexplode recovers the rank. Exactly
     * `row_number() OVER (PARTITION BY vec_id ORDER BY simv DESC, nb
     * ASC) <= k` — TopKEdgeAgg's comparator is that window's ordering.
-    * All feeders pass cosine similarities (finite, in [−1, 1]), which
-    * satisfies TopKEdgeAgg's finite-score precondition: a −∞ score is
-    * its empty-slot sentinel and would truncate the result prefix.
+    * (Since r13 the aggregate tracks occupancy with an explicit fill
+    * count, so even a −∞ score would be kept; feeders still pass
+    * cosine similarities in [−1, 1], and NaN remains excluded.)
     */
   private def topKEdges(pairs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame =
@@ -857,5 +857,74 @@ object SimilarityOps {
       |ORDER BY vec_id ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
   ) { s => labelKnnIvf(s) }
 
-  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7)
+  /** Graph-index label-kNN (r13): one deterministic HNSW per label
+    * cell, built and queried inside a single task per cell — the
+    * structural fix for flat IVF's recall-vs-coverage contract
+    * (SCALE.md r12 frontier ladder: 0.835 @100× → 0.5685 @1000× at
+    * constant probe budget; a graph routes in ~log n hops, so recall
+    * is set by ef and the TOTAL work stays sub-quadratic:
+    * ~n·(efC·log n + efS) distance evals vs IVF's
+    * n·nprobe·cell/nlists candidate pairs).
+    *
+    * Plan shape: ONE shuffle (groupByKey on label — the same blocking
+    * key every kNN-graph variant already shuffles on), then the whole
+    * build+query runs as per-cell JVM kernels with zero further
+    * exchanges; no pair relation ever materializes (the IVF path's
+    * remaining tier-3 wall was exactly its 5B-row candidate join at
+    * ~1.8 µs/row of join machinery). mapGroups is justified here the
+    * same way mm_decode's mapPartitions is: a graph with mutable
+    * adjacency state is a codec-like context no Expression can hold.
+    *
+    * Cells ≤ exactBelow run the exact O(n²) scan instead (cheaper than
+    * building a graph at that size), which makes the FIXTURE config
+    * oracle-EQUAL by construction — the same posture as labelKnnIvf's
+    * perLabel=1 — while tier 2+ cells exercise the graph
+    * (HnswSpec pins the forced-graph path differentially at fixture
+    * scale; ScaleBench measures its recall at the big tiers).
+    *
+    * 100 TB contract: a cell must fit one task (~60 MB at 200k×64-d
+    * incl. adjacency). Monster cells compose with the per-label IVF
+    * router — one graph per (label, shard) — documented in Hnsw.scala.
+    */
+  private[graft] def labelKnnHnsw(s: org.apache.spark.sql.SparkSession,
+      exactBelow: Int = 4096, m: Int = 16, efC: Int = 128, efS: Int = 96)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val edges = s.table("embeddings")
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val cell = it.toArray.sortBy(_._2) // vec_id order IS the tie-break order
+        val ids = new Array[Long](cell.length)
+        val vecs = new Array[Array[Float]](cell.length)
+        var i = 0
+        while (i < cell.length) { ids(i) = cell(i)._2; vecs(i) = cell(i)._3; i += 1 }
+        Hnsw.cellTopK(ids, vecs, 3, exactBelow, m, efC, efS)
+          .map { case (v, nb, sim, rn) => (v, label, nb, sim, rn) }
+      }
+    // CacheOnce'd BELOW the global sort: the range exchange SAMPLES its
+    // child for partition bounds, which would build + query every graph
+    // twice (measured: 2 × 133 task-sec at tier 2). The edge relation
+    // is k rows/vector (~20 MB at tier 2), the graphs are the cost.
+    val cached = graft.engine.CacheOnce(
+      datasetKey(s) + s"/hnsw:$exactBelow:$m:$efC:$efS",
+      edges.toDF("vec_id", "label", "nb", "sim", "rn"))
+    cached.orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
+  }
+
+  val v8 = Q(
+    "nn_label_knn_hnsw",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id, label, nb, sim, rn FROM (
+      |  SELECT a.vec_id, a.label, b.vec_id AS nb,
+      |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id ASC) AS rn
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      |WHERE rn <= 3
+      |ORDER BY vec_id ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
+  ) { s => labelKnnHnsw(s) }
+
+  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7, v8)
 }

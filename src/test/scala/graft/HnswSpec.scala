@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r13 graph-index label-kNN path (SimilarityOps.labelKnnHnsw /
+  * llm.Hnsw): fixture-scale oracle equality BY VALUE against the exact
+  * spelling, forced-graph differentials (the declared query's small
+  * cells take the exact arm, so the graph arm needs its own pin), and
+  * kernel-level determinism.
+  */
+class HnswSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def edges(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getDouble(3), r.getInt(4))).toSeq
+
+  test("declared query equals the exact kNN graph at fixture scale (oracle posture)") {
+    val exact = edges(SparkEntry.queries("nn_label_knn")(spark, sf))
+    val hnsw = edges(SparkEntry.queries("nn_label_knn_hnsw")(spark, sf))
+    assert(hnsw == exact)
+  }
+
+  test("forced graph path: near-exact on fixture cells, sims oracle-rounded") {
+    graft.engine.Tables.register(spark, sf)
+    val exact = edges(SparkEntry.queries("nn_label_knn")(spark, sf))
+    val g = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark, exactBelow = 0))
+    // with ef far above the ~50-vector cells the beam covers the whole
+    // connected component; tiny residual misses are tolerated, silent
+    // drift is not
+    val exactSet = exact.map(e => (e._1, e._3)).toSet
+    val gSet = g.map(e => (e._1, e._3)).toSet
+    val recall = gSet.intersect(exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.98, s"graph-path recall@3 $recall")
+    // sims on agreeing edges must be IDENTICAL (same double arithmetic,
+    // same rounding) — approximate recall never excuses approximate sims
+    val exactSim = exact.map(e => (e._1, e._3) -> e._4).toMap
+    g.foreach { e =>
+      exactSim.get((e._1, e._3)).foreach(s => assert(s == e._4, e))
+    }
+  }
+
+  test("graph build + query is deterministic across runs and partitionings") {
+    graft.engine.Tables.register(spark, sf)
+    val a = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark, exactBelow = 0))
+    val b = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark, exactBelow = 0))
+    assert(a == b)
+  }
+
+  test("kernel: graph arm equals exact arm when ef covers the cell") {
+    val rnd = new scala.util.Random(13)
+    val n = 300
+    val ids = Array.tabulate(n)(i => (i * 7 + 3).toLong)
+    val vecs = Array.fill(n)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val exact = graft.llm.Hnsw.cellTopK(ids, vecs, 3, Int.MaxValue, 16, 128, 96).toSeq
+    val graph = graft.llm.Hnsw.cellTopK(ids, vecs, 3, 0, 16, 128, n + 8).toSeq
+    assert(graph == exact)
+  }
+
+  test("kernel: duplicate vectors and tiny cells") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    // three identical vectors: ties broken by id ASC everywhere
+    val ids = Array(10L, 20L, 30L)
+    val out = graft.llm.Hnsw.cellTopK(ids, Array(v, v, v), 3, Int.MaxValue,
+      16, 128, 96).toSeq
+    assert(out == Seq(
+      (10L, 20L, 1.0, 1), (10L, 30L, 1.0, 2),
+      (20L, 10L, 1.0, 1), (20L, 30L, 1.0, 2),
+      (30L, 10L, 1.0, 1), (30L, 20L, 1.0, 2)))
+    // single-vector cell: no edges
+    assert(graft.llm.Hnsw.cellTopK(Array(1L), Array(v), 3, 0, 16, 128, 96).isEmpty)
+  }
+}
