@@ -35,9 +35,11 @@ package graft.llm
   * (embeddings-only rows — 200k × 64-dim floats ≈ 60 MB incl. the
   * adjacency slabs), cells distribute across executors. A cell too big
   * for one task shards by the per-label IVF router first (the same
-  * blocking the flat path uses) with one graph per (label, shard); the
-  * budget-vs-recall trade of that composition is the documented
-  * boundary, not hidden.
+  * blocking the flat path uses) with one graph per (label, shard) —
+  * IMPLEMENTED in SimilarityOps.labelKnnHnsw's cellShardThreshold path
+  * (r14): symmetric shard emission, per-shard [[Hnsw.cellTopKRaw]],
+  * exact-dedup merge via TopKEdgeAgg. The budget-vs-recall trade of
+  * that composition is measured in SCALE.md, not hidden.
   */
 final class Hnsw private (
     flat: Array[Float],
@@ -235,6 +237,15 @@ object Hnsw {
 
   /** Build over a cell's vectors; callers pass vectors in sorted-vec_id
     * order (index order IS the tie-break order).
+    *
+    * PRECONDITION (enforced): every vector has a non-zero norm. A
+    * zero-norm vector makes sim() NaN, and NaN compares false under
+    * every predicate — heap and insertion order would become
+    * STRUCTURAL rather than value-ordered, silently breaking the
+    * deterministic (sim DESC, idx ASC) total order the whole design
+    * depends on, and diverging from the oracle (which sorts NaN as
+    * greatest under DESC). Failing loudly here is the contract; the
+    * exact arm in [[cellTopK]] enforces the same.
     */
   def build(vecs: Array[Array[Float]], m: Int = 16, efC: Int = 128): Hnsw = {
     val n = vecs.length
@@ -249,6 +260,10 @@ object Hnsw {
       var j = 0
       while (j < dim) { s += v(j).toDouble * v(j).toDouble; j += 1 }
       norms(i) = math.sqrt(s)
+      require(norms(i) > 0,
+        s"hnsw: zero-norm vector at cell index $i — cosine kNN is " +
+          "undefined for the zero vector (NaN sims would break the " +
+          "deterministic total order); filter or re-embed such rows")
       i += 1
     }
     val h = new Hnsw(flat, norms, dim, m, efC)
@@ -288,6 +303,18 @@ object Hnsw {
     */
   def cellTopK(ids: Array[Long], vecs: Array[Array[Float]], k: Int,
       exactBelow: Int, m: Int, efC: Int, efS: Int)
+      : Iterator[(Long, Long, Double, Int)] =
+    cellTopKRaw(ids, vecs, k, exactBelow, m, efC, efS)
+      .map { case (v, nb, s, rn) => (v, nb, round6(s), rn) }
+
+  /** [[cellTopK]] with RAW (unrounded) sims — the sharded composition's
+    * building block: per-shard candidates must merge and re-rank on the
+    * exact double the single-graph path ranks on, so rounding waits
+    * until after the cross-shard top-k (the same discipline as
+    * topKEdges' fold-then-round).
+    */
+  def cellTopKRaw(ids: Array[Long], vecs: Array[Array[Float]], k: Int,
+      exactBelow: Int, m: Int, efC: Int, efS: Int)
       : Iterator[(Long, Long, Double, Int)] = {
     val n = ids.length
     if (n <= 1) return Iterator.empty
@@ -305,6 +332,9 @@ object Hnsw {
         var j = 0
         while (j < dim) { s += v(j).toDouble * v(j).toDouble; j += 1 }
         norms(i) = math.sqrt(s)
+        require(norms(i) > 0,
+          s"hnsw: zero-norm vector at cell index $i — cosine kNN is " +
+            "undefined for the zero vector; filter or re-embed such rows")
         i += 1
       }
       val kk = math.min(k, n - 1)
@@ -340,7 +370,7 @@ object Hnsw {
         }
         var r = 0
         while (r < filled) {
-          out += ((ids(i), ids(bI(r)), round6(bS(r)), r + 1))
+          out += ((ids(i), ids(bI(r)), bS(r), r + 1))
           r += 1
         }
         i += 1
@@ -353,7 +383,7 @@ object Hnsw {
         val c = h.searchTopK(i, efS, k, oi, os)
         var t = 0
         while (t < c) {
-          out += ((ids(i), ids(oi(t)), round6(os(t)), t + 1))
+          out += ((ids(i), ids(oi(t)), os(t), t + 1))
           t += 1
         }
         i += 1

@@ -883,14 +883,37 @@ object SimilarityOps {
     * scale; ScaleBench measures its recall at the big tiers).
     *
     * 100 TB contract: a cell must fit one task (~60 MB at 200k×64-d
-    * incl. adjacency). Monster cells compose with the per-label IVF
-    * router — one graph per (label, shard) — documented in Hnsw.scala.
+    * incl. adjacency). MONSTER CELLS (> `cellShardThreshold` vectors)
+    * compose with the per-label IVF router (r14, closing the r13
+    * boundary): the label's own k-means quantizer
+    * ([[buildLabelIvfIndex]]) splits the cell into shards sized to fit
+    * one task, each vector is EMITTED to its `shardProbes` nearest
+    * in-label shards (the symmetric-emission trick — every member is
+    * both query and candidate in every shard it probes, so a pair
+    * co-occurs whenever their probe sets overlap), one graph is built
+    * per (label, shard), and the per-shard top-k candidates merge with
+    * the same fold-then-round TopKEdgeAgg the IVF path uses. Recall is
+    * then bounded by shard co-occurrence × graph recall — the documented
+    * budget-vs-recall boundary, measured at tier 3 in SCALE.md. A pair
+    * probed in TWO shards yields bit-identical raw sims (same floats,
+    * same fold), so distinct() is exact dedup, and the merge ranks on
+    * the UNROUNDED double exactly like the single-graph arm.
     */
   private[graft] def labelKnnHnsw(s: org.apache.spark.sql.SparkSession,
-      exactBelow: Int = 4096, m: Int = 16, efC: Int = 128, efS: Int = 96)
+      exactBelow: Int = 4096, m: Int = 16, efC: Int = 128, efS: Int = 96,
+      cellShardThreshold: Int = 1 << 20, shardProbes: Int = 2,
+      nShardsOverride: Int = 0)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val edges = s.table("embeddings")
+    val TOPK = 3
+    // per-label cell sizes: bounded collect (label is the class key —
+    // tens of values), memoized per dataset like labelValues
+    val sizes = labelCellSizes(s)
+    val big = sizes.filter(_._2 > cellShardThreshold.toLong).keys.toSeq.sorted
+
+    // one whole-cell graph per label — the ≤threshold path (unchanged
+    // from r13)
+    def singleGraphEdges(src: org.apache.spark.sql.DataFrame) = src
       .select(col("label"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
@@ -900,18 +923,83 @@ object SimilarityOps {
         val vecs = new Array[Array[Float]](cell.length)
         var i = 0
         while (i < cell.length) { ids(i) = cell(i)._2; vecs(i) = cell(i)._3; i += 1 }
-        Hnsw.cellTopK(ids, vecs, 3, exactBelow, m, efC, efS)
+        Hnsw.cellTopK(ids, vecs, TOPK, exactBelow, m, efC, efS)
           .map { case (v, nb, sim, rn) => (v, label, nb, sim, rn) }
+      }
+      .toDF("vec_id", "label", "nb", "sim", "rn")
+
+    val edges =
+      if (big.isEmpty) singleGraphEdges(s.table("embeddings"))
+      else {
+        // shard count sized so the EMITTED shard (≈ cell·probes/nShards
+        // rows after the ×shardProbes replication) stays under the
+        // one-task threshold with 25% imbalance headroom; the override
+        // pins it for differential specs and measurement sweeps
+        // (shardProbes ≥ nShards ⇒ full coverage ⇒ output EQUALS the
+        // single-graph arm — the plumbing differential HnswSpec pins)
+        val maxCell = big.map(sizes).max
+        val nShards =
+          if (nShardsOverride > 0) nShardsOverride
+          else math.max(2, math.ceil(
+            maxCell.toDouble * shardProbes * 1.25 / cellShardThreshold).toInt)
+        val (cents, cn) = labelCentMatrix(s, nShards)
+        val labels = labelValues(s)
+        val lidx = element_at(typedLit(labels.zipWithIndex.toMap),
+          col("label").cast("int"))
+        import graft.engine.expressions.{IvfNearestBlock, OptimizerBarrier}
+        val cand = s.table("embeddings")
+          .filter(col("label").isin(big: _*))
+          .select(col("label").cast("int").as("label"), col("vec_id"),
+            col("embedding"),
+            // BARRIERED like labelKnnIvf's probe lists: the scoring
+            // kernel must not be substituted into inferred filters
+            explode(OptimizerBarrier(IvfNearestBlock(col("embedding"),
+              lidx, cents, cn, false, math.min(shardProbes, nShards),
+              nShards))).as("shard"))
+          .select(col("label"), col("shard"), col("vec_id"), col("embedding"))
+          .as[(Int, Int, Long, Array[Float])]
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
+            val cell = it.toArray.sortBy(_._3)
+            val ids = new Array[Long](cell.length)
+            val vecs = new Array[Array[Float]](cell.length)
+            var i = 0
+            while (i < cell.length) { ids(i) = cell(i)._3; vecs(i) = cell(i)._4; i += 1 }
+            // RAW sims: per-shard candidates re-rank globally below on
+            // the exact double the single-graph arm ranks on
+            Hnsw.cellTopKRaw(ids, vecs, TOPK, exactBelow, m, efC, efS)
+              .map { case (v, nb, sim, _) => (v, key._1, nb, sim) }
+          }
+          .toDF("vec_id", "label", "nb", "simv")
+        val merged = topKEdges(cand.distinct(), TOPK)
+        val small = big.toSet
+        if (sizes.keys.forall(small.contains)) merged
+        else singleGraphEdges(
+          s.table("embeddings").filter(!col("label").isin(big: _*)))
+          .unionAll(merged)
       }
     // CacheOnce'd BELOW the global sort: the range exchange SAMPLES its
     // child for partition bounds, which would build + query every graph
     // twice (measured: 2 × 133 task-sec at tier 2). The edge relation
     // is k rows/vector (~20 MB at tier 2), the graphs are the cost.
     val cached = graft.engine.CacheOnce(
-      datasetKey(s) + s"/hnsw:$exactBelow:$m:$efC:$efS",
-      edges.toDF("vec_id", "label", "nb", "sim", "rn"))
+      datasetKey(s) +
+        s"/hnsw:$exactBelow:$m:$efC:$efS:$cellShardThreshold:$shardProbes:$nShardsOverride",
+      edges)
     cached.orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
   }
+
+  /** Per-label cell sizes, memoized per dataset (same bounded-collect
+    * class as [[labelValues]] — label is the class key, tens of values).
+    */
+  private val cellSizesByDataset =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+  private[graft] def labelCellSizes(s: org.apache.spark.sql.SparkSession)
+      : Map[Int, Long] =
+    cellSizesByDataset.computeIfAbsent(datasetKey(s), _ =>
+      s.table("embeddings").groupBy(col("label").cast("int").as("l"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
 
   val v8 = Q(
     "nn_label_knn_hnsw",

@@ -58,6 +58,69 @@ class HnswSpec extends AnyFunSuite {
     assert(graph == exact)
   }
 
+  test("sharded composition, full coverage: EQUALS the single-graph path") {
+    graft.engine.Tables.register(spark, sf)
+    // nShards=2 with shardProbes=2 ⇒ every vector is emitted to BOTH
+    // shards ⇒ each (label, shard) cell is the whole label cell ⇒ the
+    // merge must reproduce the unsharded output EXACTLY (bit-identical
+    // sims, same rn) — this pins the emission/dedup/merge plumbing
+    // with zero approximation in play
+    val un = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark))
+    val sh = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark,
+      cellShardThreshold = 30, shardProbes = 2, nShardsOverride = 2))
+    assert(sh == un)
+  }
+
+  test("sharded composition, partial coverage: recall bounded, sims exact on agreement") {
+    graft.engine.Tables.register(spark, sf)
+    val un = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark))
+    // auto-sized shards (threshold 40 < every fixture cell ⇒ all labels
+    // shard; ceil(63·2·1.25/40) = 4 shards, 2 probes): candidates are
+    // confined to co-probed shards, so this arm is APPROXIMATE — the
+    // differential bounds catastrophe and pins sim arithmetic; the
+    // scale recall contract is measured in SCALE.md tier 3
+    val sh = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark,
+      cellShardThreshold = 40, shardProbes = 2))
+    val unSet = un.map(e => (e._1, e._3)).toSet
+    val shSet = sh.map(e => (e._1, e._3)).toSet
+    val recall = shSet.intersect(unSet).size.toDouble / unSet.size
+    assert(recall >= 0.5, s"sharded recall@3 $recall")
+    val unSim = un.map(e => (e._1, e._3) -> e._4).toMap
+    sh.foreach { e =>
+      unSim.get((e._1, e._3)).foreach(s => assert(s == e._4, e))
+    }
+    // every vector still answers (each is a member of its own shards)
+    assert(sh.map(_._1).toSet == un.map(_._1).toSet)
+  }
+
+  test("sharded composition is deterministic, incl. forced-graph shards") {
+    graft.engine.Tables.register(spark, sf)
+    val a = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark,
+      exactBelow = 0, cellShardThreshold = 40, shardProbes = 2))
+    val b = edges(graft.llm.SimilarityOps.labelKnnHnsw(spark,
+      exactBelow = 0, cellShardThreshold = 40, shardProbes = 2))
+    assert(a == b)
+  }
+
+  test("zero-norm vectors fail loudly (NaN would silently break the total order)") {
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val z = Array(0.0f, 0.0f, 0.0f)
+    // graph arm (build) and exact arm both enforce the precondition —
+    // cosine of the zero vector is NaN, NaN compares false under every
+    // predicate, and the deterministic (sim DESC, idx ASC) order (and
+    // oracle agreement: DuckDB/Spark sort NaN greatest under DESC)
+    // would break structurally rather than visibly
+    val e1 = intercept[IllegalArgumentException] {
+      graft.llm.Hnsw.build(Array(v, z))
+    }
+    assert(e1.getMessage.contains("zero-norm"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.llm.Hnsw.cellTopK(Array(1L, 2L), Array(v, z), 3, Int.MaxValue,
+        16, 128, 96).toSeq
+    }
+    assert(e2.getMessage.contains("zero-norm"))
+  }
+
   test("kernel: duplicate vectors and tiny cells") {
     val v = Array(1.0f, 2.0f, 3.0f)
     // three identical vectors: ties broken by id ASC everywhere
