@@ -1316,18 +1316,19 @@ object Dialect {
                                     .replaceAll("\\s+", " "), ks))
                             }
                         }
-                      if (exIdx >= 0 && (exParsed.isEmpty ||
-                          exParsed.exists { case (sc, _, _) =>
-                            """(?is).*\bGROUPS\s+(BETWEEN|UNBOUNDED|CURRENT|\d).*"""
-                              .r.matches(sc) })) i
+                      if (exIdx >= 0 && exParsed.isEmpty) i
                       // ^ an EXCLUDE this fold can't place (no ORDER BY,
-                      //   not a frame EXCLUDE, or composed with a GROUPS
-                      //   frame — the GROUPS text pass can't rewrite the
-                      //   duplicated window occurrences these arms emit;
-                      //   GROUPS+EXCLUDE stays the same loud-error
-                      //   residual it is for plain aggregates, and the
-                      //   RANGE spelling covers the peer-aligned cases)
-                      //   — leave the loud error
+                      //   or not a frame EXCLUDE) — leave the loud
+                      //   error. GROUPS frames are NOT refused anymore
+                      //   (r14): the specs this arm emits are
+                      //   EXCLUDE-stripped, and rewriteGroupsFrame runs
+                      //   AFTER this pass in the pipeline — its r13
+                      //   scope-walk/FROM-locator fixes rewrite every
+                      //   duplicated `OVER (… GROUPS …)` occurrence to
+                      //   the rank-keyed RANGE spelling, sharing ONE
+                      //   injected rank per spec (GroupsExcludeSpec's
+                      //   FILTER×GROUPS×EXCLUDE sweep pins the
+                      //   composition end-to-end).
                       else {
                         val arr = exParsed match {
                           case None =>
@@ -3450,21 +3451,56 @@ object Dialect {
     // a select list can hold dozens of GROUPS windows over one spec
     // (the EXCLUDE folds multiply them), and one wrapper per window
     // nests subqueries past the parser's complexity limit — one rank
-    // column serves them all. Only OUR injections produce `AS __gdr*`,
-    // so the signature match cannot hit user SQL.
+    // column serves them all. Reuse is restricted to ranks THIS pass
+    // injected in the scope's own `( … ) __graft_groupsN` wrapper
+    // chain (r14, ADVICE r13): a bare text scan over everything after
+    // the FROM could hit an `AS __gdr*` inside an UNRELATED nested
+    // subquery (a user FROM-subquery whose own GROUPS window was
+    // rewritten earlier with the same partition/order text, or a
+    // WHERE-clause subquery) — the outer window would then reference a
+    // rank keyed to the INNER pre-join/pre-filter rowset, which has
+    // gaps and no longer equals the GROUPS frame. The walk descends
+    // through consecutive wrappers (aliases only this pass emits) and
+    // matches the signature only in each wrapper's own select list,
+    // where SELECT * provably propagates the column up to this scope.
     val rankSig = ("""dense_rank\(\) OVER \(""" +
       java.util.regex.Pattern.quote(
         (if (partSpec.nonEmpty) partSpec + " " else "") +
           s"ORDER BY $orderPart") +
       """\) AS (__gdr\d*)""").r
-    rankSig.findFirstMatchIn(scope) match {
-      case Some(m) if m.start > fi =>
-        val rank = m.group(1)
-        val newSpec = (if (partSpec.nonEmpty) partSpec + " " else "") +
-          s"ORDER BY $rank RANGE $frame"
-        return Some(
-          scope.substring(0, specStart) + newSpec + scope.substring(specEnd))
-      case _ => ()
+    def wrapperChainRank(): Option[String] = {
+      var body = scope
+      var from = fi
+      var out: Option[String] = None
+      var walking = true
+      while (walking) {
+        walking = false
+        var j = from + " FROM ".length
+        while (j < body.length && body.charAt(j).isWhitespace) j += 1
+        if (j < body.length && body.charAt(j) == '(') {
+          splitCallArgs(body, j).foreach { case (_, end) =>
+            var a = end
+            while (a < body.length && body.charAt(a).isWhitespace) a += 1
+            if (body.startsWith("__graft_groups", a)) {
+              val sub = body.substring(j + 1, end - 1)
+              val subFrom = fromClauseIdx(sub)
+              if (subFrom >= 0) {
+                rankSig.findFirstMatchIn(sub.substring(0, subFrom)) match {
+                  case Some(m) => out = Some(m.group(1))
+                  case None => body = sub; from = subFrom; walking = true
+                }
+              }
+            }
+          }
+        }
+      }
+      out
+    }
+    wrapperChainRank().foreach { rank =>
+      val newSpec = (if (partSpec.nonEmpty) partSpec + " " else "") +
+        s"ORDER BY $rank RANGE $frame"
+      return Some(
+        scope.substring(0, specStart) + newSpec + scope.substring(specEnd))
     }
     // fresh rank-column name (distinct specs still stack wrappers)
     var rank = "__gdr"

@@ -172,6 +172,113 @@ class GroupsExcludeSpec extends AnyFunSuite {
     }
   }
 
+  test("window-FILTER x GROUPS x EXCLUDE sweep: collect family vs the reference") {
+    // the r13 residual, served in r14: FIRST/LAST/ANY_VALUE/ARRAY_AGG
+    // with FILTER over a GROUPS frame composed with EXCLUDE. The
+    // collect fold strips the EXCLUDE, emits GROUPS windows, and the
+    // (later) GROUPS pass rewrites them to the rank-keyed RANGE
+    // spelling. Reference = frameRows (SQL:2011 groups + exclusion) →
+    // FILTER pred → positional/collect semantics. (pred, v) are
+    // PEER-UNIFORM functions of the order key, so tied intra-peer
+    // collect order — unspecified in both engines — cannot leak into
+    // the compared values.
+    val rnd = new scala.util.Random(1403)
+    def predOf(k: Option[Int]): Boolean = k.exists(_ % 2 == 0)
+    def vOf(k: Option[Int]): Option[Int] =
+      k.flatMap(kk => if (kk % 3 == 0) None else Some(kk * 7))
+    // FIRST/LAST/ANY_VALUE/ARRAY_AGG exercise the collect fold; SUM and
+    // COUNT exercise the CASE-WHEN arm composed with the same
+    // EXCLUDE-subtraction + GROUPS passes
+    val fns = Seq("FIRST", "LAST", "ANY_VALUE", "ARRAY_AGG", "SUM", "COUNT")
+    val modes = Seq("NO OTHERS", "CURRENT ROW", "GROUP", "TIES")
+    var cells = 0
+    for (ds <- 0 until 6) {
+      val n = 24 + rnd.nextInt(24)
+      val rows = (0 until n).map { i =>
+        val k = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(6))
+        R(i, rnd.nextInt(2), k, vOf(k))
+      }
+      import spark.implicits._
+      rows.map(r => (r.id, r.g, r.k, r.v))
+        .toDF("id", "g", "k", "v").createOrReplaceTempView("gxf_t")
+      val frames = Seq(
+        (Some(-1), Some(1)), (None, Some(0)), (Some(0), None), (None, None))
+      for (m <- modes) {
+        val exprs = for {
+          ((lo, hi), fi) <- frames.zipWithIndex
+          (f, ai) <- fns.zipWithIndex
+        } yield (s"c${fi}_$ai", f, (lo, hi),
+          s"$f(v) FILTER (WHERE k % 2 = 0) OVER (PARTITION BY g " +
+            s"ORDER BY k ASC NULLS LAST GROUPS ${frameSql(lo, hi)} " +
+            s"EXCLUDE $m) AS c${fi}_$ai")
+        val sql = s"SELECT id, ${exprs.map(_._4).mkString(", ")} FROM gxf_t"
+        val got = spark.sql(graft.engine.Dialect.rewrite(sql)).collect()
+          .map(r => r.getInt(0) -> r).toMap
+        val parts = rows.groupBy(_.g)
+        rows.foreach { cur =>
+          val part = parts(cur.g)
+          exprs.foreach { case (cn, f, (lo, hi), _) =>
+            val kept = frameRows(part, cur, lo, hi, m).filter(r => predOf(r.k))
+            val want: Any = f match {
+              case "FIRST" => kept.headOption.flatMap(_.v).orNull
+              case "LAST" => kept.lastOption.flatMap(_.v).orNull
+              case "ANY_VALUE" => kept.flatMap(_.v).headOption.orNull
+              case "ARRAY_AGG" =>
+                if (kept.isEmpty) null
+                else kept.map(_.v.map(x => x: Any).orNull)
+              case "SUM" =>
+                val vs = kept.flatMap(_.v)
+                if (vs.isEmpty) null else vs.map(_.toLong).sum
+              case "COUNT" => kept.count(_.v.isDefined).toLong
+            }
+            val gotV = got(cur.id).getAs[Any](cn) match {
+              case s: scala.collection.Seq[_] => s.toSeq
+              case x => x
+            }
+            assert(gotV == want,
+              s"ds=$ds id=${cur.id} $f FILTER GROUPS ${frameSql(lo, hi)} " +
+                s"EXCLUDE $m: got $gotV want $want")
+            cells += 1
+          }
+        }
+      }
+    }
+    assert(cells >= 300, s"sweep too small: $cells value cells")
+  }
+
+  test("rank reuse is confined to the pass's own wrapper chain (r14, ADVICE r13)") {
+    import spark.implicits._
+    // A user FROM-subquery exposing a column whose declaration matches
+    // the injected-rank SIGNATURE exactly (`dense_rank() OVER (ORDER BY
+    // k) AS __gdr` — the text a view expansion of an earlier rewrite
+    // carries). The outer GROUPS window must NOT reuse it: that rank is
+    // keyed to the UNFILTERED inner rowset, and after WHERE k <> 2 it
+    // has gaps, so RANGE over it silently diverges from the GROUPS
+    // frame (buggy reuse here: 10/70/70 instead of 40/80/70). The fix
+    // only reuses ranks declared in this scope's own
+    // `( … ) __graft_groupsN` wrappers.
+    Seq((0, 1, 10), (1, 2, 20), (2, 3, 30), (3, 4, 40))
+      .toDF("id", "k", "v").createOrReplaceTempView("gx_nest")
+    val sql = """SELECT id,
+      |SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+      |FROM (SELECT id, k, v, dense_rank() OVER (ORDER BY k) AS __gdr FROM gx_nest) u
+      |WHERE k <> 2 ORDER BY id""".stripMargin
+    val got = spark.sql(graft.engine.Dialect.rewrite(sql)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0, 40L), (2, 80L), (3, 70L)))
+    // and genuine same-scope reuse still works: two windows over one
+    // spec share ONE injected rank (no stacked wrappers)
+    val sql2 = """SELECT id,
+      |SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s1,
+      |COUNT(*) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c1
+      |FROM gx_nest ORDER BY id""".stripMargin
+    val rewritten = graft.engine.Dialect.rewrite(sql2)
+    assert("__graft_groups".r.findAllIn(rewritten).size == 1, rewritten)
+    val got2 = spark.sql(rewritten).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((0, 30L, 2L), (1, 60L, 3L), (2, 90L, 3L), (3, 70L, 2L)))
+  }
+
   test("hand-pinned tied corners") {
     import spark.implicits._
     // g=0, k tied pairs: ids 0,1 share k=1; ids 2,3 share k=2; id 4 k=3
