@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe for the r13 graph-index label-kNN path: wall, stage-level
   * shuffle/spill, and recall@3 vs the sampled exact in-label reference
-  * at a given (m, efC, efS).
+  * at a given (m, efC, efS) — optionally through the r14 monster-cell
+  * shard composition (shardThreshold/shardProbes force it at any tier).
   * Usage: runMain graft.ProbeHnsw [dir] [efS] [m] [efC] [exactBelow]
+  *          [shardThreshold] [shardProbes]
   */
 object ProbeHnsw {
   def main(args: Array[String]): Unit = {
@@ -15,6 +17,8 @@ object ProbeHnsw {
     val m = args.drop(2).headOption.map(_.toInt).getOrElse(16)
     val efC = args.drop(3).headOption.map(_.toInt).getOrElse(128)
     val exactBelow = args.drop(4).headOption.map(_.toInt).getOrElse(4096)
+    val shardThreshold = args.drop(5).headOption.map(_.toInt).getOrElse(1 << 20)
+    val shardProbes = args.drop(6).headOption.map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,7 +53,7 @@ object ProbeHnsw {
     }
     spark.sparkContext.addSparkListener(listener)
     val df = graft.llm.SimilarityOps
-      .labelKnnHnsw(spark, exactBelow, m, efC, efS)
+      .labelKnnHnsw(spark, exactBelow, m, efC, efS, shardThreshold, shardProbes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t1 = System.nanoTime()
     val n = df.count()
@@ -68,7 +72,8 @@ object ProbeHnsw {
       df.filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
     System.err.println(f"[probe] recall@3 = " +
       f"${approx.intersect(exact).size.toDouble / exact.size}%.4f " +
-      f"(efS=$efS m=$m efC=$efC exactBelow=$exactBelow)")
+      f"(efS=$efS m=$m efC=$efC exactBelow=$exactBelow " +
+      f"shardThreshold=$shardThreshold shardProbes=$shardProbes)")
     spark.stop()
   }
 }

@@ -715,10 +715,25 @@ class GatewaySpec extends AnyFunSuite {
     assert(one("SELECT TRY(1/0) IS NULL AS v").getBoolean(0))
     assert(one("SELECT TRY(CAST('x' AS INT)) IS NULL AS v").getBoolean(0))
     assert(one("SELECT TRY(2 + 2) AS v").getInt(0) == 4)
-    // MERGE INTO is a WRITE: typed read-only refusal, not a parse error
-    val e = intercept[graft.engine.GatewayException](gw.sql(
-      "MERGE INTO region USING region r2 ON false WHEN MATCHED THEN UPDATE SET r_name = 'x'"))
-    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // MERGE INTO is a WRITE: typed read-only refusal, not a parse
+    // error. Pins the DOCUMENTED 1.4 surface, not just one spelling:
+    // DuckDB 1.4.0 added `MERGE INTO <target> USING <source> ON <cond>`
+    // with WHEN MATCHED / WHEN NOT MATCHED [BY SOURCE] arms carrying
+    // UPDATE / INSERT / DELETE actions (duckdb.org docs, "MERGE INTO"
+    // statement page, v1.4+) — every arm mutates the target, so the
+    // reference's read-only serving posture refuses the STATEMENT
+    // class, whichever arms it carries.
+    for (merge <- Seq(
+        "MERGE INTO region USING region r2 ON false WHEN MATCHED THEN UPDATE SET r_name = 'x'",
+        "MERGE INTO region USING (SELECT 1 AS k) s ON r_regionkey = s.k " +
+          "WHEN NOT MATCHED THEN INSERT (r_regionkey) VALUES (s.k)",
+        // WHEN NOT MATCHED BY SOURCE is the 1.4-documented arm that
+        // deletes target rows absent from the source
+        "MERGE INTO region USING (SELECT 1 AS k) s ON r_regionkey = s.k " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")) {
+      val e = intercept[graft.engine.GatewayException](gw.sql(merge))
+      assert(e.getMessage.contains("read-only"), s"$merge → ${e.getMessage}")
+    }
     // uuidv7 is a REAL RFC 9562 v7 since r12: version nibble 7, variant
     // 10, and a 48-bit Unix-ms prefix the extraction pair reads back
     val u7 = one("SELECT uuidv7() AS v").getString(0)
@@ -737,8 +752,15 @@ class GatewaySpec extends AnyFunSuite {
     assert(one(
       "SELECT CAST(uuid_extract_timestamp('c232ab00-9414-11ec-b3c8-9f68deced846') AS DATE) AS d")
       .getDate(0).toString == "2022-02-22")
-    // FILL window fn (1.4): linear interpolation over the order key;
-    // edges carry the nearest neighbor (pinned by spec — no 1.4 oracle)
+    // FILL window fn (1.4): pins the DOCUMENTED semantics (duckdb.org
+    // docs, window functions page, v1.4+ `fill(expr)`): missing (NULL)
+    // values are filled by LINEAR INTERPOLATION over the window's sort
+    // key — the fill "x-axis" is the ORDER BY expression, which must be
+    // a SINGLE interpolatable (numeric/temporal) key; values missing at
+    // the partition edges take the nearest non-missing value (no
+    // extrapolation). No 1.4 binary exists locally, so the pins below
+    // are hand-computed from that documented formula, not copied from a
+    // run.
     val filled = gw.sql(
       """SELECT x, fill(v) OVER (ORDER BY x) AS f
         |FROM (VALUES (0, CAST(NULL AS DOUBLE)), (1, 10.0), (2, NULL),
@@ -759,6 +781,20 @@ class GatewaySpec extends AnyFunSuite {
     assert(fp.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq ==
       Seq(("a", 1, 2.0), ("a", 2, 3.0), ("a", 3, 4.0),
         ("b", 1, 8.0), ("b", 2, 8.0)))
+    // documented requirement: exactly ONE order key — a two-key spec is
+    // not an interpolation axis; the rewrite declines and the native
+    // parser errors loudly (same class as DuckDB's Binder error)
+    intercept[Exception](gw.sql(
+      """SELECT fill(v) OVER (ORDER BY x, v) AS f
+        |FROM (VALUES (1, 10.0), (2, CAST(NULL AS DOUBLE))) t(x, v)"""
+        .stripMargin).collect())
+    // an all-NULL partition has no anchors on either side: the
+    // documented nearest-value rule has nothing to carry → stays NULL
+    val fnull = gw.sql(
+      """SELECT x, fill(v) OVER (ORDER BY x) AS f
+        |FROM (VALUES (1, CAST(NULL AS DOUBLE)), (2, NULL)) t(x, v)
+        |ORDER BY x""".stripMargin).collect()
+    assert(fnull.forall(_.isNullAt(1)))
   }
 
   test("round-10 function-surface audit batch: values pinned against DuckDB 1.0") {
@@ -1989,13 +2025,17 @@ class GatewaySpec extends AnyFunSuite {
     // v=4 same → 1. For odd v: frame = evens + own group minus peers +
     // self = {2,4,v} → v=5 fails pred → c=2; v=1,3 → 3.
     assert(t.map(_.getLong(1)).toSeq == Seq(3L, 1L, 3L, 1L, 2L))
-    // GROUPS composed with EXCLUDE stays the same loud-error residual
-    // it is for plain aggregates (the GROUPS text pass cannot rewrite
-    // the duplicated window occurrences the exclusion arms emit)
-    intercept[Exception](gw.sql(
+    // r14: FILTER × GROUPS × EXCLUDE now ANSWERS (was the last
+    // loud-error window composition; GroupsExcludeSpec sweeps it) —
+    // groups k=0 {v=2}, k=1 {v=1}; UNBOUNDED PRECEDING..CURRENT ROW in
+    // group units; TIES keeps the own row: v=2 → ['b'], v=1 → ['b','a']
+    val tg = gw.sql(
       """SELECT v, list(s) FILTER (WHERE v < 5) OVER (ORDER BY (v % 2)
         |  GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS c
-        |FROM (VALUES (1, 'a'), (2, 'b')) t(v, s)""".stripMargin).collect())
+        |FROM (VALUES (1, 'a'), (2, 'b')) t(v, s)
+        |ORDER BY v""".stripMargin).collect()
+    assert(tg.map(_.getSeq[String](1).toList).toSeq ==
+      Seq(List("b", "a"), List("b")))
   }
 
   test("round-12: arg_min/arg_max(a, v, n) OVER w — window hoisted onto the top-n aggregate") {
