@@ -234,11 +234,14 @@ object ScaleBench {
             "symmetric edge emission)")(
           graft.llm.SimilarityOps.labelKnnIvf(spark, nlists = nl, nprobe = np))
       } else if (name == "nn_label_knn_hnsw") {
-        // constant config at every tier — that is the point of the
-        // graph index: recall is set by ef, not by corpus coverage, so
-        // no tier sizing function exists here. The declared-query
-        // defaults ARE the tier config.
-        measure(name, "m=16 efC=128 efS=96 (per-label HNSW; cells " +
+        // constant config at every tier — the graph index's contract:
+        // recall is set by the graph DENSITY + ef, not by corpus
+        // coverage, so no tier sizing function exists here. The
+        // declared-query defaults ARE the tier config — (m=32, efC=200,
+        // efS=96) since r14, the density measured to hold recall
+        // near-stable across the 100×→1000× tiers (0.9987 → 0.9494;
+        // the r13 (16, 128) graph decayed to 0.736 — see SCALE.md §r14)
+        measure(name, "m=32 efC=200 efS=96 (per-label HNSW; cells " +
           "<=4096 exact by construction)")(
           graft.llm.SimilarityOps.labelKnnHnsw(spark))
       } else measure(name)(SparkEntry.queries(name)(spark, dir))
@@ -258,7 +261,7 @@ object ScaleBench {
           .filter(graft.llm.SimilarityOps.labelKnnSamplePred(1000, nEmb)))
       val recall = approxEdges.intersect(exactEdges).size.toDouble / exactEdges.size
       out += Row("ann_label_knn_hnsw_recall", exactEdges.size.toLong, 0, 0, 0, 0, 0,
-        f"recall@3=$recall%.4f at m=16 efC=128 efS=96 vs sampled exact in-label kNN")
+        f"recall@3=$recall%.4f at m=32 efC=200 efS=96 vs sampled exact in-label kNN")
     }
 
     // --- label-kNN IVF recall@3 AT the tier config --------------------

@@ -882,6 +882,16 @@ object SimilarityOps {
     * (HnswSpec pins the forced-graph path differentially at fixture
     * scale; ScaleBench measures its recall at the big tiers).
     *
+    * Default (m=32, efC=200, efS=96) is the r14 MEASURED config: graph
+    * DENSITY, not beam width, is the recall lever as cells grow — at
+    * the 1000× tier (200k-vector cells) the r13 (16, 128) graph decays
+    * to recall@3 0.736 at efS=96 while (32, 200) holds 0.9494
+    * (vs 0.9987 at the 100× tier — near scale-stable), and m dominates:
+    * (32, 200) at efS=64 (0.937) beats (16, 200) at efS=192 (0.859).
+    * Build cost is the price — ~390 s vs ~128 s per 200k cell single-
+    * threaded — paid once per corpus, off the query path (SCALE.md
+    * §r14 ladders).
+    *
     * 100 TB contract: a cell must fit one task (~60 MB at 200k×64-d
     * incl. adjacency). MONSTER CELLS (> `cellShardThreshold` vectors)
     * compose with the per-label IVF router (r14, closing the r13
@@ -900,7 +910,7 @@ object SimilarityOps {
     * the UNROUNDED double exactly like the single-graph arm.
     */
   private[graft] def labelKnnHnsw(s: org.apache.spark.sql.SparkSession,
-      exactBelow: Int = 4096, m: Int = 16, efC: Int = 128, efS: Int = 96,
+      exactBelow: Int = 4096, m: Int = 32, efC: Int = 200, efS: Int = 96,
       cellShardThreshold: Int = 1 << 20, shardProbes: Int = 2,
       nShardsOverride: Int = 0)
       : org.apache.spark.sql.DataFrame = {
