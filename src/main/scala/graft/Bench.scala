@@ -102,6 +102,39 @@ object Bench {
     // serving from here: no late dialect registration on the shared
     // session (see Verify — the r8 f_math mid-run resolution flip)
     graft.engine.Functions.freeze(spark)
+    // r14 warm-up trim: pre-train the TINY sibling fixture's ANN
+    // indexes CONCURRENTLY with the family warmups below. The warm
+    // suite pass otherwise trains them inline — k-means is dozens of
+    // tiny latency-bound jobs, measured 16.8 s on nn_label_knn_ivf and
+    // 14.7 s on nn_pq_topk of a 24.4 s warm pass. Builds are memoized
+    // per DATASET dir, so a child session registered at the warm dir
+    // hands its centroids to the warm pass without touching the main
+    // session's registration (Tables.register is per-session).
+    val warmIndexThread = {
+      val p = java.nio.file.Paths.get(sfDir)
+      Option(p.getParent).map(_.resolve("sf0.001"))
+        .filter(d => java.nio.file.Files.isDirectory(d) &&
+          d.toString != p.toString)
+        .map(_.toString)
+        .map { wd =>
+          val t = new Thread(() => {
+            try {
+              val ws = spark.newSession()
+              graft.engine.Tables.register(ws, wd)
+              graft.llm.SimilarityOps.buildIvfIndex(ws, 16)
+              graft.llm.SimilarityOps.buildLabelIvfIndex(ws,
+                math.max(1, 16 / graft.llm.SimilarityOps.labelValues(ws).length))
+              graft.llm.SimilarityOps.warmPqIndex(ws)
+            } catch {
+              case e: Throwable => System.err.println(
+                s"[bench] warm-dir index pre-train failed: ${e.getMessage}")
+            }
+          })
+          t.setDaemon(true)
+          t.start()
+          t
+        }
+    }
     spark.table("lineitem").groupBy("l_returnflag").count().collect()
     spark.table("events").limit(10).collect()
     spark.sql(
@@ -370,6 +403,10 @@ object Bench {
     }
     val warmupSec = {
       val t0 = System.nanoTime()
+      // the pre-train thread normally finishes inside the family
+      // warmups above; join so a straggler can't race the warm pass
+      // into a duplicate (computeIfAbsent-serialized) build
+      warmIndexThread.foreach(_.join())
       // wider pool than the timed passes: the tiny-fixture warm pass is
       // codegen/JIT-bound, not data-bound, so statement concurrency can
       // exceed the measured serving optimum without the cached-relation
