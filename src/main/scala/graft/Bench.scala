@@ -124,6 +124,8 @@ object Bench {
               graft.llm.SimilarityOps.buildIvfIndex(ws, 16)
               graft.llm.SimilarityOps.buildLabelIvfIndex(ws,
                 math.max(1, 16 / graft.llm.SimilarityOps.labelValues(ws).length))
+              // the sharded-HNSW oracle row's shard router (nShards=2)
+              graft.llm.SimilarityOps.buildLabelIvfIndex(ws, 2)
               graft.llm.SimilarityOps.warmPqIndex(ws)
             } catch {
               case e: Throwable => System.err.println(
@@ -201,6 +203,10 @@ object Bench {
     // the served one
     graft.llm.SimilarityOps.buildLabelIvfIndex(spark,
       math.max(1, 16 / graft.llm.SimilarityOps.labelValues(spark).length))
+    // shard router for nn_label_knn_hnsw_sharded (nShardsOverride = 2):
+    // same offline build/query split — the timed row measures the
+    // emission + per-shard graph + merge, not the router training
+    graft.llm.SimilarityOps.buildLabelIvfIndex(spark, 2)
     // PQ index build (per-subspace codebooks + corpus encode): offline,
     // same ann-benchmarks build/query split as the IVF index
     graft.llm.SimilarityOps.warmPqIndex(spark)

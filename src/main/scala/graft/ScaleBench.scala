@@ -118,7 +118,14 @@ object ScaleBench {
     // round-13 addition: the graph-index path (one HNSW per label
     // cell) — sub-quadratic total work with ef-set recall, the
     // structural answer to flat IVF's coverage-bound recall decay
-    "nn_label_knn_hnsw")
+    "nn_label_knn_hnsw",
+    // round-14 additions: chunking (map-only generator), next-fit
+    // packing (one block shuffle + in-task fold), incremental
+    // batch-vs-corpus dedup (narrow digest + bucket joins), char
+    // entropy (pure-map codegen kernel)
+    "tx_chunk", "pipe_pack", "dd_incremental", "tx_entropy",
+    // split-leakage audit: both sides corpus-sized, digest-only joins
+    "pipe_leakage")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL

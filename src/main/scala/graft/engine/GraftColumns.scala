@@ -28,6 +28,9 @@ object GraftColumns {
   def topBigram(text: Column): Column =
     GraftColumn.column(TopBigram(GraftColumn.expression(text)))
 
+  def charStats(text: Column): Column =
+    GraftColumn.column(CharStats(GraftColumn.expression(text)))
+
   /** DuckDB-domain factorial (HUGEINT carrier DECIMAL(38,0), valid
     * through 33!) — the SQL path reaches it via the `factorial`
     * override in Functions.

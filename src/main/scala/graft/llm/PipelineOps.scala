@@ -725,7 +725,158 @@ object PipelineOps {
       .orderBy(col("split").asc_nulls_last)
   }
 
+  /** Sequence packing (r14): greedy next-fit of documents into
+    * fixed-token-budget training sequences (capacity 200 tokens) — THE
+    * data-prep step between chunking and tokenization in an LLM
+    * pipeline (padding waste ⇒ wasted FLOPs; packing recovers it).
+    * Next-fit is inherently sequential — bin state is a running fold no
+    * window function expresses — so the stream is BLOCKED first:
+    * packing runs independently inside each block of 100 consecutive
+    * doc_ids (bins never cross blocks, by contract). That makes the op
+    * embarrassingly parallel at any scale — one shuffle on the block
+    * key, then a bounded in-task fold per block (same justified
+    * flatMapGroups class as the HNSW cells: genuinely sequential state
+    * over a construction-bounded group). A doc longer than the capacity
+    * opens its own (oversized) bin — next-fit always places a doc.
+    *
+    * Oracle: the same fold spelled as a DuckDB recursive CTE that
+    * advances every block one row per iteration (depth = block size,
+    * bounded by construction).
+    */
+  val pPack = Q(
+    "pipe_pack",
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, CAST(FLOOR(doc_id / 100) AS INT) AS block,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |    CAST(row_number() OVER (PARTITION BY CAST(FLOOR(doc_id / 100) AS INT)
+      |      ORDER BY doc_id) AS INT) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT block, rn, doc_id, n_tok, 0 AS bin, 0 AS pos, n_tok AS fill
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.block, d.rn, d.doc_id, d.n_tok,
+      |    CASE WHEN p.fill + d.n_tok <= 200 THEN p.bin ELSE p.bin + 1 END,
+      |    CASE WHEN p.fill + d.n_tok <= 200 THEN p.pos + 1 ELSE 0 END,
+      |    CASE WHEN p.fill + d.n_tok <= 200 THEN p.fill + d.n_tok ELSE d.n_tok END
+      |  FROM pack p JOIN d ON d.block = p.block AND d.rn = p.rn + 1)
+      |SELECT doc_id, block, CAST(bin AS INT) AS bin, CAST(pos AS INT) AS pos, n_tok
+      |FROM pack ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    packBlocks(
+      s.table("documents").select(col("doc_id"),
+        floor(col("doc_id") / 100).cast(IntegerType).as("block"),
+        size(split(col("text"), " ")).as("n_tok")),
+      cap = 200)
+  }
+
+  /** Next-fit packing of a (doc_id, block, n_tok) relation — split out
+    * so the spec can pin the fold on hand-built sizes (oversize docs,
+    * exact fills, block independence); the oracle pins fixture scale.
+    */
+  private[graft] def packBlocks(perDoc: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    perDoc.as[(Long, Int, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (block: Int, it: Iterator[(Long, Int, Int)]) =>
+        // doc_id order IS the packing order (the blocking key is a
+        // doc_id range, so the sort is total within the group)
+        val docs = it.toArray.sortBy(_._1)
+        val out = new Array[(Long, Int, Int, Int, Int)](docs.length)
+        var bin = 0; var fill = 0; var pos = -1
+        var i = 0
+        while (i < docs.length) {
+          val (id, _, nt) = docs(i)
+          if (i == 0) { fill = nt; pos = 0 }
+          else if (fill + nt <= cap) { fill += nt; pos += 1 }
+          else { bin += 1; fill = nt; pos = 0 }
+          out(i) = (id, block, bin, pos, nt)
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "block", "bin", "pos", "n_tok")
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Train/valid split-leakage audit (r14): the eval-hygiene complement
+    * to pipe_train_split — for every VALID document, the fraction of
+    * its 3-token shingles that also occur anywhere in the TRAIN split
+    * (the same split function, verbatim). High leak_frac means the
+    * holdout is contaminated by near-copies in train and its loss is a
+    * lie. Composes the pipe_train_split hash split with the
+    * tx_decontaminate shingle machinery — but where decontaminate's
+    * benchmark side is bounded-by-construction (broadcast-gated), BOTH
+    * split sides here are corpus-sized, so the posture is a digest
+    * shuffle join, never a broadcast.
+    *
+    * Scale layout: shingles travel as md5 digests on both sides (the
+    * tx_dup_coverage discipline — text never shuffles); train distinct
+    * digests is one partial/final aggregate; the coverage join + per-doc
+    * count shuffles digests only.
+    */
+  val pLeakage = Q(
+    "pipe_leakage",
+    s"""WITH tagged AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substr(md5('split42' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |      THEN 'train' ELSE 'valid' END AS split
+       |  FROM documents),
+       |tsh AS (
+       |  SELECT DISTINCT md5(unnest(${graft.llm.DedupOps.shinglesSql})) AS d
+       |  FROM tagged WHERE split = 'train'),
+       |vsh AS (SELECT doc_id, ${graft.llm.DedupOps.shinglesSql} AS sh
+       |  FROM tagged WHERE split = 'valid'),
+       |v AS (SELECT doc_id, md5(unnest(sh)) AS d FROM vsh),
+       |hits AS (
+       |  SELECT v.doc_id, COUNT(*) AS n_hits
+       |  FROM v JOIN tsh USING (d) GROUP BY v.doc_id)
+       |SELECT vsh.doc_id,
+       |  CAST(len(vsh.sh) AS INT) AS n_shingles,
+       |  CAST(COALESCE(h.n_hits, 0) AS INT) AS n_leaked,
+       |  ROUND(COALESCE(h.n_hits, 0) * 1.0 / len(vsh.sh), 6) AS leak_frac,
+       |  (COALESCE(h.n_hits, 0) * 1.0 / len(vsh.sh)) >= 0.5 AS flagged
+       |FROM vsh LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    import graft.engine.expressions.OptimizerBarrier
+    val split = when(substring(md5(concat(lit("split42"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 2) < "e6", "train")
+      .otherwise("valid")
+    val tagged = s.table("documents")
+      .select(col("doc_id"), col("text"), split.as("split"))
+    // shingle kernels BARRIERED below their explodes (the r12 lesson:
+    // the optimizer otherwise clones them into inferred generator
+    // filters — 3 evaluations per document)
+    val tsh = tagged.filter(col("split") === "train")
+      .select(OptimizerBarrier(DedupOps.shinglesPadded(col("text"))).as("__sh"))
+      .select(explode(col("__sh")).as("s"))
+      .select(md5(col("s").cast(BinaryType)).as("d"))
+      .distinct()
+    // read twice (per-doc sizes + the hit join) — CacheOnce, same as
+    // dd_minhash_lsh's shingle relation
+    val vsh = graft.engine.CacheOnce("pipe_leakage/vsh",
+      tagged.filter(col("split") === "valid")
+        .select(col("doc_id"),
+          OptimizerBarrier(DedupOps.shinglesPadded(col("text"))).as("sh")))
+    val v = vsh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s").cast(BinaryType)).as("d"))
+    val hits = v.join(tsh, "d")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    vsh.select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).cast(IntegerType).as("n_leaked"),
+        round(coalesce(col("n_hits"), lit(0L)) * 1.0 / col("n_shingles"), 6)
+          .as("leak_frac"),
+        (coalesce(col("n_hits"), lit(0L)) * 1.0 / col("n_shingles") >= 0.5)
+          .as("flagged"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix,
     pFunnelEvents, pRetention, pAttribution, pAnomaly, pMixSample,
-    pTrainSplit)
+    pTrainSplit, pPack, pLeakage)
 }

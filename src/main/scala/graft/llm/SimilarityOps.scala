@@ -1024,5 +1024,26 @@ object SimilarityOps {
       |ORDER BY vec_id ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
   ) { s => labelKnnHnsw(s) }
 
-  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7, v8)
+  /** The monster-cell SHARD composition (r14) exercised through the
+    * driver's oracle gate, not just HnswSpec: a forced-tiny
+    * `cellShardThreshold` (16 ≪ every fixture cell) routes EVERY label
+    * through the IVF router → per-(label, shard) graph → distinct +
+    * TopKEdgeAgg merge, and `shardProbes = nShards = 2` gives FULL probe
+    * coverage, which provably reproduces the single-graph output (every
+    * pair co-occurs in every shard; raw sims are bit-identical floats,
+    * so the exact-dedup distinct + fold ranks exactly like the
+    * unsharded arm). Oracle-EQUAL at any SF by that argument — the
+    * plumbing (router emission, shard grouping, merge) is what the
+    * driver now observes every round. Partial coverage (the real scale
+    * trade: probes < shards) is measured in SCALE.md's tier-3 table
+    * (probes=3/12 shards → recall 0.9100 vs unsharded 0.9494), not
+    * oracled — there is no SQL oracle for an approximate contract.
+    */
+  val v9 = Q(
+    "nn_label_knn_hnsw_sharded",
+    v8.oracle.get
+  ) { s => labelKnnHnsw(s, cellShardThreshold = 16, shardProbes = 2,
+      nShardsOverride = 2) }
+
+  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9)
 }

@@ -783,8 +783,121 @@ object TextOps {
       .orderBy(col("source").asc_nulls_last)
   }
 
+  /** Token-window document chunking (r14): the map stage that turns a
+    * corpus into fixed-budget training windows — 40-token chunks at
+    * stride 30 (10-token overlap), the standard context-window prep
+    * before tokenization. Chunk count is 1 + ceil((n−W)/S) so every
+    * token is covered and no chunk starts past the text (a doc at or
+    * under one window yields exactly one chunk); the tail chunk may be
+    * short but never empty.
+    *
+    * Scale layout: a pure per-doc projection + generator — ZERO
+    * shuffles before the contract sort (at 100 TB this runs map-only,
+    * parallel with the scan). The output carries the chunk's md5, not
+    * its text: the contract verifies CONTENT (any slice/boundary bug
+    * changes the digest) while the emitted relation stays ~40 bytes a
+    * row instead of re-materializing the corpus ×1.33.
+    */
+  val tChunk = Q(
+    "tx_chunk",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    CAST(unnest(generate_series(0,
+      |      GREATEST(0, CAST(CEIL((n - 40) / 30.0) AS INT)))) AS INT) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, chunk_id,
+      |  CAST(chunk_id * 30 + 1 AS INT) AS start_tok,
+      |  CAST(LEAST(40, n - chunk_id * 30) AS INT) AS n_tok,
+      |  md5(array_to_string(list_slice(toks, chunk_id * 30 + 1,
+      |    LEAST(chunk_id * 30 + 40, n)), ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id ASC NULLS LAST, chunk_id ASC NULLS LAST""".stripMargin
+  ) { s => chunksOf(s.table("documents")) }
+
+  /** The tx_chunk plan over any (doc_id, text) relation — split out so
+    * the spec can pin the window/stride boundary algebra on hand-built
+    * token counts (the oracle pins fixture-scale content).
+    */
+  private[graft] def chunksOf(docs: org.apache.spark.sql.DataFrame,
+      window: Int = 40, stride: Int = 30) = {
+    val toks = split(col("text"), " ")
+    val nTokC = col("chunk_id") * stride
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          greatest(lit(0L), ceil((col("n") - window) / lit(stride.toDouble)))
+            .cast(IntegerType))).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (nTokC + 1).as("start_tok"),
+        least(lit(window), col("n") - nTokC).as("n_tok"),
+        md5(array_join(slice(col("toks"), nTokC + 1,
+          least(lit(window), col("n") - nTokC)), " ")
+          .cast(BinaryType)).as("chunk_md5"))
+      .orderBy(col("doc_id").asc_nulls_last, col("chunk_id").asc_nulls_last)
+  }
+
+  /** Character-entropy quality signal (r14): Shannon entropy in bits
+    * per character, distinct-char count, and the dominant character's
+    * mass — the CCNet-class "text vs noise" gate (low entropy = runs /
+    * boilerplate / padding; high = encrypted or binary-ish junk).
+    *
+    * Spark side is ONE codegen kernel per document
+    * (expressions/CharStats.scala) — the declarative spelling the
+    * oracle uses would explode the corpus into a row PER CHARACTER
+    * (a 100 TB scan becomes a 100 TB+ shuffle); the kernel keeps the
+    * whole query a pure map. Determinism: per-term round(−p·ln p, 9)
+    * summed exactly (the tx_bigram_lm DECIMAL discipline) on BOTH
+    * sides, ln↔Math.log (the proven pair), bits division once after
+    * the sum.
+    */
+  val tEntropy = Q(
+    "tx_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+      |  FROM documents),
+      |cc AS (
+      |  SELECT doc_id, substr(text, i, 1) AS c, COUNT(*) AS n
+      |  FROM ch GROUP BY doc_id, substr(text, i, 1)),
+      |tot AS (
+      |  SELECT doc_id, SUM(n) AS nn, CAST(COUNT(*) AS INT) AS nd, MAX(n) AS mx
+      |  FROM cc GROUP BY doc_id),
+      |ent AS (
+      |  SELECT cc.doc_id,
+      |    CAST(SUM(CAST(ROUND(-(cc.n * 1.0 / t.nn) * ln(cc.n * 1.0 / t.nn), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) AS hnat
+      |  FROM cc JOIN tot t USING (doc_id) GROUP BY cc.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(t.nn AS BIGINT) AS n_chars,
+      |  t.nd AS n_distinct,
+      |  ROUND(e.hnat / ln(2.0), 6) AS entropy_bits,
+      |  ROUND(t.mx * 1.0 / t.nn, 6) AS max_char_frac
+      |FROM tot t JOIN ent e USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    // empty text yields no char rows in the oracle (generate_series(1,0)
+    // is empty) — the length guard keeps the two sides row-identical;
+    // the fixture has no empty docs, so at fixture scale it prunes
+    // nothing
+    s.table("documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.engine.GraftColumns.charStats(col("text")).as("cs"))
+      .select(col("doc_id"),
+        col("cs.n_chars").as("n_chars"),
+        col("cs.n_distinct").as("n_distinct"),
+        round(col("cs.h_nats") / lit(math.log(2.0)), 6).as("entropy_bits"),
+        round(col("cs.max_frac"), 6).as("max_char_frac"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   val all: Seq[Q] =
     Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler,
       tRepetition, tDecontaminate, tBigramLm, tTfidf, tDupCoverage,
-      tSourceStats)
+      tSourceStats, tChunk, tEntropy)
 }

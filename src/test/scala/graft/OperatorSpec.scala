@@ -841,4 +841,134 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L).getAs[Double]("avg_logprob") == 0.0)
     assert(!out(3L).getAs[Boolean]("low_quality"))
   }
+
+  test("tx_chunk: window/stride boundary algebra on exact token counts") {
+    import spark.implicits._
+    def doc(n: Int) = (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    // W=40, S=30: n≤40 → 1 chunk; 41 → ceil(1/30)=1 → 2 chunks;
+    // 70 → 2; 71 → ceil(31/30)=2 → 3 chunks
+    val docs = Seq(doc(1), doc(40), doc(41), doc(70), doc(71))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextOps.chunksOf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    assert(out(1L).length == 1 && out(40L).length == 1)
+    assert(out(41L).length == 2 && out(70L).length == 2)
+    assert(out(71L).length == 3)
+    // starts advance by the stride; tails are short but never empty;
+    // every token is covered (last chunk reaches n)
+    for ((n, chunks) <- out) {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getInt(2) == i * 30 + 1) // start_tok
+        assert(c.getInt(3) == math.min(40, n.toInt - i * 30)) // n_tok
+        assert(c.getInt(3) >= 1)
+      }
+      assert(chunks.last.getInt(2) + chunks.last.getInt(3) - 1 == n.toInt)
+    }
+    // boundary content: doc(41)'s second chunk is tokens 31..41
+    val c41 = out(41L)(1)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest((31 to 41).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(c41.getString(4) == expectMd5)
+  }
+
+  test("pipe_pack: next-fit fold — oversize bins, exact fills, block independence") {
+    import spark.implicits._
+    // cap 10: [4,5,2,10,11,1] → bins 0,0,1,2,3,4 (9+2 spills; the
+    // 10-fit opens clean; 11 oversize owns a bin; 1 can't join it)
+    val a = Seq((0L, 0, 4), (1L, 0, 5), (2L, 0, 2), (3L, 0, 10),
+      (4L, 0, 11), (5L, 0, 1))
+    // second block restarts numbering independently
+    val b = Seq((100L, 1, 6), (101L, 1, 4), (102L, 1, 1))
+    val out = graft.llm.PipelineOps.packBlocks(
+      (a ++ b).toDF("doc_id", "block", "n_tok"), cap = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(out(0L) == ((0, 0)) && out(1L) == ((0, 1))) // 4+5=9 fits
+    assert(out(2L) == ((1, 0)))  // 9+2 > 10 → new bin
+    assert(out(3L) == ((2, 0)))  // exact-capacity doc, own bin
+    assert(out(4L) == ((3, 0)))  // oversize always places
+    assert(out(5L) == ((4, 0)))  // 11+1 > 10 even though 1 is tiny
+    // block 1 restarts at bin 0: 6+4=10 fits exactly, then +1 spills
+    assert(out(100L) == ((0, 0)) && out(101L) == ((0, 1)) &&
+      out(102L) == ((1, 0)))
+  }
+
+  test("pipe_pack: randomized differential vs an in-spec reference fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 400).map(i =>
+      (i.toLong, i / 50, 1 + rnd.nextInt(120)))
+    val out = graft.llm.PipelineOps.packBlocks(
+      docs.toDF("doc_id", "block", "n_tok"), cap = 128).collect()
+    // structural invariants per bin
+    for ((_, rows) <- out.groupBy(_.getInt(1));
+         (_, brows) <- rows.groupBy(_.getInt(2))) {
+      val fill = brows.map(_.getInt(4)).sum
+      assert(fill <= 128 || brows.length == 1) // over-cap ⇒ single oversize doc
+      assert(brows.sortBy(_.getLong(0)).map(_.getInt(3)).toSeq ==
+        brows.indices.toSeq) // pos is 0..k-1 in doc order
+    }
+    // exact differential: replay the next-fit fold independently
+    for ((_, rows) <- out.groupBy(_.getInt(1))) {
+      val sorted = rows.sortBy(_.getLong(0))
+      var bin = 0; var fill = 0; var first = true
+      sorted.foreach { r =>
+        val nt = r.getInt(4)
+        if (first) { fill = nt; first = false }
+        else if (fill + nt <= 128) fill += nt
+        else { bin += 1; fill = nt }
+        assert(r.getInt(2) == bin, s"doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("CharStats kernel: hand-computed entropy, code-point chars, edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aab"),           // {2/3, 1/3} → 0.918296 bits
+      (2L, "😀😀a"), // 😀😀a — surrogate pairs, same dist
+      (3L, "zzzz"),          // single symbol → zero entropy, max_frac 1
+      (4L, ""))              // empty → filtered by the query; kernel → zeros
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.engine.GraftColumns.charStats(col("text")).as("cs"))
+      .select(col("doc_id"), col("cs.n_chars"), col("cs.n_distinct"),
+        round(col("cs.h_nats") / math.log(2.0), 6).as("bits"),
+        round(col("cs.max_frac"), 6).as("mf"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(1L).getInt(2) == 2)
+    assert(out(1L).getDouble(3) == 0.918296 && out(1L).getDouble(4) == 0.666667)
+    // code POINTS, not UTF-16 units: 3 chars, identical distribution
+    assert(out(2L).getLong(1) == 3L && out(2L).getInt(2) == 2)
+    assert(out(2L).getDouble(3) == 0.918296)
+    assert(out(3L).getDouble(3) == 0.0 && out(3L).getDouble(4) == 1.0)
+    assert(out(4L).getLong(1) == 0L && out(4L).getDouble(3) == 0.0 &&
+      out(4L).getDouble(4) == 0.0)
+  }
+
+  test("dd_incremental: verdict precedence and the corpus hot-bucket cap") {
+    import spark.implicits._
+    val boiler = (1 to 30).map(i => s"same boilerplate body of tokens " +
+      s"repeated across mirrors alpha beta gamma delta")
+    // corpus: 30 identical docs (ids 0..29 — one mega bucket) + one
+    // distinct doc
+    val corpus = (boiler.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (90L, "completely different content about graphs and indexes here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, boiler.head),                      // verbatim → exact_dup
+      (201L, boiler.head.split(' ').dropRight(2).mkString(" ")), // prefix → near_dup
+      (202L, "nothing in common with either corpus document at all"))
+      .toDF("doc_id", "text")
+    // cap 5 ≪ 30-member bucket: the guard keeps the 5 smallest corpus
+    // ids per bucket; min-id matches survive by construction
+    val out = graft.llm.DedupOps.incrementalVerdicts(batch, corpus, cap = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(200L).getAs[String]("verdict") == "exact_dup" &&
+      out(200L).getAs[Long]("match_id") == 0L)
+    assert(out(201L).getAs[String]("verdict") == "near_dup" &&
+      out(201L).getAs[Long]("match_id") == 0L)
+    assert(out(202L).getAs[String]("verdict") == "new" &&
+      out(202L).isNullAt(out(202L).fieldIndex("match_id")))
+  }
 }

@@ -262,6 +262,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
 
+  test("tx_entropy is a pure map: no per-char explode, no shuffle") {
+    // the CharStats kernel keeps the whole signal per-row — the
+    // declarative oracle spelling explodes one row per CHARACTER; a
+    // Generate or hash exchange here means it regressed back in.
+    val df = SparkEntry.queries("tx_entropy")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Generate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("a10: sketch and exact distinct share the scan, single aggregate tree") {
     val df = SparkEntry.queries("a10_approx_distinct")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
