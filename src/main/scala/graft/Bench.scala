@@ -127,6 +127,7 @@ object Bench {
               // the sharded-HNSW oracle row's shard router (nShards=2)
               graft.llm.SimilarityOps.buildLabelIvfIndex(ws, 2)
               graft.llm.SimilarityOps.warmPqIndex(ws)
+              graft.llm.SimilarityOps.warmIvfPqIndex(ws)
             } catch {
               case e: Throwable => System.err.println(
                 s"[bench] warm-dir index pre-train failed: ${e.getMessage}")
@@ -210,6 +211,10 @@ object Bench {
     // PQ index build (per-subspace codebooks + corpus encode): offline,
     // same ann-benchmarks build/query split as the IVF index
     graft.llm.SimilarityOps.warmPqIndex(spark)
+    // IVF-PQ residual index (coarse assign + residual codebooks +
+    // encode): offline, same split — nn_ivfpq_topk times the online
+    // probe + LUT + ADC + rerank path only
+    graft.llm.SimilarityOps.warmIvfPqIndex(spark)
     // dialect child-session warm-up: the memoized isolated session's
     // registry build plus the JSON-constructor / printf / HUGEINT-
     // factorial expression codegen otherwise land in the FIRST timed

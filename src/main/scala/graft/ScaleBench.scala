@@ -125,7 +125,13 @@ object ScaleBench {
     // entropy (pure-map codegen kernel)
     "tx_chunk", "pipe_pack", "dd_incremental", "tx_entropy",
     // split-leakage audit: both sides corpus-sized, digest-only joins
-    "pipe_leakage")
+    "pipe_leakage",
+    // perceptual-hash image dedup: real-codec decode+hash per partition,
+    // only (doc_id, 4×16-bit bands) ever shuffles
+    "mm_phash_dedup",
+    // IVFADC: coarse prune × residual-PQ compression — the composed
+    // memory-bound ANN layout (probed candidates read 9 bytes each)
+    "nn_ivfpq_topk")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL
@@ -330,6 +336,23 @@ object ScaleBench {
       require(pqWidth.isDefined, "PQ sweep: no equality even exhaustive?!")
       out += Row("ann_pq_sweep", brute.size.toLong, 0, 0, 0, 0, 0,
         s"PQ top-3 equals brute force from rerank=${pqWidth.get}x3 shortlist")
+      // IVFADC: the probe stage is the SAME quantizer + machinery as
+      // nn_ivf_topk, so this corpus's probe boundary is the ivfWidth
+      // just measured (at a narrower probe, a true neighbor in an
+      // unprobed list is unrecoverable at ANY rerank width — exactly
+      // what the first version of this ladder tripped over at mult=1).
+      // The ladder therefore measures the ADDITIONAL rerank width the
+      // residual ADC needs; at the exhaustive end equality is
+      // guaranteed because the candidate set equals the IVF sweep's.
+      val ivfpqNp = ivfWidth.get
+      val ivfpqWidth = Seq(64, 256, 1024, 4096, 16384, 65536, 1 << 30).find { rr =>
+        pairSet(graft.llm.SimilarityOps.ivfPqTopK(spark,
+          nprobe = ivfpqNp, rerank = rr)) == brute
+      }
+      require(ivfpqWidth.isDefined, "IVFPQ sweep: no equality even exhaustive?!")
+      out += Row("ann_ivfpq_sweep", brute.size.toLong, 0, 0, 0, 0, 0,
+        s"IVF-PQ top-3 equals brute force from rerank=${ivfpqWidth.get}x3 " +
+          s"shortlist at nprobe=$ivfpqNp/16 (residual codes)")
     }
 
     if (!invariants) {

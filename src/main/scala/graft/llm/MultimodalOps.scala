@@ -205,5 +205,144 @@ object MultimodalOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(m1, m2, m3, m4)
+  /** dHash bands from a decoded raster: nearest-sample the image onto a
+    * 9×8 luminance grid (integer ITU-ish weights 299/587/114, floor
+    * division — every step exact integer arithmetic so the oracle can
+    * restate it from the generation formula), emit 64 bits (each = "is
+    * my right neighbor brighter"), packed little-endian into four
+    * 16-bit bands. Bands double as the LSH bucketing keys: identical
+    * band ⇒ candidate (pigeonhole-complete for hamming ≤ 3; the wider
+    * hamming ≤ 6 verify is banding-scoped BY SPEC on both sides).
+    */
+  private[graft] def dhashBands(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val lums = Array.ofDim[Int](8, 9)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val v = img.getRGB(i * w / 9, j * h / 8) & 0xffffff
+        val r = (v >> 16) & 255; val g = (v >> 8) & 255; val b = v & 255
+        lums(j)(i) = (299 * r + 587 * g + 114 * b) / 1000
+        i += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Long](4)
+    var t = 0
+    while (t < 64) {
+      if (lums(t / 8)(t % 8 + 1) > lums(t / 8)(t % 8)) bands(t / 16) |= 1L << (t % 16)
+      t += 1
+    }
+    bands
+  }
+
+  /** Perceptual-hash image dedup (r14): the visual near-dup stage of a
+    * multimodal pipeline — decode each image with the REAL PNG codec,
+    * dHash the raster ([[dhashBands]]), bucket on the four 16-bit hash
+    * bands (reusing [[DedupOps.lshCandidates]], hot-bucket star guard
+    * included), and verify candidates by full 64-bit hamming ≤ 6.
+    * Re-encodes, crops that preserve the sampled grid, and palette
+    * shifts that survive the luminance quantization all land within a
+    * few bits — the standard image-dedup contract (dHash is public
+    * domain; cf. the pHash family).
+    *
+    * Restricted to the 3-band payloads (even ids): their decoded raster
+    * is bit-exactly the generation formula (TYPE_3BYTE_BGR stores sRGB
+    * verbatim and PNG is lossless), so the DuckDB oracle recomputes the
+    * hash from (doc_id, w, h) alone and any codec/raster/packing bug
+    * hash-fails. The 1-band arm goes through Java's internal gray
+    * conversion (not SQL-restatable) — decode coverage for it lives in
+    * mm_decode.
+    *
+    * Scale layout: decode+hash is partition-parallel with one codec
+    * context per partition (the mm_decode pattern); only (doc_id, four
+    * 16-bit bands) ever shuffles — 5 narrow columns per image
+    * regardless of pixel size; the candidate join is bucket-confined
+    * with the d2 hot-bucket cap.
+    */
+  val m5 = Q(
+    "mm_phash_dedup",
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id * 7) % 48 AS w,
+      |    16 + (doc_id * 13) % 48 AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |lum AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 71), p ->
+      |      (299 * ((((((p % 9) * w) // 9) * 31 + ((p // 9) * h // 8) * 17 + doc_id * 97) % 16777216) // 65536)
+      |       + 587 * (((((((p % 9) * w) // 9) * 31 + ((p // 9) * h // 8) * 17 + doc_id * 97) % 16777216) // 256) % 256)
+      |       + 114 * ((((((p % 9) * w) // 9) * 31 + ((p // 9) * h // 8) * 17 + doc_id * 97) % 16777216) % 256)) // 1000
+      |    ) AS lums
+      |  FROM img),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 63), t ->
+      |      CASE WHEN lums[(t // 8) * 9 + (t % 8) + 2] > lums[(t // 8) * 9 + (t % 8) + 1]
+      |        THEN 1::BIGINT ELSE 0::BIGINT END) AS bs
+      |  FROM lum),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 3), k ->
+      |      list_aggregate(list_transform(generate_series(0, 15), u -> bs[k * 16 + u + 1] << u), 'sum')) AS bands
+      |  FROM bits),
+      |bandrows AS (
+      |  SELECT doc_id, unnest(generate_series(0, 3)) AS band,
+      |    bands[unnest(generate_series(0, 3)) + 1] AS bucket
+      |  FROM hashes),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bandrows a JOIN bandrows b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(bit_count(xor(ha.bands[1], hb.bands[1])) + bit_count(xor(ha.bands[2], hb.bands[2]))
+      |       + bit_count(xor(ha.bands[3], hb.bands[3])) + bit_count(xor(ha.bands[4], hb.bands[4])) AS INT) AS hamming
+      |  FROM cand c
+      |  JOIN hashes ha ON ha.doc_id = c.id_a
+      |  JOIN hashes hb ON hb.doc_id = c.id_b)
+      |SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 6
+      |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
+  ) { s =>
+    import s.implicits._
+    // decode + hash: one codec context per partition (mm_decode
+    // pattern); read 3× below (band rows + both verify sides) → CacheOnce
+    val hashes = graft.engine.CacheOnce("mm_phash/hashes",
+      s.table("documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+          it.map { id =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(pngPayload(id)))
+            try {
+              reader.setInput(iis)
+              val b = dhashBands(reader.read(0))
+              (id, b(0), b(1), b(2), b(3))
+            } finally iis.close()
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3"))
+    val bandrows = hashes.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = DedupOps.lshCandidates(bandrows)
+    val ha = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(a0 ^ c0)") + expr("bit_count(a1 ^ c1)") +
+          expr("bit_count(a2 ^ c2)") + expr("bit_count(a3 ^ c3)"))
+          .cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
 }

@@ -541,6 +541,186 @@ object SimilarityOps {
         col("vec_id").asc_nulls_last)
   }
 
+  // ---- IVF-PQ (IVFADC) ----------------------------------------------
+  // The composed at-scale layout (Jégou et al. TPAMI 2011, §IV; the
+  // faiss IVFADC index): the coarse quantizer PRUNES (probe nprobe of
+  // nlists inverted lists) and product quantization COMPRESSES what the
+  // scan reads inside a probed list — an 8-byte RESIDUAL code + one
+  // norm per candidate. At 100 TB of embeddings neither half suffices
+  // alone: IVF over raw vectors still reads corpus/nlists·nprobe full
+  // vectors per query; flat PQ still ADC-scans the WHOLE corpus. The
+  // composition reads corpus/nlists·nprobe × 9 bytes.
+  //
+  // PQ runs on RESIDUALS (v − centroid[list]): residual magnitudes are
+  // a fraction of raw magnitudes, so the same 8×256 codebook budget
+  // quantizes far finer. Inner-product scoring decomposes exactly:
+  // dot(q, x) = dot(q, c_list) + dot(q, r_x) — the first term is one
+  // dot per (query, probed list), the second assembles from a
+  // LIST-INDEPENDENT LUT over the residual codebooks (unlike L2-metric
+  // IVFADC, which needs a per-list table). Ranking divides by the
+  // stored TRUE norm, so quantization error lives only in the dot.
+
+  private val IvfPqLists = 16 // same quantizer budget as nn_ivf_topk
+
+  private val ivfPqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[(Int, Array[Double])]]]()
+  private val ivfPqBookArrays = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  /** v − centroid[list], element-wise (offline-only arithmetic: encode
+    * and train both run off the query path, so the interpreted zip_with
+    * is fine — the ONLINE path touches codes, never residuals).
+    */
+  private def residualCol(v: org.apache.spark.sql.Column,
+      listId: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]]): org.apache.spark.sql.Column =
+    zip_with(v, element_at(typedLit(cents.map(_.toSeq).toSeq), listId + 1),
+      (a, b) => a - b)
+
+  /** Train (or fetch) the residual PQ codebooks: assign the training
+    * sample to its coarse list, subtract the centroid, then M
+    * independent per-subspace L2 Lloyd runs — identical discipline to
+    * [[buildPqIndex]], same deterministic sample and seed ordering.
+    */
+  def buildIvfPqIndex(s: org.apache.spark.sql.SparkSession)
+      : Seq[Seq[(Int, Array[Double])]] = {
+    val memoKey = datasetKey(s) + s"/ivfpq/$IvfPqLists/$PqM/$PqK"
+    ivfPqCodebooks.computeIfAbsent(memoKey, _ => {
+      val (cents, cn) = centMatrix(s, IvfPqLists)
+      import graft.engine.expressions.IvfNearest
+      val emb = s.table("embeddings")
+        .select(col("vec_id"), col("embedding"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val train = trainSample(emb, PqTrainCap)
+        .select(col("vec_id"),
+          residualCol(col("v"),
+            element_at(IvfNearest(col("embedding"), cents, cn, false, 1), 1),
+            cents).as("rv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0 until PqM).map { m =>
+          val sub = train.select(col("vec_id"),
+            slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("sub"))
+          val init = sub
+            .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)).asc,
+              col("vec_id").asc)
+            .limit(PqK)
+            .select(col("sub"))
+            .collect().zipWithIndex
+            .map { case (r, i) => i -> r.getSeq[Double](0).toArray }.toSeq
+          KMeans.lloyd(sub, "sub", init, iters = 2, l2 = true)
+        }
+      } finally train.unpersist(blocking = false)
+    })
+  }
+
+  /** The offline IVFADC index artifact: (vec_id, list_id, true norm,
+    * 8-byte residual code). CacheOnce'd per dataset — on a cluster this
+    * is the persisted index table; the online path scans it and never
+    * sees a raw vector until the exact rerank.
+    */
+  private def ivfPqCodes(s: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[(Int, Array[Double])]])
+      : org.apache.spark.sql.DataFrame = {
+    val memoKey = datasetKey(s) + s"/ivfpq/$IvfPqLists/$PqM/$PqK"
+    val bookArr = ivfPqBookArrays.computeIfAbsent(memoKey,
+      _ => books.map(_.map(_._2).toArray).toArray)
+    val (cents, cn) = centMatrix(s, IvfPqLists)
+    import graft.engine.expressions.IvfNearest
+    val emb = s.table("embeddings")
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    graft.engine.CacheOnce(
+      "ivfpq:codes:" + datasetKey(s),
+      emb
+        .select(col("vec_id"), col("v"),
+          element_at(IvfNearest(col("embedding"), cents, cn, false, 1), 1)
+            .as("list_id"))
+        .select(col("vec_id"), col("list_id"),
+          sqrt(dot(col("v"), col("v"))).as("xn"),
+          graft.engine.expressions.PqEncode(
+            residualCol(col("v"), col("list_id"), cents), bookArr).as("codes")))
+  }
+
+  /** Offline IVF-PQ build, bench-warmable like [[warmPqIndex]]. */
+  def warmIvfPqIndex(s: org.apache.spark.sql.SparkSession): Unit =
+    ivfPqCodes(s, buildIvfPqIndex(s)).write.format("noop").mode("overwrite").save()
+
+  val v10 = Q("nn_ivfpq_topk", bruteTop3OracleSql) { s => ivfPqTopK(s) }
+
+  /** IVFADC search body, probe/rerank widths exposed for the sweep
+    * spec. Oracle = brute force, the family contract: widths sized so
+    * the probed lists contain the true top-3 (nprobe — the nn_ivf
+    * boundary, same quantizer) AND the ADC shortlist keeps them
+    * (rerank), making the exact-rerank output the brute-force answer.
+    */
+  private[graft] def ivfPqTopK(s: org.apache.spark.sql.SparkSession,
+      nprobe: Int = 12, rerank: Int = 64): org.apache.spark.sql.DataFrame = {
+    val TOPK = 3
+    val books = buildIvfPqIndex(s) // offline, memoized
+    val (cents, cn) = centMatrix(s, IvfPqLists)
+    import graft.engine.expressions.IvfNearest
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val emb = s.table("embeddings")
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val codes = ivfPqCodes(s, books)
+      .select(col("vec_id"), col("list_id"), col("xn"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+    // residual LUT: queries × M × K partial dots (list-independent —
+    // see the decomposition note above); broadcast-sized by definition
+    val entries = {
+      import s.implicits._
+      books.zipWithIndex.flatMap { case (book, m) =>
+        book.map { case (k, c) => (m, k, c.toSeq) }
+      }.toDF("m", "k", "ce")
+    }
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        sqrt(dot(col("v"), col("v"))).as("qn"))
+    val lut = q.crossJoin(entries)
+      .select(col("qid"), col("qn"), col("m"), col("k").as("code"),
+        dot(slice(col("qe"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("ce"))
+          .as("partial"))
+    // probes: nprobe nearest lists per query + the per-(query, list)
+    // centroid dot term of the decomposition
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qe"),
+        explode(IvfNearest(col("embedding"), cents, cn, false, nprobe))
+          .as("list_id"))
+      .select(col("qid"), col("list_id"),
+        dot(col("qe"), element_at(centsLit, col("list_id") + 1)).as("qcdot"))
+    // the IVF prune IS the equi-join on list_id; candidates then read
+    // 8 one-byte codes + one norm each — never a raw vector. The LUT
+    // lookup is a 3-key broadcast equi-join (qid, m, code) — the hash
+    // probe IS the table lookup, no pre-filter row blowup
+    val scored = probes.join(codes, "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      // same 9-decimal pre-round as pqTopK: partial-sum order varies
+      // with partitioning; 1e-9 is below ADC separation, above jitter
+      .agg(round((first(col("qcdot")) + sum(col("partial"))) /
+        (first(col("qn")) * first(col("xn"))), 9).as("approx_sim"))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_sim").desc, col("vec_id").asc)
+    val shortlist = scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= rerank * TOPK)
+      .select(col("qid"), col("vec_id"))
+    val exact = shortlist
+      .join(emb.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("v")) /
+          (col("qn") * sqrt(dot(col("v"), col("v")))), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
+        col("vec_id").asc_nulls_last)
+  }
+
   /** kNN-GRAPH construction, cell-confined: every vector's exact top-3
     * cosine neighbors WITHIN its blocking cell (`label` stands in for
     * the IVF/LSH cell id, as in nn_cosine_neardup). The k-NN graph is
@@ -1045,5 +1225,5 @@ object SimilarityOps {
   ) { s => labelKnnHnsw(s, cellShardThreshold = 16, shardProbes = 2,
       nShardsOverride = 2) }
 
-  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9)
+  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10)
 }

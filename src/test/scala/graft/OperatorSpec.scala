@@ -425,6 +425,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(top3Rows(SparkEntry.queries("nn_pq_topk")(spark, sf)) == pq)
   }
 
+  test("IVF-PQ top-k EQUALS brute force at declared widths (and determinism)") {
+    // the composed IVFADC contract: the coarse probe keeps the true
+    // top-3's lists (nprobe 12 — the nn_ivf boundary, same quantizer)
+    // and the residual-ADC shortlist keeps the true top-3 for the exact
+    // rerank. Residual codes are finer than flat PQ at the same
+    // codebook budget, so the flat-PQ margin (48) must also hold here.
+    val brute = top3Rows(SparkEntry.queries("nn_cosine_topk")(spark, sf))
+    assert(top3Rows(SparkEntry.queries("nn_ivfpq_topk")(spark, sf)) == brute)
+    assert(top3Rows(graft.llm.SimilarityOps.ivfPqTopK(spark, rerank = 48)) == brute)
+    // md5-seeded init + deterministic sample → same index, same output
+    assert(top3Rows(SparkEntry.queries("nn_ivfpq_topk")(spark, sf)) ==
+      top3Rows(SparkEntry.queries("nn_ivfpq_topk")(spark, sf)))
+  }
+
   test("PqEncode matches a hand-computed argmin and rejects bad dims") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -944,6 +958,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L).getDouble(3) == 0.0 && out(3L).getDouble(4) == 1.0)
     assert(out(4L).getLong(1) == 0L && out(4L).getDouble(3) == 0.0 &&
       out(4L).getDouble(4) == 0.0)
+  }
+
+  test("dhashBands: brightness-shift invariance, sensitivity, PNG round-trip") {
+    import java.awt.image.BufferedImage
+    def grad(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y) & 0xffffff)
+      img
+    }
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // gray level capped ≤ 186 so the +16 shift below can't carry across
+    // the packed 8-bit channels (which would break the invariance)
+    val base = grad(32, 24, (x, y) => (x * 4 + y * 2) * 0x010101)
+    val hBase = graft.llm.MultimodalOps.dhashBands(base)
+    // +16 gray levels everywhere: every neighbor comparison unchanged
+    val brighter = grad(32, 24, (x, y) => ((x * 4 + y * 2) + 16) * 0x010101)
+    assert(ham(hBase, graft.llm.MultimodalOps.dhashBands(brighter)) == 0)
+    // reversed gradient flips every comparison → far hash
+    val reversed = grad(32, 24, (x, y) => ((31 - x) * 4 + y * 2) * 0x010101)
+    assert(ham(hBase, graft.llm.MultimodalOps.dhashBands(reversed)) > 32)
+    // lossless PNG round-trip: hash of decode(encode(img)) == hash(img)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(base, "png", ios) finally ios.close()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(ham(hBase, graft.llm.MultimodalOps.dhashBands(back)) == 0)
   }
 
   test("dd_incremental: verdict precedence and the corpus hot-bucket cap") {
