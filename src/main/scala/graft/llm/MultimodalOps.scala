@@ -291,10 +291,20 @@ object MultimodalOps {
       |  SELECT doc_id, unnest(generate_series(0, 3)) AS band,
       |    bands[unnest(generate_series(0, 3)) + 1] AS bucket
       |  FROM hashes),
+      |sized AS (
+      |  SELECT doc_id, band, bucket,
+      |    COUNT(*) OVER (PARTITION BY band, bucket) AS bsize,
+      |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS brep
+      |  FROM bandrows),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bandrows a JOIN bandrows b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |    FROM sized a JOIN sized b
+      |      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |    WHERE a.bsize <= 100
+      |    UNION ALL
+      |    SELECT brep AS id_a, doc_id AS id_b
+      |    FROM sized WHERE bsize > 100 AND doc_id <> brep) u),
       |verified AS (
       |  SELECT c.id_a, c.id_b,
       |    CAST(bit_count(xor(ha.bands[1], hb.bands[1])) + bit_count(xor(ha.bands[2], hb.bands[2]))
