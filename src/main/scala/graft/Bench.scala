@@ -422,7 +422,13 @@ object Bench {
       // codegen/JIT-bound, not data-bound, so statement concurrency can
       // exceed the measured serving optimum without the cached-relation
       // interference that caps the TIMED passes at 4
-      val (_, warmTimes) = runSuiteAt(warmDir, nThreads = math.max(threads, 12))
+      // 16-wide pool (r14 debug measurement): the warm-pass floor is
+      // the LATENCY-bound family — dd_components' fixpoint runs 8.4 s
+      // on 500 docs (per-iteration driver latency, not data) alongside
+      // dd_incremental/dd_minhash at 5 s — so packing more concurrent
+      // latency-bound queries per wall-second is the remaining lever;
+      // the tiny-fixture jobs leave the CPUs mostly idle either way
+      val (_, warmTimes) = runSuiteAt(warmDir, nThreads = math.max(threads, 16))
       if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) {
         val top = warmTimes.toSeq.sortBy(-_._2).take(20)
           .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
