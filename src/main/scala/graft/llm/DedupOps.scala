@@ -771,8 +771,10 @@ object DedupOps {
     * pairs. Corpus bucket membership is capped at [[HOT_BUCKET_CAP]]
     * smallest ids per bucket (the d2 hot-bucket discipline, adapted:
     * a boilerplate mega-bucket otherwise multiplies every batch probe
-    * by its size) — fixture buckets sit ~40× under the cap, so the
-    * oracle sees byte-identical output. In a real deployment the
+    * by its size) — and the cap is PART OF THE CONTRACT, so the oracle
+    * SQL states it too (`c_capped`; the r14 mm_phash_dedup lesson —
+    * an uncapped oracle diverges the moment a tier corpus crosses the
+    * cap). In a real deployment the
     * corpus digests/buckets are a precomputed index and the batch side
     * is bounded by the ingest window; here both build in-plan, which
     * is the conservative (join, not broadcast) posture.
@@ -797,9 +799,14 @@ object DedupOps {
        |csh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
        |${sigBandsSqlFor("bsh", "b")},
        |${sigBandsSqlFor("csh", "c")},
+       |c_capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |      row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS brn
+       |    FROM c_bands) r WHERE brn <= $HOT_BUCKET_CAP),
        |cand AS (
        |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
-       |  FROM b_bands b JOIN c_bands c ON b.band = c.band AND b.bucket = c.bucket),
+       |  FROM b_bands b JOIN c_capped c ON b.band = c.band AND b.bucket = c.bucket),
        |near AS (
        |  SELECT bid AS doc_id, MIN(cid) AS match_id
        |  FROM cand

@@ -525,7 +525,12 @@ object SimilarityOps {
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("approx_sim").desc, col("vec_id").asc)
     val shortlist = scored.withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= RERANK * TOPK)
+      // Long arithmetic: the sweep ladder's exhaustive rung is 1 << 30,
+      // where rerank * TOPK overflows Int to a NEGATIVE bound — an
+      // empty shortlist masquerading as "equality failed even
+      // exhaustive" (r14 review finding; rn is Int, so the Long
+      // comparison coerces safely)
+      .filter(col("rn") <= RERANK.toLong * TOPK)
       .select(col("qid"), col("vec_id"))
     val exact = shortlist
       .join(emb, "vec_id")
@@ -705,7 +710,9 @@ object SimilarityOps {
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("approx_sim").desc, col("vec_id").asc)
     val shortlist = scored.withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= rerank * TOPK)
+      // Long arithmetic — same 1<<30 exhaustive-rung overflow guard as
+      // pqTopK's shortlist bound
+      .filter(col("rn") <= rerank.toLong * TOPK)
       .select(col("qid"), col("vec_id"))
     val exact = shortlist
       .join(emb.select(col("vec_id"), col("v")), "vec_id")

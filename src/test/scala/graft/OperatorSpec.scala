@@ -423,6 +423,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(top3Rows(graft.llm.SimilarityOps.pqTopK(spark, rerank = 48)) == brute)
     // md5-seeded init + first-min ties: same fixture → same shortlist
     assert(top3Rows(SparkEntry.queries("nn_pq_topk")(spark, sf)) == pq)
+    // the sweep ladder's exhaustive rung: rerank·TOPK must not overflow
+    // Int (the r14 regression returned an EMPTY shortlist at 1 << 30,
+    // making "equality failed even exhaustive" a lie)
+    assert(top3Rows(graft.llm.SimilarityOps.pqTopK(spark, rerank = 1 << 30)) == brute)
   }
 
   test("IVF-PQ top-k EQUALS brute force at declared widths (and determinism)") {
@@ -434,6 +438,9 @@ class OperatorSpec extends AnyFunSuite {
     val brute = top3Rows(SparkEntry.queries("nn_cosine_topk")(spark, sf))
     assert(top3Rows(SparkEntry.queries("nn_ivfpq_topk")(spark, sf)) == brute)
     assert(top3Rows(graft.llm.SimilarityOps.ivfPqTopK(spark, rerank = 48)) == brute)
+    // exhaustive ladder rung survives the Int range (Long shortlist
+    // bound — same regression class as pqTopK's)
+    assert(top3Rows(graft.llm.SimilarityOps.ivfPqTopK(spark, rerank = 1 << 30)) == brute)
     // md5-seeded init + deterministic sample → same index, same output
     assert(top3Rows(SparkEntry.queries("nn_ivfpq_topk")(spark, sf)) ==
       top3Rows(SparkEntry.queries("nn_ivfpq_topk")(spark, sf)))
