@@ -208,6 +208,12 @@ object ScaleBench {
       out += Row("nn_pq_build", -1, (System.nanoTime() - t1) / 1e9, 0, 0, 0, 0,
         "offline index build (8x256 codebooks + corpus encode)")
     }
+    if (invariants || queries.contains("nn_ivfpq_topk")) {
+      val t2 = System.nanoTime()
+      graft.llm.SimilarityOps.warmIvfPqIndex(spark)
+      out += Row("nn_ivfpq_build", -1, (System.nanoTime() - t2) / 1e9, 0, 0, 0, 0,
+        "offline IVFADC build (coarse assign + residual codebooks + encode)")
+    }
 
     queries.foreach { name =>
       // nn_label_knn is the EXACT kNN baseline: total FLOPs are
