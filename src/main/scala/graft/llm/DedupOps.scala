@@ -759,10 +759,14 @@ object DedupOps {
     * matches a corpus doc), `near_dup` (shares an LSH band bucket with
     * a corpus doc AND verified shingle jaccard ≥ 0.3 — the d2
     * signatures verbatim), else `new`; `match_id` is the smallest
-    * matching corpus id (NULL for new). The batch is corpus-derived
-    * with known answers: per source doc_id mod 3 — a verbatim copy
-    * (exact), an 80%-token prefix (near), a token-reversal (new: 3-gram
-    * shingles are direction-sensitive, so reversal shares almost none).
+    * matching corpus id (NULL for new). The batch is corpus-derived,
+    * per source doc_id mod 3 — a verbatim copy (exact), an 80%-token
+    * prefix (high-probability near: ~0.75-jaccard pairs can still miss
+    * all 4 LSH bands a few percent of the time, so the verdict is
+    * banding-scoped by spec rather than guaranteed by construction —
+    * both engines apply the same banding, which is what the oracle
+    * checks), a token-reversal (new: 3-gram shingles are
+    * direction-sensitive, so reversal shares almost none).
     *
     * Scale layout: the corpus side is touched exactly twice, both times
     * as NARROW relations — a 128-bit digest (exact arm) and (band,
@@ -827,7 +831,11 @@ object DedupOps {
   ) { s =>
     val toks = split(col("text"), " ")
     val cut = greatest(lit(3), floor(size(toks) * 4 / 5).cast(IntegerType))
-    val batch = graft.engine.CacheOnce("dd_incremental/batch",
+    // dataset-prefixed key (the labelKnnHnsw / ivfpq:codes convention):
+    // the bench's warm-dir and served-fixture sessions would otherwise
+    // evict each other's cached batch under the shared name
+    val batch = graft.engine.CacheOnce(
+      graft.engine.Tables.dirOf(s).getOrElse("?") + "/dd_incremental/batch",
       s.table("documents").select(
         (col("doc_id") + idOffset(s)).as("doc_id"),
         when(col("doc_id") % 3 === 0, col("text"))

@@ -318,7 +318,8 @@ object MultimodalOps {
     import s.implicits._
     // decode + hash: one codec context per partition (mm_decode
     // pattern); read 3× below (band rows + both verify sides) → CacheOnce
-    val hashes = graft.engine.CacheOnce("mm_phash/hashes",
+    val hashes = graft.engine.CacheOnce(
+      graft.engine.Tables.dirOf(s).getOrElse("?") + "/mm_phash/hashes",
       s.table("documents")
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id")).as[Long]

@@ -857,7 +857,8 @@ object PipelineOps {
       .distinct()
     // read twice (per-doc sizes + the hit join) — CacheOnce, same as
     // dd_minhash_lsh's shingle relation
-    val vsh = graft.engine.CacheOnce("pipe_leakage/vsh",
+    val vsh = graft.engine.CacheOnce(
+      graft.engine.Tables.dirOf(s).getOrElse("?") + "/pipe_leakage/vsh",
       tagged.filter(col("split") === "valid")
         .select(col("doc_id"),
           OptimizerBarrier(DedupOps.shinglesPadded(col("text"))).as("sh")))

@@ -803,7 +803,7 @@ object TextOps {
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |         len(string_split(text, ' ')) AS n
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |c AS (
       |  SELECT doc_id, toks, n,
       |    CAST(unnest(generate_series(0,
@@ -827,6 +827,11 @@ object TextOps {
     val toks = split(col("text"), " ")
     val nTokC = col("chunk_id") * stride
     docs
+      // NULL text would give size(split(NULL)) = -1 under legacy
+      // sizeOfNull and emit one phantom chunk with n_tok=-1 while the
+      // oracle's GREATEST/LEAST (NULL-ignoring) would emit n_tok=40 —
+      // guard on both sides (WHERE text IS NOT NULL in the oracle)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0),
