@@ -655,6 +655,157 @@ object TextOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  /** Span-level duplicate-text REMOVAL (Lee et al. 2022, arXiv:2107.06499
+    * ExactSubstr, public method): where tx_dup_coverage MEASURES span
+    * duplication and dd_* drops whole documents, this emits the
+    * span-cleaned corpus — the repeated ≥10-token runs cut out of every
+    * document except the first (smallest doc_id) owner. Keep-first
+    * policy: an occurrence of a cross-doc-duplicated 10-gram is
+    * removable iff its doc_id is greater than the gram's minimum owning
+    * doc_id, so exactly one copy of every duplicated run survives the
+    * corpus (within-doc repetition alone never triggers removal —
+    * tx_repetition's signal, same boundary as tx_dup_coverage). A token
+    * is removed when ANY removable window covers it; maximal removed
+    * runs are reported as `spans` ("s-e,..." 1-based inclusive) and the
+    * cleaned text as `kept_md5` (the tx_chunk discipline: a digest
+    * verifies CONTENT without re-materializing the corpus).
+    *
+    * Scale layout: grams travel as (doc_id, pos, 128-bit digest) — the
+    * only shuffles before the final stitch are digest-keyed (dup-set
+    * aggregation + removable-occurrence join) and a doc_id groupBy of
+    * bare ints; covered positions expand WINDOW→tokens per-row with
+    * higher-order functions after that groupBy, never as exploded rows.
+    * Document text moves exactly once, in the final doc_id-keyed stitch
+    * join (shuffle-hash, no sort) — on a corpus bucketed by doc_id that
+    * join is shuffle-free, and there is no formulation that rewrites
+    * text without co-locating text with its span list. The oracle
+    * restates the same keep-first spans via gaps-and-islands windows.
+    */
+  val tSpanDedup = Q(
+    "tx_span_dedup",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS i, toks
+      |  FROM tok),
+      |gh AS (
+      |  SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS h FROM g),
+      |dup AS (
+      |  SELECT h, MIN(doc_id) AS lo FROM gh GROUP BY h
+      |  HAVING MIN(doc_id) <> MAX(doc_id)),
+      |rem AS (
+      |  SELECT gh.doc_id, gh.i FROM gh JOIN dup USING (h)
+      |  WHERE gh.doc_id > dup.lo),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, i + u.o AS p
+      |  FROM rem, (SELECT unnest(generate_series(0, 9)) AS o) u),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |  FROM cov),
+      |sp AS (
+      |  SELECT doc_id, grp, MIN(p) AS s, MAX(p) AS e
+      |  FROM isl GROUP BY doc_id, grp),
+      |spd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+      |    CAST(SUM(e - s + 1) AS INT) AS n_removed,
+      |    string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR), ','
+      |      ORDER BY s) AS spans
+      |  FROM sp GROUP BY doc_id),
+      |covl AS (SELECT doc_id, list(p ORDER BY p) AS ps FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(t.toks) AS INT) AS n_tok,
+      |  COALESCE(d.n_removed, 0) AS n_removed,
+      |  COALESCE(d.n_spans, 0) AS n_spans,
+      |  d.spans AS spans,
+      |  ROUND((len(t.toks) - COALESCE(d.n_removed, 0)) * 1.0 / len(t.toks), 6)
+      |    AS kept_frac,
+      |  md5(COALESCE(array_to_string(list_transform(
+      |    list_filter(generate_series(1, len(t.toks)),
+      |      p -> NOT list_contains(COALESCE(c.ps, []), p)),
+      |    p -> t.toks[p]), ' '), '')) AS kept_md5
+      |FROM tok t
+      |LEFT JOIN spd d USING (doc_id)
+      |LEFT JOIN covl c USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s => spanDedupOf(s.table("documents"), "tx_span_dedup") }
+
+  /** Span-removal core over any (doc_id, text) relation — factored for
+    * the hand-built planted-run spec; semantics and scale notes on
+    * tx_span_dedup above.
+    */
+  private[graft] def spanDedupOf(
+      docs: org.apache.spark.sql.DataFrame, tag: String) = {
+    val toksAll = split(col("text"), " ")
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toksAll.as("toks"), size(toksAll).as("n"))
+    // position-tagged 10-gram digests: the explode emits (doc_id, i)
+    // and the digest is computed once per window AFTER the generator,
+    // so nothing needs an OptimizerBarrier; toks is pruned before any
+    // exchange (PlanSpec pins it)
+    val g = graft.engine.CacheOnce(s"$tag/g",
+      base.filter(col("n") >= 10)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), col("n") - 9)).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(concat_ws(" ", slice(col("toks"), col("i"), lit(10)))
+            .cast(BinaryType)).as("h")))
+    // keep-first dup set: digest → smallest owning doc, duplicated
+    // digests only ("another document" = min != max, the
+    // tx_dup_coverage fixed-width-agg discipline — no distinct pass)
+    val dup = g.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("h"), col("lo"))
+    // occurrences removable in every doc AFTER the first owner; the
+    // dup side is the minority by construction → shuffle-hash so the
+    // gram side streams unsorted (the tx_dup_coverage spill lesson)
+    val rem = g.join(dup.hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_id") > col("lo"))
+      .select(col("doc_id"), col("i"))
+    // per-doc covered positions: ONE doc_id shuffle of bare window
+    // starts, then window→token expansion and span algebra per-row
+    // with higher-order functions (never exploded back into rows)
+    val ps = sort_array(array_distinct(flatten(
+      transform(col("is"), i => sequence(i, i + 9)))))
+    val covl = rem.groupBy(col("doc_id"))
+      .agg(collect_set(col("i")).as("is"))
+      .select(col("doc_id"), ps.as("ps"))
+    // maximal runs from the sorted position array: an element starts a
+    // span when its predecessor isn't p-1, ends one when its successor
+    // isn't p+1 (shifted-array zip — no index lambdas, no element_at(0))
+    val m = size(col("ps"))
+    val prevArr = concat(array(lit(-2)), slice(col("ps"), lit(1), greatest(m - 1, lit(0))))
+    val nextArr = concat(slice(col("ps"), lit(2), greatest(m - 1, lit(0))), array(lit(-2)))
+    val starts = filter(
+      zip_with(col("ps"), prevArr, (a, b) => when(a =!= b + 1, a)),
+      x => x.isNotNull)
+    val ends = filter(
+      zip_with(col("ps"), nextArr, (a, b) => when(b =!= a + 1, a)),
+      x => x.isNotNull)
+    val spansCol = array_join(zip_with(starts, ends,
+      (s0, e0) => concat(s0.cast(StringType), lit("-"), e0.cast(StringType))), ",")
+    val spd = covl.select(col("doc_id"), col("ps"),
+      m.as("n_removed"), size(starts).as("n_spans"), spansCol.as("spans"))
+    // final stitch: text meets its span list exactly once, on the
+    // storage key; kept tokens = positions outside the covered set
+    val psOr = coalesce(col("ps"), array().cast(ArrayType(IntegerType)))
+    val kept = transform(
+      filter(sequence(lit(1), col("n")), p => !array_contains(psOr, p)),
+      p => element_at(col("toks"), p))
+    base.join(spd.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").as("n_tok"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        col("spans"),
+        round((col("n") - coalesce(col("n_removed"), lit(0))) * lit(1.0)
+          / col("n"), 6).as("kept_frac"),
+        md5(concat_ws(" ", kept).cast(BinaryType)).as("kept_md5"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   /** Per-language top-10 terms by TF-IDF — the corpus-characterization
     * report (what distinguishes each language/domain slice) and the
     * keyword stage of classic retrieval.
@@ -904,5 +1055,5 @@ object TextOps {
   val all: Seq[Q] =
     Seq(tStats, tQuality, tTokens, tLangId, tFingerprint, tScrub, tBoiler,
       tRepetition, tDecontaminate, tBigramLm, tTfidf, tDupCoverage,
-      tSourceStats, tChunk, tEntropy)
+      tSourceStats, tChunk, tEntropy, tSpanDedup)
 }

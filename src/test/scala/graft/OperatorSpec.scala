@@ -841,6 +841,53 @@ class OperatorSpec extends AnyFunSuite {
       out(4L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("tx_span_dedup: keep-first span removal on planted duplicated runs") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val a = (1 to 30).map(i => s"a$i")
+    val docA = a.mkString(" ")                                // owner: keeps all
+    val docB = ((1 to 5).map(i => s"x$i") ++ a.take(15) ++
+      (1 to 10).map(i => s"y$i")).mkString(" ")               // run at 6..20
+    val docC = (a.take(10) ++ a.take(10)).mkString(" ")       // fully duplicated
+    val docD = (a.take(10) ++ (1 to 7).map(i => s"z$i") ++
+      a.slice(10, 20)).mkString(" ")                          // two disjoint runs
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC),
+      (4L, "hello world"), (5L, docD)).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.spanDedupOf(docs, "spec_span").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the minimum owner of every duplicated gram → untouched
+    assert(out(1L).getAs[Int]("n_removed") == 0 &&
+      out(1L).getAs[Int]("n_spans") == 0 &&
+      out(1L).getAs[Double]("kept_frac") == 1.0 &&
+      out(1L).getAs[String]("kept_md5") == md5hex(docA))
+    // doc 2: a1..a15 at positions 6..20 → one maximal span, kept text
+    // is exactly the x/y flanks
+    assert(out(2L).getAs[Int]("n_removed") == 15 &&
+      out(2L).getAs[Int]("n_spans") == 1 &&
+      out(2L).getAs[String]("spans") == "6-20")
+    val keptB = ((1 to 5).map(i => s"x$i") ++
+      (1 to 10).map(i => s"y$i")).mkString(" ")
+    assert(out(2L).getAs[String]("kept_md5") == md5hex(keptB))
+    // doc 3: every token covered (both occurrences of the a1..a10 run
+    // are removable — doc 3 is not the owner) → empty survivor
+    assert(out(3L).getAs[Int]("n_removed") == 20 &&
+      out(3L).getAs[Int]("n_spans") == 1 &&
+      out(3L).getAs[String]("spans") == "1-20" &&
+      out(3L).getAs[Double]("kept_frac") == 0.0 &&
+      out(3L).getAs[String]("kept_md5") == md5hex(""))
+    // doc 4: under 10 tokens → no grams, clean
+    assert(out(4L).getAs[Int]("n_removed") == 0 &&
+      out(4L).getAs[String]("kept_md5") == md5hex("hello world"))
+    // doc 5: two disjoint runs (1..10, 18..27) with the z-run surviving
+    assert(out(5L).getAs[Int]("n_spans") == 2 &&
+      out(5L).getAs[String]("spans") == "1-10,18-27" &&
+      out(5L).getAs[Int]("n_removed") == 20)
+    val keptD = (1 to 7).map(i => s"z$i").mkString(" ")
+    assert(out(5L).getAs[String]("kept_md5") == md5hex(keptD))
+  }
+
   test("tx_bigram_lm: add-one smoothing matches hand-computed logprob") {
     import spark.implicits._
     // corpus: "a b a b", "a b", "z" → C(a b)=3, C(b a)=1, C(a)=3,

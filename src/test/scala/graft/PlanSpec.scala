@@ -251,6 +251,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tx_span_dedup: grams shuffle as digests, spans fold per-row, no cartesian") {
+    val df = SparkEntry.queries("tx_span_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only generator is the gram-position explode (printed once per
+    // InMemoryTableScan site of the cached gram relation); the
+    // window→token expansion and the span/kept algebra are per-row
+    // higher-order functions, never a second explode
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty && gens.forall(_.contains("explode(sequence(1,")), p)
+    // the cached gram relation is (doc_id, i, h) — token arrays pruned
+    // before any exchange
+    assert(!p.linesIterator.exists(l =>
+      l.contains("InMemoryTableScan") && l.contains("toks")), p)
+  }
+
   test("tx_repetition is a pure map: no window, no bigram shuffle") {
     // the TopBigram kernel keeps the whole signal per-row — the only
     // exchange is the presentation sort. A Window or a second Exchange
