@@ -355,5 +355,178 @@ object MultimodalOps {
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
+  // ---- audio arm (r15): real WAV codec via javax.sound.sampled ------
+
+  /** Deterministic 16-bit PCM WAV payload for a document id: header
+    * parameters (channels, frame count) and every sample value are pure
+    * integer functions of the id, so the oracle can restate both the
+    * metadata AND the decoded signal statistics without a codec. The
+    * sample formula wraps a quadratic through mod 4096 (a pseudo-
+    * sawtooth) using only small-integer arithmetic — bit-exact in
+    * BIGINT on both engines, values within the 16-bit range by
+    * construction. `javax.sound.sampled` is JDK-only (no audio device
+    * is touched for file encode/decode), so the codec is REAL in this
+    * container — the same posture as the PNG arm.
+    */
+  private[graft] def wavSample(id: Long, j: Long): Int =
+    (((id * 97 + j * j * 31 + j * 57) % 4096) - 2048).toInt
+
+  private[graft] def wavChannels(id: Long): Int = 1 + (id % 2).toInt
+  private[graft] def wavFrames(id: Long): Int = 200 + ((id * 17) % 300).toInt
+
+  private[graft] def wavPayload(id: Long): Array[Byte] = {
+    val channels = wavChannels(id)
+    val nFrames = wavFrames(id)
+    val nTot = nFrames * channels
+    val pcm = new Array[Byte](nTot * 2)
+    var j = 0
+    while (j < nTot) {
+      val s = wavSample(id, j)
+      pcm(2 * j) = (s & 0xff).toByte       // little-endian 16-bit
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, channels, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  final case class AudioMeta(
+      doc_id: Long, sample_rate: Option[Int], channels: Option[Int],
+      bits: Option[Int], n_frames: Option[Int], duration_ms: Option[Double])
+
+  /** Audio header metadata through the REAL WAV parser: synthesize each
+    * document's WAV payload ([[wavPayload]]), decode its header with
+    * `AudioSystem.getAudioInputStream`, and report format + duration.
+    * The oracle restates everything from the generation parameters, so
+    * a header-layout bug, a frame-count miscount, or plumbing that
+    * swaps payloads between rows hash-fails. NULL text → NULL metadata
+    * (the mm_decode contract). Embarrassingly parallel, shuffle-free:
+    * one decode context per partition, the only exchange is the
+    * presentation sort.
+    */
+  val m6 = Q(
+    "mm_audio_meta",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 8000 END AS INT) AS sample_rate,
+      |  CAST(CASE WHEN text IS NULL THEN NULL
+      |       ELSE 1 + doc_id % 2 END AS INT) AS channels,
+      |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 16 END AS INT) AS bits,
+      |  CAST(CASE WHEN text IS NULL THEN NULL
+      |       ELSE 200 + (doc_id * 17) % 300 END AS INT) AS n_frames,
+      |  ROUND(CASE WHEN text IS NULL THEN NULL
+      |       ELSE (200 + (doc_id * 17) % 300) * 1000.0 / 8000 END, 3) AS duration_ms
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    import s.implicits._
+    s.table("documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        if (src == null) AudioMeta(id, None, None, None, None, None)
+        else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wavPayload(id)))
+          try {
+            val f = ais.getFormat
+            val frames = ais.getFrameLength
+            val durMs = BigDecimal(frames * 1000.0 / f.getSampleRate.toDouble)
+              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+            AudioMeta(id, Some(math.round(f.getSampleRate).toInt),
+              Some(f.getChannels), Some(f.getSampleSizeInBits),
+              Some(frames.toInt), Some(durMs))
+          } finally ais.close()
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  final case class AudioStats(
+      doc_id: Long, n_samples: Option[Int], peak: Option[Int],
+      sum_sq: Option[Long], n_zero_cross: Option[Int], rms: Option[Double])
+
+  /** Decoded-signal statistics through the REAL WAV codec: synthesize,
+    * encode, decode back, and aggregate the PCM stream — peak, energy
+    * (sum of squares), zero crossings, RMS. Statistics are over the
+    * flat interleaved sample stream (channel-agnostic energy/peak; the
+    * crossing count is a contract over the decoded stream, stated
+    * identically in the oracle formula). Every aggregate is integer
+    * except rms, which both sides compute as ROUND(SQRT(sum_sq/n), 6)
+    * on IEEE doubles (sqrt is correctly rounded — the deterministic
+    * pair). A lossy codec step, an endianness bug, or a dropped frame
+    * changes sum_sq and hash-fails. Per-doc work is bounded by the
+    * payload size; shuffle-free except the presentation sort.
+    */
+  val m7 = Q(
+    "mm_audio_decode",
+    """WITH cfg AS (
+      |  SELECT doc_id,
+      |    (1 + doc_id % 2) * (200 + (doc_id * 17) % 300) AS n_tot
+      |  FROM documents WHERE text IS NOT NULL),
+      |smp AS (
+      |  SELECT doc_id, unnest(generate_series(0, n_tot - 1)) AS j FROM cfg),
+      |v AS (
+      |  SELECT doc_id, j,
+      |    ((doc_id * 97 + j * j * 31 + j * 57) % 4096) - 2048 AS s,
+      |    CASE WHEN j > 0 THEN
+      |      ((doc_id * 97 + (j-1) * (j-1) * 31 + (j-1) * 57) % 4096) - 2048
+      |    END AS sp
+      |  FROM smp),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_samples, MAX(ABS(s)) AS peak,
+      |    SUM(s * s) AS sum_sq,
+      |    SUM(CASE WHEN j > 0 AND ((s >= 0) <> (sp >= 0)) THEN 1 ELSE 0 END)
+      |      AS n_zero_cross
+      |  FROM v GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(a.n_samples AS INT) AS n_samples,
+      |  CAST(a.peak AS INT) AS peak,
+      |  CAST(a.sum_sq AS BIGINT) AS sum_sq,
+      |  CAST(a.n_zero_cross AS INT) AS n_zero_cross,
+      |  ROUND(SQRT(a.sum_sq * 1.0 / a.n_samples), 6) AS rms
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    import s.implicits._
+    s.table("documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, src) =>
+        if (src == null) AudioStats(id, None, None, None, None, None)
+        else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wavPayload(id)))
+          try {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var peak = 0; var sumSq = 0L; var cross = 0
+            var prev = 0; var j = 0
+            while (j < n) {
+              val v = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toInt
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumSq += v.toLong * v
+              if (j > 0 && ((v >= 0) != (prev >= 0))) cross += 1
+              prev = v
+              j += 1
+            }
+            val rms = BigDecimal(math.sqrt(sumSq.toDouble / n))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            AudioStats(id, Some(n), Some(peak), Some(sumSq), Some(cross),
+              Some(rms))
+          } finally ais.close()
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6, m7)
 }

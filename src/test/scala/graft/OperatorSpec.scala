@@ -841,6 +841,30 @@ class OperatorSpec extends AnyFunSuite {
       out(4L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("mm_audio: WAV encode/decode roundtrip is bit-exact vs the sample formula") {
+    import graft.llm.MultimodalOps._
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wavPayload(id)))
+      val f = ais.getFormat
+      assert(f.getChannels == wavChannels(id))
+      assert(f.getSampleSizeInBits == 16 && f.getSampleRate == 8000f)
+      assert(ais.getFrameLength == wavFrames(id).toLong)
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      assert(n == wavFrames(id) * wavChannels(id))
+      // every decoded sample equals the generation formula (losslessness
+      // of the PCM roundtrip + little-endian packing)
+      var j = 0
+      while (j < n) {
+        val v = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toInt
+        assert(v == wavSample(id, j), s"id=$id j=$j")
+        j += 1
+      }
+      ais.close()
+    }
+  }
+
   test("tx_span_dedup: keep-first span removal on planted duplicated runs") {
     import spark.implicits._
     def md5hex(s: String): String = java.security.MessageDigest
