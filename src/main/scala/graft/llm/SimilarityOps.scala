@@ -1096,9 +1096,32 @@ object SimilarityOps {
     * same fold), so distinct() is exact dedup, and the merge ranks on
     * the UNROUNDED double exactly like the single-graph arm.
     */
+  /** Probe-budget policy for sharded HNSW (r15, VERDICT r14 item 8):
+    * the probes=2 → probes=3 recall cliff (0.77 vs 0.91 at tier 3) made
+    * the knob a config trap, so the default is now DERIVED from a
+    * target co-occurrence. Model: a true neighbor pair is findable iff
+    * the two probe sets overlap; the measured tier-3 miss mass shrinks
+    * geometrically per extra probe (p=2 → 18.9% of single-graph recall
+    * lost, p=3 → 4.2%, SCALE.md §r14 ladder), giving
+    * miss(p) ≈ c·r^p with (c, r) = (3.92, 0.22) calibrated on those
+    * two points. Default target 0.95 of unsharded recall ⇒ p = 3. The
+    * decay was measured at S=12 shards; the model assumes it transfers
+    * across S (stated, and logged with the prediction whenever sharding
+    * activates so a deployment can audit the bound against its own
+    * recall ladder).
+    */
+  private[graft] val ShardMissBase = 3.92
+  private[graft] val ShardMissDecay = 0.22
+  private[graft] def shardProbesFor(targetCoOcc: Double = 0.95): Int = {
+    var p = 1
+    while (p < 16 &&
+      ShardMissBase * math.pow(ShardMissDecay, p) > 1.0 - targetCoOcc) p += 1
+    p
+  }
+
   private[graft] def labelKnnHnsw(s: org.apache.spark.sql.SparkSession,
       exactBelow: Int = 4096, m: Int = 32, efC: Int = 200, efS: Int = 96,
-      cellShardThreshold: Int = 1 << 20, shardProbes: Int = 2,
+      cellShardThreshold: Int = 1 << 20, shardProbes: Int = 0,
       nShardsOverride: Int = 0)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -1134,11 +1157,21 @@ object SimilarityOps {
         // pins it for differential specs and measurement sweeps
         // (shardProbes ≥ nShards ⇒ full coverage ⇒ output EQUALS the
         // single-graph arm — the plumbing differential HnswSpec pins)
+        // probe budget: explicit when pinned (specs, sweeps), else the
+        // documented co-occurrence policy above (0.95 target ⇒ 3)
+        val probeBudget =
+          if (shardProbes > 0) shardProbes else shardProbesFor()
         val maxCell = big.map(sizes).max
         val nShards =
           if (nShardsOverride > 0) nShardsOverride
           else math.max(2, math.ceil(
-            maxCell.toDouble * shardProbes * 1.25 / cellShardThreshold).toInt)
+            maxCell.toDouble * probeBudget * 1.25 / cellShardThreshold).toInt)
+        val effProbes = math.min(probeBudget, nShards)
+        System.err.println(f"[hnsw] sharding ${big.size} label cell(s): " +
+          f"nShards=$nShards shardProbes=$effProbes — predicted " +
+          f"co-occurrence ${if (effProbes >= nShards) 1.0
+            else 1.0 - ShardMissBase * math.pow(ShardMissDecay, effProbes)}%.3f " +
+          "of unsharded recall (tier-3 calibration, SCALE.md)")
         val (cents, cn) = labelCentMatrix(s, nShards)
         val labels = labelValues(s)
         val lidx = element_at(typedLit(labels.zipWithIndex.toMap),
@@ -1151,7 +1184,7 @@ object SimilarityOps {
             // BARRIERED like labelKnnIvf's probe lists: the scoring
             // kernel must not be substituted into inferred filters
             explode(OptimizerBarrier(IvfNearestBlock(col("embedding"),
-              lidx, cents, cn, false, math.min(shardProbes, nShards),
+              lidx, cents, cn, false, effProbes,
               nShards))).as("shard"))
           .select(col("label"), col("shard"), col("vec_id"), col("embedding"))
           .as[(Int, Int, Long, Array[Float])]

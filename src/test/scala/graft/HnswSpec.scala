@@ -121,6 +121,20 @@ class HnswSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("zero-norm"))
   }
 
+  test("shardProbesFor: probe budget follows the measured co-occurrence decay") {
+    import graft.llm.SimilarityOps.{shardProbesFor, ShardMissBase, ShardMissDecay}
+    // calibration sanity: the model reproduces the two tier-3 anchors
+    // (p=2 loses ~19% of unsharded recall, p=3 ~4% — SCALE.md §r14)
+    assert(math.abs(ShardMissBase * math.pow(ShardMissDecay, 2) - 0.189) < 0.01)
+    assert(math.abs(ShardMissBase * math.pow(ShardMissDecay, 3) - 0.042) < 0.01)
+    // default 0.95 target lands past the p=2→3 cliff
+    assert(shardProbesFor() == 3)
+    // looser / tighter targets move the budget monotonically
+    assert(shardProbesFor(0.80) == 2)
+    assert(shardProbesFor(0.99) == 4)
+    assert(shardProbesFor(0.50) <= shardProbesFor(0.95))
+  }
+
   test("kernel: duplicate vectors and tiny cells") {
     val v = Array(1.0f, 2.0f, 3.0f)
     // three identical vectors: ties broken by id ASC everywhere
