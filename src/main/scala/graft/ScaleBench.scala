@@ -131,7 +131,11 @@ object ScaleBench {
     "mm_phash_dedup",
     // IVFADC: coarse prune × residual-PQ compression — the composed
     // memory-bound ANN layout (probed candidates read 9 bytes each)
-    "nn_ivfpq_topk")
+    "nn_ivfpq_topk",
+    // round-15 additions: span-level duplicate-text removal (digest
+    // shuffles + per-row span algebra; text moves once on doc_id) and
+    // the real-WAV-codec audio arm (partition-parallel, shuffle-free)
+    "tx_span_dedup", "mm_audio_meta", "mm_audio_decode")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL

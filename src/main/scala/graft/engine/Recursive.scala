@@ -112,8 +112,17 @@ object Recursive {
     var frontier = first
     var iters = 0
     var converged = n0 == 0L
-    while (!converged && iters < maxIter) {
-      val u = math.max(1, math.min(unroll, maxIter - iters))
+    // Warm-up round cap (set ONLY by Bench around its untimed warm
+    // pass): the warm pass exists to compile each round's plan shapes,
+    // which round 1-2 already does — the remaining rounds are pure
+    // per-iteration driver latency (the measured 8.4 s dd_components
+    // warm floor). A capped, unconverged result is TRUNCATED and must
+    // never serve a real query, so the cap suppresses the convergence
+    // throw only while the property is set; serving/Verify never set it.
+    val warmCap = sys.props.get("graft.warm.fixpointCap").map(_.toInt)
+    val effMaxIter = warmCap.fold(maxIter)(math.min(maxIter, _))
+    while (!converged && iters < effMaxIter) {
+      val u = math.max(1, math.min(unroll, effMaxIter - iters))
       // u lazy step compositions; plan depth grows linearly in u
       val chain = Iterator.iterate(step(frontier))(step).take(u).toSeq
       val chainU = chain.reduce(_ union _)
@@ -133,7 +142,7 @@ object Recursive {
         frontier = delta
       }
     }
-    if (!converged) {
+    if (!converged && warmCap.isEmpty) {
       // a silently truncated fixpoint is a wrong answer, not a result
       throw new IllegalStateException(
         s"Recursive.fixpoint did not converge within $maxIter iterations " +

@@ -551,7 +551,12 @@ object DedupOps {
     var converged = false
     val maxIter = 50
     var it = 0
-    while (!converged && it < maxIter) {
+    // warm-up round cap — same contract as Recursive.fixpoint's: set
+    // only by Bench's untimed warm pass (which discards results); rounds
+    // 1-2 compile every per-round plan shape, the rest is per-iteration
+    // driver latency (the measured 8.4 s warm floor this cap removes)
+    val warmCap = sys.props.get("graft.warm.fixpointCap").map(_.toInt)
+    while (!converged && it < maxIter && warmCap.forall(it < _)) {
       if (it == starAfter) {
         // Adversarially deep graph (near-dup chain drifting across LSH
         // buckets): propagation + shortcutting has not converged in
@@ -612,7 +617,7 @@ object DedupOps {
       }
       it += 1
     }
-    if (!converged)
+    if (!converged && warmCap.isEmpty)
       throw new IllegalStateException(
         s"components: no convergence after $maxIter rounds " +
           s"(with pointer doubling this bounds diameter by ~2^$maxIter)")

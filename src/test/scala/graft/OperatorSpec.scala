@@ -841,6 +841,32 @@ class OperatorSpec extends AnyFunSuite {
       out(4L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("warm fixpoint cap: truncates without throwing, exact when unset") {
+    import spark.implicits._
+    // a 10-node chain needs ~7 propagation rounds; capped at 2 the
+    // components call must RETURN (truncated — warm-up discards
+    // results) instead of raising the non-convergence error
+    val edges = (0L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 9L).map(Tuple1(_)).toDF("doc_id")
+    sys.props("graft.warm.fixpointCap") = "2"
+    try {
+      assert(graft.llm.DedupOps.components(nodes, edges, "spec_warmcap")
+        .collect().length == 10)
+      // Recursive.fixpoint: a 20-step counter capped at 2 rounds
+      // returns the partial closure, no throw
+      val part = graft.engine.Recursive.fixpoint(
+        Seq(0L).toDF("n"), maxIter = 100, unroll = 1) { f =>
+        f.select((col("n") + 1).as("n")).filter(col("n") < 20)
+      }.collect()
+      assert(part.length < 20)
+    } finally sys.props -= "graft.warm.fixpointCap"
+    // property cleared → exact semantics restored
+    val full = graft.llm.DedupOps.components(nodes, edges, "spec_warmcap2")
+      .collect()
+    assert(full.length == 10 &&
+      full.forall(_.getAs[Long]("component") == 0L))
+  }
+
   test("mm_audio: WAV encode/decode roundtrip is bit-exact vs the sample formula") {
     import graft.llm.MultimodalOps._
     for (id <- Seq(0L, 1L, 7L, 42L)) {
