@@ -128,6 +128,7 @@ object Bench {
               graft.llm.SimilarityOps.buildLabelIvfIndex(ws, 2)
               graft.llm.SimilarityOps.warmPqIndex(ws)
               graft.llm.SimilarityOps.warmIvfPqIndex(ws)
+              graft.llm.DedupOps.warmIncrementalIndex(ws)
             } catch {
               case e: Throwable => System.err.println(
                 s"[bench] warm-dir index pre-train failed: ${e.getMessage}")
@@ -215,6 +216,10 @@ object Bench {
     // encode): offline, same split — nn_ivfpq_topk times the online
     // probe + LUT + ADC + rerank path only
     graft.llm.SimilarityOps.warmIvfPqIndex(spark)
+    // incremental-dedup corpus index (digests + capped bands + shingle
+    // sets): offline, same split — dd_incremental_indexed times the
+    // ONLINE ingest classification only
+    graft.llm.DedupOps.warmIncrementalIndex(spark)
     // dialect child-session warm-up: the memoized isolated session's
     // registry build plus the JSON-constructor / printf / HUGEINT-
     // factorial expression codegen otherwise land in the FIRST timed
@@ -459,6 +464,7 @@ object Bench {
         graft.llm.SimilarityOps.buildLabelIvfIndex(spark,
           math.max(1, 16 / graft.llm.SimilarityOps.labelValues(spark).length))
         graft.llm.SimilarityOps.warmPqIndex(spark)
+        graft.llm.DedupOps.warmIncrementalIndex(spark)
       }
       (System.nanoTime() - t0) / 1e9
     }

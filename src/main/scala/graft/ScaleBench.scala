@@ -135,7 +135,10 @@ object ScaleBench {
     // round-15 additions: span-level duplicate-text removal (digest
     // shuffles + per-row span algebra; text moves once on doc_id) and
     // the real-WAV-codec audio arm (partition-parallel, shuffle-free)
-    "tx_span_dedup", "mm_audio_meta", "mm_audio_decode")
+    "tx_span_dedup", "mm_audio_meta", "mm_audio_decode",
+    // indexed ingest: ONLINE batch classification against the
+    // precomputed corpus index (build measured as its own row)
+    "dd_incremental_indexed")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL
@@ -217,6 +220,13 @@ object ScaleBench {
       graft.llm.SimilarityOps.warmIvfPqIndex(spark)
       out += Row("nn_ivfpq_build", -1, (System.nanoTime() - t2) / 1e9, 0, 0, 0, 0,
         "offline IVFADC build (coarse assign + residual codebooks + encode)")
+    }
+    if (invariants || queries.contains("dd_incremental_indexed")) {
+      val t3 = System.nanoTime()
+      graft.llm.DedupOps.warmIncrementalIndex(spark)
+      out += Row("dd_incremental_index_build", -1, (System.nanoTime() - t3) / 1e9,
+        0, 0, 0, 0,
+        "offline corpus dedup index (digests + capped band buckets + shingle sets)")
     }
 
     queries.foreach { name =>

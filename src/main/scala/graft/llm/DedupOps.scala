@@ -834,44 +834,64 @@ object DedupOps {
        |LEFT JOIN near n ON n.doc_id = b.doc_id
        |ORDER BY b.doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
+    val corpus = s.table("documents").select(col("doc_id"), col("text"))
+    incrementalVerdicts(syntheticBatch(s), corpus, HOT_BUCKET_CAP)
+  }
+
+  /** The corpus-derived ingest batch both dd_incremental arms classify
+    * (per source doc_id mod 3: verbatim / 80%-prefix / reversal — see
+    * the d10 scaladoc). CacheOnce'd under a dataset-prefixed key so the
+    * bench's warm-dir and served-fixture sessions don't evict each
+    * other's copy, and so d10/d11 share one cached batch.
+    */
+  private def syntheticBatch(s: org.apache.spark.sql.SparkSession): DataFrame = {
     val toks = split(col("text"), " ")
     val cut = greatest(lit(3), floor(size(toks) * 4 / 5).cast(IntegerType))
-    // dataset-prefixed key (the labelKnnHnsw / ivfpq:codes convention):
-    // the bench's warm-dir and served-fixture sessions would otherwise
-    // evict each other's cached batch under the shared name
-    val batch = graft.engine.CacheOnce(
+    graft.engine.CacheOnce(
       graft.engine.Tables.dirOf(s).getOrElse("?") + "/dd_incremental/batch",
       s.table("documents").select(
         (col("doc_id") + idOffset(s)).as("doc_id"),
         when(col("doc_id") % 3 === 0, col("text"))
           .when(col("doc_id") % 3 === 1, array_join(slice(toks, lit(1), cut), " "))
           .otherwise(array_join(reverse(toks), " ")).as("text")))
-    val corpus = s.table("documents").select(col("doc_id"), col("text"))
-    incrementalVerdicts(batch, corpus, HOT_BUCKET_CAP)
   }
 
   /** The dd_incremental classification over any (doc_id, text) batch /
     * corpus pair — split out so the spec can pin the hot-bucket guard
-    * and verdict precedence on adversarial hand-built corpora.
+    * and verdict precedence on adversarial hand-built corpora. The
+    * corpus side builds in-plan here (the conservative posture); the
+    * indexed path ([[incrementalIndex]] + [[classifyBatch]]) feeds the
+    * SAME classification code the precomputed relations instead.
     */
   private[graft] def incrementalVerdicts(batch: DataFrame, corpus: DataFrame,
       cap: Int): DataFrame = {
+    val (ex, bands, csh) = corpusSideRelations(corpus, cap)
+    classifyBatch(batch, ex, bands, csh)
+  }
+
+  /** (doc_id → band, bucket) rows via the one-pass minhash kernel —
+    * BARRIERED like d2: the optimizer otherwise clones the kernel into
+    * inferred generator/notnull filters.
+    */
+  private def bandsOf(src: DataFrame, out: String) = {
     import graft.engine.expressions.OptimizerBarrier
-    // exact arm: one digest equi-join — 128 bits per side, never text
-    val ex = batch
-      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
-      .join(corpus.select(col("doc_id").as("cid"),
-        md5(col("text").cast(BinaryType)).as("h")), "h")
-      .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_match"))
-    // near arm: native one-pass signatures (BARRIERED like d2 — the
-    // optimizer otherwise clones the kernel into inferred filters),
-    // banded buckets, candidate pairs confined to bucket matches
-    def bandsOf(src: DataFrame, out: String) = src
+    src
       .select(col("doc_id").as(out),
         OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), K))
           .as("sig"))
       .select(col(out), explode(bandStructs(col("sig"))).as("bb"))
       .select(col(out), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** The three corpus-side relations every ingest batch probes: content
+    * digests (exact arm), capped LSH band buckets (candidate arm), and
+    * shingle sets (verify arm). All keyed by corpus id; full text never
+    * leaves the corpus scan.
+    */
+  private[graft] def corpusSideRelations(corpus: DataFrame, cap: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ex = corpus.select(col("doc_id").as("cid"),
+      md5(col("text").cast(BinaryType)).as("h"))
     // hot-bucket guard on the corpus side: keep the cap smallest ids
     // per bucket (windowed on the same key the join shuffles on, so
     // EnsureRequirements reuses the exchange); ~40× headroom at fixture
@@ -881,11 +901,28 @@ object DedupOps {
     val cBands = bandsOf(corpus, "cid")
       .withColumn("brn", row_number().over(wB))
       .filter(col("brn") <= cap).drop("brn")
+    val csh = corpus.select(col("doc_id").as("cid"),
+      shinglesPadded(col("text")).as("sh_c"))
+    (ex, cBands, csh)
+  }
+
+  /** Online ingest classification against corpus-side relations
+    * (in-plan or precomputed — same code either way): exact arm is one
+    * digest equi-join, near arm is band-bucket candidates + shingle
+    * jaccard verify, verdict precedence exact > near > new with the
+    * smallest matching corpus id.
+    */
+  private[graft] def classifyBatch(batch: DataFrame, cEx: DataFrame,
+      cBands: DataFrame, cSh: DataFrame): DataFrame = {
+    // exact arm: one digest equi-join — 128 bits per side, never text
+    val ex = batch
+      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+      .join(cEx, "h")
+      .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_match"))
     val cand = bandsOf(batch, "bid").join(cBands, Seq("band", "bucket"))
       .select(col("bid"), col("cid")).distinct()
     val bsh = batch.select(col("doc_id").as("bid"), shinglesPadded(col("text")).as("sh_b"))
-    val csh = corpus.select(col("doc_id").as("cid"), shinglesPadded(col("text")).as("sh_c"))
-    val near = cand.join(bsh, "bid").join(csh, "cid")
+    val near = cand.join(bsh, "bid").join(cSh, "cid")
       .filter(round(size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType) /
         size(array_union(col("sh_b"), col("sh_c"))), 6) >= 0.3)
       .groupBy(col("bid").as("doc_id")).agg(min(col("cid")).as("nd_match"))
@@ -901,5 +938,51 @@ object DedupOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d9, d10)
+  /** PRECOMPUTED corpus dedup index (r15, the production posture the
+    * r14 watch item asked for): the three corpus-side relations built
+    * ONCE per dataset and persisted (CacheOnce — on a cluster these are
+    * written tables, refreshed as the corpus grows), so an ingest batch
+    * pays only batch-side work plus joins against the index. This is
+    * the answer to the measured ×180 candidate-shuffle slope at 100×:
+    * that slope was the corpus side REBUILDING per query; indexed, the
+    * online cost is ∝ batch size (digest join + capped bucket probe +
+    * shingle verify of bucket-matched candidates). Index size is honest:
+    * digests + capped bands are narrow; the shingle relation is
+    * O(corpus tokens) — the verification payload — but it is only ever
+    * JOINED on candidate cids, never scanned per batch.
+    */
+  private[graft] def incrementalIndex(s: org.apache.spark.sql.SparkSession,
+      cap: Int): (DataFrame, DataFrame, DataFrame) = {
+    val key = graft.engine.Tables.dirOf(s).getOrElse("?")
+    val corpus = s.table("documents").select(col("doc_id"), col("text"))
+    val (ex, bands, csh) = corpusSideRelations(corpus, cap)
+    (graft.engine.CacheOnce(key + "/ddinc:h", ex),
+      graft.engine.CacheOnce(key + "/ddinc:bands", bands),
+      graft.engine.CacheOnce(key + "/ddinc:sh", csh))
+  }
+
+  /** Materialize the incremental-dedup index (offline build step — the
+    * ann-benchmarks split the bench applies to the ANN indexes).
+    */
+  private[graft] def warmIncrementalIndex(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    val (ex, bands, csh) = incrementalIndex(s, HOT_BUCKET_CAP)
+    ex.count(); bands.count(); csh.count()
+  }
+
+  /** The indexed ingest path exercised through the driver's oracle gate:
+    * identical contract (and oracle SQL) to dd_incremental — the oracle
+    * cannot tell WHEN the corpus side was computed, which is the point:
+    * the precomputed-index rewrite is result-invariant by construction,
+    * and the gate proves it every round on real data.
+    */
+  val d11 = Q(
+    "dd_incremental_indexed",
+    d10.oracle.get
+  ) { s =>
+    val (ex, bands, csh) = incrementalIndex(s, HOT_BUCKET_CAP)
+    classifyBatch(syntheticBatch(s), ex, bands, csh)
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d9, d10, d11)
 }
