@@ -135,7 +135,7 @@ object ScaleBench {
     // round-15 additions: span-level duplicate-text removal (digest
     // shuffles + per-row span algebra; text moves once on doc_id) and
     // the real-WAV-codec audio arm (partition-parallel, shuffle-free)
-    "tx_span_dedup", "mm_audio_meta", "mm_audio_decode",
+    "tx_span_dedup", "mm_audio_meta", "mm_audio_decode", "mm_video_meta",
     // indexed ingest: ONLINE batch classification against the
     // precomputed corpus index (build measured as its own row)
     "dd_incremental_indexed")

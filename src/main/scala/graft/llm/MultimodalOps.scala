@@ -9,10 +9,12 @@ import graft.engine.Q
   * REAL codec — PNG via javax.imageio, JDK-only, no extra jars: payloads
   * are deterministic synthesized PNGs (the fixtures ship no binary
   * column) and mm_decode extracts width/height/channels from an actual
-  * decode, oracle-checked against the generation parameters. Audio/video
-  * codecs don't exist in this container, so frame-sampling and resize
-  * operate on byte blocks / metadata with the same partition-parallel
-  * shapes a real codec stage would use.
+  * decode, oracle-checked against the generation parameters. Audio runs
+  * the REAL WAV codec (javax.sound.sampled, r15); video has no system
+  * codec in this container, so the r15 video arm pairs an own minimal
+  * frame container (GVID) with REAL per-frame PNG decodes; the older
+  * frame-sample/resize rows operate on byte blocks / metadata with the
+  * same partition-parallel shapes.
   */
 object MultimodalOps {
 
@@ -355,6 +357,141 @@ object MultimodalOps {
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
+  // ---- video arm (r15): container parse + REAL per-frame PNG codec --
+
+  /** Deterministic multi-frame "video" payload: a minimal container
+    * (magic "GVID", frame count, per-frame byte offsets) wrapping REAL
+    * PNG-encoded frames — the format a training pipeline sees after
+    * frame extraction (no system video codec exists in this container,
+    * so the CONTAINER is ours — 12+4n header bytes — while every frame
+    * goes through the real javax.imageio codec both directions; the
+    * same honesty split as the audio arm's synthesized-but-real WAV).
+    * Frame f of doc id is the [[pngPayload]] gradient re-keyed by
+    * (id, f): fixed 16×16 3-band BGR so the decoded raster is sRGB-
+    * verbatim (the mm_phash_dedup argument) and the oracle can restate
+    * per-frame statistics bit-exactly from the pixel formula.
+    */
+  private[graft] def videoFrames(id: Long): Int = 2 + (id % 4).toInt
+
+  private[graft] def videoPayload(id: Long): Array[Byte] = {
+    val n = videoFrames(id)
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          img.setRGB(x, y,
+            (x * 31 + y * 17 + id.toInt * 97 + f * 211) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
+    val header = java.nio.ByteBuffer.allocate(12 + 4 * n)
+    header.put("GVID".getBytes("US-ASCII")).putInt(n)
+    var off = 12 + 4 * n // frames start right after the 12+4n-byte header
+    frames.foreach { fb => header.putInt(off); off += fb.length }
+    header.putInt(0) // reserved
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(header.array())
+    frames.foreach(bos.write)
+    bos.toByteArray
+  }
+
+  final case class VideoMeta(
+      doc_id: Long, n_frames: Option[Int], width: Option[Int],
+      height: Option[Int], mid_frame_lum_sum: Option[Long])
+
+  /** Video metadata + middle-frame statistics through the container
+    * parser and the REAL PNG codec: parse the GVID header, decode the
+    * MIDDLE frame (the standard video-thumbnail/key-frame access
+    * pattern — exactly one frame's decode cost per clip, not n), and
+    * report its integer luminance sum (the 299/587/114 floor-div
+    * weights mm_phash_dedup proved bit-restatable). The oracle
+    * recomputes frame count from the id formula and the luminance sum
+    * from the pixel formula over the 16×16 grid, so a container-offset
+    * bug, a wrong-frame decode, or a lossy step hash-fails.
+    * Embarrassingly parallel, shuffle-free but the presentation sort.
+    */
+  val m8 = Q(
+    "mm_video_meta",
+    """WITH px AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n_frames,
+      |    CAST((2 + doc_id % 4) // 2 AS INT) AS mid,
+      |    unnest(generate_series(0, 255)) AS p
+      |  FROM documents WHERE text IS NOT NULL),
+      |lum AS (
+      |  SELECT doc_id, n_frames,
+      |    ((p % 16) * 31 + (p // 16) * 17 + doc_id * 97 + mid * 211) % 16777216 AS rgb
+      |  FROM px),
+      |c AS (
+      |  SELECT doc_id, n_frames,
+      |    (rgb // 65536) % 256 AS r, (rgb // 256) % 256 AS g, rgb % 256 AS b
+      |  FROM lum),
+      |agg AS (
+      |  SELECT doc_id, n_frames,
+      |    SUM((299 * r + 587 * g + 114 * b) // 1000) AS lum_sum
+      |  FROM c GROUP BY doc_id, n_frames)
+      |SELECT d.doc_id,
+      |  a.n_frames,
+      |  CAST(CASE WHEN a.n_frames IS NOT NULL THEN 16 END AS INT) AS width,
+      |  CAST(CASE WHEN a.n_frames IS NOT NULL THEN 16 END AS INT) AS height,
+      |  CAST(a.lum_sum AS BIGINT) AS mid_frame_lum_sum
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
+  ) { s =>
+    import s.implicits._
+    s.table("documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, src) =>
+          if (src == null) VideoMeta(id, None, None, None, None)
+          else {
+            val bytes = videoPayload(id)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val magic = new Array[Byte](4); bb.get(magic)
+            require(new String(magic, "US-ASCII") == "GVID", "bad container")
+            val n = bb.getInt
+            val offsets = Array.fill(n)(bb.getInt)
+            val mid = n / 2
+            val end = if (mid + 1 < n) offsets(mid + 1) else bytes.length
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(
+                bytes, offsets(mid), end - offsets(mid)))
+            try {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              var lum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = img.getRGB(x, y) & 0xffffff
+                  lum += (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) +
+                    114 * (v & 255)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              VideoMeta(id, Some(n), Some(img.getWidth),
+                Some(img.getHeight), Some(lum))
+            } finally iis.close()
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   // ---- audio arm (r15): real WAV codec via javax.sound.sampled ------
 
   /** Deterministic 16-bit PCM WAV payload for a document id: header
@@ -528,5 +665,5 @@ object MultimodalOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6, m7)
+  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -891,6 +891,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_video: GVID container offsets index real decodable PNG frames") {
+    import graft.llm.MultimodalOps._
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    for (id <- Seq(0L, 1L, 3L, 42L)) {
+      val bytes = videoPayload(id)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val magic = new Array[Byte](4); bb.get(magic)
+      assert(new String(magic, "US-ASCII") == "GVID")
+      val n = bb.getInt
+      assert(n == videoFrames(id))
+      val offsets = Array.fill(n)(bb.getInt)
+      assert(offsets.head == 12 + 4 * n)
+      // EVERY frame decodes at its claimed offset with the formula's
+      // pixels (not just the middle frame the declared query reads)
+      for (f <- 0 until n) {
+        val end = if (f + 1 < n) offsets(f + 1) else bytes.length
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes, offsets(f), end - offsets(f)))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        assert(img.getWidth == 16 && img.getHeight == 16)
+        assert((img.getRGB(5, 7) & 0xffffff) ==
+          ((5 * 31 + 7 * 17 + id.toInt * 97 + f * 211) & 0xffffff))
+        iis.close()
+      }
+    }
+  }
+
   test("tx_span_dedup: keep-first span removal on planted duplicated runs") {
     import spark.implicits._
     def md5hex(s: String): String = java.security.MessageDigest
