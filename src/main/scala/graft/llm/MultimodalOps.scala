@@ -508,6 +508,50 @@ object MultimodalOps {
   private[graft] def wavSample(id: Long, j: Long): Int =
     (((id * 97 + j * j * 31 + j * 57) % 4096) - 2048).toInt
 
+  /** The WAV codec SPI objects, resolved ONCE per JVM: the
+    * `AudioSystem` facade re-scans the sound SPI registry on EVERY
+    * call (JDK13Services caches providers only briefly and under a
+    * lock), which serialized the 8-thread decode stage — the 10×-tier
+    * row measured near-zero parallel speedup (20.5 s for ~12 s of
+    * single-thread codec work). Resolving the same provider instances
+    * through the public `javax.sound.sampled.spi` interfaces hoists the
+    * scan out of the per-row path — the codec itself is unchanged
+    * (these ARE the objects AudioSystem would dispatch to).
+    */
+  private lazy val WavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no WAVE-capable AudioFileWriter SPI")
+    found
+  }
+
+  private lazy val WavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    val probe = wavPayload(0L)
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        found = r
+      } catch { case _: Exception => }
+    }
+    require(found != null, "no WAV-capable AudioFileReader SPI")
+    found
+  }
+
+  /** Decode WAV bytes via the hoisted SPI reader. */
+  private[graft] def wavDecode(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream =
+    WavReader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+
   private[graft] def wavChannels(id: Long): Int = 1 + (id % 2).toInt
   private[graft] def wavFrames(id: Long): Int = 200 + ((id * 17) % 300).toInt
 
@@ -528,7 +572,7 @@ object MultimodalOps {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(ais,
+    try WavWriter.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     finally ais.close()
     bos.toByteArray
@@ -569,8 +613,7 @@ object MultimodalOps {
       .mapPartitions(_.map { case (id, src) =>
         if (src == null) AudioMeta(id, None, None, None, None, None)
         else {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(wavPayload(id)))
+          val ais = wavDecode(wavPayload(id))
           try {
             val f = ais.getFormat
             val frames = ais.getFrameLength
@@ -639,8 +682,7 @@ object MultimodalOps {
       .mapPartitions(_.map { case (id, src) =>
         if (src == null) AudioStats(id, None, None, None, None, None)
         else {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(wavPayload(id)))
+          val ais = wavDecode(wavPayload(id))
           try {
             val bytes = ais.readAllBytes()
             val n = bytes.length / 2
