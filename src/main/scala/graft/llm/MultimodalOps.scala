@@ -47,6 +47,27 @@ object MultimodalOps {
       doc_id: Long, width: Option[Int], height: Option[Int],
       channels: Option[Int], n_frames: Option[Int])
 
+  /** Per-thread PNG ImageWriter (the `ImageIO.write` facade re-walks
+    * the SPI registry and re-wraps streams on every call — measured as
+    * the linear term in mm_video_meta's 100×-tier wall, 3.5 encodes per
+    * row; an ImageWriter is not thread-safe, so thread-local, not
+    * shared). Same codec object the facade would dispatch to.
+    */
+  private val PngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
+  private[graft] def pngEncode(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = PngWriterTL.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    // explicit memory-cached stream (not the facade): the default path
+    // consults ImageIO.getUseCache() and spools through a temp FILE —
+    // one create/write/delete per row on the shuffle disk
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(img) } finally ios.close()
+    bos.toByteArray
+  }
+
   /** Deterministic PNG payload for a document id: dimensions and
     * colorspace are pure functions of the id (so the oracle can state
     * expected metadata without a codec), pixel content is a gradient
@@ -69,16 +90,7 @@ object MultimodalOps {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    // explicit memory-cached stream: ImageIO.write(…, OutputStream)
-    // otherwise consults ImageIO.getUseCache() and spools every PNG
-    // through a temp FILE — one create/write/delete per row, on the
-    // same disk the shuffle uses; measured as a whole-suite drag at
-    // sf0.1 (disk churn serializes unrelated concurrent queries)
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    try javax.imageio.ImageIO.write(img, "png", ios)
-    finally ios.close()
-    bos.toByteArray
+    pngEncode(img)
   }
 
   /** Typed decode stage with a REAL codec in the loop: Dataset[(id,
@@ -388,10 +400,7 @@ object MultimodalOps {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
-      bos.toByteArray
+      pngEncode(img)
     }
     val header = java.nio.ByteBuffer.allocate(12 + 4 * n)
     header.put("GVID".getBytes("US-ASCII")).putInt(n)
