@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import java.util.concurrent.atomic.{AtomicLong, LongAdder}
 
 /** Empirical scale evidence for the heavy operator families (the
@@ -227,6 +227,21 @@ object ScaleBench {
       out += Row("dd_incremental_index_build", -1, (System.nanoTime() - t3) / 1e9,
         0, 0, 0, 0,
         "offline corpus dedup index (digests + capped band buckets + shingle sets)")
+      // the PRODUCTION ingest shape: a bounded window (1% of the corpus,
+      // verbatim copies — they exercise both the exact arm and the
+      // near-candidate verify) classified against the prebuilt index.
+      // The declared-query row keeps the fixture contract (batch =
+      // corpus-sized); this row measures the posture a deployment runs.
+      val (iEx, iBands, iSh) = graft.llm.DedupOps.incrementalIndex(
+        spark, graft.llm.DedupOps.HOT_BUCKET_CAP)
+      measure("dd_incremental_window1pct",
+        "1% ingest window vs prebuilt index (production posture)") {
+        graft.llm.DedupOps.classifyBatch(
+          spark.table("documents").filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+              col("text")),
+          iEx, iBands, iSh)
+      }
     }
 
     queries.foreach { name =>
