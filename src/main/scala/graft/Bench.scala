@@ -270,7 +270,7 @@ object Bench {
     // w10_* into the wrong class, so the matcher only treats a token as
     // a prefix when it ends in '_'
     val heavyFirst = Seq(
-      "dd_", "tx_span_", "pipe_compact", "t6_recursive_", "a4_", "a9_", "a10_", "a14_", "tx_lang_",
+      "dd_", "tx_span_", "pipe_span_", "pipe_compact", "t6_recursive_", "a4_", "a9_", "a10_", "a14_", "tx_lang_",
       "w5_", "w6_", "w4_", "w3_", "w1_", "w7_", "w2_", "w8_",
       "f_datetime", "nn_", "q5_", "j1_", "t3_", "t4_", "tx_boilerplate")
     def costClass(n: String): Int = {

@@ -138,7 +138,9 @@ object ScaleBench {
     "tx_span_dedup", "mm_audio_meta", "mm_audio_decode", "mm_video_meta",
     // indexed ingest: ONLINE batch classification against the
     // precomputed corpus index (build measured as its own row)
-    "dd_incremental_indexed")
+    "dd_incremental_indexed",
+    // composed cleaning pipeline: exact dedup -> span-level removal -> report
+    "pipe_span_clean")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL
@@ -221,7 +223,9 @@ object ScaleBench {
       out += Row("nn_ivfpq_build", -1, (System.nanoTime() - t2) / 1e9, 0, 0, 0, 0,
         "offline IVFADC build (coarse assign + residual codebooks + encode)")
     }
-    if (invariants || queries.contains("dd_incremental_indexed")) {
+    if (invariants || queries.contains("dd_incremental_indexed",
+    // composed cleaning pipeline: exact dedup -> span-level removal -> report
+    "pipe_span_clean")) {
       val t3 = System.nanoTime()
       graft.llm.DedupOps.warmIncrementalIndex(spark)
       out += Row("dd_incremental_index_build", -1, (System.nanoTime() - t3) / 1e9,

@@ -877,7 +877,91 @@ object PipelineOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  /** The composed Lee-et-al. cleaning pipeline (r15): document-level
+    * exact dedup (keep the minimum id per content digest — pipe_compact
+    * stage 1 verbatim, exercised by a planted verbatim-copy layer),
+    * then SPAN-level duplicate removal over the survivors
+    * (tx_span_dedup's keep-first machinery, [[TextOps.spanDedupOf]]),
+    * reported as the one-row corpus summary a pipeline run logs:
+    * raw/surviving doc counts, docs touched by span cuts, token totals
+    * before/removed, removed fraction. The composition is the point —
+    * doc-level dedup alone leaves the cross-doc repeated runs that
+    * span removal cuts, and both stages reuse the shared operators, so
+    * a fix in either cannot drift between standalone and pipeline.
+    *
+    * Scale layout: stage 1 is one digest-keyed window (same shuffle
+    * class as pipe_compact); stage 2 inherits tx_span_dedup's layout
+    * (digest shuffles, per-row span algebra, one doc_id stitch); the
+    * report is a single partial/final aggregate over the narrow span
+    * relation plus a count of the raw layer — no driver-side action.
+    */
+  val pSpanClean = Q(
+    "pipe_span_clean",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.llm.DedupOps.idOffsetSql} AS doc_id, text
+       |  FROM documents),
+       |exact AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |    FROM corpus) x WHERE doc_id = keeper),
+       |tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM exact WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS i, toks
+       |  FROM tok),
+       |gh AS (
+       |  SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS h FROM g),
+       |dup AS (
+       |  SELECT h, MIN(doc_id) AS lo FROM gh GROUP BY h
+       |  HAVING MIN(doc_id) <> MAX(doc_id)),
+       |rem AS (
+       |  SELECT gh.doc_id, gh.i FROM gh JOIN dup USING (h)
+       |  WHERE gh.doc_id > dup.lo),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, i + u.o AS p
+       |  FROM rem, (SELECT unnest(generate_series(0, 9)) AS o) u),
+       |per AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT
+       |  (SELECT COUNT(*) FROM corpus) AS n_raw,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN COALESCE(p.n_removed, 0) > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_touched,
+       |  CAST(SUM(len(t.toks)) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(COALESCE(p.n_removed, 0)) AS BIGINT) AS tokens_removed,
+       |  ROUND(SUM(COALESCE(p.n_removed, 0)) * 1.0 / SUM(len(t.toks)), 6)
+       |    AS removed_frac
+       |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
+  ) { s =>
+    val D = graft.llm.DedupOps
+    val base = s.table("documents").select(col("doc_id"), col("text"))
+    val off = D.idOffset(s)
+    val corpus = base.union(
+      base.select((col("doc_id") + off).as("doc_id"), col("text")))
+    val exact = corpus
+      .withColumn("keeper", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text").cast(BinaryType)))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+    val spans = graft.llm.TextOps.spanDedupOf(exact,
+      graft.engine.Tables.dirOf(s).getOrElse("?") + "/pipe_span_clean")
+    val summary = spans.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_removed") > 0, 1).otherwise(0)).cast(LongType)
+        .as("n_touched"),
+      sum(col("n_tok")).cast(LongType).as("tokens_total"),
+      sum(col("n_removed")).cast(LongType).as("tokens_removed"),
+      round(sum(col("n_removed")) * lit(1.0) / sum(col("n_tok")), 6)
+        .as("removed_frac"))
+    corpus.agg(count(lit(1)).as("n_raw")).crossJoin(summary)
+      .select(col("n_raw"), col("n_docs"), col("n_touched"),
+        col("tokens_total"), col("tokens_removed"), col("removed_frac"))
+  }
+
   val all: Seq[Q] = Seq(pFunnel, pSessionize, pCompact, pEmbed, pDomainMix,
     pFunnelEvents, pRetention, pAttribution, pAnomaly, pMixSample,
-    pTrainSplit, pPack, pLeakage)
+    pTrainSplit, pPack, pLeakage, pSpanClean)
 }

@@ -729,7 +729,8 @@ object TextOps {
       |LEFT JOIN spd d USING (doc_id)
       |LEFT JOIN covl c USING (doc_id)
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
-  ) { s => spanDedupOf(s.table("documents"), "tx_span_dedup") }
+  ) { s => spanDedupOf(s.table("documents"),
+    graft.engine.Tables.dirOf(s).getOrElse("?") + "/tx_span_dedup") }
 
   /** Span-removal core over any (doc_id, text) relation — factored for
     * the hand-built planted-run spec; semantics and scale notes on
