@@ -966,6 +966,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(5L).getAs[String]("kept_md5") == md5hex(keptD))
   }
 
+  test("tx_span_dedup: randomized differential vs an in-spec reference fold") {
+    import spark.implicits._
+    // independent reference implementation (plain collections): same
+    // contract — keep-first over cross-doc-duplicated 10-grams —
+    // written from the CONTRACT, not the plan, so a shared bug in the
+    // join/HOF algebra cannot hide (the pipe_pack discipline)
+    def reference(docs: Seq[(Long, String)])
+        : Map[Long, (Int, Int, Int, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val owner = scala.collection.mutable.Map[Seq[String], (Long, Boolean)]()
+      for ((id, ts) <- toks.toSeq.sortBy(_._1); i <- 0 to ts.length - 10) {
+        val g = ts.slice(i, i + 10)
+        owner.get(g) match {
+          case None => owner(g) = (id, false)
+          case Some((o, _)) if o != id => owner(g) = (o, true)
+          case _ => ()
+        }
+      }
+      toks.map { case (id, ts) =>
+        val covered = (0 to ts.length - 10).flatMap { i =>
+          val g = ts.slice(i, i + 10)
+          val (o, crossDup) = owner(g)
+          if (crossDup && id > o) (i + 1) to (i + 10) else Seq.empty
+        }.toSet
+        val ps = covered.toSeq.sorted
+        val spans = ps.foldLeft(Vector.empty[(Int, Int)]) { (acc, p) =>
+          if (acc.nonEmpty && acc.last._2 == p - 1)
+            acc.init :+ (acc.last._1, p)
+          else acc :+ (p, p)
+        }
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !covered(i + 1) => t
+        }.mkString(" ")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        id -> (ps.size, spans.size,
+          ts.length, md5)
+      }
+    }
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 3) {
+      // 2-word vocab (2^10 = 1024 possible grams, ~800 drawn) → dense
+      // cross-doc collisions, within-doc repeats, and multi-span docs
+      val docs = (1L to 40L).map { id =>
+        val n = 5 + rnd.nextInt(36)
+        id -> (1 to n).map(_ => s"w${rnd.nextInt(2)}").mkString(" ")
+      }
+      val exp = reference(docs)
+      val got = graft.llm.TextOps
+        .spanDedupOf(docs.toDF("doc_id", "text"), s"spec_sdiff$round")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Int]("n_removed"), r.getAs[Int]("n_spans"),
+            r.getAs[Int]("n_tok"), r.getAs[String]("kept_md5"))).toMap
+      assert(got.keySet == exp.keySet)
+      for (id <- exp.keys)
+        assert(got(id) == exp(id), s"round $round doc $id: ${got(id)} vs ${exp(id)}")
+    }
+  }
+
   test("tx_bigram_lm: add-one smoothing matches hand-computed logprob") {
     import spark.implicits._
     // corpus: "a b a b", "a b", "z" → C(a b)=3, C(b a)=1, C(a)=3,
