@@ -268,6 +268,17 @@ class PlanSpec extends AnyFunSuite {
       l.contains("InMemoryTableScan") && l.contains("toks")), p)
   }
 
+  test("pipe_span_clean: report collapses the stitch — no presentation sort") {
+    val df = SparkEntry.queries("pipe_span_clean")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the span stage's per-doc orderBy must be eliminated under the
+    // aggregate (a surviving range exchange would global-sort 5M rows
+    // to feed a 1-row report)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("tx_repetition is a pure map: no window, no bigram shuffle") {
     // the TopBigram kernel keeps the whole signal per-row — the only
     // exchange is the presentation sort. A Window or a second Exchange
