@@ -108,4 +108,36 @@ object DocStream {
         .as("near_dup"),
         min(when(col("ownerId") =!= col("docId"), col("ownerId")))
           .as("dup_of"))
+
+  /** Continuous ingest classification against the PRECOMPUTED corpus
+    * dedup index — the streaming face of `dd_incremental_indexed`
+    * (r15): each micro-batch IS one ingest window, classified by the
+    * SAME batch classifier the declared query uses
+    * ([[graft.llm.DedupOps.classifyBatch]]) via `foreachBatch` — the
+    * documented Structured Streaming pattern for applying batch-only
+    * logic (multi-join + per-doc min aggregation, unsupported as a
+    * single continuous plan) per trigger, with exactly-once batch ids
+    * for idempotent sinks. Verdicts are per-document and depend only on
+    * the static index, so output is independent of micro-batch
+    * boundaries (the spec pins stream-split == batch equality).
+    *
+    * Scale layout: the index relations are resolved per micro-batch
+    * (stream-static semantics), so a rebuilt/refreshed corpus index is
+    * picked up without restarting the query; per-trigger cost is the
+    * measured window posture (SCALE.md r15: a 1% window classifies in
+    * 18.6 s against the 5M-doc index while the corpus-sized batch takes
+    * 508 s).
+    */
+  def classifyIngest(
+      docs: DataFrame,
+      index: (DataFrame, DataFrame, DataFrame),
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.llm.DedupOps.classifyBatch(
+          batch.toDF(), index._1, index._2, index._3), id)
+      }
+      .start()
 }

@@ -85,6 +85,48 @@ class StreamingSpec extends AnyFunSuite {
       .getAs[Timestamp]("ts") == ts(3))
   }
 
+  test("classifyIngest: micro-batch splits don't change verdicts, equals batch classifier") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus (the "index" side): the stream classifies against
+    // it — a verbatim copy (exact_dup), an 80%-prefix (near_dup via
+    // shared LSH bands at jaccard ≥ 0.3), and a fresh doc (new)
+    val corpusDocs = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      1L -> "kilo lima mike november oscar papa quebec romeo sierra tango",
+      2L -> "uniform victor whiskey xray yankee zulu one two three four")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val index = graft.llm.DedupOps.corpusSideRelations(corpus, cap = 100)
+    val ingest = Seq(
+      100L -> corpusDocs(0)._2,                                  // exact
+      101L -> corpusDocs(1)._2.split(" ").take(8).mkString(" "), // near
+      102L -> "five six seven eight nine ten eleven twelve")     // new
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.classifyIngest(
+      mem.toDF.toDF("doc_id", "text"), index,
+      (verdicts, _) => got.synchronized {
+        got ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+      })
+    try {
+      mem.addData(ingest.take(2)) // split across two micro-batches:
+      q.processAllAvailable()     // verdicts must not depend on the split
+      mem.addData(ingest.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.llm.DedupOps
+      .classifyBatch(ingest.toDF("doc_id", "text"), index._1, index._2, index._3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1))
+    assert(got.sortBy(_._1).toSeq == Seq(
+      (100L, "exact_dup", Some(0L)),
+      (101L, "near_dup", Some(1L)),
+      (102L, "new", None)))
+  }
+
   test("DocStream near-dup: cross-batch duplicate flagged, equals batch") {
     import spark.implicits._
     import graft.streaming.DocStream
