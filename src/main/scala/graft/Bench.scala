@@ -441,9 +441,14 @@ object Bench {
       // was 16-wide POOL CONTENTION, and the cap shifts late-round
       // shape compiles into timed pass 1. Default therefore OFF; the
       // mechanism stays (spec-pinned) for warm dirs with deep graphs.
+      // validated at the knob: a typo'd value must fail fast here, not
+      // as a NumberFormatException inside every warm-pass fixpoint
       val warmFixCap = sys.env.getOrElse("SPARK_GRAFT_WARM_FIXPOINT_CAP", "")
-      if (warmFixCap.nonEmpty)
+      if (warmFixCap.nonEmpty) {
+        require(warmFixCap.toIntOption.exists(_ > 0),
+          s"SPARK_GRAFT_WARM_FIXPOINT_CAP must be a positive int, got '$warmFixCap'")
         sys.props("graft.warm.fixpointCap") = warmFixCap
+      }
       val (_, warmTimes) =
         try runSuiteAt(warmDir, nThreads = sys.env
           .getOrElse("SPARK_GRAFT_WARM_THREADS", "").toIntOption

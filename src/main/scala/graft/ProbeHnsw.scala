@@ -18,7 +18,7 @@ object ProbeHnsw {
     val efC = args.drop(3).headOption.map(_.toInt).getOrElse(128)
     val exactBelow = args.drop(4).headOption.map(_.toInt).getOrElse(4096)
     val shardThreshold = args.drop(5).headOption.map(_.toInt).getOrElse(1 << 20)
-    val shardProbes = args.drop(6).headOption.map(_.toInt).getOrElse(2)
+    val shardProbes = args.drop(6).headOption.map(_.toInt).getOrElse(0) // 0 = derived policy (shardProbesFor), the production default
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")

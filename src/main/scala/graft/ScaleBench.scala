@@ -223,9 +223,7 @@ object ScaleBench {
       out += Row("nn_ivfpq_build", -1, (System.nanoTime() - t2) / 1e9, 0, 0, 0, 0,
         "offline IVFADC build (coarse assign + residual codebooks + encode)")
     }
-    if (invariants || queries.contains("dd_incremental_indexed",
-    // composed cleaning pipeline: exact dedup -> span-level removal -> report
-    "pipe_span_clean")) {
+    if (invariants || queries.contains("dd_incremental_indexed")) {
       val t3 = System.nanoTime()
       graft.llm.DedupOps.warmIncrementalIndex(spark)
       out += Row("dd_incremental_index_build", -1, (System.nanoTime() - t3) / 1e9,

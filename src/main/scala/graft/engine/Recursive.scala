@@ -119,7 +119,7 @@ object Recursive {
     // warm floor). A capped, unconverged result is TRUNCATED and must
     // never serve a real query, so the cap suppresses the convergence
     // throw only while the property is set; serving/Verify never set it.
-    val warmCap = sys.props.get("graft.warm.fixpointCap").map(_.toInt)
+    val warmCap = sys.props.get("graft.warm.fixpointCap").flatMap(_.toIntOption)
     val effMaxIter = warmCap.fold(maxIter)(math.min(maxIter, _))
     while (!converged && iters < effMaxIter) {
       val u = math.max(1, math.min(unroll, effMaxIter - iters))

@@ -555,7 +555,7 @@ object DedupOps {
     // only by Bench's untimed warm pass (which discards results); rounds
     // 1-2 compile every per-round plan shape, the rest is per-iteration
     // driver latency (the measured 8.4 s warm floor this cap removes)
-    val warmCap = sys.props.get("graft.warm.fixpointCap").map(_.toInt)
+    val warmCap = sys.props.get("graft.warm.fixpointCap").flatMap(_.toIntOption)
     while (!converged && it < maxIter && warmCap.forall(it < _)) {
       if (it == starAfter) {
         // Adversarially deep graph (near-dup chain drifting across LSH

@@ -792,8 +792,13 @@ object TextOps {
     // final stitch: text meets its span list exactly once, on the
     // storage key; kept tokens = positions outside the covered set
     val psOr = coalesce(col("ps"), array().cast(ArrayType(IntegerType)))
+    // array_except, not a per-position array_contains filter: contains
+    // scans the covered list per token → O(n_tok × n_removed) on
+    // exactly the long heavily-duplicated docs this operator targets;
+    // except is O(n+m) and order-preserving on the (duplicate-free,
+    // sorted) position sequence
     val kept = transform(
-      filter(sequence(lit(1), col("n")), p => !array_contains(psOr, p)),
+      array_except(sequence(lit(1), col("n")), psOr),
       p => element_at(col("toks"), p))
     base.join(spd.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),

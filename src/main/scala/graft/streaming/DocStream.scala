@@ -121,9 +121,14 @@ object DocStream {
     * the static index, so output is independent of micro-batch
     * boundaries (the spec pins stream-split == batch equality).
     *
-    * Scale layout: the index relations are resolved per micro-batch
-    * (stream-static semantics), so a rebuilt/refreshed corpus index is
-    * picked up without restarting the query; per-trigger cost is the
+    * Scale layout: each trigger re-executes the index relations'
+    * plans (stream-static semantics) — UNPERSISTED index relations
+    * (e.g. reading the index tables a nightly job rewrites) therefore
+    * pick up a refresh without restarting the query, while the
+    * CacheOnce-persisted index of `dd_incremental_indexed` stays
+    * PINNED until its cache entry is replaced/unpersisted (refresh =
+    * re-call incrementalIndex after the rebuild, which swaps the
+    * entry). Per-trigger cost is the
     * measured window posture (SCALE.md r15: a 1% window classifies in
     * 18.6 s against the 5M-doc index while the corpus-sized batch takes
     * 508 s).
