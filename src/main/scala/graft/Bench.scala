@@ -284,13 +284,18 @@ object Bench {
 
     // One concurrent pass over the whole suite; returns (wall, per-query).
     def runSuite(): (Double, Map[String, Double]) = runSuiteAt(sfDir)
-    def runSuiteAt(dir: String, nThreads: Int = threads)
+    def runSuiteAt(dir: String, nThreads: Int = threads,
+        warm: Boolean = false)
         : (Double, Map[String, Double]) = {
       val times = new ConcurrentHashMap[String, Double]()
       val cursor = new AtomicInteger(0)
       val t0 = System.nanoTime()
-      val workers = (1 to math.max(1, nThreads)).map { _ =>
-        new Thread(() => {
+      val workers = (1 to math.max(1, nThreads)).map { w =>
+        // warm workers carry the graft-warm-* name that gates the
+        // thread-confined fixpoint cap (Recursive.warmFixpointCap):
+        // timed/serving threads never match, so the cap can't truncate
+        // a real result even if the property outlives the warm pass
+        val t = new Thread(() => {
           var i = cursor.getAndIncrement()
           while (i < queries.length) {
             val (name, fn) = queries(i)
@@ -316,6 +321,8 @@ object Bench {
             i = cursor.getAndIncrement()
           }
         })
+        if (warm) t.setName(graft.engine.Recursive.WarmThreadPrefix + w)
+        t
       }
       workers.foreach(_.start())
       workers.foreach(_.join())
@@ -452,7 +459,7 @@ object Bench {
       val (_, warmTimes) =
         try runSuiteAt(warmDir, nThreads = sys.env
           .getOrElse("SPARK_GRAFT_WARM_THREADS", "").toIntOption
-          .getOrElse(math.max(threads, 28)))
+          .getOrElse(math.max(threads, 28)), warm = true)
         finally sys.props -= "graft.warm.fixpointCap"
       if (sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")) {
         val top = warmTimes.toSeq.sortBy(-_._2).take(20)

@@ -239,8 +239,12 @@ object ScaleBench {
       measure("dd_incremental_window1pct",
         "1% ingest window vs prebuilt index (production posture)") {
         graft.llm.DedupOps.classifyBatch(
+          // corpus-derived offset, same construction as the declared
+          // query (r15 ADVICE): a hardcoded 1e8 would collide batch ids
+          // with corpus ids once a tier's corpus reaches 1e8 docs and
+          // skew the verdicts with self-matches
           spark.table("documents").filter(col("doc_id") % 100 === 0)
-            .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            .select((col("doc_id") + graft.llm.DedupOps.idOffset(spark)).as("doc_id"),
               col("text")),
           iEx, iBands, iSh)
       }

@@ -43,16 +43,56 @@ import org.apache.spark.sql.DataFrame
   * readers of an evicted DataFrame recompute from lineage.
   */
 object CacheOnce {
+  /** Dataset-scoped key: per-dataset relations MUST embed the session's
+    * registered data dir, so the two datasets a bench run holds live
+    * (the sf0.001 warm dir + the served fixture) occupy SEPARATE slots
+    * instead of evicting each other on every dataset switch (the r15
+    * finding: un-prefixed keys like "dd_minhash_lsh/sh" alternated one
+    * slot between two plans, defeating cross-dataset reuse). Sessions
+    * with no registered dir (hand-built spec relations) share the "?"
+    * root — fine, specs are single-dataset by construction.
+    */
+  def dsKey(s: org.apache.spark.sql.SparkSession, suffix: String): String =
+    Tables.dirOf(s).getOrElse("?") + "/" + suffix
+
   private final class Entry(val df: DataFrame) {
     @volatile var tick: Long = 0L
   }
   private val live = new ConcurrentHashMap[String, Entry]()
   private val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Diagnostics the spec pins: a THRASH is a put that replaced a live
+    * entry with a DIFFERENT plan (the cross-dataset eviction class the
+    * dsKey prefix exists to prevent); an EVICTION is an LRU removal
+    * past MaxEntries. Both must stay zero across a two-dataset bench
+    * population (CacheOnceSpec).
+    */
+  private[graft] val thrashCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val evictCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** The keys behind thrashCount — names the offending site in the spec
+    * failure instead of leaving a bare counter delta.
+    */
+  private[graft] val thrashKeys: java.util.Set[String] =
+    ConcurrentHashMap.newKeySet[String]()
   private[graft] val MaxEntries: Int =
     sys.env.getOrElse("SPARK_GRAFT_CACHE_ENTRIES", "128").toInt
 
   /** Live entry count — the bound the spec pins. */
   private[graft] def liveCount: Int = live.size()
+
+  /** Spec hook: drop (and release) every entry whose key starts with
+    * `prefix`, so the LRU-bound spec's synthetic keys don't leave the
+    * shared map pinned at MaxEntries (which would make every later
+    * insert in the suite an eviction).
+    */
+  private[graft] def release(prefix: String): Unit = {
+    val it = live.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        it.remove(); e.getValue.df.unpersist(blocking = false)
+      }
+    }
+  }
 
   private final class Scope {
     val rdds = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]()
@@ -76,7 +116,10 @@ object CacheOnce {
       // would drop the cache we just returned. Only release when the
       // plan actually changed.
       .filterNot(old => samePlan(old, cached))
-      .foreach(_.unpersist(blocking = false))
+      .foreach { old =>
+        thrashCount.incrementAndGet(); thrashKeys.add(key)
+        old.unpersist(blocking = false)
+      }
     // LRU bound (see scaladoc): evict least-recently-used entries past
     // the cap. Synchronized so concurrent inserts can't double-evict;
     // the map itself stays concurrent for the hot read path.
@@ -89,6 +132,7 @@ object CacheOnce {
         }
         if (oldest == null) return cached
         live.remove(oldest._1)
+        evictCount.incrementAndGet()
         oldest._2.df.unpersist(blocking = false)
       }
     }

@@ -20,6 +20,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Recursive {
 
+  /** Thread name prefix Bench gives its WARM-pass workers — the only
+    * threads on which the fixpoint round cap is honored.
+    */
+  private[graft] val WarmThreadPrefix = "graft-warm-"
+
+  /** Warm-up fixpoint round cap, THREAD-CONFINED (r15 ADVICE): the cap
+    * both truncates iteration and suppresses the non-convergence throw,
+    * so a JVM-global read would let any concurrent path (a serving
+    * query racing Bench's warm pass, a stray user -D flag, a caller
+    * that forgot cleanup) silently receive truncated component labels
+    * as if exact. It is therefore honored ONLY on threads Bench's warm
+    * pool names `graft-warm-*` — no other code creates such threads, so
+    * on every other thread the property is inert by construction.
+    */
+  private[graft] def warmFixpointCap: Option[Int] =
+    if (Thread.currentThread().getName.startsWith(WarmThreadPrefix))
+      sys.props.get("graft.warm.fixpointCap").flatMap(_.toIntOption)
+    else None
+
   /** UNION-semantics fixpoint (matches `WITH RECURSIVE … UNION`):
     * accumulated = seed ∪ step(frontier) ∪ …, all distinct; rows already
     * accumulated never re-enter the frontier (cycle-safe).
@@ -117,9 +136,9 @@ object Recursive {
     // which round 1-2 already does — the remaining rounds are pure
     // per-iteration driver latency (the measured 8.4 s dd_components
     // warm floor). A capped, unconverged result is TRUNCATED and must
-    // never serve a real query, so the cap suppresses the convergence
-    // throw only while the property is set; serving/Verify never set it.
-    val warmCap = sys.props.get("graft.warm.fixpointCap").flatMap(_.toIntOption)
+    // never serve a real query — warmFixpointCap is thread-confined to
+    // Bench's graft-warm-* pool, so serving/Verify threads can't see it.
+    val warmCap = warmFixpointCap
     val effMaxIter = warmCap.fold(maxIter)(math.min(maxIter, _))
     while (!converged && iters < effMaxIter) {
       val u = math.max(1, math.min(unroll, effMaxIter - iters))
@@ -148,6 +167,11 @@ object Recursive {
         s"Recursive.fixpoint did not converge within $maxIter iterations " +
           s"(frontier still non-empty); raise maxIter or bound the recursion")
     }
+    if (!converged)
+      // warm-pass truncation is intentional but must never be mistaken
+      // for convergence in a log read-back
+      System.err.println(s"[warm] fixpoint TRUNCATED at $iters rounds " +
+        s"(cap ${warmCap.get}) — warm-pass plan compilation only, result discarded")
     acc
   }
 }

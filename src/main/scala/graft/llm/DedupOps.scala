@@ -208,7 +208,8 @@ object DedupOps {
     // signature build and the verification joins — 3× recompute without
     // it; the keyed cache releases the previous run's blocks so a
     // long-lived serving session holds at most one copy
-    val sh = graft.engine.CacheOnce("dd_minhash_lsh/sh",
+    val sh = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "dd_minhash_lsh/sh"),
       corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
     // signature via the native one-pass MinHashSig expression (tokenize →
     // shingle → md5 → per-slice minima in one loop, no intermediate
@@ -225,7 +226,8 @@ object DedupOps {
     // whole signature computation once per band); cached because the
     // bucket self-join reads this relation twice — without it every
     // per-shingle md5 runs 2×, which dominated the bench
-    val bands = graft.engine.CacheOnce("dd_minhash_lsh/bands",
+    val bands = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "dd_minhash_lsh/bands"),
       sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val cand = lshCandidates(bands)
@@ -417,9 +419,12 @@ object DedupOps {
   private[graft] def semanticDedupOf(
       embeddings: DataFrame, tag: String, minCos: Double): DataFrame = {
     import graft.engine.GraftColumns.dot
+    // dataset-scoped cache keys (r15 sweep): tag alone thrashed the slot
+    // when the bench alternated warm-dir and fixture datasets
+    val k = graft.engine.CacheOnce.dsKey(embeddings.sparkSession, tag)
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    val sigs = graft.engine.CacheOnce(s"$tag/sigs",
+    val sigs = graft.engine.CacheOnce(s"$k/sigs",
       embeddings.select(col("vec_id"),
         SimilarityOps.hyperplaneSig(col("embedding"), 12).as("sig")))
     val rep = sigs.groupBy(col("sig"))
@@ -443,12 +448,13 @@ object DedupOps {
     */
   private[graft] def verifiedEdges(
       corpus: DataFrame, tag: String, minJac: Double): DataFrame = {
-    val sh = graft.engine.CacheOnce(s"$tag/sh",
+    val k = graft.engine.CacheOnce.dsKey(corpus.sparkSession, tag) // r15 sweep
+    val sh = graft.engine.CacheOnce(s"$k/sh",
       corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
     val sig = corpus.select(col("doc_id"),
       graft.engine.expressions.OptimizerBarrier( // 3×-eval guard, as above
         graft.engine.GraftColumns.minhashSig(col("text"), K)).as("sig"))
-    val bands = graft.engine.CacheOnce(s"$tag/bands",
+    val bands = graft.engine.CacheOnce(s"$k/bands",
       sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val cand = lshCandidates(bands)
@@ -537,7 +543,8 @@ object DedupOps {
       starAfter: Int = 16): DataFrame = {
     // symmetric edge list, cached: re-read every round — without the
     // persist each round re-runs the whole edge-producing pipeline
-    val sym = graft.engine.CacheOnce(s"$tag/sym",
+    val sym = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(nodes.sparkSession, s"$tag/sym"), // r15 sweep
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
@@ -551,11 +558,10 @@ object DedupOps {
     var converged = false
     val maxIter = 50
     var it = 0
-    // warm-up round cap — same contract as Recursive.fixpoint's: set
-    // only by Bench's untimed warm pass (which discards results); rounds
-    // 1-2 compile every per-round plan shape, the rest is per-iteration
-    // driver latency (the measured 8.4 s warm floor this cap removes)
-    val warmCap = sys.props.get("graft.warm.fixpointCap").flatMap(_.toIntOption)
+    // warm-up round cap — same contract as Recursive.fixpoint's:
+    // thread-confined to Bench's graft-warm-* pool (r15 ADVICE), so a
+    // serving query racing the warm pass can never see truncated labels
+    val warmCap = graft.engine.Recursive.warmFixpointCap
     while (!converged && it < maxIter && warmCap.forall(it < _)) {
       if (it == starAfter) {
         // Adversarially deep graph (near-dup chain drifting across LSH
@@ -621,6 +627,9 @@ object DedupOps {
       throw new IllegalStateException(
         s"components: no convergence after $maxIter rounds " +
           s"(with pointer doubling this bounds diameter by ~2^$maxIter)")
+    if (!converged)
+      System.err.println(s"[warm] components TRUNCATED at $it rounds " +
+        s"(cap ${warmCap.get}) — warm-pass plan compilation only, result discarded")
     // the FINAL round's blocks feed the returned plan — release them only
     // when the enclosing query's scratch scope closes
     org.apache.spark.sql.GraftPlans.checkpointRdd(labels)

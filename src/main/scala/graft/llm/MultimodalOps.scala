@@ -74,7 +74,21 @@ object MultimodalOps {
     * keyed by (x, y, id) so the codec compresses real image data. Odd
     * ids are 1-band grayscale, even ids 3-band BGR.
     */
+  /** Fixture contract, enforced once (r15 ADVICE): every id-derived
+    * payload formula below uses `%` / `.toInt` arithmetic that assumes
+    * NON-NEGATIVE doc ids — Scala's `%` is sign-following and `.toInt`
+    * truncates, where the DuckDB oracle's restatement operates on the
+    * same fixtures assuming ids ≥ 0. A negative id would hash-diverge
+    * or produce n_frames < 1; fail loudly instead of silently.
+    */
+  private[llm] def nonNegId(id: Long): Long = {
+    require(id >= 0,
+      s"multimodal payload formulas require non-negative doc ids, got $id")
+    id
+  }
+
   private[graft] def pngPayload(id: Long): Array[Byte] = {
+    nonNegId(id)
     val w = 16 + ((id * 7) % 48).toInt
     val h = 16 + ((id * 13) % 48).toInt
     val kind =
@@ -383,7 +397,7 @@ object MultimodalOps {
     * verbatim (the mm_phash_dedup argument) and the oracle can restate
     * per-frame statistics bit-exactly from the pixel formula.
     */
-  private[graft] def videoFrames(id: Long): Int = 2 + (id % 4).toInt
+  private[graft] def videoFrames(id: Long): Int = 2 + (nonNegId(id) % 4).toInt
 
   private[graft] def videoPayload(id: Long): Array[Byte] = {
     val n = videoFrames(id)
@@ -515,7 +529,7 @@ object MultimodalOps {
     * container — the same posture as the PNG arm.
     */
   private[graft] def wavSample(id: Long, j: Long): Int =
-    (((id * 97 + j * j * 31 + j * 57) % 4096) - 2048).toInt
+    (((nonNegId(id) * 97 + j * j * 31 + j * 57) % 4096) - 2048).toInt
 
   /** The WAV codec SPI objects, resolved ONCE per JVM: the
     * `AudioSystem` facade re-scans the sound SPI registry on EVERY
@@ -561,8 +575,8 @@ object MultimodalOps {
       : javax.sound.sampled.AudioInputStream =
     WavReader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
 
-  private[graft] def wavChannels(id: Long): Int = 1 + (id % 2).toInt
-  private[graft] def wavFrames(id: Long): Int = 200 + ((id * 17) % 300).toInt
+  private[graft] def wavChannels(id: Long): Int = 1 + (nonNegId(id) % 2).toInt
+  private[graft] def wavFrames(id: Long): Int = 200 + ((nonNegId(id) * 17) % 300).toInt
 
   private[graft] def wavPayload(id: Long): Array[Byte] = {
     val channels = wavChannels(id)

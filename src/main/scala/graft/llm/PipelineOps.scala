@@ -404,19 +404,22 @@ object PipelineOps {
         array_join(slice(toks, lit(1), cut), " ").as("text")))
       .union(base.select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
     // stage 1 — exact: one digest shuffle, keep the minimum id
-    val exact = graft.engine.CacheOnce("pipe_compact/exact",
+    val exact = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "pipe_compact/exact"), // r15 sweep
       corpus
         .withColumn("keeper", min(col("doc_id")).over(
           Window.partitionBy(md5(col("text").cast(BinaryType)))))
         .filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"), col("text")))
     // stage 2 — near-dup among survivors: the dd_minhash_lsh layout
-    val sh = graft.engine.CacheOnce("pipe_compact/sh",
+    val sh = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "pipe_compact/sh"),
       exact.select(col("doc_id"), D.shinglesPadded(col("text")).as("sh")))
     val sig = exact.select(col("doc_id"),
       graft.engine.expressions.OptimizerBarrier( // 3×-eval guard (r12)
         graft.engine.GraftColumns.minhashSig(col("text"), D.K)).as("sig"))
-    val bands = graft.engine.CacheOnce("pipe_compact/bands",
+    val bands = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "pipe_compact/bands"),
       sig.select(col("doc_id"), explode(D.bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val cand = D.lshCandidates(bands)
@@ -520,12 +523,14 @@ object PipelineOps {
         struct(lit(0).as("band"), substring(col("sig"), 1, 6).as("bucket")),
         struct(lit(1).as("band"), substring(col("sig"), 7, 6).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = graft.engine.CacheOnce("pipe_embed/cand",
+    val cand = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "pipe_embed/cand"), // r15 sweep
       DedupOps.lshCandidates(bands))
     val e = s.table("embeddings").select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"),
       sqrt(dot(col("embedding"), col("embedding"))).as("n"))
-    val verified = graft.engine.CacheOnce("pipe_embed/verified",
+    val verified = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(s, "pipe_embed/verified"),
       cand
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")

@@ -1212,12 +1212,29 @@ object SimilarityOps {
     // child for partition bounds, which would build + query every graph
     // twice (measured: 2 × 133 task-sec at tier 2). The edge relation
     // is k rows/vector (~20 MB at tier 2), the graphs are the cost.
-    val cached = graft.engine.CacheOnce(
-      datasetKey(s) +
-        s"/hnsw:$exactBelow:$m:$efC:$efS:$cellShardThreshold:$shardProbes:$nShardsOverride",
-      edges)
+    //
+    // The PLAN OBJECT is additionally memoized per (dataset, params):
+    // the flatMapGroups closures CAPTURE (m, efC, …), so every call
+    // mints fresh lambda instances and the rebuilt plan is never
+    // `sameResult` with the previous run's — without the memo, each
+    // re-run (every bench pass) replaced the cache entry and re-built
+    // every graph (the one thrash the two-dataset CacheOnceSpec
+    // caught in r16). Declarative plans don't need this; only
+    // capturing-closure plans lose CacheManager identity.
+    val memoKey = datasetKey(s) +
+      s"/hnsw:$exactBelow:$m:$efC:$efS:$cellShardThreshold:$shardProbes:$nShardsOverride"
+    val cached = hnswEdgesByKey.computeIfAbsent(memoKey,
+      k => graft.engine.CacheOnce(k, edges))
     cached.orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
   }
+
+  /** Memoized HNSW edge plans (see labelKnnHnsw): bounded by the
+    * (dataset, param-combo) population — a handful per dataset; the
+    * BLOCKS stay LRU-bounded by CacheOnce, an evicted entry just
+    * recomputes from lineage.
+    */
+  private val hnswEdgesByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
   /** Per-label cell sizes, memoized per dataset (same bounded-collect
     * class as [[labelValues]] — label is the class key, tens of values).

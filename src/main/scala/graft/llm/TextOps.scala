@@ -437,7 +437,8 @@ object TextOps {
       tag: String): org.apache.spark.sql.DataFrame = {
     val sess = cand.sparkSession
     val threshold = sess.sessionState.conf.autoBroadcastJoinThreshold
-    val b = graft.engine.CacheOnce(s"$tag/bench", bench)
+    val b = graft.engine.CacheOnce(
+      graft.engine.CacheOnce.dsKey(sess, s"$tag/bench"), bench) // r15 sweep
     val m = b.agg(count(lit(1)),
       coalesce(sum(length(col("s"))), lit(0L))).first()
     // UTF-16 chars ×2 + ~48 bytes/row hash-relation overhead: a
@@ -513,6 +514,7 @@ object TextOps {
     */
   private[graft] def bigramLmOf(
       docs: org.apache.spark.sql.DataFrame, tag: String) = {
+    val k = graft.engine.CacheOnce.dsKey(docs.sparkSession, tag) // r15 sweep
     val toks = split(col("text"), " ")
     val n = size(toks)
     // 1-based element_at matches the oracle's list indexing; the
@@ -527,11 +529,11 @@ object TextOps {
     // filters — 3 evaluations per document (r12 OptimizerBarrier
     // lesson; the bigram transform and the tokenizer are the per-doc
     // hot kernels of this operator)
-    val big = graft.engine.CacheOnce(s"$tag/big",
+    val big = graft.engine.CacheOnce(s"$k/big",
       docs.select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(bigrams).as("__bg"))
         .select(col("doc_id"), explode(col("__bg")).as("bg")))
     val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val uc = graft.engine.CacheOnce(s"$tag/uc",
+    val uc = graft.engine.CacheOnce(s"$k/uc",
       docs.select(graft.engine.expressions.OptimizerBarrier(toks).as("__t"))
         .select(explode(col("__t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cu")))
@@ -552,7 +554,7 @@ object TextOps {
     // stream); materialized stats let Catalyst broadcast a small model
     // and shuffle a genuinely large one — the same adaptive behavior
     // the former per-occurrence spelling got from joining bc/uc raw.
-    val lpByBg = graft.engine.CacheOnce(s"$tag/lp", bc
+    val lpByBg = graft.engine.CacheOnce(s"$k/lp", bc
       .join(uc, element_at(split(col("bg"), " "), 1) === col("w"))
       .crossJoin(broadcast(v))
       .select(col("bg"),
@@ -615,6 +617,7 @@ object TextOps {
     */
   private[graft] def dupCoverageOf(
       docs: org.apache.spark.sql.DataFrame, tag: String) = {
+    val k = graft.engine.CacheOnce.dsKey(docs.sparkSession, tag) // r15 sweep
     val toks = split(col("text"), " ")
     val n = size(toks)
     // 10-token windows, 1-based inclusive slice — matches the oracle's
@@ -623,7 +626,7 @@ object TextOps {
       transform(sequence(lit(1), n - 9),
         i => md5(concat_ws(" ", slice(toks, i, lit(10))).cast(BinaryType))))
       .otherwise(array().cast(ArrayType(StringType)))
-    val g = graft.engine.CacheOnce(s"$tag/g",
+    val g = graft.engine.CacheOnce(s"$k/g",
       docs.select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(grams).as("__g")) // 3×-eval guard (r12)
         .select(col("doc_id"), explode(col("__g")).as("h")))
     // only the DUPLICATED digests come back to the gram relation: an
@@ -738,6 +741,7 @@ object TextOps {
     */
   private[graft] def spanDedupOf(
       docs: org.apache.spark.sql.DataFrame, tag: String) = {
+    val k = graft.engine.CacheOnce.dsKey(docs.sparkSession, tag) // r15 sweep
     val toksAll = split(col("text"), " ")
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), toksAll.as("toks"), size(toksAll).as("n"))
@@ -745,7 +749,7 @@ object TextOps {
     // and the digest is computed once per window AFTER the generator,
     // so nothing needs an OptimizerBarrier; toks is pruned before any
     // exchange (PlanSpec pins it)
-    val g = graft.engine.CacheOnce(s"$tag/g",
+    val g = graft.engine.CacheOnce(s"$k/g",
       base.filter(col("n") >= 10)
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(1), col("n") - 9)).as("i"))

@@ -87,7 +87,56 @@ class CacheOnceSpec extends AnyFunSuite {
     assert(storageLevelOf(dfs.head).isEmpty,
       "oldest entry past the cap must be evicted and released")
     // cleanup: drop this test's keys from the shared session's cache
+    // AND the CacheOnce map — leaving ~MaxEntries synthetic entries in
+    // the map would turn every later insert in the suite into an
+    // eviction (the two-dataset test below pins evictions == 0)
     dfs.foreach(_.unpersist(blocking = false))
+    CacheOnce.release("spec/lru/")
     assert(before <= CacheOnce.MaxEntries)
+  }
+
+  test("two live datasets populate every keyed site with zero thrash and zero eviction") {
+    // The bench's shape: a warm dir (sf0.001) and a served fixture stay
+    // live in ONE JVM, alternating queries. Before the r16 dsKey sweep,
+    // un-prefixed keys (dd_minhash_lsh/sh, pipe_compact/*, …) alternated
+    // one slot between two plans — every dataset switch unpersisted the
+    // other dataset's relation (r15 VERDICT finding 1). Dataset B is a
+    // byte-identical copy of sf0.001 under a different root: same
+    // compute, different dsKey prefix, exactly the collision class.
+    val dirB = {
+      val src = java.nio.file.Paths.get(TestSpark.sf)
+      val dst = java.nio.file.Paths.get("target/spec-dsb")
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach { p =>
+        val t = dst.resolve(p.getFileName)
+        if (!java.nio.file.Files.exists(t)) java.nio.file.Files.copy(p, t)
+      }
+      dst.toAbsolutePath.toString
+    }
+    // every declared query whose implementation holds CacheOnce slots
+    val keyed = Seq(
+      "dd_minhash_lsh", "dd_semantic", "dd_components",
+      "dd_incremental", "dd_incremental_indexed",
+      "tx_decontaminate", "tx_bigram_lm", "tx_dup_coverage",
+      "tx_span_dedup", "pipe_compact", "pipe_embed_dedup",
+      "pipe_leakage", "pipe_span_clean", "mm_phash_dedup",
+      "nn_pq_topk", "nn_ivfpq_topk", "nn_label_knn_hnsw")
+    keyed.foreach(q => assert(SparkEntry.queries.contains(q), s"unknown keyed query $q"))
+    val thrash0 = CacheOnce.thrashCount.get
+    val evict0 = CacheOnce.evictCount.get
+    for (dir <- Seq(TestSpark.sf, dirB); q <- keyed)
+      SparkEntry.queries(q)(spark, dir).count()
+    // alternate back to dataset A: with prefixed keys its entries are
+    // still live, so the pass re-uses them — zero replacements
+    for (q <- keyed) SparkEntry.queries(q)(spark, TestSpark.sf).count()
+    assert(CacheOnce.thrashCount.get == thrash0,
+      "a keyed site replaced a live entry with a different plan — un-prefixed per-dataset key; " +
+        s"thrashed keys so far: ${CacheOnce.thrashKeys}")
+    assert(CacheOnce.evictCount.get == evict0,
+      s"LRU evicted under two live datasets (live=${CacheOnce.liveCount}, cap=${CacheOnce.MaxEntries})")
+    // headroom: the next keyed-site addition must not silently start
+    // thrashing — two full datasets use at most half the bound
+    assert(CacheOnce.liveCount <= CacheOnce.MaxEntries / 2,
+      s"two-dataset working set ${CacheOnce.liveCount} leaves no headroom under ${CacheOnce.MaxEntries}")
   }
 }

@@ -841,28 +841,46 @@ class OperatorSpec extends AnyFunSuite {
       out(4L).getAs[Double]("dup_frac") == 0.0)
   }
 
-  test("warm fixpoint cap: truncates without throwing, exact when unset") {
+  test("warm fixpoint cap: thread-confined — truncates only on graft-warm-* threads") {
     import spark.implicits._
     // a 10-node chain needs ~7 propagation rounds; capped at 2 the
     // components call must RETURN (truncated — warm-up discards
     // results) instead of raising the non-convergence error
     val edges = (0L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val nodes = (0L to 9L).map(Tuple1(_)).toDF("doc_id")
+    def fixpoint20() = graft.engine.Recursive.fixpoint(
+      Seq(0L).toDF("n"), maxIter = 100, unroll = 1) { f =>
+      f.select((col("n") + 1).as("n")).filter(col("n") < 20)
+    }.collect()
+    // runs `body` on a thread carrying Bench's warm-pool name — the
+    // ONLY context where the cap property is honored (r15 ADVICE:
+    // JVM-global reads let concurrent serving see truncated results)
+    def onWarmThread[T](body: => T): T = {
+      var out: Either[Throwable, T] = null
+      val t = new Thread(() =>
+        out = try Right(body) catch { case e: Throwable => Left(e) })
+      t.setName(graft.engine.Recursive.WarmThreadPrefix + "spec")
+      t.start(); t.join()
+      out.fold(throw _, identity)
+    }
     sys.props("graft.warm.fixpointCap") = "2"
     try {
-      assert(graft.llm.DedupOps.components(nodes, edges, "spec_warmcap")
-        .collect().length == 10)
-      // Recursive.fixpoint: a 20-step counter capped at 2 rounds
-      // returns the partial closure, no throw
-      val part = graft.engine.Recursive.fixpoint(
-        Seq(0L).toDF("n"), maxIter = 100, unroll = 1) { f =>
-        f.select((col("n") + 1).as("n")).filter(col("n") < 20)
-      }.collect()
-      assert(part.length < 20)
+      onWarmThread {
+        assert(graft.llm.DedupOps.components(nodes, edges, "spec_warmcap")
+          .collect().length == 10)
+        // Recursive.fixpoint: a 20-step counter capped at 2 rounds
+        // returns the partial closure, no throw
+        assert(fixpoint20().length < 20)
+      }
+      // CONFINEMENT: with the property still set, a non-warm thread
+      // (this one — serving/Verify's shape) gets EXACT semantics: the
+      // cap is inert, the fixpoint runs to convergence
+      assert(fixpoint20().length == 20,
+        "fixpoint cap leaked to a non-warm thread")
     } finally sys.props -= "graft.warm.fixpointCap"
-    // property cleared → exact semantics restored
-    val full = graft.llm.DedupOps.components(nodes, edges, "spec_warmcap2")
-      .collect()
+    // property cleared → exact semantics restored on warm threads too
+    val full = onWarmThread(
+      graft.llm.DedupOps.components(nodes, edges, "spec_warmcap2").collect())
     assert(full.length == 10 &&
       full.forall(_.getAs[Long]("component") == 0L))
   }
