@@ -33,5 +33,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allQueries.flatMap(q => q.oracleValue.map(q.name -> _)).toMap
 }

@@ -18,7 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    oracleThunk: Option[() => String] = None) {
+
+  /** The oracle SQL as dumped: the static string when given, else the
+    * thunk rendered AT DUMP TIME. The thunk exists for oracles that
+    * embed dataset-trained constants (dd_semantic_ivf's k-means
+    * centroids): Verify and Bench both dump oracle_sql.json after the
+    * suite ran against the target dataset, so the thunk renders against
+    * the session registered on exactly that data.
+    */
+  def oracleValue: Option[String] = oracle.orElse(oracleThunk.map(_()))
+}
 
 object Q {
   /** Build a query that just registers the fixture views then runs `body`. */
@@ -32,4 +43,14 @@ object Q {
     Q(name, (s: SparkSession, dir: String) => {
       Tables.register(s, dir); body(s)
     }, None)
+
+  /** A query whose oracle SQL is rendered lazily at dump time (see
+    * [[Q.oracleValue]]); `oracleFn` must be a pure function of the
+    * active session's registered dataset.
+    */
+  def dynOracle(name: String)(oracleFn: => String)(
+      body: SparkSession => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => {
+      Tables.register(s, dir); body(s)
+    }, None, Some(() => oracleFn))
 }

@@ -367,10 +367,11 @@ object DedupOps {
     *
     * Clusters here are the 12-bit hyperplane signature (deterministic,
     * shared with nn_lsh_buckets/pipe_embed_dedup — SQL-expressible, so
-    * the oracle replays it exactly; a production run would swap in the
-    * trained IVF k-means lists, same plan shape). Representative = the
-    * cluster's minimum vec_id. Emits every non-singleton member with
-    * its cosine and the drop verdict.
+    * the oracle replays it exactly). The production posture — the
+    * TRAINED IVF k-means lists as the clustering, same rep-compare plan
+    * shape — is the declared query [[d8b dd_semantic_ivf]] below.
+    * Representative = the cluster's minimum vec_id. Emits every
+    * non-singleton member with its cosine and the drop verdict.
     *
     * Scale: ONE shuffle on the signature serves the representative
     * aggregate and the member join; the per-member cosine is a codegen
@@ -410,6 +411,121 @@ object DedupOps {
       |FROM j ORDER BY vec_id ASC NULLS LAST""".stripMargin
   ) { s =>
     semanticDedupOf(s.table("embeddings"), "dd_semantic", minCos = 0.2)
+  }
+
+  /** dd_semantic's PRODUCTION clustering (r15 VERDICT item 4, promoted
+    * from a scaladoc sentence to an oracled query): SemDeDup with the
+    * cluster structure being the TRAINED per-dataset IVF coarse
+    * quantizer (SimilarityOps.buildIvfIndex — Lloyd's k-means, 3
+    * rounds, deterministic md5-ordered sample init) instead of the
+    * hyperplane signature. Assignment is the IVF list choice itself:
+    * argmax dot(v, c)/||c|| over the 16 trained centroids via the
+    * codegen IvfNearest kernel (ties → lowest cid), i.e. exactly the
+    * list the vector would live in inside the nn_ivf_topk index. Then
+    * the dd_semantic rep-compare shape verbatim: rep = min vec_id per
+    * list, one cosine per member against its rep, drop at ≥ 0.2.
+    *
+    * Oracle: Lloyd's means are distributed floating-point sums, so NO
+    * SQL can restate the TRAINING bit-for-bit (summation order). What
+    * the oracle CAN restate exactly — the nn_ivf_topk discipline — is
+    * everything downstream of the trained constants: the centroids and
+    * their engine-fold norms ride the oracle as DOUBLE[] literals
+    * (rendered at dump time via Q.dynOracle, Double.toString
+    * round-trips exactly and list_dot_product folds left-to-right like
+    * IvfNearest), making assignment, rep choice, cluster sizes,
+    * cosines and verdicts all bit-comparable. Training itself is
+    * pinned by KMeansSpec/ANN recall ladders, same split as the ANN
+    * indexes (ann-benchmarks style: build offline, measure the served
+    * path).
+    *
+    * Scale (the reason this is the production posture): assignment is
+    * a MAP-ONLY projection against 16 broadcast-literal centroids — at
+    * 100 TB the only exchanges are the 16-row rep aggregate and the
+    * broadcast of 16 rep vectors back onto the corpus; the hyperplane
+    * variant's signature shuffle disappears entirely. Trained lists
+    * also cluster semantically (vs the hyperplane's fixed random
+    * cuts), which is what SemDeDup's rep-compare quality depends on.
+    */
+  private[graft] val SemanticIvfLists = 16
+
+  private[graft] def semanticIvfCents(
+      s: SparkSession): (Array[Array[Double]], Array[Double]) = {
+    val cents = SimilarityOps.buildIvfIndex(s, SemanticIvfLists)
+      .sortBy(_._1).map(_._2).toArray
+    (cents, graft.engine.expressions.IvfNearest.norms(cents))
+  }
+
+  private def semanticIvfOracle(): String = {
+    val s0 = SparkSession.active
+    val s = if (graft.engine.Tables.dirOf(s0).isDefined) s0 else {
+      // incidental consumers (specs reading OTHER entries force the
+      // whole oracleSql map) can render before any registration: give
+      // them the tiny fixture on an isolated child session. The real
+      // dump paths (Verify / Bench's oracle_sql.json) always run with
+      // the target dir registered on the active session, so this
+      // fallback never decides a driver artifact.
+      val c = s0.newSession()
+      graft.engine.Tables.register(c, "/root/testdata/sf0.001")
+      c
+    }
+    val (cents, cn) = semanticIvfCents(s)
+    val values = cents.indices.map { i =>
+      s"($i, [${cents(i).map(_.toString).mkString(", ")}]::DOUBLE[], ${cn(i)})"
+    }.mkString(",\n    ")
+    s"""WITH cents(cid, c, nrm) AS (VALUES
+       |    $values),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.v, c.c) / c.nrm DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cents c) x
+       |  WHERE rn = 1),
+       |rep AS (SELECT cid, MIN(vec_id) AS rep_id, COUNT(*) AS cluster_size
+       |        FROM asg GROUP BY cid),
+       |j AS (
+       |  SELECT a.vec_id, r.rep_id, r.cluster_size,
+       |    list_dot_product(ea.v, eb.v) /
+       |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+       |  FROM asg a
+       |  JOIN rep r USING (cid)
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = r.rep_id
+       |  WHERE a.vec_id <> r.rep_id)
+       |SELECT vec_id, rep_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  ROUND(cos, 6) AS cos, cos >= 0.2 AS dropped
+       |FROM j ORDER BY vec_id ASC NULLS LAST""".stripMargin
+  }
+
+  val d8b: Q = Q.dynOracle("dd_semantic_ivf")(semanticIvfOracle()) { s =>
+    import graft.engine.GraftColumns.dot
+    val (cents, cn) = semanticIvfCents(s)
+    val e = s.table("embeddings").select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    // map-only assignment: the nn_ivf coarse-quantizer kernel, n=1 —
+    // max dot/||c||, ties to the lowest cid (IvfNearest.assign's
+    // insertion order == the oracle's ORDER BY d DESC, cid ASC)
+    val asg = s.table("embeddings").select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v"),
+      element_at(graft.engine.expressions.IvfNearest(
+        col("embedding"), cents, cn, false, 1), 1).as("cid"))
+    val rep = asg.groupBy(col("cid"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("cluster_size"))
+    // rep vectors: 16 rows — broadcast both small sides back onto the
+    // corpus, the corpus itself never shuffles
+    val repVec = broadcast(rep.select(col("rep_id")))
+      .join(e, col("rep_id") === col("vec_id"))
+      .select(col("rep_id"), col("v").as("vb"))
+    val cos = dot(col("v"), col("vb")) /
+      (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("vb"), col("vb"))))
+    asg.join(broadcast(rep), "cid")
+      .filter(col("vec_id") =!= col("rep_id"))
+      .join(broadcast(repVec), "rep_id")
+      .select(col("vec_id"), col("rep_id"), col("cluster_size"),
+        round(cos, 6).as("cos"), (cos >= 0.2).as("dropped"))
+      .orderBy(col("vec_id").asc_nulls_last)
   }
 
   /** Semantic-dedup core over any (vec_id, embedding) relation —
@@ -993,5 +1109,5 @@ object DedupOps {
     classifyBatch(syntheticBatch(s), ex, bands, csh)
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d9, d10, d11)
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d8b, d9, d10, d11)
 }

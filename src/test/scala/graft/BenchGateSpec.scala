@@ -37,4 +37,21 @@ class BenchGateSpec extends AnyFunSuite {
     // ...but a third agreeing clean pass settles it (no unbounded loop)
     assert(!Bench.needMorePasses(Seq(24.0, 24.1, 23.9), Seq(261.0, 204.0, 200.0), 7.4, T))
   }
+
+  test("idle gate: waits out a hot start, stamps degraded past deadline") {
+    // r15: the committed artifact was ambient-4.3 while an idle run of
+    // the same code sat in history — the snapshot must now be idle by
+    // construction (wait) or say it isn't (stamp).
+    // already idle: no wait, accepted
+    assert(Bench.awaitIdle(1.5, 60, () => 0.4, sleepMs = 1) == (0.4, "accepted"))
+    // hot start that cools: polls until under the gate, accepted
+    val cooling = Iterator(4.3, 2.8, 1.2)
+    assert(Bench.awaitIdle(1.5, 60, () => cooling.next(), sleepMs = 1)
+      == (1.2, "accepted"))
+    // persistently hot host: deadline expires, DEGRADED — never a
+    // silent idle-looking number
+    assert(Bench.awaitIdle(1.5, 0, () => 4.3, sleepMs = 1)._2 == "degraded")
+    // unreadable loadavg: proceed immediately, stamped unknown
+    assert(Bench.awaitIdle(1.5, 60, () => -1.0, sleepMs = 1)._2 == "unknown")
+  }
 }
