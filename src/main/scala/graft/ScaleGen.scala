@@ -87,17 +87,25 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, mult)
+    // optional args(2): CSV of table names to (re)generate — lets a new
+    // table (videos.parquet, r16) be ADDED to an existing tier without
+    // rewriting the 22 GB 100× corpus; generation is seed-stable so a
+    // partial rewrite is byte-identical to a full one
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    generate(spark, outDir, mult, only)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, outDir: String, mult: Int): Unit = {
+  def generate(spark: SparkSession, outDir: String, mult: Int,
+      only: Option[Set[String]] = None): Unit = {
     def rows(name: String): Long = sf01Rows(name) * mult
     // file counts sized so partitions land in the 32-128 MB band a real
     // cluster wants, while staying parallel at local[8-32]
     def write(df: DataFrame, name: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      if (only.forall(_.contains(name)))
+        df.repartition(files).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
 
     // -- dimension tables ------------------------------------------------
     write(spark.range(5).select(
@@ -224,6 +232,23 @@ object ScaleGen {
       pick(62, Seq("en", "en", "en", "de", "es", "fr", "zh"), id).as("lang"),
       concat(lit("src"), pmod(xxhash64(lit(63), id), lit(20L))).as("source"),
       length(text).as("n_chars")), "documents", 4)
+
+    // -- videos: GVID payloads STORED once (r16) -------------------------
+    // The declared mm_video_meta synthesizes its payload in-plan
+    // (fixture contract — documents has no binary column); at the scale
+    // tiers that made the row ~80% fixture frame-ENCODES. Writing the
+    // payloads here (one-time generation cost) lets ScaleBench measure
+    // the operator itself — container parse + ONE decode per clip —
+    // over a real stored binary column, which is what a production
+    // corpus looks like anyway.
+    {
+      import spark.implicits._
+      val vids = spark.range(rows("documents"))
+        .select(col("id")).as[Long]
+        .map(i => (i, graft.llm.MultimodalOps.videoPayload(i)))
+        .toDF("doc_id", "video")
+      write(vids, "videos", 8)
+    }
 
     // -- embeddings: gaussian noise + label-dependent cluster shift ------
     val label = pmod(xxhash64(lit(70), col("id")), lit(10L))

@@ -470,16 +470,36 @@ object MultimodalOps {
       |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
     import s.implicits._
-    s.table("documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("src"))
-      .as[(Long, Array[Byte])]
+    // fixture contract: documents has no binary column, so the payload
+    // is synthesized in-plan per row. The SCALE tiers instead read
+    // payloads ScaleGen wrote ONCE to videos.parquet (videoMetaOf over
+    // the stored column), so the tier row measures the operator —
+    // container parse + one decode per clip — not fixture synthesis.
+    videoMetaOf(s.table("documents")
+      .select(col("doc_id"), col("text").isNotNull.as("has"))
+      .as[(Long, Boolean)]
+      .map { case (id, has) => (id, if (has) videoPayload(id) else null) })
+  }
+
+  /** Container parse + MIDDLE-frame decode + luminance sum over any
+    * (doc_id, gvid-payload) pairs — the operator kernel shared by the
+    * declared query (payload synthesized in-plan, see m8) and the
+    * scale tier (payload stored by ScaleGen). One codec context per
+    * partition, exactly one frame decode per clip; null payload →
+    * null metadata row.
+    */
+  private[graft] def videoMetaOf(
+      pairs: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : org.apache.spark.sql.DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs
       .mapPartitions { it =>
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-        it.map { case (id, src) =>
-          if (src == null) VideoMeta(id, None, None, None, None)
+        it.map { case (id, bytes) =>
+          if (bytes == null) VideoMeta(id, None, None, None, None)
           else {
-            val bytes = videoPayload(id)
             val bb = java.nio.ByteBuffer.wrap(bytes)
             val magic = new Array[Byte](4); bb.get(magic)
             require(new String(magic, "US-ASCII") == "GVID", "bad container")

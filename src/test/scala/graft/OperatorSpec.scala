@@ -885,6 +885,28 @@ class OperatorSpec extends AnyFunSuite {
       full.forall(_.getAs[Long]("component") == 0L))
   }
 
+  test("mm_video_meta: stored-payload path equals in-plan synthesis (ScaleGen tier contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.engine.Tables.register(spark, TestSpark.sf)
+    // what ScaleGen writes: the same videoPayload bytes, through a real
+    // parquet binary column (the tier reads videos.parquet)
+    val dir = "target/spec-videos.parquet"
+    spark.table("documents")
+      .select(col("doc_id"), col("text").isNotNull).as[(Long, Boolean)]
+      .map { case (i, has) =>
+        (i, if (has) graft.llm.MultimodalOps.videoPayload(i) else null) }
+      .toDF("doc_id", "video")
+      .write.mode("overwrite").parquet(dir)
+    val viaStored = graft.llm.MultimodalOps.videoMetaOf(
+      spark.read.parquet(dir).select(col("doc_id"), col("video"))
+        .as[(Long, Array[Byte])]).collect().toSeq
+    val viaQuery =
+      SparkEntry.queries("mm_video_meta")(spark, TestSpark.sf).collect().toSeq
+    assert(viaStored == viaQuery,
+      "stored-payload tier path diverged from the declared in-plan synthesis")
+  }
+
   test("mm_audio: WAV encode/decode roundtrip is bit-exact vs the sample formula") {
     import graft.llm.MultimodalOps._
     for (id <- Seq(0L, 1L, 7L, 42L)) {
