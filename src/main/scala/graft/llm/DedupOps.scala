@@ -502,8 +502,6 @@ object DedupOps {
   val d8b: Q = Q.dynOracle("dd_semantic_ivf")(semanticIvfOracle()) { s =>
     import graft.engine.GraftColumns.dot
     val (cents, cn) = semanticIvfCents(s)
-    val e = s.table("embeddings").select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("v"))
     // map-only assignment: the nn_ivf coarse-quantizer kernel, n=1 —
     // max dot/||c||, ties to the lowest cid (IvfNearest.assign's
     // insertion order == the oracle's ORDER BY d DESC, cid ASC)
@@ -511,18 +509,18 @@ object DedupOps {
       col("embedding").cast(ArrayType(DoubleType)).as("v"),
       element_at(graft.engine.expressions.IvfNearest(
         col("embedding"), cents, cn, false, 1), 1).as("cid"))
+    // rep = the list's min-id member, its VECTOR carried through the
+    // same 16-row aggregate via min_by (vec_id is unique, so min_by is
+    // deterministic and equals the oracle's rep_id equi-join) — no
+    // third scan, and the broadcast side is an Aggregate, bounded by
+    // nlists by construction
     val rep = asg.groupBy(col("cid"))
-      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("cluster_size"))
-    // rep vectors: 16 rows — broadcast both small sides back onto the
-    // corpus, the corpus itself never shuffles
-    val repVec = broadcast(rep.select(col("rep_id")))
-      .join(e, col("rep_id") === col("vec_id"))
-      .select(col("rep_id"), col("v").as("vb"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("cluster_size"),
+        min_by(col("v"), col("vec_id")).as("vb"))
     val cos = dot(col("v"), col("vb")) /
       (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("vb"), col("vb"))))
     asg.join(broadcast(rep), "cid")
       .filter(col("vec_id") =!= col("rep_id"))
-      .join(broadcast(repVec), "rep_id")
       .select(col("vec_id"), col("rep_id"), col("cluster_size"),
         round(cos, 6).as("cos"), (cos >= 0.2).as("dropped"))
       .orderBy(col("vec_id").asc_nulls_last)
