@@ -226,7 +226,13 @@ object ScaleBench {
       out += Row("nn_ivfpq_build", -1, (System.nanoTime() - t2) / 1e9, 0, 0, 0, 0,
         "offline IVFADC build (coarse assign + residual codebooks + encode)")
     }
-    if (invariants || queries.contains("dd_incremental_indexed")) {
+    // "dd_ingest_stream" is a HARNESS name (not a declared query): it
+    // buys the index build + window + streaming-latency rows below
+    // WITHOUT the corpus-sized declared dd_incremental_indexed row —
+    // at the 1000× tier that declared row alone is ~400 s of honest
+    // fixture-contract worst case already measured in r15.
+    if (invariants || queries.contains("dd_incremental_indexed") ||
+        queries.contains("dd_ingest_stream")) {
       val t3 = System.nanoTime()
       graft.llm.DedupOps.warmIncrementalIndex(spark)
       out += Row("dd_incremental_index_build", -1, (System.nanoTime() - t3) / 1e9,
@@ -293,6 +299,10 @@ object ScaleBench {
     }
 
     queries.foreach { name =>
+      // harness-only names (dd_ingest_stream) were consumed above and
+      // have no SparkEntry entry to run here
+      if (name == "dd_ingest_stream") ()
+      else
       // nn_label_knn is the EXACT kNN baseline: total FLOPs are
       // quadratic per cell by definition. Since r10 the enumeration is
       // chunk-blocked (per-task memory bounded by cell/C, partial top-k

@@ -56,4 +56,19 @@ class QuerySpec extends AnyFunSuite {
     // oracleSql keys must be a subset of queries keys
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("dd_semantic_ivf renders its trained centroids into the oracle at dump time") {
+    // run once so the quantizer is trained+memoized for this dataset
+    SparkEntry.queries("dd_semantic_ivf")(spark, sf).count()
+    val sql = SparkEntry.oracleSql("dd_semantic_ivf")
+    assert(sql.contains("WITH cents(cid, c, nrm) AS (VALUES"),
+      "oracle must embed the centroid VALUES table")
+    // all 16 trained lists ride as DOUBLE[] literals
+    (0 until graft.llm.DedupOps.SemanticIvfLists).foreach { i =>
+      assert(sql.contains(s"($i, ["), s"centroid $i missing from oracle")
+    }
+    // rendering is deterministic for a fixed dataset (memoized training)
+    assert(SparkEntry.oracleSql("dd_semantic_ivf") == sql,
+      "dynamic oracle must be stable across dumps of the same dataset")
+  }
 }
