@@ -102,8 +102,11 @@ object Bench {
     // Ambient is sampled BEFORE warmup, so it is self-load-free.
     val idleGate =
       sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "1.5").toDouble
+    // deadline sized UNDER any plausible harness timeout: 1-min loadavg
+    // decays to idle in ~2-5 min after a hot verify run, and a bench
+    // that waits forever is worse than a degraded-stamped artifact
     val idleDeadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_IDLE_DEADLINE_SEC", "900").toInt
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_DEADLINE_SEC", "600").toInt
     val (ambientLoad, ambientGate) =
       awaitIdle(idleGate, idleDeadlineSec, () => loadavg1())
     if (ambientGate == "degraded")

@@ -272,9 +272,18 @@ object ScaleBench {
           .select((col("doc_id") + graft.llm.DedupOps.idOffset(spark))
             .as("doc_id"), col("text"))
           .as[(Long, String)].collect()
+        // default: the 1% window over 5 triggers (trigger size grows
+        // with the corpus). SPARK_GRAFT_STREAM_TRIGGER_DOCS pins a
+        // FIXED trigger size instead — the ladder point that isolates
+        // index-side cost from trigger size across tiers.
+        val trigDocs = sys.env.get("SPARK_GRAFT_STREAM_TRIGGER_DOCS")
+          .flatMap(_.toIntOption)
         val nTrig = 5
-        val per = windowDocs.grouped(
-          math.max(1, math.ceil(windowDocs.length.toDouble / nTrig).toInt)).toSeq
+        val per = windowDocs
+          .take(trigDocs.fold(windowDocs.length)(_ * nTrig))
+          .grouped(trigDocs.getOrElse(
+            math.max(1, math.ceil(windowDocs.length.toDouble / nTrig).toInt)))
+          .toSeq
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
         val q = graft.streaming.DocStream.classifyIngest(
@@ -290,11 +299,12 @@ object ScaleBench {
         } finally q.stop()
         val sorted = lat.sorted
         val med = sorted(sorted.length / 2)
-        out += Row("dd_ingest_stream", windowDocs.length, sorted.sum,
+        val fed = per.map(_.length).sum
+        out += Row("dd_ingest_stream", fed, sorted.sum,
           0, 0, 0, 0,
-          f"$nTrig triggers x ~${per.head.length} docs vs prebuilt index: " +
+          f"${per.length} triggers x ~${per.head.length} docs vs prebuilt index: " +
             f"median trigger ${med}%.2f s, max ${sorted.last}%.2f s, " +
-            f"${windowDocs.length / sorted.sum}%.0f docs/s sustained")
+            f"${fed / sorted.sum}%.0f docs/s sustained")
       }
     }
 
