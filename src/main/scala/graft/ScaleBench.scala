@@ -255,7 +255,7 @@ object ScaleBench {
           spark.table("documents").filter(col("doc_id") % 100 === 0)
             .select((col("doc_id") + graft.llm.DedupOps.idOffset(spark)).as("doc_id"),
               col("text")),
-          iEx, iBands, iSh)
+          iEx, iBands, iSh, pruneVerify = true) // bounded window: ingest posture
       }
       // STREAMING face of the same posture (r16, VERDICT r15 item 7):
       // the 1% window split into 5 micro-batches through

@@ -1036,7 +1036,8 @@ object DedupOps {
     * smallest matching corpus id.
     */
   private[graft] def classifyBatch(batch: DataFrame, cEx: DataFrame,
-      cBands: DataFrame, cSh: DataFrame): DataFrame = {
+      cBands: DataFrame, cSh: DataFrame,
+      pruneVerify: Boolean = false): DataFrame = {
     // exact arm: one digest equi-join — 128 bits per side, never text
     val ex = batch
       .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
@@ -1045,18 +1046,26 @@ object DedupOps {
     val cand = bandsOf(batch, "bid").join(cBands, Seq("band", "bucket"))
       .select(col("bid"), col("cid")).distinct()
     val bsh = batch.select(col("doc_id").as("bid"), shinglesPadded(col("text")).as("sh_b"))
-    // the index's FAT payload (per-doc shingle sets) must join only
-    // candidate reps: semi-prune cSh by the candidate cid set first.
+    // pruneVerify — the BOUNDED-INGEST posture (streaming classifyIngest,
+    // the window harness): semi-prune the index's FAT payload (per-doc
+    // shingle sets) by the candidate cid set before the verify join.
     // Measured at the 1000× tier (5M-doc index, 1000-doc trigger): the
-    // unpruned spelling sort-merged the whole shingle relation per
-    // batch — 3.9 GB exchanged, ~44 s/trigger REGARDLESS of batch size
-    // — where the cid set of a bounded window is KBs, so AQE broadcasts
-    // it and the fat relation reduces to a cached scan + survivor-only
-    // join. For a corpus-sized batch the prune is one extra narrow
-    // (cid-only) exchange on an already corpus-scale plan. No hint:
-    // sizes are runtime facts, AQE picks broadcast iff the set is small.
-    val candCids = cand.groupBy(col("cid")).agg(count(lit(1))).select(col("cid"))
-    val near = cand.join(bsh, "bid").join(cSh.join(candCids, "cid"), "cid")
+    // direct spelling sort-merged the whole shingle relation per batch
+    // (3.9 GB exchanged, median 44 s/trigger REGARDLESS of batch size);
+    // pruned, AQE broadcasts the KB-scale cid set and the fat relation
+    // reduces to a cached scan + survivor-only join — median 14.3 s.
+    // Default OFF because a CORPUS-SIZED batch (the declared queries'
+    // fixture contract) is the opposite regime: its cid set ≈ the whole
+    // corpus, the semi-join prunes nothing and costs an extra pass —
+    // measured 0.66 → 1.25 s isolated at sf0.1. The two spellings are
+    // result-identical; StreamingSpec pins stream(pruned) == batch
+    // (direct) equality across them.
+    val verifySide =
+      if (pruneVerify) {
+        val candCids = cand.groupBy(col("cid")).agg(count(lit(1))).select(col("cid"))
+        cSh.join(candCids, "cid")
+      } else cSh
+    val near = cand.join(bsh, "bid").join(verifySide, "cid")
       .filter(round(size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType) /
         size(array_union(col("sh_b"), col("sh_c"))), 6) >= 0.3)
       .groupBy(col("bid").as("doc_id")).agg(min(col("cid")).as("nd_match"))
