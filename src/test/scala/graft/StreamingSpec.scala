@@ -127,6 +127,56 @@ class StreamingSpec extends AnyFunSuite {
       (102L, "new", None)))
   }
 
+  test("classifyIngestExact: state-store point lookups equal the batch exact arm") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with a SHARED digest (docs 0 and 5 identical text): the
+    // state must hold the MINIMUM owning cid, the batch arm's
+    // orientation
+    val corpusDocs = Seq(
+      0L -> "alpha bravo charlie delta echo",
+      1L -> "kilo lima mike november oscar",
+      5L -> "alpha bravo charlie delta echo")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val cEx = corpus.select(col("doc_id").as("cid"),
+      md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("h"))
+    val ingest = Seq(
+      100L -> corpusDocs(0)._2, // exact vs shared digest → match_id 0
+      101L -> "totally new words here",
+      102L -> corpusDocs(1)._2) // exact → match_id 1
+    val got = scala.collection.mutable.ArrayBuffer[DocStream.ExactVerdict]()
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.classifyIngestExact(
+      mem.toDF.toDF("doc_id", "text"), cEx,
+      (vs, _) => got.synchronized { got ++= vs.collect() })
+    try {
+      // split across two triggers: trigger 2 must hit STATE loaded at
+      // trigger 1 (the initial-state path), not re-read the index
+      mem.addData(ingest.take(1))
+      q.processAllAvailable()
+      mem.addData(ingest.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sortBy(_.docId).toSeq == Seq(
+      DocStream.ExactVerdict(100L, "exact_dup", Some(0L)),
+      DocStream.ExactVerdict(101L, "new", None),
+      DocStream.ExactVerdict(102L, "exact_dup", Some(1L))))
+    // differential vs the batch classifier's exact arm on the same data
+    val (ex, bands, csh) = graft.llm.DedupOps.corpusSideRelations(corpus, 100)
+    val batch = graft.llm.DedupOps
+      .classifyBatch(ingest.toDF("doc_id", "text"), ex, bands, csh)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.getString(1) == "exact_dup") "exact_dup" else "other"))
+      .toMap
+    got.foreach { v =>
+      if (v.verdict == "exact_dup")
+        assert(batch(v.docId) == "exact_dup",
+          s"stream flagged ${v.docId} exact but batch did not")
+    }
+  }
+
   test("DocStream near-dup: cross-batch duplicate flagged, equals batch") {
     import spark.implicits._
     import graft.streaming.DocStream
