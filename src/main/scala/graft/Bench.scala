@@ -75,13 +75,16 @@ object Bench {
       poll: () => Double, sleepMs: Long = 30000): (Double, String) = {
     var load = poll()
     val t0 = System.nanoTime()
-    while (load > gate && load >= 0 &&
-        (System.nanoTime() - t0) / 1e9 < deadlineSec) {
+    def remainingMs(): Long =
+      deadlineSec * 1000L - (System.nanoTime() - t0) / 1000000L
+    while (load > gate && load >= 0 && remainingMs() > 0) {
       System.err.println(
         f"[bench] ambient load $load%.1f > gate $gate%.1f — waiting for " +
           f"idle host (deadline ${deadlineSec}s, " +
           f"${(System.nanoTime() - t0) / 1e9}%.0fs elapsed)")
-      Thread.sleep(sleepMs)
+      // never sleep past the deadline: a full-interval sleep here could
+      // overshoot deadlineSec by up to sleepMs (r16 ADVICE)
+      Thread.sleep(math.max(1L, math.min(sleepMs, remainingMs())))
       load = poll()
     }
     val stamp =
@@ -573,6 +576,9 @@ object Bench {
     // load before/after) so the ratio is auditable from the artifact
     // alone, round-over-round. A bare float (override scripts) still
     // parses; -1/"{}" = not measured.
+    // (ambient at oracle start, gate stamp) — set inside the oracle
+    // block below when an oracle command runs; (-1, "none") otherwise
+    var oracleGateStamp: (Double, String) = (-1.0, "none")
     val (oracleSec, oracleCfg): (Double, String) = {
       val cmd = sys.env.get("SPARK_GRAFT_ORACLE_CMD").orElse {
         val script = java.nio.file.Paths.get("tools/oracle_bench.py")
@@ -581,6 +587,16 @@ object Bench {
       }.filter(_.nonEmpty)
       cmd.fold((-1.0, "{}")) { c =>
         try {
+          // gate the oracle start like the engine passes (r16 VERDICT
+          // item 7): the oracle otherwise starts with the 1-min loadavg
+          // still carrying the engine passes' own load — an avoidable
+          // asymmetry in the ratio's two sides. Same gate/deadline knobs;
+          // the gated ambient + stamp land in the artifact below.
+          val (oLoad, oGate) = awaitIdle(
+            sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "1.5").toDouble,
+            sys.env.getOrElse("SPARK_GRAFT_IDLE_DEADLINE_SEC", "600").toInt,
+            () => loadavg1())
+          oracleGateStamp = (oLoad, oGate)
           val sqlPath = java.nio.file.Files.createTempFile("oracle_sql", ".json")
           java.nio.file.Files.writeString(sqlPath, Verify.oracleSqlJson)
           val pb = new ProcessBuilder("bash", "-c", s"$c $sqlPath '$sfDir'")
@@ -610,8 +626,10 @@ object Bench {
         }
       }
     }
-    val oracleJson = s""""oracle_sec":$oracleSec,"oracle_cfg":$oracleCfg,"ratio":${
-      if (oracleSec > 0) math.round(total / oracleSec * 100) / 100.0 else -1.0}"""
+    val oracleJson = s""""oracle_sec":$oracleSec,"oracle_cfg":$oracleCfg,""" +
+      s""""oracle_ambient":${r1(oracleGateStamp._1)},""" +
+      s""""oracle_gate":"${oracleGateStamp._2}","ratio":${
+        if (oracleSec > 0) math.round(total / oracleSec * 100) / 100.0 else -1.0}"""
 
     val qs = queries.map { case (k, _) =>
       "\"" + k + "\":" + minT(k)

@@ -264,7 +264,10 @@ object ScaleBench {
       // processAllAvailable → sink materialized). The driver-side
       // collect here is HARNESS plumbing — MemoryStream is fed from the
       // driver by design; the classification itself stays distributed.
-      locally {
+      // Gated on the harness name ALONE (r16 ADVICE): invariants mode /
+      // dd_incremental_indexed want the index-build + window rows above,
+      // not multi-second streaming measurements they never asked for.
+      if (queries.contains("dd_ingest_stream")) {
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext
         val windowDocs = spark.table("documents")
@@ -272,6 +275,13 @@ object ScaleBench {
           .select((col("doc_id") + graft.llm.DedupOps.idOffset(spark))
             .as("doc_id"), col("text"))
           .as[(Long, String)].collect()
+        // an empty 1% window (tiny or filtered-out corpora) previously
+        // threw on per.head / median indexing and killed the whole tier
+        // run (r16 ADVICE) — skip the rows with a note instead
+        if (windowDocs.isEmpty)
+          out += Row("dd_ingest_stream", 0, 0.0, 0, 0, 0, 0,
+            "skipped: empty 1% ingest window (corpus too small)")
+        else {
         // default: the 1% window over 5 triggers (trigger size grows
         // with the corpus). SPARK_GRAFT_STREAM_TRIGGER_DOCS pins a
         // FIXED trigger size instead — the ladder point that isolates
@@ -326,6 +336,7 @@ object ScaleBench {
           f"state-store exact arm, ${per.length} triggers x ~${per.head.length} docs: " +
             f"trigger1 (state load) ${exLat.head}%.2f s, steady median " +
             f"${if (steady.nonEmpty) steady(steady.length / 2) else -1.0}%.2f s")
+        }
       }
     }
 

@@ -79,6 +79,17 @@ object CacheOnce {
   /** Live entry count — the bound the spec pins. */
   private[graft] def liveCount: Int = live.size()
 
+  /** Is `key` currently live (not LRU-evicted / released)? A true
+    * answer also counts as a USE — the tick is bumped so a caller that
+    * memoizes the plan object and only consults liveness (the hnsw
+    * edge memo) keeps its entry LRU-fresh exactly as a re-put would.
+    */
+  private[graft] def touchLive(key: String): Boolean = {
+    val e = live.get(key)
+    if (e == null) false
+    else { e.tick = clock.incrementAndGet(); true }
+  }
+
   /** Spec hook: drop (and release) every entry whose key starts with
     * `prefix`, so the LRU-bound spec's synthetic keys don't leave the
     * shared map pinned at MaxEntries (which would make every later

@@ -1223,18 +1223,42 @@ object SimilarityOps {
     // capturing-closure plans lose CacheManager identity.
     val memoKey = datasetKey(s) +
       s"/hnsw:$exactBelow:$m:$efC:$efS:$cellShardThreshold:$shardProbes:$nShardsOverride"
-    val cached = hnswEdgesByKey.computeIfAbsent(memoKey,
-      k => graft.engine.CacheOnce(k, edges))
+    // memo hit must CHECK CacheOnce liveness (r16 ADVICE): after an LRU
+    // eviction/release of the key, returning the memoized plan without
+    // re-registering would leave the edge relation unpersisted for the
+    // rest of the JVM — silently reintroducing the per-pass graph
+    // rebuild. Re-registering the SAME plan object keeps CacheManager
+    // identity (that is the whole point of the memo) and a liveness hit
+    // bumps the entry's LRU tick, so a served key can't age out under a
+    // reader. compute() also serializes concurrent first-builds per key.
+    val cached = hnswEdgesByKey.compute(memoKey, (k, prev) =>
+      if (prev == null) graft.engine.CacheOnce(k, edges)
+      else if (graft.engine.CacheOnce.touchLive(k)) prev
+      else graft.engine.CacheOnce(k, prev))
     cached.orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
   }
 
-  /** Memoized HNSW edge plans (see labelKnnHnsw): bounded by the
-    * (dataset, param-combo) population — a handful per dataset; the
-    * BLOCKS stay LRU-bounded by CacheOnce, an evicted entry just
-    * recomputes from lineage.
+  /** Memoized HNSW edge plans (see labelKnnHnsw): normally bounded by
+    * the (dataset, param-combo) population — a handful per dataset —
+    * but a long-lived serving session registering many roots would
+    * still grow it one plan object per combo forever (r16 ADVICE), so
+    * it carries an explicit cap: past 64 entries the map is cleared
+    * (the entries are PLAN objects, lineage-only and cheap — the
+    * blocks live in CacheOnce and survive the clear; a cleared combo
+    * just re-registers its plan on next use and re-hits the
+    * CacheManager via `sameResult`).
     */
   private val hnswEdgesByKey =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]() {
+      override def compute(k: String,
+          f: java.util.function.BiFunction[
+            _ >: String, _ >: org.apache.spark.sql.DataFrame,
+            _ <: org.apache.spark.sql.DataFrame])
+          : org.apache.spark.sql.DataFrame = {
+        if (size() > 64) clear()
+        super.compute(k, f)
+      }
+    }
 
   /** Per-label cell sizes, memoized per dataset (same bounded-collect
     * class as [[labelValues]] — label is the class key, tens of values).
