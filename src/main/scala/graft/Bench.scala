@@ -179,6 +179,7 @@ object Bench {
               graft.llm.SimilarityOps.warmPqIndex(ws)
               graft.llm.SimilarityOps.warmIvfPqIndex(ws)
               graft.llm.DedupOps.warmIncrementalIndex(ws)
+              graft.llm.LookupIndex.warm(ws)
             } catch {
               case e: Throwable => System.err.println(
                 s"[bench] warm-dir index pre-train failed: ${e.getMessage}")
@@ -270,6 +271,9 @@ object Bench {
     // sets): offline, same split — dd_incremental_indexed times the
     // ONLINE ingest classification only
     graft.llm.DedupOps.warmIncrementalIndex(spark)
+    // point-lookup slab index (digest/band/shingle-hash slabs): offline,
+    // same split — dd_incremental_lookup times the probe path only
+    graft.llm.LookupIndex.warm(spark)
     // dialect child-session warm-up: the memoized isolated session's
     // registry build plus the JSON-constructor / printf / HUGEINT-
     // factorial expression codegen otherwise land in the FIRST timed
@@ -527,6 +531,7 @@ object Bench {
           math.max(1, 16 / graft.llm.SimilarityOps.labelValues(spark).length))
         graft.llm.SimilarityOps.warmPqIndex(spark)
         graft.llm.DedupOps.warmIncrementalIndex(spark)
+        graft.llm.LookupIndex.warm(spark)
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -336,6 +336,80 @@ object ScaleBench {
           f"state-store exact arm, ${per.length} triggers x ~${per.head.length} docs: " +
             f"trigger1 (state load) ${exLat.head}%.2f s, steady median " +
             f"${if (steady.nonEmpty) steady(steady.length / 2) else -1.0}%.2f s")
+        // the STAGED composition (r17, VERDICT r16 item 2): state-store
+        // exact gate → only SURVIVORS reach the near classifier
+        // (point-lookup face). Per-trigger latency plus the survivor
+        // fraction the near face actually saw.
+        locally {
+          val t0 = System.nanoTime()
+          val idx = graft.llm.LookupIndex.forDataset(spark)
+          out += Row("dd_lookup_index_build", -1,
+            (System.nanoTime() - t0) / 1e9, 0, 0, 0, 0,
+            "offline point-lookup slab index (digest/band/shingle-hash " +
+              "slabs, memoized per dataset)")
+          val survivors = new java.util.concurrent.atomic.AtomicLong(0)
+          val near = (b: org.apache.spark.sql.DataFrame) => {
+            survivors.addAndGet(b.count()) // trigger-sized recompute, harness-only
+            graft.llm.LookupIndex.nearMatchesIndexed(b, idx)
+          }
+          val mem3 = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val stLat = scala.collection.mutable.ArrayBuffer[Double]()
+          val qs = graft.streaming.DocStream.classifyIngestStaged(
+            mem3.toDF.toDF("doc_id", "text"), iEx, near,
+            (vs, _) => vs.write.format("noop").mode("overwrite").save())
+          try per.foreach { w =>
+            val t1 = System.nanoTime()
+            mem3.addData(w.toSeq)
+            qs.processAllAvailable()
+            stLat += (System.nanoTime() - t1) / 1e9
+          } finally qs.stop()
+          val stSteady = stLat.drop(1).sorted
+          out += Row("dd_ingest_stream_staged", fed, stLat.sum, 0, 0, 0, 0,
+            f"exact gate -> survivors to point-lookup near face: " +
+              f"near saw ${survivors.get()}/$fed docs " +
+              f"(${100.0 * survivors.get() / math.max(1, fed)}%.0f%%), " +
+              f"trigger1 (state load) ${stLat.head}%.2f s, steady median " +
+              f"${if (stSteady.nonEmpty) stSteady(stSteady.length / 2) else -1.0}%.2f s")
+          // the fully point-lookup face (r17, VERDICT r16 item 3): no
+          // streaming state, no corpus-relation scan — per-trigger cost
+          // is batch-sized probe shuffles + O(candidates) slab lookups
+          val mem4 = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val ixLat = scala.collection.mutable.ArrayBuffer[Double]()
+          val qi = graft.streaming.DocStream.classifyIngestIndexed(
+            mem4.toDF.toDF("doc_id", "text"), idx,
+            (vs, _) => vs.write.format("noop").mode("overwrite").save())
+          try per.foreach { w =>
+            val t1 = System.nanoTime()
+            mem4.addData(w.toSeq)
+            qi.processAllAvailable()
+            ixLat += (System.nanoTime() - t1) / 1e9
+          } finally qi.stop()
+          val ixSorted = ixLat.sorted
+          out += Row("dd_ingest_stream_lookup", fed, ixLat.sum, 0, 0, 0, 0,
+            f"point-lookup classifier (no state, no index scan): " +
+              f"median trigger ${ixSorted(ixSorted.length / 2)}%.2f s, " +
+              f"max ${ixSorted.last}%.2f s, " +
+              f"${fed / ixLat.sum}%.0f docs/s sustained")
+          // tier-scale equality check: the window verdict HISTOGRAM of
+          // the point-lookup classifier vs the scan-based classifyBatch
+          // (the spec pins row-level equality at fixture scale; this
+          // extends the differential to the tier corpus where hash
+          // collisions would have room to show up)
+          val windowDf = spark.createDataFrame(windowDocs.toSeq)
+            .toDF("doc_id", "text")
+          def hist(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy("verdict").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val hLookup = hist(
+            graft.llm.LookupIndex.classifyBatchIndexed(windowDf, idx))
+          val hScan = hist(graft.llm.DedupOps.classifyBatch(
+            windowDf, iEx, iBands, iSh, pruneVerify = true))
+          out += Row("dd_lookup_vs_scan_verdicts", fed, 0.0, 0, 0, 0, 0,
+            s"tier differential lookup==scan: ${hLookup == hScan} " +
+              s"(lookup $hLookup, scan $hScan)")
+        }
         }
       }
     }

@@ -1029,6 +1029,44 @@ object DedupOps {
     (ex, cBands, csh)
   }
 
+  /** Near arm only: (doc_id, nd_match) for batch docs with a verified
+    * near match — band-bucket candidates against the capped corpus
+    * bands, shingle-jaccard verify at ROUND(j,6) ≥ 0.3, min matching
+    * cid. Split out of [[classifyBatch]] (pure extraction, plan
+    * unchanged) so the staged ingest composition can run it on the
+    * exact gate's SURVIVORS alone (DocStream.classifyIngestStaged).
+    *
+    * pruneVerify — the BOUNDED-INGEST posture (streaming classifyIngest,
+    * the window harness): semi-prune the index's FAT payload (per-doc
+    * shingle sets) by the candidate cid set before the verify join.
+    * Measured at the 1000× tier (5M-doc index, 1000-doc trigger): the
+    * direct spelling sort-merged the whole shingle relation per batch
+    * (3.9 GB exchanged, median 44 s/trigger REGARDLESS of batch size);
+    * pruned, AQE broadcasts the KB-scale cid set and the fat relation
+    * reduces to a cached scan + survivor-only join — median 14.3 s.
+    * Default OFF because a CORPUS-SIZED batch (the declared queries'
+    * fixture contract) is the opposite regime: its cid set ≈ the whole
+    * corpus, the semi-join prunes nothing and costs an extra pass —
+    * measured 0.66 → 1.25 s isolated at sf0.1. The two spellings are
+    * result-identical; StreamingSpec pins stream(pruned) == batch
+    * (direct) equality.
+    */
+  private[graft] def nearMatches(batch: DataFrame, cBands: DataFrame,
+      cSh: DataFrame, pruneVerify: Boolean): DataFrame = {
+    val cand = bandsOf(batch, "bid").join(cBands, Seq("band", "bucket"))
+      .select(col("bid"), col("cid")).distinct()
+    val bsh = batch.select(col("doc_id").as("bid"), shinglesPadded(col("text")).as("sh_b"))
+    val verifySide =
+      if (pruneVerify) {
+        val candCids = cand.groupBy(col("cid")).agg(count(lit(1))).select(col("cid"))
+        cSh.join(candCids, "cid")
+      } else cSh
+    cand.join(bsh, "bid").join(verifySide, "cid")
+      .filter(round(size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType) /
+        size(array_union(col("sh_b"), col("sh_c"))), 6) >= 0.3)
+      .groupBy(col("bid").as("doc_id")).agg(min(col("cid")).as("nd_match"))
+  }
+
   /** Online ingest classification against corpus-side relations
     * (in-plan or precomputed — same code either way): exact arm is one
     * digest equi-join, near arm is band-bucket candidates + shingle
@@ -1043,32 +1081,7 @@ object DedupOps {
       .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
       .join(cEx, "h")
       .groupBy(col("doc_id")).agg(min(col("cid")).as("ex_match"))
-    val cand = bandsOf(batch, "bid").join(cBands, Seq("band", "bucket"))
-      .select(col("bid"), col("cid")).distinct()
-    val bsh = batch.select(col("doc_id").as("bid"), shinglesPadded(col("text")).as("sh_b"))
-    // pruneVerify — the BOUNDED-INGEST posture (streaming classifyIngest,
-    // the window harness): semi-prune the index's FAT payload (per-doc
-    // shingle sets) by the candidate cid set before the verify join.
-    // Measured at the 1000× tier (5M-doc index, 1000-doc trigger): the
-    // direct spelling sort-merged the whole shingle relation per batch
-    // (3.9 GB exchanged, median 44 s/trigger REGARDLESS of batch size);
-    // pruned, AQE broadcasts the KB-scale cid set and the fat relation
-    // reduces to a cached scan + survivor-only join — median 14.3 s.
-    // Default OFF because a CORPUS-SIZED batch (the declared queries'
-    // fixture contract) is the opposite regime: its cid set ≈ the whole
-    // corpus, the semi-join prunes nothing and costs an extra pass —
-    // measured 0.66 → 1.25 s isolated at sf0.1. The two spellings are
-    // result-identical; StreamingSpec pins stream(pruned) == batch
-    // (direct) equality across them.
-    val verifySide =
-      if (pruneVerify) {
-        val candCids = cand.groupBy(col("cid")).agg(count(lit(1))).select(col("cid"))
-        cSh.join(candCids, "cid")
-      } else cSh
-    val near = cand.join(bsh, "bid").join(verifySide, "cid")
-      .filter(round(size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType) /
-        size(array_union(col("sh_b"), col("sh_c"))), 6) >= 0.3)
-      .groupBy(col("bid").as("doc_id")).agg(min(col("cid")).as("nd_match"))
+    val near = nearMatches(batch, cBands, cSh, pruneVerify)
     batch.select(col("doc_id"))
       .join(ex, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
@@ -1127,5 +1140,24 @@ object DedupOps {
     classifyBatch(syntheticBatch(s), ex, bands, csh)
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d8b, d9, d10, d11)
+  /** The POINT-LOOKUP ingest path through the oracle gate (r17): the
+    * same contract and oracle SQL as dd_incremental, classified by
+    * [[LookupIndex.classifyBatchIndexed]] — per-partition hash slabs
+    * probed by the batch, nothing corpus-sized scanned or shuffled.
+    * Identical verdicts by construction (same capped candidates, same
+    * digest/bucket bits, same ROUND(j,6) ≥ 0.3 verify; the shingle
+    * verify runs on 64-bit hashes — see LookupIndex's exactness
+    * contract) — and the gate proves it on real data every round, the
+    * dd_incremental_indexed discipline. This is the posture a
+    * low-latency ingest deployment runs; the scan-based faces remain
+    * the arbitrary-refresh / no-prebuilt-state fallbacks.
+    */
+  val d12 = Q(
+    "dd_incremental_lookup",
+    d10.oracle.get
+  ) { s =>
+    LookupIndex.classifyBatchIndexed(syntheticBatch(s), LookupIndex.forDataset(s))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d4, d5, d6, d7, d8, d8b, d9, d10, d11, d12)
 }

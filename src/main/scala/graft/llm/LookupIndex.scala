@@ -1,0 +1,449 @@
+package graft.llm
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed POINT-LOOKUP index for the ingest-dedup classifier — the
+  * below-scan-floor posture for the near arm (SCALE.md §r16 named it as
+  * the next structural step; VERDICT r16 item 3).
+  *
+  * Why it exists: the stream-static faces of `dd_incremental`
+  * (DocStream.classifyIngest / DedupOps.classifyBatch) re-execute the
+  * corpus index relations every trigger — even fully cached and
+  * semi-pruned, a bounded 1000-doc trigger pays one pass over the 5M-row
+  * cached relations (~9.7 s at the 1000× tier). A bounded ingest batch
+  * is a point-lookup workload: ~1k digest probes, ~4k bucket probes,
+  * ~KB-scale candidate verifies. Candidate keys are uniformly
+  * distributed (md5 buckets), so NO scan-side pruning can help — file
+  * or row-group skipping, cached-batch min/max stats, and broadcast
+  * semi-joins all degrade to a full pass when the probe keys cover the
+  * key space (measured: the r16 semi-prune cut 44 s → 14.3 s and hit
+  * exactly that floor). Sub-scan cost needs a HASH index.
+  *
+  * Shape: one open-addressed hash slab PER PARTITION, held in a
+  * persisted `RDD[HashSlab]` (the classic IndexedRDD layout). A probe
+  * batch repartitions BY THE SAME partitioner (shuffling only the tiny
+  * batch side) and `zipPartitions` does per-partition hash lookups —
+  * per-trigger cost is two KB-scale shuffles plus O(candidates) probe
+  * work, independent of corpus size. `mapPartitions` is justified here
+  * (SURVEY §7.1 preference order, last resort): Catalyst has no
+  * point-lookup operator — every declarative spelling is a join, and
+  * every join against a corpus-sized relation is a scan or a shuffle of
+  * that relation.
+  *
+  * 100 TB posture: slabs are per-partition and size with the corpus /
+  * executor count (a 1000-executor cluster holds ~100 MB/slab for a
+  * 100 TB corpus' digests+bands+shingle hashes — the text itself never
+  * enters the index); probes shuffle only the ingest batch. Refresh =
+  * rebuild the RDD and swap the memo entry (no query restart — the
+  * opposite trade from the state-store exact arm, whose refresh is a
+  * restart but whose state survives a driver bounce via the checkpoint).
+  *
+  * Exactness contract (the one approximation, stated): digest keys and
+  * (band, bucket) keys are the FULL 128-bit md5 values (zero-collision
+  * by construction — same bits the batch classifier equi-joins on). Only
+  * the near-arm VERIFY runs on 64-bit xxhash64 images of the 3-token
+  * shingles instead of the strings: |A∩B| / |A∪B| over hash sets equals
+  * the string-set jaccard unless two DISTINCT shingles in the same
+  * compared pair collide — P ≈ s²/2⁶⁵ per pair (s ≈ 50 shingles/doc),
+  * ~1e-13 per verify, ~1e-5 per 10⁸-pair corpus run. The differential
+  * spec pins equality with the string-set classifier on every fixture
+  * and adversarial corpus; the fixture-contract declared query
+  * (`dd_incremental_lookup`) proves it against the DuckDB oracle every
+  * round.
+  */
+object LookupIndex {
+
+  /** Open-addressed 128-bit-key → long-slice hash slab. Keys live in two
+    * parallel long arrays; values are (offset, length) slices into one
+    * packed `pool` array — no per-entry objects, so a 5M-doc partition's
+    * slab is ~tens of MB of primitive arrays (the flat-slab idiom
+    * `Hnsw.scala` already uses). Linear probing, capacity = next power
+    * of two ≥ 2n. Immutable after build.
+    */
+  final class HashSlab(n: Int) extends Serializable {
+    private val capBits = {
+      var b = 1
+      while ((1 << b) < math.max(2, n * 2)) b += 1
+      b
+    }
+    private val cap = 1 << capBits
+    private val mask = cap - 1
+    private val keysHi = new Array[Long](cap)
+    private val keysLo = new Array[Long](cap)
+    // off == -1 marks an empty slot ((0,0) is a legal key: cid 0)
+    private val offs = Array.fill(cap)(-1)
+    private val lens = new Array[Int](cap)
+    private var pool = new Array[Long](math.max(16, n * 2))
+    private var poolLen = 0
+    private var entries = 0
+
+    private def slot(hi: Long, lo: Long): Int = {
+      // splitmix64-style finalizer over the xor-fold — md5 bits are
+      // already uniform, this just decorrelates from the partitioner
+      var x = hi ^ (lo * 0x9E3779B97F4A7C15L)
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      (x ^ (x >>> 31)).toInt & mask
+    }
+
+    /** Insert; duplicate keys are a build error (callers pre-aggregate). */
+    def put(hi: Long, lo: Long, vs: Array[Long]): Unit = {
+      require(entries < cap, "HashSlab over capacity")
+      var i = slot(hi, lo)
+      while (offs(i) != -1) {
+        require(!(keysHi(i) == hi && keysLo(i) == lo),
+          s"HashSlab duplicate key ($hi,$lo)")
+        i = (i + 1) & mask
+      }
+      if (poolLen + vs.length > pool.length)
+        pool = java.util.Arrays.copyOf(pool,
+          math.max(pool.length * 2, poolLen + vs.length))
+      System.arraycopy(vs, 0, pool, poolLen, vs.length)
+      keysHi(i) = hi; keysLo(i) = lo
+      offs(i) = poolLen; lens(i) = vs.length
+      poolLen += vs.length
+      entries += 1
+    }
+
+    /** The value slice for a key, or null. `f(pool, off, len)` avoids an
+      * allocation on the miss path; `get` copies for convenience.
+      */
+    def get(hi: Long, lo: Long): Array[Long] = {
+      var i = slot(hi, lo)
+      while (offs(i) != -1) {
+        if (keysHi(i) == hi && keysLo(i) == lo)
+          return java.util.Arrays.copyOfRange(
+            pool, offs(i), offs(i) + lens(i))
+        i = (i + 1) & mask
+      }
+      null
+    }
+
+    def size: Int = entries
+    /** Shrink the pool to fit (called once, after the last put). */
+    def seal(): HashSlab = {
+      if (pool.length > poolLen) pool = java.util.Arrays.copyOf(pool, poolLen)
+      this
+    }
+  }
+
+  /** The three slab RDDs an ingest batch probes, plus their shared
+    * partitioner (probes must route with the SAME partitioner).
+    */
+  final case class Index(
+      digests: RDD[HashSlab], // md5(text)128 → [min owning cid]
+      bands: RDD[HashSlab], // (bucket-md5)128 ⊕ band → capped member cids
+      shingles: RDD[HashSlab], // (0, cid) → sorted distinct xxhash64(shingle)
+      parts: Int) {
+    def partitioner = new HashPartitioner(parts)
+  }
+
+  /** Partition-routing key for a 128-bit slab key: must match on the
+    * build and probe sides. Boxed-Long hashCode (hi^lo folded) feeds the
+    * HashPartitioner.
+    */
+  private def routeKey(hi: Long, lo: Long): Long = hi ^ lo
+
+  /** 128-bit md5 hex → (hi, lo). The hex strings come from Spark's own
+    * `md5()` (lowercase, 32 chars).
+    */
+  private[graft] def hexToPair(h: String): (Long, Long) =
+    (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+      java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16))
+
+  /** Hashed shingle set: sorted distinct xxhash64 images of the 3-token
+    * shingles — the one 64-bit surface (see the exactness contract
+    * above). Sorted so the jaccard merge is O(|A|+|B|) with no scratch.
+    */
+  private[llm] def hashedShingles(text: org.apache.spark.sql.Column) =
+    array_sort(array_distinct(transform(
+      graft.engine.GraftColumns.shingles3(text), s => xxhash64(s))))
+
+  /** Jaccard over two sorted distinct long arrays, rounded like the
+    * classifier: ROUND(|∩| / |∪|, 6) with HALF_UP — the same BigDecimal
+    * semantics as Catalyst's `round`, so thresholds agree bit-for-bit
+    * with the string-set spelling.
+    */
+  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0
+    else new java.math.BigDecimal(inter.toDouble / union)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Build one slab per partition from pre-aggregated (hi, lo, values)
+    * entries, routed by the shared partitioner.
+    */
+  private def slabRdd(entries: RDD[(Long, Long, Array[Long])], parts: Int)
+      : RDD[HashSlab] =
+    entries
+      .map { case (hi, lo, vs) => (routeKey(hi, lo), (hi, lo, vs)) }
+      .partitionBy(new HashPartitioner(parts))
+      .mapPartitions({ it =>
+        val buf = it.map(_._2).toArray
+        val slab = new HashSlab(buf.length)
+        buf.foreach { case (hi, lo, vs) => slab.put(hi, lo, vs) }
+        Iterator.single(slab.seal())
+      }, preservesPartitioning = false)
+
+  /** Build the index from the SAME corpus-side relations the batch
+    * classifier joins ([[DedupOps.corpusSideRelations]]) — capped band
+    * membership and digest orientation are identical by construction.
+    * Eagerly materialized (offline build step, like the ANN indexes).
+    */
+  private[llm] def build(cEx: DataFrame, cBands: DataFrame, cSh: DataFrame,
+      parts: Int): Index = {
+    val digestEntries = cEx
+      .groupBy(col("h")).agg(min(col("cid")).as("cid"))
+      .select(col("h"), col("cid"))
+      .rdd.map { r =>
+        val (hi, lo) = hexToPair(r.getString(0))
+        (hi, lo, Array(r.getLong(1)))
+      }
+    // capped members per bucket, min cid first (orientation-stable)
+    val bandEntries = cBands
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("cid"))).as("cids"))
+      .rdd.map { r =>
+        val (hi, lo) = hexToPair(r.getString(1))
+        // fold the band into the high word: buckets are md5 images, so
+        // the keyed pair stays 128-bit-exact per (band, bucket)
+        (hi ^ r.getInt(0).toLong, lo,
+          r.getSeq[Long](2).toArray)
+      }
+    val shingleEntries = cSh
+      .select(col("cid"), hashedShingles(col("text")).as("shh"))
+      .rdd.map { r => (0L, r.getLong(0), r.getSeq[Long](1).toArray) }
+    val idx = Index(
+      slabRdd(digestEntries, parts).persist(StorageLevel.MEMORY_AND_DISK),
+      slabRdd(bandEntries, parts).persist(StorageLevel.MEMORY_AND_DISK),
+      slabRdd(shingleEntries, parts).persist(StorageLevel.MEMORY_AND_DISK),
+      parts)
+    idx.digests.count(); idx.bands.count(); idx.shingles.count()
+    idx
+  }
+
+  /** Memoized per dataset root (the incrementalIndex discipline):
+    * rebuild-and-swap is the refresh path, `release` drops a root.
+    */
+  private val byDataset =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  private[graft] def forDataset(s: SparkSession, parts: Int = 32): Index =
+    byDataset.computeIfAbsent(
+      graft.engine.Tables.dirOf(s).getOrElse("?") + s"/$parts", { _ =>
+        val corpus = s.table("documents").select(col("doc_id"), col("text"))
+        // cSh here is the RAW corpus (cid, text) — hashedShingles runs
+        // inside build, so the fat string shingle sets never materialize
+        val (ex, bands, _) =
+          DedupOps.corpusSideRelations(corpus, DedupOps.HOT_BUCKET_CAP)
+        build(ex, bands,
+          corpus.select(col("doc_id").as("cid"), col("text")), parts)
+      })
+
+  private[graft] def warm(s: SparkSession): Unit = { forDataset(s); () }
+
+  /** Un-memoized build from an arbitrary (doc_id, text) corpus — the
+    * spec path (adversarial hand-built corpora, custom caps).
+    */
+  private[graft] def forCorpus(corpus: DataFrame, cap: Int = DedupOps.HOT_BUCKET_CAP,
+      parts: Int = 4): Index = {
+    val (ex, bands, _) = DedupOps.corpusSideRelations(corpus, cap)
+    build(ex, bands, corpus.select(col("doc_id").as("cid"), col("text")), parts)
+  }
+
+  /** Drop (and unpersist) the memoized index for a dataset root —
+    * the refresh/reclaim path.
+    */
+  private[graft] def release(s: SparkSession): Unit = {
+    val root = graft.engine.Tables.dirOf(s).getOrElse("?") + "/"
+    val it = byDataset.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(root)) {
+        it.remove()
+        e.getValue.digests.unpersist(false)
+        e.getValue.bands.unpersist(false)
+        e.getValue.shingles.unpersist(false)
+      }
+    }
+  }
+
+  /** Classify an ingest batch (doc_id, text) against the point-lookup
+    * index — result-identical to [[DedupOps.classifyBatch]] (same
+    * verdict precedence, same min-cid orientation, same capped
+    * candidates, same ROUND(j,6) ≥ 0.3 verify; see the exactness
+    * contract). Per-batch cost: one pass over the BATCH to derive
+    * digests/bands/hashed shingles, two batch-sized probe shuffles, and
+    * O(candidates) slab lookups — nothing corpus-sized moves or scans.
+    */
+  private[graft] def classifyBatchIndexed(batch: DataFrame, idx: Index)
+      : DataFrame = {
+    val s = batch.sparkSession
+    import graft.engine.expressions.OptimizerBarrier
+    val part = idx.partitioner
+    // one batch-side projection: digest, band keys, hashed shingles (the
+    // minhash kernel barriered exactly like the declarative spelling).
+    // NOT persisted: the returned plan is lazy, so a scoped persist would
+    // be released before the sink executes it — and the exact/candidate
+    // arms recomputing this batch-sized projection twice is cheaper than
+    // a cache entry per trigger on a serving session
+    val prep = batch.select(
+      col("doc_id"),
+      md5(col("text").cast(BinaryType)).as("h"),
+      DedupOps.bandStructs(
+        OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
+        .as("bands"),
+      hashedShingles(col("text")).as("shh"))
+      .rdd.map { r =>
+        val bands = r.getSeq[Row](2)
+          .map(b => (b.getInt(0), b.getString(1))).toArray
+        (r.getLong(0), r.getString(1), bands, r.getSeq[Long](3).toArray)
+      }
+    locally {
+      // exact arm: 128-bit digest point lookups
+      val exHits: RDD[(Long, Long)] = prep
+        .map { case (id, h, _, _) =>
+          val (hi, lo) = hexToPair(h); (routeKey(hi, lo), (hi, lo, id)) }
+        .partitionBy(part)
+        .zipPartitions(idx.digests) { (pit, sit) =>
+          if (!sit.hasNext) Iterator.empty
+          else {
+            val slab = sit.next()
+            pit.flatMap { case (_, (hi, lo, id)) =>
+              val v = slab.get(hi, lo)
+              if (v == null) Iterator.empty else Iterator.single((id, v(0)))
+            }
+          }
+        }
+      // candidate arm: (band ⊕ bucket) point lookups → capped member
+      // cids; the doc's hashed shingles ride along (batch-side payload)
+      val cands: RDD[(Long, (Long, Array[Long]))] = prep
+        .flatMap { case (id, _, bands, shh) =>
+          bands.iterator.map { case (band, bucket) =>
+            val (hi0, lo) = hexToPair(bucket)
+            val hi = hi0 ^ band.toLong
+            (routeKey(hi, lo), (hi, lo, id, shh))
+          }
+        }
+        .partitionBy(part)
+        .zipPartitions(idx.bands) { (pit, sit) =>
+          if (!sit.hasNext) Iterator.empty
+          else {
+            val slab = sit.next()
+            pit.flatMap { case (_, (hi, lo, id, shh)) =>
+              val cids = slab.get(hi, lo)
+              if (cids == null) Iterator.empty
+              else cids.iterator.map(cid => (cid, (id, shh)))
+            }
+          }
+        }
+      // verify arm: shingle-set point lookups per DISTINCT (cid, doc)
+      // pair (two bands hitting the same pair would double the verify
+      // work; reduceByKey on the pair key dedups on the tiny side)
+      val nearHits: RDD[(Long, Long)] = cands
+        .map { case (cid, (id, shh)) => ((cid, id), shh) }
+        .reduceByKey(part, (a, _) => a)
+        .map { case ((cid, id), shh) => (routeKey(0L, cid), (cid, id, shh)) }
+        .partitionBy(part)
+        .zipPartitions(idx.shingles) { (pit, sit) =>
+          if (!sit.hasNext) Iterator.empty
+          else {
+            val slab = sit.next()
+            pit.flatMap { case (_, (cid, id, shh)) =>
+              val cshh = slab.get(0L, cid)
+              if (cshh != null && jaccardSorted(shh, cshh) >= 0.3)
+                Iterator.single((id, cid))
+              else Iterator.empty
+            }
+          }
+        }
+      // verdict assembly — back in DataFrame land, same tail as
+      // classifyBatch: exact > near > new, min matching cid
+      import s.implicits._
+      val ex = exHits.toDF("doc_id", "cid")
+        .groupBy("doc_id").agg(min(col("cid")).as("ex_match"))
+      val near = nearHits.toDF("doc_id", "cid")
+        .groupBy("doc_id").agg(min(col("cid")).as("nd_match"))
+      batch.select(col("doc_id"))
+        .join(ex, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_match").isNotNull, "exact_dup")
+            .when(col("nd_match").isNotNull, "near_dup")
+            .otherwise("new").as("verdict"),
+          when(col("ex_match").isNotNull, col("ex_match"))
+            .otherwise(col("nd_match")).as("match_id"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }
+  }
+
+  /** Near-arm-only face for the staged ingest composition: (doc_id,
+    * nd_match) for batch docs with a verified near match — the survivors
+    * of the exact gate probe only bands + shingles here.
+    */
+  private[graft] def nearMatchesIndexed(batch: DataFrame, idx: Index)
+      : DataFrame = {
+    val s = batch.sparkSession
+    import graft.engine.expressions.OptimizerBarrier
+    val part = idx.partitioner
+    val cands = batch.select(
+      col("doc_id"),
+      DedupOps.bandStructs(
+        OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
+        .as("bands"),
+      hashedShingles(col("text")).as("shh"))
+      .rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val shh = r.getSeq[Long](2).toArray
+        r.getSeq[Row](1).iterator.map { b =>
+          val (hi0, lo) = hexToPair(b.getString(1))
+          val hi = hi0 ^ b.getInt(0).toLong
+          (routeKey(hi, lo), (hi, lo, id, shh))
+        }
+      }
+      .partitionBy(part)
+      .zipPartitions(idx.bands) { (pit, sit) =>
+        if (!sit.hasNext) Iterator.empty
+        else {
+          val slab = sit.next()
+          pit.flatMap { case (_, (hi, lo, id, shh)) =>
+            val cids = slab.get(hi, lo)
+            if (cids == null) Iterator.empty
+            else cids.iterator.map(cid => (cid, (id, shh)))
+          }
+        }
+      }
+    val nearHits = cands
+      .map { case (cid, (id, shh)) => ((cid, id), shh) }
+      .reduceByKey(part, (a, _) => a)
+      .map { case ((cid, id), shh) => (routeKey(0L, cid), (cid, id, shh)) }
+      .partitionBy(part)
+      .zipPartitions(idx.shingles) { (pit, sit) =>
+        if (!sit.hasNext) Iterator.empty
+        else {
+          val slab = sit.next()
+          pit.flatMap { case (_, (cid, id, shh)) =>
+            val cshh = slab.get(0L, cid)
+            if (cshh != null && jaccardSorted(shh, cshh) >= 0.3)
+              Iterator.single((id, cid))
+            else Iterator.empty
+          }
+        }
+      }
+    import s.implicits._
+    nearHits.toDF("doc_id", "cid")
+      .groupBy("doc_id").agg(min(col("cid")).as("nd_match"))
+  }
+}

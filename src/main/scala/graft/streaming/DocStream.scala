@@ -176,6 +176,103 @@ object DocStream {
     * Verdicts equal classifyBatch's exact arm (spec-pinned):
     * `exact_dup` with the MINIMUM matching corpus id, else `new`.
     */
+  // public: Catalyst's generated (de)serializer code instantiates it
+  final case class GateRow(docId: Long, text: String, exMatch: Option[Long])
+
+  /** STAGED ingest classification — the production composition the r16
+    * scaladocs named, now code (VERDICT r16 item 2): a state-store
+    * EXACT gate first (the [[classifyIngestExact]] operator, extended
+    * to carry text through), then only its SURVIVORS — docs with no
+    * verbatim corpus twin — reach the near classifier. Most ingest
+    * duplicates are verbatim, so the expensive face sees the
+    * non-verbatim fraction of the stream, and a trigger whose docs are
+    * all verbatim skips near-arm work entirely (`near` is applied to an
+    * empty frame; its plan executes against zero probe rows).
+    *
+    * `near` is the pluggable survivor classifier, (doc_id, text) →
+    * (doc_id, nd_match):
+    *  - stream-static (arbitrary index refresh, per-trigger scan
+    *    floor): `b => DedupOps.nearMatches(b, cBands, cSh, pruneVerify
+    *    = true)`
+    *  - point-lookup (below the scan floor, refresh = index swap):
+    *    `b => LookupIndex.nearMatchesIndexed(b, idx)`
+    * Verdicts equal [[graft.llm.DedupOps.classifyBatch]] on the union
+    * (spec-pinned for both faces): exact > near > new, min matching
+    * cid, one row per ingest doc.
+    *
+    * Scale layout: the gate shuffles the batch (id, text, digest) by
+    * digest once — batch-side only, the corpus never moves after the
+    * trigger-1 state load; survivors re-shuffle by their probe keys in
+    * the near face. State refresh remains the exact arm's stated trade
+    * (restart or rebase); the near index refreshes independently.
+    */
+  def classifyIngestStaged(
+      docs: DataFrame,
+      corpusDigests: DataFrame, // (cid, h) — the cEx index relation
+      near: DataFrame => DataFrame, // survivors (doc_id, text) → (doc_id, nd_match)
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val initial = corpusDigests
+      .groupBy(col("h")).agg(min(col("cid")).as("cid"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+    docs
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("h"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (_: String, rows: Iterator[(Long, String, String)], state: GroupState[Long]) =>
+          val m = if (state.exists) Some(state.get) else None
+          rows.map { case (id, text, _) => GateRow(id, text, m) }
+      }
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (gate: Dataset[GateRow], id: Long) =>
+        val g = gate.toDF()
+        val exacts = g.filter(col("exMatch").isNotNull)
+          .select(col("docId").as("doc_id"),
+            lit("exact_dup").as("verdict"), col("exMatch").as("match_id"))
+        val survivors = g.filter(col("exMatch").isNull)
+          .select(col("docId").as("doc_id"), col("text"))
+        val nearV = survivors.select(col("doc_id"))
+          .join(near(survivors), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("nd_match").isNotNull, "near_dup")
+              .otherwise("new").as("verdict"),
+            col("nd_match").as("match_id"))
+        sink(exacts.unionByName(nearV)
+          .orderBy(col("doc_id").asc_nulls_last), id)
+      }
+      .start()
+  }
+
+  /** Fully point-lookup ingest classification (VERDICT r16 item 3, the
+    * below-scan-floor posture): every micro-batch classified by
+    * [[graft.llm.LookupIndex.classifyBatchIndexed]] — digest, bucket,
+    * and shingle lookups against per-partition hash slabs; per-trigger
+    * cost is batch-sized probe shuffles plus O(candidates) work, with
+    * NO pass over any corpus-sized relation (the stream-static faces'
+    * ~9.7 s/trigger floor at the 1000× tier). No streaming state
+    * either: index refresh = rebuild the slab RDDs and swap
+    * (LookupIndex.release + forDataset), no query restart — the
+    * opposite trade from the state-store exact arm.
+    */
+  def classifyIngestIndexed(
+      docs: DataFrame,
+      idx: graft.llm.LookupIndex.Index,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.llm.LookupIndex.classifyBatchIndexed(batch.toDF(), idx), id)
+      }
+      .start()
+
   def classifyIngestExact(
       docs: DataFrame,
       corpusDigests: DataFrame, // (cid, h) — the cEx index relation

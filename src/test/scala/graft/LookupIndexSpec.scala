@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{DedupOps, LookupIndex}
+import graft.streaming.DocStream
+
+/** The point-lookup ingest classifier (LookupIndex) and the staged /
+  * indexed streaming faces built on it (r17): differential against the
+  * string-set batch classifier on fixture and adversarial corpora —
+  * same verdicts, same min-cid orientation, same capped candidates,
+  * same ROUND(j,6) ≥ 0.3 threshold — plus unit pins for the hash slab
+  * and the rounding-exact jaccard.
+  */
+class LookupIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def verdictsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq.sortBy(_._1)
+
+  test("HashSlab: put/get round-trip, zero keys, misses, capacity growth") {
+    val slab = new LookupIndex.HashSlab(3)
+    slab.put(0L, 0L, Array(7L)) // (0,0) is a legal key (cid 0)
+    slab.put(-1L, Long.MinValue, Array(1L, 2L, 3L))
+    slab.put(42L, 42L, Array.empty[Long])
+    slab.seal()
+    assert(slab.get(0L, 0L).toSeq == Seq(7L))
+    assert(slab.get(-1L, Long.MinValue).toSeq == Seq(1L, 2L, 3L))
+    assert(slab.get(42L, 42L).toSeq == Seq.empty)
+    assert(slab.get(42L, 43L) == null)
+    assert(slab.size == 3)
+    // duplicate keys are a build error, not a silent overwrite
+    intercept[IllegalArgumentException] { slab.put(0L, 0L, Array(9L)) }
+    // pool growth past the initial sizing (n*2 longs for n=2 entries)
+    val big = new LookupIndex.HashSlab(2)
+    big.put(1L, 1L, Array.tabulate(64)(_.toLong))
+    big.put(2L, 2L, Array.tabulate(64)(i => -i.toLong))
+    assert(big.get(1L, 1L).length == 64 && big.get(2L, 2L)(63) == -63L)
+  }
+
+  test("jaccardSorted matches Spark's ROUND(x,6) >= 0.3 at the boundary") {
+    // 3/10 = 0.3 exactly; 2.9999../10-ish values must round like
+    // Catalyst's HALF_UP round — differential against the engine itself
+    def sparkRound(inter: Int, union: Int): Double =
+      spark.sql(s"SELECT round(CAST($inter AS DOUBLE)/$union, 6)").first().getDouble(0)
+    for ((i, u) <- Seq((3, 10), (1, 3), (2, 7), (29999, 100000), (3, 1000000))) {
+      val a = Array.tabulate(u)(_.toLong)
+      val b = Array.tabulate(i)(_.toLong) ++
+        Array.tabulate(u - i)(j => 1000000L + j)
+      // |a∩b| = i, |a∪b| = 2u - i... construct exactly: a = 0..u-1,
+      // b = 0..i-1 plus (u-i) disjoint → inter=i, union=2u-2i+i=2u-i
+      val got = LookupIndex.jaccardSorted(a.sorted, b.sorted)
+      val want = sparkRound(i, 2 * u - i)
+      assert(got == want, s"($i,$u): got $got want $want")
+    }
+  }
+
+  test("hexToPair: md5 hex round-trips through the 128-bit key") {
+    val h = "00ff00ff00ff00ff8000000000000001"
+    val (hi, lo) = LookupIndex.hexToPair(h)
+    assert(f"$hi%016x$lo%016x" == h)
+    // high-bit md5s (unsigned parse) must not throw
+    val (h2, l2) = LookupIndex.hexToPair("ffffffffffffffffffffffffffffffff")
+    assert(h2 == -1L && l2 == -1L)
+  }
+
+  test("classifyBatchIndexed == classifyBatch on the fixture synthetic batch") {
+    import spark.implicits._
+    // the d10/d11/d12 contract on REAL data: corpus = sf0.001 documents,
+    // batch = verbatim / 80%-prefix / reversed thirds (same construction
+    // as the declared query, built here from the raw tables so the spec
+    // doesn't depend on CacheOnce state)
+    graft.engine.Tables.register(spark, sf)
+    val corpus = spark.table("documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val cut = greatest(lit(3),
+      floor(size(toks) * 4 / 5).cast(org.apache.spark.sql.types.IntegerType))
+    val batch = spark.table("documents").select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1, array_join(slice(toks, lit(1), cut), " "))
+        .otherwise(array_join(reverse(toks), " ")).as("text"))
+    val (ex, bands, csh) = DedupOps.corpusSideRelations(corpus, DedupOps.HOT_BUCKET_CAP)
+    val want = verdictsOf(DedupOps.classifyBatch(batch, ex, bands, csh))
+    val idx = LookupIndex.forCorpus(corpus)
+    val got = verdictsOf(LookupIndex.classifyBatchIndexed(batch, idx))
+    assert(got == want)
+    assert(want.exists(_._2 == "exact_dup") && want.exists(_._2 == "near_dup"),
+      "fixture batch must exercise both dup arms")
+  }
+
+  test("classifyBatchIndexed: hot-bucket cap and min-cid orientation match") {
+    import spark.implicits._
+    // 6 identical corpus docs share every bucket; cap=3 keeps cids
+    // 0,1,2 per bucket on BOTH paths — a batch copy must match cid 0
+    // (min of the capped members), and the shared digest must also
+    // resolve to 0 on the exact arm
+    val text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val corpus = (0L to 5L).map(i => (i, text)).toDF("doc_id", "text")
+    val (ex, bands, csh) = DedupOps.corpusSideRelations(corpus, cap = 3)
+    val batch = Seq(
+      100L -> text, // exact (and near) → exact_dup, match 0
+      // 8-of-10-token prefix: shares LSH bands with the original at
+      // jaccard ≥ 0.3 (the classifyIngest spec's proven construction)
+      101L -> text.split(" ").take(8).mkString(" "), // near → min capped cid 0
+      102L -> "nothing shared here at all whatsoever").toDF("doc_id", "text")
+    val want = verdictsOf(DedupOps.classifyBatch(batch, ex, bands, csh))
+    val idx = LookupIndex.forCorpus(corpus, cap = 3)
+    val got = verdictsOf(LookupIndex.classifyBatchIndexed(batch, idx))
+    assert(got == want)
+    assert(got == Seq((100L, "exact_dup", Some(0L)),
+      (101L, "near_dup", Some(0L)), (102L, "new", None)))
+  }
+
+  test("classifyIngestStaged (stream-static near): equals batch, near face sees only survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      1L -> "kilo lima mike november oscar papa quebec romeo sierra tango",
+      2L -> "uniform victor whiskey xray yankee zulu one two three four")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val (ex, bands, csh) = DedupOps.corpusSideRelations(corpus, cap = 100)
+    val ingest = Seq(
+      100L -> corpusDocs(0)._2,                                  // exact
+      101L -> corpusDocs(1)._2.split(" ").take(8).mkString(" "), // near
+      102L -> "five six seven eight nine ten eleven twelve",     // new
+      103L -> corpusDocs(2)._2)                                  // exact
+    // instrument the near face: it must never see the exact-gated docs
+    val nearSaw = scala.collection.mutable.ArrayBuffer[Long]()
+    val near = (survivors: org.apache.spark.sql.DataFrame) => {
+      nearSaw.synchronized {
+        nearSaw ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      }
+      DedupOps.nearMatches(survivors, bands, csh, pruneVerify = true)
+    }
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.classifyIngestStaged(
+      mem.toDF.toDF("doc_id", "text"), ex, near,
+      (verdicts, _) => got.synchronized {
+        got ++= verdictsOf(verdicts)
+      })
+    try {
+      mem.addData(ingest.take(2)) // split across triggers: verdicts and
+      q.processAllAvailable()     // survivor routing must not depend on it
+      mem.addData(ingest.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = verdictsOf(DedupOps.classifyBatch(
+      ingest.toDF("doc_id", "text"), ex, bands, csh))
+    assert(got.sortBy(_._1).toSeq == want)
+    assert(want.map(v => v._1 -> v._2).toMap ==
+      Map(100L -> "exact_dup", 101L -> "near_dup", 102L -> "new", 103L -> "exact_dup"))
+    // the staged contract: exact-gated docs never reach the near face
+    assert(nearSaw.sorted.toSeq == Seq(101L, 102L))
+  }
+
+  test("classifyIngestStaged (indexed near) and classifyIngestIndexed equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      1L -> "kilo lima mike november oscar papa quebec romeo sierra tango",
+      2L -> "uniform victor whiskey xray yankee zulu one two three four")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val (ex, bands, csh) = DedupOps.corpusSideRelations(corpus, cap = 100)
+    val idx = LookupIndex.forCorpus(corpus)
+    val ingest = Seq(
+      100L -> corpusDocs(0)._2,
+      101L -> corpusDocs(1)._2.split(" ").take(8).mkString(" "),
+      102L -> "five six seven eight nine ten eleven twelve")
+    val want = verdictsOf(DedupOps.classifyBatch(
+      ingest.toDF("doc_id", "text"), ex, bands, csh))
+
+    val gotStaged = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = DocStream.classifyIngestStaged(
+      mem1.toDF.toDF("doc_id", "text"), ex,
+      b => LookupIndex.nearMatchesIndexed(b, idx),
+      (v, _) => gotStaged.synchronized { gotStaged ++= verdictsOf(v) })
+    try {
+      mem1.addData(ingest.take(1)); q1.processAllAvailable()
+      mem1.addData(ingest.drop(1)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(gotStaged.sortBy(_._1).toSeq == want)
+
+    val gotIndexed = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = DocStream.classifyIngestIndexed(
+      mem2.toDF.toDF("doc_id", "text"), idx,
+      (v, _) => gotIndexed.synchronized { gotIndexed ++= verdictsOf(v) })
+    try {
+      mem2.addData(ingest.take(2)); q2.processAllAvailable()
+      mem2.addData(ingest.drop(2)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(gotIndexed.sortBy(_._1).toSeq == want)
+  }
+}
