@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{avg, col, count, lit, sum, when}
 import java.util.concurrent.atomic.{AtomicLong, LongAdder}
 
 /** Empirical scale evidence for the heavy operator families (the
@@ -143,7 +143,10 @@ object ScaleBench {
     "pipe_span_clean",
     // round-16 addition: SemDeDup over the TRAINED IVF lists (map-only
     // assignment vs 16 broadcast-literal centroids; 16-row aggregates)
-    "dd_semantic_ivf")
+    "dd_semantic_ivf",
+    // round-17 addition: the point-lookup ingest classifier (slab
+    // index probes — build measured as its own row)
+    "dd_incremental_lookup")
 
   /** Tier (nlists, nprobe) for the label-kNN IVF path — nlists is the
     * TOTAL budget; labelKnnIvf trains nlists/L centroids PER LABEL
@@ -238,6 +241,19 @@ object ScaleBench {
       out += Row("dd_incremental_index_build", -1, (System.nanoTime() - t3) / 1e9,
         0, 0, 0, 0,
         "offline corpus dedup index (digests + capped band buckets + shingle sets)")
+    }
+    // point-lookup slab index build (offline, the ANN split): its own
+    // row so dd_incremental_lookup / the streaming faces measure the
+    // ONLINE probe path only
+    if (invariants || queries.contains("dd_incremental_lookup")) {
+      val t4 = System.nanoTime()
+      graft.llm.LookupIndex.warm(spark)
+      out += Row("dd_lookup_index_build2", -1, (System.nanoTime() - t4) / 1e9,
+        0, 0, 0, 0,
+        "offline point-lookup slab index (digest/band/shingle-hash slabs)")
+    }
+    if (invariants || queries.contains("dd_incremental_indexed") ||
+        queries.contains("dd_ingest_stream")) {
       // the PRODUCTION ingest shape: a bounded window (1% of the corpus,
       // verbatim copies — they exercise both the exact arm and the
       // near-candidate verify) classified against the prebuilt index.
@@ -352,13 +368,28 @@ object ScaleBench {
             survivors.addAndGet(b.count()) // trigger-sized recompute, harness-only
             graft.llm.LookupIndex.nearMatchesIndexed(b, idx)
           }
+          // MIXED ingest window for the staged/lookup rows (the verbatim
+          // window above gates everything at the exact arm — near saw
+          // 0%): the syntheticBatch mutation per source id mod 3
+          // (verbatim / 80%-token prefix / reversal), so the staged row
+          // demonstrates the survivor fraction (~2/3) the composition
+          // exists for. The dd_ingest_stream/_exact rows above keep the
+          // verbatim window for series continuity with r15/r16.
+          val perMixed = per.map(_.map { case (id, text) =>
+            val toks = text.split(" ")
+            (id, (id % 3) match {
+              case 0 => text
+              case 1 => toks.take(math.max(3, toks.length * 4 / 5)).mkString(" ")
+              case _ => toks.reverse.mkString(" ")
+            })
+          })
           val mem3 = org.apache.spark.sql.execution.streaming.runtime
             .MemoryStream[(Long, String)]
           val stLat = scala.collection.mutable.ArrayBuffer[Double]()
           val qs = graft.streaming.DocStream.classifyIngestStaged(
             mem3.toDF.toDF("doc_id", "text"), iEx, near,
             (vs, _) => vs.write.format("noop").mode("overwrite").save())
-          try per.foreach { w =>
+          try perMixed.foreach { w =>
             val t1 = System.nanoTime()
             mem3.addData(w.toSeq)
             qs.processAllAvailable()
@@ -380,7 +411,7 @@ object ScaleBench {
           val qi = graft.streaming.DocStream.classifyIngestIndexed(
             mem4.toDF.toDF("doc_id", "text"), idx,
             (vs, _) => vs.write.format("noop").mode("overwrite").save())
-          try per.foreach { w =>
+          try perMixed.foreach { w =>
             val t1 = System.nanoTime()
             mem4.addData(w.toSeq)
             qi.processAllAvailable()
@@ -397,7 +428,7 @@ object ScaleBench {
           // (the spec pins row-level equality at fixture scale; this
           // extends the differential to the tier corpus where hash
           // collisions would have room to show up)
-          val windowDf = spark.createDataFrame(windowDocs.toSeq)
+          val windowDf = spark.createDataFrame(perMixed.flatten.toSeq)
             .toDF("doc_id", "text")
           def hist(df: org.apache.spark.sql.DataFrame) =
             df.groupBy("verdict").count().collect()
@@ -414,10 +445,43 @@ object ScaleBench {
       }
     }
 
+    // SemDeDup cluster-granularity quality curve (r17, VERDICT r16
+    // wrong-#3): the production posture scales nlists ≈ √n; this ladder
+    // measures WHAT that buys — mean member→rep cosine (how semantically
+    // tight a cluster is around the vector SemDeDup compares against)
+    // and the dropped fraction at the fixed 0.2 threshold — at the
+    // fixture constant (16), an intermediate point (64), and the
+    // corpus-scaled √n. Build time reported per point (offline, the ANN
+    // split); the timed body is the served assignment + rep-compare.
+    if (queries.contains("dd_semantic_quality")) {
+      val n = spark.table("embeddings").count()
+      val ladder = Seq(graft.llm.DedupOps.SemanticIvfLists, 64,
+        graft.llm.DedupOps.semanticIvfListsFor(n)).distinct.sorted
+      ladder.foreach { nlists =>
+        val tb = System.nanoTime()
+        graft.llm.SimilarityOps.buildIvfIndex(spark, nlists)
+        val buildSec = (System.nanoTime() - tb) / 1e9
+        val r = measure(s"dd_semantic_ivf_q$nlists") {
+          graft.llm.DedupOps.semanticDedupIvfAt(spark, nlists)
+        }
+        val q = graft.llm.DedupOps.semanticDedupIvfAt(spark, nlists)
+          .agg(count(lit(1)).as("members"),
+            avg(col("cos")).as("mean_cos"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("dropped"))
+          .first()
+        val members = q.getLong(0)
+        out.update(out.length - 1, r.copy(note =
+          f"nlists=$nlists (n=$n): build ${buildSec}%.1f s; " +
+            f"mean member->rep cos ${q.getDouble(1)}%.4f, dropped " +
+            f"${q.getLong(2)}/$members members " +
+            f"(${100.0 * q.getLong(2) / math.max(1, n)}%.2f%% of corpus)"))
+      }
+    }
+
     queries.foreach { name =>
       // harness-only names (dd_ingest_stream) were consumed above and
       // have no SparkEntry entry to run here
-      if (name == "dd_ingest_stream") ()
+      if (name == "dd_ingest_stream" || name == "dd_semantic_quality") ()
       else
       // nn_label_knn is the EXACT kNN baseline: total FLOPs are
       // quadratic per cell by definition. Since r10 the enumeration is

@@ -448,9 +448,29 @@ object DedupOps {
     */
   private[graft] val SemanticIvfLists = 16
 
+  /** Corpus-scaled cluster count for the PRODUCTION SemDeDup posture
+    * (r16 VERDICT wrong-#3): SemDeDup's dedup QUALITY depends on
+    * cluster granularity — the paper sizes cluster counts with the
+    * corpus, and a fixed 16 means 125k-vector clusters compared
+    * against ONE representative at the 1000× tier. √n-class sizing
+    * (the ANN ladder discipline: cells stay ~√n so assignment flops
+    * n·√n and rep-compare stays O(n)) with the fixture constant as the
+    * floor — the DECLARED query keeps [[SemanticIvfLists]] for oracle
+    * stability; this knob is the scale path, measured as a quality
+    * curve (mean member→rep cosine, dropped fraction vs nlists) in
+    * SCALE.md's ladder.
+    */
+  private[graft] def semanticIvfListsFor(n: Long): Int =
+    math.max(SemanticIvfLists,
+      math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
   private[graft] def semanticIvfCents(
-      s: SparkSession): (Array[Array[Double]], Array[Double]) = {
-    val cents = SimilarityOps.buildIvfIndex(s, SemanticIvfLists)
+      s: SparkSession): (Array[Array[Double]], Array[Double]) =
+    semanticIvfCentsAt(s, SemanticIvfLists)
+
+  private[graft] def semanticIvfCentsAt(
+      s: SparkSession, nlists: Int): (Array[Array[Double]], Array[Double]) = {
+    val cents = SimilarityOps.buildIvfIndex(s, nlists)
       .sortBy(_._1).map(_._2).toArray
     (cents, graft.engine.expressions.IvfNearest.norms(cents))
   }
@@ -500,8 +520,17 @@ object DedupOps {
   }
 
   val d8b: Q = Q.dynOracle("dd_semantic_ivf")(semanticIvfOracle()) { s =>
+    semanticDedupIvfAt(s, SemanticIvfLists)
+  }
+
+  /** The dd_semantic_ivf body over an arbitrary trained cluster count —
+    * the corpus-scaled production path ([[semanticIvfListsFor]]); the
+    * declared query calls it at the fixture constant.
+    */
+  private[graft] def semanticDedupIvfAt(s: SparkSession, nlists: Int)
+      : DataFrame = {
     import graft.engine.GraftColumns.dot
-    val (cents, cn) = semanticIvfCents(s)
+    val (cents, cn) = semanticIvfCentsAt(s, nlists)
     // map-only assignment: the nn_ivf coarse-quantizer kernel, n=1 —
     // max dot/||c||, ties to the lowest cid (IvfNearest.assign's
     // insertion order == the oracle's ORDER BY d DESC, cid ASC)
