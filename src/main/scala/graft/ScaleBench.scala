@@ -184,7 +184,19 @@ object ScaleBench {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
     graft.engine.Tables.register(spark, dir)
-    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    // every row prints as it lands (stderr): a crash mid-run (the r17
+    // ENOSPC) must not lose the rows already measured
+    val out = new scala.collection.mutable.ArrayBuffer[Row]() {
+      override def addOne(r: Row): this.type = {
+        System.err.println(
+          s"[scale-row] ${r.name}: rows=${r.rows} wall=${f"${r.wallSec}%.2f"} :: ${r.note}")
+        super.addOne(r)
+      }
+    }
+    def updateLast(r: Row): Unit = {
+      out.update(out.length - 1, r)
+      System.err.println(s"[scale-row] ${r.name} (updated): ${r.note}")
+    }
 
     def measure(name: String, note: String = "")(body: => DataFrame): Row = {
       org.apache.spark.sql.GraftPlans.flushListenerBus(spark)
@@ -470,13 +482,14 @@ object ScaleBench {
             sum(when(col("dropped"), 1L).otherwise(0L)).as("dropped"))
           .first()
         val members = q.getLong(0)
-        out.update(out.length - 1, r.copy(note =
+        updateLast(r.copy(note =
           f"nlists=$nlists (n=$n): build ${buildSec}%.1f s; " +
             f"mean member->rep cos ${q.getDouble(1)}%.4f, dropped " +
             f"${q.getLong(2)}/$members members " +
             f"(${100.0 * q.getLong(2) / math.max(1, n)}%.2f%% of corpus)"))
       }
     }
+
 
     queries.foreach { name =>
       // harness-only names (dd_ingest_stream) were consumed above and

@@ -327,48 +327,9 @@ object LookupIndex {
             }
           }
         }
-      // candidate arm: (band ⊕ bucket) point lookups → capped member
-      // cids; the doc's hashed shingles ride along (batch-side payload)
-      val cands: RDD[(Long, (Long, Array[Long]))] = prep
-        .flatMap { case (id, _, bands, shh) =>
-          bands.iterator.map { case (band, bucket) =>
-            val (hi0, lo) = hexToPair(bucket)
-            val hi = hi0 ^ band.toLong
-            (routeKey(hi, lo), (hi, lo, id, shh))
-          }
-        }
-        .partitionBy(part)
-        .zipPartitions(idx.bands) { (pit, sit) =>
-          if (!sit.hasNext) Iterator.empty
-          else {
-            val slab = sit.next()
-            pit.flatMap { case (_, (hi, lo, id, shh)) =>
-              val cids = slab.get(hi, lo)
-              if (cids == null) Iterator.empty
-              else cids.iterator.map(cid => (cid, (id, shh)))
-            }
-          }
-        }
-      // verify arm: shingle-set point lookups per DISTINCT (cid, doc)
-      // pair (two bands hitting the same pair would double the verify
-      // work; reduceByKey on the pair key dedups on the tiny side)
-      val nearHits: RDD[(Long, Long)] = cands
-        .map { case (cid, (id, shh)) => ((cid, id), shh) }
-        .reduceByKey(part, (a, _) => a)
-        .map { case ((cid, id), shh) => (routeKey(0L, cid), (cid, id, shh)) }
-        .partitionBy(part)
-        .zipPartitions(idx.shingles) { (pit, sit) =>
-          if (!sit.hasNext) Iterator.empty
-          else {
-            val slab = sit.next()
-            pit.flatMap { case (_, (cid, id, shh)) =>
-              val cshh = slab.get(0L, cid)
-              if (cshh != null && jaccardSorted(shh, cshh) >= 0.3)
-                Iterator.single((id, cid))
-              else Iterator.empty
-            }
-          }
-        }
+      // candidate + verify arms (shared with nearMatchesIndexed)
+      val nearHits = nearHitsOf(prep.map { case (id, _, bands, shh) =>
+        (id, bands, shh) }, idx)
       // verdict assembly — back in DataFrame land, same tail as
       // classifyBatch: exact > near > new, min matching cid
       import s.implicits._
@@ -393,24 +354,33 @@ object LookupIndex {
     * nd_match) for batch docs with a verified near match — the survivors
     * of the exact gate probe only bands + shingles here.
     */
-  private[graft] def nearMatchesIndexed(batch: DataFrame, idx: Index)
-      : DataFrame = {
-    val s = batch.sparkSession
-    import graft.engine.expressions.OptimizerBarrier
+  /** Candidate probe + shingle verify over (id, bands, shh) rows —
+    * shared by [[classifyBatchIndexed]] and [[nearMatchesIndexed]].
+    * Emits verified (doc_id, cid) near hits.
+    *
+    * Shuffle discipline (the r17 ENOSPC lesson, corpus-sized batches):
+    * the hashed-shingle payload must NOT ride the band probes — ×BANDS
+    * duplication times candidate fan-out sort-merged ~30 GB of scratch
+    * for a 5M-doc batch and hit disk. Spelled so the payload moves at
+    * most twice: bare (bucket, id) probes → bare (cid, id) pairs,
+    * DEDUPED while still payload-free, then ONE id-keyed join attaches
+    * shh (each doc's shingles shuffle once), then one route-by-cid
+    * carries shh once per DISTINCT surviving pair to its verify slab.
+    * A bounded trigger pays one extra tiny shuffle (~0.1 s); a
+    * corpus-sized batch drops from ~30 GB of scratch to
+    * ~(batch + distinct pairs) — measured in SCALE.md §r17.
+    */
+  private def nearHitsOf(
+      rows: RDD[(Long, Array[(Int, String)], Array[Long])], idx: Index)
+      : RDD[(Long, Long)] = {
     val part = idx.partitioner
-    val cands = batch.select(
-      col("doc_id"),
-      DedupOps.bandStructs(
-        OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
-        .as("bands"),
-      hashedShingles(col("text")).as("shh"))
-      .rdd.flatMap { r =>
-        val id = r.getLong(0)
-        val shh = r.getSeq[Long](2).toArray
-        r.getSeq[Row](1).iterator.map { b =>
-          val (hi0, lo) = hexToPair(b.getString(1))
-          val hi = hi0 ^ b.getInt(0).toLong
-          (routeKey(hi, lo), (hi, lo, id, shh))
+    // bare band probes: (bucket-key route, (hi, lo, id)) — no payload
+    val pairs: RDD[(Long, Long)] = rows
+      .flatMap { case (id, bands, _) =>
+        bands.iterator.map { case (band, bucket) =>
+          val (hi0, lo) = hexToPair(bucket)
+          val hi = hi0 ^ band.toLong
+          (routeKey(hi, lo), (hi, lo, id))
         }
       }
       .partitionBy(part)
@@ -418,17 +388,23 @@ object LookupIndex {
         if (!sit.hasNext) Iterator.empty
         else {
           val slab = sit.next()
-          pit.flatMap { case (_, (hi, lo, id, shh)) =>
+          pit.flatMap { case (_, (hi, lo, id)) =>
             val cids = slab.get(hi, lo)
             if (cids == null) Iterator.empty
-            else cids.iterator.map(cid => (cid, (id, shh)))
+            else cids.iterator.map(cid => (cid, id))
           }
         }
       }
-    val nearHits = cands
-      .map { case (cid, (id, shh)) => ((cid, id), shh) }
-      .reduceByKey(part, (a, _) => a)
-      .map { case ((cid, id), shh) => (routeKey(0L, cid), (cid, id, shh)) }
+    // dedup (cid, id) while payload-free (bands hitting the same pair)
+    val distinctPairs = pairs
+      .map(p => (p, null: Null)).reduceByKey(part, (a, _) => a).keys
+    // attach each doc's hashed shingles ONCE (id-keyed join), then
+    // route by cid to the verify slab
+    val shhById = rows.map { case (id, _, shh) => (id, shh) }
+    distinctPairs
+      .map { case (cid, id) => (id, cid) }
+      .join(shhById, part)
+      .map { case (id, (cid, shh)) => (routeKey(0L, cid), (cid, id, shh)) }
       .partitionBy(part)
       .zipPartitions(idx.shingles) { (pit, sit) =>
         if (!sit.hasNext) Iterator.empty
@@ -442,8 +418,25 @@ object LookupIndex {
           }
         }
       }
+  }
+
+  private[graft] def nearMatchesIndexed(batch: DataFrame, idx: Index)
+      : DataFrame = {
+    val s = batch.sparkSession
+    import graft.engine.expressions.OptimizerBarrier
+    val rows = batch.select(
+      col("doc_id"),
+      DedupOps.bandStructs(
+        OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
+        .as("bands"),
+      hashedShingles(col("text")).as("shh"))
+      .rdd.map { r =>
+        (r.getLong(0),
+          r.getSeq[Row](1).map(b => (b.getInt(0), b.getString(1))).toArray,
+          r.getSeq[Long](2).toArray)
+      }
     import s.implicits._
-    nearHits.toDF("doc_id", "cid")
+    nearHitsOf(rows, idx).toDF("doc_id", "cid")
       .groupBy("doc_id").agg(min(col("cid")).as("nd_match"))
   }
 }
