@@ -444,7 +444,13 @@ object DedupOps {
     * broadcast of 16 rep vectors back onto the corpus; the hyperplane
     * variant's signature shuffle disappears entirely. Trained lists
     * also cluster semantically (vs the hyperplane's fixed random
-    * cuts), which is what SemDeDup's rep-compare quality depends on.
+    * cuts), which is what SemDeDup's rep-compare quality depends on —
+    * and granularity is the quality knob: production sizes nlists with
+    * the corpus ([[semanticIvfListsFor]], √n-class) rather than this
+    * fixture constant. Measured (SCALE.md §r17, 2M vectors): √n lists
+    * raise mean member→rep cosine 0.150 → 0.225 and the dropped share
+    * 34% → 59% at the fixed 0.2 threshold, for n·√n map-only
+    * assignment flops and a sample-capped (~constant) k-means build.
     */
   private[graft] val SemanticIvfLists = 16
 
