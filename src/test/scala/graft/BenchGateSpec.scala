@@ -54,4 +54,14 @@ class BenchGateSpec extends AnyFunSuite {
     // unreadable loadavg: proceed immediately, stamped unknown
     assert(Bench.awaitIdle(1.5, 60, () => -1.0, sleepMs = 1)._2 == "unknown")
   }
+
+  test("idle gate: never sleeps past the deadline (r16 ADVICE overshoot)") {
+    // a 30 s poll interval with a 1 s deadline must return in ~1 s, not
+    // 30: the per-iteration sleep is clamped to the remaining deadline
+    val t0 = System.nanoTime()
+    val (_, stamp) = Bench.awaitIdle(1.5, 1, () => 9.9, sleepMs = 30000)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(stamp == "degraded")
+    assert(elapsed < 5.0, s"overshot the 1 s deadline: ${elapsed}s")
+  }
 }

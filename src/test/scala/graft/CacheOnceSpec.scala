@@ -33,6 +33,20 @@ class CacheOnceSpec extends AnyFunSuite {
     changed.unpersist(blocking = true)
   }
 
+  test("touchLive: liveness probe bumps the LRU tick; false after release (hnsw memo contract)") {
+    val df = spark.range(64).toDF("n").selectExpr("n * 13 AS m")
+    CacheOnce("spec/touch", df).count()
+    // live: true, and the probe counts as a USE (the hnsw edge memo
+    // consults liveness instead of re-putting — a served key must not
+    // age out under its readers)
+    assert(CacheOnce.touchLive("spec/touch"))
+    CacheOnce.release("spec/touch")
+    // released: the memoized-plan caller must re-register, not trust
+    // the stale handle (the r16 ADVICE eviction hole)
+    assert(!CacheOnce.touchLive("spec/touch"))
+    assert(!CacheOnce.touchLive("spec/never-registered"))
+  }
+
   test("deferRelease'd RDDs are unpersisted when the scope closes") {
     var rdd: org.apache.spark.rdd.RDD[_] = null
     CacheOnce.scoped {
