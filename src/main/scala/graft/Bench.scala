@@ -180,6 +180,7 @@ object Bench {
               graft.llm.SimilarityOps.warmIvfPqIndex(ws)
               graft.llm.DedupOps.warmIncrementalIndex(ws)
               graft.llm.LookupIndex.warm(ws)
+              graft.llm.SimilarityOps.ivfListSlabs(ws, 16)
             } catch {
               case e: Throwable => System.err.println(
                 s"[bench] warm-dir index pre-train failed: ${e.getMessage}")
@@ -274,6 +275,9 @@ object Bench {
     // point-lookup slab index (digest/band/shingle-hash slabs): offline,
     // same split — dd_incremental_lookup times the probe path only
     graft.llm.LookupIndex.warm(spark)
+    // IVF inverted-list slabs: offline, same split — nn_ivf_lookup
+    // times the probe + list-scan path only
+    graft.llm.SimilarityOps.ivfListSlabs(spark, 16)
     // dialect child-session warm-up: the memoized isolated session's
     // registry build plus the JSON-constructor / printf / HUGEINT-
     // factorial expression codegen otherwise land in the FIRST timed
@@ -532,6 +536,7 @@ object Bench {
         graft.llm.SimilarityOps.warmPqIndex(spark)
         graft.llm.DedupOps.warmIncrementalIndex(spark)
         graft.llm.LookupIndex.warm(spark)
+        graft.llm.SimilarityOps.ivfListSlabs(spark, 16)
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{avg, col, count, lit, sum, when}
+import org.apache.spark.sql.functions.{avg, broadcast, col, count, lit, sqrt, sum, when}
 import java.util.concurrent.atomic.{AtomicLong, LongAdder}
 
 /** Empirical scale evidence for the heavy operator families (the
@@ -491,10 +491,92 @@ object ScaleBench {
     }
 
 
+    // ANN ingest face (r17): a stream of query vectors searched per
+    // trigger against the sqrt-n IVF slab index — the similarity
+    // family's analogue of dd_ingest_stream_lookup. Latency row plus a
+    // sampled recall@3 vs brute force (the ANN ladder discipline: the
+    // approximate path always ships with its measured recall).
+    if (queries.contains("nn_ingest_stream")) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val n = spark.table("embeddings").count()
+      val nlists = graft.llm.DedupOps.semanticIvfListsFor(n)
+      // probe share ~nlists/30 (>=12): holds probed work per vector at
+      // ~nprobe * n/nlists = n/30-class cosines, the ladder budget
+      val nprobe = math.max(12, nlists / 30)
+      val tb = System.nanoTime()
+      graft.llm.SimilarityOps.ivfListSlabs(spark, nlists)
+      out += Row("nn_slab_index_build", -1, (System.nanoTime() - tb) / 1e9,
+        0, 0, 0, 0, s"IVF inverted-list slab index, nlists=$nlists (sqrt-n)")
+      val step = math.max(1L, n / 5000)
+      val qvecs = spark.table("embeddings")
+        .filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .as[(Long, Array[Float])].collect().take(5000)
+      if (qvecs.isEmpty)
+        out += Row("nn_ingest_stream", 0, 0.0, 0, 0, 0, 0,
+          "skipped: empty query sample")
+      else {
+        val per = qvecs.grouped(1000).toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val lat = scala.collection.mutable.ArrayBuffer[Double]()
+        val q = graft.streaming.VecStream.annIngestTopK(
+          mem.toDF.toDF("qid", "qe"),
+          (res, _) => res.write.format("noop").mode("overwrite").save(),
+          nprobe = nprobe, topk = 3, nlists = nlists)
+        try per.foreach { w =>
+          val t1 = System.nanoTime()
+          mem.addData(w.toSeq)
+          q.processAllAvailable()
+          lat += (System.nanoTime() - t1) / 1e9
+        } finally q.stop()
+        val sorted = lat.sorted
+        val fed = per.map(_.length).sum
+        out += Row("nn_ingest_stream", fed, lat.sum, 0, 0, 0, 0,
+          f"${per.length} triggers x ~${per.head.length} query vectors vs " +
+            f"nlists=$nlists/nprobe=$nprobe slab index: median trigger " +
+            f"${sorted(sorted.length / 2)}%.2f s, max ${sorted.last}%.2f s, " +
+            f"${fed / lat.sum}%.0f vec/s sustained")
+        // sampled recall@3 vs brute-force cosine (64 queries)
+        val sample = qvecs.take(64).toSeq
+        val sdf = spark.createDataFrame(sample).toDF("qid", "qe")
+        val lk = graft.llm.SimilarityOps
+          .ivfTopKLookupFor(spark, sdf, nprobe, 3, nlists)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        import graft.engine.GraftColumns.dot
+        val e = spark.table("embeddings")
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+        val brute = broadcast(sdf).join(
+            e.select(col("vec_id"), col("embedding").as("ee")),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (dot(col("qe"), col("ee")) /
+              (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ee"), col("ee")))))
+              .as("sim"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w2))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val rec = sample.map { case (qid, _) =>
+          val got = lk.getOrElse(qid, Set.empty)
+          val want = brute.getOrElse(qid, Set.empty)
+          if (want.isEmpty) 1.0 else (got & want).size.toDouble / want.size
+        }.sum / sample.length
+        out += Row("nn_ingest_recall", sample.length, 0.0, 0, 0, 0, 0,
+          f"recall@3 vs brute force on ${sample.length} sampled queries: " +
+            f"$rec%.4f (nlists=$nlists, nprobe=$nprobe)")
+      }
+    }
+
     queries.foreach { name =>
       // harness-only names (dd_ingest_stream) were consumed above and
       // have no SparkEntry entry to run here
-      if (name == "dd_ingest_stream" || name == "dd_semantic_quality") ()
+      if (name == "dd_ingest_stream" || name == "dd_semantic_quality" ||
+          name == "nn_ingest_stream") ()
       else
       // nn_label_knn is the EXACT kNN baseline: total FLOPs are
       // quadratic per cell by definition. Since r10 the enumeration is

@@ -147,7 +147,7 @@ object LookupIndex {
     * build and probe sides. Boxed-Long hashCode (hi^lo folded) feeds the
     * HashPartitioner.
     */
-  private def routeKey(hi: Long, lo: Long): Long = hi ^ lo
+  private[llm] def routeKey(hi: Long, lo: Long): Long = hi ^ lo
 
   /** 128-bit md5 hex → (hi, lo). The hex strings come from Spark's own
     * `md5()` (lowercase, 32 chars).
@@ -177,15 +177,23 @@ object LookupIndex {
       else j += 1
     }
     val union = a.length + b.length - inter
-    if (union == 0) 0.0
-    else new java.math.BigDecimal(inter.toDouble / union)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (union == 0) 0.0 else round6(inter.toDouble / union)
   }
+
+  /** ROUND(v, 6) with Catalyst's exact semantics: Spark's Round on
+    * DoubleType goes through scala.math.BigDecimal(v) (the
+    * shortest-representation expansion, java BigDecimal.valueOf) with
+    * HALF_UP — mirrored here so slab-side kernels agree bit-for-bit
+    * with the declarative spelling at rounding boundaries.
+    */
+  private[graft] def round6(v: Double): Double =
+    scala.math.BigDecimal(v)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Build one slab per partition from pre-aggregated (hi, lo, values)
     * entries, routed by the shared partitioner.
     */
-  private def slabRdd(entries: RDD[(Long, Long, Array[Long])], parts: Int)
+  private[llm] def slabRdd(entries: RDD[(Long, Long, Array[Long])], parts: Int)
       : RDD[HashSlab] =
     entries
       .map { case (hi, lo, vs) => (routeKey(hi, lo), (hi, lo, vs)) }

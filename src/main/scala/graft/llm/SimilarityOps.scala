@@ -305,6 +305,183 @@ object SimilarityOps {
     */
   val v4 = Q("nn_ivf_topk", bruteTop3OracleSql) { s => ivfTopK(s) }
 
+  /** The IVF search through the POINT-LOOKUP slab index (r17) — the
+    * similarity family's ingest face, mirroring LookupIndex for dedup:
+    * per query, cost is nprobe slab lookups + a scan of ONLY the probed
+    * lists' members, with nothing corpus-sized shuffled or hash-built
+    * per batch (the join spelling builds/scans the full lists relation
+    * every call — fine amortized over a big self-join, wrong for a
+    * bounded ingest batch of query vectors). Same oracle contract as
+    * nn_ivf_topk, proven through the gate every round.
+    */
+  val v4b = Q("nn_ivf_lookup", bruteTop3OracleSql) { s =>
+    ivfTopKLookupFor(s,
+      s.table("embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+  }
+
+  /** IVF inverted lists packed into point-lookup slabs, memoized per
+    * (dataset, nlists): key (0, list_id) → [dim, then per member: vid,
+    * ‖e‖-bits (the batch kernel's double fold, precomputed so search
+    * reproduces `en` bit-for-bit), dim/2 float-pair words]. Build is
+    * offline (the ANN split); refresh = memo swap.
+    */
+  /** Pack one inverted list's members: [dim, then per member: vid,
+    * ‖e‖-bits, ceil(dim/2) float-pair words (element 2i in the LOW 32
+    * bits, 2i+1 in the HIGH; odd dims leave the last high word 0)].
+    * The norm uses the batch kernel's fold (per-element double
+    * widening, left-to-right) so search reproduces `en` bit-for-bit.
+    */
+  private[graft] def packList(ms: Array[(Long, Array[Float])]): Array[Long] = {
+    val dim = if (ms.isEmpty) 0 else ms.head._2.length
+    val stride = 2 + (dim + 1) / 2
+    val packed = new Array[Long](1 + ms.length * stride)
+    packed(0) = dim.toLong
+    var off = 1
+    ms.foreach { case (vid, e) =>
+      require(e.length == dim, s"packList: ragged dims ($dim vs ${e.length})")
+      packed(off) = vid
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { val d = e(i).toDouble; nrm += d * d; i += 1 }
+      packed(off + 1) = java.lang.Double.doubleToRawLongBits(math.sqrt(nrm))
+      i = 0
+      while (i < dim) {
+        val loBits = java.lang.Float.floatToRawIntBits(e(i)).toLong & 0xFFFFFFFFL
+        val hiBits =
+          if (i + 1 < dim)
+            (java.lang.Float.floatToRawIntBits(e(i + 1)).toLong & 0xFFFFFFFFL) << 32
+          else 0L
+        packed(off + 2 + i / 2) = hiBits | loBits
+        i += 2
+      }
+      off += stride
+    }
+    packed
+  }
+
+  /** Scan one packed list for qid's top-k by (sim DESC, vid ASC) —
+    * sim = ROUND(dot/(qn·‖e‖), 6) with the batch kernel's exact fold
+    * and Catalyst's exact rounding. Partial per-list top-k commutes
+    * with the global window under the same total order.
+    */
+  private[graft] def listTopK(v: Array[Long], qid: Long, qe: Array[Float],
+      qn: Double, topk: Int): Seq[(Long, Double)] = {
+    val dim = v(0).toInt
+    val stride = 2 + (dim + 1) / 2
+    val m = if (stride == 0) 0 else (v.length - 1) / stride
+    val topVid = new Array[Long](topk)
+    val topSim = new Array[Double](topk)
+    var filled = 0
+    var mi = 0
+    while (mi < m) {
+      val off = 1 + mi * stride
+      val vid = v(off)
+      if (vid != qid) {
+        val en = java.lang.Double.longBitsToDouble(v(off + 1))
+        var dp = 0.0
+        var i = 0
+        while (i < dim) {
+          val w = v(off + 2 + i / 2)
+          val f0 = java.lang.Float.intBitsToFloat(w.toInt)
+          dp += qe(i).toDouble * f0.toDouble
+          if (i + 1 < dim) {
+            val f1 = java.lang.Float.intBitsToFloat((w >>> 32).toInt)
+            dp += qe(i + 1).toDouble * f1.toDouble
+          }
+          i += 2
+        }
+        val sim = LookupIndex.round6(dp / (qn * en))
+        var pos = filled
+        while (pos > 0 && (topSim(pos - 1) < sim ||
+            (topSim(pos - 1) == sim && topVid(pos - 1) > vid))) pos -= 1
+        if (pos < topk) {
+          val last = math.min(filled, topk - 1)
+          var j = last
+          while (j > pos) {
+            topSim(j) = topSim(j - 1); topVid(j) = topVid(j - 1); j -= 1
+          }
+          topSim(pos) = sim; topVid(pos) = vid
+          if (filled < topk) filled += 1
+        }
+      }
+      mi += 1
+    }
+    (0 until filled).map(i => (topVid(i), topSim(i)))
+  }
+
+  private val ivfSlabsByKey = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]]()
+  private val IvfSlabParts = 32
+
+  private[graft] def ivfListSlabs(s: org.apache.spark.sql.SparkSession,
+      nlists: Int): org.apache.spark.rdd.RDD[LookupIndex.HashSlab] =
+    ivfSlabsByKey.computeIfAbsent(datasetKey(s) + s"/ivfslabs/$nlists", _ => {
+      val (cents, cn) = centMatrix(s, nlists)
+      import graft.engine.expressions.IvfNearest
+      val entries = s.table("embeddings")
+        .select(
+          element_at(IvfNearest(col("embedding"), cents, cn, false, 1), 1)
+            .as("list_id"),
+          col("vec_id"), col("embedding"))
+        .rdd.map { r =>
+          (r.getInt(0), (r.getLong(1), r.getSeq[Float](2).toArray))
+        }
+        .groupByKey(new org.apache.spark.HashPartitioner(IvfSlabParts))
+        .map { case (lid, members) =>
+          (0L, lid.toLong, packList(members.toArray))
+        }
+      val slabs = LookupIndex.slabRdd(entries, IvfSlabParts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      slabs.count()
+      slabs
+    })
+
+  /** IVF top-k for an arbitrary query frame (qid, qe) via the slab
+    * index — result-identical to [[ivfTopK]]'s join spelling (same
+    * trained centroids, same probe ranking, same per-element
+    * double-widened dot fold, same ROUND(sim, 6), same global
+    * (sim DESC, vec_id ASC) top-k; per-list partial top-k commutes
+    * with the global one under that total order). Spec-pinned
+    * row-for-row; the declared query rides the nn_ivf_topk oracle.
+    */
+  private[graft] def ivfTopKLookupFor(s: org.apache.spark.sql.SparkSession,
+      queries: org.apache.spark.sql.DataFrame, nprobe: Int = 12,
+      topk: Int = 3, nlists: Int = 16): org.apache.spark.sql.DataFrame = {
+    val slabs = ivfListSlabs(s, nlists)
+    val part = new org.apache.spark.HashPartitioner(IvfSlabParts)
+    val (cents, cn) = centMatrix(s, nlists)
+    import graft.engine.expressions.IvfNearest
+    val cand = queries
+      .select(col("qid"), col("qe"),
+        sqrt(dot(col("qe"), col("qe"))).as("qn"),
+        explode(IvfNearest(col("qe"), cents, cn, false, nprobe)).as("list_id"))
+      .rdd.map { r =>
+        (r.getInt(3).toLong,
+          (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      }
+      .partitionBy(part)
+      .zipPartitions(slabs) { (pit, sit) =>
+        if (!sit.hasNext) Iterator.empty
+        else {
+          val slab = sit.next()
+          pit.flatMap { case (lid, (qid, qe, qn)) =>
+            val v = slab.get(0L, lid)
+            if (v == null) Iterator.empty
+            else listTopK(v, qid, qe, qn, topk)
+              .iterator.map { case (vid, sim) => (qid, vid, sim) }
+          }
+        }
+      }
+    import s.implicits._
+    val df = cand.toDF("qid", "vec_id", "sim")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= topk)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
+        col("vec_id").asc_nulls_last)
+  }
+
   /** IVF search body, probe width exposed for the recall-sweep spec. */
   private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession,
       nprobe: Int = 12): org.apache.spark.sql.DataFrame = {
@@ -1306,5 +1483,5 @@ object SimilarityOps {
   ) { s => labelKnnHnsw(s, cellShardThreshold = 16, shardProbes = 2,
       nShardsOverride = 2) }
 
-  val all: Seq[Q] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10)
+  val all: Seq[Q] = Seq(v1, v2, v3, v4, v4b, v5, v6, v7, v8, v9, v10)
 }

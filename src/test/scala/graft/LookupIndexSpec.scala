@@ -158,6 +158,91 @@ class LookupIndexSpec extends AnyFunSuite {
     assert(nearSaw.sorted.toSeq == Seq(101L, 102L))
   }
 
+  test("packList/listTopK: odd-dim padding, ties, self-exclusion, top-k bound") {
+    import graft.llm.SimilarityOps
+    // dim = 3 exercises the odd-dim half-word padding branch the even
+    // fixture dims never touch; vids chosen so ties break ASC
+    val e0 = Array(1.0f, 0.0f, 0.0f)
+    val e1 = Array(1.0f, 0.0f, 0.0f) // exact tie with e0
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    val e3 = Array(-1.0f, 0.0f, 0.0f)
+    val packed = SimilarityOps.packList(Array(
+      (7L, e0), (3L, e1), (9L, e2), (5L, e3)))
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val got = SimilarityOps.listTopK(packed, qid = -1L, q, qn = 1.0, topk = 3)
+    // sims: 7→1.0, 3→1.0 (tie, vid 3 first), 9→0.0, 5→-1.0
+    assert(got == Seq((3L, 1.0), (7L, 1.0), (9L, 0.0)))
+    // self-exclusion: qid = 7 drops that member, 5 enters the top-3
+    val got2 = SimilarityOps.listTopK(packed, qid = 7L, q, qn = 1.0, topk = 3)
+    assert(got2 == Seq((3L, 1.0), (9L, 0.0), (5L, -1.0)))
+    // topk bound smaller than the list
+    assert(SimilarityOps.listTopK(packed, -1L, q, 1.0, 1) == Seq((3L, 1.0)))
+    // empty list
+    assert(SimilarityOps.listTopK(SimilarityOps.packList(Array.empty), -1L, q, 1.0, 3).isEmpty)
+  }
+
+  test("nn_ivf_lookup == nn_ivf_topk row-for-row; full-probe lookup == brute top-3 for every query") {
+    import graft.llm.SimilarityOps
+    graft.engine.Tables.register(spark, sf)
+    val defaults = SimilarityOps.ivfTopKLookupFor(spark,
+      spark.table("embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .collect().toSeq
+    val joinSpelling = SimilarityOps.ivfTopK(spark).collect().toSeq
+    assert(defaults == joinSpelling)
+    // full probe width == exhaustive search: every fixture vector as a
+    // query, lookup path vs an in-test brute-force differential
+    val all = spark.table("embeddings")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val lookup = SimilarityOps.ivfTopKLookupFor(spark, all, nprobe = 16)
+      .collect().toSeq
+    val e = spark.table("embeddings")
+    import graft.engine.GraftColumns.dot
+    val brute = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(e.select(col("vec_id"), col("embedding").as("e")),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("e")) /
+          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e")))), 6)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    val bruteTop = brute.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
+        col("vec_id").asc_nulls_last)
+      .collect().toSeq
+    assert(lookup == bruteTop)
+  }
+
+  test("VecStream.annIngestTopK: trigger splits don't change results, equals batch lookup") {
+    import spark.implicits._
+    import graft.streaming.VecStream
+    implicit val sqlCtx = spark.sqlContext
+    graft.engine.Tables.register(spark, sf)
+    val queries = spark.table("embeddings").filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = VecStream.annIngestTopK(
+      mem.toDF.toDF("qid", "qe"),
+      (res, _) => got.synchronized {
+        got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      })
+    try {
+      mem.addData(queries.take(2)); q.processAllAvailable()
+      mem.addData(queries.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.llm.SimilarityOps.ivfTopKLookupFor(spark,
+      spark.table("embeddings").filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.sortBy(v => (v._1, -v._3, v._2)).toSeq ==
+      want.sortBy(v => (v._1, -v._3, v._2)))
+  }
+
   test("classifyIngestStaged (indexed near) and classifyIngestIndexed equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
