@@ -561,14 +561,33 @@ object ScaleBench {
           .select(col("qid"), col("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        def recallAt(np: Int): Double = {
+          val got = graft.llm.SimilarityOps
+            .ivfTopKLookupFor(spark, sdf, np, 3, nlists)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+          sample.map { case (qid, _) =>
+            val want = brute.getOrElse(qid, Set.empty)
+            if (want.isEmpty) 1.0
+            else (got.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+          }.sum / sample.length
+        }
         val rec = sample.map { case (qid, _) =>
           val got = lk.getOrElse(qid, Set.empty)
           val want = brute.getOrElse(qid, Set.empty)
           if (want.isEmpty) 1.0 else (got & want).size.toDouble / want.size
         }.sum / sample.length
+        // probe-width frontier on the same sample (cheap: 64 queries per
+        // point) — the serving point above trades latency for recall on
+        // a MEASURED curve, not a guessed share
+        val sweep = Seq(nlists / 10, 3 * nlists / 10)
+          .filter(np => np > nprobe && np <= nlists)
+          .map(np => f"nprobe=$np -> ${recallAt(np)}%.4f")
+          .mkString(", ")
         out += Row("nn_ingest_recall", sample.length, 0.0, 0, 0, 0, 0,
           f"recall@3 vs brute force on ${sample.length} sampled queries: " +
-            f"$rec%.4f (nlists=$nlists, nprobe=$nprobe)")
+            f"$rec%.4f (nlists=$nlists, nprobe=$nprobe)" +
+            (if (sweep.nonEmpty) s"; frontier: $sweep" else ""))
       }
     }
 
