@@ -184,10 +184,14 @@ object LookupIndex {
     * DoubleType goes through scala.math.BigDecimal(v) (the
     * shortest-representation expansion, java BigDecimal.valueOf) with
     * HALF_UP — mirrored here so slab-side kernels agree bit-for-bit
-    * with the declarative spelling at rounding boundaries.
+    * with the declarative spelling at rounding boundaries. NaN and
+    * infinities pass through like Catalyst's round (BigDecimal would
+    * throw — a zero-norm vector's 0/0 cosine must yield the same NaN
+    * row the declarative spelling yields, not kill the task).
     */
   private[graft] def round6(v: Double): Double =
-    scala.math.BigDecimal(v)
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else scala.math.BigDecimal(v)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Build one slab per partition from pre-aggregated (hi, lo, values)
@@ -245,8 +249,25 @@ object LookupIndex {
   /** Memoized per dataset root (the incrementalIndex discipline):
     * rebuild-and-swap is the refresh path, `release` drops a root.
     */
-  private val byDataset =
-    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  // Access-ordered LRU capped at 4 roots: these entries pin
+  // corpus-scale persisted RDDs, so a multi-root serving session must
+  // not accumulate one index per root forever (the CacheOnce
+  // MaxEntries discipline, on entries orders of magnitude heavier);
+  // an evicted root's slabs unpersist and rebuild on next use.
+  private val byDataset: java.util.Map[String, Index] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Index](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Index]): Boolean = {
+          val evict = size() > 4
+          if (evict) {
+            e.getValue.digests.unpersist(false)
+            e.getValue.bands.unpersist(false)
+            e.getValue.shingles.unpersist(false)
+          }
+          evict
+        }
+      })
 
   private[graft] def forDataset(s: SparkSession, parts: Int = 32): Index =
     byDataset.computeIfAbsent(

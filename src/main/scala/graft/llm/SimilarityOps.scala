@@ -392,9 +392,14 @@ object SimilarityOps {
           i += 2
         }
         val sim = LookupIndex.round6(dp / (qn * en))
+        // total order via Double.compare: NaN ranks GREATEST, matching
+        // Spark's sort semantics (a zero-norm vector's NaN cosine must
+        // rank where the declarative window would rank it)
         var pos = filled
-        while (pos > 0 && (topSim(pos - 1) < sim ||
-            (topSim(pos - 1) == sim && topVid(pos - 1) > vid))) pos -= 1
+        while (pos > 0 && {
+          val c = java.lang.Double.compare(topSim(pos - 1), sim)
+          c < 0 || (c == 0 && topVid(pos - 1) > vid)
+        }) pos -= 1
         if (pos < topk) {
           val last = math.min(filled, topk - 1)
           var j = last
@@ -410,8 +415,23 @@ object SimilarityOps {
     (0 until filled).map(i => (topVid(i), topSim(i)))
   }
 
-  private val ivfSlabsByKey = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]]()
+  // Access-ordered LRU capped at 4 (dataset, nlists) combos: each entry
+  // pins a persisted corpus-scale embedding copy — same bound rationale
+  // as LookupIndex.byDataset; an evicted combo unpersists and rebuilds
+  // on next use.
+  private val ivfSlabsByKey: java.util.Map[
+      String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[
+              String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]]): Boolean = {
+          val evict = size() > 4
+          if (evict) e.getValue.unpersist(false)
+          evict
+        }
+      })
   private val IvfSlabParts = 32
 
   private[graft] def ivfListSlabs(s: org.apache.spark.sql.SparkSession,
@@ -1418,24 +1438,23 @@ object SimilarityOps {
   /** Memoized HNSW edge plans (see labelKnnHnsw): normally bounded by
     * the (dataset, param-combo) population — a handful per dataset —
     * but a long-lived serving session registering many roots would
-    * still grow it one plan object per combo forever (r16 ADVICE), so
-    * it carries an explicit cap: past 64 entries the map is cleared
-    * (the entries are PLAN objects, lineage-only and cheap — the
-    * blocks live in CacheOnce and survive the clear; a cleared combo
-    * just re-registers its plan on next use and re-hits the
-    * CacheManager via `sameResult`).
+    * still grow it one plan object per combo forever (r16 ADVICE).
+    * Access-ordered LRU capped at 64: past the cap only the LEAST
+    * RECENTLY USED combo's plan drops (that combo rebuilds its plan —
+    * and, because the flatMapGroups closures lose `sameResult`
+    * identity, re-derives its CacheOnce blocks — on next use; served
+    * combos are untouched. A blanket clear() here would force that
+    * rebuild-thrash on EVERY live combo at once — the r17 review
+    * finding).
     */
-  private val hnswEdgesByKey =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]() {
-      override def compute(k: String,
-          f: java.util.function.BiFunction[
-            _ >: String, _ >: org.apache.spark.sql.DataFrame,
-            _ <: org.apache.spark.sql.DataFrame])
-          : org.apache.spark.sql.DataFrame = {
-        if (size() > 64) clear()
-        super.compute(k, f)
-      }
-    }
+  private val hnswEdgesByKey: java.util.Map[String, org.apache.spark.sql.DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, org.apache.spark.sql.DataFrame](
+        16, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.spark.sql.DataFrame])
+            : Boolean = size() > 64
+      })
 
   /** Per-label cell sizes, memoized per dataset (same bounded-collect
     * class as [[labelValues]] — label is the class key, tens of values).

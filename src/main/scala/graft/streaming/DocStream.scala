@@ -206,12 +206,17 @@ object DocStream {
     * the near face. State refresh remains the exact arm's stated trade
     * (restart or rebase); the near index refreshes independently.
     */
-  def classifyIngestStaged(
-      docs: DataFrame,
-      corpusDigests: DataFrame, // (cid, h) — the cEx index relation
-      near: DataFrame => DataFrame, // survivors (doc_id, text) → (doc_id, nd_match)
-      sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+  /** The state-store digest gate both exact-arm faces share: corpus
+    * digests (min owning cid) seeded as flatMapGroupsWithState initial
+    * state, the batch keyed by its own md5, every doc emitted with its
+    * exact match (or None) and its text carried through. ONE
+    * definition so the state orientation/timeout semantics cannot
+    * silently diverge between [[classifyIngestExact]] and
+    * [[classifyIngestStaged]] (spec-pinned equal to classifyBatch's
+    * exact arm).
+    */
+  private def digestGate(docs: DataFrame, corpusDigests: DataFrame)
+      : Dataset[GateRow] = {
     val s = docs.sparkSession
     import s.implicits._
     val initial = corpusDigests
@@ -229,6 +234,15 @@ object DocStream {
           val m = if (state.exists) Some(state.get) else None
           rows.map { case (id, text, _) => GateRow(id, text, m) }
       }
+  }
+
+  def classifyIngestStaged(
+      docs: DataFrame,
+      corpusDigests: DataFrame, // (cid, h) — the cEx index relation
+      near: DataFrame => DataFrame, // survivors (doc_id, text) → (doc_id, nd_match)
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    digestGate(docs, corpusDigests)
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (gate: Dataset[GateRow], id: Long) =>
@@ -297,25 +311,14 @@ object DocStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val s = docs.sparkSession
     import s.implicits._
-    // one state value per digest: the smallest owning corpus id (the
-    // same orientation as the batch arm's min(cid) aggregate)
-    val initial = corpusDigests
-      .groupBy(col("h")).agg(min(col("cid")).as("cid"))
-      .as[(String, Long)]
-      .groupByKey(_._1).mapValues(_._2)
-    docs
-      .select(col("doc_id"),
-        md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("h"))
-      .as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
-        (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-          val m = if (state.exists) Some(state.get) else None
-          rows.map { case (id, _) =>
-            ExactVerdict(id, if (m.isDefined) "exact_dup" else "new", m)
-          }
-      }
+    // the SHARED digest gate (one state value per digest: the smallest
+    // owning corpus id, the batch arm's min(cid) orientation), verdicts
+    // projected statelessly. Text rides the gate's batch-side shuffle
+    // here too — bounded by the trigger, and one gate definition beats
+    // a diverging copy (r17 review finding).
+    digestGate(docs, corpusDigests)
+      .map(g => ExactVerdict(g.docId,
+        if (g.exMatch.isDefined) "exact_dup" else "new", g.exMatch))
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (b: Dataset[ExactVerdict], id: Long) => sink(b, id) }
