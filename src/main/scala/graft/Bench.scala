@@ -569,10 +569,23 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split("\\s+").take(3).mkString(",")
     } catch { case _: Throwable => "" }
+    // slab/plan memo turnover across the whole run (warm + timed
+    // passes): nonzero means some query paid a silent 50–94 s index
+    // rebuild inside a timed pass — the r17 VERDICT wrong-#2 failure
+    // class. Pinned zero here every round, not just in the spec.
+    val memoEvictions =
+      graft.llm.LookupIndex.stats.evictions.get +
+        graft.llm.SimilarityOps.ivfSlabStats.evictions.get +
+        graft.llm.SimilarityOps.hnswEdgeStats.evictions.get
+    val memoRebuilds =
+      graft.llm.LookupIndex.stats.rebuilds.get +
+        graft.llm.SimilarityOps.ivfSlabStats.rebuilds.get +
+        graft.llm.SimilarityOps.hnswEdgeStats.rebuilds.get
     val audit = s""""engine_threads":$cpus,"warmup_sec":${r1(warmupSec)},""" +
       s""""passes":$wallsJson,"cpu_sec":$cpuPasses,"pass_load":$passLoad,""" +
       s""""ambient_load":${r1(ambientLoad)},"ambient_gate":"$ambientGate",""" +
       s""""extra_passes":${passes.size - 2},""" +
+      s""""memo_evictions":$memoEvictions,"memo_rebuilds":$memoRebuilds,""" +
       s""""clean_passes":${clean.size},"loadavg":"$loadavg""""
 
     // Same-host oracle seconds IN the artifact: the 2x perf gate needs

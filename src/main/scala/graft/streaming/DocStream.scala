@@ -205,6 +205,16 @@ object DocStream {
     * trigger-1 state load; survivors re-shuffle by their probe keys in
     * the near face. State refresh remains the exact arm's stated trade
     * (restart or rebase); the near index refreshes independently.
+    *
+    * `sink` CONTRACT (r17 ADVICE): consume the verdict frame EAGERLY,
+    * inside the call — write it, collect it, or count it before
+    * returning (the standard foreachBatch contract). The frame is
+    * backed by a per-trigger persist of the stateful gate output that
+    * is RELEASED when sink returns; a sink that stores the DataFrame
+    * and consumes it after returning re-executes the stateful
+    * micro-batch plan from lineage — state-store reads included —
+    * after the trigger has advanced, which is slow at best and can
+    * fail or read stale state at worst.
     */
   /** The state-store digest gate both exact-arm faces share: corpus
     * digests (min owning cid) seeded as flatMapGroupsWithState initial

@@ -283,4 +283,65 @@ class LookupIndexSpec extends AnyFunSuite {
     } finally q2.stop()
     assert(gotIndexed.sortBy(_._1).toSeq == want)
   }
+
+  test("bandKey: per-band bijection, distinct band masks, probe==build") {
+    // per-band injectivity: the fold must round-trip (xor is its own
+    // inverse), so within one band the key family is exactly the md5s
+    val (hi, lo) = LookupIndex.hexToPair("00ff00ff00ff00ff8000000000000001")
+    for (band <- Seq(0, 1, 7, 127)) {
+      val (kh, kl) = LookupIndex.bandKey(band, hi, lo)
+      val m = LookupIndex.bandMask(band)
+      assert((kh ^ m) == hi && (kl ^ java.lang.Long.rotateLeft(m, 32)) == lo)
+    }
+    // distinct bands -> distinct full-width masks (splitmix64 finalizer
+    // is a bijection; band 0's mask must be nonzero so even band 0 keys
+    // differ from raw digest keys)
+    val masks = (0 until 128).map(LookupIndex.bandMask)
+    assert(masks.distinct.length == 128)
+    assert(LookupIndex.bandMask(0) != 0L)
+    // the mask reaches BOTH words (the r17 ADVICE ask): same bucket
+    // under two bands must differ in hi AND lo
+    val (h1, l1) = LookupIndex.bandKey(3, hi, lo)
+    val (h2, l2) = LookupIndex.bandKey(4, hi, lo)
+    assert(h1 != h2 && l1 != l2)
+  }
+
+  test("forDataset fails fast on a session with no registered dataset") {
+    val bare = spark.newSession()
+    val e = intercept[IllegalStateException] {
+      LookupIndex.forDataset(bare)
+    }
+    assert(e.getMessage.contains("refusing to memoize"))
+    // release on an unregistered session is a no-op, not an error
+    LookupIndex.release(bare)
+  }
+
+  test("byDataset LRU: within-cap reuse evicts nothing; past-cap cycling " +
+    "counts evictions and named rebuilds") {
+    graft.engine.Tables.register(spark, sf)
+    val ev0 = LookupIndex.stats.evictions.get
+    val rb0 = LookupIndex.stats.rebuilds.get
+    // two parts-variants of the same root, revisited: both stay within
+    // the cap, so re-access must be memo hits (zero evictions) — the
+    // bench-suite posture (two live datasets, one index each)
+    LookupIndex.forDataset(spark, parts = 2)
+    LookupIndex.forDataset(spark, parts = 3)
+    LookupIndex.forDataset(spark, parts = 2)
+    LookupIndex.forDataset(spark, parts = 3)
+    assert(LookupIndex.stats.evictions.get == ev0,
+      "within-cap serving must not evict")
+    // cycle MaxRoots+1 distinct keys: inserting past the cap evicts the
+    // LRU entry; revisiting an evicted key is a counted REBUILD
+    val parts = (2 to 2 + LookupIndex.MaxRoots) // MaxRoots+1 keys
+    parts.foreach(p => LookupIndex.forDataset(spark, parts = p))
+    assert(LookupIndex.stats.evictions.get > ev0,
+      "past-cap insert must evict (and count it)")
+    val rbMid = LookupIndex.stats.rebuilds.get
+    LookupIndex.forDataset(spark, parts = parts.head) // evicted above
+    assert(LookupIndex.stats.rebuilds.get > rbMid,
+      "re-use of an evicted key must count as a rebuild")
+    assert(rb0 <= rbMid)
+    // clean up: drop this root's entries so later suites start fresh
+    LookupIndex.release(spark)
+  }
 }
