@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{avg, broadcast, col, count, lit, sqrt, sum, when}
+import org.apache.spark.sql.functions.{avg, broadcast, col, count, element_at, lit, sqrt, sum, when}
 import java.util.concurrent.atomic.{AtomicLong, LongAdder}
 
 /** Empirical scale evidence for the heavy operator families (the
@@ -419,6 +419,53 @@ object ScaleBench {
               f"(${100.0 * survivors.get() / math.max(1, fed)}%.0f%%), " +
               f"trigger1 (state load) ${stLat.head}%.2f s, steady median " +
               f"${if (stSteady.nonEmpty) stSteady(stSteady.length / 2) else -1.0}%.2f s")
+          // RocksDB + changelog checkpointing probe (r17 VERDICT item
+          // 6): SCALE.md §r17 attributes the staged row's steady cost
+          // to the state-store COMMIT, not the near face — the default
+          // HDFS-backed provider re-snapshots the whole corpus-sized
+          // digest map per trigger, while RocksDB with changelog
+          // checkpointing commits only the trigger's delta. Same mixed
+          // window, same gate, same near face; conf scoped to this run
+          // and restored after, so the canonical staged row above keeps
+          // its provider and its series.
+          locally {
+            val confKeys = Seq(
+              "spark.sql.streaming.stateStore.providerClass" ->
+                ("org.apache.spark.sql.execution.streaming." +
+                  "state.RocksDBStateStoreProvider"),
+              ("spark.sql.streaming.stateStore.rocksdb." +
+                "changelogCheckpointing.enabled") -> "true")
+            val prev = confKeys.map { case (k, _) => k -> spark.conf.getOption(k) }
+            confKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+            try {
+              val memR = org.apache.spark.sql.execution.streaming.runtime
+                .MemoryStream[(Long, String)]
+              val rLat = scala.collection.mutable.ArrayBuffer[Double]()
+              val qr = graft.streaming.DocStream.classifyIngestStaged(
+                memR.toDF.toDF("doc_id", "text"), iEx, near,
+                (vs, _) => vs.write.format("noop").mode("overwrite").save())
+              try perMixed.foreach { w =>
+                val t1 = System.nanoTime()
+                memR.addData(w.toSeq)
+                qr.processAllAvailable()
+                rLat += (System.nanoTime() - t1) / 1e9
+              } finally qr.stop()
+              val rSteady = rLat.drop(1).sorted
+              out += Row("dd_ingest_stream_staged_rocksdb", fed, rLat.sum,
+                0, 0, 0, 0,
+                f"staged gate on RocksDB + changelog checkpointing: " +
+                  f"trigger1 (state load) ${rLat.head}%.2f s, steady median " +
+                  f"${if (rSteady.nonEmpty) rSteady(rSteady.length / 2) else -1.0}%.2f s " +
+                  f"(vs ${if (stSteady.nonEmpty) stSteady(stSteady.length / 2) else -1.0}%.2f s default provider)")
+            } catch { case e: Throwable =>
+              // a provider that cannot load must not kill the tier run —
+              // record the failure as its own row instead
+              out += Row("dd_ingest_stream_staged_rocksdb", 0, 0.0, 0, 0, 0, 0,
+                s"skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            } finally prev.foreach { case (k, ov) =>
+              ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+            }
+          }
           // the fully point-lookup face (r17, VERDICT r16 item 3): no
           // streaming state, no corpus-relation scan — per-trigger cost
           // is batch-sized probe shuffles + O(candidates) slab lookups
@@ -490,15 +537,41 @@ object ScaleBench {
         // a ladder point where every cluster is a singleton has zero
         // non-rep members — avg(cos) is null; skip with a note instead
         // of NPE-ing the tier run (the empty-window guard's pattern)
+        // ladder points in the coarse regime also report SAMPLED
+        // assignment equality vs the brute argmax (r18: the
+        // quantizer-assisted path's honest error surface, measured at
+        // the tier it actually serves — CoarseAssignSpec pins the
+        // mechanism, this pins the corpus)
+        val eqNote =
+          if (nlists <= graft.llm.SimilarityOps.CoarseAssignAbove) ""
+          else {
+            val (cents, cn) = graft.llm.DedupOps.semanticIvfCentsAt(spark, nlists)
+            val step = math.max(1L, n / 4096)
+            val s2 = spark.table("embeddings").filter(col("vec_id") % step === 0)
+              .select(
+                element_at(graft.engine.expressions.IvfNearest(
+                  col("embedding"), cents, cn, false, 1), 1).as("brute"),
+                element_at(graft.llm.SimilarityOps.nearestListsColFor(
+                  spark, col("embedding"), cents, cn, 1, s"sem/$nlists"), 1)
+                  .as("coarse"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("brute") === col("coarse"), 1L).otherwise(0L))
+                  .as("eq"))
+              .first()
+            f"; coarse-assign equality ${s2.getLong(1)}/${s2.getLong(0)} " +
+              f"(${s2.getLong(1).toDouble / math.max(1, s2.getLong(0))}%.4f, " +
+              f"gProbes=${graft.llm.SimilarityOps.CoarseGroupProbes})"
+          }
         updateLast(r.copy(note =
-          if (members == 0)
+          (if (members == 0)
             f"nlists=$nlists (n=$n): build ${buildSec}%.1f s; " +
               "skipped quality stats: zero non-rep members (all singletons)"
           else
             f"nlists=$nlists (n=$n): build ${buildSec}%.1f s; " +
               f"mean member->rep cos ${q.getDouble(1)}%.4f, dropped " +
               f"${q.getLong(2)}/$members members " +
-              f"(${100.0 * q.getLong(2) / math.max(1, n)}%.2f%% of corpus)"))
+              f"(${100.0 * q.getLong(2) / math.max(1, n)}%.2f%% of corpus)")
+            + eqNote))
       }
     }
 
@@ -513,9 +586,12 @@ object ScaleBench {
       implicit val sqlCtx = spark.sqlContext
       val n = spark.table("embeddings").count()
       val nlists = graft.llm.DedupOps.semanticIvfListsFor(n)
-      // probe share ~nlists/30 (>=12): holds probed work per vector at
-      // ~nprobe * n/nlists = n/30-class cosines, the ladder budget
-      val nprobe = math.max(12, nlists / 30)
+      // the RECALL-TARGETED policy default (r17 VERDICT wrong-#3): the
+      // ladder measures latency AND recall at the width the face
+      // actually defaults to, so the stated ≥0.9 target is validated
+      // per tier, not promised (the old nlists/30 share under-recalled
+      // mid-tier: 0.578 at 100×)
+      val nprobe = graft.llm.SimilarityOps.nprobeForRecall(nlists)
       val tb = System.nanoTime()
       graft.llm.SimilarityOps.ivfListSlabs(spark, nlists)
       out += Row("nn_slab_index_build", -1, (System.nanoTime() - tb) / 1e9,
@@ -590,10 +666,10 @@ object ScaleBench {
           if (want.isEmpty) 1.0 else (got & want).size.toDouble / want.size
         }.sum / sample.length
         // probe-width frontier on the same sample (cheap: 64 queries per
-        // point) — the serving point above trades latency for recall on
-        // a MEASURED curve, not a guessed share
-        val sweep = Seq(nlists / 10, 3 * nlists / 10)
-          .filter(np => np > nprobe && np <= nlists)
+        // point) — one point below the policy default and one above, so
+        // the curve shows what the default buys and what more would buy
+        val sweep = Seq(math.max(8, 3 * nlists / 100), 3 * nlists / 10)
+          .filter(np => np != nprobe && np <= nlists).distinct
           .map(np => f"nprobe=$np -> ${recallAt(np)}%.4f")
           .mkString(", ")
         out += Row("nn_ingest_recall", sample.length, 0.0, 0, 0, 0, 0,
@@ -603,11 +679,55 @@ object ScaleBench {
       }
     }
 
+    // >4-root serving arm (r17 VERDICT item 7): alternate MaxRoots+1
+    // (dataset, parts) combos through the lookup slab face — one combo
+    // past the LRU cap — and measure what the bound costs when
+    // exceeded. Within-cap round-robin must be pure memo hits (zero
+    // evictions — the bound's claim for real serving mixes); past-cap
+    // round-robin thrashes BY CONSTRUCTION (every access rebuilds the
+    // just-evicted combo) and the MemoStats counters/logs now name it
+    // instead of leaving an unexplained per-query stall. Parts
+    // variants of one corpus are the combo proxy: build cost and slab
+    // content match distinct same-sized roots without needing five
+    // corpora on disk. Run at the 100× tier (builds ~9 s each; the
+    // mechanism is scale-independent).
+    if (queries.contains("dd_lookup_multiroot")) {
+      import graft.llm.LookupIndex
+      val ev0 = LookupIndex.stats.evictions.get
+      val rb0 = LookupIndex.stats.rebuilds.get
+      LookupIndex.release(spark) // fresh slate for this dataset's combos
+      val cap = LookupIndex.MaxRoots
+      val withinParts = (1 to cap).map(i => 8 * i)
+      val t0 = System.nanoTime()
+      withinParts.foreach(p => LookupIndex.forDataset(spark, p))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val tHit = System.nanoTime()
+      (1 to 2).foreach(_ =>
+        withinParts.foreach(p => LookupIndex.forDataset(spark, p)))
+      val hitSec = (System.nanoTime() - tHit) / 1e9
+      val evWithin = LookupIndex.stats.evictions.get - ev0
+      val allParts = withinParts :+ (8 * (cap + 1))
+      val tThrash = System.nanoTime()
+      (1 to 2).foreach(_ =>
+        allParts.foreach(p => LookupIndex.forDataset(spark, p)))
+      val thrashSec = (System.nanoTime() - tThrash) / 1e9
+      val evPast = LookupIndex.stats.evictions.get - ev0 - evWithin
+      val rbPast = LookupIndex.stats.rebuilds.get - rb0
+      out += Row("dd_lookup_multiroot", allParts.length, thrashSec, 0, 0, 0, 0,
+        f"LRU bound (cap $cap) under serving mixes: $cap-combo build " +
+          f"${buildSec}%.1f s; within-cap round-robin (${2 * cap} accesses) " +
+          f"${hitSec}%.3f s, $evWithin evictions; past-cap round-robin " +
+          f"(${2 * allParts.length} accesses) ${thrashSec}%.1f s, " +
+          f"$evPast evictions / $rbPast rebuilds — every past-cap access " +
+          "is a full slab rebuild, named per key in the MemoStats log")
+      LookupIndex.release(spark) // drop the synthetic combos
+    }
+
     queries.foreach { name =>
       // harness-only names (dd_ingest_stream) were consumed above and
       // have no SparkEntry entry to run here
       if (name == "dd_ingest_stream" || name == "dd_semantic_quality" ||
-          name == "nn_ingest_stream") ()
+          name == "nn_ingest_stream" || name == "dd_lookup_multiroot") ()
       else
       // nn_label_knn is the EXACT kNN baseline: total FLOPs are
       // quadratic per cell by definition. Since r10 the enumeration is

@@ -539,11 +539,14 @@ object DedupOps {
     val (cents, cn) = semanticIvfCentsAt(s, nlists)
     // map-only assignment: the nn_ivf coarse-quantizer kernel, n=1 —
     // max dot/||c||, ties to the lowest cid (IvfNearest.assign's
-    // insertion order == the oracle's ORDER BY d DESC, cid ASC)
+    // insertion order == the oracle's ORDER BY d DESC, cid ASC). Above
+    // SimilarityOps.CoarseAssignAbove lists the assignment goes
+    // two-level (quantizer-assisted — sublinear in nlists; the declared
+    // query's 16 lists stay brute and oracle-exact)
     val asg = s.table("embeddings").select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"),
-      element_at(graft.engine.expressions.IvfNearest(
-        col("embedding"), cents, cn, false, 1), 1).as("cid"))
+      element_at(SimilarityOps.nearestListsColFor(
+        s, col("embedding"), cents, cn, 1, s"sem/$nlists"), 1).as("cid"))
     // rep = the list's min-id member, its VECTOR carried through the
     // same 16-row aggregate via min_by (vec_id is unique, so min_by is
     // deterministic and equals the oracle's rep_id equi-join) — no
