@@ -285,22 +285,13 @@ object LookupIndex {
   // 50–94 s rebuild per query is the failure class counters catch).
   private[graft] val MaxRoots: Int =
     sys.env.getOrElse("SPARK_GRAFT_SLAB_ROOTS", "4").toInt
-  private[graft] val stats = new MemoStats("LookupIndex.byDataset")
-  private val byDataset: java.util.Map[String, Index] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Index](8, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Index]): Boolean = {
-          val evict = size() > MaxRoots
-          if (evict) {
-            stats.onEvict(e.getKey)
-            e.getValue.digests.unpersist(false)
-            e.getValue.bands.unpersist(false)
-            e.getValue.shingles.unpersist(false)
-          }
-          evict
-        }
-      })
+  private val byDataset: LruMemo[Index] =
+    new LruMemo[Index]("LookupIndex.byDataset", MaxRoots, { idx =>
+      idx.digests.unpersist(false)
+      idx.bands.unpersist(false)
+      idx.shingles.unpersist(false)
+    })
+  private[graft] def stats: MemoStats = byDataset.stats
 
   /** Memo key root: the registered dataset dir. Fails fast when the
     * session has no registered dataset — a shared "?" sentinel would
@@ -316,17 +307,15 @@ object LookupIndex {
         "use forCorpus for unregistered corpora"))
 
   private[graft] def forDataset(s: SparkSession, parts: Int = 32): Index =
-    byDataset.computeIfAbsent(
-      datasetKey(s) + s"/$parts", { key =>
-        stats.onBuild(key)
-        val corpus = s.table("documents").select(col("doc_id"), col("text"))
-        // cSh here is the RAW corpus (cid, text) — hashedShingles runs
-        // inside build, so the fat string shingle sets never materialize
-        val (ex, bands, _) =
-          DedupOps.corpusSideRelations(corpus, DedupOps.HOT_BUCKET_CAP)
-        build(ex, bands,
-          corpus.select(col("doc_id").as("cid"), col("text")), parts)
-      })
+    byDataset.get(datasetKey(s) + s"/$parts") {
+      val corpus = s.table("documents").select(col("doc_id"), col("text"))
+      // cSh here is the RAW corpus (cid, text) — hashedShingles runs
+      // inside build, so the fat string shingle sets never materialize
+      val (ex, bands, _) =
+        DedupOps.corpusSideRelations(corpus, DedupOps.HOT_BUCKET_CAP)
+      build(ex, bands,
+        corpus.select(col("doc_id").as("cid"), col("text")), parts)
+    }
 
   private[graft] def warm(s: SparkSession): Unit = { forDataset(s); () }
 
@@ -345,21 +334,7 @@ object LookupIndex {
   private[graft] def release(s: SparkSession): Unit =
     // no registered dataset → nothing was ever memoized (forDataset
     // fails fast on that case); releasing is a no-op, not an error
-    graft.engine.Tables.dirOf(s).foreach { dir =>
-      val root = dir + "/"
-      byDataset.synchronized {
-        val it = byDataset.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getKey.startsWith(root)) {
-            it.remove()
-            e.getValue.digests.unpersist(false)
-            e.getValue.bands.unpersist(false)
-            e.getValue.shingles.unpersist(false)
-          }
-        }
-      }
-    }
+    graft.engine.Tables.dirOf(s).foreach(dir => byDataset.release(dir + "/"))
 
   /** Classify an ingest batch (doc_id, text) against the point-lookup
     * index — result-identical to [[DedupOps.classifyBatch]] (same

@@ -38,3 +38,47 @@ final class MemoStats(name: String) {
         "the serving mix exceeds the memo cap; raise it or pin fewer combos")
     }
 }
+
+/** Access-ordered LRU memo with instrumented eviction (the slab-memo
+  * structure LookupIndex/SimilarityOps share): at most `cap` live
+  * entries, inserting past the cap drops the least-recently-USED entry
+  * through `onDrop` (unpersist, for the RDD/plan memos) and counts it
+  * in [[stats]]; a later build of a dropped key is a counted, logged
+  * REBUILD. Extracted to its own class so the LRU mechanics are
+  * spec-testable on an isolated instance — the GLOBAL memos are shared
+  * by concurrently-running suites and queries, which makes their
+  * counters meaningful only as whole-run pins (the bench artifact's
+  * `memo_evictions`), not as per-test assertions.
+  */
+private[graft] final class LruMemo[V](name: String, cap: Int,
+    onDrop: V => Unit) {
+  val stats = new MemoStats(name)
+  private val map: java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](8, 0.75f, /* accessOrder */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean = {
+          val evict = size() > cap
+          if (evict) { stats.onEvict(e.getKey); onDrop(e.getValue) }
+          evict
+        }
+      })
+
+  /** Memoized fetch: builds (and counts a rebuild for previously-
+    * evicted keys) at most once per key per liveness; computeIfAbsent
+    * serializes concurrent first-builds per key.
+    */
+  def get(key: String)(build: => V): V =
+    map.computeIfAbsent(key, { k => stats.onBuild(k); build })
+
+  /** Drop (and onDrop) every entry whose key starts with `prefix`. */
+  def release(prefix: String): Unit = map.synchronized {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) { it.remove(); onDrop(e.getValue) }
+    }
+  }
+
+  def releaseAll(): Unit = release("")
+}

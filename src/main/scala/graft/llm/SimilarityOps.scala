@@ -420,26 +420,14 @@ object SimilarityOps {
   // as LookupIndex.byDataset; an evicted combo unpersists and rebuilds
   // on next use, counted and logged via [[ivfSlabStats]] (r17 VERDICT
   // wrong-#2).
-  private[graft] val ivfSlabStats = new MemoStats("SimilarityOps.ivfSlabsByKey")
-  private val ivfSlabsByKey: java.util.Map[
-      String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[
-          String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]](8, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[
-              String, org.apache.spark.rdd.RDD[LookupIndex.HashSlab]]): Boolean = {
-          val evict = size() > 4
-          if (evict) { ivfSlabStats.onEvict(e.getKey); e.getValue.unpersist(false) }
-          evict
-        }
-      })
+  private val ivfSlabsByKey: LruMemo[org.apache.spark.rdd.RDD[LookupIndex.HashSlab]] =
+    new LruMemo("SimilarityOps.ivfSlabsByKey", 4, _.unpersist(false))
+  private[graft] def ivfSlabStats: MemoStats = ivfSlabsByKey.stats
   private val IvfSlabParts = 32
 
   private[graft] def ivfListSlabs(s: org.apache.spark.sql.SparkSession,
       nlists: Int): org.apache.spark.rdd.RDD[LookupIndex.HashSlab] =
-    ivfSlabsByKey.computeIfAbsent(datasetKey(s) + s"/ivfslabs/$nlists", { key =>
-      ivfSlabStats.onBuild(key)
+    ivfSlabsByKey.get(datasetKey(s) + s"/ivfslabs/$nlists") {
       val (cents, cn) = centMatrix(s, nlists)
       val entries = s.table("embeddings")
         .select(
@@ -458,7 +446,7 @@ object SimilarityOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       slabs.count()
       slabs
-    })
+    }
 
   /** IVF top-k for an arbitrary query frame (qid, qe) via the slab
     * index — result-identical to [[ivfTopK]]'s join spelling (same
@@ -1081,14 +1069,30 @@ object SimilarityOps {
     * measures recall AT the policy default per tier every ladder run,
     * so the policy stays validated, not promised.
     */
+  /** The largest measured frontier tier (1414 = √2M lists): the 10%
+    * share anchors there (measured 0.9062 at the policy default, r18
+    * ladder). Smaller tiers recall LESS at the same share (10% at 447
+    * lists measured 0.8594 — per-list membership ≈ √n shrinks with the
+    * corpus), so the share scales by √(anchor/nlists), clamped to
+    * [1.0, 1.5×]: the low clamp refuses to extrapolate BELOW the
+    * measured 10% for tiers larger than any measured one, the high
+    * clamp bounds the lift (at 447 lists it lands nprobe = 68, measured
+    * 0.9271). The 32-probe floor carries the smallest tiers: at 141
+    * lists the lifted share alone (22) measured 0.8854 — under
+    * target — and the floor's 32 sits on the measured 24 → 0.8854 /
+    * 42 → 0.9635 frontier at ~0.93.
+    */
+  private val AnchorLists = 1414.0
+
   def nprobeForRecall(nlists: Int, target: Double = 0.9): Int = {
     require(nlists >= 1, s"nprobeForRecall needs nlists >= 1, got $nlists")
     require(target > 0.0 && target <= 1.0,
       s"nprobeForRecall target must be in (0, 1], got $target")
     if (target > 0.98) nlists // only exhaustive search promises ~1.0
     else {
-      val share = if (target > 0.9) 0.30 else 0.10
-      math.min(nlists, math.max(24, math.ceil(share * nlists).toInt))
+      val base = if (target > 0.9) 0.30 else 0.10
+      val lift = math.min(1.5, math.max(1.0, math.sqrt(AnchorLists / nlists)))
+      math.min(nlists, math.max(32, math.ceil(base * lift * nlists).toInt))
     }
   }
 
