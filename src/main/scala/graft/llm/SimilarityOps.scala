@@ -391,23 +391,36 @@ object SimilarityOps {
           }
           i += 2
         }
-        val sim = LookupIndex.round6(dp / (qn * en))
-        // total order via Double.compare: NaN ranks GREATEST, matching
-        // Spark's sort semantics (a zero-norm vector's NaN cosine must
-        // rank where the declarative window would rank it)
-        var pos = filled
-        while (pos > 0 && {
-          val c = java.lang.Double.compare(topSim(pos - 1), sim)
-          c < 0 || (c == 0 && topVid(pos - 1) > vid)
-        }) pos -= 1
-        if (pos < topk) {
-          val last = math.min(filled, topk - 1)
-          var j = last
-          while (j > pos) {
-            topSim(j) = topSim(j - 1); topVid(j) = topVid(j - 1); j -= 1
+        val raw = dp / (qn * en)
+        // round6 is a BigDecimal op — per-member it dominated the probed
+        // scan (the r18 ladder's 16 s/1000-query trigger was mostly
+        // rounding, not dot products). It is MONOTONE and the heap
+        // entries are already rounded, so once the heap is full a raw
+        // sim more than 1e-6 below the current worst cannot round into
+        // displacing range (round(raw) ≤ raw + 5e-7 + ulp): skip the
+        // rounding entirely. NaN never skips (it must rank where the
+        // declarative window ranks it — greatest).
+        val skip = filled == topk && !(raw != raw) &&
+          raw < topSim(topk - 1) - 1e-6
+        if (!skip) {
+          val sim = LookupIndex.round6(raw)
+          // total order via Double.compare: NaN ranks GREATEST, matching
+          // Spark's sort semantics (a zero-norm vector's NaN cosine must
+          // rank where the declarative window would rank it)
+          var pos = filled
+          while (pos > 0 && {
+            val c = java.lang.Double.compare(topSim(pos - 1), sim)
+            c < 0 || (c == 0 && topVid(pos - 1) > vid)
+          }) pos -= 1
+          if (pos < topk) {
+            val last = math.min(filled, topk - 1)
+            var j = last
+            while (j > pos) {
+              topSim(j) = topSim(j - 1); topVid(j) = topVid(j - 1); j -= 1
+            }
+            topSim(pos) = sim; topVid(pos) = vid
+            if (filled < topk) filled += 1
           }
-          topSim(pos) = sim; topVid(pos) = vid
-          if (filled < topk) filled += 1
         }
       }
       mi += 1

@@ -290,6 +290,51 @@ class LookupIndexSpec extends AnyFunSuite {
     assert(gotIndexed.sortBy(_._1).toSeq == want)
   }
 
+  test("listTopK round-skip prune: equals the round-everything reference " +
+    "on tie-dense and NaN-bearing lists") {
+    import graft.llm.SimilarityOps
+    // members engineered so raw sims cluster within 1e-6 of each other
+    // and of rounding boundaries (the only regime where the prune's
+    // margin logic could go wrong), plus a zero-norm member (NaN sim)
+    val dim = 4
+    val qe = Array(1.0f, 0.5f, -0.25f, 0.125f)
+    val qn = math.sqrt(qe.map(f => f.toDouble * f.toDouble).sum)
+    def scaled(base: Float, eps: Float) =
+      Array(base + eps, 0.5f * (base + eps), -0.25f * (base + eps), 0.125f * (base + eps))
+    val members: Array[(Long, Array[Float])] =
+      (0 until 64).map { i =>
+        // colinear with qe (sim ≈ 1, dense ties) interleaved with
+        // anti-colinear and orthogonal-ish members
+        val m = i % 4 match {
+          case 0 => scaled(1.0f, i * 1e-7f)
+          case 1 => scaled(-1.0f, i * 1e-7f)
+          case 2 => Array(0f, 0f, 1f, (i - 32) * 1e-7f)
+          case _ => Array(1e-5f * (i - 30), 1f, 1f, -1f)
+        }
+        (i.toLong, m)
+      }.toArray :+ (99L, Array(0f, 0f, 0f, 0f)) // zero norm → NaN sim
+    val packed = SimilarityOps.packList(members)
+    for (topk <- Seq(1, 3, 8); qid <- Seq(-1L, 5L)) {
+      val got = SimilarityOps.listTopK(packed, qid, qe, qn, topk)
+      // reference: round EVERY member, full sort under the same order
+      val want = members.filter(_._1 != qid).map { case (vid, e) =>
+        var dp = 0.0; var nrm = 0.0
+        for (i <- 0 until dim) {
+          dp += qe(i).toDouble * e(i).toDouble
+          nrm += e(i).toDouble * e(i).toDouble
+        }
+        (vid, LookupIndex.round6(dp / (qn * math.sqrt(nrm))))
+      }.sortWith { case ((va, sa), (vb, sb)) =>
+        val c = java.lang.Double.compare(sa, sb)
+        c > 0 || (c == 0 && va < vb)
+      }.take(topk).toSeq
+      // NaN != NaN under tuple equality — compare sims by bit pattern
+      def bits(s: Seq[(Long, Double)]) =
+        s.map { case (v, d) => (v, java.lang.Double.doubleToLongBits(d)) }
+      assert(bits(got) == bits(want), s"topk=$topk qid=$qid: $got vs $want")
+    }
+  }
+
   test("bandKey: per-band bijection, distinct band masks, probe==build") {
     // per-band injectivity: the fold must round-trip (xor is its own
     // inverse), so within one band the key family is exactly the md5s
