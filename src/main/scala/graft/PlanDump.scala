@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (r18): dump `.explain("formatted")` for named queries to
+  * files — the optimization-round evidence trail (plans/r18/*.txt).
+  *
+  * Usage: runMain graft.PlanDump <outDir> <suffix> <query...>
+  * Writes <outDir>/<query>_<suffix>.txt per query. Session config
+  * mirrors Bench (same master/shuffle-partitions knobs) so the dumped
+  * plan is the benched plan.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      .config("spark.sql.timeType.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Tables.register(spark, sfDir)
+    graft.engine.Functions.freeze(spark)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[plandump] unknown query: $name")
+        case Some(fn) =>
+          try graft.engine.CacheOnce.scoped {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
+            System.err.println(s"[plandump] wrote $name ($suffix)")
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+          }
+      }
+    }
+    spark.stop()
+  }
+}
