@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev probe (r18): dump `.explain("formatted")` for named queries to
-  * files — the optimization-round evidence trail (plans/r18/*.txt).
+  * files — the optimization-round evidence trail under plans/r18/.
   *
   * Usage: runMain graft.PlanDump <outDir> <suffix> <query...>
   * Writes <outDir>/<query>_<suffix>.txt per query. Session config

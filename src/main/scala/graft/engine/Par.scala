@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.Dataset
+
+/** Parallelism repair for CPU-heavy per-row stages (optimization guide
+  * §2.5 "input skew" / §8).
+  *
+  * The fixture parquet files are single-row-group, so every scan is ONE
+  * task no matter how `spark.sql.files.*` is tuned (a row group is read
+  * by exactly one split). That is invisible for byte-bound stages, but a
+  * stage whose per-row cost dwarfs its per-row bytes — a codec, a
+  * signature kernel, a per-row index probe — then runs single-threaded
+  * on a 32-core host. A round-robin repartition ahead of such a stage
+  * trades one tiny shuffle (the rows are small by precondition) for
+  * full-width execution.
+  *
+  * Width is the session's default parallelism: scale-adaptive by
+  * construction (local bench = core count, cluster = total executor
+  * cores), never a constant tuned for either.
+  */
+object Par {
+  /** Hash-partitioned, NOT round-robin: `repartition(n)` plants a
+    * RoundRobinPartitioning inside the plan, and a persisted relation
+    * containing one loses cached-block reuse — measured r18 on
+    * mm_phash_dedup, every consumer re-ran the 2500-image decode from
+    * lineage on every invocation despite 32/32 materialized blocks
+    * (steady 1.5 s vs 0.9 s). Hashing the caller-named key is
+    * deterministic under retry (guide §2.5) and cache-stable.
+    */
+  def spread[T](ds: Dataset[T], key: org.apache.spark.sql.Column): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism, key)
+}

@@ -60,6 +60,19 @@ object Tables {
   def register(spark: SparkSession, dir: String): Unit =
     current.synchronized {
       if (current.get(spark) != dir) {
+        // Let AQE re-plan (coalesce/skew-split) INSIDE cached plans —
+        // off by Spark default for output-partitioning stability, which
+        // this engine never relies on (every declared query ends in an
+        // explicit sort or aggregation). Without it every CacheOnce
+        // relation builds and re-reads at the full static shuffle width
+        // regardless of size: measured r18 on pipe_compact (3 cached
+        // relations), 32-task stages of 5-9 s cumulative task time fell
+        // to 2-task stages of ~0.2 s, steady-state 2.76 s → 1.45 s.
+        // Scale-neutral: AQE sizes partitions by bytes either way.
+        // SPARK_GRAFT_CACHED_AQE=false restores the Spark default.
+        spark.conf.set(
+          "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+          sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
         names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
         current.put(spark, dir)
       }

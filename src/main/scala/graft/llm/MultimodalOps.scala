@@ -87,6 +87,33 @@ object MultimodalOps {
     id
   }
 
+  /** Fill a TYPE_3BYTE_BGR image from the (x, y) → packed-rgb formula by
+    * writing the raster's byte buffer directly. Bit-identical to the
+    * per-pixel `setRGB` loop it replaces — TYPE_3BYTE_BGR stores the
+    * three sRGB bytes verbatim (B,G,R interleaved), so `setRGB(x,y,v)`
+    * IS these three byte stores plus a per-call color-model dispatch
+    * that measured as most of the payload-synthesis wall.
+    */
+  private def fillBgr(img: java.awt.image.BufferedImage)(rgb: (Int, Int) => Int): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = rgb(x, y)
+        data(i) = (v & 255).toByte           // B
+        data(i + 1) = ((v >> 8) & 255).toByte  // G
+        data(i + 2) = ((v >> 16) & 255).toByte // R
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   private[graft] def pngPayload(id: Long): Array[Byte] = {
     nonNegId(id)
     val w = 16 + ((id * 7) % 48).toInt
@@ -95,14 +122,20 @@ object MultimodalOps {
       if (id % 2 == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
       else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
     val img = new java.awt.image.BufferedImage(w, h, kind)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 97) & 0xffffff)
-        x += 1
+    if (kind == java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      fillBgr(img)((x, y) => (x * 31 + y * 17 + id.toInt * 97) & 0xffffff)
+    else {
+      // gray arm stays on setRGB: TYPE_BYTE_GRAY's sRGB→gray conversion
+      // is the color model's, not a restatable formula — keep Java's
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 97) & 0xffffff)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
     }
     pngEncode(img)
   }
@@ -133,12 +166,14 @@ object MultimodalOps {
   ) { s =>
     import s.implicits._
     // payload stage: id → PNG bytes (stands in for reading image files /
-    // a binary column); a NULL source document yields a NULL payload
-    val payloads = s.table("documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("src"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, src) =>
-        (id, if (src == null) null else pngPayload(id))
+    // a binary column); a NULL source document yields a NULL payload.
+    // Fanned out before synthesis: one PNG encode + decode per row is
+    // CPU-bound and the scan is one task (guide §2.5)
+    val payloads = graft.engine.Par.spread(s.table("documents")
+      .select(col("doc_id"), col("text").isNotNull.as("has"))
+      .as[(Long, Boolean)], col("doc_id"))
+      .mapPartitions(_.map { case (id, has) =>
+        (id, if (has) pngPayload(id) else null)
       })
       .toDF("doc_id", "payload")
       .as[(Long, Array[Byte])]
@@ -404,16 +439,8 @@ object MultimodalOps {
     val frames = (0 until n).map { f =>
       val img = new java.awt.image.BufferedImage(
         16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      var y = 0
-      while (y < 16) {
-        var x = 0
-        while (x < 16) {
-          img.setRGB(x, y,
-            (x * 31 + y * 17 + id.toInt * 97 + f * 211) & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
+      fillBgr(img)((x, y) =>
+        (x * 31 + y * 17 + id.toInt * 97 + f * 211) & 0xffffff)
       pngEncode(img)
     }
     val header = java.nio.ByteBuffer.allocate(12 + 4 * n)
@@ -475,9 +502,12 @@ object MultimodalOps {
     // payloads ScaleGen wrote ONCE to videos.parquet (videoMetaOf over
     // the stored column), so the tier row measures the operator —
     // container parse + one decode per clip — not fixture synthesis.
-    videoMetaOf(s.table("documents")
+    // fan out BEFORE synthesis: the single-row-group scan is one task,
+    // and ~3.5 PNG encodes + 1 decode per row is pure CPU — spread the
+    // (id, has) pairs (16 bytes/row) across the cores first (guide §2.5)
+    videoMetaOf(graft.engine.Par.spread(s.table("documents")
       .select(col("doc_id"), col("text").isNotNull.as("has"))
-      .as[(Long, Boolean)]
+      .as[(Long, Boolean)], col("doc_id"))
       .map { case (id, has) => (id, if (has) videoPayload(id) else null) })
   }
 
@@ -513,17 +543,36 @@ object MultimodalOps {
             try {
               reader.setInput(iis)
               val img = reader.read(0)
+              // whole-frame luminance sum: order-independent, so read
+              // the decoded raster bytes directly when the codec hands
+              // back the exact TYPE_3BYTE_BGR layout the frames were
+              // written in (lossless PNG, bytes ARE the sRGB values);
+              // per-pixel getRGB dispatch is the slow general fallback
               var lum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val v = img.getRGB(x, y) & 0xffffff
-                  lum += (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) +
-                    114 * (v & 255)) / 1000
-                  x += 1
-                }
-                y += 1
+              val buf = img.getRaster.getDataBuffer
+              buf match {
+                case db: java.awt.image.DataBufferByte
+                    if img.getType ==
+                      java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+                  val d = db.getData
+                  var i = 0
+                  while (i < d.length) {
+                    lum += (299 * (d(i + 2) & 255) + 587 * (d(i + 1) & 255) +
+                      114 * (d(i) & 255)) / 1000
+                    i += 3
+                  }
+                case _ =>
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val v = img.getRGB(x, y) & 0xffffff
+                      lum += (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) +
+                        114 * (v & 255)) / 1000
+                      x += 1
+                    }
+                    y += 1
+                  }
               }
               VideoMeta(id, Some(n), Some(img.getWidth),
                 Some(img.getHeight), Some(lum))

@@ -227,13 +227,28 @@ object AggQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
   ) { s =>
+    // Aggregate-before-shuffle (guide §2.3): l_quantity has ~50 distinct
+    // values, so fold the 600k rows to (flag, qty, cnt) first — the
+    // percentile buffers then hold ≤50 weighted entries instead of a
+    // 200k-value multiset per group, and the collect_list+array_sort
+    // q75d (a 200k-element sort per group, single-threaded) becomes a
+    // 50-element weighted selection. percentile(col, p, freq) is the
+    // SAME exact interpolation over the expanded multiset (Spark
+    // evaluates frequencies natively), and q75d = element_at(sorted
+    // multiset, floor(0.75*(n-1))+1) expands each value cnt times
+    // before indexing — bit-identical to the raw-row formulation.
     s.sql(
       """SELECT l_returnflag,
-        |  ROUND(percentile(l_quantity, 0.5), 6) AS med_q,
-        |  ROUND(percentile(l_quantity, 0.25), 6) AS q25,
-        |  element_at(array_sort(collect_list(l_quantity)),
-        |             CAST(floor(0.75 * (COUNT(*) - 1)) AS INT) + 1) AS q75d
-        |FROM lineitem GROUP BY l_returnflag
+        |  ROUND(percentile(l_quantity, 0.5, cnt), 6) AS med_q,
+        |  ROUND(percentile(l_quantity, 0.25, cnt), 6) AS q25,
+        |  element_at(
+        |    flatten(transform(
+        |      array_sort(collect_list(struct(l_quantity AS q, cnt))),
+        |      x -> array_repeat(x.q, CAST(x.cnt AS INT)))),
+        |    CAST(floor(0.75 * (SUM(cnt) - 1)) AS INT) + 1) AS q75d
+        |FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |      FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
   }
 
