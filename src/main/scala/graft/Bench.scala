@@ -126,10 +126,18 @@ object Bench {
     // other statements' compute, but past a few the heavy cached-relation
     // queries (dd_*, pipe_*) interfere super-additively: the round-5
     // judge sweep measured the full 127-query suite at 73.5s with 16
-    // threads vs 25.1s with 4 on an idle host. 4 is the measured optimum
-    // for this suite shape, not a guess; override via env to re-sweep.
+    // threads vs 25.1s with 4 on an idle host — when every cached
+    // relation was re-read at the static 32-partition width. r18's
+    // cached-plan-AQE fix removed most of that interference, and the
+    // re-sweep on the optimized suite (idle host, 32 cpus, two runs per
+    // point) measured 4→27.1s, 6→24.2s, 8→18.1/16.7s, 10→16.5/15.8s,
+    // 12→22.0s: the optimum moved from 4 to ~10. Default scales with
+    // the core budget (cpus/3, floor 4 — the old optimum — so the
+    // driver's lower-core scaling runs keep their measured shape);
+    // override via env to re-sweep.
     val threads = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_THREADS", "4").toInt
+      .getOrElse("SPARK_GRAFT_BENCH_THREADS", "").toIntOption
+      .getOrElse(math.max(4, cpus.toInt / 3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
