@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe: time one query end-to-end outside the bench harness. */
+/** Dev probe: time one or more queries end-to-end outside the bench
+  * harness — 3 isolated runs each (run 3 is steady state), noop sink,
+  * session config mirroring Bench. PROBE_STAGES=1 adds a per-stage
+  * profile of each query's LAST run.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,11 +16,15 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.Tables.register(spark, sfDir)
+    graft.engine.Functions.freeze(spark)
     spark.table("lineitem").groupBy("l_returnflag").count().collect()
-    val name = args.headOption.getOrElse("t6_recursive_cte")
+    val names = if (args.nonEmpty) args.toSeq else Seq("t6_recursive_cte")
     sys.env.get("PROBE_CONF").foreach(_.split(";").foreach { kv =>
       val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
     })
@@ -45,30 +53,24 @@ object Probe {
                 f"${si.name.take(40)} :: ${si.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString(">").take(180)}")
           }
       })
-    (1 to 3).foreach { i =>
-      if (profile && i == 3) listening = true
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      System.err.println(s"[probe] run $i: ${(System.nanoTime() - t0) / 1e9}s " +
-        s"(cacheOnce live=${graft.engine.CacheOnce.liveCount} " +
-        s"thrash=${graft.engine.CacheOnce.thrashCount.get} " +
-        s"keys=${graft.engine.CacheOnce.thrashKeys})")
-      spark.sparkContext.getRDDStorageInfo.foreach { ri =>
-        System.err.println(s"[probe-rdd] id=${ri.id} cached=${ri.numCachedPartitions}/${ri.numPartitions} mem=${ri.memSize / 1024}KB ${ri.name}")
-      }
-      try {
-        val cm = spark.sharedState.cacheManager
-        val f = cm.getClass.getDeclaredMethods
-          .find(_.getName.contains("cachedData")).get
-        f.setAccessible(true)
-        val entries = f.invoke(cm).asInstanceOf[scala.collection.Seq[_]]
-        entries.foreach { cd =>
-          val plan = cd.getClass.getMethod("plan").invoke(cd)
-          System.err.println(s"[probe-cm] ${plan.toString.linesIterator.take(2).mkString(" | ").take(160)}")
+    names.foreach { name =>
+      listening = false
+      (1 to 3).foreach { i =>
+        if (profile && i == 3) listening = true
+        val t0 = System.nanoTime()
+        graft.engine.CacheOnce.scoped {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
         }
-      } catch { case e: Throwable =>
-        System.err.println(s"[probe-cm] unavailable: $e") }
+        System.err.println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3fs " +
+          s"(cacheOnce live=${graft.engine.CacheOnce.liveCount} " +
+          s"thrash=${graft.engine.CacheOnce.thrashCount.get} " +
+          s"keys=${graft.engine.CacheOnce.thrashKeys})")
+      }
+      if (sys.env.get("PROBE_RDDS").contains("1"))
+        spark.sparkContext.getRDDStorageInfo.foreach { ri =>
+          System.err.println(s"[probe-rdd] id=${ri.id} cached=${ri.numCachedPartitions}/${ri.numPartitions} mem=${ri.memSize / 1024}KB ${ri.name}")
+        }
     }
     spark.stop()
   }

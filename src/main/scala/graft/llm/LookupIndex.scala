@@ -306,9 +306,35 @@ object LookupIndex {
         "(Tables.register) — refusing to memoize under a shared key; " +
         "use forCorpus for unregistered corpora"))
 
-  private[graft] def forDataset(s: SparkSession, parts: Int = 32): Index =
-    byDataset.get(datasetKey(s) + s"/$parts") {
+  /** Slab count for a corpus of `nDocs` rows: sized so each slab holds
+    * a bounded key range (~50k docs' digests/bands/shingles ≈ tens of
+    * MB) — the corpus drives the width, not a constant. Floored at a
+    * quarter of the cluster's parallelism so probe stages of a BIG
+    * ingest batch against a small corpus still spread, and never below
+    * 2. The r18 sweep on this host (5k-doc fixture, 32 cores, isolated
+    * steady dd_incremental_lookup): 4 slabs = 0.79 s, 8 = 0.89 s,
+    * 16 = 1.22 s, 32 = 1.41 s — every probe stage pays per-task
+    * scheduling for KB-scale work, so width beyond the data is pure
+    * overhead. Any production corpus clears 400k docs and the data term
+    * takes over; the floor only governs toy corpora. Env-overridable
+    * for re-sweeps.
+    */
+  private[graft] def slabParts(s: SparkSession, nDocs: Long): Int =
+    sys.env.get("SPARK_GRAFT_SLAB_PARTS").flatMap(_.toIntOption).getOrElse {
+      val byData = math.ceil(nDocs / 50000.0).toInt
+      val floor = math.max(2, s.sparkContext.defaultParallelism / 8)
+      math.max(floor, byData)
+    }
+
+  /** `parts` ≤ 0 (the serving default) derives the slab count from the
+    * corpus via [[slabParts]]; an explicit positive value pins it (the
+    * ScaleBench multi-root proxy builds distinct memo entries that way).
+    */
+  private[graft] def forDataset(s: SparkSession, parts0: Int = -1): Index =
+    byDataset.get(datasetKey(s) + s"/$parts0") {
       val corpus = s.table("documents").select(col("doc_id"), col("text"))
+      val parts =
+        if (parts0 > 0) parts0 else slabParts(s, corpus.count())
       // cSh here is the RAW corpus (cid, text) — hashedShingles runs
       // inside build, so the fat string shingle sets never materialize
       val (ex, bands, _) =
@@ -347,31 +373,20 @@ object LookupIndex {
   private[graft] def classifyBatchIndexed(batch: DataFrame, idx: Index)
       : DataFrame = {
     val s = batch.sparkSession
-    import graft.engine.expressions.OptimizerBarrier
     val part = idx.partitioner
-    // one batch-side projection: digest, band keys, hashed shingles (the
-    // minhash kernel barriered exactly like the declarative spelling).
-    // NOT persisted: the returned plan is lazy, so a scoped persist would
-    // be released before the sink executes it — and the exact/candidate
-    // arms recomputing this batch-sized projection twice is cheaper than
-    // a cache entry per trigger on a serving session
-    val prep = batch.select(
-      col("doc_id"),
-      md5(col("text").cast(BinaryType)).as("h"),
-      DedupOps.bandStructs(
-        OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
-        .as("bands"),
-      hashedShingles(col("text")).as("shh"))
-      .rdd.map { r =>
-        val bands = r.getSeq[Row](2)
-          .map(b => (b.getInt(0), b.getString(1))).toArray
-        (r.getLong(0), r.getString(1), bands, r.getSeq[Long](3).toArray)
-      }
+    // one batch-side kernel pass, materialized as ONE shuffle (r18): the
+    // exact, candidate and verify arms all consume [[prepped]]'s shuffle
+    // files — the digest/minhash/shingle kernel map runs ONCE per
+    // execution (it was recomputed per arm before: 3 × ~0.5 s single-task
+    // at sf0.1). A persist would not survive the lazy return (a scoped
+    // persist is released before the sink executes); a shuffle dependency
+    // does, and its reduce side is exactly the id-keyed layout the
+    // verify join needs (zero extra shuffle there).
+    val prep = prepped(batch, idx)
     locally {
       // exact arm: 128-bit digest point lookups
       val exHits: RDD[(Long, Long)] = prep
-        .map { case (id, h, _, _) =>
-          val (hi, lo) = hexToPair(h); (routeKey(hi, lo), (hi, lo, id)) }
+        .map { case (id, (hi, lo, _, _)) => (routeKey(hi, lo), (hi, lo, id)) }
         .partitionBy(part)
         .zipPartitions(idx.digests) { (pit, sit) =>
           if (!sit.hasNext) Iterator.empty
@@ -384,8 +399,7 @@ object LookupIndex {
           }
         }
       // candidate + verify arms (shared with nearMatchesIndexed)
-      val nearHits = nearHitsOf(prep.map { case (id, _, bands, shh) =>
-        (id, bands, shh) }, idx)
+      val nearHits = nearHitsOf(prep, idx)
       // verdict assembly — back in DataFrame land, same tail as
       // classifyBatch: exact > near > new, min matching cid
       import s.implicits._
@@ -406,12 +420,46 @@ object LookupIndex {
     }
   }
 
+  /** One batch-side kernel pass for the probe arms: doc_id → (digest
+    * hi/lo, band slab keys [hi0,lo0,hi1,lo1,...], hashed shingles) —
+    * spread across the cluster ahead of the kernel (the fixture scans
+    * are single-row-group, guide §2.5), then shuffled ONCE by the slab
+    * partitioner keyed on doc_id. Every downstream arm re-reads these
+    * shuffle files instead of re-running the kernel, and the id-keyed
+    * partitioning is exactly what the verify join needs.
+    */
+  private def prepped(batch: DataFrame, idx: Index)
+      : RDD[(Long, (Long, Long, Array[Long], Array[Long]))] = {
+    import graft.engine.expressions.OptimizerBarrier
+    graft.engine.Par.spread(batch, col("doc_id"))
+      .select(
+        col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("h"),
+        DedupOps.bandStructs(
+          OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
+          .as("bands"),
+        hashedShingles(col("text")).as("shh"))
+      .rdd.map { r =>
+        val (hi, lo) = hexToPair(r.getString(1))
+        val bs = r.getSeq[Row](2)
+        val bandKeys = new Array[Long](bs.length * 2)
+        var i = 0
+        bs.foreach { b =>
+          val (bh0, bl0) = hexToPair(b.getString(1))
+          val (bh, bl) = bandKey(b.getInt(0), bh0, bl0)
+          bandKeys(i) = bh; bandKeys(i + 1) = bl; i += 2
+        }
+        (r.getLong(0), (hi, lo, bandKeys, r.getSeq[Long](3).toArray))
+      }
+      .partitionBy(idx.partitioner)
+  }
+
   /** Near-arm-only face for the staged ingest composition: (doc_id,
     * nd_match) for batch docs with a verified near match — the survivors
     * of the exact gate probe only bands + shingles here.
     */
-  /** Candidate probe + shingle verify over (id, bands, shh) rows —
-    * shared by [[classifyBatchIndexed]] and [[nearMatchesIndexed]].
+  /** Candidate probe + shingle verify over [[prepped]] rows — shared by
+    * [[classifyBatchIndexed]] and [[nearMatchesIndexed]].
     * Emits verified (doc_id, cid) near hits.
     *
     * Shuffle discipline (the r17 ENOSPC lesson, corpus-sized batches):
@@ -420,22 +468,23 @@ object LookupIndex {
     * for a 5M-doc batch and hit disk. Spelled so the payload moves at
     * most twice: bare (bucket, id) probes → bare (cid, id) pairs,
     * DEDUPED while still payload-free, then ONE id-keyed join attaches
-    * shh (each doc's shingles shuffle once), then one route-by-cid
-    * carries shh once per DISTINCT surviving pair to its verify slab.
-    * A bounded trigger pays one extra tiny shuffle (~0.1 s); a
-    * corpus-sized batch drops from ~30 GB of scratch to
-    * ~(batch + distinct pairs) — measured in SCALE.md §r17.
+    * shh (each doc's shingles shuffle once — and since [[prepped]] is
+    * already id-partitioned by the same partitioner, that side of the
+    * join moves nothing), then one route-by-cid carries shh once per
+    * DISTINCT surviving pair to its verify slab. A bounded trigger pays
+    * one extra tiny shuffle (~0.1 s); a corpus-sized batch drops from
+    * ~30 GB of scratch to ~(batch + distinct pairs) — measured in
+    * SCALE.md §r17.
     */
   private def nearHitsOf(
-      rows: RDD[(Long, Array[(Int, String)], Array[Long])], idx: Index)
+      rows: RDD[(Long, (Long, Long, Array[Long], Array[Long]))], idx: Index)
       : RDD[(Long, Long)] = {
     val part = idx.partitioner
     // bare band probes: (bucket-key route, (hi, lo, id)) — no payload
     val pairs: RDD[(Long, Long)] = rows
-      .flatMap { case (id, bands, _) =>
-        bands.iterator.map { case (band, bucket) =>
-          val (hi0, lo0) = hexToPair(bucket)
-          val (hi, lo) = bandKey(band, hi0, lo0)
+      .flatMap { case (id, (_, _, bandKeys, _)) =>
+        (0 until bandKeys.length / 2).iterator.map { j =>
+          val hi = bandKeys(2 * j); val lo = bandKeys(2 * j + 1)
           (routeKey(hi, lo), (hi, lo, id))
         }
       }
@@ -455,8 +504,9 @@ object LookupIndex {
     val distinctPairs = pairs
       .map(p => (p, null: Null)).reduceByKey(part, (a, _) => a).keys
     // attach each doc's hashed shingles ONCE (id-keyed join), then
-    // route by cid to the verify slab
-    val shhById = rows.map { case (id, _, shh) => (id, shh) }
+    // route by cid to the verify slab; mapValues keeps rows' id
+    // partitioning, so the join only shuffles the bare pairs
+    val shhById = rows.mapValues { case (_, _, _, shh) => shh }
     distinctPairs
       .map { case (cid, id) => (id, cid) }
       .join(shhById, part)
@@ -479,20 +529,11 @@ object LookupIndex {
   private[graft] def nearMatchesIndexed(batch: DataFrame, idx: Index)
       : DataFrame = {
     val s = batch.sparkSession
-    import graft.engine.expressions.OptimizerBarrier
-    val rows = batch.select(
-      col("doc_id"),
-      DedupOps.bandStructs(
-        OptimizerBarrier(graft.engine.GraftColumns.minhashSig(col("text"), DedupOps.K)))
-        .as("bands"),
-      hashedShingles(col("text")).as("shh"))
-      .rdd.map { r =>
-        (r.getLong(0),
-          r.getSeq[Row](1).map(b => (b.getInt(0), b.getString(1))).toArray,
-          r.getSeq[Long](2).toArray)
-      }
+    // the shared kernel pass also digests the batch (the exact arm's
+    // column); here that 128-bit md5 per row is unused — the price of
+    // one prep shape for both faces, and small next to the minhash
     import s.implicits._
-    nearHitsOf(rows, idx).toDF("doc_id", "cid")
+    nearHitsOf(prepped(batch, idx), idx).toDF("doc_id", "cid")
       .groupBy("doc_id").agg(min(col("cid")).as("nd_match"))
   }
 }
