@@ -29,4 +29,21 @@ object Par {
     */
   def spread[T](ds: Dataset[T], key: org.apache.spark.sql.Column): Dataset[T] =
     ds.repartition(ds.sparkSession.sparkContext.defaultParallelism, key)
+
+  /** Spread for a relation that is about to be CACHED: every consumer
+    * stage of a cached relation runs one task per cached partition
+    * (InMemoryTableScan cannot coalesce below the stored block count),
+    * so full-width caching taxes every steady-state read with per-task
+    * scheduling — measured r18 on the dedup gram/shingle relations:
+    * width 32 added ~0.1-0.3 s per consumer-heavy query over width 8
+    * while the build gain past 8 ways was nil at fixture scale. A
+    * quarter of the default parallelism balances build CPU against
+    * consumer fan-in (env-tunable for re-sweeps on other hosts).
+    */
+  def spreadCached[T](ds: Dataset[T], key: org.apache.spark.sql.Column): Dataset[T] = {
+    val dp = ds.sparkSession.sparkContext.defaultParallelism
+    val w = sys.env.get("SPARK_GRAFT_SPREAD_CACHED_WIDTH")
+      .flatMap(_.toIntOption).getOrElse(math.max(2, dp / 4))
+    ds.repartition(w, key)
+  }
 }

@@ -203,7 +203,10 @@ object DedupOps {
        |SELECT id_a, id_b, jac FROM verified WHERE jac >= 0.3
        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin
   ) { s =>
-    val corpus = dupCorpus(s)
+    // the SAME spread shape as verifiedEdges (r18): Spark's CacheManager
+    // is plan-keyed, so keeping this plan identical to dd_components'
+    // edge kernel lets the family share ONE cached shingle/bands copy
+    val corpus = graft.engine.Par.spreadCached(dupCorpus(s), col("doc_id"))
     // CacheOnce (bounded persist): the shingle relation feeds both the
     // signature build and the verification joins — 3× recompute without
     // it; the keyed cache releases the previous run's blocks so a
@@ -601,9 +604,13 @@ object DedupOps {
   private[graft] def verifiedEdges(
       corpus: DataFrame, tag: String, minJac: Double): DataFrame = {
     val k = graft.engine.CacheOnce.dsKey(corpus.sparkSession, tag) // r15 sweep
+    // spread ahead of the shingle/minhash kernels (r18, guide §2.5):
+    // the fixture scans are single-row-group, so the kernels otherwise
+    // run 1-2 tasks wide on a 32-core host
+    val c = graft.engine.Par.spreadCached(corpus, col("doc_id"))
     val sh = graft.engine.CacheOnce(s"$k/sh",
-      corpus.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
-    val sig = corpus.select(col("doc_id"),
+      c.select(col("doc_id"), shinglesPadded(col("text")).as("sh")))
+    val sig = c.select(col("doc_id"),
       graft.engine.expressions.OptimizerBarrier( // 3×-eval guard, as above
         graft.engine.GraftColumns.minhashSig(col("text"), K)).as("sig"))
     val bands = graft.engine.CacheOnce(s"$k/bands",
@@ -1049,8 +1056,11 @@ object DedupOps {
     * shingle sets (verify arm). All keyed by corpus id; full text never
     * leaves the corpus scan.
     */
-  private[graft] def corpusSideRelations(corpus: DataFrame, cap: Int)
+  private[graft] def corpusSideRelations(corpus0: DataFrame, cap: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    // spread ahead of the digest/minhash/shingle kernels (r18, guide
+    // §2.5): single-row-group fixture scans otherwise run them 1-task
+    val corpus = graft.engine.Par.spreadCached(corpus0, col("doc_id"))
     val ex = corpus.select(col("doc_id").as("cid"),
       md5(col("text").cast(BinaryType)).as("h"))
     // hot-bucket guard on the corpus side: keep the cap smallest ids

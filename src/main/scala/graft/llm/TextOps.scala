@@ -627,7 +627,8 @@ object TextOps {
         i => md5(concat_ws(" ", slice(toks, i, lit(10))).cast(BinaryType))))
       .otherwise(array().cast(ArrayType(StringType)))
     val g = graft.engine.CacheOnce(s"$k/g",
-      docs.select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(grams).as("__g")) // 3×-eval guard (r12)
+      graft.engine.Par.spreadCached(docs, col("doc_id")) // single-row-group scan fan-out (r18)
+        .select(col("doc_id"), graft.engine.expressions.OptimizerBarrier(grams).as("__g")) // 3×-eval guard (r12)
         .select(col("doc_id"), explode(col("__g")).as("h")))
     // only the DUPLICATED digests come back to the gram relation: an
     // inner join with the full per-digest counts sort-merged the whole
@@ -749,8 +750,11 @@ object TextOps {
     // and the digest is computed once per window AFTER the generator,
     // so nothing needs an OptimizerBarrier; toks is pruned before any
     // exchange (PlanSpec pins it)
+    // spread ahead of the window digests (r18, guide §2.5): the fixture
+    // scan is single-row-group, so without the fan-out the ~1M-window
+    // md5 build runs as ONE task (0.7 s of a 1.6 s isolated steady)
     val g = graft.engine.CacheOnce(s"$k/g",
-      base.filter(col("n") >= 10)
+      graft.engine.Par.spreadCached(base.filter(col("n") >= 10), col("doc_id"))
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(1), col("n") - 9)).as("i"))
         .select(col("doc_id"), col("i"),
