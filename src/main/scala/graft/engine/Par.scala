@@ -30,6 +30,28 @@ object Par {
   def spread[T](ds: Dataset[T], key: org.apache.spark.sql.Column): Dataset[T] =
     ds.repartition(ds.sparkSession.sparkContext.defaultParallelism, key)
 
+  /** Hash exchange on the sort keys under a final total-order sort
+    * (guide §2.4 — remove work, not just shuffles): Spark plans a
+    * global ORDER BY as a RangePartitioning exchange whose partitioner
+    * needs bounds, and sampling those bounds EXECUTES THE CHILD TWICE —
+    * one sampling job, one shuffle-write job. Every declared query ends
+    * in a deterministic ORDER BY, so its whole body back to the last
+    * exchange runs twice: a window query re-runs the window, a
+    * sample/filter re-scans and re-hashes. Planting an AQE-sized hash
+    * exchange on the sort keys right below the sort makes the sampling
+    * pass re-read KB-scale shuffle files instead.
+    *
+    * Scale: the extra exchange carries the FINAL output exactly once.
+    * For report-sized outputs that is noise; for output ∝ input queries
+    * it trades one output-sized shuffle for one output-sized
+    * re-execution of the query body — at worst neutral on bytes, a win
+    * whenever the body is more than a scan. Sort keys are near-unique
+    * by the determinism contract (ORDER BY must pin row order), so the
+    * hash spreads; AQE sizes the partition count from bytes.
+    */
+  def preSort[T](ds: Dataset[T], keys: org.apache.spark.sql.Column*): Dataset[T] =
+    ds.repartition(keys: _*)
+
   /** Spread for a relation that is about to be CACHED: every consumer
     * stage of a cached relation runs one task per cached partition
     * (InMemoryTableScan cannot coalesce below the stored block count),

@@ -141,6 +141,7 @@ object PipelineOps {
         epoch(min(col("ts"))).as("start_s"),
         epoch(max(col("ts"))).as("end_s"),
         (epoch(max(col("ts"))) - epoch(min(col("ts")))).as("dur_s"))
+      .transform(graft.engine.Par.preSort(_, col("user_id"), col("session_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("user_id").asc_nulls_last, col("session_id").asc_nulls_last)
   }
 
@@ -271,6 +272,7 @@ object PipelineOps {
         d7c.as("d7_retained"),
         round(d1c.cast(DoubleType) / count(lit(1)), 6).as("d1_rate"),
         round(d7c.cast(DoubleType) / count(lit(1)), 6).as("d7_rate"))
+      .transform(graft.engine.Par.preSort(_, col("cohort"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("cohort").asc_nulls_last)
   }
 
@@ -327,6 +329,7 @@ object PipelineOps {
         count(lit(1)).as("n_purchases"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("attributed_value"))
+      .transform(graft.engine.Par.preSort(_, col("touch_type"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("touch_type").asc_nulls_last)
   }
 
@@ -593,6 +596,7 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tokens"),
         min(col("rk")).as("first_pick"))
+      .transform(graft.engine.Par.preSort(_, col("lang"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("lang").asc_nulls_last)
   }
 
@@ -652,6 +656,7 @@ object PipelineOps {
       .withColumn("zs", zs)
       .filter(abs(col("zs")) > 2)
       .select(col("event_type"), col("day"), col("n"), round(col("zs"), 6).as("z"))
+      .transform(graft.engine.Par.preSort(_, col("event_type"), col("day"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("event_type").asc_nulls_last, col("day").asc_nulls_last)
   }
 
@@ -690,6 +695,7 @@ object PipelineOps {
     hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .select(col("doc_id"), col("lang"), col("rn"))
+      .transform(graft.engine.Par.preSort(_, col("lang"), col("rn"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("lang").asc_nulls_last, col("rn").asc_nulls_last)
   }
 
@@ -727,6 +733,7 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast(LongType).as("tokens"),
         min(col("doc_id")).as("first_doc"))
+      .transform(graft.engine.Par.preSort(_, col("split"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("split").asc_nulls_last)
   }
 
@@ -803,6 +810,7 @@ object PipelineOps {
         out.iterator
       }
       .toDF("doc_id", "block", "bin", "pos", "n_tok")
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -879,6 +887,7 @@ object PipelineOps {
           .as("leak_frac"),
         (coalesce(col("n_hits"), lit(0L)) * 1.0 / col("n_shingles") >= 0.5)
           .as("flagged"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 

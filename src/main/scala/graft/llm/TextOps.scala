@@ -110,6 +110,7 @@ object TextOps {
         (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
           .cast(DoubleType) / nTok).as("mean_tok_len"),
         round(qualityCol(col("text")), 6).as("quality"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -130,6 +131,7 @@ object TextOps {
       size(split(col("text"), " ")).as("ws_tokens"),
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
       col("n_chars").cast(LongType).as("n_chars"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -182,6 +184,7 @@ object TextOps {
     scores.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("predicted"),
         (col("lang") === col("cand")).as("correct"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -208,6 +211,7 @@ object TextOps {
       md5(array_join(slice(toks, 1, 8), " ").cast(BinaryType)).as("fp_prefix"))
     fp.withColumn("n_same_prefix",
         count(lit(1)).over(Window.partitionBy(col("fp_prefix"))))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -235,6 +239,7 @@ object TextOps {
           .as("n_emails"),
         size(regexp_extract_all(col("text"), lit(IdRe), lit(0)))
           .as("n_ids"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -286,6 +291,7 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(array_join(col("__kept"), " "), lit("")).as("cleaned"),
         (size(toks) - size(col("__kept"))).cast(IntegerType).as("n_removed"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -334,6 +340,7 @@ object TextOps {
       |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
     repetitionOf(s.table("documents"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -416,6 +423,7 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -570,6 +578,7 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(coalesce(col("alp"), lit(0.0)), 6).as("avg_logprob"),
         (coalesce(col("alp"), lit(0.0)) < -9.0).as("low_quality"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -656,6 +665,7 @@ object TextOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(frac, lit(0.0)), 6).as("dup_frac"),
         (coalesce(frac, lit(0.0)) > 0.5).as("flagged"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -817,6 +827,7 @@ object TextOps {
         round((col("n") - coalesce(col("n_removed"), lit(0))) * lit(1.0)
           / col("n"), 6).as("kept_frac"),
         md5(concat_ws(" ", kept).cast(BinaryType)).as("kept_md5"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -1009,6 +1020,7 @@ object TextOps {
         md5(array_join(slice(col("toks"), nTokC + 1,
           least(lit(window), col("n") - nTokC)), " ")
           .cast(BinaryType)).as("chunk_md5"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("chunk_id"))) // preSort (r18)
       .orderBy(col("doc_id").asc_nulls_last, col("chunk_id").asc_nulls_last)
   }
 
@@ -1063,6 +1075,7 @@ object TextOps {
         col("cs.n_distinct").as("n_distinct"),
         round(col("cs.h_nats") / lit(math.log(2.0)), 6).as("entropy_bits"),
         round(col("cs.max_frac"), 6).as("max_char_frac"))
+      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 

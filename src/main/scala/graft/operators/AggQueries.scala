@@ -178,6 +178,8 @@ object AggQueries {
   ) { s =>
     s.table("orders").groupBy(col("o_orderstatus"))
       .agg(mode(col("o_orderpriority"), deterministic = true).as("mode_prio"))
+      // preSort (r18): no range-sampling re-exec of the mode merge
+      .transform(graft.engine.Par.preSort(_, col("o_orderstatus")))
       .orderBy(col("o_orderstatus").asc_nulls_last)
   }
 
@@ -278,21 +280,25 @@ object AggQueries {
   ) { s =>
     // ONE exact-percentile buffer and ONE sketch per group (array-arg
     // forms), not four: the four-buffer formulation ran 3.0 s at sf0.1
-    // — slowest in the suite — vs ~1 s for this shape
-    s.sql(
-      """SELECT l_returnflag,
-        |  ROUND(element_at(ex, 1), 6) AS p50,
-        |  ROUND(element_at(ex, 2), 6) AS p95,
-        |  (abs(element_at(ap, 1) - element_at(ex, 1))
-        |    <= 0.01 * element_at(ex, 1)) AND
-        |  (abs(element_at(ap, 2) - element_at(ex, 2))
-        |    <= 0.01 * element_at(ex, 2)) AS approx_ok
-        |FROM (
-        |  SELECT l_returnflag,
-        |    percentile(l_extendedprice, array(0.5, 0.95)) AS ex,
-        |    percentile_approx(l_extendedprice, array(0.5, 0.95), 10000) AS ap
-        |  FROM lineitem GROUP BY l_returnflag)
-        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
+    // — slowest in the suite — vs ~1 s for this shape.
+    // preSort (r18): the final ORDER BY's range sampling otherwise
+    // re-runs the percentile buffer merge a second time
+    graft.engine.Par.preSort(
+      s.sql(
+        """SELECT l_returnflag,
+          |  ROUND(element_at(ex, 1), 6) AS p50,
+          |  ROUND(element_at(ex, 2), 6) AS p95,
+          |  (abs(element_at(ap, 1) - element_at(ex, 1))
+          |    <= 0.01 * element_at(ex, 1)) AND
+          |  (abs(element_at(ap, 2) - element_at(ex, 2))
+          |    <= 0.01 * element_at(ex, 2)) AS approx_ok
+          |FROM (
+          |  SELECT l_returnflag,
+          |    percentile(l_extendedprice, array(0.5, 0.95)) AS ex,
+          |    percentile_approx(l_extendedprice, array(0.5, 0.95), 10000) AS ap
+          |  FROM lineitem GROUP BY l_returnflag)""".stripMargin),
+      col("l_returnflag"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
   /** A11: arg_min/arg_max ≡ min_by/max_by (unique ordering col ⇒ deterministic). */
@@ -404,11 +410,15 @@ object AggQueries {
     // count(DISTINCT) both skip NULLs, so semantics are unchanged.
     val dedup = s.table("lineitem")
       .select(col("l_returnflag"), col("l_partkey")).distinct()
-    dedup.groupBy(col("l_returnflag"))
-      .agg(count(col("l_partkey")).as("exact_parts"),
-        (abs(approx_count_distinct(col("l_partkey"), 0.01) -
-          count(col("l_partkey"))) <=
-          lit(0.1) * count(col("l_partkey"))).as("approx_ok"))
+    // preSort (r18): the final ORDER BY's range sampling otherwise
+    // re-runs the HLL + exact-count final aggregate a second time
+    graft.engine.Par.preSort(
+      dedup.groupBy(col("l_returnflag"))
+        .agg(count(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.01) -
+            count(col("l_partkey"))) <=
+            lit(0.1) * count(col("l_partkey"))).as("approx_ok")),
+      col("l_returnflag"))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
@@ -445,8 +455,15 @@ object AggQueries {
         |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
     // isolated child session: dialect shims never touch the shared
     // session's registry (the r8 f_math lesson — see Functions.freeze)
+    // preSort (r18): the mad/quantile/product merge is the heaviest
+    // final aggregate in the suite — don't let range sampling run it
+    // twice (the ORDER BY moves to the DataFrame tail)
     graft.engine.Q("a16_duck_stats", (s, dir) =>
-      graft.engine.Functions.isolated(s, dir, "orders").sql(sqlText),
+      graft.engine.Par.preSort(
+        graft.engine.Functions.isolated(s, dir, "orders")
+          .sql(sqlText.replace("\nORDER BY o_orderstatus ASC NULLS LAST", "")),
+        col("o_orderstatus"))
+        .orderBy(col("o_orderstatus").asc_nulls_last),
       Some(sqlText))
   }
 

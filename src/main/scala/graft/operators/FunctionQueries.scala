@@ -78,6 +78,7 @@ object FunctionQueries {
       graft.engine.GraftColumns.factorialHuge((k % 14) + 20)
         .cast(StringType).as("bigfact"),
       round(lit(math.Pi), 6).as("piv"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -124,6 +125,7 @@ object FunctionQueries {
       n.startsWith("red").as("sw"),
       n.contains("idg").as("ct"),
       instr(n, "a").as("pos"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -163,6 +165,7 @@ object FunctionQueries {
       md5(col("p_name")).as("m5"),
       sha2(col("p_name"), 256).as("sh2"),
       base64(col("p_name").cast(BinaryType)).as("b64"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -188,6 +191,7 @@ object FunctionQueries {
       // serialized: the verify gate row-sorts with pandas, which cannot
       // sort raw array cells — JSON text compares byte-identically instead
       to_json(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("words"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -236,6 +240,7 @@ object FunctionQueries {
       to_timestamp_ntz(date_format(ts, fmt), lit(fmt)).as("reparsed"),
       make_date(lit(2024), month(ts), lit(1)).as("mdate"),
       window(ts, "15 minutes").getField("start").as("bucket15"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -275,6 +280,7 @@ object FunctionQueries {
       element_at(array(sz, sz * 2, sz + 5), 2).as("elem2"),
       to_json(slice(array(sz, sz * 2, sz + 5, lit(1)), 2, 2)).as("l_slice"),
       to_json(sequence(lit(1), lit(1) + sz % 4)).as("ser"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -304,6 +310,7 @@ object FunctionQueries {
       size(map(lit("a"), col("s_suppkey"))).as("msize"),
       element_at(map(lit("a"), col("s_suppkey"), lit("b"), col("s_nationkey")), "b")
         .as("mval"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -328,6 +335,7 @@ object FunctionQueries {
       expr("isnotnull(try_parse_json('x[' || props))").as("bad"),
       json_array_length(lit("[1,2,3]")).as("alen"),
       to_json(struct(col("event_type").as("a"), col("user_id").as("b"))).as("j"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 
@@ -448,6 +456,7 @@ object FunctionQueries {
         minute(col("t")).cast(IntegerType).as("mi"),
         // DuckDB's microsecond part is sub-MINUTE µs (seconds ×1e6 + µs)
         (expr("extract(SECOND FROM t)") * 1000000).cast(LongType).as("us_in_min"))
+      .transform(graft.engine.Par.preSort(_, col("k"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("k").asc_nulls_last)
   }
 

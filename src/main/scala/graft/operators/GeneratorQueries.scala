@@ -92,12 +92,16 @@ object GeneratorQueries {
       |             CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
       |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin
   ) { s =>
-    s.table("lineitem")
-      .filter(substring(md5(concat(
-        col("l_orderkey").cast(StringType), lit("-"),
-        col("l_linenumber").cast(StringType)).cast(BinaryType)), 1, 1)
-        .isin("0", "1"))
-      .select(col("l_orderkey"), col("l_linenumber"))
+    // preSort: the final ORDER BY's range sampling otherwise re-runs
+    // the scan + md5 filter (the query's whole body) a second time
+    graft.engine.Par.preSort(
+      s.table("lineitem")
+        .filter(substring(md5(concat(
+          col("l_orderkey").cast(StringType), lit("-"),
+          col("l_linenumber").cast(StringType)).cast(BinaryType)), 1, 1)
+          .isin("0", "1"))
+        .select(col("l_orderkey"), col("l_linenumber")),
+      col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
   }
 

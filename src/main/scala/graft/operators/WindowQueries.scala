@@ -42,6 +42,9 @@ object WindowQueries {
         round(percent_rank().over(w), 6).as("prnk"),
         round(cume_dist().over(w), 6).as("cdist"),
         ntile(4).over(w).as("quart"))
+      // preSort (r18): the final ORDER BY's range sampling otherwise
+      // re-runs the whole ranking window a second time
+      .transform(graft.engine.Par.preSort(_, col("o_custkey"), col("o_orderkey")))
       .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
   }
 
@@ -67,6 +70,8 @@ object WindowQueries {
         first_value(col("event_type")).over(w).as("first_type"),
         last_value(col("event_type")).over(w).as("last_type"),
         nth_value(col("event_type"), 2).over(w).as("second_type"))
+      // preSort (r18): see w1 — one window execution, not two
+      .transform(graft.engine.Par.preSort(_, col("user_id"), col("event_id")))
       .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
   }
 
@@ -89,6 +94,8 @@ object WindowQueries {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
           .cast(DoubleType).as("cust_total"),
         min(col("o_orderdate")).over(w).as("first_date"))
+      // preSort (r18): see w1 — one window execution, not two
+      .transform(graft.engine.Par.preSort(_, col("o_orderkey")))
       .orderBy(col("o_orderkey").asc_nulls_last)
   }
 
@@ -114,6 +121,8 @@ object WindowQueries {
           .cast(DoubleType).as("mov_sum"),
         count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("running_n"))
+      // preSort (r18): see w1 — one window execution, not two
+      .transform(graft.engine.Par.preSort(_, col("user_id"), col("event_id")))
       .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
   }
 
@@ -138,10 +147,14 @@ object WindowQueries {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice").asc)
       .rangeBetween(-500, Window.currentRow)
-    s.table("orders")
-      .select(
-        col("o_orderkey"), col("o_totalprice"),
-        count(lit(1)).over(w).as("n_near"))
+    // preSort: the final ORDER BY's range sampling otherwise re-runs
+    // the whole window (measured: two 0.4s window stages per run)
+    graft.engine.Par.preSort(
+      s.table("orders")
+        .select(
+          col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_near")),
+      col("o_orderkey"))
       .orderBy(col("o_orderkey").asc_nulls_last)
   }
 
@@ -154,12 +167,16 @@ object WindowQueries {
       |FROM events
       |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin
   ) { s =>
-    s.sql(
-      """SELECT user_id, event_id,
-        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC
-        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
-        |FROM events
-        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin)
+    // preSort (r18): see w1 — one window execution, not two (the ORDER
+    // BY moves to the DataFrame tail so the hash exchange sits between)
+    graft.engine.Par.preSort(
+      s.sql(
+        """SELECT user_id, event_id,
+          |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC
+          |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+          |FROM events""".stripMargin),
+      col("user_id"), col("event_id"))
+      .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
   }
 
   /** W6: GROUPS frame — Spark (and DuckDB 1.0) lack GROUPS mode; a
@@ -218,6 +235,8 @@ object WindowQueries {
     global.join(broadcast(nbr), "dr")
       .select(col("o_orderkey"), col("o_orderdate"),
         col("__gsum").cast(DoubleType).as("grp_sum"))
+      // preSort (r18): see w1 — one pass over the ranked window + joins
+      .transform(graft.engine.Par.preSort(_, col("o_orderkey")))
       .orderBy(col("o_orderkey").asc_nulls_last)
   }
 
@@ -263,6 +282,8 @@ object WindowQueries {
         when(count(lit(1)).over(cumFrame) > count(lit(1)).over(wPeers),
           sum(d).over(cumFrame) - sum(d).over(wPeers))
           .cast(DoubleType).as("sum_excl_peers"))
+      // preSort (r18): see w1 — one pass over the three windows, not two
+      .transform(graft.engine.Par.preSort(_, col("o_orderkey")))
       .orderBy(col("o_orderkey").asc_nulls_last)
   }
 
@@ -278,13 +299,16 @@ object WindowQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin
   ) { s =>
-    s.sql(
-      """SELECT o_orderkey,
-        |  row_number() OVER w AS rn,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin)
+    // preSort (r18): see w1 — one window execution, not two
+    graft.engine.Par.preSort(
+      s.sql(
+        """SELECT o_orderkey,
+          |  row_number() OVER w AS rn,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin),
+      col("o_orderkey"))
+      .orderBy(col("o_orderkey").asc_nulls_last)
   }
 
   /** W8: QUALIFY — DuckDB dialect filter-on-window; Spark rewrite is
@@ -304,6 +328,8 @@ object WindowQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      // preSort (r18): see w1 — one window execution, not two
+      .transform(graft.engine.Par.preSort(_, col("o_custkey")))
       .orderBy(col("o_custkey").asc_nulls_last)
   }
 
@@ -335,6 +361,8 @@ object WindowQueries {
         sum(when(col("event_type") === "click",
           col("value").cast(DecimalType(18, 6))))
           .over(w).cast(DoubleType).as("click_sum"))
+      // preSort (r18): see w1 — one pass over both windows, not two
+      .transform(graft.engine.Par.preSort(_, col("k")))
       .orderBy(col("k").asc_nulls_last)
   }
 
