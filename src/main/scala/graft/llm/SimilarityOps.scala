@@ -991,7 +991,17 @@ object SimilarityOps {
     // size-targeted coalescing would fold the join (and the map-side
     // WindowGroupLimit sort fed by it) into a few giant tasks —
     // measured 1.6 GB peak task memory at the sf1 tier before this pin
-    val P = C * 8
+    // width scales with the cluster, not a constant: per-task buffering
+    // is bounded by cell/C regardless of P (the join buffers per KEY),
+    // so P only spreads the (label, chunk) keys over tasks. The r18
+    // sweep (isolated steady, 32 cores) measured the join stage's
+    // cumulative task time growing ~linearly with P — ~30-60 ms of
+    // per-task overhead on KB-scale tasks: P=32 wall 0.57 s (2.8 s
+    // cumulative run), P=64 0.82 s (7.1 s), P=128 1.03 s (15.9 s) —
+    // so the core budget itself is the right width. Env override
+    // for re-sweeps.
+    val P = sys.env.get("SPARK_GRAFT_KNN_PARTS").flatMap(_.toIntOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
     val pairs = a.repartition(P, col("label"), col("cb"))
       .join(b.repartition(P, col("lb"), col("nbc")),
         col("label") === col("lb") && col("cb") === col("nbc") &&
@@ -1238,7 +1248,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("va"), col("na"),
         element_at(col("plists"), 1).as("home_a"),
         explode(col("plists")).as("plist"))
-    val P = 128
+    // width scales with the cluster (r18): the old 128 pin cost ~60 ms
+    // of per-task overhead per KB-scale task on the fixture (same sweep
+    // as labelKnn's P — see OPTIMIZATION_r18.md); per-task buffering is
+    // bounded by the per-list membership, not P. Env override re-sweeps.
+    val P = sys.env.get("SPARK_GRAFT_KNN_PARTS").flatMap(_.toIntOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
     // SYMMETRIC candidate emission (r12): a matched ordered pair
     // a→b (home(b) ∈ probes(a)) costs ONE dot product but certifies
     // BOTH edges of the unordered pair — per-vector coverage becomes
