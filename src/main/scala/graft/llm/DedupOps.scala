@@ -706,14 +706,16 @@ object DedupOps {
       graft.engine.CacheOnce.dsKey(nodes.sparkSession, s"$tag/sym"), // r15 sweep
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint()
-    // DECIMAL sum: exact at any node count (a Long sum could overflow
-    // on a 100 TB corpus's id space and fake convergence)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0)))).first()
-        .getDecimal(0)
-    var prev = labelSum(labels)
+    // checkpoint + label sum in ONE job (r18): the convergence metric
+    // was a second action per round (checkpoint job + DECIMAL-sum job).
+    // localCheckpointWithLongColSum keeps the exact-at-any-node-count
+    // guarantee (64-bit chunks spill into BigInteger before overflow —
+    // a bare Long sum could overflow on a 100 TB corpus's id space and
+    // fake convergence).
+    def ckptSum(df: DataFrame): (DataFrame, java.math.BigInteger) =
+      org.apache.spark.sql.GraftPlans.localCheckpointWithLongColSum(df, 1)
+    var (labels, prev) = ckptSum(
+      nodes.select(col("doc_id"), col("doc_id").as("component")))
     var converged = false
     val maxIter = 50
     var it = 0
@@ -764,10 +766,10 @@ object DedupOps {
           .join(labels.as("b"), col("a.component") === col("b.doc_id"))
           .select(col("a.doc_id").as("doc_id"),
             col("b.component").as("component")))
-      val next = withShortcut
-        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
-        .localCheckpoint() // truncate lineage: plan depth stays O(1)
-      val cur = labelSum(next)
+      // checkpoint (truncates lineage: plan depth stays O(1)) and the
+      // convergence sum in one job — see ckptSum above
+      val (next, cur) = ckptSum(withShortcut
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component")))
       // null sum = empty node set (degenerate but legal input)
       converged = (cur == null && prev == null) ||
         (cur != null && prev != null && cur.compareTo(prev) == 0)

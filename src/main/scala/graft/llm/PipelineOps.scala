@@ -695,7 +695,9 @@ object PipelineOps {
     hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .select(col("doc_id"), col("lang"), col("rn"))
-      .transform(graft.engine.Par.preSort(_, col("lang"), col("rn"))) // preSort (r18): no range-sampling re-exec
+      // no preSort (r18): the single-exchange two-phase group-limit
+      // shape is pinned (PlanSpec) and the post-exchange re-exec is a
+      // bounded ≤cap·strata relation — nothing to save
       .orderBy(col("lang").asc_nulls_last, col("rn").asc_nulls_last)
   }
 

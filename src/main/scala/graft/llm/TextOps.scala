@@ -339,8 +339,10 @@ object TextOps {
       |FROM dup d JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
       |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin
   ) { s =>
+    // no preSort here (r18): the zero-shuffle pure-map shape is pinned
+    // (PlanSpec) — an output exchange would cost ∝ corpus at scale for
+    // a ~0.15 s local saving
     repetitionOf(s.table("documents"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -1075,7 +1077,7 @@ object TextOps {
         col("cs.n_distinct").as("n_distinct"),
         round(col("cs.h_nats") / lit(math.log(2.0)), 6).as("entropy_bits"),
         round(col("cs.max_frac"), 6).as("max_char_frac"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
+      // no preSort (r18): pinned zero-shuffle pure map — see tx_repetition
       .orderBy(col("doc_id").asc_nulls_last)
   }
 

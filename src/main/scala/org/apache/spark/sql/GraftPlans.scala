@@ -57,4 +57,41 @@ object GraftPlans {
       .fromDataset(rdd, classic, isStreaming = false)
     (ClassicDataset.ofRows(classic.sparkSession, lr), cnt)
   }
+
+  /** localCheckpointWithCount's shape for the components fixpoint
+    * (graft.llm.DedupOps): materialize the checkpoint and compute the
+    * EXACT sum of a non-null LONG column in the SAME job — the
+    * convergence metric otherwise costs a second action per round
+    * (checkpoint job + sum job; r18). Exactness at any scale: per-task
+    * longs accumulate into a local 64-bit chunk that spills into a
+    * BigInteger before it can overflow, and chunks merge in BigInteger —
+    * the same any-corpus-size guarantee as the DECIMAL(38,0) sum it
+    * replaces. Returns null for an empty relation (the caller's
+    * degenerate-input contract).
+    */
+  def localCheckpointWithLongColSum(df: Dataset[Row], idx: Int)
+      : (DataFrame, java.math.BigInteger) = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val zero = (java.math.BigInteger.ZERO, 0L, 0L) // (big, chunk, n)
+    val (big, chunk, n) = rdd.map(_.getLong(idx)).aggregate(zero)(
+      { case ((b, c, k), v) =>
+        val s = c + v
+        // detect 64-bit overflow of c + v (same-sign operands flipping)
+        if (((c ^ s) & (v ^ s)) < 0)
+          (b.add(java.math.BigInteger.valueOf(c)), v, k + 1)
+        else (b, s, k + 1)
+      },
+      { case ((b1, c1, k1), (b2, c2, k2)) =>
+        (b1.add(b2).add(java.math.BigInteger.valueOf(c1))
+          .add(java.math.BigInteger.valueOf(c2)), 0L, k1 + k2)
+      })
+    val sum =
+      if (n == 0L) null
+      else big.add(java.math.BigInteger.valueOf(chunk))
+    val lr = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, classic, isStreaming = false)
+    (ClassicDataset.ofRows(classic.sparkSession, lr), sum)
+  }
 }

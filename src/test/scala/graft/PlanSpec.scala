@@ -100,9 +100,12 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // one hashpartitioning(user_id) serves lag + running-sum + groupBy
     // (user_id alone satisfies the (user_id, session_id) clustering);
-    // the only other exchange is the final ORDER BY range partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    // the other two exchanges are the output tail: the r18 preSort hash
+    // exchange (so the final ORDER BY's range sampling re-reads shuffle
+    // files instead of re-running both windows + the rollup) and the
+    // range partitioning itself
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
   }
 
   test("pipe_funnel: dedup window shuffles the digest, report broadcasts") {
