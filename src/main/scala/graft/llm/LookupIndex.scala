@@ -431,7 +431,20 @@ object LookupIndex {
   private def prepped(batch: DataFrame, idx: Index)
       : RDD[(Long, (Long, Long, Array[Long], Array[Long]))] = {
     import graft.engine.expressions.OptimizerBarrier
-    graft.engine.Par.spread(batch, col("doc_id"))
+    // byte-adaptive fan-out: the kernel costs ~CPU-per-KB, so width
+    // derives from the batch's estimated bytes (≈64 KB of text per
+    // task), capped at the cluster's parallelism — and SKIPPED when the
+    // batch already has that many partitions (a corpus-sized batch's
+    // scan splits naturally; repartitioning its text would be a pure
+    // extra shuffle, and a KB-scale streaming trigger stays one task
+    // instead of paying 32 tasks of scheduling)
+    val dp = batch.sparkSession.sparkContext.defaultParallelism
+    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = (est / (64L << 10)).min(BigInt(dp)).max(BigInt(1)).toInt
+    val spread =
+      if (batch.rdd.getNumPartitions >= width) batch
+      else batch.repartition(width, col("doc_id"))
+    spread
       .select(
         col("doc_id"),
         md5(col("text").cast(BinaryType)).as("h"),
