@@ -131,13 +131,20 @@ object Bench {
     // cached-plan-AQE fix removed most of that interference, and the
     // re-sweep on the optimized suite (idle host, 32 cpus, two runs per
     // point) measured 4→27.1s, 6→24.2s, 8→18.1/16.7s, 10→16.5/15.8s,
-    // 12→22.0s: the optimum moved from 4 to ~10. Default scales with
-    // the core budget (cpus/3, floor 4 — the old optimum — so the
-    // driver's lower-core scaling runs keep their measured shape);
-    // override via env to re-sweep.
+    // 12→22.0s: the optimum moved from 4 to ~10.
+    //
+    // FIXED default (r19, VERDICT item 2): r18 scaled this as cpus/3,
+    // which silently coupled statement concurrency to the executor core
+    // count — the driver's low-core scaling run then measured per-query
+    // walls under LIGHTER co-scheduling (4 threads at 8 cpus vs 10 at
+    // 32), producing physically impossible <1 core-scaling ratios. The
+    // default is now the measured 32-core optimum as a CONSTANT, so
+    // varying $SPARK_GRAFT_CPUS changes exactly one thing (executor
+    // cores) and per-query walls stay comparable across core counts.
+    // Override via env to re-sweep.
     val threads = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_THREADS", "").toIntOption
-      .getOrElse(math.max(4, cpus.toInt / 3))
+      .getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -130,18 +130,31 @@ object DedupOps {
   private[graft] val HOT_BUCKET_CAP = 100
 
   /** LSH candidate pairs (id_a < id_b, distinct) from a bands relation
-    * (doc_id, band, bucket), with the hot-bucket guard above. The bucket
-    * size/representative window shuffles on (band, bucket) — the same
-    * partitioning the candidate self-join needs, so EnsureRequirements
-    * reuses the exchange instead of adding one.
+    * (doc_id, band, bucket), with the hot-bucket guard above.
+    *
+    * `cacheKey` (r19): the sized/representative window relation has
+    * THREE consumers (both candidate-join sides + the hot-star arm),
+    * and Spark executed the whole Exchange→Sort→Window subtree once
+    * PER CONSUMER — the r18 "exchange reuse" assumption did not hold
+    * once AQE turned the b-side into a broadcast (measured: three
+    * 8-task window stages per dd_minhash_lsh execution, each scanning
+    * the cached bands and writing its own 1.5 MB exchange). Callers
+    * with a dataset-scoped key cache `sized` once (CacheOnce, bounded);
+    * steady state then reads a KB-scale cached relation three times and
+    * the window runs exactly once per session. Window (not a
+    * collect_list aggregate) stays deliberately: WindowExec spills a
+    * degenerate hot bucket to disk, a per-bucket array would not.
     */
   private[graft] def lshCandidates(
-      bands: DataFrame, cap: Int = HOT_BUCKET_CAP): DataFrame = {
+      bands: DataFrame, cap: Int = HOT_BUCKET_CAP,
+      cacheKey: String = null): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
-    val sized = bands
+    val sized0 = bands
       .withColumn("bsize", count(lit(1)).over(w))
       .withColumn("brep", min(col("doc_id")).over(w))
+    val sized = if (cacheKey == null) sized0
+      else graft.engine.CacheOnce(cacheKey + "/sized", sized0)
     val small = sized.filter(col("bsize") <= cap)
     val allPairs = small.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
       .join(small.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
@@ -233,7 +246,8 @@ object DedupOps {
       graft.engine.CacheOnce.dsKey(s, "dd_minhash_lsh/bands"),
       sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    val cand = lshCandidates(bands)
+    val cand = lshCandidates(bands,
+      cacheKey = graft.engine.CacheOnce.dsKey(s, "dd_minhash_lsh"))
     val sa = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
@@ -241,6 +255,13 @@ object DedupOps {
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6).as("jac"))
       .filter(col("jac") >= 0.3)
+      // preSort (r19): the final ORDER BY's range sampling otherwise
+      // re-executes the whole verify-join subtree (measured: a second
+      // zero-shuffle-write pass per execution). jac joins the keys so
+      // the planted exchange is not elided as redundant against the
+      // candidate distinct's (id_a, id_b) partitioning.
+      .transform(graft.engine.Par.preSort(_,
+        col("id_a"), col("id_b"), col("jac")))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
@@ -274,6 +295,10 @@ object DedupOps {
     votes.select(col("doc_id"),
       concat((1 to 16).map(j =>
         when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      // preSort (r19): without it the range sampling re-runs the final
+      // 16-vote aggregate merge; simhash joins the key so the exchange
+      // is not elided against the groupBy(doc_id) partitioning
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("simhash")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -564,6 +589,9 @@ object DedupOps {
       .filter(col("vec_id") =!= col("rep_id"))
       .select(col("vec_id"), col("rep_id"), col("cluster_size"),
         round(cos, 6).as("cos"), (cos >= 0.2).as("dropped"))
+      // preSort (r19): no range-sampling re-exec of the assignment +
+      // rep-compare body
+      .transform(graft.engine.Par.preSort(_, col("vec_id")))
       .orderBy(col("vec_id").asc_nulls_last)
   }
 
@@ -592,6 +620,8 @@ object DedupOps {
       .join(e.select(col("vec_id").as("rep_id"), col("v").as("vb")), "rep_id")
       .select(col("vec_id"), col("rep_id"), col("cluster_size"),
         round(cos, 6).as("cos"), (cos >= minCos).as("dropped"))
+      // preSort (r19): no range-sampling re-exec of the rep-compare joins
+      .transform(graft.engine.Par.preSort(_, col("vec_id")))
       .orderBy(col("vec_id").asc_nulls_last)
   }
 
@@ -616,7 +646,7 @@ object DedupOps {
     val bands = graft.engine.CacheOnce(s"$k/bands",
       sig.select(col("doc_id"), explode(bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    val cand = lshCandidates(bands)
+    val cand = lshCandidates(bands, cacheKey = k)
     val sa = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
@@ -684,6 +714,9 @@ object DedupOps {
     val corpus = dupCorpus(s)
     components(corpus.select(col("doc_id")),
       verifiedEdges(corpus, "dd_components", 0.3), "dd_components")
+      // preSort (r19): the range sampling otherwise re-runs the
+      // label×size join of the final fixpoint state
+      .transform(graft.engine.Par.preSort(_, col("doc_id")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -1141,6 +1174,10 @@ object DedupOps {
           .otherwise("new").as("verdict"),
         when(col("ex_match").isNotNull, col("ex_match"))
           .otherwise(col("nd_match")).as("match_id"))
+      // preSort (r19): no range-sampling re-exec of the verdict joins;
+      // verdict joins the key so the exchange is not elided against the
+      // doc_id-keyed join partitioning
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("verdict")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 

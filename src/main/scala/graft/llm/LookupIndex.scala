@@ -308,8 +308,8 @@ object LookupIndex {
 
   /** Slab count for a corpus of `nDocs` rows: sized so each slab holds
     * a bounded key range (~50k docs' digests/bands/shingles ≈ tens of
-    * MB) — the corpus drives the width, not a constant. Floored at a
-    * quarter of the cluster's parallelism so probe stages of a BIG
+    * MB) — the corpus drives the width, not a constant. Floored at an
+    * eighth of the cluster's parallelism so probe stages of a BIG
     * ingest batch against a small corpus still spread, and never below
     * 2. The r18 sweep on this host (5k-doc fixture, 32 cores, isolated
     * steady dd_incremental_lookup): 4 slabs = 0.79 s, 8 = 0.89 s,
@@ -416,6 +416,9 @@ object LookupIndex {
             .otherwise("new").as("verdict"),
           when(col("ex_match").isNotNull, col("ex_match"))
             .otherwise(col("nd_match")).as("match_id"))
+        // preSort (r19): no range-sampling re-exec of the verdict joins
+        // (same tail as DedupOps.classifyBatch)
+        .transform(graft.engine.Par.preSort(_, col("doc_id"), col("verdict")))
         .orderBy(col("doc_id").asc_nulls_last)
     }
   }

@@ -404,7 +404,8 @@ object MultimodalOps {
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"), col(s"b$k").as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = DedupOps.lshCandidates(bandrows)
+    val cand = DedupOps.lshCandidates(bandrows,
+      cacheKey = graft.engine.Tables.dirOf(s).getOrElse("?") + "/mm_phash")
     val ha = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val hb = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
@@ -415,6 +416,11 @@ object MultimodalOps {
           expr("bit_count(a2 ^ c2)") + expr("bit_count(a3 ^ c3)"))
           .cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= 6)
+      // preSort (r19): no range-sampling re-exec of the hamming verify
+      // joins; hamming joins the keys so the exchange is not elided
+      // against the candidate distinct's (id_a, id_b) partitioning
+      .transform(graft.engine.Par.preSort(_,
+        col("id_a"), col("id_b"), col("hamming")))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 

@@ -425,7 +425,8 @@ object PipelineOps {
       graft.engine.CacheOnce.dsKey(s, "pipe_compact/bands"),
       sig.select(col("doc_id"), explode(D.bandStructs(col("sig"))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    val cand = D.lshCandidates(bands)
+    val cand = D.lshCandidates(bands,
+      cacheKey = graft.engine.CacheOnce.dsKey(s, "pipe_compact"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
       size(array_union(col("sh_a"), col("sh_b")))
     val drops = cand

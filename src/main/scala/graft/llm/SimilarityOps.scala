@@ -998,10 +998,14 @@ object SimilarityOps {
     // cumulative task time growing ~linearly with P — ~30-60 ms of
     // per-task overhead on KB-scale tasks: P=32 wall 0.57 s (2.8 s
     // cumulative run), P=64 0.82 s (7.1 s), P=128 1.03 s (15.9 s) —
-    // so the core budget itself is the right width. Env override
-    // for re-sweeps.
+    // so the core budget itself is the right width. Floored at 32
+    // (r19, ADVICE): the 1.6 GB-peak sf1 memory measurement behind the
+    // old 128 pin was only re-validated down to 32-wide on a 32-core
+    // host, so a smaller-core deployment keeps at least that validated
+    // spread instead of trusting the per-key-buffering argument alone.
+    // Env override for re-sweeps.
     val P = sys.env.get("SPARK_GRAFT_KNN_PARTS").flatMap(_.toIntOption)
-      .getOrElse(s.sparkContext.defaultParallelism)
+      .getOrElse(math.max(32, s.sparkContext.defaultParallelism))
     val pairs = a.repartition(P, col("label"), col("cb"))
       .join(b.repartition(P, col("lb"), col("nbc")),
         col("label") === col("lb") && col("cb") === col("nbc") &&
@@ -1251,9 +1255,11 @@ object SimilarityOps {
     // width scales with the cluster (r18): the old 128 pin cost ~60 ms
     // of per-task overhead per KB-scale task on the fixture (same sweep
     // as labelKnn's P — see OPTIMIZATION_r18.md); per-task buffering is
-    // bounded by the per-list membership, not P. Env override re-sweeps.
+    // bounded by the per-list membership, not P. Floored at 32 (r19,
+    // ADVICE) — same validated-spread rationale as labelKnn's P.
+    // Env override re-sweeps.
     val P = sys.env.get("SPARK_GRAFT_KNN_PARTS").flatMap(_.toIntOption)
-      .getOrElse(s.sparkContext.defaultParallelism)
+      .getOrElse(math.max(32, s.sparkContext.defaultParallelism))
     // SYMMETRIC candidate emission (r12): a matched ordered pair
     // a→b (home(b) ∈ probes(a)) costs ONE dot product but certifies
     // BOTH edges of the unordered pair — per-vector coverage becomes

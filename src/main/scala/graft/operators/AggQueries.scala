@@ -178,8 +178,11 @@ object AggQueries {
   ) { s =>
     s.table("orders").groupBy(col("o_orderstatus"))
       .agg(mode(col("o_orderpriority"), deterministic = true).as("mode_prio"))
-      // preSort (r18): no range-sampling re-exec of the mode merge
-      .transform(graft.engine.Par.preSort(_, col("o_orderstatus")))
+      // preSort (r18; keys widened r19): no range-sampling re-exec of
+      // the mode merge — mode_prio joins the key to defeat the elision
+      // against the aggregate's hash(o_orderstatus) partitioning
+      .transform(graft.engine.Par.preSort(_,
+        col("o_orderstatus"), col("mode_prio")))
       .orderBy(col("o_orderstatus").asc_nulls_last)
   }
 
@@ -281,8 +284,13 @@ object AggQueries {
     // ONE exact-percentile buffer and ONE sketch per group (array-arg
     // forms), not four: the four-buffer formulation ran 3.0 s at sf0.1
     // — slowest in the suite — vs ~1 s for this shape.
-    // preSort (r18): the final ORDER BY's range sampling otherwise
-    // re-runs the percentile buffer merge a second time
+    // preSort (r18; keys widened r19): the final ORDER BY's range
+    // sampling otherwise re-runs the percentile buffer merge a second
+    // time. With the key = the grouping key alone, Catalyst elided the
+    // planted exchange as redundant against the aggregate's
+    // hash(l_returnflag) partitioning and the double-merge stayed
+    // (r18's documented caveat); p50 joins the key purely to defeat
+    // that elision — row order is pinned by the final sort either way.
     graft.engine.Par.preSort(
       s.sql(
         """SELECT l_returnflag,
@@ -297,7 +305,7 @@ object AggQueries {
           |    percentile(l_extendedprice, array(0.5, 0.95)) AS ex,
           |    percentile_approx(l_extendedprice, array(0.5, 0.95), 10000) AS ap
           |  FROM lineitem GROUP BY l_returnflag)""".stripMargin),
-      col("l_returnflag"))
+      col("l_returnflag"), col("p50"))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
@@ -388,10 +396,12 @@ object AggQueries {
     * engines by design, so the sketch never crosses the comparator:
     * the oracle-checked columns are the exact distinct count plus a
     * BOOLEAN asserting each engine's own sketch lands within 10% of its
-    * own exact count (DuckDB's HLL is ~0.4% error, Spark's is run at
-    * rsd=1% — both sides deterministically true, and a broken sketch on
-    * either side flips its bool and fails the hash). The spec
-    * additionally bounds the raw estimate (OperatorSpec).
+    * own exact count (DuckDB's HLL is ~0.4% error; Spark's runs at its
+    * default rsd=5%, the precision the declared SQL's bare
+    * approx_count_distinct specifies — both sides deterministically
+    * true on every supported SF, and a broken sketch on either side
+    * flips its bool and fails the hash). The spec additionally bounds
+    * a 1%-rsd sketch estimate (OperatorSpec).
     */
   val a10 = Q(
     "a10_approx_distinct",
@@ -410,8 +420,11 @@ object AggQueries {
     // count(DISTINCT) both skip NULLs, so semantics are unchanged.
     val dedup = s.table("lineitem")
       .select(col("l_returnflag"), col("l_partkey")).distinct()
-    // preSort (r18): the final ORDER BY's range sampling otherwise
-    // re-runs the HLL + exact-count final aggregate a second time
+    // preSort (r18; keys widened r19): the final ORDER BY's range
+    // sampling otherwise re-runs the HLL + exact-count final aggregate
+    // a second time. exact_parts joins the key to defeat the r18-
+    // documented elision of the planted exchange against the
+    // aggregate's hash(l_returnflag) partitioning.
     graft.engine.Par.preSort(
       dedup.groupBy(col("l_returnflag"))
         .agg(count(col("l_partkey")).as("exact_parts"),
@@ -425,7 +438,7 @@ object AggQueries {
           (abs(approx_count_distinct(col("l_partkey"), 0.05) -
             count(col("l_partkey"))) <=
             lit(0.1) * count(col("l_partkey"))).as("approx_ok")),
-      col("l_returnflag"))
+      col("l_returnflag"), col("exact_parts"))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
@@ -448,7 +461,11 @@ object AggQueries {
     // becomes a 1e-16 ABSOLUTE difference in the log, which round(.,6)
     // absorbs at any corpus size — while product() itself stays the
     // aggregate under test.
-    val sqlText =
+    // inner SQL built WITHOUT the ORDER BY and the oracle string derived
+    // by appending it (r19, ADVICE: the previous exact-string replace of
+    // the clause would silently no-op on any whitespace drift, leaving a
+    // wasted sort + the double-execution under the preSort exchange)
+    val innerSql =
       """SELECT o_orderstatus,
         |  CAST(round(entropy(o_orderpriority), 9) AS DOUBLE) AS ent,
         |  CAST(round(mad(o_totalprice), 4) AS DOUBLE) AS md,
@@ -458,18 +475,19 @@ object AggQueries {
         |  arg_max(o_orderpriority, o_orderkey) AS amx,
         |  CAST(round(ln(product(1.0 + o_totalprice / 1e9)), 6) AS DOUBLE) AS lpr
         |FROM orders
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin
+    val sqlText = innerSql + "\nORDER BY o_orderstatus ASC NULLS LAST"
     // isolated child session: dialect shims never touch the shared
     // session's registry (the r8 f_math lesson — see Functions.freeze)
-    // preSort (r18): the mad/quantile/product merge is the heaviest
-    // final aggregate in the suite — don't let range sampling run it
-    // twice (the ORDER BY moves to the DataFrame tail)
+    // preSort (r18; keys widened r19): the mad/quantile/product merge is
+    // the heaviest final aggregate in the suite — don't let range
+    // sampling run it twice. ent joins the key to defeat the elision of
+    // the planted exchange against the aggregate's hash(o_orderstatus)
+    // partitioning (the r18 caveat).
     graft.engine.Q("a16_duck_stats", (s, dir) =>
       graft.engine.Par.preSort(
-        graft.engine.Functions.isolated(s, dir, "orders")
-          .sql(sqlText.replace("\nORDER BY o_orderstatus ASC NULLS LAST", "")),
-        col("o_orderstatus"))
+        graft.engine.Functions.isolated(s, dir, "orders").sql(innerSql),
+        col("o_orderstatus"), col("ent"))
         .orderBy(col("o_orderstatus").asc_nulls_last),
       Some(sqlText))
   }

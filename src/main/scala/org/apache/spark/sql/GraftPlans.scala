@@ -75,7 +75,15 @@ object GraftPlans {
     val rdd = classic.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val zero = (java.math.BigInteger.ZERO, 0L, 0L) // (big, chunk, n)
-    val (big, chunk, n) = rdd.map(_.getLong(idx)).aggregate(zero)(
+    // the non-null contract must fail LOUDLY (r19, ADVICE): getLong on a
+    // NULL slot silently yields 0, which would fake the convergence
+    // metric for a future caller with a nullable column
+    val (big, chunk, n) = rdd.map { r =>
+      if (r.isNullAt(idx)) throw new IllegalStateException(
+        s"localCheckpointWithLongColSum: NULL at column $idx — the " +
+          "convergence-sum column must be non-null")
+      r.getLong(idx)
+    }.aggregate(zero)(
       { case ((b, c, k), v) =>
         val s = c + v
         // detect 64-bit overflow of c + v (same-sign operands flipping)
