@@ -50,7 +50,12 @@ object Par {
     * hash spreads; AQE sizes the partition count from bytes.
     */
   def preSort[T](ds: Dataset[T], keys: org.apache.spark.sql.Column*): Dataset[T] =
-    ds.repartition(keys: _*)
+    // SPARK_GRAFT_PRESORT=off is a MEASUREMENT knob (r19): preSort is a
+    // pure partitioning hint, so disabling it changes no query result —
+    // it exists so ScaleBench can A/B the planted-exchange trade
+    // (output-sized shuffle vs output-sized re-execution) at real tiers.
+    if (sys.env.get("SPARK_GRAFT_PRESORT").contains("off")) ds
+    else ds.repartition(keys: _*)
 
   /** Spread for a relation that is about to be CACHED: every consumer
     * stage of a cached relation runs one task per cached partition

@@ -385,7 +385,14 @@ object MultimodalOps {
       graft.engine.Tables.dirOf(s).getOrElse("?") + "/mm_phash/hashes",
       s.table("documents")
         .filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))
+        // narrow spread of the BUILD (r19, VERDICT item 5): the decode
+        // input is a single-row-group scan, so the 2500-image codec
+        // pass ran one task. dp/8 parallelizes the build while keeping
+        // the cached partition count (= every consumer's task count,
+        // the r18 C2b tax) small; the shuffle moves only doc_id longs.
+        .repartition(math.max(2,
+          s.sparkContext.defaultParallelism / 8), col("doc_id")).as[Long]
         .mapPartitions { it =>
           val reader =
             javax.imageio.ImageIO.getImageReadersByFormatName("png").next()

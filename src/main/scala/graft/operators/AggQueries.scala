@@ -284,6 +284,43 @@ object AggQueries {
     // ONE exact-percentile buffer and ONE sketch per group (array-arg
     // forms), not four: the four-buffer formulation ran 3.0 s at sf0.1
     // — slowest in the suite — vs ~1 s for this shape.
+    //
+    // Sketch accuracy 2000 (r19, was 10000): the declared outputs are
+    // the EXACT percentiles plus the within-1% bool — the sketch value
+    // never crosses the gate. ε = 1/accuracy = 0.05% rank error; the
+    // measured value density around p50/p95 on this distribution is
+    // ~1% of value per 0.5% of rank at every supported SF (see
+    // OPTIMIZATION_r19.md), so the bound keeps a ~10× margin under the
+    // 1% envelope while the merge stage's buffers shrink 5×
+    // (isolated merge stage 1.07 → 0.75 s cumulative).
+    //
+    // Conditional partial spread (r19): the fixture scan is 3 parquet
+    // row groups, so the exact-percentile partial maps built over 600k
+    // rows ran on 3 tasks (0.94 s of a 1.4 s isolated steady). Hash-
+    // spread the (flag, price) rows to dp/4 ahead of the partials —
+    // SKIPPED whenever the scan already has that many partitions, so a
+    // production-scale scan (which splits naturally) never pays the
+    // extra fact-table shuffle; this is the LookupIndex.prepped
+    // discipline, and it differs from the r18 reverted experiment
+    // (unconditional, full 32-wide) in both width and the guard.
+    // percentile's buffer is an order-insensitive value→count map, so
+    // the exact outputs are bit-identical under any partitioning.
+    val src = s.table("lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val w = math.max(2, s.sparkContext.defaultParallelism / 4)
+    val spread = if (src.rdd.getNumPartitions >= w) src
+      else src.repartition(w, col("l_extendedprice"))
+    val agged = spread.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"),
+      expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 2000)")
+        .as("ap"))
+    val out = agged.select(col("l_returnflag"),
+      round(element_at(col("ex"), 1), 6).as("p50"),
+      round(element_at(col("ex"), 2), 6).as("p95"),
+      ((abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <=
+        lit(0.01) * element_at(col("ex"), 1)) &&
+        (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <=
+          lit(0.01) * element_at(col("ex"), 2))).as("approx_ok"))
     // preSort (r18; keys widened r19): the final ORDER BY's range
     // sampling otherwise re-runs the percentile buffer merge a second
     // time. With the key = the grouping key alone, Catalyst elided the
@@ -291,21 +328,7 @@ object AggQueries {
     // hash(l_returnflag) partitioning and the double-merge stayed
     // (r18's documented caveat); p50 joins the key purely to defeat
     // that elision — row order is pinned by the final sort either way.
-    graft.engine.Par.preSort(
-      s.sql(
-        """SELECT l_returnflag,
-          |  ROUND(element_at(ex, 1), 6) AS p50,
-          |  ROUND(element_at(ex, 2), 6) AS p95,
-          |  (abs(element_at(ap, 1) - element_at(ex, 1))
-          |    <= 0.01 * element_at(ex, 1)) AND
-          |  (abs(element_at(ap, 2) - element_at(ex, 2))
-          |    <= 0.01 * element_at(ex, 2)) AS approx_ok
-          |FROM (
-          |  SELECT l_returnflag,
-          |    percentile(l_extendedprice, array(0.5, 0.95)) AS ex,
-          |    percentile_approx(l_extendedprice, array(0.5, 0.95), 10000) AS ap
-          |  FROM lineitem GROUP BY l_returnflag)""".stripMargin),
-      col("l_returnflag"), col("p50"))
+    graft.engine.Par.preSort(out, col("l_returnflag"), col("p50"))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
