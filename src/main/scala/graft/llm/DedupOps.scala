@@ -942,6 +942,12 @@ object DedupOps {
       .filter(col("rn") === 1 && col("members") > 1)
       .select(col("ck"), col("members").cast(LongType).as("dup_cnt"),
         col("doc_id").as("rep_id"), col("n_chars").cast(LongType).as("rep_chars"))
+      // preSort (r19): no range-sampling re-exec of the ranking windows.
+      // Keyed on rep_id (unique per output row) rather than ck: a
+      // ck-prefixed hash key would both be elided against the window's
+      // ck partitioning AND double-count in PlanSpec's one-ck-exchange
+      // pin; any spreading key works — the final sort pins row order.
+      .transform(graft.engine.Par.preSort(_, col("rep_id")))
       .orderBy(col("ck").asc_nulls_last)
   }
 

@@ -202,6 +202,10 @@ object MultimodalOps {
         }
       }
     }.toDF()
+      // preSort (r19): the range sampling otherwise re-runs the whole
+      // codec map a second time per execution; width defeats the
+      // elision against the spread's doc_id partitioning
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("width")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -265,6 +269,8 @@ object MultimodalOps {
     dims.select(col("doc_id"), col("w"), col("h"),
         greatest(lit(1), floor(col("w") * sc).cast(IntegerType)).as("rw"),
         greatest(lit(1), floor(col("h") * sc).cast(IntegerType)).as("rh"))
+      // preSort (r19): no range-sampling re-exec of the md5-derived dims
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("w")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -594,6 +600,9 @@ object MultimodalOps {
         }
       }
       .toDF()
+      // preSort (r19): no range-sampling re-exec of the container parse
+      // + mid-frame decode (see mm_decode)
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("width")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -731,6 +740,9 @@ object MultimodalOps {
         }
       })
       .toDF()
+      // preSort (r19): no range-sampling re-exec of the WAV header parse
+      .transform(graft.engine.Par.preSort(_,
+        col("doc_id"), col("sample_rate")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -809,6 +821,8 @@ object MultimodalOps {
         }
       })
       .toDF()
+      // preSort (r19): no range-sampling re-exec of the sample decode
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("rms")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 

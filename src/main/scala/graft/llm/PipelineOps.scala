@@ -82,6 +82,9 @@ object PipelineOps {
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
         col("avg_quality"))
+      // preSort (r19): no range-sampling re-exec of the dedup window +
+      // report joins; n_pass defeats the lang-key elision
+      .transform(graft.engine.Par.preSort(_, col("lang"), col("n_pass")))
       .orderBy(raw("lang").asc_nulls_last)
   }
 
@@ -272,7 +275,9 @@ object PipelineOps {
         d7c.as("d7_retained"),
         round(d1c.cast(DoubleType) / count(lit(1)), 6).as("d1_rate"),
         round(d7c.cast(DoubleType) / count(lit(1)), 6).as("d7_rate"))
-      .transform(graft.engine.Par.preSort(_, col("cohort"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare cohort was elided against
+      // the groupBy(cohort) partitioning, leaving the double-exec)
+      .transform(graft.engine.Par.preSort(_, col("cohort"), col("cohort_size")))
       .orderBy(col("cohort").asc_nulls_last)
   }
 
@@ -329,7 +334,8 @@ object PipelineOps {
         count(lit(1)).as("n_purchases"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("attributed_value"))
-      .transform(graft.engine.Par.preSort(_, col("touch_type"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare touch_type was elided, see ev_retention)
+      .transform(graft.engine.Par.preSort(_, col("touch_type"), col("n_purchases")))
       .orderBy(col("touch_type").asc_nulls_last)
   }
 
@@ -657,7 +663,10 @@ object PipelineOps {
       .withColumn("zs", zs)
       .filter(abs(col("zs")) > 2)
       .select(col("event_type"), col("day"), col("n"), round(col("zs"), 6).as("z"))
-      .transform(graft.engine.Par.preSort(_, col("event_type"), col("day"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — (event_type, day) was elided
+      // against the daily-count groupBy's identical partitioning)
+      .transform(graft.engine.Par.preSort(_,
+        col("event_type"), col("day"), col("z")))
       .orderBy(col("event_type").asc_nulls_last, col("day").asc_nulls_last)
   }
 
@@ -736,7 +745,8 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast(LongType).as("tokens"),
         min(col("doc_id")).as("first_doc"))
-      .transform(graft.engine.Par.preSort(_, col("split"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare split was elided, see ev_retention)
+      .transform(graft.engine.Par.preSort(_, col("split"), col("n_docs")))
       .orderBy(col("split").asc_nulls_last)
   }
 

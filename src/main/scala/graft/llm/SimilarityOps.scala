@@ -63,6 +63,9 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"), col("sim"))
+      // preSort (r19): no range-sampling re-exec of the scoring + top-k
+      // window; vec_id defeats the qid-key elision
+      .transform(graft.engine.Par.preSort(_, col("qid"), col("vec_id")))
       .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
         col("vec_id").asc_nulls_last)
   }
@@ -89,6 +92,8 @@ object SimilarityOps {
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
       .filter(sim > 0.35)
       .select(col("id_a"), col("id_b"), round(sim, 6).as("sim"))
+      // preSort (r19): no range-sampling re-exec of the blocked pair join
+      .transform(graft.engine.Par.preSort(_, col("id_a"), col("id_b")))
       .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
   }
 
@@ -125,6 +130,9 @@ object SimilarityOps {
     s.table("embeddings")
       .select(col("vec_id"), hyperplaneSig(col("embedding"), 12).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      // preSort (r19): no range-sampling re-exec of the signature
+      // aggregate; n defeats the bucket-key elision
+      .transform(graft.engine.Par.preSort(_, col("bucket"), col("n")))
       .orderBy(col("bucket").asc_nulls_last)
   }
 
@@ -502,6 +510,8 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= topk)
       .select(col("qid"), col("vec_id"), col("sim"))
+      // preSort (r19): no range-sampling re-exec of the probe + top-k
+      .transform(graft.engine.Par.preSort(_, col("qid"), col("vec_id")))
       .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
         col("vec_id").asc_nulls_last)
   }
@@ -546,6 +556,8 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
       .select(col("qid"), col("vec_id"), col("sim"))
+      // preSort (r19): no range-sampling re-exec of the list scan + top-k
+      .transform(graft.engine.Par.preSort(_, col("qid"), col("vec_id")))
       .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
         col("vec_id").asc_nulls_last)
   }
@@ -743,6 +755,8 @@ object SimilarityOps {
       .orderBy(col("sim").desc, col("vec_id").asc)
     exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
       .select(col("qid"), col("vec_id"), col("sim"))
+      // preSort (r19): no range-sampling re-exec of the rerank + top-k
+      .transform(graft.engine.Par.preSort(_, col("qid"), col("vec_id")))
       .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
         col("vec_id").asc_nulls_last)
   }
@@ -926,6 +940,8 @@ object SimilarityOps {
       .orderBy(col("sim").desc, col("vec_id").asc)
     exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= TOPK)
       .select(col("qid"), col("vec_id"), col("sim"))
+      // preSort (r19): no range-sampling re-exec of the rerank + top-k
+      .transform(graft.engine.Par.preSort(_, col("qid"), col("vec_id")))
       .orderBy(col("qid").asc_nulls_last, col("sim").desc_nulls_last,
         col("vec_id").asc_nulls_last)
   }

@@ -184,7 +184,10 @@ object TextOps {
     scores.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("predicted"),
         (col("lang") === col("cand")).as("correct"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — the bare doc_id key was elided
+      // against the doc_id-keyed window/join partitioning, leaving the
+      // double-exec in place)
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("predicted")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -425,7 +428,8 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare doc_id was elided, see tx_lang_id)
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("n_hits")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -580,7 +584,8 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(coalesce(col("alp"), lit(0.0)), 6).as("avg_logprob"),
         (coalesce(col("alp"), lit(0.0)) < -9.0).as("low_quality"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare doc_id was elided, see tx_lang_id)
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("n_bigrams")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -667,7 +672,8 @@ object TextOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(frac, lit(0.0)), 6).as("dup_frac"),
         (coalesce(frac, lit(0.0)) > 0.5).as("flagged"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare doc_id was elided, see tx_lang_id)
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("n_grams")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -829,7 +835,10 @@ object TextOps {
         round((col("n") - coalesce(col("n_removed"), lit(0))) * lit(1.0)
           / col("n"), 6).as("kept_frac"),
         md5(concat_ws(" ", kept).cast(BinaryType)).as("kept_md5"))
-      .transform(graft.engine.Par.preSort(_, col("doc_id"))) // preSort (r18): no range-sampling re-exec
+      // preSort (r18; keys widened r19 — bare doc_id was elided against
+      // the doc_id-keyed stitch join, leaving the span rewrite + kept_md5
+      // to run twice per execution)
+      .transform(graft.engine.Par.preSort(_, col("doc_id"), col("n_tok")))
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
@@ -898,6 +907,8 @@ object TextOps {
       .withColumn("rank", row_number().over(wLang)).filter(col("rank") <= 10)
       .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"),
         col("tfidf"))
+      // preSort (r19): no range-sampling re-exec of the two-stage top-k
+      .transform(graft.engine.Par.preSort(_, col("lang"), col("rank")))
       .orderBy(col("lang").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
@@ -958,6 +969,9 @@ object TextOps {
       .join(topLang, col("source") === col("src2"))
       .select(col("source"), col("n_docs"), col("tokens"),
         col("stopword_ratio"), col("diversity"), col("top_lang"))
+      // preSort (r19): no range-sampling re-exec of the stats aggregate
+      // + top-lang join; n_docs defeats the source-key elision
+      .transform(graft.engine.Par.preSort(_, col("source"), col("n_docs")))
       .orderBy(col("source").asc_nulls_last)
   }
 

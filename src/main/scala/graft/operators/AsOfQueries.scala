@@ -29,6 +29,8 @@ object AsOfQueries {
     graft.plans.AsOfJoinPlan.asof(s, clicks, purchases, "user_id", "ts",
       Seq("event_id" -> "purchase_id", "value" -> "purchase_value"))
       .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_value"))
+      // preSort (r19): no range-sampling re-exec of the asof merge
+      .transform(graft.engine.Par.preSort(_, col("event_id")))
       .orderBy(col("event_id").asc_nulls_last)
   }
 
@@ -47,6 +49,8 @@ object AsOfQueries {
       Seq("event_id" -> "purchase_id"))
       .filter(col("purchase_id").isNotNull)
       .select(col("event_id"), col("purchase_id"))
+      // preSort (r19): no range-sampling re-exec of the union+window rewrite
+      .transform(graft.engine.Par.preSort(_, col("event_id")))
       .orderBy(col("event_id").asc_nulls_last)
   }
 

@@ -119,6 +119,9 @@ object GeneratorQueries {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
       .na.fill(0L)
+      // preSort (r19): no range-sampling re-exec of the pivot aggregate;
+      // the F column defeats the flag-key elision
+      .transform(graft.engine.Par.preSort(_, col("l_returnflag"), col("F")))
       .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
@@ -214,6 +217,10 @@ object GeneratorQueries {
       .pivot("o_orderpriority", values)
       .agg(count(lit(1)))
       .na.fill(0L)
+      // preSort (r19): no range-sampling re-exec of the pivot aggregate;
+      // the first pivot-value column defeats the status-key elision
+      .transform(d => graft.engine.Par.preSort(d,
+        col("o_orderstatus"), col(d.columns(1))))
       .orderBy(col("o_orderstatus").asc_nulls_last)
   }
 

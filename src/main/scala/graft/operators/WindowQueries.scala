@@ -328,8 +328,10 @@ object WindowQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      // preSort (r18): see w1 — one window execution, not two
-      .transform(graft.engine.Par.preSort(_, col("o_custkey")))
+      // preSort (r18; keys widened r19 — bare o_custkey was elided
+      // against the window's o_custkey partitioning)
+      .transform(graft.engine.Par.preSort(_,
+        col("o_custkey"), col("o_orderkey")))
       .orderBy(col("o_custkey").asc_nulls_last)
   }
 
