@@ -342,8 +342,17 @@ object Bench {
     // prefixes — a bare prefix like "w1" would silently capture a future
     // w10_* into the wrong class, so the matcher only treats a token as
     // a prefix when it ends in '_'
+    // r19 note: a full re-derivation of this list from the
+    // post-optimization per-query map (heaviest-first by fresh seconds)
+    // was MEASURED WORSE (17.0 s vs 12.1 s, same host/ambient): it
+    // front-loaded every heavy cached-relation family into one wave,
+    // re-creating the super-additive dd/pipe interference the r5 sweep
+    // documented. The r18 interleaving stays; the only r19 change is
+    // appending the TPC-H queries that drifted into the top-10
+    // (q9/q21/j6_ineq class) so they no longer start in the LAST wave.
     val heavyFirst = Seq(
       "dd_", "tx_span_", "pipe_span_", "pipe_compact", "t6_recursive_", "a4_", "a9_", "a10_", "a14_", "tx_lang_",
+      "q9_", "q21_", "j6_ineq", "q2_", "tx_decontaminate", "tx_dup_coverage",
       "w5_", "w6_", "w4_", "w3_", "w1_", "w7_", "w2_", "w8_",
       "f_datetime", "nn_", "q5_", "j1_", "t3_", "t4_", "tx_boilerplate")
     def costClass(n: String): Int = {
